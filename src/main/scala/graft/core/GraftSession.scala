@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place that encodes the engine's Spark tuning posture.
+  *
+  * Design target is a multi-executor cluster at ~100 TB; local[N] is only
+  * the test harness. Every knob here is chosen to scale with cluster size
+  * rather than hard-code single-node behavior:
+  *
+  *  - AQE on: runtime coalescing of shuffle partitions, skew-join
+  *    splitting, and dynamic broadcast conversion replace hand-tuned
+  *    partition counts at any scale.
+  *  - shuffle.partitions is a *starting* parallelism (overridable via
+  *    SPARK_GRAFT_SHUFFLE); AQE coalesces down, and at cluster scale the
+  *    value should be ~2-3x total cores.
+  *  - dynamic partition overwrite: upsert writers (K4/K5 in SURVEY.md §2.2)
+  *    rewrite only the touched partitions, never the whole table.
+  *  - UTC session timezone pinned for oracle parity.
+  */
+object GraftSession {
+  def builder(appName: String = "graft",
+              master: String = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"),
+              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32").toInt)
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Apply graft tuning to an existing session (e.g. one created by the
+    * verify/bench drivers) without rebuilding it. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  def local(appName: String = "graft-test"): SparkSession = {
+    val s = builder(appName, "local[4]", 8).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting, shingling.
+  *
+  * All pure Catalyst expressions (split / higher-order array functions /
+  * hash) — codegen'd, no UDFs, so a 100 TB scan stays in WholeStageCodegen.
+  * Token model is deliberately ASCII-regex based so the DuckDB oracle can
+  * reproduce it exactly.
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens; empty fragments removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Whitespace-ish token count (the reference's len(text.split())). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish proxy: number of subword units if words split every 4 chars
+    * (ceil(len/4) summed over tokens) — a cheap deterministic stand-in for a
+    * real tokenizer's token count. */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
+  private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is",
+    "on", "for", "with", "by", "at", "from", "as", "this", "that")
+
+  /** Fraction of tokens that are English stopwords, rounded for oracle
+    * stability. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isInCollection(stopwordsEn)))
+    round(when(size(toks) > 0, hits.cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0)), 6)
+  }
+
+  /** n-gram heuristic language ID. The stopword tables are tiny on purpose:
+    * the point is the *operator shape* (per-language evidence scores +
+    * deterministic argmax), which scales as a single projection. */
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> stopwordsEn,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "un", "una", "por", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que", "du"))
+
+  /** Detected language code, or "und" when no evidence. Ties break by the
+    * fixed language order above (deterministic). CJK is detected by
+    * codepoint range before the stopword vote. */
+  def detectLang(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langStopwords.map { case (lang, words) =>
+      (lang, size(filter(toks, t => t.isInCollection(words))))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val vote = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(vote)
+  }
+
+  /** Heuristic document quality score in [0,1]: rewards mid-length docs,
+    * healthy alphabetic ratio, presence of stopwords; penalizes
+    * over-punctuation. Deterministic arithmetic, rounded. */
+  def qualityScore(text: Column): Column = {
+    val len       = length(text).cast("double")
+    val alpha     = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    val punct     = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val alphaR    = when(len > 0, alpha / len).otherwise(lit(0.0))
+    val punctR    = when(len > 0, punct / len).otherwise(lit(0.0))
+    val lenScore  = least(len / lit(200.0), lit(1.0))
+    val raw = lenScore * 0.3 + alphaR * 0.4 + stopwordRatio(text) * 0.3 - punctR * 0.5
+    round(greatest(least(raw, lit(1.0)), lit(0.0)), 6)
+  }
+
+  /** Rolling polynomial fingerprint over tokens (Rabin-Karp style):
+    * acc = acc*31 + xxhash64(token), over tokens in order. Stable across
+    * partitions/executors; not oracle-replicable (engine-specific hash). */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** Word-level shingles of size n, as strings ("w1 w2 ... wn"). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    when(size(toks) >= n,
+      transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Character n-grams of the lowercased text (for n-gram Jaccard). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    val idx = sequence(lit(1), greatest(length(t) - (n - 1), lit(1)))
+    transform(idx, i => t.substr(i, lit(n)))
+  }
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator library: the reference's record-cleaning, filtering,
+  * upsert and dedup semantics re-expressed as pure `DataFrame => DataFrame`
+  * combinators (SURVEY.md §2.3, §2.8, §2.2 K4/K5).
+  *
+  * Everything here is built from codegen'd `functions._` primitives — no
+  * UDFs — so plans stay inside WholeStageCodegen and push down to the scan.
+  */
+object Cleaners {
+
+  /** F13 (ref: lecture2/tutorial1_basic_etl.py:153-157): normalize column
+    * names to snake_case (lowercase, spaces→underscores). */
+  def normalizeColumnNames(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(c => c.trim.toLowerCase.replaceAll("[\\s]+", "_")).toIndexedSeq: _*)
+
+  /** F8 (ref: lecture2/tutorial1_basic_etl.py:136-144): trim string columns;
+    * whitespace-only values become null (the reference drops null fields). */
+  def trimStrings(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case StringType =>
+          when(length(trim(col(f.name))) === 0, lit(null).cast(StringType))
+            .otherwise(trim(col(f.name))).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** F9 (ref: tutorial1:146-161, tutorial2:107-113): keep records whose
+    * required fields are present; use [[rejects]] for the warned side output. */
+  def requireFields(df: DataFrame, required: Seq[String]): DataFrame =
+    df.filter(required.map(col(_).isNotNull).reduce(_ && _))
+
+  /** Side output of [[requireFields]] — the dropped records. */
+  def rejects(df: DataFrame, required: Seq[String]): DataFrame =
+    df.filter(required.map(col(_).isNull).reduce(_ || _))
+
+  /** F10 (ref: weather_ollama_dag.py:115-128): fail-fast contract check.
+    * Runs a cheap existence probe (limit 1) rather than a full count. */
+  def assertFields(df: DataFrame, required: Seq[String]): DataFrame = {
+    val bad = rejects(df, required).limit(1).count()
+    require(bad == 0L, s"records missing required fields: ${required.mkString(", ")}")
+    df
+  }
+
+  /** F14 (ref: tutorial1:148-151): enrichment metadata. `record_count` is
+    * computed with an aggregate + broadcast join (NOT a global window, which
+    * would funnel all rows through one partition at scale). `processedAt`
+    * is injected for determinism (reference used datetime.now()). */
+  def enrich(df: DataFrame, processedAt: java.time.Instant): DataFrame = {
+    val n = df.groupBy().agg(count(lit(1)).as("record_count"))
+    df.crossJoin(broadcast(n))
+      .withColumn("processed_at", lit(java.sql.Timestamp.from(processedAt)))
+  }
+}
+
+object Dedup {
+
+  /** U2 (ref: lecture3/15_binance_backfill_last_month.py:129): pandas
+    * `drop_duplicates(keep="last")` re-specified with an explicit order —
+    * keep, per key, the row with the greatest `order` value. */
+  def keepLastBy(df: DataFrame, keys: Seq[String], order: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(order.desc)
+    df.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn")
+  }
+
+  /** Keep, per key, the row with the smallest `order` value. */
+  def keepFirstBy(df: DataFrame, keys: Seq[String], order: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(order.asc)
+    df.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn")
+  }
+
+  /** Exact duplicate removal on a subset of columns (order-free). */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame = df.dropDuplicates(cols)
+}
+
+/** K4/K5 upsert semantics (SURVEY.md §2.2) as logical-level operators.
+  * At scale these pair with dynamic partition overwrite so only touched
+  * partitions rewrite; the combinators define the resulting row set. */
+object Upsert {
+
+  /** K5 (ref: lecture3/13_binance_calculate_hourly.py:79-85): replace-by-key —
+    * drop existing rows whose key appears in `fresh`, then append `fresh`.
+    * left_anti keeps the plan shuffle-free when `fresh` keys broadcast. */
+  def replaceByKey(existing: DataFrame, fresh: DataFrame, keys: Seq[String]): DataFrame = {
+    val freshKeys = broadcast(fresh.select(keys.map(col).toIndexedSeq: _*).distinct())
+    existing.join(freshKeys, keys, "left_anti")
+      .unionByName(fresh, allowMissingColumns = true)
+  }
+
+  /** K4 (ref: 15_binance_backfill_last_month.py:125-134): append then dedup
+    * keep-last by key, preferring `fresh` on key collision, ordered by
+    * `order` within each side. */
+  def appendDedup(existing: DataFrame, fresh: DataFrame, keys: Seq[String], order: Column): DataFrame = {
+    val tagged = existing.withColumn("_graft_src", lit(0))
+      .unionByName(fresh.withColumn("_graft_src", lit(1)), allowMissingColumns = true)
+    Dedup.keepLastBy(tagged, keys, struct(col("_graft_src"), order))
+      .drop("_graft_src")
+  }
+}
+
+object Joins {
+
+  /** J3 (ref: tutorial2:222-259): multi-source union merge with schema
+    * alignment — missing columns null-filled. */
+  def unionMerge(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** J1 with broadcast hint for a small right side (ref: gold_war_etl_dag.py:148). */
+  def leftBroadcast(big: DataFrame, small: DataFrame, keys: Seq[String]): DataFrame =
+    big.join(broadcast(small), keys, "left")
+}
+
+object Windows {
+
+  /** W3 (ref: 13_binance_calculate_hourly.py:63-64): pandas positional
+    * first/last become explicit time-ordered min_by/max_by aggregates —
+    * one-pass, no sort, no window shuffle. */
+  def orderedFirst(value: Column, order: Column): Column = min_by(value, order)
+  def orderedLast(value: Column, order: Column): Column  = max_by(value, order)
+
+  /** W1 (ref: select_pageview_counts.sql:7-11): top-1 row per group by a
+    * ranking order (first column is primary; add tiebreaks for determinism). */
+  def topOnePerGroup(df: DataFrame, partition: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partition.map(col).toIndexedSeq: _*).orderBy(order.toIndexedSeq: _*)
+    df.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn")
+  }
+}
