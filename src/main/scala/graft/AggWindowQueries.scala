@@ -1,0 +1,279 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Joins, TimeSeries, Upsert, Windows}
+import graft.OracleMath._
+
+/** A-class aggregations, W-class windows, O-class sorts/limits, U-class set
+  * ops and the K4/K5 upsert semantics as oracle-checked queries
+  * (SURVEY.md §2.5-§2.8, §2.2).
+  */
+object AggWindowQueries extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
+
+  /** Daily order revenue — shared fixture for upsert/sort queries. */
+  private def dailyRevenue(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("date"))
+      .agg(dsum(col("o_totalprice"), 4, 2).as("revenue"))
+
+  private val dailyRevenueSql =
+    s"""SELECT CAST(o_orderdate AS DATE) AS date,
+       |       ${dsumSql("o_totalprice", 4, 2)} AS revenue
+       |FROM orders GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A-class --------------------------------------------------------------
+    "a2_hourly_stats" -> ((s, d) =>
+      // A2/T2/W4: per-hour OHLC-style stats with time-ordered first/last.
+      TimeSeries.hourlyStats(t(s, d, "events"), col("ts"), col("value"))),
+    "a3_daily_rollup" -> ((s, d) =>
+      // A3+A4/T3: daily rollup cascaded over the hourly aggregate.
+      TimeSeries.dailyStats(
+        TimeSeries.hourlyStats(t(s, d, "events"), col("ts"), col("value")))),
+    "a5_sentiment_daily" -> ((s, d) => {
+      // A5+X1: lexicon sentiment polarity per doc, aggregated per (lang,source).
+      import graft.functions.Sentiment
+      t(s, d, "documents")
+        .withColumn("polarity", Sentiment.polarity(col("text")))
+        .groupBy(col("lang"), col("source"))
+        .agg(davg(col("polarity"), 6, 6).as("polarity_mean"),
+             count(lit(1)).as("n_docs"))
+    }),
+    "a6_sql_avg" -> ((s, d) => {
+      // A6 (ref: select_pageview_counts.sql): the SQL surface itself —
+      // registered temp view + spark.sql text.
+      t(s, d, "events").createOrReplaceTempView("graft_events")
+      s.sql(
+        """SELECT event_type, hour(ts) AS hr,
+          |  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value
+          |FROM graft_events GROUP BY event_type, hour(ts)""".stripMargin)
+    }),
+    "a7_group_count" -> ((s, d) =>
+      // A7: key-count map (promotions per product → parts per type).
+      t(s, d, "part").groupBy(col("p_type")).agg(count(lit(1)).as("n_parts"))),
+    "a8_last_wins" -> ((s, d) =>
+      // A8: lookup-accumulate last-wins — last retail price per brand in
+      // partkey order (pandas dict-overwrite re-specified as max_by).
+      t(s, d, "part").groupBy(col("p_brand")).agg(
+        Windows.orderedLast(col("p_retailprice"), col("p_partkey")).as("last_price"),
+        count(lit(1)).as("n_parts"))),
+    "a11_fan_in" -> ((s, d) => {
+      // A11/J4/U1: fan-in over parallel branches — three filtered extracts
+      // union-merged then aggregated.
+      val clicks = t(s, d, "events").filter(col("event_type") === "click")
+      val views = t(s, d, "events").filter(col("event_type") === "view")
+      val purchases = t(s, d, "events").filter(col("event_type") === "purchase")
+      Joins.unionMerge(Seq(clicks, views, purchases))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6, 4).as("total_value"))
+    }),
+    // W-class --------------------------------------------------------------
+    "w3_first_last" -> ((s, d) =>
+      // W3: ordered first/last per user (min_by/max_by, no window shuffle).
+      t(s, d, "events").groupBy(col("user_id")).agg(
+        Windows.orderedFirst(col("value"), col("ts")).as("first_value"),
+        Windows.orderedLast(col("value"), col("ts")).as("last_value"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))),
+    "w5_running_sum" -> ((s, d) => {
+      // Running cumulative count per user over days (rows-frame window).
+      val daily = t(s, d, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_events", sum(col("n")).over(w))
+    }),
+    // O-class --------------------------------------------------------------
+    "o1_sort" -> ((s, d) =>
+      // O1: ordered report output (driver sorts rows anyway; the operator
+      // here is the total sort itself).
+      dailyRevenue(s, d).orderBy(col("date"))),
+    "o2_topk" -> ((s, d) =>
+      // O2/O3: top-k with deterministic tiebreak.
+      t(s, d, "customer")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .limit(10)),
+    "o4_first_row" -> ((s, d) =>
+      // O4: first upcoming row (limit 1 after order).
+      t(s, d, "orders")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("date"))
+        .limit(1)),
+    // U-class + upserts ----------------------------------------------------
+    "u1_union_merge" -> ((s, d) => {
+      // U1/J3: heterogeneous union with schema alignment (missing cols null).
+      val e = t(s, d, "events").select(
+        to_date(col("ts")).as("date"), lit("event").as("src"), col("value").as("amount"))
+      val o = t(s, d, "orders").select(
+        to_date(col("o_orderdate")).as("date"), lit("order").as("src"),
+        col("o_totalprice").as("amount"), col("o_orderpriority").as("priority"))
+      Joins.unionMerge(Seq(e, o))
+        .groupBy(col("src"), col("priority"))
+        .agg(count(lit(1)).as("n"), dsum(col("amount"), 6, 2).as("total"))
+    }),
+    "u2_keep_last" -> ((s, d) =>
+      // U2: dedup keep-last by key under explicit ts order.
+      Dedup.keepLastBy(t(s, d, "events"), Seq("user_id"), col("ts"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))),
+    "k5_upsert_replace" -> ((s, d) => {
+      // K5: replace-by-key upsert — fresh recomputation of 1998 replaces
+      // the stale 1998 rows in the existing daily table.
+      val existing = dailyRevenue(s, d).withColumn("version", lit(1))
+      val fresh = t(s, d, "orders")
+        .filter(year(col("o_orderdate")) === 1998)
+        .groupBy(to_date(col("o_orderdate")).as("date"))
+        .agg(dsum(col("o_totalprice"), 4, 2).as("revenue"))
+        .withColumn("version", lit(2))
+      Upsert.replaceByKey(existing, fresh, Seq("date"))
+    }),
+    "k4_append_dedup" -> ((s, d) => {
+      // K4: append + dedup keep-last, fresh side wins on key collision.
+      val existing = dailyRevenue(s, d).withColumn("version", lit(1))
+      val fresh = t(s, d, "orders")
+        .filter(year(col("o_orderdate")) === 1998)
+        .groupBy(to_date(col("o_orderdate")).as("date"))
+        .agg((dsum(col("o_totalprice"), 4, 2) + 0.5).as("revenue"))
+        .withColumn("version", lit(2))
+      Upsert.appendDedup(existing, fresh, Seq("date"), col("version"))
+    })
+  )
+
+  private val hourlySql =
+    """SELECT date_trunc('hour', ts) AS hour_start,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+      |  MIN(value) AS min_price,
+      |  MAX(value) AS max_price,
+      |  arg_min(value, ts) AS first_price,
+      |  arg_max(value, ts) AS last_price,
+      |  COUNT(*) AS data_points
+      |FROM events GROUP BY 1""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "a2_hourly_stats" -> hourlySql,
+    "a3_daily_rollup" ->
+      s"""WITH hourly AS ($hourlySql)
+         |SELECT date_trunc('day', hour_start) AS day_start,
+         |  ROUND(CAST(SUM(CAST(avg_price AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+         |  MIN(min_price) AS min_price,
+         |  MAX(max_price) AS max_price,
+         |  arg_min(first_price, hour_start) AS opening_price,
+         |  arg_max(last_price, hour_start) AS closing_price,
+         |  SUM(data_points) AS total_data_points,
+         |  COUNT(*) AS hours_with_data,
+         |  ROUND(arg_max(last_price, hour_start) - arg_min(first_price, hour_start), 6) AS price_change,
+         |  ROUND(CASE WHEN arg_min(first_price, hour_start) > 0
+         |    THEN (arg_max(last_price, hour_start) - arg_min(first_price, hour_start))
+         |         / arg_min(first_price, hour_start) * 100.0
+         |    ELSE 0.0 END, 6) AS price_change_pct
+         |FROM hourly GROUP BY 1""".stripMargin,
+    "a5_sentiment_daily" -> SentimentOracle.dailySql,
+    "a6_sql_avg" ->
+      """SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "a7_group_count" ->
+      "SELECT p_type, COUNT(*) AS n_parts FROM part GROUP BY 1",
+    "a8_last_wins" ->
+      """SELECT p_brand, arg_max(p_retailprice, p_partkey) AS last_price,
+        |       COUNT(*) AS n_parts
+        |FROM part GROUP BY 1""".stripMargin,
+    "a11_fan_in" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${dsumSql("value", 6, 4)} AS total_value
+         |FROM events WHERE event_type IN ('click', 'view', 'purchase')
+         |GROUP BY 1""".stripMargin,
+    "w3_first_last" ->
+      """SELECT user_id,
+        |  arg_min(value, ts) AS first_value,
+        |  arg_max(value, ts) AS last_value,
+        |  MIN(ts) AS first_ts,
+        |  MAX(ts) AS last_ts
+        |FROM events GROUP BY 1""".stripMargin,
+    "w5_running_sum" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS date, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, date, n,
+        |  SUM(n) OVER (PARTITION BY user_id ORDER BY date
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events
+        |FROM daily""".stripMargin,
+    "o1_sort" -> s"$dailyRevenueSql ORDER BY date",
+    "o2_topk" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "o4_first_row" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS date FROM orders
+        |ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1""".stripMargin,
+    "u1_union_merge" ->
+      s"""WITH u AS (
+         |  SELECT CAST(ts AS DATE) AS date, 'event' AS src, value AS amount,
+         |         NULL AS priority
+         |  FROM events
+         |  UNION ALL
+         |  SELECT CAST(o_orderdate AS DATE), 'order', o_totalprice, o_orderpriority
+         |  FROM orders)
+         |SELECT src, priority, COUNT(*) AS n,
+         |  ${dsumSql("amount", 6, 2)} AS total
+         |FROM u GROUP BY 1, 2""".stripMargin,
+    "u2_keep_last" ->
+      """WITH ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value FROM ranked WHERE rn = 1""".stripMargin,
+    "k5_upsert_replace" ->
+      s"""WITH existing AS (SELECT date, revenue, 1 AS version FROM ($dailyRevenueSql)),
+         |fresh AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS date,
+         |         ${dsumSql("o_totalprice", 4, 2)} AS revenue, 2 AS version
+         |  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998 GROUP BY 1)
+         |SELECT * FROM existing WHERE date NOT IN (SELECT date FROM fresh)
+         |UNION ALL SELECT * FROM fresh""".stripMargin,
+    "k4_append_dedup" ->
+      s"""WITH existing AS (SELECT date, revenue, 1 AS version FROM ($dailyRevenueSql)),
+         |fresh AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS date,
+         |         ${dsumSql("o_totalprice", 4, 2)} + 0.5 AS revenue, 2 AS version
+         |  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998 GROUP BY 1),
+         |u AS (SELECT * FROM existing UNION ALL SELECT * FROM fresh),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY date ORDER BY version DESC) AS rn
+         |  FROM u)
+         |SELECT date, revenue, version FROM ranked WHERE rn = 1""".stripMargin
+  )
+}
+
+/** DuckDB replication of the sentiment lexicon, generated from the same
+  * Map so the two implementations cannot drift. */
+object SentimentOracle {
+  private val cases = graft.functions.Sentiment.lexicon
+    .toSeq.sortBy(_._1)
+    .map { case (w, v) => s"WHEN '$w' THEN $v" }
+    .mkString(" ")
+
+  val polaritySql: String =
+    s"""ROUND(CASE WHEN len(toks) > 0
+       |  THEN list_sum(list_transform(toks,
+       |         t -> CASE t $cases ELSE 0.0 END)) / (len(toks) * 4.0)
+       |  ELSE 0.0 END, 6)""".stripMargin
+
+  val dailySql: String =
+    s"""WITH tokenized AS (
+       |  SELECT lang, source,
+       |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+       |                x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT lang, source, $polaritySql AS polarity FROM tokenized)
+       |SELECT lang, source,
+       |  ROUND(CAST(SUM(CAST(polarity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(polarity), 6) AS polarity_mean,
+       |  COUNT(*) AS n_docs
+       |FROM scored GROUP BY 1, 2""".stripMargin
+}

@@ -69,10 +69,11 @@ object RelationalQueries extends QueryPack {
         .na.fill(0L, Seq("n_purchases"))
     }),
     "j2_anti_join" -> ((s, d) => {
-      // J2/U3: customers with no orders (left_anti as set-difference of keys).
+      // J2/U3: customers with no completed ('F') orders — left_anti as
+      // set-difference of keys. Status filter guarantees a non-empty result.
       val cust = t(s, d, "customer")
-      val orders = t(s, d, "orders")
-      cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      val fOrders = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+      cust.join(fOrders, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     }),
     // W-class windows ------------------------------------------------------
@@ -136,7 +137,8 @@ object RelationalQueries extends QueryPack {
          |FROM daily LEFT JOIN p ON daily.date = p.date""".stripMargin,
     "j2_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
     "w1_top1_per_group" ->
       """WITH hourly AS (
         |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr, COUNT(*) AS n

@@ -13,7 +13,9 @@ import graft.core.{GraftSession, Tables}
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    RelationalQueries
+    RelationalQueries,
+    FilterScalarQueries,
+    AggWindowQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

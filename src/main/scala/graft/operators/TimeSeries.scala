@@ -23,7 +23,9 @@ object TimeSeries {
     * first/last/count, column names matching the reference's hourly CSV. */
   def hourlyStats(points: DataFrame, ts: Column, price: Column): DataFrame =
     points.groupBy(date_trunc("hour", ts).as("hour_start")).agg(
-      round(avg(price), 6).as("avg_price"),
+      // decimal-exact mean: double SUM is accumulation-order-dependent and
+      // would diverge run-to-run (and from the oracle) at high parallelism
+      round(sum(price.cast("decimal(27,6)")).cast("double") / count(lit(1)), 6).as("avg_price"),
       min(price).as("min_price"),
       max(price).as("max_price"),
       min_by(price, ts).as("first_price"),
@@ -36,7 +38,7 @@ object TimeSeries {
   def dailyStats(hourly: DataFrame): DataFrame = {
     val day = date_trunc("day", col("hour_start"))
     val agg = hourly.groupBy(day.as("day_start")).agg(
-      round(avg(col("avg_price")), 6).as("avg_price"),
+      round(sum(col("avg_price").cast("decimal(27,6)")).cast("double") / count(lit(1)), 6).as("avg_price"),
       min(col("min_price")).as("min_price"),
       max(col("max_price")).as("max_price"),
       min_by(col("first_price"), col("hour_start")).as("opening_price"),
