@@ -42,7 +42,7 @@ object AggWindowQueries extends QueryPack {
       t(s, d, "documents")
         .withColumn("polarity", Sentiment.polarity(col("text")))
         .groupBy(col("lang"), col("source"))
-        .agg(davg(col("polarity"), 6, 6).as("polarity_mean"),
+        .agg(davg(col("polarity"), 9, 6).as("polarity_mean"),
              count(lit(1)).as("n_docs"))
     }),
     "a6_sql_avg" -> ((s, d) => {
@@ -259,10 +259,10 @@ object SentimentOracle {
     .mkString(" ")
 
   val polaritySql: String =
-    s"""ROUND(CASE WHEN len(toks) > 0
+    s"""(CASE WHEN len(toks) > 0
        |  THEN list_sum(list_transform(toks,
        |         t -> CASE t $cases ELSE 0.0 END)) / (len(toks) * 4.0)
-       |  ELSE 0.0 END, 6)""".stripMargin
+       |  ELSE 0.0 END)""".stripMargin
 
   val dailySql: String =
     s"""WITH tokenized AS (
@@ -273,7 +273,7 @@ object SentimentOracle {
        |scored AS (
        |  SELECT lang, source, $polaritySql AS polarity FROM tokenized)
        |SELECT lang, source,
-       |  ROUND(CAST(SUM(CAST(polarity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(polarity), 6) AS polarity_mean,
+       |  ROUND(CAST(SUM(CAST(polarity AS DECIMAL(27,9))) AS DOUBLE) / COUNT(polarity), 6) AS polarity_mean,
        |  COUNT(*) AS n_docs
        |FROM scored GROUP BY 1, 2""".stripMargin
 }

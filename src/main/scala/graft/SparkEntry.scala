@@ -15,7 +15,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     FilterScalarQueries,
-    AggWindowQueries
+    AggWindowQueries,
+    TrainingDataQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Ann, DedupSuite}
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * tables: dedup suite (exact / MinHash+LSH / SimHash / char-n-gram /
+  * embedding-cosine), similarity search (brute-force + IVF), and text
+  * analysis (tokens / language-ID / quality / fingerprint).
+  *
+  * Oracle notes: queries whose result depends only on set arithmetic and
+  * raw IEEE doubles get exact DuckDB oracles (the LSH pair-finder is
+  * checked against the *brute-force* oracle — recall on the planted
+  * near-dups at j≈0.98 is 1-(1-j^8)^16 ≈ 1-6e-14, i.e. exact on this
+  * data). Queries built on engine-native hashes (xxhash64 signatures,
+  * SimHash, fingerprints) are rows-only checked.
+  */
+object TrainingDataQueries extends QueryPack {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // dedup ---------------------------------------------------------------
+    "d_exact_dedup" -> ((s, d) =>
+      DedupSuite.exactDedupStats(docs(s, d), col("text"), col("doc_id"))),
+    "d_minhash_lsh" -> ((s, d) =>
+      DedupSuite.minhashNearDupPairs(docs(s, d), "doc_id", col("text"),
+        shingleSize = 3, numHashes = 128, bands = 16, threshold = 0.8)),
+    "d_char_ngram" -> ((s, d) =>
+      // brute-force baseline — bounded universe so cost stays fixed at
+      // every SF; the LSH path above is the full-corpus variant.
+      DedupSuite.charNgramPairs(docs(s, d).filter(col("doc_id") < 500),
+        "doc_id", col("text"), n = 5, threshold = 0.8)),
+    "d_simhash" -> ((s, d) =>
+      DedupSuite.simhashNearDupPairs(docs(s, d), "doc_id", col("text"),
+        maxHamming = 7)),
+    "d_embed_neardup" -> ((s, d) =>
+      Ann.cosineNearDupPairs(embs(s, d), "vec_id", "embedding",
+        threshold = 0.478)),
+    // similarity search ----------------------------------------------------
+    "ann_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+      Ann.bruteForceTopK(e, "vec_id", "embedding", q, k = 10)
+    }),
+    "ann_ivf" -> ((s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+      Ann.ivfTopK(e, "vec_id", "embedding", centroids, q, k = 5, nProbe = 2)
+    }),
+    // text analysis --------------------------------------------------------
+    "t_text_stats" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("token_count"),
+        TextFunctions.subwordCount(col("text")).as("subword_count"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))),
+    "t_langid" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.detectLang(col("text")).as("lang_detected"))),
+    "t_fingerprint" -> ((s, d) =>
+      // engine-native hashes: rows-only check (no oracle).
+      docs(s, d).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"),
+        DedupSuite.simhash64(col("text")).as("simhash")))
+  )
+
+  // --- shared SQL fragments ------------------------------------------------
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  private val shingle3Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                   for i in range(1, len(toks) - 1)]) AS s
+       |  FROM t WHERE len(toks) >= 3)""".stripMargin
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  private val vSql =
+    "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum([$a.e[i] * $b.e[i] for i in range(1, 65)])"
+
+  private def cosSql(a: String, b: String): String =
+    s"""(${dotSql(a, b)} /
+       | (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d_minhash_lsh" ->
+      s"""$shingle3Sql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""".stripMargin,
+    "d_char_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(lower(text), i, 5)
+        |                   for i in range(1, len(lower(text)) - 3)]) AS s
+        |  FROM documents WHERE doc_id < 500 AND len(text) >= 5)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""".stripMargin,
+    "d_embed_neardup" ->
+      s"""WITH v AS ($vSql)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(${cosSql("a", "b")}, 6) AS sim
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a", "b")} >= 0.478""".stripMargin,
+    "ann_topk" ->
+      s"""WITH v AS ($vSql),
+         |q AS (SELECT * FROM v WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |         ${cosSql("q", "v")} AS cos
+         |  FROM q JOIN v ON v.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ROUND(cos, 6) AS sim,
+         |       CAST(rn AS INT) AS rank
+         |FROM ranked WHERE rn <= 10""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH v AS ($vSql),
+         |cent AS (SELECT vec_id AS cell_id, e FROM v WHERE vec_id < 8),
+         |q AS (SELECT * FROM v WHERE vec_id < 5),
+         |asg AS (
+         |  SELECT vec_id, e, cell_id FROM (
+         |    SELECT v.vec_id, v.e, cent.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY sqrt(list_sum([(v.e[i] - cent.e[i]) * (v.e[i] - cent.e[i])
+         |                                for i in range(1, 65)])) ASC, cent.cell_id ASC) AS rn
+         |    FROM v CROSS JOIN cent)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qe, cell_id FROM (
+         |    SELECT q.vec_id AS query_id, q.e AS qe, cent.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY sqrt(list_sum([(q.e[i] - cent.e[i]) * (q.e[i] - cent.e[i])
+         |                                for i in range(1, 65)])) ASC, cent.cell_id ASC) AS cr
+         |    FROM q CROSS JOIN cent)
+         |  WHERE cr <= 2),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    list_sum([p.qe[i] * a.e[i] for i in range(1, 65)]) /
+         |      (sqrt(list_sum([p.qe[i] * p.qe[i] for i in range(1, 65)])) *
+         |       sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)]))) AS cos
+         |  FROM asg a JOIN probes p ON a.cell_id = p.cell_id
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ROUND(cos, 6) AS sim,
+         |       CAST(rn AS INT) AS rank
+         |FROM ranked WHERE rn <= 5""".stripMargin,
+    "t_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INT) AS token_count,
+         |    CAST(list_sum(list_transform(toks,
+         |         x -> CAST(CEIL(len(x) / 4.0) AS BIGINT))) AS BIGINT) AS subword_count,
+         |    CASE WHEN len(toks) > 0
+         |      THEN CAST(len(list_filter(toks, x -> x IN (${inList(TextFunctions.stopwordsEn)})))
+         |                AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |      ELSE 0.0 END AS stopword_ratio,
+         |    CAST(LENGTH(text) AS DOUBLE) AS tlen,
+         |    CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+         |    CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct
+         |  FROM t)
+         |SELECT doc_id, token_count, subword_count, stopword_ratio,
+         |  ROUND(GREATEST(LEAST(
+         |    LEAST(tlen / 200.0, 1.0) * 0.3
+         |    + (CASE WHEN tlen > 0 THEN alpha / tlen ELSE 0.0 END) * 0.4
+         |    + stopword_ratio * 0.3
+         |    - (CASE WHEN tlen > 0 THEN punct / tlen ELSE 0.0 END) * 0.5,
+         |    1.0), 0.0), 6) AS quality
+         |FROM m""".stripMargin,
+    "t_langid" -> {
+      val scores = TextFunctions.langStopwords.map { case (lang, words) =>
+        s"len(list_filter(toks, x -> x IN (${inList(words)}))) AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TextFunctions.langStopwords.map(_._1)
+      val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
+      val voteCases = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+         |sc AS (
+         |  SELECT doc_id, lang, text,
+         |    $scores
+         |  FROM t),
+         |b AS (SELECT *, $best AS best FROM sc)
+         |SELECT doc_id, lang,
+         |  CASE WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh'
+         |       WHEN best = 0 THEN 'und'
+         |       $voteCases
+         |       ELSE 'und' END AS lang_detected
+         |FROM b""".stripMargin
+    }
+  )
+}

@@ -24,11 +24,13 @@ object Sentiment {
     "error" -> -3.0, "big" -> 1.0, "small" -> -1.0)
 
   /** Polarity in [-1,1]: mean valence per token, null/blank text → 0.0
-    * (matches the reference's null guard). Rounded for oracle stability. */
+    * (matches the reference's null guard). NOT rounded: integer-valued
+    * valence sums divided by (n*4) are bit-identical across engines,
+    * while round-half of dyadic ratios is not. */
   def polarity(text: Column): Column = {
     val toks = TextFunctions.tokens(coalesce(text, lit("")))
     val score = aggregate(toks, lit(0.0), (acc, t) => acc + wordValence(t))
-    round(when(size(toks) > 0, score / (size(toks) * 4.0)).otherwise(lit(0.0)), 6)
+    when(size(toks) > 0, score / (size(toks) * 4.0)).otherwise(lit(0.0))
   }
 
   /** Per-word valence as a chained CASE (codegen-friendly; lexicon is tiny). */

@@ -27,22 +27,24 @@ object TextFunctions {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
 
-  private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is",
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is",
     "on", "for", "with", "by", "at", "from", "as", "this", "that")
 
-  /** Fraction of tokens that are English stopwords, rounded for oracle
-    * stability. */
+  /** Fraction of tokens that are English stopwords. Deliberately NOT
+    * rounded: the raw int/int double division is bit-identical across
+    * engines, while rounding a dyadic ratio (e.g. x/128) can round-half
+    * differently between engines. */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
     val hits = size(filter(toks, t => t.isInCollection(stopwordsEn)))
-    round(when(size(toks) > 0, hits.cast("double") / size(toks).cast("double"))
-      .otherwise(lit(0.0)), 6)
+    when(size(toks) > 0, hits.cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
   }
 
   /** n-gram heuristic language ID. The stopword tables are tiny on purpose:
     * the point is the *operator shape* (per-language evidence scores +
     * deterministic argmax), which scales as a single projection. */
-  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> stopwordsEn,
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
     "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "un", "una", "por", "que"),
@@ -77,18 +79,29 @@ object TextFunctions {
     round(greatest(least(raw, lit(1.0)), lit(0.0)), 6)
   }
 
-  /** Rolling polynomial fingerprint over tokens (Rabin-Karp style):
-    * acc = acc*31 + xxhash64(token), over tokens in order. Stable across
-    * partitions/executors; not oracle-replicable (engine-specific hash). */
+  /** Rolling fingerprint over tokens (Rabin-Karp style chaining):
+    * acc = xxhash64(acc, hash(token)), over tokens in order — order-
+    * sensitive like a polynomial hash but overflow-free under ANSI mode.
+    * Stable across partitions/executors; not oracle-replicable
+    * (engine-specific hash). */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => acc * lit(31L) + xxhash64(t))
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, xxhash64(t)))
 
-  /** Word-level shingles of size n, as strings ("w1 w2 ... wn"). */
+  /** Word-level shingles of size n, as strings ("w1 w2 ... wn").
+    *
+    * Implementation note: built by zipping n shifted slices of the token
+    * array rather than indexing `toks` inside a `transform` lambda — an
+    * expensive column referenced inside a higher-order lambda is
+    * re-evaluated once PER ELEMENT (and projection collapse inlines the
+    * whole tokenizer there), which turns a linear scan quadratic. The zip
+    * shape evaluates the tokenizer a constant number of times per row. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    val shifted = (1 to n).map(off => slice(toks, lit(off), m))
     when(size(toks) >= n,
-      transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      transform(arrays_zip(shifted: _*),
+        st => concat_ws(" ", (0 until n).map(i => st.getField(i.toString)): _*)))
       .otherwise(array(concat_ws(" ", toks)))
   }
 

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact baseline. Queries broadcast; each executor
+  *    scores its shard of the corpus (codegen'd dot product) and a per-query
+  *    window takes top-k. Cost O(|Q|·|corpus|) — correct at any corpus size
+  *    when |Q| is modest, since the corpus never shuffles, only the
+  *    |Q|·k result rows do.
+  *  - [[ivfTopK]]: the scale path. Corpus is bucketed by nearest centroid
+  *    (inverted file); a query probes only its `nProbe` nearest cells, so
+  *    the scored fraction is ~nProbe/nCells of the corpus. Centroid
+  *    assignment is itself a broadcast join — no shuffle of the corpus
+  *    beyond the initial cell partitioning, which is exactly the layout
+  *    you'd persist (partitionBy(cell)) for repeated serving at 100 TB.
+  */
+object Ann {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` must be small (broadcast); output (query_id, neighbor_id,
+    * sim, rank) with deterministic id tiebreak. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.toDF("query_id", "q_vec"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("sim"), col("rank"))
+  }
+
+  /** Assign each vector to its nearest centroid (broadcast argmin). */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids.toDF("cell_id", "centroid"))
+    corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .crossJoin(c)
+      .withColumn("dist", l2Distance(col("vec"), col("centroid")))
+      .groupBy(col("vid"), col("vec"))
+      .agg(min_by(col("cell_id"), struct(col("dist"), col("cell_id"))).as("cell_id"))
+  }
+
+  /** IVF top-k: probe the `nProbe` nearest cells per query, score only
+    * vectors in those cells. Centroids are typically k-means output; any
+    * deterministic centroid set works (callers can seed from data or train
+    * with MLlib KMeans offline). */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame, queries: DataFrame,
+              k: Int, nProbe: Int): DataFrame = {
+    val cells = assignCells(corpus, idCol, vecCol, centroids)
+    val c = broadcast(centroids.toDF("cell_id", "centroid"))
+    // which cells does each query probe?
+    val probes = broadcast(
+      queries.toDF("query_id", "q_vec")
+        .crossJoin(c)
+        .withColumn("dist", l2Distance(col("q_vec"), col("centroid")))
+        .withColumn("cell_rank",
+          row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("dist").asc, col("cell_id").asc)))
+        .filter(col("cell_rank") <= nProbe)
+        .select(col("query_id"), col("q_vec"), col("cell_id")))
+    val scored = cells.join(probes, Seq("cell_id"))
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        round(col("cos"), 6).as("sim"), col("rank"))
+  }
+
+  /** Brute-force near-duplicate pairs by cosine threshold (triangular
+    * self-join baseline; the LSH/IVF paths above are the scale variant). */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val v = vectors.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    v.toDF("id_a", "v_a")
+      .join(v.toDF("id_b", "v_b"), col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
+  }
+}
