@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Upsert
+
+/** Sink operators (SURVEY.md §2.2).
+  *
+  * Scale posture: everything lands partitioned parquet by default; the
+  * reference's read-modify-overwrite CSV upserts (racy, whole-file) become
+  * partition-grained idempotent overwrites — with
+  * `spark.sql.sources.partitionOverwriteMode=dynamic` (set by GraftSession)
+  * an upsert rewrites only partitions present in the incoming batch.
+  */
+object Writers {
+
+  /** K1: JSON lines write. */
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** K2 (ref: 13_binance_calculate_hourly.py:85): headered CSV report.
+    * `singleFile` coalesces for small human-readable outputs only — never
+    * for bulk data. */
+  def csv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+
+  /** K3 (ref: 12_binance_fetch_minute.py:53-71): date-partitioned layout —
+    * `.../date=YYYY-MM-DD/part-*.parquet`; readers get partition pruning. */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** K5 (ref: 13_binance:79-85): partition-grained upsert — replace the
+    * partitions whose keys appear in `fresh`, leave the rest untouched.
+    * Relies on dynamic partition overwrite: only partitions present in
+    * `fresh` are rewritten. */
+  def upsertPartition(fresh: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    fresh.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** K4 (ref: 15_binance:125-134): append-with-dedup upsert at row grain —
+    * read existing, merge keep-last, rewrite the touched partitions. */
+  def upsertDedup(spark: SparkSession, fresh: DataFrame, path: String,
+                  keys: Seq[String], order: String,
+                  partitionCols: Seq[String]): Unit = {
+    val merged = if (exists(spark, path)) {
+      val touched = fresh.select(partitionCols.map(col): _*).distinct()
+      val existing = spark.read.parquet(path).join(broadcast(touched), partitionCols)
+      Upsert.appendDedup(existing, fresh, keys, col(order))
+    } else fresh
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** K6: JDBC append (ref: listing_4_20.py:73-78's INSERT generation). */
+  def jdbc(df: DataFrame, url: String, table: String,
+           props: java.util.Properties): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** K9 (ref: 11_atomic_send.py:54-61): side-effect notification as a
+    * separate atomic stage after the data write — count + hook, never
+    * embedded inside a transform. */
+  def notify(df: DataFrame, send: Long => Unit): Long = {
+    val n = df.count()
+    send(n)
+    n
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

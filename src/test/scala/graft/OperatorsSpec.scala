@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trimStrings trims and nulls empty strings") {
+    val df = Seq((1, "  a  "), (2, "   "), (3, "b")).toDF("id", "s")
+    val got = Cleaners.trimStrings(df).orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "a"), (2, null), (3, "b")))
+  }
+
+  test("requireFields drops and rejects captures") {
+    val df = Seq((Some(1), Some("x")), (None, Some("y")), (Some(3), None))
+      .toDF("id", "name")
+    assert(Cleaners.requireFields(df, Seq("id", "name")).count() == 1)
+    assert(Cleaners.rejects(df, Seq("id", "name")).count() == 2)
+    intercept[IllegalArgumentException] {
+      Cleaners.assertFields(df, Seq("id"))
+    }
+  }
+
+  test("normalizeColumnNames snake_cases") {
+    val df = Seq((1, 2)).toDF("User  Name", "AGE col")
+    assert(Cleaners.normalizeColumnNames(df).columns.toSeq == Seq("user_name", "age_col"))
+  }
+
+  test("enrich adds record_count and processed_at") {
+    val df = Seq(1, 2, 3).toDF("x")
+    val got = Cleaners.enrich(df, java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    assert(got.select("record_count").distinct().as[Long].collect().toSeq == Seq(3L))
+    assert(got.columns.contains("processed_at"))
+  }
+
+  test("keepLastBy keeps greatest order per key; keepFirstBy the least") {
+    val df = Seq((1, 10, "old"), (1, 20, "new"), (2, 5, "only")).toDF("k", "ord", "v")
+    val last = Dedup.keepLastBy(df, Seq("k"), col("ord")).orderBy("k")
+      .select("v").as[String].collect().toSeq
+    assert(last == Seq("new", "only"))
+    val first = Dedup.keepFirstBy(df, Seq("k"), col("ord")).orderBy("k")
+      .select("v").as[String].collect().toSeq
+    assert(first == Seq("old", "only"))
+  }
+
+  test("replaceByKey replaces matching keys and keeps the rest") {
+    val existing = Seq(("a", 1), ("b", 1), ("c", 1)).toDF("k", "v")
+    val fresh = Seq(("b", 2)).toDF("k", "v")
+    val got = Upsert.replaceByKey(existing, fresh, Seq("k"))
+      .orderBy("k").as[(String, Int)].collect().toSeq
+    assert(got == Seq(("a", 1), ("b", 2), ("c", 1)))
+  }
+
+  test("replaceByKey is idempotent") {
+    val existing = Seq(("a", 1), ("b", 1)).toDF("k", "v")
+    val fresh = Seq(("b", 2)).toDF("k", "v")
+    val once = Upsert.replaceByKey(existing, fresh, Seq("k"))
+    val twice = Upsert.replaceByKey(once, fresh, Seq("k"))
+    assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+  }
+
+  test("appendDedup prefers fresh on collision") {
+    val existing = Seq(("a", 1, 1), ("b", 1, 1)).toDF("k", "ord", "v")
+    val fresh = Seq(("b", 1, 9), ("c", 1, 9)).toDF("k", "ord", "v")
+    val got = Upsert.appendDedup(existing, fresh, Seq("k"), col("ord"))
+      .orderBy("k").select("v").as[Int].collect().toSeq
+    assert(got == Seq(1, 9, 9))
+  }
+
+  test("unionMerge aligns schemas with nulls") {
+    val a = Seq((1, "x")).toDF("id", "name")
+    val b = Seq((2, 9.5)).toDF("id", "score")
+    val got = Joins.unionMerge(Seq(a, b))
+    assert(got.columns.toSet == Set("id", "name", "score"))
+    assert(got.count() == 2)
+    assert(got.filter($"score".isNull).count() == 1)
+  }
+
+  test("topOnePerGroup picks by order with tiebreak") {
+    val df = Seq(("g1", 1, 10), ("g1", 2, 10), ("g2", 3, 5)).toDF("g", "id", "n")
+    val got = Windows.topOnePerGroup(df, Seq("g"), Seq($"n".desc, $"id".asc))
+      .orderBy("g").select("id").as[Int].collect().toSeq
+    assert(got == Seq(1, 3))
+  }
+
+  test("timeseries hourly/daily cascade golden") {
+    val pts = Seq(
+      ("2024-01-01 00:10:00", 10.0), ("2024-01-01 00:50:00", 20.0),
+      ("2024-01-01 01:30:00", 40.0), ("2024-01-02 05:00:00", 8.0))
+      .toDF("ts", "price").withColumn("ts", to_timestamp($"ts"))
+    val hourly = TimeSeries.hourlyStats(pts, $"ts", $"price").orderBy("hour_start")
+    val h = hourly.collect()
+    assert(h.length == 3)
+    val first = h(0)
+    assert(first.getAs[Double]("avg_price") == 15.0)
+    assert(first.getAs[Double]("first_price") == 10.0)
+    assert(first.getAs[Double]("last_price") == 20.0)
+    assert(first.getAs[Long]("data_points") == 2L)
+    val daily = TimeSeries.dailyStats(hourly).orderBy("day_start").collect()
+    assert(daily.length == 2)
+    val d1 = daily(0)
+    assert(d1.getAs[Double]("opening_price") == 10.0)
+    assert(d1.getAs[Double]("closing_price") == 40.0)
+    assert(d1.getAs[Long]("total_data_points") == 3L)
+    assert(d1.getAs[Long]("hours_with_data") == 2L)
+    assert(d1.getAs[Double]("price_change") == 30.0)
+    assert(d1.getAs[Double]("price_change_pct") == 300.0)
+  }
+
+  test("minhash LSH finds an obvious near-dup pair and skips distinct docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (3L, "completely different content about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val pairs = DedupSuite.minhashNearDupPairs(docs, "doc_id", $"text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+    assert(DedupSuite.dropListFromPairs(
+      pairs.toDF("id_a", "id_b")).as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("simhash of identical docs is identical, near docs are close") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sigs = df.select(DedupSuite.simhash64($"text")).as[Long].collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("exactDedupStats counts copies") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "diff")).toDF("doc_id", "text")
+    val got = DedupSuite.exactDedupStats(df, $"text", $"doc_id")
+      .orderBy("keep_id").select("keep_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("ann brute force ranks the exact duplicate first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.01f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0).select($"vec_id", $"embedding")
+    val got = Ann.bruteForceTopK(vecs, "vec_id", "embedding", q, 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowedStats over a memory stream: tumbling window + dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double, Long)]
+    val df = input.toDF().toDF("ts", "value", "k")
+    val agg = Streams.windowedStats(df, "ts", "value", "1 hour", "2 hours",
+      dedupKeys = Seq("k"))
+    val q = agg.writeStream.format("memory").queryName("ws")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-01-01 00:10:00"), 10.0, 1L),
+      (t("2024-01-01 00:10:00"), 10.0, 1L), // exact duplicate (same key+ts)
+      (t("2024-01-01 00:50:00"), 20.0, 2L),
+      (t("2024-01-01 01:30:00"), 40.0, 3L),
+      // watermark pusher: closes the 00:00 and 01:00 windows
+      (t("2024-01-01 05:00:00"), 1.0, 4L))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 09:00:00"), 1.0, 5L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ws").orderBy("window_start").collect()
+    assert(rows.length >= 2)
+    val w0 = rows(0)
+    assert(w0.getAs[Double]("avg_price") == 15.0)   // dedup dropped the copy
+    assert(w0.getAs[Long]("data_points") == 2L)
+    assert(w0.getAs[Double]("first_price") == 10.0)
+    assert(w0.getAs[Double]("last_price") == 20.0)
+    val w1 = rows(1)
+    assert(w1.getAs[Double]("avg_price") == 40.0)
+  }
+
+  test("file-source cascade: streaming hourly -> batch daily (AvailableNow)") {
+    val in = Files.createTempDirectory("stream-in").toString
+    val out = Files.createTempDirectory("stream-out").toString + "/hourly"
+    val ckpt = Files.createTempDirectory("stream-ckpt").toString
+    val pts = Seq(
+      ("2024-01-01 00:10:00", 10.0), ("2024-01-01 00:50:00", 20.0),
+      ("2024-01-01 01:30:00", 40.0))
+      .toDF("ts", "value").withColumn("ts", to_timestamp($"ts"))
+    pts.write.mode("overwrite").parquet(in)
+    val stream = Streams.fileSource(spark, in, pts.schema)
+    val q = Streams.cascade(stream, "ts", "value", out, ckpt)
+    q.awaitTermination(60000)
+    val hourly = spark.read.parquet(out)
+    // append mode only emits windows closed by the watermark; with a
+    // bounded input the final windows stay open — so assert on schema and
+    // on the checkpoointed exactly-once contract instead of row count.
+    assert(hourly.schema.fieldNames.toSet ==
+      Set("window_start", "window_end", "avg_price", "min_price", "max_price",
+        "first_price", "last_price", "data_points"))
+    // second AvailableNow run over the same input must be a no-op (no dup output)
+    val q2 = Streams.cascade(Streams.fileSource(spark, in, pts.schema), "ts", "value", out, ckpt)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == hourly.count())
+  }
+}
