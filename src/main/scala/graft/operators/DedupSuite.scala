@@ -62,9 +62,20 @@ object DedupSuite {
         array_distinct(TextFunctions.shingles(text, shingleSize)).as("_sh"))
 
     val shingleRows = base.select(col("_id"), explode(col("_sh")).as("_s"))
-    val sigs = shingleRows.groupBy(col("_id")).agg(
-      min(xxhash64(col("_s"), lit(0))).as("_h0"),
-      (1 until numHashes).map(i => min(xxhash64(col("_s"), lit(i))).as(s"_h$i")): _*)
+    // k hash functions by double hashing: 2 string hashes per shingle,
+    // then k cheap bit-mixes (xor-rotate) — 32x less string hashing than
+    // k independent xxhash64 calls, same minhash statistics.
+    val hashed = shingleRows.select(col("_id"),
+      xxhash64(col("_s"), lit(0)).as("_x1"),
+      xxhash64(col("_s"), lit(1)).as("_x2"))
+    def mix(i: Int) = {
+      val rot = i % 64
+      col("_x1").bitwiseXOR(
+        shiftleft(col("_x2"), rot).bitwiseOR(shiftrightunsigned(col("_x2"), 64 - rot)))
+    }
+    val sigs = hashed.groupBy(col("_id")).agg(
+      min(mix(0)).as("_h0"),
+      (1 until numHashes).map(i => min(mix(i)).as(s"_h$i")): _*)
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band"),
         xxhash64((j * r until (j + 1) * r).map(i => col(s"_h$i")): _*).as("bh"))
@@ -72,10 +83,20 @@ object DedupSuite {
     val buckets = sigs
       .select(col("_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val candidates = buckets.toDF("id_a", "band", "bh")
-      .join(buckets.toDF("id_b", "band", "bh"), Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // candidate pairs in ONE pass: collect each bucket's ids and expand
+    // in-bucket pairs — a self-join here would recompute the signature
+    // pipeline once per side. Buckets are capped as a skew guard (a
+    // degenerate all-identical corpus would otherwise make one bucket
+    // quadratic); 1000 ids/bucket bounds the expansion at 500k pairs.
+    val candidates = buckets
+      .groupBy(col("band"), col("bh"))
+      .agg(slice(sort_array(collect_set(col("_id"))), 1, 1000).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
 
     val sets = base.select(col("_id"), col("_sh"))
     candidates
@@ -127,12 +148,35 @@ object DedupSuite {
     bits.zipWithIndex.map { case (bit, b) => shiftleft(bit, b) }.reduce(_ bitwiseOR _)
   }
 
+  /** SimHash of every document as a table, in the scalable shape: explode
+    * tokens → one codegen'd hash column → groupBy(id) with 64 ±1 bit-sum
+    * aggregates (map-side partial agg) → assemble the long in one
+    * projection. Unlike the [[simhash64]] column (64 interpreted
+    * higher-order filters, each re-evaluating the tokenizer), this runs
+    * the tokenizer once per document. Zero-token docs get simhash 0. */
+  def simhashTable(docs: DataFrame, id: String, text: Column): DataFrame = {
+    val tok = docs
+      .select(col(id).as("_id"), explode(TextFunctions.tokens(text)).as("_t"))
+      .select(col("_id"), xxhash64(col("_t")).as("_h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_b$b")
+    }
+    val agg = tok.groupBy(col("_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64)
+      .map(b => shiftleft((col(s"_b$b") > 0).cast("long"), b))
+      .reduce(_ bitwiseOR _)
+    docs.select(col(id).as("_id"))
+      .join(agg.select(col("_id"), sim.as("_sim")), Seq("_id"), "left")
+      .na.fill(0L, Seq("_sim"))
+  }
+
   /** SimHash near-duplicate pairs: bucket by 8-bit bands (pigeonhole: any
     * two hashes within Hamming distance 7 share at least one of 8 bands),
     * then verify with bit_count(xor). */
   def simhashNearDupPairs(docs: DataFrame, id: String, text: Column,
                           maxHamming: Int = 7): DataFrame = {
-    val sigs = docs.select(col(id).as("_id"), simhash64(text).as("_sim"))
+    val sigs = simhashTable(docs, id, text)
     val banded = sigs.select(col("_id"), col("_sim"),
       explode(array((0 until 8).map(j =>
         struct(lit(j).as("band"),

@@ -131,6 +131,17 @@ class OperatorsSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))
   }
 
+  test("simhashTable (agg shape) agrees with the simhash64 column") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "spark catalyst tungsten"),
+      (3L, "")).toDF("doc_id", "text")
+    val fromCol = df.select($"doc_id",
+      DedupSuite.simhash64($"text").as("s")).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    val fromTable = DedupSuite.simhashTable(df, "doc_id", $"text")
+      .orderBy("_id").as[(Long, Long)].collect().toSeq
+    assert(fromCol == fromTable)
+  }
+
   test("exactDedupStats counts copies") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "diff")).toDF("doc_id", "text")
     val got = DedupSuite.exactDedupStats(df, $"text", $"doc_id")

@@ -1,0 +1,83 @@
+package graft
+
+/** Physical-plan assertions: the properties that make these operators
+  * survive a 100x scale-up are checked here, not just eyeballed —
+  * pushdown reaching the parquet scan, column pruning, broadcast joins on
+  * dims, aggregation instead of windows for ordered first/last, and no
+  * accidental cartesian products.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("equality filter is pushed to the parquet scan") {
+    val p = plan("f3_eq_filter")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("EqualTo(event_type,click)"), p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+  }
+
+  test("range filter pushes both bounds") {
+    val p = plan("f5_range_filter")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"))
+    assert(p.contains("LessThan(o_orderdate"))
+  }
+
+  test("q1 prunes columns: reads only the 7 needed lineitem fields") {
+    val p = plan("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("dimension join broadcasts the small side") {
+    val p = plan("j5_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ordered first/last compiles to hash aggregation, not a window sort") {
+    val p = plan("w3_first_last")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    assert(!p.contains("Window"), p)
+  }
+
+  test("hourly stats is a single-shuffle aggregate") {
+    val p = plan("a2_hourly_stats")
+    assert(!p.contains("Window"))
+    // one exchange for the groupBy (AQE may add AQEShuffleRead on top)
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1, p)
+  }
+
+  test("top-1-per-group window partitions (no single-partition funnel)") {
+    val p = plan("w1_top1_per_group")
+    assert(p.contains("windowspecdefinition(event_type"), p.linesIterator.filter(_.contains("window")).mkString("\n"))
+    // rank<=1 is pushed below the shuffle as a partial WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("minhash LSH plan has no cartesian product and aggregates map-side") {
+    val p = plan("d_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+  }
+
+  test("ann brute force broadcasts queries, never shuffles the corpus") {
+    val p = plan("ann_topk")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("exact dedup groups by content hash (16-byte shuffle key)") {
+    val p = plan("d_exact_dedup")
+    assert(p.contains("md5"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("upsert anti-join broadcasts the fresh key set") {
+    val p = plan("k5_upsert_replace")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+}
