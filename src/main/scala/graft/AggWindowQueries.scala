@@ -90,6 +90,12 @@ object AggWindowQueries extends QueryPack {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily.withColumn("cum_events", sum(col("n")).over(w))
     }),
+    "w6_sessionize" -> ((s, d) =>
+      // Gap-based sessionization (30-min gap) — lag + running-sum session
+      // numbering, then per-session aggregate.
+      graft.operators.Sessionize.sessions(
+        t(s, d, "events").select(col("user_id"), col("ts")),
+        "user_id", "ts", java.time.Duration.ofMinutes(30))),
     // O-class --------------------------------------------------------------
     "o1_sort" -> ((s, d) =>
       // O1: ordered report output (driver sorts rows anyway; the operator
@@ -205,6 +211,25 @@ object AggWindowQueries extends QueryPack {
         |  SUM(n) OVER (PARTITION BY user_id ORDER BY date
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events
         |FROM daily""".stripMargin,
+    "w6_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, ts,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM f)
+        |SELECT user_id, session_seq, MIN(ts) AS session_start,
+        |       MAX(ts) AS session_end, COUNT(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "o1_sort" -> s"$dailyRevenueSql ORDER BY date",
     "o2_topk" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
