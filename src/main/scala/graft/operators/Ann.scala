@@ -4,7 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
 import graft.functions.VectorFunctions._
+import graft.plans.NativeFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -24,15 +27,26 @@ import graft.functions.VectorFunctions._
   */
 object Ann {
 
+  /** Cosine scorer: the native codegen'd [[graft.plans.CosineSimilarity]]
+    * for float vectors (the ANN hot loop), the HOF composition otherwise.
+    * Both produce bit-identical doubles (same accumulation order). */
+  private def cosFn(df: DataFrame, vecCol: String)(a: Column, b: Column): Column =
+    df.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) =>
+        NativeFunctions.cosineFloat(df.sparkSession, a, b)
+      case _ => cosine(a, b)
+    }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` must be small (broadcast); output (query_id, neighbor_id,
     * sim, rank) with deterministic id tiebreak. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, k: Int): DataFrame = {
+    val cos = cosFn(corpus, vecCol) _
     val q = broadcast(queries.toDF("query_id", "q_vec"))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cos(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -73,7 +87,7 @@ object Ann {
         .select(col("query_id"), col("q_vec"), col("cell_id")))
     val scored = cells.join(probes, Seq("cell_id"))
       .filter(col("vid") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+      .withColumn("cos", cosFn(corpus, vecCol)(col("q_vec"), col("vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -89,7 +103,7 @@ object Ann {
     val v = vectors.select(col(idCol).as("_id"), col(vecCol).as("_v"))
     v.toDF("id_a", "v_a")
       .join(v.toDF("id_b", "v_b"), col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", cosFn(vectors, vecCol)(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
   }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.VectorFunctions
+import graft.plans.NativeFunctions
+
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine is bit-identical to the HOF composition") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val pairs = e.toDF("id_a", "v_a", "l_a").limit(50)
+      .crossJoin(e.toDF("id_b", "v_b", "l_b").limit(20))
+    val diff = pairs.select(
+      VectorFunctions.cosine($"v_a", $"v_b").as("hof"),
+      NativeFunctions.cosineFloat(spark, $"v_a", $"v_b").as("native"))
+      .filter($"hof" =!= $"native")
+    assert(diff.count() == 0)
+  }
+
+  test("native cosine handles zero vectors and length mismatch") {
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val got = df.select(NativeFunctions.cosineFloat(spark, $"a", $"b"))
+      .as[Double].collect()
+    assert(got(0) == 0.0)
+    // truncated to common prefix → parallel vectors (up to fp rounding)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("native cosine participates in whole-stage codegen") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.limit(1).toDF("query_id", "q_vec", "l")
+      .select("query_id", "q_vec")
+    // AQE hides codegen subtrees until execution; disable it for inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = graft.operators.Ann.bruteForceTopK(e, "vec_id", "embedding", q, 5)
+        .queryExecution
+      val codegen = qe.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(codegen.contains("graft_cosine"), codegen.take(2000))
+      // the scoring loop is inside a generated WholeStageCodegen subtree
+      assert(!codegen.contains("Found 0 WholeStageCodegen"), codegen.take(500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
