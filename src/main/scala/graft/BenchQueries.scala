@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Profile
+import graft.OracleMath._
+
+/** Join-heavy benchmark shapes (TPC-H Q3/Q5 style), data profiling,
+  * skew-resistant aggregation, and the remaining §2.9 scalar families.
+  */
+object BenchQueries extends QueryPack {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping" -> ((s, d) => {
+      // TPC-H Q3 shape: selective dim filter, 3-way join, agg, top-10.
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val orders = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("orderdate"),
+          col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6, 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    "q5_local_supplier" -> ((s, d) => {
+      // TPC-H Q5 shape: 6-way join with co-located customer/supplier
+      // nation equality; dims broadcast, facts shuffle on join keys once.
+      val asia = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, d, "nation")
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val supp = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val orders = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6, 2).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+    "agg_median" -> ((s, d) =>
+      // exact interpolated percentiles per group.
+      t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"))),
+    "prof_columns" -> ((s, d) =>
+      // one-pass column profile (nulls/distinct/min/max per column).
+      Profile.columnProfile(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))),
+    "agg_salted" -> ((s, d) =>
+      // two-phase salted aggregation — result identical to plain groupBy,
+      // shuffle spread over 16 buckets for hot keys.
+      Profile.saltedGroupAgg(
+        t(s, d, "events").withColumn("_v", col("value").cast("decimal(27,6)")),
+        "event_type", col("_v"), saltBuckets = 16, saltSource = col("event_id"))
+        .withColumn("total", round(col("total"), 4).cast("double"))),
+    "sf_epoch" -> ((s, d) =>
+      // epoch-ms <-> timestamp round trips (§2.9).
+      t(s, d, "events").select(
+        col("event_id"),
+        unix_millis(col("ts")).as("epoch_ms"),
+        unix_micros(col("ts")).as("epoch_us"),
+        timestamp_millis(unix_millis(col("ts"))).as("ts_ms_roundtrip"))),
+    "sf_json_emit" -> ((s, d) =>
+      // json emit (to_json over a struct) — §2.9 json family, emit side.
+      t(s, d, "events").select(
+        col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"))).as("payload")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+         |  o_orderpriority,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6, 2)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6, 2)} AS revenue,
+         |  COUNT(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1""".stripMargin,
+    "agg_median" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "prof_columns" ->
+      """SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+        |  SUM(CAST(o_orderkey IS NULL AS BIGINT)) AS n_nulls,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(MIN(o_orderkey) AS DOUBLE) AS min_value,
+        |  CAST(MAX(o_orderkey) AS DOUBLE) AS max_value FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', COUNT(*),
+        |  SUM(CAST(o_custkey IS NULL AS BIGINT)), COUNT(DISTINCT o_custkey),
+        |  CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(*),
+        |  SUM(CAST(o_totalprice IS NULL AS BIGINT)), COUNT(DISTINCT o_totalprice),
+        |  CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*),
+        |  SUM(CAST(o_orderstatus IS NULL AS BIGINT)), COUNT(DISTINCT o_orderstatus),
+        |  NULL, NULL FROM orders""".stripMargin,
+    "agg_salted" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE) AS total
+        |FROM events GROUP BY 1""".stripMargin,
+    "sf_epoch" ->
+      """SELECT event_id,
+        |  epoch_ms(ts) AS epoch_ms,
+        |  epoch_us(ts) AS epoch_us,
+        |  make_timestamp(epoch_ms(ts) * 1000) AS ts_ms_roundtrip
+        |FROM events""".stripMargin,
+    "sf_json_emit" ->
+      """SELECT event_id,
+        |  CAST(to_json(struct_pack(event_id := event_id,
+        |                           event_type := event_type)) AS VARCHAR) AS payload
+        |FROM events""".stripMargin
+  )
+}

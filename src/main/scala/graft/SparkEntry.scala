@@ -16,7 +16,8 @@ object SparkEntry {
     RelationalQueries,
     FilterScalarQueries,
     AggWindowQueries,
-    TrainingDataQueries
+    TrainingDataQueries,
+    BenchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
