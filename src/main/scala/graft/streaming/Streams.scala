@@ -59,6 +59,21 @@ object Streams {
     if (availableNow) w.trigger(Trigger.AvailableNow())
     else w.trigger(Trigger.ProcessingTime(s"$everyMinutes minutes"))
 
+  /** T4/T5 streaming upsert sink: each micro-batch merges into the target
+    * with keep-last semantics via foreachBatch — the streaming face of the
+    * K4 upsert writer, idempotent under batch replay (same keys re-merge
+    * to the same rows). */
+  def upsertSink(stream: DataFrame, spark: SparkSession, path: String,
+                 keys: Seq[String], order: String, partitionCols: Seq[String],
+                 checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Writers.upsertDedup(spark, batch, path, keys, order, partitionCols)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** T2→T3 cascade: hourly aggregates stream to storage; the daily level
     * re-aggregates the hourly table. Two queries chained through a parquet
     * path — the same 3-DAG decomposition the reference uses, and the shape
