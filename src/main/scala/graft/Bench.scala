@@ -18,7 +18,7 @@ object Bench {
     "q1_agg", "q3_shipping", "q5_local_supplier",
     "j5_join_agg", "j1_left_join", "a1_user_counts",
     "a2_hourly_stats", "a3_daily_rollup", "w1_top1_per_group", "w5_running_sum",
-    "u2_keep_last", "o2_topk", "sf_math",
+    "u2_keep_last", "w6_sessionize", "o2_topk", "sf_math",
     "d_exact_dedup", "d_minhash_lsh", "d_simhash", "ann_topk", "ann_ivf",
     "t_text_stats", "t_langid")
 

@@ -84,6 +84,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Deployment-grade wiring: inject graft's native expressions into every
+  * session via `spark.sql.extensions=graft.plans.GraftExtensions` (the
+  * spark-submit path). In-process callers can use
+  * [[NativeFunctions.register]] instead. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimilarity].getCanonicalName, "graft_cosine"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+}
+
 /** Registration + Column-API access for the native expressions. */
 object NativeFunctions {
   def register(spark: SparkSession): Unit =

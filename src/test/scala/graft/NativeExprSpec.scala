@@ -20,6 +20,15 @@ class NativeExprSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("native cosine is callable from the SQL surface") {
+    NativeFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_cosine(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |                    array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))""".stripMargin)
+      .as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
   test("native cosine handles zero vectors and length mismatch") {
     val df = Seq(
       (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
