@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{Dedup, Joins, Sessionize, Upsert}
+
+/** ScalaCheck algebraic properties for the merge/dedup/upsert operators
+  * (SURVEY.md §5 test plan item 4). Checked with raw ScalaCheck driven
+  * from ScalaTest (no scalatestplus bridge in the offline cache). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(10)
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val kvGen: Gen[List[(String, Int)]] =
+    Gen.listOfN(12, for {
+      k <- Gen.oneOf("a", "b", "c", "d", "e")
+      v <- Gen.choose(0, 100)
+    } yield (k, v))
+
+  test("replaceByKey: fresh keys replaced, others kept, idempotent") {
+    check(Prop.forAll(kvGen, kvGen) { (ex, fr) =>
+      val existing = Dedup.keepLastBy(ex.toDF("k", "v"), Seq("k"), col("v"))
+      val fresh = Dedup.keepLastBy(fr.toDF("k", "v"), Seq("k"), col("v"))
+      val once = Upsert.replaceByKey(existing, fresh, Seq("k"))
+        .orderBy("k", "v").collect().toSeq
+      val twice = Upsert.replaceByKey(
+        Upsert.replaceByKey(existing, fresh, Seq("k")), fresh, Seq("k"))
+        .orderBy("k", "v").collect().toSeq
+      val freshKeys = fr.map(_._1).toSet
+      val expectKeys = (ex.map(_._1).toSet ++ freshKeys)
+      once == twice &&
+        once.map(_.getString(0)).toSet == expectKeys &&
+        once.filter(r => freshKeys(r.getString(0)))
+          .forall(r => fresh.filter(col("k") === r.getString(0))
+            .select("v").as[Int].head() == r.getInt(1))
+    })
+  }
+
+  test("appendDedup: one row per key, fresh wins on collision") {
+    check(Prop.forAll(kvGen, kvGen) { (ex, fr) =>
+      val existing = Dedup.keepLastBy(ex.toDF("k", "v"), Seq("k"), col("v"))
+      val fresh = Dedup.keepLastBy(fr.toDF("k", "v"), Seq("k"), col("v"))
+      val merged = Upsert.appendDedup(existing, fresh, Seq("k"), lit(0))
+        .collect()
+      val freshMap = fr.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      merged.map(_.getString(0)).distinct.length == merged.length &&
+        merged.filter(r => freshMap.contains(r.getString(0)))
+          .forall(r => r.getInt(1) == freshMap(r.getString(0)))
+    })
+  }
+
+  test("keepLastBy: exactly the max-order row survives per key") {
+    check(Prop.forAll(kvGen) { kv =>
+      kv.isEmpty || {
+        val got = Dedup.keepLastBy(kv.toDF("k", "v"), Seq("k"),
+          col("v")).collect()
+        val expect = kv.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+        got.length == expect.size &&
+          got.forall(r => expect(r.getString(0)) == r.getInt(1))
+      }
+    })
+  }
+
+  test("unionMerge: column union, row-count sum, null-filled misses") {
+    check(Prop.forAll(Gen.listOfN(5, Gen.posNum[Int]),
+      Gen.listOfN(7, Gen.alphaStr.map(_.take(4)))) { (xs, ys) =>
+      val a = xs.toDF("n")
+      val b = ys.toDF("s")
+      val m = Joins.unionMerge(Seq(a, b))
+      m.columns.toSet == Set("n", "s") &&
+        m.count() == xs.length + ys.length &&
+        m.filter(col("s").isNull).count() == xs.length
+    })
+  }
+
+  test("sessionize preserves events and respects the gap invariant") {
+    val evGen = Gen.listOfN(15, for {
+      k <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0L, 7200L)
+    } yield (k, t))
+    check(Prop.forAll(evGen) { evs =>
+      val distinct = evs.distinct
+      val df = distinct
+        .map { case (k, t) => (k, new java.sql.Timestamp(1704067200000L + t * 1000)) }
+        .toDF("user_id", "ts")
+      val sessions = Sessionize.sessions(df, "user_id", "ts",
+        java.time.Duration.ofMinutes(10)).collect()
+      val totalEvents = sessions.map(_.getAs[Long]("n_events")).sum
+      // every session fits inside [start, end] and starts/ends at real events
+      totalEvents == distinct.length &&
+        sessions.forall { s =>
+          !s.getAs[java.sql.Timestamp]("session_start")
+            .after(s.getAs[java.sql.Timestamp]("session_end"))
+        }
+    })
+  }
+}
