@@ -72,6 +72,18 @@ object BenchQueries extends QueryPack {
         t(s, d, "events").withColumn("_v", col("value").cast("decimal(27,6)")),
         "event_type", col("_v"), saltBuckets = 16, saltSource = col("event_id"))
         .withColumn("total", round(col("total"), 4).cast("double"))),
+    "j6_asof_join" -> ((s, d) => {
+      // as-of join: each purchase matched to the user's latest prior view.
+      val purchases = t(s, d, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = t(s, d, "events").filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Joins.asOfJoin(purchases, views,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightVals = Seq("value"))
+        .withColumnRenamed("ts_right", "view_ts")
+        .withColumnRenamed("value", "view_value")
+    }),
     "sf_epoch" -> ((s, d) =>
       // epoch-ms <-> timestamp round trips (§2.9).
       t(s, d, "events").select(
@@ -141,6 +153,14 @@ object BenchQueries extends QueryPack {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE) AS total
         |FROM events GROUP BY 1""".stripMargin,
+    "j6_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts,
+        |       v.value AS view_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
     "sf_epoch" ->
       """SELECT event_id,
         |  epoch_ms(ts) AS epoch_ms,

@@ -120,6 +120,45 @@ object Joins {
   /** J1 with broadcast hint for a small right side (ref: gold_war_etl_dag.py:148). */
   def leftBroadcast(big: DataFrame, small: DataFrame, keys: Seq[String]): DataFrame =
     big.join(broadcast(small), keys, "left")
+
+  /** As-of (backward) join: for each left row, the latest right row with
+    * `right.tsCol <= left.tsCol` per key — the canonical time-series join
+    * (trades→latest quote) that Spark lacks as a primitive.
+    *
+    * Shape: tag both sides, union, ONE window over (keys, ts) carrying the
+    * last non-null right payload forward, keep left rows. A single
+    * sort-shuffle on the key — no range cross-join blowup, no per-row
+    * probing; at 100 TB this is the only shape that doesn't explode.
+    * Right rows sort before left rows on timestamp ties, making the match
+    * inclusive (<=) like DuckDB/pandas ASOF semantics.
+    *
+    * Output: all left columns + the right value columns (null when no
+    * prior right row exists) + `<tsCol>_right` (the matched timestamp).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    val payload = struct((col(rightTs).as("_rts") +: rightVals.map(col)).toIndexedSeq: _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side"),
+        payload.as("_rv")): _*)
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(r.schema("_rv").dataType).as("_rv"),
+        struct(leftCols.map(col): _*).as("_lv")): _*)
+    val u = r.withColumn("_lv", lit(null).cast(l.schema("_lv").dataType))
+      .unionByName(l)
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u
+      .withColumn("_match", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    matched.select(
+      leftCols.map(c => col(s"_lv.$c").as(c)) ++
+        Seq(col(s"_match._rts").as(s"${rightTs}_right")) ++
+        rightVals.map(c => col(s"_match.$c").as(c)): _*)
+  }
 }
 
 object Windows {

@@ -161,6 +161,17 @@ object ReferencePipelines {
     (training, accuracy)
   }
 
+  // --- lecture2 tutorial1 record normalizer (X4) --------------------------
+
+  /** X4 (ref: lecture2/tutorial1_basic_etl.py:134-163): the composite
+    * clean → validate → enrich normalizer — trim strings (empty→null),
+    * drop records missing id/name, stamp processed_at + record_count. */
+  def tutorial1Normalize(records: DataFrame,
+                         processedAt: java.time.Instant): DataFrame =
+    Cleaners.enrich(
+      Cleaners.requireFields(Cleaners.trimStrings(records), Seq("id", "name")),
+      processedAt)
+
   // --- lecture11 weather-LLM (X2) -----------------------------------------
 
   /** Open-Meteo payload rows → prompt → LLM structured extraction →

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Joins
+import graft.pipelines.ReferencePipelines
+
+/** Byte-level behavioral parity with the reference's shipped demo outputs
+  * (read-only fixtures under /root/reference — data, not code). */
+class GoldenParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tutorial1 normalizer reproduces demo4_output_cleaned.json") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("email", StringType), StructField("age", LongType)))
+    val src = spark.read.schema(schema).option("multiLine", "true")
+      .json("/root/reference/lecture2/demo4_source_data.json")
+    val got = ReferencePipelines.tutorial1Normalize(src,
+      java.time.Instant.parse("2026-02-09T19:47:42Z"))
+      .select("id", "name", "email", "age", "record_count")
+      .orderBy("id")
+      .collect().map(_.toString).toSeq
+    val expected = spark.read.option("multiLine", "true")
+      .json("/root/reference/lecture2/demo4_output_cleaned.json")
+      .withColumn("record_count", col("record_count").cast(LongType))
+      .select("id", "name", "email", "age", "record_count")
+      .orderBy("id")
+      .collect().map(_.toString).toSeq
+    assert(got == expected)
+  }
+
+  test("as-of join matches hand-computed latest-prior semantics") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:05")),
+      (2L, 10L, ts("2024-01-01 10:00:00")),   // exact tie with quote q2
+      (3L, 10L, ts("2024-01-01 09:00:00")),   // before any quote
+      (4L, 20L, ts("2024-01-01 10:00:00")))
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 99.0),
+      (10L, ts("2024-01-01 10:00:00"), 100.0),
+      (20L, ts("2024-01-01 09:59:59"), 50.0))
+      .toDF("sym", "ts", "px")
+    val got = Joins.asOfJoin(trades, quotes, Seq("sym"), "ts", "ts", Seq("px"))
+      .orderBy("trade_id")
+      .select($"trade_id", $"px")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+      .toSeq
+    assert(got == Seq(
+      (1L, Some(100.0)),   // latest prior quote
+      (2L, Some(100.0)),   // inclusive on ties
+      (3L, None),          // no prior quote -> null
+      (4L, Some(50.0))))
+  }
+}
