@@ -34,6 +34,11 @@ object Tables {
     }
   }
 
+  /** Register every testdata table as a temp view so `spark.sql` works
+    * against the star schema directly (the engine's SQL surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")

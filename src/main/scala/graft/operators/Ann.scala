@@ -96,6 +96,65 @@ object Ann {
         round(col("cos"), 6).as("sim"), col("rank"))
   }
 
+  /** Deterministic pseudo-random hyperplanes: plane p's weight for dim i
+    * is a hash of (p, i, seed) mapped to [-1, 1]. Driver-side literals —
+    * tiny, broadcast with the plan. */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, i, seed))
+        (h.toDouble / Int.MaxValue)
+      }
+    }
+
+  /** Sign-LSH signature: bit p = (v · plane_p) > 0, assembled into an int.
+    * Same-bucket vectors are likely angular neighbors. */
+  def signLshSignature(vec: Column, numPlanes: Int, dim: Int, seed: Long): Column = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = typedLit(plane)
+      shiftleft((dot(vec, planeCol) > 0).cast("int"), p)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Sign-LSH top-k: bucket the corpus by hyperplane signature; each query
+    * probes its own bucket plus all buckets within Hamming distance
+    * `probeHamming` (multi-probe), scores only those vectors. The third
+    * scale path next to brute force and IVF: recall is tunable via
+    * planes/probes, and the corpus is touched only at its bucket grain. */
+  def signLshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, k: Int, numPlanes: Int = 12,
+                  dim: Int = 64, seed: Long = 42L,
+                  probeHamming: Int = 1): DataFrame = {
+    val sig = signLshSignature(col("vec"), numPlanes, dim, seed)
+    val bucketed = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("bucket", sig)
+    // probe signatures: the query's signature with up to `probeHamming`
+    // bits flipped (driver-enumerated combinations — small for h<=2)
+    val flips: Seq[Seq[Int]] = {
+      val one = (0 until numPlanes).map(Seq(_))
+      val two = for (i <- 0 until numPlanes; j <- i + 1 until numPlanes) yield Seq(i, j)
+      Seq(Seq.empty[Int]) ++ (if (probeHamming >= 1) one else Nil) ++
+        (if (probeHamming >= 2) two else Nil)
+    }
+    val probes = broadcast(
+      queries.toDF("query_id", "q_vec")
+        .withColumn("q_bucket", signLshSignature(col("q_vec"), numPlanes, dim, seed))
+        .withColumn("bucket", explode(array(flips.map { f =>
+          f.foldLeft(col("q_bucket"))((acc, b) =>
+            acc.bitwiseXOR(shiftleft(lit(1), b)))
+        }: _*))))
+    val scored = bucketed.join(probes, Seq("bucket"))
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        round(col("cos"), 6).as("sim"), col("rank"))
+  }
+
   /** Brute-force near-duplicate pairs by cosine threshold (triangular
     * self-join baseline; the LSH/IVF paths above are the scale variant). */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Ann
+
+class SignLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sign-LSH finds planted near-duplicates (recall on close vectors)") {
+    // planted cluster: base vector + tiny perturbations, plus noise vectors
+    val rnd = new scala.util.Random(7)
+    def vec(f: Int => Float) = Array.tabulate(64)(f)
+    val base = vec(_ => rnd.nextFloat() - 0.5f)
+    val rows =
+      Seq((0L, base)) ++
+        (1 to 3).map(i => (i.toLong, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))) ++
+        (4 to 60).map(i => (i.toLong, vec(_ => rnd.nextFloat() - 0.5f)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 0).select($"vec_id", $"embedding")
+    val got = Ann.signLshTopK(corpus, "vec_id", "embedding", queries,
+      k = 3, numPlanes = 12, probeHamming = 1)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got.toSet == Set(1L, 2L, 3L))   // exactly the perturbed copies
+  }
+
+  test("sign-LSH scores strictly fewer vectors than brute force") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val q = e.filter($"vec_id" < 3).select($"vec_id", $"embedding")
+    val lsh = Ann.signLshTopK(e, "vec_id", "embedding", q, k = 5)
+    assert(lsh.count() <= 15)
+    // candidate fraction: buckets partition 500 vectors across 2^12 sigs;
+    // with h<=1 probing a query touches 13 of 4096 buckets
+    val bucketSizes = e.select(Ann.signLshSignature($"embedding", 12, 64, 42L).as("b"))
+      .groupBy("b").count()
+    assert(bucketSizes.agg(max("count")).as[Long].head() < 50)
+  }
+
+  test("registerAll exposes the star schema to spark.sql") {
+    Tables.registerAll(spark, sf())
+    assert(spark.sql("SELECT COUNT(*) FROM lineitem").as[Long].head() > 0)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey")
+      .as[Long].head() > 0)
+  }
+}
