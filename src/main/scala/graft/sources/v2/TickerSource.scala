@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -68,7 +68,7 @@ final case class TickerOffset(index: Long) extends Offset {
 }
 
 final class TickerMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val rowsPerBatch = options.getLong("rowsperbatch", 60L)
   private val totalRows = options.getLong("totalrows", Long.MaxValue)
   private val startEpochMs = options.getLong("startepochms", 1700000000000L)
@@ -86,6 +86,21 @@ final class TickerMicroBatchStream(options: CaseInsensitiveStringMap)
     TickerOffset("""\d+""".r.findFirstIn(json).get.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  /** Trigger.AvailableNow support: keep the incremental rowsPerBatch
+    * progression (so watermarks advance between batches) up to the
+    * totalRows cap — without this, the engine's wrapper would drain
+    * everything in one batch and append-mode windows would never close. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[TickerOffset].index
+    TickerOffset(math.min(s + rowsPerBatch, totalRows))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TickerOffset].index

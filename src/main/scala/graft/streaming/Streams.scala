@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
 
 /** Structured Streaming realizations of the reference's incremental
   * semantics (SURVEY.md §2.10): the Airflow minute-cadence DAGs become
@@ -58,6 +58,44 @@ object Streams {
                    availableNow: Boolean = false): DataStreamWriter[T] =
     if (availableNow) w.trigger(Trigger.AvailableNow())
     else w.trigger(Trigger.ProcessingTime(s"$everyMinutes minutes"))
+
+  /** T3, second stage: streaming daily rollup over the hourly table the
+    * first stage writes — the hourly parquet dir is itself a file source,
+    * so the cascade is two independent streaming queries with independent
+    * checkpoints (restartable at either level), exactly the reference's
+    * own 3-DAG decomposition. */
+  def cascadeDaily(spark: SparkSession, hourlyPath: String, dailyPath: String,
+                   checkpoint: String, watermark: String = "2 days"): StreamingQuery = {
+    val hourlySchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("window_end", TimestampType),
+      StructField("avg_price", DoubleType),
+      StructField("min_price", DoubleType),
+      StructField("max_price", DoubleType),
+      StructField("first_price", DoubleType),
+      StructField("last_price", DoubleType),
+      StructField("data_points", LongType)))
+    fileSource(spark, hourlyPath, hourlySchema)
+      .withWatermark("window_start", watermark)
+      .groupBy(window(col("window_start"), "1 day"))
+      .agg(
+        round(sum(col("avg_price").cast("decimal(27,6)")).cast("double") / count(lit(1)), 6).as("avg_price"),
+        min(col("min_price")).as("min_price"),
+        max(col("max_price")).as("max_price"),
+        min_by(col("first_price"), col("window_start")).as("opening_price"),
+        max_by(col("last_price"), col("window_start")).as("closing_price"),
+        sum(col("data_points")).as("total_data_points"),
+        count(lit(1)).as("hours_with_data"))
+      .select(col("window.start").as("day_start"), col("avg_price"),
+        col("min_price"), col("max_price"), col("opening_price"),
+        col("closing_price"), col("total_data_points"), col("hours_with_data"))
+      .writeStream
+      .format("parquet").option("path", dailyPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 
   /** T4/T5 streaming upsert sink: each micro-batch merges into the target
     * with keep-last semantics via foreachBatch — the streaming face of the

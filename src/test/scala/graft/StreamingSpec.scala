@@ -65,4 +65,32 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination(60000)
     assert(spark.read.parquet(out).count() == hourly.count())
   }
+
+  test("full streaming cascade: ticker -> hourly query -> daily query") {
+    val hourlyOut = Files.createTempDirectory("casc-h").toString + "/hourly"
+    val dailyOut = Files.createTempDirectory("casc-d").toString + "/daily"
+    val ckptH = Files.createTempDirectory("casc-ch").toString
+    val ckptD = Files.createTempDirectory("casc-cd").toString
+    // 3 days of minute ticks; watermark closes the first 2 days' windows
+    val ticks = spark.readStream.format("graft.sources.v2.TickerTableProvider")
+      .option("rowsperbatch", 1440).option("totalrows", 4320)
+      .option("startepochms", 1704067200000L).option("intervalms", 60000L)
+      .load().withColumnRenamed("price", "value")
+    val q1 = Streams.cascade(ticks, "ts", "value", hourlyOut, ckptH)
+    q1.awaitTermination(120000)
+    val hourly = spark.read.parquet(hourlyOut)
+    assert(hourly.count() >= 24)   // at least day 1 closed by watermark
+    val q2 = Streams.cascadeDaily(spark, hourlyOut, dailyOut, ckptD,
+      watermark = "0 seconds")
+    q2.awaitTermination(120000)
+    // daily level emits watermark-closed days; with bounded input at least
+    // the schema + rollup arithmetic must hold for whatever closed
+    val daily = spark.read.parquet(dailyOut)
+    assert(daily.schema.fieldNames.contains("opening_price"))
+    daily.collect().foreach { d =>
+      assert(d.getAs[Long]("hours_with_data") <= 24L)
+      assert(d.getAs[Long]("total_data_points") ==
+        d.getAs[Long]("hours_with_data") * 60L)
+    }
+  }
 }
