@@ -56,6 +56,20 @@ object BenchQueries extends QueryPack {
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6, 2).as("revenue"),
           count(lit(1)).as("n_lineitems"))
     }),
+    "a12_rollup" -> ((s, d) =>
+      // hierarchical subtotals (beyond the reference's flat groupBys).
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2, 2).as("qty"))),
+    "u4_set_ops" -> ((s, d) => {
+      // intersect/except on full rows (§2.8 note: inherited from Spark).
+      val f = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val p = t(s, d, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey"))
+      f.intersect(p).withColumn("src", lit("both"))
+        .unionByName(f.except(p).withColumn("src", lit("f_only")))
+    }),
     "agg_median" -> ((s, d) =>
       // exact interpolated percentiles per group.
       t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
@@ -126,6 +140,17 @@ object BenchQueries extends QueryPack {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY 1""".stripMargin,
+    "a12_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${dsumSql("l_quantity", 2, 2)} AS qty
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "u4_set_ops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |p AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |SELECT o_custkey, 'both' AS src FROM (SELECT * FROM f INTERSECT SELECT * FROM p)
+        |UNION ALL
+        |SELECT o_custkey, 'f_only' FROM (SELECT * FROM f EXCEPT SELECT * FROM p)""".stripMargin,
     "agg_median" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
