@@ -31,6 +31,24 @@ class GoldenParitySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("tutorial1 normalizer reproduces demo1_output_data.json (clean input)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("email", StringType), StructField("age", LongType)))
+    val src = spark.read.schema(schema).option("multiLine", "true")
+      .json("/root/reference/lecture2/demo1_source_data.json")
+    val got = ReferencePipelines.tutorial1Normalize(src,
+      java.time.Instant.parse("2026-02-10T13:34:05Z"))
+      .select("id", "name", "email", "age", "record_count")
+      .orderBy("id").collect().map(_.toString).toSeq
+    val expected = spark.read.option("multiLine", "true")
+      .json("/root/reference/lecture2/demo1_output_data.json")
+      .withColumn("record_count", col("record_count").cast(LongType))
+      .select("id", "name", "email", "age", "record_count")
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(got == expected)
+  }
+
   test("as-of join matches hand-computed latest-prior semantics") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val trades = Seq(

@@ -99,6 +99,13 @@ class SourcesSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
   }
 
+  test("upsertDedup first write (no existing table) just lands fresh") {
+    val dir = tmp() + "/fresh-only"
+    val fresh = Seq(("2026-01-01", 1L, 10.0)).toDF("date", "key", "v")
+    Writers.upsertDedup(spark, fresh, dir, Seq("key"), "v", Seq("date"))
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("notify counts after write (atomic side-effect stage)") {
     var sent = -1L
     val n = Writers.notify(Seq(1, 2, 3).toDF("x"), c => sent = c)
