@@ -80,7 +80,7 @@ object LlmExtract {
         }
     val parsed = raw.toDF(idCol, "raw_json")
       .withColumn("parsed", from_json(col("raw_json"), schema))
-      .select(col(idCol) +: schema.fieldNames.map(f => col(s"parsed.$f").as(f)): _*)
+      .select((col(idCol) +: schema.fieldNames.toIndexedSeq.map(f => col(s"parsed.$f").as(f))): _*)
     if (validate)
       graft.operators.Cleaners.assertFields(parsed, schema.fieldNames.toSeq)
     else parsed

@@ -102,7 +102,7 @@ object Ann {
   private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] =
     (0 until numPlanes).map { p =>
       (0 until dim).map { i =>
-        val h = scala.util.hashing.MurmurHash3.productHash((p, i, seed))
+        val h = scala.util.hashing.MurmurHash3.caseClassHash((p, i, seed))
         (h.toDouble / Int.MaxValue)
       }
     }

@@ -132,7 +132,7 @@ final class TickerPartitionReader(p: TickerPartition)
   override def next(): Boolean = { i += 1; i < p.until }
   override def get(): InternalRow = {
     val tsMicros = (p.startEpochMs + i * p.intervalMs) * 1000L
-    val h = scala.util.hashing.MurmurHash3.productHash((i, p.seed))
+    val h = scala.util.hashing.MurmurHash3.caseClassHash((i, p.seed))
     val price = 100.0 + (h % 1000) / 100.0
     InternalRow(tsMicros, price)
   }
