@@ -36,6 +36,17 @@ object TrainingDataQueries extends QueryPack {
       // every SF; the LSH path above is the full-corpus variant.
       DedupSuite.charNgramPairs(docs(s, d).filter(col("doc_id") < 500),
         "doc_id", col("text"), n = 5, threshold = 0.8)),
+    "d_dedup_apply" -> ((s, d) => {
+      // the apply step: drop every doc that near-dup-matched a smaller id,
+      // then report the surviving corpus per (lang, source).
+      val pairs = DedupSuite.minhashNearDupPairs(docs(s, d), "doc_id", col("text"),
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      val dropList = DedupSuite.dropListFromPairs(pairs)
+      docs(s, d)
+        .join(dropList, col("doc_id") === col("drop_id"), "left_anti")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
     "d_simhash" -> ((s, d) =>
       DedupSuite.simhashNearDupPairs(docs(s, d), "doc_id", col("text"),
         maxHamming = 7)),
@@ -114,6 +125,18 @@ object TrainingDataQueries extends QueryPack {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""".stripMargin,
+    "d_dedup_apply" ->
+      s"""$shingle3Sql,
+         |pairs AS (
+         |  SELECT b.doc_id AS drop_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT drop_id FROM pairs)
+         |GROUP BY 1, 2""".stripMargin,
     "d_char_ngram" ->
       """WITH g AS (
         |  SELECT doc_id,
