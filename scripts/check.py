@@ -22,6 +22,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
+        elif str(df[c].dtype) in ("int8", "int16", "int32"):
+            # width doesn't change the hashed value string; int vs float does
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype) == "float32":
+            df[c] = df[c].astype("float64")
         elif df[c].dtype == object:
             sample = df[c].dropna()
             if len(sample) and isinstance(sample.iloc[0], (datetime.date, datetime.datetime)):
@@ -51,8 +56,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracles:
-            status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY!"
-            print(f"{status} {name}: {len(got)} rows")
+            if len(got) > 0:
+                print(f"ROWS-ONLY {name}: {len(got)} rows")
+            else:
+                print(f"FAIL {name}: rows-only query returned 0 rows"); n_fail += 1
             continue
         try:
             exp = con.execute(oracles[name]).df()
@@ -64,6 +71,10 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
+        gd, ed = list(map(str, g.dtypes)), list(map(str, e.dtypes))
+        if gd != ed:
+            # int-vs-float repr diverges in the driver's value hash (364 vs 364.0)
+            print(f"FAIL {name}: dtypes {gd} vs {ed}"); n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             print(f"PASS {name}: {len(g)} rows"); n_pass += 1

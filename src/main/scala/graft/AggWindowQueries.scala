@@ -172,7 +172,7 @@ object AggWindowQueries extends QueryPack {
          |  MAX(max_price) AS max_price,
          |  arg_min(first_price, hour_start) AS opening_price,
          |  arg_max(last_price, hour_start) AS closing_price,
-         |  SUM(data_points) AS total_data_points,
+         |  CAST(SUM(data_points) AS BIGINT) AS total_data_points,
          |  COUNT(*) AS hours_with_data,
          |  ROUND(arg_max(last_price, hour_start) - arg_min(first_price, hour_start), 6) AS price_change,
          |  ROUND(CASE WHEN arg_min(first_price, hour_start) > 0
@@ -208,8 +208,8 @@ object AggWindowQueries extends QueryPack {
         |  SELECT user_id, CAST(ts AS DATE) AS date, COUNT(*) AS n
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id, date, n,
-        |  SUM(n) OVER (PARTITION BY user_id ORDER BY date
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events
+        |  CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY date
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
         |FROM daily""".stripMargin,
     "w6_sessionize" ->
       """WITH l AS (

@@ -158,21 +158,21 @@ object BenchQueries extends QueryPack {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "prof_columns" ->
       """SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
-        |  SUM(CAST(o_orderkey IS NULL AS BIGINT)) AS n_nulls,
+        |  CAST(SUM(CAST(o_orderkey IS NULL AS BIGINT)) AS BIGINT) AS n_nulls,
         |  COUNT(DISTINCT o_orderkey) AS n_distinct,
         |  CAST(MIN(o_orderkey) AS DOUBLE) AS min_value,
         |  CAST(MAX(o_orderkey) AS DOUBLE) AS max_value FROM orders
         |UNION ALL
         |SELECT 'o_custkey', COUNT(*),
-        |  SUM(CAST(o_custkey IS NULL AS BIGINT)), COUNT(DISTINCT o_custkey),
+        |  CAST(SUM(CAST(o_custkey IS NULL AS BIGINT)) AS BIGINT), COUNT(DISTINCT o_custkey),
         |  CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE) FROM orders
         |UNION ALL
         |SELECT 'o_totalprice', COUNT(*),
-        |  SUM(CAST(o_totalprice IS NULL AS BIGINT)), COUNT(DISTINCT o_totalprice),
+        |  CAST(SUM(CAST(o_totalprice IS NULL AS BIGINT)) AS BIGINT), COUNT(DISTINCT o_totalprice),
         |  CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE) FROM orders
         |UNION ALL
         |SELECT 'o_orderstatus', COUNT(*),
-        |  SUM(CAST(o_orderstatus IS NULL AS BIGINT)), COUNT(DISTINCT o_orderstatus),
+        |  CAST(SUM(CAST(o_orderstatus IS NULL AS BIGINT)) AS BIGINT), COUNT(DISTINCT o_orderstatus),
         |  NULL, NULL FROM orders""".stripMargin,
     "agg_salted" ->
       """SELECT event_type, COUNT(*) AS n,
