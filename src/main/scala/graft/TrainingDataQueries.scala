@@ -48,8 +48,10 @@ object TrainingDataQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     }),
     "d_simhash" -> ((s, d) =>
+      // portable (md5-based) hashes so DuckDB can recompute the exact
+      // simhashes and brute-force the pair set as an oracle.
       DedupSuite.simhashNearDupPairs(docs(s, d), "doc_id", col("text"),
-        maxHamming = 7)),
+        maxHamming = 5, portable = true)),
     "d_embed_neardup" -> ((s, d) =>
       Ann.cosineNearDupPairs(embs(s, d), "vec_id", "embedding",
         threshold = 0.478)),
@@ -77,12 +79,18 @@ object TrainingDataQueries extends QueryPack {
       docs(s, d).select(
         col("doc_id"), col("lang"),
         TextFunctions.detectLang(col("text")).as("lang_detected"))),
-    "t_fingerprint" -> ((s, d) =>
-      // engine-native hashes: rows-only check (no oracle).
-      docs(s, d).select(
+    "t_fingerprint" -> ((s, d) => {
+      // portable (md5-based) hashes → fully oracle-checkable. The
+      // engine-native xxhash64 variants (TextFunctions.fingerprint,
+      // DedupSuite.simhash64) remain the faster in-engine API.
+      val base = docs(s, d)
+      val fp = base.select(
         col("doc_id"),
-        TextFunctions.fingerprint(col("text")).as("fingerprint"),
-        DedupSuite.simhash64(col("text")).as("simhash")))
+        TextFunctions.fingerprintPortable(col("text")).as("fingerprint"))
+      val sim = DedupSuite.simhashTable(base, "doc_id", col("text"), portable = true)
+        .toDF("doc_id", "simhash")
+      fp.join(sim, "doc_id")
+    })
   )
 
   // --- shared SQL fragments ------------------------------------------------
@@ -101,6 +109,20 @@ object TrainingDataQueries extends QueryPack {
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
+
+  // DuckDB halves of TextFunctions.md5Hash60 / md5Hash28: BIGINT from an
+  // md5 hex prefix (15 hex chars = 60 bits, 7 = 28 bits).
+  private val hsSql =
+    "list_transform(toks, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))"
+  private val fhSql =
+    "list_transform(toks, x -> CAST(('0x' || substr(md5(x), 1, 7)) AS BIGINT))"
+
+  // 60-bit simhash assembled from per-bit majority votes over the token
+  // hash list `hs` — mirrors DedupSuite.simhashTable(portable = true).
+  private val simSql = (0 until 60).map { b =>
+    s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $b) & 1) = 1)) > len(hs)" +
+      s" THEN CAST(1 AS BIGINT) << $b ELSE CAST(0 AS BIGINT) END)"
+  }.mkString("\n      + ")
 
   private val vSql =
     "SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings"
@@ -226,6 +248,22 @@ object TrainingDataQueries extends QueryPack {
          |    - (CASE WHEN tlen > 0 THEN punct / tlen ELSE 0.0 END) * 0.5,
          |    1.0), 0.0), 6) AS quality
          |FROM m""".stripMargin,
+    "d_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, $hsSql AS hs FROM t),
+         |s AS (SELECT doc_id, $simSql AS sim FROM h)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 5""".stripMargin,
+    "t_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, $hsSql AS hs, $fhSql AS fh FROM t)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), fh),
+         |              (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint,
+         |  $simSql AS simhash
+         |FROM h""".stripMargin,
     "t_langid" -> {
       val scores = TextFunctions.langStopwords.map { case (lang, words) =>
         s"len(list_filter(toks, x -> x IN (${inList(words)}))) AS s_$lang"

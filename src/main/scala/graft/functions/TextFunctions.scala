@@ -87,6 +87,27 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, xxhash64(t)))
 
+  /** 60-bit hash from the md5 hex prefix — replicable in DuckDB as
+    * ('0x'||substr(md5(x),1,15))::BIGINT, unlike engine-native xxhash64.
+    * 15 hex chars = 60 bits, always < 2^63, so the signed cast is safe. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 28-bit md5-prefix hash (same idea as [[md5Hash60]]) — small enough
+    * that a 31x multiply-accumulate chain mod 2^31-1 never overflows a
+    * long under ANSI mode. */
+  def md5Hash28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** Oracle-replicable rolling fingerprint: polynomial chain of 28-bit
+    * md5-prefix token hashes mod the Mersenne prime 2^31-1 — order-
+    * sensitive like [[fingerprint]], but every step is expressible in
+    * DuckDB (list_reduce over the same token list), so the driver can
+    * hash-verify it instead of a rows-only check. */
+  def fingerprintPortable(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * lit(31L) + md5Hash28(t)) % lit(2147483647L))
+
   /** Word-level shingles of size n, as strings ("w1 w2 ... wn").
     *
     * Implementation note: built by zipping n shifted slices of the token

@@ -149,21 +149,30 @@ object DedupSuite {
   }
 
   /** SimHash of every document as a table, in the scalable shape: explode
-    * tokens → one codegen'd hash column → groupBy(id) with 64 ±1 bit-sum
-    * aggregates (map-side partial agg) → assemble the long in one
+    * tokens → one codegen'd hash column → groupBy(id) with per-bit ±1
+    * bit-sum aggregates (map-side partial agg) → assemble the long in one
     * projection. Unlike the [[simhash64]] column (64 interpreted
     * higher-order filters, each re-evaluating the tokenizer), this runs
-    * the tokenizer once per document. Zero-token docs get simhash 0. */
-  def simhashTable(docs: DataFrame, id: String, text: Column): DataFrame = {
+    * the tokenizer once per document. Zero-token docs get simhash 0.
+    *
+    * `portable = true` switches the token hash from engine-native
+    * xxhash64 to the 60-bit md5-prefix hash, making the whole table
+    * reproducible in DuckDB for oracle verification (60 bits instead of
+    * 64 so the signed hex→BIGINT cast is safe in both engines). */
+  def simhashTable(docs: DataFrame, id: String, text: Column,
+                   portable: Boolean = false): DataFrame = {
+    val numBits = if (portable) 60 else 64
+    val hash: Column => Column =
+      if (portable) TextFunctions.md5Hash60 else (c => xxhash64(c))
     val tok = docs
       .select(col(id).as("_id"), explode(TextFunctions.tokens(text)).as("_t"))
-      .select(col("_id"), xxhash64(col("_t")).as("_h"))
-    val bitSums = (0 until 64).map { b =>
+      .select(col("_id"), hash(col("_t")).as("_h"))
+    val bitSums = (0 until numBits).map { b =>
       sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"_b$b")
     }
     val agg = tok.groupBy(col("_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64)
+    val sim = (0 until numBits)
       .map(b => shiftleft((col(s"_b$b") > 0).cast("long"), b))
       .reduce(_ bitwiseOR _)
     docs.select(col(id).as("_id"))
@@ -171,23 +180,34 @@ object DedupSuite {
       .na.fill(0L, Seq("_sim"))
   }
 
-  /** SimHash near-duplicate pairs: bucket by 8-bit bands (pigeonhole: any
-    * two hashes within Hamming distance 7 share at least one of 8 bands),
-    * then verify with bit_count(xor). */
+  /** SimHash near-duplicate pairs: bucket by bit-bands (pigeonhole: with
+    * b bands, any two hashes within Hamming distance b-1 share at least
+    * one band — so recall is exact, and precision is exact after the
+    * bit_count(xor) verify). Default: 64-bit hashes, 8 bands of 8 bits,
+    * maxHamming 7. `portable = true`: 60-bit md5-based hashes, 6 bands of
+    * 10 bits, so maxHamming must be <= 5 for guaranteed recall — this is
+    * the oracle-verifiable configuration (DuckDB recomputes the same
+    * hashes brute-force). */
   def simhashNearDupPairs(docs: DataFrame, id: String, text: Column,
-                          maxHamming: Int = 7): DataFrame = {
-    val sigs = simhashTable(docs, id, text)
+                          maxHamming: Int = 7,
+                          portable: Boolean = false): DataFrame = {
+    val bands = if (portable) 6 else 8
+    val bandBits = if (portable) 10 else 8
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming needs more than $bands bands for exact recall")
+    val mask = (1L << bandBits) - 1
+    val sigs = simhashTable(docs, id, text, portable)
     val banded = sigs.select(col("_id"), col("_sim"),
-      explode(array((0 until 8).map(j =>
+      explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
-          shiftright(col("_sim"), j * 8).bitwiseAND(lit(255L)).as("bh"))): _*)).as("b"))
+          shiftright(col("_sim"), j * bandBits).bitwiseAND(lit(mask)).as("bh"))): _*)).as("b"))
       .select(col("_id"), col("_sim"), col("b.band").as("band"), col("b.bh").as("bh"))
     banded.toDF("id_a", "sim_a", "band", "bh")
       .join(banded.toDF("id_b", "sim_b", "band", "bh"), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct: shrink the dedup set
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }
