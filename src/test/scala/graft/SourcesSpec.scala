@@ -111,4 +111,33 @@ class SourcesSpec extends SparkSpec {
     val n = Writers.notify(Seq(1, 2, 3).toDF("x"), c => sent = c)
     assert(n == 3 && sent == 3)
   }
+
+  test("jdbc write + read round-trip against embedded Derby (S18/K6)") {
+    // The reference's Postgres pageview_counts sink (create_table.sql +
+    // listing_4_20.py:73-78), executed for real against embedded Derby —
+    // same Spark JDBC surface as any networked RDBMS.
+    val url = s"jdbc:derby:${tmp()}/derbydb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE pageview_counts (pagename VARCHAR(64), pageviewcount INT)")
+    finally conn.close()
+
+    val batch1 = Seq(("google", 120), ("facebook", 80)).toDF("pagename", "pageviewcount")
+    val batch2 = Seq(("amazon", 65)).toDF("pagename", "pageviewcount")
+    Writers.jdbc(batch1, url, "pageview_counts", props)
+    Writers.jdbc(batch2, url, "pageview_counts", props) // append, not replace
+
+    val back = Readers.jdbc(spark, url, "pageview_counts", props)
+    assert(back.count() == 3)
+    assert(back.agg(sum($"pageviewcount")).as[Long].head() == 265L)
+
+    // partitioned parallel read: the scan splits into range queries
+    val part = Readers.jdbc(spark, url, "pageview_counts", props,
+      partitionColumn = Some(("pageviewcount", 0L, 200L, 4)))
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.select("pagename").as[String].collect().sorted.toSeq ==
+      Seq("amazon", "facebook", "google"))
+  }
 }
