@@ -67,6 +67,14 @@ object TrainingDataQueries extends QueryPack {
       val q = e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
       Ann.ivfTopK(e, "vec_id", "embedding", centroids, q, k = 5, nProbe = 2)
     }),
+    "ann_lsh" -> ((s, d) => {
+      // the hyperplanes are deterministic doubles, so the oracle embeds
+      // them as SQL literals and replicates bucketing + multi-probe.
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+      Ann.signLshTopK(e, "vec_id", "embedding", q, k = 10,
+        numPlanes = 12, dim = 64, seed = 42L, probeHamming = 1)
+    }),
     // text analysis --------------------------------------------------------
     "t_text_stats" -> ((s, d) =>
       docs(s, d).select(
@@ -129,6 +137,20 @@ object TrainingDataQueries extends QueryPack {
 
   private def dotSql(a: String, b: String): String =
     s"list_sum([$a.e[i] * $b.e[i] for i in range(1, 65)])"
+
+  // Sign-LSH hyperplanes as SQL literals (Double.toString is shortest
+  // round-trip text, so DuckDB parses back the identical binaries), and
+  // the 12-bit signature as a sum of sign tests — mirrors
+  // graft.plans.SignLshSignature (same sequential accumulation order).
+  private val lshSigSql: String =
+    graft.plans.SignLshSignature.hyperplanes(12, 64, 42L).zipWithIndex.map {
+      case (w, p) =>
+        val arr = w.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(e, $arr) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n      + ")
+
+  private val lshMasks: String =
+    (Seq(0) ++ (0 until 12).map(1 << _)).mkString("[", ", ", "]")
 
   private def cosSql(a: String, b: String): String =
     s"""(${dotSql(a, b)} /
@@ -225,6 +247,28 @@ object TrainingDataQueries extends QueryPack {
          |SELECT query_id, neighbor_id, ROUND(cos, 6) AS sim,
          |       CAST(rn AS INT) AS rank
          |FROM ranked WHERE rn <= 5""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH v AS ($vSql),
+         |s AS (SELECT vec_id, e, ($lshSigSql) AS bucket FROM v),
+         |q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb
+         |      FROM s WHERE vec_id < 5),
+         |m AS (SELECT unnest($lshMasks) AS mask),
+         |probes AS (
+         |  SELECT query_id, qe, xor(qb, mask) AS bucket FROM q CROSS JOIN m),
+         |scored AS (
+         |  SELECT p.query_id, s.vec_id AS neighbor_id,
+         |    list_dot_product(p.qe, s.e) /
+         |      (sqrt(list_dot_product(p.qe, p.qe)) *
+         |       sqrt(list_dot_product(s.e, s.e))) AS cos
+         |  FROM s JOIN probes p ON s.bucket = p.bucket
+         |  WHERE s.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ROUND(cos, 6) AS sim,
+         |       CAST(rn AS INT) AS rank
+         |FROM ranked WHERE rn <= 10""".stripMargin,
     "t_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |m AS (

@@ -55,15 +55,19 @@ object Ann {
         round(col("cos"), 6).as("sim"), col("rank"))
   }
 
-  /** Assign each vector to its nearest centroid (broadcast argmin). */
+  /** Assign each vector to its nearest centroid (broadcast argmin).
+    * The aggregation is keyed on the id alone — the vector rides in the
+    * min_by payload (picked once per group), not in the shuffle KEY, so
+    * the exchange hashes/compares 8-byte ids instead of ~0.5 KB arrays. */
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
                   centroids: DataFrame): DataFrame = {
     val c = broadcast(centroids.toDF("cell_id", "centroid"))
     corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .crossJoin(c)
       .withColumn("dist", l2Distance(col("vec"), col("centroid")))
-      .groupBy(col("vid"), col("vec"))
-      .agg(min_by(col("cell_id"), struct(col("dist"), col("cell_id"))).as("cell_id"))
+      .groupBy(col("vid"))
+      .agg(min_by(struct(col("vec"), col("cell_id")), struct(col("dist"), col("cell_id"))).as("m"))
+      .select(col("vid"), col("m.vec").as("vec"), col("m.cell_id").as("cell_id"))
   }
 
   /** IVF top-k: probe the `nProbe` nearest cells per query, score only
@@ -96,26 +100,28 @@ object Ann {
         round(col("cos"), 6).as("sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: plane p's weight for dim i
-    * is a hash of (p, i, seed) mapped to [-1, 1]. Driver-side literals —
-    * tiny, broadcast with the plan. */
-  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] =
-    (0 until numPlanes).map { p =>
-      (0 until dim).map { i =>
-        val h = scala.util.hashing.MurmurHash3.caseClassHash((p, i, seed))
-        (h.toDouble / Int.MaxValue)
-      }
-    }
-
-  /** Sign-LSH signature: bit p = (v · plane_p) > 0, assembled into an int.
-    * Same-bucket vectors are likely angular neighbors. */
+  /** Sign-LSH signature, HOF form: bit p = (v · plane_p) > 0, assembled
+    * into an int. Same-bucket vectors are likely angular neighbors.
+    * Works on any numeric array type; [[signLshTopK]] swaps in the fused
+    * native [[graft.plans.SignLshSignature]] for float vectors (identical
+    * accumulation order → identical signatures). */
   def signLshSignature(vec: Column, numPlanes: Int, dim: Int, seed: Long): Column = {
-    val planes = hyperplanes(numPlanes, dim, seed)
+    val planes = graft.plans.SignLshSignature.hyperplanes(numPlanes, dim, seed)
     planes.zipWithIndex.map { case (plane, p) =>
       val planeCol = typedLit(plane)
       shiftleft((dot(vec, planeCol) > 0).cast("int"), p)
     }.reduce(_ bitwiseOR _)
   }
+
+  /** Signature scorer: fused native codegen'd expression for float
+    * vectors (the bucketing hot loop), HOF composition otherwise. */
+  private def sigFn(df: DataFrame, vecCol: String)(
+      vec: Column, numPlanes: Int, dim: Int, seed: Long): Column =
+    df.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) =>
+        graft.plans.SignLshSignature.signature(df.sparkSession, vec, numPlanes, dim, seed)
+      case _ => signLshSignature(vec, numPlanes, dim, seed)
+    }
 
   /** Sign-LSH top-k: bucket the corpus by hyperplane signature; each query
     * probes its own bucket plus all buckets within Hamming distance
@@ -126,7 +132,7 @@ object Ann {
                   queries: DataFrame, k: Int, numPlanes: Int = 12,
                   dim: Int = 64, seed: Long = 42L,
                   probeHamming: Int = 1): DataFrame = {
-    val sig = signLshSignature(col("vec"), numPlanes, dim, seed)
+    val sig = sigFn(corpus, vecCol)(col("vec"), numPlanes, dim, seed)
     val bucketed = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .withColumn("bucket", sig)
     // probe signatures: the query's signature with up to `probeHamming`
@@ -139,14 +145,14 @@ object Ann {
     }
     val probes = broadcast(
       queries.toDF("query_id", "q_vec")
-        .withColumn("q_bucket", signLshSignature(col("q_vec"), numPlanes, dim, seed))
+        .withColumn("q_bucket", sigFn(corpus, vecCol)(col("q_vec"), numPlanes, dim, seed))
         .withColumn("bucket", explode(array(flips.map { f =>
           f.foldLeft(col("q_bucket"))((acc, b) =>
             acc.bitwiseXOR(shiftleft(lit(1), b)))
         }: _*))))
     val scored = bucketed.join(probes, Seq("bucket"))
       .filter(col("vid") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+      .withColumn("cos", cosFn(corpus, vecCol)(col("q_vec"), col("vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vid").asc)
     scored.withColumn("rank", row_number().over(w))

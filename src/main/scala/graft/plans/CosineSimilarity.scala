@@ -89,12 +89,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * spark-submit path). In-process callers can use
   * [[NativeFunctions.register]] instead. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getCanonicalName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sign_lsh"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SignLshSignature].getCanonicalName, "graft_sign_lsh"),
+      (exprs: Seq[Expression]) => SignLshSignature(
+        exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval() match { case i: Int => i.toLong; case l: Long => l })))
+  }
 }
 
 /** Registration + Column-API access for the native expressions. */

@@ -40,6 +40,23 @@ class NativeExprSpec extends SparkSpec {
     assert(math.abs(got(1) - 1.0) < 1e-12)
   }
 
+  test("native sign-lsh signature matches the HOF composition bit-for-bit") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val diff = e.select(
+      graft.operators.Ann.signLshSignature($"embedding", 12, 64, 42L).as("hof"),
+      graft.plans.SignLshSignature.signature(spark, $"embedding", 12, 64, 42L).as("native"))
+      .filter($"hof" =!= $"native")
+    assert(diff.count() == 0)
+  }
+
+  test("native sign-lsh is callable from the SQL surface") {
+    graft.plans.SignLshSignature.register(spark)
+    val got = spark.sql(
+      "SELECT graft_sign_lsh(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4, 2, 42L)")
+      .as[Int].head()
+    assert(got >= 0 && got < 16)
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     val q = e.limit(1).toDF("query_id", "q_vec", "l")
