@@ -52,15 +52,20 @@ object DedupSuite {
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
-  def minhashNearDupPairs(docs: DataFrame, id: String, text: Column,
-                          shingleSize: Int = 3, numHashes: Int = 64,
-                          bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val r = numHashes / bands
-    val base = docs
+  /** Shingle sets per doc (shared by the signature and verify stages). */
+  private def shingleSets(docs: DataFrame, id: String, text: Column,
+                          shingleSize: Int): DataFrame =
+    docs
       .filter(TextFunctions.tokenCount(text) >= shingleSize)
       .select(col(id).as("_id"),
         array_distinct(TextFunctions.shingles(text, shingleSize)).as("_sh"))
 
+  /** LSH band buckets with their full member-id sets: one row per
+    * (band, bandhash) with `ids` sorted — the stage both the pair
+    * expansion and the truncation audit read. */
+  private def lshBuckets(base: DataFrame, shingleSize: Int, numHashes: Int,
+                         bands: Int): DataFrame = {
+    val r = numHashes / bands
     val shingleRows = base.select(col("_id"), explode(col("_sh")).as("_s"))
     // k hash functions by double hashing: 2 string hashes per shingle,
     // then k cheap bit-mixes (xor-rotate) — 32x less string hashing than
@@ -80,17 +85,40 @@ object DedupSuite {
       struct(lit(j).as("band"),
         xxhash64((j * r until (j + 1) * r).map(i => col(s"_h$i")): _*).as("bh"))
     }
-    val buckets = sigs
+    sigs
       .select(col("_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_set(col("_id"))).as("ids"))
+  }
+
+  /** Truncation audit for the [[minhashNearDupPairs]] skew guard: the
+    * buckets whose member set exceeds `bucketCap` — i.e. where candidate
+    * expansion silently drops pairs. A skewed/degenerate corpus shows up
+    * here; production runs should alert on count > 0 (or pre-dedup
+    * exactly, since an over-cap bucket usually means identical docs). */
+  def minhashBucketTruncation(docs: DataFrame, id: String, text: Column,
+                              shingleSize: Int = 3, numHashes: Int = 64,
+                              bands: Int = 16, bucketCap: Int = 1000): DataFrame = {
+    val base = shingleSets(docs, id, text, shingleSize)
+    lshBuckets(base, shingleSize, numHashes, bands)
+      .select(col("band"), col("bh"), size(col("ids")).as("bucket_size"))
+      .filter(col("bucket_size") > bucketCap)
+  }
+
+  def minhashNearDupPairs(docs: DataFrame, id: String, text: Column,
+                          shingleSize: Int = 3, numHashes: Int = 64,
+                          bands: Int = 16, threshold: Double = 0.8,
+                          bucketCap: Int = 1000): DataFrame = {
+    val base = shingleSets(docs, id, text, shingleSize)
     // candidate pairs in ONE pass: collect each bucket's ids and expand
     // in-bucket pairs — a self-join here would recompute the signature
     // pipeline once per side. Buckets are capped as a skew guard (a
     // degenerate all-identical corpus would otherwise make one bucket
-    // quadratic); 1000 ids/bucket bounds the expansion at 500k pairs.
-    val candidates = buckets
-      .groupBy(col("band"), col("bh"))
-      .agg(slice(sort_array(collect_set(col("_id"))), 1, 1000).as("ids"))
+    // quadratic); bucketCap ids/bucket bounds the expansion — audit the
+    // loss with [[minhashBucketTruncation]].
+    val candidates = lshBuckets(base, shingleSize, numHashes, bands)
+      .withColumn("ids", slice(col("ids"), 1, bucketCap))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),

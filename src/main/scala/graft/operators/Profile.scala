@@ -11,14 +11,22 @@ object Profile {
 
   /** One-pass column profile: per column, null count + distinct count +
     * min/max (numeric/string-safe). Single aggregation over the table —
-    * one scan regardless of column count. Output: one row per column. */
-  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * one scan regardless of column count. Output: one row per column.
+    *
+    * `approxDistinct = true` swaps exact countDistinct (an expand +
+    * shuffle per column — exact, used by the oracle check) for
+    * HyperLogLog++ approx_count_distinct, which aggregates map-side in
+    * constant memory — the right default when profiling 100 TB. */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+                    approxDistinct: Boolean = false): DataFrame = {
+    val distinctAgg: Column => Column =
+      if (approxDistinct) c => approx_count_distinct(c) else c => countDistinct(c)
     val aggs = cols.flatMap { c =>
       val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
       Seq(
         count(lit(1)).as(s"${c}__rows"),
         sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct")) ++
+        distinctAgg(col(c)).as(s"${c}__distinct")) ++
         (if (isNum) Seq(min(col(c)).cast("double").as(s"${c}__min"),
           max(col(c)).cast("double").as(s"${c}__max"))
         else Seq(lit(null).cast("double").as(s"${c}__min"),

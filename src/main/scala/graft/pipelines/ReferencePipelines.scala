@@ -131,10 +131,13 @@ object ReferencePipelines {
       .select(explode(col("results")).as("launch"))
       .select(col("launch.image").as("url"))
       .filter(col("url").isNotNull)
+    // count with an accumulator inside the same pass — a separate
+    // urls.count() would re-read and re-explode the JSON.
+    val n = spark.sparkContext.longAccumulator("downloaded_urls")
     urls.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-      it.foreach(r => download(r.getString(0)))
+      it.foreach { r => download(r.getString(0)); n.add(1L) }
     }
-    urls.count()
+    n.value
   }
 
   // --- gold × war-news ML (§3.3) ------------------------------------------
@@ -170,6 +173,25 @@ object ReferencePipelines {
                          processedAt: java.time.Instant): DataFrame =
     Cleaners.enrich(
       Cleaners.requireFields(Cleaners.trimStrings(records), Seq("id", "name")),
+      processedAt)
+
+  /** The intended demo2 CSV→JSON ETL (ref: tutorial1_basic_etl.py:242-305):
+    * headered CSV (values stay strings — csv.DictReader semantics) →
+    * trim / require id / lowercase keys → processed_at + record_count.
+    *
+    * Parity note: the reference's shipped demo2_output_products.json does
+    * NOT contain this transform's output. Its transform_csv task
+    * xcom-pulls from task_ids='extract' — the demo1 JSON extract in the
+    * same DAG — so the artifact it wrote is the transformed demo1 USER
+    * records. GoldenParitySpec byte-matches that artifact through the
+    * cross-wired input and checks the intended CSV path against literal
+    * expectations here. */
+  def tutorial1CsvProducts(spark: SparkSession, csvPath: String,
+                           processedAt: java.time.Instant): DataFrame =
+    Cleaners.enrich(
+      Cleaners.requireFields(
+        Cleaners.trimStrings(Cleaners.normalizeColumnNames(
+          Readers.csvRaw(spark, csvPath))), Seq("id")),
       processedAt)
 
   // --- lecture11 weather-LLM (X2) -----------------------------------------

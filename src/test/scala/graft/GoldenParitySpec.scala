@@ -49,6 +49,45 @@ class GoldenParitySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("demo2 artifact parity: the reference's cross-wired XCom output") {
+    // The reference DAG's transform_csv task pulls XCom from
+    // task_ids='extract' (the demo1 JSON extract), NOT extract_csv — so
+    // its shipped demo2_output_products.json holds the transformed demo1
+    // USER records, not products. Reproduce that faithfully: the
+    // normalizer over the demo1 source byte-matches the demo2 artifact.
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("email", StringType), StructField("age", LongType)))
+    val src = spark.read.schema(schema).option("multiLine", "true")
+      .json("/root/reference/lecture2/demo1_source_data.json")
+    val got = ReferencePipelines.tutorial1Normalize(src,
+      java.time.Instant.parse("2026-02-10T13:34:05Z"))
+      .select("id", "name", "email", "age", "record_count")
+      .orderBy("id").collect().map(_.toString).toSeq
+    val expected = spark.read.option("multiLine", "true")
+      .json("/root/reference/lecture2/demo2_output_products.json")
+      .withColumn("record_count", col("record_count").cast(LongType))
+      .select("id", "name", "email", "age", "record_count")
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(got == expected)
+  }
+
+  test("demo2 intended CSV→JSON path: products stay strings, enriched") {
+    val got = ReferencePipelines.tutorial1CsvProducts(spark,
+      "/root/reference/lecture2/demo2_source_products.csv",
+      java.time.Instant.parse("2026-02-10T13:34:05Z"))
+      .select("id", "product_id", "product_name", "price", "stock", "record_count")
+      .orderBy("id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("1", "P001", "Laptop", "999.99", "50", 5L),
+      ("2", "P002", "Mouse", "29.99", "200", 5L),
+      ("3", "P003", "Keyboard", "79.99", "150", 5L),
+      ("4", "P004", "Monitor", "299.99", "75", 5L),
+      ("5", "P005", "Webcam", "89.99", "120", 5L)))
+  }
+
   test("as-of join matches hand-computed latest-prior semantics") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val trades = Seq(

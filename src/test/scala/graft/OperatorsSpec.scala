@@ -124,6 +124,24 @@ class OperatorsSpec extends SparkSpec {
       pairs.toDF("id_a", "id_b")).as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("minhash bucket-cap truncation is auditable, not silent") {
+    // degenerate corpus: 30 identical docs all land in the same buckets;
+    // with bucketCap=10 the pair expansion drops pairs — the audit must
+    // surface those buckets, and a healthy corpus must report zero.
+    val dup = (1L to 30L).map(i => (i, "same exact text repeated in every document here"))
+      .toDF("doc_id", "text")
+    val truncated = DedupSuite.minhashBucketTruncation(dup, "doc_id", $"text",
+      shingleSize = 3, numHashes = 64, bands = 16, bucketCap = 10)
+    assert(truncated.count() > 0)
+    assert(truncated.agg(max($"bucket_size")).as[Int].head() == 30)
+    val healthy = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    assert(DedupSuite.minhashBucketTruncation(healthy, "doc_id", $"text",
+      bucketCap = 10).count() == 0)
+  }
+
   test("simhash of identical docs is identical, near docs are close") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
       .toDF("doc_id", "text")
