@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.operators.{Ann, DedupSuite}
+import graft.plans.TextNative
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: dedup suite (exact / MinHash+LSH / SimHash / char-n-gram /
@@ -29,8 +30,12 @@ object TrainingDataQueries extends QueryPack {
     "d_exact_dedup" -> ((s, d) =>
       DedupSuite.exactDedupStats(docs(s, d), col("text"), col("doc_id"))),
     "d_minhash_lsh" -> ((s, d) =>
+      // k=64, b=16, r=4: the S-curve midpoint (1/b)^(1/r) = 0.5 sits
+      // below the 0.8 threshold, so recall at j>=0.8 is ~1 (miss p =
+      // (1-j^4)^16 ~ 2e-4 at j=0.8, ~1e-18 at 0.95) — strictly better
+      // than r=8 at half the hashing cost; exact verify keeps precision 1.
       DedupSuite.minhashNearDupPairs(docs(s, d), "doc_id", col("text"),
-        shingleSize = 3, numHashes = 128, bands = 16, threshold = 0.8)),
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)),
     "d_char_ngram" -> ((s, d) =>
       // brute-force baseline — bounded universe so cost stays fixed at
       // every SF; the LSH path above is the full-corpus variant.
@@ -76,17 +81,22 @@ object TrainingDataQueries extends QueryPack {
         numPlanes = 12, dim = 64, seed = 42L, probeHamming = 1)
     }),
     // text analysis --------------------------------------------------------
-    "t_text_stats" -> ((s, d) =>
+    "t_text_stats" -> ((s, d) => {
+      // tokenize once (native, codegen'd) and fan the array into the
+      // measures — the per-text HOF forms re-run the tokenizer per measure.
+      val toks = TextNative.tokens(s, col("text"))
       docs(s, d).select(
         col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("token_count"),
-        TextFunctions.subwordCount(col("text")).as("subword_count"),
-        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
-        TextFunctions.qualityScore(col("text")).as("quality"))),
+        size(toks).as("token_count"),
+        TextFunctions.subwordCountOf(toks).as("subword_count"),
+        TextFunctions.stopwordRatioOf(toks).as("stopword_ratio"),
+        TextFunctions.qualityScoreOf(col("text"), toks).as("quality"))
+    }),
     "t_langid" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"), col("lang"),
-        TextFunctions.detectLang(col("text")).as("lang_detected"))),
+        TextFunctions.detectLangOf(col("text"),
+          TextNative.tokens(s, col("text"))).as("lang_detected"))),
     "t_fingerprint" -> ((s, d) => {
       // portable (md5-based) hashes → fully oracle-checkable. The
       // engine-native xxhash64 variants (TextFunctions.fingerprint,
@@ -94,7 +104,8 @@ object TrainingDataQueries extends QueryPack {
       val base = docs(s, d)
       val fp = base.select(
         col("doc_id"),
-        TextFunctions.fingerprintPortable(col("text")).as("fingerprint"))
+        TextFunctions.fingerprintPortableOf(
+          TextNative.tokens(s, col("text"))).as("fingerprint"))
       val sim = DedupSuite.simhashTable(base, "doc_id", col("text"), portable = true)
         .toDF("doc_id", "simhash")
       fp.join(sim, "doc_id")

@@ -34,6 +34,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // default 100 knocks wide plans (64 minhash min-aggs, 60 simhash
+      // bit-sums, per-column profiles) out of whole-stage codegen
+      .config("spark.sql.codegen.maxFields", sys.env.getOrElse("SPARK_GRAFT_MAXFIELDS", "256"))
       .config("spark.ui.enabled", "false")
 
   /** Apply graft tuning to an existing session (e.g. one created by the
@@ -42,6 +45,7 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.codegen.maxFields", sys.env.getOrElse("SPARK_GRAFT_MAXFIELDS", "256"))
     spark
   }
 

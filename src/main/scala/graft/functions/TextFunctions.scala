@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased word tokens; empty fragments removed. */
+  /** Lowercased word tokens; empty fragments removed.
+    *
+    * The `*Of(toks)` variants below take a pre-computed token array so hot
+    * paths can tokenize ONCE (ideally with the native
+    * [[graft.plans.TextNative.tokens]], bit-identical output) and fan the
+    * array into several measures, instead of re-running the tokenizer
+    * inside every HOF composition. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
@@ -23,8 +29,10 @@ object TextFunctions {
   /** A BPE-ish proxy: number of subword units if words split every 4 chars
     * (ceil(len/4) summed over tokens) — a cheap deterministic stand-in for a
     * real tokenizer's token count. */
-  def subwordCount(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
+  def subwordCount(text: Column): Column = subwordCountOf(tokens(text))
+
+  def subwordCountOf(toks: Column): Column =
+    aggregate(toks, lit(0L),
       (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
 
   val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is",
@@ -34,8 +42,9 @@ object TextFunctions {
     * rounded: the raw int/int double division is bit-identical across
     * engines, while rounding a dyadic ratio (e.g. x/128) can round-half
     * differently between engines. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+
+  def stopwordRatioOf(toks: Column): Column = {
     val hits = size(filter(toks, t => t.isInCollection(stopwordsEn)))
     when(size(toks) > 0, hits.cast("double") / size(toks).cast("double"))
       .otherwise(lit(0.0))
@@ -53,8 +62,9 @@ object TextFunctions {
   /** Detected language code, or "und" when no evidence. Ties break by the
     * fixed language order above (deterministic). CJK is detected by
     * codepoint range before the stopword vote. */
-  def detectLang(text: Column): Column = {
-    val toks = tokens(text)
+  def detectLang(text: Column): Column = detectLangOf(text, tokens(text))
+
+  def detectLangOf(text: Column, toks: Column): Column = {
     val scores = langStopwords.map { case (lang, words) =>
       (lang, size(filter(toks, t => t.isInCollection(words))))
     }
@@ -68,14 +78,16 @@ object TextFunctions {
   /** Heuristic document quality score in [0,1]: rewards mid-length docs,
     * healthy alphabetic ratio, presence of stopwords; penalizes
     * over-punctuation. Deterministic arithmetic, rounded. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
+
+  def qualityScoreOf(text: Column, toks: Column): Column = {
     val len       = length(text).cast("double")
     val alpha     = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
     val punct     = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
     val alphaR    = when(len > 0, alpha / len).otherwise(lit(0.0))
     val punctR    = when(len > 0, punct / len).otherwise(lit(0.0))
     val lenScore  = least(len / lit(200.0), lit(1.0))
-    val raw = lenScore * 0.3 + alphaR * 0.4 + stopwordRatio(text) * 0.3 - punctR * 0.5
+    val raw = lenScore * 0.3 + alphaR * 0.4 + stopwordRatioOf(toks) * 0.3 - punctR * 0.5
     round(greatest(least(raw, lit(1.0)), lit(0.0)), 6)
   }
 
@@ -105,7 +117,10 @@ object TextFunctions {
     * DuckDB (list_reduce over the same token list), so the driver can
     * hash-verify it instead of a rows-only check. */
   def fingerprintPortable(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
+    fingerprintPortableOf(tokens(text))
+
+  def fingerprintPortableOf(toks: Column): Column =
+    aggregate(toks, lit(0L),
       (acc, t) => (acc * lit(31L) + md5Hash28(t)) % lit(2147483647L))
 
   /** Word-level shingles of size n, as strings ("w1 w2 ... wn").

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.plans.TextNative
 
 /** Document-deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard.
@@ -52,13 +53,18 @@ object DedupSuite {
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
-  /** Shingle sets per doc (shared by the signature and verify stages). */
+  /** Shingle sets per doc (shared by the signature and verify stages).
+    * Native single-pass tokenizer+shingler (graft_shingles) — the HOF
+    * composition re-tokenizes interpreted, and this column is evaluated
+    * once for signatures plus once per verify-join side. */
   private def shingleSets(docs: DataFrame, id: String, text: Column,
-                          shingleSize: Int): DataFrame =
+                          shingleSize: Int): DataFrame = {
+    val s = docs.sparkSession
     docs
-      .filter(TextFunctions.tokenCount(text) >= shingleSize)
+      .filter(size(TextNative.tokens(s, text)) >= shingleSize)
       .select(col(id).as("_id"),
-        array_distinct(TextFunctions.shingles(text, shingleSize)).as("_sh"))
+        TextNative.shingles(s, text, shingleSize).as("_sh"))
+  }
 
   /** LSH band buckets with their full member-id sets: one row per
     * (band, bandhash) with `ids` sorted — the stage both the pair
@@ -193,7 +199,8 @@ object DedupSuite {
     val hash: Column => Column =
       if (portable) TextFunctions.md5Hash60 else (c => xxhash64(c))
     val tok = docs
-      .select(col(id).as("_id"), explode(TextFunctions.tokens(text)).as("_t"))
+      .select(col(id).as("_id"),
+        explode(TextNative.tokens(docs.sparkSession, text)).as("_t"))
       .select(col("_id"), hash(col("_t")).as("_h"))
     val bitSums = (0 until numBits).map { b =>
       sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1)

@@ -1,0 +1,144 @@
+package graft.plans
+
+import java.util.LinkedHashSet
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text tokenization/shingling for the dedup hot paths.
+  *
+  * Why custom Expressions (SURVEY.md §7.3 preference order b): the HOF
+  * composition in [[graft.functions.TextFunctions]] —
+  * `filter(split(lower(text)))` and the zip-of-shifted-slices shingler —
+  * evaluates interpreted lambda frames per token and allocates several
+  * intermediate arrays per row. Tokenization runs on EVERY document of a
+  * corpus in the minhash/simhash pipelines (and 3x per doc in minhash:
+  * signature stage + both sides of the exact-verify join), so at 100 TB
+  * this is a scan-dominant cost. Each expression below is one pass over
+  * the string's UTF-8 bytes inside whole-stage codegen.
+  *
+  * Parity contract (required by the DuckDB oracles): tokens are maximal
+  * runs of [a-z0-9] bytes in `UTF8String.toLowerCase` output — the exact
+  * semantics of `filter(split(lower(text), "[^a-z0-9]+"), len > 0)`.
+  * Multi-byte UTF-8 units always have the high bit set, so treating
+  * non-[a-z0-9] BYTES as separators is identical to the per-CHARACTER
+  * regex. Verified against the HOF forms in NativeExprSpec.
+  */
+object TextNative {
+
+  private[plans] def tokenize(s: UTF8String): Array[UTF8String] = {
+    val b = s.toLowerCase.getBytes
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    var start = -1
+    while (i <= b.length) {
+      val isTok = i < b.length && {
+        val c = b(i)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      }
+      if (isTok) { if (start < 0) start = i }
+      else if (start >= 0) {
+        out.add(UTF8String.fromBytes(b, start, i - start))
+        start = -1
+      }
+      i += 1
+    }
+    out.toArray(new Array[UTF8String](out.size()))
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  /** Register both functions on a session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tokens", exprs => WordTokens(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
+  }
+
+  /** Ordered word tokens (duplicates kept) — native twin of
+    * [[graft.functions.TextFunctions.tokens]]. */
+  def tokens(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("graft_tokens", text)
+  }
+
+  /** DISTINCT word n-gram shingles — native fusion of
+    * `array_distinct(TextFunctions.shingles(text, n))`. */
+  def shingles(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(n))
+  }
+}
+
+case class WordTokens(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_tokens expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  def compute(s: UTF8String): ArrayData =
+    new GenericArrayData(TextNative.tokenize(s).asInstanceOf[Array[Any]])
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordTokens", this, classOf[WordTokens].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordTokens =
+    copy(child = newChild)
+}
+
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  def compute(s: UTF8String): ArrayData = {
+    val toks = TextNative.tokenize(s)
+    val space = UTF8String.fromString(" ")
+    if (toks.length < n) {
+      // HOF-parity fallback: one shingle of all tokens ("" when none)
+      return new GenericArrayData(
+        Array[Any](UTF8String.concatWs(space, toks: _*)))
+    }
+    val seen = new LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val parts = new Array[UTF8String](n)
+      System.arraycopy(toks, i, parts, 0, n)
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}

@@ -57,6 +57,24 @@ class NativeExprSpec extends SparkSpec {
     assert(got >= 0 && got < 16)
   }
 
+  test("native tokenizer/shingler match the HOF forms on the real corpus") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+      .union(Seq((-1L, "", "x", "y", 0L),        // empty text
+        (-2L, "  !!  ", "x", "y", 0L),           // separators only
+        (-3L, "Üni çöde İstanbul MIXED case 42", "x", "y", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val tokDiff = docs.select(
+      graft.functions.TextFunctions.tokens($"text").as("hof"),
+      graft.plans.TextNative.tokens(spark, $"text").as("native"))
+      .filter($"hof" =!= $"native")
+    assert(tokDiff.count() == 0)
+    val shDiff = docs.select(
+      array_distinct(graft.functions.TextFunctions.shingles($"text", 3)).as("hof"),
+      graft.plans.TextNative.shingles(spark, $"text", 3).as("native"))
+      .filter(array_sort($"hof") =!= array_sort($"native"))  // set semantics
+    assert(shDiff.count() == 0)
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     val q = e.limit(1).toDF("query_id", "q_vec", "l")
