@@ -195,13 +195,17 @@ object DedupSuite {
     * 64 so the signed hex→BIGINT cast is safe in both engines). */
   def simhashTable(docs: DataFrame, id: String, text: Column,
                    portable: Boolean = false): DataFrame = {
-    val numBits = if (portable) 60 else 64
-    val hash: Column => Column =
-      if (portable) TextFunctions.md5Hash60 else (c => xxhash64(c))
+    if (portable) {
+      // fused scalar expression: one pass per doc, no explode, NO shuffle —
+      // bit-identical to the explode/agg shape below (NativeExprSpec).
+      return docs.select(col(id).as("_id"),
+        TextNative.simhash60(docs.sparkSession, text).as("_sim"))
+    }
+    val numBits = 64
     val tok = docs
       .select(col(id).as("_id"),
         explode(TextNative.tokens(docs.sparkSession, text)).as("_t"))
-      .select(col("_id"), hash(col("_t")).as("_h"))
+      .select(col("_id"), xxhash64(col("_t")).as("_h"))
     val bitSums = (0 until numBits).map { b =>
       sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"_b$b")

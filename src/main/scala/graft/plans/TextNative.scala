@@ -54,7 +54,24 @@ object TextNative {
 
   private val space = UTF8String.fromString(" ")
 
-  /** Register both functions on a session (idempotent). */
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** The first 60 bits of md5(bytes) as a non-negative long — the binary
+    * twin of `conv(substring(md5(x), 1, 15), 16, 10)` (15 hex chars =
+    * first 7.5 digest bytes), without materializing the hex string. */
+  private[plans] def md5Hash60(bytes: Array[Byte], offset: Int, len: Int): Long = {
+    val d = md5.get()
+    d.reset()
+    d.update(bytes, offset, len)
+    val h = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Register the native text functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tokens", exprs => WordTokens(exprs(0)), "built-in")
@@ -62,6 +79,8 @@ object TextNative {
       "graft_shingles",
       exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash60", exprs => SimHash60(exprs(0)), "built-in")
   }
 
   /** Ordered word tokens (duplicates kept) — native twin of
@@ -76,6 +95,13 @@ object TextNative {
   def shingles(spark: SparkSession, text: Column, n: Int): Column = {
     register(spark)
     call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Whole-document 60-bit portable SimHash in one pass — native fusion of
+    * tokenize → md5-prefix hash per token → per-bit ±1 majority vote. */
+  def simhash60(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("graft_simhash60", text)
   }
 }
 
@@ -99,6 +125,56 @@ case class WordTokens(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordTokens =
+    copy(child = newChild)
+}
+
+/** 60-bit portable SimHash of a document: tokenize, 60-bit md5-prefix
+  * hash per token (duplicates counted), per-bit majority vote (+1/-1,
+  * ties → 0), assembled low-bit-first. One pass per document inside
+  * whole-stage codegen — replaces an explode + 60-column aggregate +
+  * join (i.e. a full shuffle) with a scalar projection. Zero tokens → 0.
+  * Bit-identical to the portable explode/agg shape and to the DuckDB
+  * oracle (verified in NativeExprSpec / the d_simhash correctness row). */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash60 expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash60"
+
+  def compute(s: UTF8String): Long = {
+    val toks = TextNative.tokenize(s)
+    val votes = new Array[Int](60)
+    var t = 0
+    while (t < toks.length) {
+      val b = toks(t).getBytes
+      val h = TextNative.md5Hash60(b, 0, b.length)
+      var bit = 0
+      while (bit < 60) {
+        votes(bit) += (if (((h >>> bit) & 1L) == 1L) 1 else -1)
+        bit += 1
+      }
+      t += 1
+    }
+    var sim = 0L
+    var bit = 0
+    while (bit < 60) {
+      if (votes(bit) > 0) sim |= (1L << bit)
+      bit += 1
+    }
+    sim
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash60", this, classOf[SimHash60].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
 }
 

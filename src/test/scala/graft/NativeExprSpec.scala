@@ -75,6 +75,29 @@ class NativeExprSpec extends SparkSpec {
     assert(shDiff.count() == 0)
   }
 
+  test("native simhash60 matches an independent explode/agg construction") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+      .union(Seq((-1L, "", "x", "y", 0L),
+        (-3L, "Üni çöde İstanbul MIXED case 42", "x", "y", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val tok = docs.select($"doc_id",
+      explode(graft.plans.TextNative.tokens(spark, $"text")).as("_t"))
+      .select($"doc_id", graft.functions.TextFunctions.md5Hash60($"_t").as("_h"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftright($"_h", b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_b$b"))
+    val agg = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 60)
+      .map(b => shiftleft((col(s"_b$b") > 0).cast("long"), b))
+      .reduce(_ bitwiseOR _)
+    val expected = docs.select($"doc_id")
+      .join(agg.select($"doc_id", sim.as("expected")), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("expected"))
+    val got = docs.select($"doc_id",
+      graft.plans.TextNative.simhash60(spark, $"text").as("got"))
+    assert(got.join(expected, "doc_id").filter($"got" =!= $"expected").count() == 0)
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     val q = e.limit(1).toDF("query_id", "q_vec", "l")
