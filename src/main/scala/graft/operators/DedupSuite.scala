@@ -68,28 +68,22 @@ object DedupSuite {
 
   /** LSH band buckets with their full member-id sets: one row per
     * (band, bandhash) with `ids` sorted — the stage both the pair
-    * expansion and the truncation audit read. */
+    * expansion and the truncation audit read.
+    *
+    * Signatures come from the fused native [[graft.plans.MinHashSig]]
+    * (k hash functions by double hashing: 2 engine hashes per shingle +
+    * k rotate-xor mixes, minima kept in one pass per doc) — so the only
+    * shuffle in candidate generation is the (band, bandhash) grouping of
+    * `bands` small rows per doc, never the exploded shingle rows. */
   private def lshBuckets(base: DataFrame, shingleSize: Int, numHashes: Int,
                          bands: Int): DataFrame = {
     val r = numHashes / bands
-    val shingleRows = base.select(col("_id"), explode(col("_sh")).as("_s"))
-    // k hash functions by double hashing: 2 string hashes per shingle,
-    // then k cheap bit-mixes (xor-rotate) — 32x less string hashing than
-    // k independent xxhash64 calls, same minhash statistics.
-    val hashed = shingleRows.select(col("_id"),
-      xxhash64(col("_s"), lit(0)).as("_x1"),
-      xxhash64(col("_s"), lit(1)).as("_x2"))
-    def mix(i: Int) = {
-      val rot = i % 64
-      col("_x1").bitwiseXOR(
-        shiftleft(col("_x2"), rot).bitwiseOR(shiftrightunsigned(col("_x2"), 64 - rot)))
-    }
-    val sigs = hashed.groupBy(col("_id")).agg(
-      min(mix(0)).as("_h0"),
-      (1 until numHashes).map(i => min(mix(i)).as(s"_h$i")): _*)
+    val sigs = base.select(col("_id"),
+      TextNative.minhashSig(base.sparkSession, col("_sh"), numHashes).as("_sig"))
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band"),
-        xxhash64((j * r until (j + 1) * r).map(i => col(s"_h$i")): _*).as("bh"))
+        xxhash64((j * r until (j + 1) * r).map(i =>
+          element_at(col("_sig"), i + 1)): _*).as("bh"))
     }
     sigs
       .select(col("_id"), explode(array(bandStructs: _*)).as("b"))

@@ -81,6 +81,10 @@ object TextNative {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash60", exprs => SimHash60(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
   }
 
   /** Ordered word tokens (duplicates kept) — native twin of
@@ -102,6 +106,14 @@ object TextNative {
   def simhash60(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("graft_simhash60", text)
+  }
+
+  /** MinHash signature (array of k minima) over a shingle array in one
+    * pass — native fusion of explode + k min-aggregates + re-group. */
+  def minhashSig(spark: SparkSession, shingles: Column, numHashes: Int): Column = {
+    register(spark)
+    call_function("graft_minhash_sig", shingles,
+      org.apache.spark.sql.functions.lit(numHashes))
   }
 }
 
@@ -175,6 +187,60 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a shingle-set array: k minima of k hash
+  * functions derived by double hashing — per shingle, two engine xxhash64
+  * values (`xxhash64(s, 0)` / `xxhash64(s, 1)` bit-identically, via the
+  * same XXH64 kernel the builtin uses), then k rotate-xor mixes. Fuses
+  * explode + k min-aggregates + regroup (a shuffle of every shingle row)
+  * into one scalar pass per document. Same mix formula as the previous
+  * column pipeline, including Java's shift-count-mod-64 for rot=0. */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  def compute(v: ArrayData): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      // xxhash64(s, 0) == hashInt(0, hashUTF8String(s, 42)): the builtin
+      // folds children left-to-right from seed 42, and the int literal
+      // hashes via the int kernel.
+      val sHash = XXH64.hashUTF8String(v.getUTF8String(i), 42L)
+      val x1 = XXH64.hashInt(0, sHash)
+      val x2 = XXH64.hashInt(1, sHash)
+      var k = 0
+      while (k < numHashes) {
+        val rot = k % 64
+        val m = x1 ^ ((x2 << rot) | (x2 >>> (64 - rot)))
+        if (m < mins(k)) mins(k) = m
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
 

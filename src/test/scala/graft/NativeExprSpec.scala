@@ -98,6 +98,30 @@ class NativeExprSpec extends SparkSpec {
     assert(got.join(expected, "doc_id").filter($"got" =!= $"expected").count() == 0)
   }
 
+  test("native minhash signature matches the explode/min-agg construction") {
+    val docs = Tables.documents(spark, sf("sf0.01")).limit(200)
+    val base = docs.select($"doc_id",
+      graft.plans.TextNative.shingles(spark, $"text", 3).as("_sh"))
+      .filter(size($"_sh") > 0)
+    val k = 16
+    val hashed = base.select($"doc_id", explode($"_sh").as("_s"))
+      .select($"doc_id",
+        xxhash64($"_s", lit(0)).as("_x1"), xxhash64($"_s", lit(1)).as("_x2"))
+    def mix(i: Int) = {
+      val rot = i % 64
+      $"_x1".bitwiseXOR(
+        shiftleft($"_x2", rot).bitwiseOR(shiftrightunsigned($"_x2", 64 - rot)))
+    }
+    val expected = hashed.groupBy($"doc_id").agg(
+      min(mix(0)).as("_h0"), (1 until k).map(i => min(mix(i)).as(s"_h$i")): _*)
+    val got = base.select($"doc_id",
+      graft.plans.TextNative.minhashSig(spark, $"_sh", k).as("_sig"))
+    val joined = got.join(expected, "doc_id")
+    val diff = (0 until k).map(i =>
+      element_at($"_sig", i + 1) =!= col(s"_h$i")).reduce(_ || _)
+    assert(joined.filter(diff).count() == 0)
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     val q = e.limit(1).toDF("query_id", "q_vec", "l")
