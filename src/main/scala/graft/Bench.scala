@@ -20,7 +20,7 @@ object Bench {
     "a2_hourly_stats", "a3_daily_rollup", "w1_top1_per_group", "w5_running_sum",
     "u2_keep_last", "w6_sessionize", "o2_topk", "sf_math",
     "d_exact_dedup", "d_minhash_lsh", "d_simhash", "ann_topk", "ann_ivf",
-    "ann_lsh", "t_text_stats", "t_langid")
+    "ann_lsh", "t_text_stats", "t_langid", "c_decontaminate", "c_quality_rules")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Curation
+
+/** Corpus-curation queries over the `documents` table: decontamination
+  * against a held-out eval set, PII redaction, Gopher-style quality
+  * rules, and deterministic hash-based train/val/test splitting.
+  *
+  * All four are fully oracle-checked: hashes are md5-derived (portable),
+  * regexes are RE2-compatible, and quotients are raw doubles (never
+  * rounded), so DuckDB reproduces every value bit-for-bit.
+  */
+object CurationQueries extends QueryPack {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  // The synthetic corpus has no PII; plant deterministic spans in a
+  // subset of rows (replicated verbatim in the oracle SQL) so the
+  // redaction path is exercised on non-trivial input.
+  private def withPlantedPii(d: DataFrame): DataFrame = {
+    val t = when(pmod(col("doc_id"), lit(10L)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 10.0.0."), pmod(col("doc_id"), lit(255L))))
+      .when(pmod(col("doc_id"), lit(10L)) === 5,
+        concat(col("text"), lit(" call 555-867-5309 today")))
+      .otherwise(col("text"))
+    d.withColumn("_t", t)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_decontaminate" -> ((s, d) => {
+      // held-out eval set: every 50th doc; corpus: the rest.
+      val all = docs(s, d)
+      val ev = all.filter(pmod(col("doc_id"), lit(50L)) === 0)
+      val corpus = all.filter(pmod(col("doc_id"), lit(50L)) =!= 0)
+      Curation.overlapWithEval(corpus, ev, "doc_id", col("text"),
+        shingleSize = 3, minOverlap = 3)
+    }),
+    "c_pii_redact" -> ((s, d) => {
+      val planted = withPlantedPii(docs(s, d))
+      val counts = Curation.piiCounts(col("_t"))
+        .map { case (n, c) => c.cast("long").as(n) }
+      planted.select(
+        Seq(col("doc_id")) ++ counts :+
+          Curation.redactPii(col("_t")).as("redacted"): _*)
+    }),
+    "c_quality_rules" -> ((s, d) =>
+      Curation.qualityRules(docs(s, d), "doc_id", col("text"))),
+    "c_hash_split" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("split", Curation.hashSplit(col("doc_id")))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars")))
+  )
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+  private val sh3Sql =
+    "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+      "for i in range(1, len(toks) - 1)])"
+  // single line: this fragment is interpolated into a stripMargin string,
+  // where a continuation line starting with '||' would lose a bar.
+  private val piiTextSql =
+    "CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' || " +
+      "CAST(doc_id AS VARCHAR) || '@example.com or 10.0.0.' || " +
+      "CAST(doc_id % 255 AS VARCHAR) " +
+      "WHEN doc_id % 10 = 5 THEN text || ' call 555-867-5309 today' " +
+      "ELSE text END"
+  private val bucketSql =
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)"
+
+  val oracle: Map[String, String] = Map(
+    "c_decontaminate" ->
+      s"""WITH evt AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |             WHERE doc_id % 50 = 0),
+         |evs AS (SELECT DISTINCT unnest($sh3Sql) AS s FROM evt WHERE len(toks) >= 3),
+         |ct  AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |        WHERE doc_id % 50 <> 0),
+         |cs  AS (SELECT doc_id, unnest($sh3Sql) AS s FROM ct WHERE len(toks) >= 3),
+         |ov  AS (SELECT cs.doc_id, COUNT(*) AS n
+         |        FROM cs JOIN evs ON cs.s = evs.s GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(ov.n, 0) AS n_overlap,
+         |       CAST(COALESCE(ov.n, 0) >= 3 AS INT) AS contaminated
+         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |WHERE d.doc_id % 50 <> 0""".stripMargin,
+    "c_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, $piiTextSql AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${Curation.emailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${Curation.phonePattern}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '${Curation.ipv4Pattern}')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${Curation.emailPattern}', '[EMAIL]', 'g'),
+         |    '${Curation.phonePattern}', '[PHONE]', 'g'),
+         |    '${Curation.ipv4Pattern}', '[IP]', 'g') AS redacted
+         |FROM p""".stripMargin,
+    "c_quality_rules" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |st AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS token_count,
+         |         CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS charsum
+         |       FROM t),
+         |tp AS (SELECT doc_id, MAX(n) AS topn FROM (
+         |         SELECT doc_id, COUNT(*) AS n
+         |         FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |         GROUP BY doc_id, tok)
+         |       GROUP BY 1)
+         |SELECT st.doc_id, st.token_count,
+         |  CASE WHEN st.token_count > 0
+         |    THEN CAST(st.charsum AS DOUBLE) / st.token_count ELSE 0.0
+         |    END AS mean_token_len,
+         |  CASE WHEN st.token_count > 0
+         |    THEN CAST(COALESCE(tp.topn, 0) AS DOUBLE) / st.token_count ELSE 0.0
+         |    END AS top_token_ratio,
+         |  CAST((st.token_count BETWEEN 20 AND 1000)
+         |    AND (CASE WHEN st.token_count > 0
+         |         THEN CAST(st.charsum AS DOUBLE) / st.token_count ELSE 0.0 END
+         |         BETWEEN 3.0 AND 8.0)
+         |    AND (CASE WHEN st.token_count > 0
+         |         THEN CAST(COALESCE(tp.topn, 0) AS DOUBLE) / st.token_count
+         |         ELSE 0.0 END <= 0.2) AS INT) AS passes
+         |FROM st LEFT JOIN tp ON st.doc_id = tp.doc_id""".stripMargin,
+    "c_hash_split" ->
+      s"""SELECT CASE WHEN $bucketSql < 90 THEN 'train'
+         |            WHEN $bucketSql < 95 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1, 2""".stripMargin
+  )
+}

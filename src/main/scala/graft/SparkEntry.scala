@@ -17,6 +17,7 @@ object SparkEntry {
     FilterScalarQueries,
     AggWindowQueries,
     TrainingDataQueries,
+    CurationQueries,
     BenchQueries
   )
 

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.plans.TextNative
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * after dedup: eval-set decontamination, PII redaction, quality-rule
+  * filtering (Gopher-style), and deterministic hash-based splitting.
+  *
+  * Scale posture: decontamination is a shuffle-on-shingle join (never
+  * doc × doc pairs); the rest are scalar projections or one groupBy —
+  * every shape is a single scan plus at most one exchange.
+  */
+object Curation {
+
+  /** N-gram overlap of each corpus doc against a held-out eval set — the
+    * train/test-leak (decontamination) check. Returns one row per corpus
+    * doc: (doc_id, n_overlap, contaminated).
+    *
+    * Shape: distinct eval shingles ⋈ per-doc corpus shingles on the
+    * shingle key, then count per doc — work is proportional to matching
+    * shingle rows, not |corpus|×|eval|. At 100 TB key the join on a
+    * 64-bit shingle hash instead of the string (kept as the raw string
+    * here so the DuckDB oracle can replicate exactly). */
+  def overlapWithEval(corpus: DataFrame, evalSet: DataFrame, id: String,
+                      text: Column, shingleSize: Int = 3,
+                      minOverlap: Int = 3): DataFrame = {
+    val s = corpus.sparkSession
+    val evalSh = evalSet
+      .filter(size(TextNative.tokens(s, text)) >= shingleSize)
+      .select(explode(TextNative.shingles(s, text, shingleSize)).as("_s"))
+      .distinct()
+    val corpSh = corpus
+      .filter(size(TextNative.tokens(s, text)) >= shingleSize)
+      .select(col(id).as("doc_id"),
+        explode(TextNative.shingles(s, text, shingleSize)).as("_s"))
+    val counts = corpSh.join(evalSh, "_s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(id).as("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("contaminated", (col("n_overlap") >= minOverlap).cast("int"))
+  }
+
+  // Conservative RE2-compatible patterns (no lookaround) so the same
+  // regex text runs identically on Java regex and DuckDB.
+  val emailPattern  = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern  = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val ipv4Pattern   = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Counts of PII-looking matches per kind. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(emailPattern)),
+    "n_phones" -> regexp_count(text, lit(phonePattern)),
+    "n_ips"    -> regexp_count(text, lit(ipv4Pattern)))
+
+  /** Text with PII-looking spans replaced by typed placeholders. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "[EMAIL]"),
+        phonePattern, "[PHONE]"),
+      ipv4Pattern, "[IP]")
+
+  /** Gopher-style per-document quality rules over word statistics:
+    * token count bounds, mean token length bounds, and a repetition
+    * bound (most-frequent-token share). Output: one row per doc with
+    * the measures and an aggregate pass flag. */
+  def qualityRules(docs: DataFrame, id: String, text: Column,
+                   minTokens: Int = 20, maxTokens: Int = 1000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 8.0,
+                   maxTopRatio: Double = 0.2): DataFrame = {
+    val s = docs.sparkSession
+    val base = docs.select(col(id).as("doc_id"),
+      TextNative.tokens(s, text).as("_toks"))
+    val stats = base.select(col("doc_id"),
+      size(col("_toks")).as("token_count"),
+      aggregate(col("_toks"), lit(0L), (a, t) => a + length(t)).as("_charsum"))
+    val top = base
+      .select(col("doc_id"), explode(col("_toks")).as("_t"))
+      .groupBy(col("doc_id"), col("_t")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("doc_id")).agg(max(col("_n")).as("_top"))
+    val tc = col("token_count")
+    val mean = when(tc > 0,
+      col("_charsum").cast("double") / tc.cast("double")).otherwise(lit(0.0))
+    val ratio = when(tc > 0,
+      col("_top").cast("double") / tc.cast("double")).otherwise(lit(0.0))
+    stats.join(top, Seq("doc_id"), "left").na.fill(0L, Seq("_top"))
+      .select(col("doc_id"), tc,
+        mean.as("mean_token_len"),
+        ratio.as("top_token_ratio"),
+        (tc.between(minTokens, maxTokens) &&
+          mean.between(minMeanLen, maxMeanLen) &&
+          ratio <= maxTopRatio).cast("int").as("passes"))
+  }
+
+  /** Deterministic hash-based split assignment: bucket the key's md5
+    * into [0,100) and carve train/val/test by percentage. Stable across
+    * runs/engines (md5 of the key string), so re-running a pipeline never
+    * migrates a document between splits. */
+  def hashSplit(key: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    val bucket = TextFunctions.md5Hash60(key.cast("string")) % lit(100L)
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontamination flags docs overlapping the eval set") {
+    val ev = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tomorrow"), // near-copy
+      (2L, "completely different words about catalyst optimizer rules"),
+      (3L, "no")) // under shingle size -> zero overlap, still present
+      .toDF("doc_id", "text")
+    val got = Curation.overlapWithEval(corpus, ev, "doc_id", $"text",
+      shingleSize = 3, minOverlap = 3)
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_overlap", $"contaminated")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got(0)._2 >= 6 && got(0)._3 == 1) // shares 3-grams up to "lazy dog"
+    assert(got(1) == ((2L, 0L, 0)))
+    assert(got(2) == ((3L, 0L, 0)))
+  }
+
+  test("pii redaction replaces emails, phones, ips and counts them") {
+    val df = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org, call 555-123-4567, host 10.0.0.1"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    val counts = Curation.piiCounts($"text").map { case (n, c) => c.as(n) }
+    val got = df.select(Seq($"doc_id") ++ counts :+
+      Curation.redactPii($"text").as("r"): _*).orderBy("doc_id").collect()
+    assert(got(0).getInt(1) == 2 && got(0).getInt(2) == 1 && got(0).getInt(3) == 1)
+    assert(got(0).getString(4) ==
+      "mail [EMAIL] and [EMAIL], call [PHONE], host [IP]")
+    assert(got(1).getInt(1) == 0 && got(1).getString(4) == "nothing sensitive here")
+  }
+
+  test("quality rules measure and gate on count, mean length, repetition") {
+    val longOk = (1 to 30).map(i => s"word$i").mkString(" ")      // varied, len>=5
+    val repetitive = Seq.fill(30)("spam").mkString(" ")           // ratio 1.0
+    val df = Seq((1L, longOk), (2L, repetitive), (3L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val got = Curation.qualityRules(df, "doc_id", $"text")
+      .orderBy("doc_id")
+      .select($"doc_id", $"token_count", $"passes").as[(Long, Int, Int)]
+      .collect().toSeq
+    assert(got == Seq((1L, 30, 1), (2L, 30, 0), (3L, 2, 0)))
+  }
+
+  test("hash split is deterministic, exhaustive, and ~90/5/5") {
+    val df = (1L to 2000L).toDF("id")
+      .withColumn("split", Curation.hashSplit($"id"))
+    val counts = df.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1650 && counts("train") < 1950)
+    assert(counts.values.sum == 2000L)
+    // deterministic: same assignment on recompute
+    val again = (1L to 2000L).toDF("id")
+      .withColumn("split2", Curation.hashSplit($"id"))
+    assert(df.join(again, "id").filter($"split" =!= $"split2").count() == 0)
+  }
+}
