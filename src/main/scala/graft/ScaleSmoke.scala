@@ -51,6 +51,37 @@ object ScaleSmoke {
       Sessionize.sessions(events.select(col("user_id"), col("ts")), "user_id", "ts",
         java.time.Duration.ofMinutes(30))
     }
+
+    // document shapes: synthetic corpus from a small vocab (deterministic),
+    // sized so the dedup paths run at ~100-1000x the sf0.1 doc count
+    val vocab = typedLit(Seq("key", "agg", "row", "scan", "slow", "fast",
+      "table", "value", "part", "hash", "merge", "batch", "spark", "window",
+      "order", "data", "column", "join", "small", "line", "customer", "query",
+      "big", "stream", "filter", "sort", "group", "vector", "the", "a"))
+    val nDocs = math.max(100000L, targetRows / 20L)
+    val gen = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(59)),
+        i => element_at(vocab,
+          (pmod(xxhash64(col("id"), i), lit(30L)) + 1).cast("int")))).as("text"))
+    // land the synthetic corpus in parquet first: real pipelines rescan
+    // columnar storage, not a 60-HOF generator, when a plan re-reads its
+    // source — measuring from the generator quadruple-counts generation.
+    val pq = java.nio.file.Files.createTempDirectory("graft-scale").toString + "/docs"
+    gen.write.mode("overwrite").parquet(pq)
+    val docs = spark.read.parquet(pq)
+    println(s"SCALE docs: $nDocs")
+    time("simhash60 table (scalar, no shuffle)") {
+      graft.operators.DedupSuite.simhashTable(docs, "doc_id", col("text"),
+        portable = true)
+    }
+    time("minhash near-dup pairs (sig+band+verify)") {
+      graft.operators.DedupSuite.minhashNearDupPairs(
+        docs, "doc_id", col("text"), shingleSize = 3, numHashes = 64,
+        bands = 16, threshold = 0.8)
+    }
+    time("quality rules (curation shape)") {
+      graft.operators.Curation.qualityRules(docs, "doc_id", col("text"))
+    }
     spark.stop()
   }
 }

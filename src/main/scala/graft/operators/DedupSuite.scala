@@ -66,42 +66,47 @@ object DedupSuite {
         TextNative.shingles(s, text, shingleSize).as("_sh"))
   }
 
-  /** LSH band buckets with their full member-id sets: one row per
-    * (band, bandhash) with `ids` sorted — the stage both the pair
-    * expansion and the truncation audit read.
+  /** LSH band-membership rows: (_id, band, bh), `bands` rows per doc.
     *
     * Signatures come from the fused native [[graft.plans.MinHashSig]]
     * (k hash functions by double hashing: 2 engine hashes per shingle +
-    * k rotate-xor mixes, minima kept in one pass per doc) — so the only
-    * shuffle in candidate generation is the (band, bandhash) grouping of
-    * `bands` small rows per doc, never the exploded shingle rows. */
-  private def lshBuckets(base: DataFrame, shingleSize: Int, numHashes: Int,
-                         bands: Int): DataFrame = {
-    val r = numHashes / bands
-    val sigs = base.select(col("_id"),
-      TextNative.minhashSig(base.sparkSession, col("_sh"), numHashes).as("_sig"))
-    val bandStructs = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64((j * r until (j + 1) * r).map(i =>
-          element_at(col("_sig"), i + 1)): _*).as("bh"))
-    }
-    sigs
-      .select(col("_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    * k rotate-xor mixes, minima kept in one pass per doc) — so candidate
+    * generation never shuffles the exploded shingle rows, only these
+    * small band rows. */
+  private def lshBanded(base: DataFrame, numHashes: Int,
+                        bands: Int): DataFrame =
+    // band hashes come out of the expression as ONE array: feeding the
+    // generator per-band expressions that each reference the signature
+    // gets projection-collapsed into `bands` re-computations of the
+    // whole signature per row (a silent 16x).
+    base.select(col("_id"),
+      TextNative.minhashBands(base.sparkSession, col("_sh"), numHashes, bands)
+        .as("_bands"))
+      .select(col("_id"), posexplode(col("_bands")).as(Seq("band", "bh")))
+
+  /** Non-singleton LSH buckets with their sorted member-id sets. One
+    * shuffle of the small band rows into a parallel collect_set — a
+    * count-filtered variant was tried and loses: the bucket-count table
+    * has ~one row PER DOC-BAND (almost all buckets are singletons), and
+    * AQE coalesces that innocuous-looking aggregate into one partition. */
+  private def lshBuckets(base: DataFrame, numHashes: Int,
+                         bands: Int): DataFrame =
+    lshBanded(base, numHashes, bands)
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_set(col("_id"))).as("ids"))
-  }
+      .filter(size(col("ids")) > 1)
 
   /** Truncation audit for the [[minhashNearDupPairs]] skew guard: the
-    * buckets whose member set exceeds `bucketCap` — i.e. where candidate
-    * expansion silently drops pairs. A skewed/degenerate corpus shows up
-    * here; production runs should alert on count > 0 (or pre-dedup
-    * exactly, since an over-cap bucket usually means identical docs). */
+    * buckets whose membership exceeds `bucketCap` — the buckets where the
+    * pair generator truncates (lost recall). A skewed/degenerate corpus
+    * shows up here; production runs should alert on count > 0 (or
+    * exact-dedup first, since an over-cap bucket usually means identical
+    * docs). */
   def minhashBucketTruncation(docs: DataFrame, id: String, text: Column,
                               shingleSize: Int = 3, numHashes: Int = 64,
                               bands: Int = 16, bucketCap: Int = 1000): DataFrame = {
     val base = shingleSets(docs, id, text, shingleSize)
-    lshBuckets(base, shingleSize, numHashes, bands)
+    lshBuckets(base, numHashes, bands)
       .select(col("band"), col("bh"), size(col("ids")).as("bucket_size"))
       .filter(col("bucket_size") > bucketCap)
   }
@@ -112,24 +117,34 @@ object DedupSuite {
                           bucketCap: Int = 1000): DataFrame = {
     val base = shingleSets(docs, id, text, shingleSize)
     // candidate pairs in ONE pass: collect each bucket's ids and expand
-    // in-bucket pairs — a self-join here would recompute the signature
-    // pipeline once per side. Buckets are capped as a skew guard (a
-    // degenerate all-identical corpus would otherwise make one bucket
-    // quadratic); bucketCap ids/bucket bounds the expansion — audit the
-    // loss with [[minhashBucketTruncation]].
-    val candidates = lshBuckets(base, shingleSize, numHashes, bands)
+    // in-bucket pairs (a self-join would recompute the signature pipeline
+    // per side). Buckets are capped as a skew guard — a degenerate
+    // all-identical corpus would otherwise make one bucket quadratic;
+    // audit the loss with [[minhashBucketTruncation]].
+    val buckets = lshBuckets(base, numHashes, bands)
       .withColumn("ids", slice(col("ids"), 1, bucketCap))
       .filter(size(col("ids")) > 1)
+    val candidates = buckets
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
 
-    val sets = base.select(col("_id"), col("_sh"))
+    // Exact-verify only the docs that appear in some candidate bucket.
+    // Joining candidates straight to the full shingle-set table would
+    // shuffle+sort every document's array column twice (AQE materializes
+    // those exchanges eagerly even when candidates turn out tiny); the
+    // broadcast semi-filter keeps verify-side shuffles proportional to
+    // the candidate docs, not the corpus. Ids are 8 bytes and bounded by
+    // the corpus id count, so the broadcast is safe wherever LSH itself
+    // is the right tool (candidate docs << corpus).
+    val candIds = buckets.select(explode(col("ids")).as("_id")).distinct()
+    val needed = base.join(broadcast(candIds), Seq("_id"))
+      .select(col("_id"), col("_sh"))
     candidates
-      .join(sets.toDF("id_a", "sh_a"), "id_a")
-      .join(sets.toDF("id_b", "sh_b"), "id_b")
+      .join(needed.toDF("id_a", "sh_a"), "id_a")
+      .join(needed.toDF("id_b", "sh_b"), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))

@@ -85,6 +85,11 @@ object TextNative {
       "graft_minhash_sig",
       exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_bands",
+      exprs => MinHashBands(exprs(0), exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
   }
 
   /** Ordered word tokens (duplicates kept) — native twin of
@@ -114,6 +119,20 @@ object TextNative {
     register(spark)
     call_function("graft_minhash_sig", shingles,
       org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  /** LSH band hashes (array of `bands` xxhash64 values over consecutive
+    * r-runs of the minhash signature) in the same single pass. Returning
+    * the band array from ONE expression matters: a generator fed
+    * per-band expressions that each reference the signature column gets
+    * projection-collapsed into `bands` copies of the whole signature
+    * computation — this shape is evaluated exactly once per row. */
+  def minhashBands(spark: SparkSession, shingles: Column, numHashes: Int,
+                   bands: Int): Column = {
+    register(spark)
+    call_function("graft_minhash_bands", shingles,
+      org.apache.spark.sql.functions.lit(numHashes),
+      org.apache.spark.sql.functions.lit(bands))
   }
 }
 
@@ -241,6 +260,53 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Band hashes of the minhash signature, fused with [[MinHashSig]]'s
+  * pass: band j = the engine xxhash64 fold (seed 42, long kernel) over
+  * minima [j*r, (j+1)*r) — bit-identical to
+  * `xxhash64(element_at(sig, j*r+1), ..., element_at(sig, j*r+r))`. */
+case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && numHashes % bands == 0,
+    s"numHashes=$numHashes must divide into bands=$bands")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_bands expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  @transient private lazy val sig = MinHashSig(child, numHashes)
+
+  def compute(v: ArrayData): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val mins = sig.compute(v)
+    val r = numHashes / bands
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var h = 42L
+      var i = 0
+      while (i < r) { h = XXH64.hashLong(mins.getLong(j * r + i), h); i += 1 }
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashBands", this, classOf[MinHashBands].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
     copy(child = newChild)
 }
 
