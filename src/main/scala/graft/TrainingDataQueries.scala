@@ -60,6 +60,13 @@ object TrainingDataQueries extends QueryPack {
     "d_embed_neardup" -> ((s, d) =>
       Ann.cosineNearDupPairs(embs(s, d), "vec_id", "embedding",
         threshold = 0.478)),
+    "d_embed_lsh" -> ((s, d) =>
+      // the bucketed scale path for embedding near-dup; oracle replicates
+      // the same buckets/probes, so the check is exact even though the
+      // algorithm is approximate.
+      Ann.lshNearDupPairs(embs(s, d), "vec_id", "embedding",
+        threshold = 0.478, numPlanes = 12, dim = 64, seed = 42L,
+        probeHamming = 1)),
     // similarity search ----------------------------------------------------
     "ann_topk" -> ((s, d) => {
       val e = embs(s, d)
@@ -258,6 +265,19 @@ object TrainingDataQueries extends QueryPack {
          |SELECT query_id, neighbor_id, ROUND(cos, 6) AS sim,
          |       CAST(rn AS INT) AS rank
          |FROM ranked WHERE rn <= 5""".stripMargin,
+    "d_embed_lsh" ->
+      s"""WITH v AS ($vSql),
+         |s AS (SELECT vec_id, e, ($lshSigSql) AS bucket FROM v),
+         |m AS (SELECT unnest($lshMasks) AS mask),
+         |pr AS (SELECT vec_id, xor(bucket, mask) AS bucket FROM s CROSS JOIN m),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM s a JOIN pr b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT c.id_a, c.id_b, ROUND(${cosSql("x", "y")}, 6) AS sim
+         |FROM cand c
+         |JOIN v x ON x.vec_id = c.id_a
+         |JOIN v y ON y.vec_id = c.id_b
+         |WHERE ${cosSql("x", "y")} >= 0.478""".stripMargin,
     "ann_lsh" ->
       s"""WITH v AS ($vSql),
          |s AS (SELECT vec_id, e, ($lshSigSql) AS bucket FROM v),

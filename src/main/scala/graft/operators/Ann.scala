@@ -161,6 +161,41 @@ object Ann {
         round(col("cos"), 6).as("sim"), col("rank"))
   }
 
+  /** Sign-LSH bucketed near-duplicate pairs — the scale path for
+    * [[cosineNearDupPairs]]: vectors meet only inside identical (or
+    * `probeHamming`-flipped) signature buckets, then exact native-cosine
+    * verify. Approximate by design (recall is the LSH collision rate at
+    * the pair's angle; tune planes/probes), precision exact. The verify
+    * stage uses the same broadcast semi-filter as the minhash dedup:
+    * only candidate vectors are ever re-joined, so verify shuffles scale
+    * with candidates, not the corpus. */
+  def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, numPlanes: Int = 12, dim: Int = 64,
+                      seed: Long = 42L, probeHamming: Int = 1): DataFrame = {
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("bucket", sigFn(vectors, vecCol)(col("vec"), numPlanes, dim, seed))
+    val flips: Seq[Column] = Seq(col("bucket")) ++
+      (if (probeHamming >= 1)
+        (0 until numPlanes).map(b => col("bucket").bitwiseXOR(shiftleft(lit(1), b)))
+      else Nil)
+    val probes = v.select(col("vid").as("id_b"),
+      explode(array(flips: _*)).as("bucket"))
+    val candidates = v.select(col("vid").as("id_a"), col("bucket"))
+      .join(probes, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("vid")).distinct()
+    val needed = v.select(col("vid"), col("vec")).join(broadcast(candIds), Seq("vid"))
+    candidates
+      .join(needed.toDF("id_a", "v_a"), "id_a")
+      .join(needed.toDF("id_b", "v_b"), "id_b")
+      .withColumn("cos", cosFn(vectors, vecCol)(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
+  }
+
   /** Brute-force near-duplicate pairs by cosine threshold (triangular
     * self-join baseline; the LSH/IVF paths above are the scale variant). */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,

@@ -37,6 +37,23 @@ class SignLshSpec extends SparkSpec {
     assert(bucketSizes.agg(max("count")).as[Long].head() < 50)
   }
 
+  test("LSH near-dup pairs find planted dups and are a subset of brute force") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.tabulate(64)(_ => rnd.nextFloat() - 0.5f)
+    val base = vec()
+    val rows =
+      Seq((0L, base)) ++
+        (1 to 2).map(i => (i.toLong, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))) ++
+        (3 to 80).map(i => (i.toLong, vec()))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val lsh = Ann.lshNearDupPairs(corpus, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Ann.cosineNearDupPairs(corpus, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))                       // precision exact
+    assert(Set((0L, 1L), (0L, 2L), (1L, 2L)).subsetOf(lsh)) // planted recall
+  }
+
   test("registerAll exposes the star schema to spark.sql") {
     Tables.registerAll(spark, sf())
     assert(spark.sql("SELECT COUNT(*) FROM lineitem").as[Long].head() > 0)
