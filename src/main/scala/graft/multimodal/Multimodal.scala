@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * metadata struct; decode / feature-extract / frame-sample run as
   * partition-local transforms over the binary payloads.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): [[MediaDecoder]] is the seam — production swaps in a JNI/
-  * javacv-backed decoder; tests and this repo use [[FakeDecoder]], a
-  * deterministic stand-in. Everything around the seam — schema, batch
-  * shape, partition-local execution, feature layout — is real and tested.
+  * Decode is REAL for the formats a bare JVM can parse — binary PPM
+  * images and 16-bit PCM WAV audio ([[ImageOps]]/[[AudioOps]]/
+  * [[MediaFeatureExtract]]): parse, nearest-neighbor resize, channel
+  * means, luminance histogram, RMS/peak, with corrupt-media tolerance.
+  * Compressed codecs (JPEG/MP4/...) remain behind the [[MediaDecoder]]
+  * seam — production swaps in a JNI/javacv-backed decoder; tests use
+  * [[FakeDecoder]], a deterministic stand-in. Everything around the seam
+  * — schema, batch shape, partition-local execution, feature layout — is
+  * real and tested either way.
   *
   * Scale notes: `mapPartitions` keeps per-partition decoder state (model/
   * codec init once per partition, not per row); binary payloads never pass

@@ -43,6 +43,69 @@ class MultimodalMlSpec extends SparkSpec {
     assert(frames.filter($"frame_idx" >= 3).count() == 0)
   }
 
+  test("real PPM decode, resize, channel means, luma histogram") {
+    import graft.multimodal.{ImageOps, MediaFeatureExtract}
+    // 4x2 image: left half red, right half blue, plus a header comment
+    def ppm(w: Int, h: Int): Array[Byte] = {
+      val header = s"P6\n# synthetic\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = Array.tabulate(w * h * 3) { i =>
+        val pixel = i / 3
+        val x = pixel % w
+        (i % 3) match {
+          case 0 => if (x < w / 2) 255.toByte else 0.toByte // R
+          case 2 => if (x >= w / 2) 255.toByte else 0.toByte // B
+          case _ => 0.toByte
+        }
+      }
+      header ++ px
+    }
+    val img = ImageOps.decodePpm(ppm(4, 2)).get
+    assert(img.width == 4 && img.height == 2)
+    val (r, g, b) = ImageOps.channelMeans(img)
+    assert(r == 127.5 && g == 0.0 && b == 127.5)
+    val small = ImageOps.resizeNearest(img, 2, 1)
+    assert(small.rgb.toSeq == Seq(255, 0, 0, 0, 0, 255).map(_.toByte))
+    assert(ImageOps.lumaHistogram(img).sum == 8)
+
+    val df = Seq((1L, ppm(8, 8)), (2L, "not an image".getBytes("US-ASCII")))
+      .toDF("media_id", "content")
+    val feats = MediaFeatureExtract.imageFeatures(df, "media_id", "content",
+      resizeTo = Some((4, 4))).orderBy("media_id").collect()
+    assert(feats(0).getBoolean(1) && feats(0).getInt(2) == 4)
+    assert(!feats(1).getBoolean(1)) // corrupt media -> null features, no crash
+  }
+
+  test("real WAV PCM16 decode: duration, rms, peak") {
+    import graft.multimodal.{AudioOps, MediaFeatureExtract}
+    def wav(rate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+      bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // 1-second 440 Hz sine at amplitude 10000
+    val rate = 8000
+    val sine = Array.tabulate(rate)(i =>
+      (10000 * math.sin(2 * math.Pi * 440 * i / rate)).toShort)
+    val pcm = AudioOps.decodeWavPcm16(wav(rate, sine)).get
+    assert(pcm.sampleRate == rate && pcm.channels == 1)
+    assert(math.abs(AudioOps.rms(pcm) - 10000 / math.sqrt(2)) < 100)
+    assert(AudioOps.peak(pcm) <= 10000 && AudioOps.peak(pcm) > 9900)
+
+    val df = Seq((1L, wav(rate, sine)), (2L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "content")
+    val feats = MediaFeatureExtract.audioFeatures(df, "media_id", "content")
+      .orderBy("media_id").collect()
+    assert(feats(0).getBoolean(1) &&
+      math.abs(feats(0).getDouble(4) - 1.0) < 1e-9)
+    assert(!feats(1).getBoolean(1))
+  }
+
   test("RF pipeline: target windowing, train, persist, reload, re-score") {
     val daily = Tables.orders(spark, sf())
       .groupBy(to_date($"o_orderdate").as("date"))
