@@ -96,6 +96,18 @@ object AggWindowQueries extends QueryPack {
       graft.operators.Sessionize.sessions(
         t(s, d, "events").select(col("user_id"), col("ts")),
         "user_id", "ts", java.time.Duration.ofMinutes(30))),
+    "j7_range_join" -> ((s, d) => {
+      // Bucketized point-in-interval join: events back into their own
+      // sessions (disjoint intervals), counted per session — the equi-join
+      // binning shape, exactness restored by the residual BETWEEN filter.
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"))
+      val sess = graft.operators.Sessionize.sessions(
+        ev, "user_id", "ts", java.time.Duration.ofMinutes(30))
+      Joins.rangeJoin(ev, sess, Seq("user_id"), "ts",
+          "session_start", "session_end", java.time.Duration.ofMinutes(30))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_points"))
+    }),
     // O-class --------------------------------------------------------------
     "o1_sort" -> ((s, d) =>
       // O1: ordered report output (driver sorts rows anyway; the operator
@@ -230,6 +242,31 @@ object AggWindowQueries extends QueryPack {
         |SELECT user_id, session_seq, MIN(ts) AS session_start,
         |       MAX(ts) AS session_end, COUNT(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "j7_range_join" ->
+      """WITH l AS (
+        |  SELECT user_id, ts,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, session_seq, MIN(ts) AS session_start,
+        |         MAX(ts) AS session_end
+        |  FROM s GROUP BY 1, 2)
+        |SELECT e.user_id, sess.session_seq, COUNT(*) AS n_points
+        |FROM events e JOIN sess
+        |  ON e.user_id = sess.user_id
+        | AND e.ts >= sess.session_start AND e.ts <= sess.session_end
+        |GROUP BY 1, 2""".stripMargin,
     "o1_sort" -> s"$dailyRevenueSql ORDER BY date",
     "o2_topk" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

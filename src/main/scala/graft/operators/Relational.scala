@@ -159,6 +159,32 @@ object Joins {
         Seq(col(s"_match._rts").as(s"${rightTs}_right")) ++
         rightVals.map(c => col(s"_match.$c").as(c)): _*)
   }
+
+  /** Bucketized range join: points ⋈ intervals on key equality plus
+    * `start <= ts <= end` — Spark plans a bare inequality join as a
+    * broadcast nested loop (quadratic per key), which dies at scale.
+    * Binning time into `bucket`-wide cells turns it into an EQUI-join:
+    * each interval is exploded to the cells it covers, each point maps to
+    * exactly ONE cell, so a (point, interval) pair meets at most once and
+    * the shuffle is hash-partitioned on (key, cell). Cost scales with
+    * interval span / bucket width — pick `bucket` near the typical
+    * interval length. The residual BETWEEN filter restores exactness.
+    *
+    * Output: every point row plus the matching interval's columns
+    * (inner join; points in no interval drop). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                ts: String, start: String, end: String,
+                bucket: java.time.Duration): DataFrame = {
+    val w = bucket.toMillis * 1000L
+    require(w > 0, "bucket must be positive")
+    val cellOf: Column => Column = c => floor(unix_micros(c) / w)
+    val iCells = intervals.withColumn("_cell",
+      explode(sequence(cellOf(col(start)), cellOf(col(end)))))
+    val pCells = points.withColumn("_cell", cellOf(col(ts)))
+    pCells.join(iCells, keys :+ "_cell")
+      .filter(col(ts) >= col(start) && col(ts) <= col(end))
+      .drop("_cell")
+  }
 }
 
 object Windows {

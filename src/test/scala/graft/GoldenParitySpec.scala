@@ -88,6 +88,27 @@ class GoldenParitySpec extends SparkSpec {
       ("5", "P005", "Webcam", "89.99", "120", 5L)))
   }
 
+  test("bucketized range join matches hand-computed point-in-interval") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // inclusive start boundary
+      (2L, 10L, ts("2024-01-01 10:30:00")),  // interior
+      (3L, 10L, ts("2024-01-01 11:00:00")),  // inclusive end boundary
+      (4L, 10L, ts("2024-01-01 11:00:01")),  // just outside
+      (5L, 20L, ts("2024-01-01 10:30:00")),  // right key, other interval
+      (6L, 30L, ts("2024-01-01 10:30:00")))  // key with no interval
+      .toDF("point_id", "k", "ts")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "a"),
+      (20L, ts("2024-01-01 10:15:00"), ts("2024-01-01 10:45:00"), "b"))
+      .toDF("k", "start", "end", "tag")
+    // bucket deliberately smaller than the intervals: spans several cells
+    val got = Joins.rangeJoin(points, intervals, Seq("k"), "ts", "start", "end",
+        java.time.Duration.ofMinutes(7))
+      .select($"point_id", $"tag").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "a"), (3L, "a"), (5L, "b")))
+  }
+
   test("as-of join matches hand-computed latest-prior semantics") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val trades = Seq(
