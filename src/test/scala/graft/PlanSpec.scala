@@ -80,4 +80,33 @@ class PlanSpec extends SparkSpec {
     val p = plan("k5_upsert_replace")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
   }
+
+  test("range join is an equi-join on (key, cell), not a nested loop") {
+    val p = plan("j7_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate explode") || p.contains("sequence"), p)
+  }
+
+  test("decontamination joins on the shingle key, never doc x doc") {
+    val p = plan("c_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_shingles"), p)
+  }
+
+  test("simhash portable table is a scalar projection — zero exchanges") {
+    val p = graft.operators.DedupSuite.simhashTable(
+      graft.core.Tables.documents(spark, sf("sf0.001")),
+      "doc_id", org.apache.spark.sql.functions.col("text"), portable = true)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("graft_simhash60"), p)
+  }
+
+  test("embedding LSH near-dup never shuffles vectors for verify") {
+    val p = plan("d_embed_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    // the semi-filter broadcasts candidate ids into the vector scan
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
