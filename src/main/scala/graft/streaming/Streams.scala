@@ -112,6 +112,26 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming corpus curation: the ingest-time face of the batch dedup +
+    * quality operators. Exact content dedup keys state on the 16-byte
+    * md5(text) (never the document itself — state size is hashes, not
+    * corpus bytes), bounded by the watermark; the quality gate is a
+    * stateless codegen'd filter. The near-dup (minhash/simhash) passes
+    * stay batch — candidate generation needs corpus-wide buckets, which
+    * streaming state cannot bound; run them as periodic compactions over
+    * what this stage lands. */
+  def curatedIngest(docs: DataFrame, tsCol: String, textCol: String,
+                    watermark: String = "1 hour",
+                    minTokens: Int = 20, maxTokens: Int = 100000): DataFrame = {
+    val toks = graft.plans.TextNative.tokens(docs.sparkSession, col(textCol))
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(Seq("content_hash"))
+      .withColumn("token_count", size(toks))
+      .filter(col("token_count").between(minTokens, maxTokens))
+  }
+
   /** T2→T3 cascade: hourly aggregates stream to storage; the daily level
     * re-aggregates the hourly table. Two queries chained through a parquet
     * path — the same 3-DAG decomposition the reference uses, and the shape

@@ -10,6 +10,25 @@ import graft.streaming.Streams
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("curatedIngest dedups by content hash and gates on quality") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val out = Streams.curatedIngest(df, "ts", "text", minTokens = 3, maxTokens = 10)
+    val q = out.writeStream.format("memory").queryName("ci")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-01-01 00:00:01"), 1L, "alpha beta gamma delta"),
+      (t("2024-01-01 00:00:02"), 2L, "alpha beta gamma delta"),  // exact dup
+      (t("2024-01-01 00:00:03"), 3L, "too short"),               // < 3 tokens
+      (t("2024-01-01 00:00:04"), 4L, "another quite ordinary document here"))
+    q.processAllAvailable()
+    val got = spark.table("ci").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(1L, 4L)) // dup and under-length docs gated out
+  }
+
   test("windowedStats over a memory stream: tumbling window + dedup") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Double, Long)]
