@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -61,6 +62,30 @@ object BenchQueries extends QueryPack {
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2, 2).as("qty"))),
+    "a13_pivot" -> ((s, d) =>
+      // wide reshaping: one count column per order priority, per year.
+      // na.fill(0) aligns empty cells with SQL's FILTER-count zeros.
+      t(s, d, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .groupBy(col("yr"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0)),
+    "a14_cube" -> ((s, d) =>
+      // full cube with grouping-set id (beyond a12's linear rollup).
+      t(s, d, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          grouping_id().cast("long").as("gid"))),
+    "w7_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"))
+    }),
     "u4_set_ops" -> ((s, d) => {
       // intersect/except on full rows (§2.8 note: inherited from Spark).
       val f = t(s, d, "orders").filter(col("o_orderstatus") === "F")
@@ -145,6 +170,26 @@ object BenchQueries extends QueryPack {
          |  ${dsumSql("l_quantity", 2, 2)} AS qty
          |FROM lineitem
          |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "a13_pivot" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY 1""".stripMargin,
+    "a14_cube" ->
+      """SELECT lang, source, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+    "w7_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pr
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
     "u4_set_ops" ->
       """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
         |p AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')

@@ -70,10 +70,29 @@ object Ann {
       .select(col("vid"), col("m.vec").as("vec"), col("m.cell_id").as("cell_id"))
   }
 
+  /** Train IVF centroids with MLlib k-means (seeded, deterministic for a
+    * fixed corpus): array<float> embeddings → ML vectors → fit → centroid
+    * table shaped for [[ivfTopK]] (cell_id, embedding float array).
+    * Train on a sample at 100 TB (`corpus.sample(...)`) — k-means quality
+    * needs representative data, not all of it. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
+                     seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feats = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(feats)
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.map(_.toFloat))
+    }.toSeq.toDF("cell_id", "embedding")
+  }
+
   /** IVF top-k: probe the `nProbe` nearest cells per query, score only
-    * vectors in those cells. Centroids are typically k-means output; any
-    * deterministic centroid set works (callers can seed from data or train
-    * with MLlib KMeans offline). */
+    * vectors in those cells. Centroids are typically k-means output
+    * ([[trainCentroids]]); any deterministic centroid set works. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               centroids: DataFrame, queries: DataFrame,
               k: Int, nProbe: Int): DataFrame = {

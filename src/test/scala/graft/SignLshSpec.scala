@@ -54,6 +54,27 @@ class SignLshSpec extends SparkSpec {
     assert(Set((0L, 1L), (0L, 2L), (1L, 2L)).subsetOf(lsh)) // planted recall
   }
 
+  test("k-means centroids separate planted clusters and drive IVF") {
+    val rnd = new scala.util.Random(5)
+    def around(center: Float) =
+      Array.tabulate(64)(_ => center + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val rows = (0 until 30).map(i => (i.toLong, around(1.0f))) ++
+      (30 until 60).map(i => (i.toLong, around(-1.0f)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val centroids = Ann.trainCentroids(corpus, "embedding", k = 2, seed = 7L)
+    assert(centroids.count() == 2)
+    // the two centers sit near +1 and -1 per dim
+    val means = centroids.select(explode($"embedding").as("x"))
+      .groupBy().agg(min($"x"), max($"x")).as[(Float, Float)].head()
+    assert(means._1 < -0.8f && means._2 > 0.8f)
+    // IVF with trained centroids returns sane neighbors for a cluster member
+    val q = corpus.filter($"vec_id" === 0).select($"vec_id", $"embedding")
+    val res = Ann.ivfTopK(corpus, "vec_id", "embedding", centroids, q,
+      k = 5, nProbe = 1)
+    val ids = res.select("neighbor_id").as[Long].collect().toSet
+    assert(ids.size == 5 && ids.forall(_ < 30)) // same planted cluster
+  }
+
   test("registerAll exposes the star schema to spark.sql") {
     Tables.registerAll(spark, sf())
     assert(spark.sql("SELECT COUNT(*) FROM lineitem").as[Long].head() > 0)
