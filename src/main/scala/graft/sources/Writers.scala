@@ -33,6 +33,22 @@ object Writers {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed external table: pre-hash-partitions (and optionally sorts)
+    * the data on the join key at WRITE time, so every later equi-join or
+    * aggregation on that key runs with ZERO shuffle — the scan itself
+    * satisfies the required distribution. This is the 100 TB co-location
+    * tool: pay the shuffle once when landing a fact table, never again
+    * across the queries that join it. Both join sides must be bucketed
+    * into the same count for the shuffle-free plan (spec-verified). */
+  def bucketedTable(df: DataFrame, table: String, path: String,
+                    bucketCol: String, numBuckets: Int,
+                    sorted: Boolean = true): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+    (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
+  }
+
   /** K5 (ref: 13_binance:79-85): partition-grained upsert — replace the
     * partitions whose keys appear in `fresh`, leave the rest untouched.
     * Relies on dynamic partition overwrite: only partitions present in

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.core.Tables
 import graft.sources.{FixtureFetcher, HttpSources, Readers, Writers}
 
 class SourcesSpec extends SparkSpec {
@@ -110,6 +111,33 @@ class SourcesSpec extends SparkSpec {
     var sent = -1L
     val n = Writers.notify(Seq(1, 2, 3).toDF("x"), c => sent = c)
     assert(n == 3 && sent == 3)
+  }
+
+  test("bucketed tables join with zero shuffle (co-located by write)") {
+    val orders = Tables.table(spark, sf(), "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val cust = Tables.table(spark, sf(), "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    Writers.bucketedTable(orders, "b_orders", tmp() + "/b_orders", "o_custkey", 8)
+    Writers.bucketedTable(cust, "b_customer", tmp() + "/b_customer", "c_custkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), $"o_custkey" === $"c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("SelectedBucketsCount"), plan)
+      assert(!plan.contains("Exchange"), plan) // the point: no shuffle at all
+      assert(joined.count() ==
+        orders.join(cust, $"o_custkey" === $"c_custkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
   }
 
   test("jdbc write + read round-trip against embedded Derby (S18/K6)") {
