@@ -68,33 +68,34 @@ object Curation {
   /** Gopher-style per-document quality rules over word statistics:
     * token count bounds, mean token length bounds, and a repetition
     * bound (most-frequent-token share). Output: one row per doc with
-    * the measures and an aggregate pass flag. */
+    * the measures and an aggregate pass flag.
+    *
+    * Pure projection — the repetition measure uses the one-pass native
+    * graft_top_token_count, so the whole gate runs with ZERO shuffles
+    * (the explode + per-token count + max + join-back shape it replaces
+    * shuffled every token row twice). */
   def qualityRules(docs: DataFrame, id: String, text: Column,
                    minTokens: Int = 20, maxTokens: Int = 1000,
                    minMeanLen: Double = 3.0, maxMeanLen: Double = 8.0,
                    maxTopRatio: Double = 0.2): DataFrame = {
     val s = docs.sparkSession
-    val base = docs.select(col(id).as("doc_id"),
-      TextNative.tokens(s, text).as("_toks"))
-    val stats = base.select(col("doc_id"),
-      size(col("_toks")).as("token_count"),
-      aggregate(col("_toks"), lit(0L), (a, t) => a + length(t)).as("_charsum"))
-    val top = base
-      .select(col("doc_id"), explode(col("_toks")).as("_t"))
-      .groupBy(col("doc_id"), col("_t")).agg(count(lit(1)).as("_n"))
-      .groupBy(col("doc_id")).agg(max(col("_n")).as("_top"))
+    val stats = docs
+      .select(col(id).as("doc_id"), TextNative.tokens(s, text).as("_toks"))
+      .select(col("doc_id"),
+        size(col("_toks")).as("token_count"),
+        aggregate(col("_toks"), lit(0L), (a, t) => a + length(t)).as("_charsum"),
+        TextNative.topTokenCount(s, col("_toks")).as("_top"))
     val tc = col("token_count")
     val mean = when(tc > 0,
       col("_charsum").cast("double") / tc.cast("double")).otherwise(lit(0.0))
     val ratio = when(tc > 0,
       col("_top").cast("double") / tc.cast("double")).otherwise(lit(0.0))
-    stats.join(top, Seq("doc_id"), "left").na.fill(0L, Seq("_top"))
-      .select(col("doc_id"), tc,
-        mean.as("mean_token_len"),
-        ratio.as("top_token_ratio"),
-        (tc.between(minTokens, maxTokens) &&
-          mean.between(minMeanLen, maxMeanLen) &&
-          ratio <= maxTopRatio).cast("int").as("passes"))
+    stats.select(col("doc_id"), tc,
+      mean.as("mean_token_len"),
+      ratio.as("top_token_ratio"),
+      (tc.between(minTokens, maxTokens) &&
+        mean.between(minMeanLen, maxMeanLen) &&
+        ratio <= maxTopRatio).cast("int").as("passes"))
   }
 
   /** Deterministic hash-based split assignment: bucket the key's md5

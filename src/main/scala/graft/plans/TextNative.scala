@@ -90,6 +90,8 @@ object TextNative {
       exprs => MinHashBands(exprs(0), exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_token_count", exprs => TopTokenCount(exprs(0)), "built-in")
   }
 
   /** Ordered word tokens (duplicates kept) — native twin of
@@ -111,6 +113,14 @@ object TextNative {
   def simhash60(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("graft_simhash60", text)
+  }
+
+  /** Highest multiplicity of any token in the array (the repetition
+    * measure in quality gating) in one pass — native fusion of
+    * explode + per-token count + max + join-back. */
+  def topTokenCount(spark: SparkSession, toks: Column): Column = {
+    register(spark)
+    call_function("graft_top_token_count", toks)
   }
 
   /** MinHash signature (array of k minima) over a shingle array in one
@@ -307,6 +317,42 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** Max multiplicity of any element of a string array: one hash-map pass
+  * per row. Empty array → 0. */
+case class TopTokenCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_top_token_count expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_top_token_count"
+
+  def compute(v: ArrayData): Long = {
+    val counts = new java.util.HashMap[UTF8String, Long]()
+    var best = 0L
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      val t = v.getUTF8String(i)
+      val c = counts.merge(t, 1L, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topTokenCount", this, classOf[TopTokenCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
     copy(child = newChild)
 }
 

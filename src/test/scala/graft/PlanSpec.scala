@@ -103,6 +103,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_simhash60"), p)
   }
 
+  test("quality rules gate is a pure projection — zero exchanges") {
+    val p = plan("c_quality_rules")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("graft_top_token_count"), p)
+  }
+
   test("embedding LSH near-dup never shuffles vectors for verify") {
     val p = plan("d_embed_lsh")
     assert(!p.contains("CartesianProduct"), p)
