@@ -8,6 +8,20 @@ import graft.operators._
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("approx column profile agrees with exact within HLL tolerance") {
+    val df = graft.core.Tables.table(spark, sf("sf0.01"), "orders")
+    val cols = Seq("o_orderkey", "o_orderstatus")
+    val exact = Profile.columnProfile(df, cols)
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    val approx = Profile.columnProfile(df, cols, approxDistinct = true)
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c).toDouble, approx(c).toDouble)
+      // HLL++ default rsd is 5%; allow 2 sigma
+      assert(math.abs(a - e) / e < 0.10, s"$c: approx $a vs exact $e")
+    }
+  }
+
   test("trimStrings trims and nulls empty strings") {
     val df = Seq((1, "  a  "), (2, "   "), (3, "b")).toDF("id", "s")
     val got = Cleaners.trimStrings(df).orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
