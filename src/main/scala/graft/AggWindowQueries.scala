@@ -96,6 +96,24 @@ object AggWindowQueries extends QueryPack {
       graft.operators.Sessionize.sessions(
         t(s, d, "events").select(col("user_id"), col("ts")),
         "user_id", "ts", java.time.Duration.ofMinutes(30))),
+    "j8_interval_overlap" -> ((s, d) => {
+      // interval x interval: which users' daily activity spans overlap,
+      // and by how much — same cell-binning as j7, both sides exploded.
+      val spans = t(s, d, "events").filter(col("user_id") < 20)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      val a = spans.select(col("day"), col("user_id").as("u1"),
+        col("s").as("s1"), col("e").as("e1"))
+      val b = spans.select(col("day"), col("user_id").as("u2"),
+        col("s").as("s2"), col("e").as("e2"))
+      Joins.intervalOverlapJoin(a, b, Seq("day"), "s1", "e1", "s2", "e2",
+          java.time.Duration.ofHours(6))
+        .filter(col("u1") < col("u2"))
+        .select(col("day"), col("u1"), col("u2"),
+          (least(unix_micros(col("e1")), unix_micros(col("e2"))) -
+            greatest(unix_micros(col("s1")), unix_micros(col("s2"))))
+            .as("overlap_us"))
+    }),
     "j7_range_join" -> ((s, d) => {
       // Bucketized point-in-interval join: events back into their own
       // sessions (disjoint intervals), counted per session — the equi-join
@@ -242,6 +260,16 @@ object AggWindowQueries extends QueryPack {
         |SELECT user_id, session_seq, MIN(ts) AS session_start,
         |       MAX(ts) AS session_end, COUNT(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "j8_interval_overlap" ->
+      """WITH sp AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS s, MAX(ts) AS e
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2)
+        |SELECT a.day, a.user_id AS u1, b.user_id AS u2,
+        |  CAST(least(epoch_us(a.e), epoch_us(b.e))
+        |       - greatest(epoch_us(a.s), epoch_us(b.s)) AS BIGINT) AS overlap_us
+        |FROM sp a JOIN sp b
+        |  ON a.day = b.day AND a.user_id < b.user_id
+        | AND a.s <= b.e AND b.s <= a.e""".stripMargin,
     "j7_range_join" ->
       """WITH l AS (
         |  SELECT user_id, ts,

@@ -160,6 +160,28 @@ object Joins {
         rightVals.map(c => col(s"_match.$c").as(c)): _*)
   }
 
+  /** Bucketized interval-overlap join: left ⋈ right on key equality plus
+    * `[lStart,lEnd] ∩ [rStart,rEnd] ≠ ∅` — same cell-binning idea as
+    * [[rangeJoin]], but BOTH sides explode to covered cells, so an
+    * overlapping pair can meet in several cells; the distinct() after the
+    * residual filter dedups. Inclusive bounds on both ends. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          bucket: java.time.Duration): DataFrame = {
+    val w = bucket.toMillis * 1000L
+    require(w > 0, "bucket must be positive")
+    val cellOf: Column => Column = c => floor(unix_micros(c) / w)
+    val l = left.withColumn("_cell",
+      explode(sequence(cellOf(col(lStart)), cellOf(col(lEnd)))))
+    val r = right.withColumn("_cell",
+      explode(sequence(cellOf(col(rStart)), cellOf(col(rEnd)))))
+    l.join(r, keys :+ "_cell")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("_cell")
+      .distinct()
+  }
+
   /** Bucketized range join: points ⋈ intervals on key equality plus
     * `start <= ts <= end` — Spark plans a bare inequality join as a
     * broadcast nested loop (quadratic per key), which dies at scale.

@@ -109,6 +109,24 @@ class GoldenParitySpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "a"), (3L, "a"), (5L, "b")))
   }
 
+  test("interval-overlap join matches hand-computed overlaps") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val a = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      (2L, 10L, ts("2024-01-01 15:00:00"), ts("2024-01-01 16:00:00")))
+      .toDF("aid", "k", "s1", "e1")
+    val b = Seq(
+      (100L, 10L, ts("2024-01-01 11:00:00"), ts("2024-01-01 13:00:00")), // overlaps 1
+      (101L, 10L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00")), // touches 1's end
+      (102L, 10L, ts("2024-01-01 13:00:01"), ts("2024-01-01 14:00:00")), // gap
+      (103L, 20L, ts("2024-01-01 10:30:00"), ts("2024-01-01 11:00:00"))) // other key
+      .toDF("bid", "k", "s2", "e2")
+    val got = Joins.intervalOverlapJoin(a, b, Seq("k"), "s1", "e1", "s2", "e2",
+        java.time.Duration.ofMinutes(17)) // deliberately awkward bucket
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (1L, 101L)))
+  }
+
   test("as-of join matches hand-computed latest-prior semantics") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val trades = Seq(
