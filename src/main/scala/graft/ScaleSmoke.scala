@@ -59,10 +59,16 @@ object ScaleSmoke {
       "order", "data", "column", "join", "small", "line", "customer", "query",
       "big", "stream", "filter", "sort", "group", "vector", "the", "a"))
     val nDocs = math.max(100000L, targetRows / 20L)
+    // every id ending in 01 is a near-copy of the preceding id (59 of 60
+    // token positions shared) — ~1% planted near-dup pairs, so the dedup
+    // smoke proves end-to-end DISCOVERY, not just throughput on noise
+    val baseId = when(pmod(col("id"), lit(100L)) === 1, col("id") - 1)
+      .otherwise(col("id"))
     val gen = spark.range(nDocs).select(col("id").as("doc_id"),
       concat_ws(" ", transform(sequence(lit(0), lit(59)),
         i => element_at(vocab,
-          (pmod(xxhash64(col("id"), i), lit(30L)) + 1).cast("int")))).as("text"))
+          (pmod(xxhash64(when(i === 59, col("id")).otherwise(baseId), i),
+            lit(30L)) + 1).cast("int")))).as("text"))
     // land the synthetic corpus in parquet first: real pipelines rescan
     // columnar storage, not a 60-HOF generator, when a plan re-reads its
     // source — measuring from the generator quadruple-counts generation.
@@ -74,11 +80,12 @@ object ScaleSmoke {
       graft.operators.DedupSuite.simhashTable(docs, "doc_id", col("text"),
         portable = true)
     }
-    time("minhash near-dup pairs (sig+band+verify)") {
-      graft.operators.DedupSuite.minhashNearDupPairs(
-        docs, "doc_id", col("text"), shingleSize = 3, numHashes = 64,
-        bands = 16, threshold = 0.8)
-    }
+    val t0 = System.nanoTime()
+    val nPairs = graft.operators.DedupSuite.minhashNearDupPairs(
+      docs, "doc_id", col("text"), shingleSize = 3, numHashes = 64,
+      bands = 16, threshold = 0.8).count()
+    println(f"SCALE minhash near-dup pairs (sig+band+verify): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s ($nPairs pairs found)")
     time("quality rules (curation shape)") {
       graft.operators.Curation.qualityRules(docs, "doc_id", col("text"))
     }
