@@ -20,8 +20,9 @@ object ImageOps {
   final case class Rgb(width: Int, height: Int, rgb: Array[Byte])
 
   /** Parse a binary PPM (P6, maxval 255). Whitespace/comment tolerant per
-    * the netpbm spec. Returns None on any malformed input (bad magic,
-    * short payload) — corrupt media must not kill a 100 TB scan. */
+    * the netpbm spec. Returns None on ANY malformed input — bad magic,
+    * absurd dimensions, overflowing sizes, short payload — corrupt media
+    * must not kill (or hang) a 100 TB scan. */
   def decodePpm(bytes: Array[Byte]): Option[Rgb] = {
     var i = 0
     def skipWs(): Unit = {
@@ -37,7 +38,8 @@ object ImageOps {
       skipWs()
       val st = i
       while (i < bytes.length && bytes(i).toChar.isDigit) i += 1
-      if (i == st) None else Some(new String(bytes, st, i - st).toInt)
+      // > 9 digits can't be a sane dimension and would overflow toInt
+      if (i == st || i - st > 9) None else Some(new String(bytes, st, i - st).toInt)
     }
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     i = 2
@@ -46,9 +48,12 @@ object ImageOps {
       h <- int()
       maxv <- int()
       if maxv == 255 && w > 0 && h > 0
+      // size math in Long: w*h*3 as Int silently overflows past the guard
+      n = w.toLong * h * 3
+      if n <= Int.MaxValue
       _ = { i += 1 } // single whitespace after maxval
-      if bytes.length - i >= w * h * 3
-    } yield Rgb(w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3))
+      if bytes.length.toLong - i >= n
+    } yield Rgb(w, h, java.util.Arrays.copyOfRange(bytes, i, i + n.toInt))
   }
 
   /** Nearest-neighbor resize (the deterministic, seam-free baseline). */
@@ -107,7 +112,8 @@ object AudioOps {
   final case class Pcm(sampleRate: Int, channels: Int, samples: Array[Short])
 
   /** Parse a RIFF/WAVE file with 16-bit PCM data. Returns None on
-    * malformed/unsupported input. */
+    * malformed/unsupported input — a corrupt chunk length must neither
+    * hang the walker (zero/negative advance) nor crash it. */
   def decodeWavPcm16(bytes: Array[Byte]): Option[Pcm] = {
     def le16(o: Int) = ((bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8))
     def le32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
@@ -119,19 +125,21 @@ object AudioOps {
     var data: Option[(Int, Int)] = None // (offset, len)
     while (o + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(o)
-      val len = le32(o + 4).toInt
+      val len = le32(o + 4) // unsigned, as Long — never negative
+      if (len > bytes.length.toLong) return None // corrupt length field
       if (id == "fmt " && o + 24 <= bytes.length) {
         val audioFormat = le16(o + 8)
         val channels = le16(o + 10)
         val rate = le32(o + 12).toInt
         val bits = le16(o + 22)
-        if (audioFormat == 1 && bits == 16 && channels > 0) fmt = Some((channels, rate))
+        if (audioFormat == 1 && bits == 16 && channels > 0 && rate > 0)
+          fmt = Some((channels, rate))
       } else if (id == "data") {
-        data = Some((o + 8, math.min(len, bytes.length - o - 8)))
+        data = Some((o + 8, math.min(len, bytes.length.toLong - o - 8).toInt))
       }
-      o += 8 + len + (len & 1) // chunks are word-aligned
+      o += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
-    for ((ch, rate) <- fmt; (off, len) <- data) yield {
+    for ((ch, rate) <- fmt; (off, len) <- data if len >= 0) yield {
       val n = len / 2
       val samples = new Array[Short](n)
       var i = 0
@@ -175,7 +183,9 @@ object MediaFeatureExtract {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          ImageOps.decodePpm(bytes) match {
+          // scala.util.Try: whatever a hostile payload does to the
+          // parser, the row degrades to decoded=false, never a task kill
+          scala.util.Try(ImageOps.decodePpm(bytes)).toOption.flatten match {
             case Some(img0) =>
               val img = resizeTo.map { case (w, h) =>
                 ImageOps.resizeNearest(img0, w, h) }.getOrElse(img0)
@@ -198,7 +208,7 @@ object MediaFeatureExtract {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          AudioOps.decodeWavPcm16(bytes) match {
+          scala.util.Try(AudioOps.decodeWavPcm16(bytes)).toOption.flatten match {
             case Some(pcm) =>
               val secs = pcm.samples.length.toDouble / (pcm.sampleRate * pcm.channels)
               (id, true, pcm.sampleRate, pcm.channels, secs,

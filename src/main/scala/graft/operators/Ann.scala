@@ -162,16 +162,23 @@ object Ann {
       Seq(Seq.empty[Int]) ++ (if (probeHamming >= 1) one else Nil) ++
         (if (probeHamming >= 2) two else Nil)
     }
+    // each side picks native-vs-HOF by its OWN element type (signatures
+    // are bit-identical either way), so a double-array query set against
+    // a float corpus still works — the native expressions are float-only
+    val q = queries.toDF("query_id", "q_vec")
     val probes = broadcast(
-      queries.toDF("query_id", "q_vec")
-        .withColumn("q_bucket", sigFn(corpus, vecCol)(col("q_vec"), numPlanes, dim, seed))
+      q.withColumn("q_bucket", sigFn(q, "q_vec")(col("q_vec"), numPlanes, dim, seed))
         .withColumn("bucket", explode(array(flips.map { f =>
           f.foldLeft(col("q_bucket"))((acc, b) =>
             acc.bitwiseXOR(shiftleft(lit(1), b)))
         }: _*))))
+    val bothFloat = Seq(corpus.schema(vecCol).dataType, q.schema("q_vec").dataType)
+      .forall { case ArrayType(FloatType, _) => true; case _ => false }
+    val scorer: (Column, Column) => Column =
+      if (bothFloat) cosFn(corpus, vecCol) else cosine
     val scored = bucketed.join(probes, Seq("bucket"))
       .filter(col("vid") =!= col("query_id"))
-      .withColumn("cos", cosFn(corpus, vecCol)(col("q_vec"), col("vec")))
+      .withColumn("cos", scorer(col("q_vec"), col("vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -191,12 +198,18 @@ object Ann {
   def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, numPlanes: Int = 12, dim: Int = 64,
                       seed: Long = 42L, probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2,
+      s"probeHamming=$probeHamming not supported (0..2)")
     val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .withColumn("bucket", sigFn(vectors, vecCol)(col("vec"), numPlanes, dim, seed))
+    val one = (0 until numPlanes).map(b =>
+      col("bucket").bitwiseXOR(shiftleft(lit(1), b)))
+    val two = for (i <- 0 until numPlanes; j <- i + 1 until numPlanes)
+      yield col("bucket").bitwiseXOR(shiftleft(lit(1), i))
+        .bitwiseXOR(shiftleft(lit(1), j))
     val flips: Seq[Column] = Seq(col("bucket")) ++
-      (if (probeHamming >= 1)
-        (0 until numPlanes).map(b => col("bucket").bitwiseXOR(shiftleft(lit(1), b)))
-      else Nil)
+      (if (probeHamming >= 1) one else Nil) ++
+      (if (probeHamming >= 2) two else Nil)
     val probes = v.select(col("vid").as("id_b"),
       explode(array(flips: _*)).as("bucket"))
     val candidates = v.select(col("vid").as("id_a"), col("bucket"))

@@ -163,8 +163,12 @@ object Joins {
   /** Bucketized interval-overlap join: left ⋈ right on key equality plus
     * `[lStart,lEnd] ∩ [rStart,rEnd] ≠ ∅` — same cell-binning idea as
     * [[rangeJoin]], but BOTH sides explode to covered cells, so an
-    * overlapping pair can meet in several cells; the distinct() after the
-    * residual filter dedups. Inclusive bounds on both ends. */
+    * overlapping pair meets in several cells. Each pair is kept only in
+    * its canonical meeting cell (the later of the two start cells, which
+    * both intervals necessarily cover when they overlap) — exactly-once
+    * per pair WITHOUT a distinct(), so duplicate input rows keep their
+    * join multiplicity and no wide-row dedup shuffle is needed.
+    * Inclusive bounds on both ends. */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                           lStart: String, lEnd: String,
                           rStart: String, rEnd: String,
@@ -178,8 +182,8 @@ object Joins {
       explode(sequence(cellOf(col(rStart)), cellOf(col(rEnd)))))
     l.join(r, keys :+ "_cell")
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(greatest(cellOf(col(lStart)), cellOf(col(rStart))) === col("_cell"))
       .drop("_cell")
-      .distinct()
   }
 
   /** Bucketized range join: points ⋈ intervals on key equality plus

@@ -101,9 +101,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[SignLshSignature].getCanonicalName, "graft_sign_lsh"),
       (exprs: Seq[Expression]) => SignLshSignature(
         exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval() match { case i: Int => i.toLong; case l: Long => l })))
+        ExprArgs.toInt(exprs(1).eval()),
+        ExprArgs.toInt(exprs(2).eval()),
+        ExprArgs.toLong(exprs(3).eval()))))
   }
 }
 

@@ -104,9 +104,9 @@ object SignLshSignature {
       "graft_sign_lsh",
       exprs => SignLshSignature(
         exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval() match { case i: Int => i.toLong; case l: Long => l }),
+        ExprArgs.toInt(exprs(1).eval()),
+        ExprArgs.toInt(exprs(2).eval()),
+        ExprArgs.toLong(exprs(3).eval())),
       "built-in")
 
   /** Column-API access to the native expression. */

@@ -11,6 +11,29 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Lenient unwrapping of integer literals passed to registered function
+  * builders — SQL callers may hand any integral type (e.g. a BIGINT
+  * literal), and a bare asInstanceOf[Int] would throw an opaque
+  * ClassCastException. */
+private[plans] object ExprArgs {
+  def toInt(a: Any): Int = a match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal, got $other")
+  }
+  def toLong(a: Any): Long = a match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal, got $other")
+  }
+}
+
 /** Native text tokenization/shingling for the dedup hot paths.
   *
   * Why custom Expressions (SURVEY.md §7.3 preference order b): the HOF
@@ -52,7 +75,7 @@ object TextNative {
     out.toArray(new Array[UTF8String](out.size()))
   }
 
-  private val space = UTF8String.fromString(" ")
+  private[plans] val space = UTF8String.fromString(" ")
 
   private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
@@ -77,18 +100,18 @@ object TextNative {
       "graft_tokens", exprs => WordTokens(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
-      exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      exprs => WordShingles(exprs(0), ExprArgs.toInt(exprs(1).eval())),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash60", exprs => SimHash60(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig",
-      exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      exprs => MinHashSig(exprs(0), ExprArgs.toInt(exprs(1).eval())),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_bands",
-      exprs => MinHashBands(exprs(0), exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]),
+      exprs => MinHashBands(exprs(0), ExprArgs.toInt(exprs(1).eval()),
+        ExprArgs.toInt(exprs(2).eval())),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_token_count", exprs => TopTokenCount(exprs(0)), "built-in")
@@ -369,7 +392,7 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   def compute(s: UTF8String): ArrayData = {
     val toks = TextNative.tokenize(s)
-    val space = UTF8String.fromString(" ")
+    val space = TextNative.space
     if (toks.length < n) {
       // HOF-parity fallback: one shingle of all tokens ("" when none)
       return new GenericArrayData(

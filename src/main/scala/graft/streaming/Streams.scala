@@ -127,7 +127,10 @@ object Streams {
     docs
       .withColumn("content_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(Seq("content_hash"))
+      // WithinWatermark, not plain dropDuplicates: only the watermarked
+      // variant ever EVICTS state keyed on a non-event-time column — the
+      // plain form would retain every content hash ever seen, forever.
+      .dropDuplicatesWithinWatermark("content_hash")
       .withColumn("token_count", size(toks))
       .filter(col("token_count").between(minTokens, maxTokens))
   }

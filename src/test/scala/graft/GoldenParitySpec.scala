@@ -127,6 +127,21 @@ class GoldenParitySpec extends SparkSpec {
     assert(got == Set((1L, 100L), (1L, 101L)))
   }
 
+  test("interval-overlap join preserves duplicate-row multiplicity") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two IDENTICAL left rows must each match (join multiplicity 2) even
+    // though the pair spans several cells
+    val a = Seq(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("k", "s1", "e1")
+    val b = Seq((10L, ts("2024-01-01 11:00:00"), ts("2024-01-01 13:00:00")))
+      .toDF("k", "s2", "e2")
+    val got = Joins.intervalOverlapJoin(a, b, Seq("k"), "s1", "e1", "s2", "e2",
+      java.time.Duration.ofMinutes(10))
+    assert(got.count() == 2)
+  }
+
   test("as-of join matches hand-computed latest-prior semantics") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val trades = Seq(

@@ -75,6 +75,30 @@ class MultimodalMlSpec extends SparkSpec {
     assert(!feats(1).getBoolean(1)) // corrupt media -> null features, no crash
   }
 
+  test("adversarial media bytes degrade to decoded=false, never crash or hang") {
+    import graft.multimodal.{AudioOps, ImageOps, MediaFeatureExtract}
+    // PPM with dimensions whose w*h*3 overflows Int past the size guard
+    val overflowPpm = "P6\n50000 50000\n255\n".getBytes("US-ASCII") ++ Array.fill(64)(1.toByte)
+    assert(ImageOps.decodePpm(overflowPpm).isEmpty)
+    // dimension token too long for Int
+    val hugeDim = "P6\n99999999999 2\n255\n".getBytes("US-ASCII") ++ Array.fill(64)(1.toByte)
+    assert(ImageOps.decodePpm(hugeDim).isEmpty)
+    // WAV with a 0xFFFFFFF8 chunk length (would loop forever if added raw)
+    val evilWav = {
+      val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(56); bb.put("WAVE".getBytes)
+      bb.put("junk".getBytes); bb.putInt(0xFFFFFFF8)
+      bb.array()
+    }
+    assert(AudioOps.decodeWavPcm16(evilWav).isEmpty)
+    // and through the DataFrame surface: rows survive as decoded=false
+    val df = Seq((1L, overflowPpm), (2L, evilWav)).toDF("media_id", "content")
+    assert(MediaFeatureExtract.imageFeatures(df, "media_id", "content")
+      .filter($"decoded").count() == 0)
+    assert(MediaFeatureExtract.audioFeatures(df, "media_id", "content")
+      .filter($"decoded").count() == 0)
+  }
+
   test("real WAV PCM16 decode: duration, rms, peak") {
     import graft.multimodal.{AudioOps, MediaFeatureExtract}
     def wav(rate: Int, samples: Array[Short]): Array[Byte] = {

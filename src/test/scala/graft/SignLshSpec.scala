@@ -54,6 +54,19 @@ class SignLshSpec extends SparkSpec {
     assert(Set((0L, 1L), (0L, 2L), (1L, 2L)).subsetOf(lsh)) // planted recall
   }
 
+  test("sign-LSH accepts double-array queries against a float corpus") {
+    val rnd = new scala.util.Random(3)
+    val corpus = (0 to 20).map(i =>
+      (i.toLong, Array.tabulate(64)(_ => rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    // queries as array<double> — the native float-only expressions must
+    // not be forced onto this side
+    val q = corpus.filter($"vec_id" < 2)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val res = Ann.signLshTopK(corpus, "vec_id", "embedding", q, k = 3)
+    assert(res.count() <= 6) // resolves and runs; k per query caps rows
+  }
+
   test("k-means centroids separate planted clusters and drive IVF") {
     val rnd = new scala.util.Random(5)
     def around(center: Float) =
