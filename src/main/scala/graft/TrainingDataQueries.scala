@@ -52,6 +52,10 @@ object TrainingDataQueries extends QueryPack {
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     }),
+    "d_chunk_dedup" -> ((s, d) =>
+      // corpus-wide duplicate-chunk removal (the line-dedup step of web
+      // curation pipelines): 20-token chunks, keep first occurrence.
+      DedupSuite.chunkDedup(docs(s, d), "doc_id", col("text"), chunkTokens = 20)),
     "d_simhash" -> ((s, d) =>
       // portable (md5-based) hashes so DuckDB can recompute the exact
       // simhashes and brute-force the pair set as an oracle.
@@ -323,6 +327,24 @@ object TrainingDataQueries extends QueryPack {
          |    - (CASE WHEN tlen > 0 THEN punct / tlen ELSE 0.0 END) * 0.5,
          |    1.0), 0.0), 6) AS quality
          |FROM m""".stripMargin,
+    "d_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ch0 AS (
+         |  SELECT doc_id,
+         |    [{'chunk_idx': i - 1,
+         |       'chunk': array_to_string(toks[((i-1)*20+1):((i-1)*20+20)], ' ')}
+         |     for i in range(1, CAST(ceil(len(toks)/20.0) AS BIGINT) + 1)] AS cs
+         |  FROM t),
+         |ch AS (SELECT doc_id, unnest(cs, recursive := true) FROM ch0),
+         |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+         |        ORDER BY doc_id, chunk_idx) AS rn FROM ch),
+         |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |              string_agg(chunk, ' ' ORDER BY chunk_idx) AS kept_text
+         |       FROM k WHERE rn = 1 GROUP BY 1)
+         |SELECT t.doc_id, CAST(ceil(len(t.toks)/20.0) AS BIGINT) AS n_chunks,
+         |       COALESCE(ka.n_kept, 0) AS n_kept,
+         |       COALESCE(ka.kept_text, '') AS kept_text
+         |FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id""".stripMargin,
     "d_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |h AS (SELECT doc_id, $hsSql AS hs FROM t),

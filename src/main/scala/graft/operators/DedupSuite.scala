@@ -152,6 +152,46 @@ object DedupSuite {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Chunk-level (line/paragraph-analog) corpus dedup: split each doc
+    * into non-overlapping `chunkTokens`-token chunks (partial tail kept),
+    * keep only the globally FIRST occurrence of every distinct chunk
+    * (order: doc id, then position), and reconstruct the surviving text.
+    * This is the corpus-wide duplicate-line removal step of web-scale
+    * curation pipelines, adapted to token-stream documents.
+    *
+    * Scale shape: the winner per chunk hash is `min(struct(id, idx,
+    * chunk))` under a groupBy on the 16-byte md5 — partial (map-side)
+    * aggregation absorbs hot chunks ("boilerplate lines" repeated
+    * millions of times) before the shuffle, so no reducer ever sees a
+    * hot hash's full row set; there is no join back (the winner row IS
+    * the kept row, text rides in the struct payload). Per-doc totals are
+    * a plain projection (`size(chunks)`), no explode.
+    *
+    * Output: (doc_id, n_chunks, n_kept, kept_text).
+    */
+  def chunkDedup(docs: DataFrame, id: String, text: Column,
+                 chunkTokens: Int = 20): DataFrame = {
+    val s = docs.sparkSession
+    val chunkArr = TextNative.chunks(s, text, chunkTokens, chunkTokens)
+    val chunked = docs
+      .select(col(id).as("_id"), posexplode(chunkArr).as(Seq("chunk_idx", "chunk")))
+    val winners = chunked
+      .groupBy(md5(col("chunk")).as("_h"))
+      .agg(min(struct(col("_id"), col("chunk_idx"), col("chunk"))).as("w"))
+      .select(col("w._id").as("_id"), col("w.chunk_idx").as("chunk_idx"),
+        col("w.chunk").as("chunk"))
+    val keptAgg = winners.groupBy(col("_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+        x => x.getField("chunk")), " ").as("kept_text"))
+    docs.select(col(id).as("_id"), size(chunkArr).cast("long").as("n_chunks"))
+      .join(keptAgg, Seq("_id"), "left")
+      .select(col("_id").as("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Docs to drop after pair detection: any doc that matched a smaller id
     * (keep-first policy; a cheap, deterministic stand-in for full
     * connected-components). */

@@ -115,6 +115,11 @@ object TextNative {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_token_count", exprs => TopTokenCount(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_chunks",
+      exprs => WordChunks(exprs(0), ExprArgs.toInt(exprs(1).eval()),
+        ExprArgs.toInt(exprs(2).eval())),
+      "built-in")
   }
 
   /** Ordered word tokens (duplicates kept) — native twin of
@@ -144,6 +149,19 @@ object TextNative {
   def topTokenCount(spark: SparkSession, toks: Column): Column = {
     register(spark)
     call_function("graft_top_token_count", toks)
+  }
+
+  /** Token windows joined with spaces, duplicates kept and order
+    * preserved — one pass per document. `step == n` gives non-overlapping
+    * chunks INCLUDING a partial tail (the line/paragraph analog for
+    * token-stream corpora: ceil(tokens/n) chunks); `step < n` gives
+    * sliding n-grams over full windows only (the with-duplicates twin of
+    * [[shingles]], for repetition measures). */
+  def chunks(spark: SparkSession, text: Column, n: Int, step: Int): Column = {
+    register(spark)
+    call_function("graft_chunks", text,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(step))
   }
 
   /** MinHash signature (array of k minima) over a shingle array in one
@@ -376,6 +394,61 @@ case class TopTokenCount(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
+    copy(child = newChild)
+}
+
+/** Token windows joined with spaces — duplicates kept, order preserved.
+  * Two modes (see [[TextNative.chunks]]): `step == n` → non-overlapping
+  * chunks with the partial tail included (zero tokens → empty array);
+  * `step < n` → sliding full windows only. One tokenize pass per row
+  * inside whole-stage codegen. */
+case class WordChunks(child: Expression, n: Int, step: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"chunk size must be >= 1, got $n")
+  require(step >= 1 && step <= n,
+    s"step must be in [1, n=$n], got $step")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_chunks expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_chunks"
+
+  def compute(s: UTF8String): ArrayData = {
+    val toks = TextNative.tokenize(s)
+    val space = TextNative.space
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    if (step == n) {
+      while (i < toks.length) {
+        val len = math.min(n, toks.length - i)
+        val parts = new Array[UTF8String](len)
+        System.arraycopy(toks, i, parts, 0, len)
+        out.add(UTF8String.concatWs(space, parts: _*))
+        i += n
+      }
+    } else {
+      while (i + n <= toks.length) {
+        val parts = new Array[UTF8String](n)
+        System.arraycopy(toks, i, parts, 0, n)
+        out.add(UTF8String.concatWs(space, parts: _*))
+        i += step
+      }
+    }
+    new GenericArrayData(out.toArray(new Array[UTF8String](out.size()))
+      .asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordChunks", this, classOf[WordChunks].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordChunks =
     copy(child = newChild)
 }
 

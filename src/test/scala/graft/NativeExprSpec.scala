@@ -75,6 +75,35 @@ class NativeExprSpec extends SparkSpec {
     assert(shDiff.count() == 0)
   }
 
+  test("native chunks match independent HOF constructions in both modes") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+      .union(Seq((-1L, "", "x", "y", 0L),        // empty text -> no chunks
+        (-2L, "one", "x", "y", 0L),              // single partial chunk
+        (-3L, "Üni çöde İstanbul MIXED case 42", "x", "y", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select($"doc_id", $"text",
+        graft.plans.TextNative.tokens(spark, $"text").as("toks"))
+    // chunk mode (step == n): ceil(len/5) chunks incl. partial tail
+    val hofChunks = when(size($"toks") === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(size($"toks") / lit(5.0)).cast("int") - 1),
+        i => array_join(slice($"toks", i * 5 + 1, lit(5)), " ")))
+    val chunkDiff = docs.select(
+      hofChunks.as("hof"),
+      graft.plans.TextNative.chunks(spark, $"text", 5, 5).as("native"))
+      .filter($"hof" =!= $"native")
+    assert(chunkDiff.count() == 0)
+    // sliding mode (step 1): full windows only, duplicates kept
+    val hofGrams = when(size($"toks") < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "), element_at($"toks", i + 1))))
+    val gramDiff = docs.select(
+      hofGrams.as("hof"),
+      graft.plans.TextNative.chunks(spark, $"text", 2, 1).as("native"))
+      .filter($"hof" =!= $"native")
+    assert(gramDiff.count() == 0)
+  }
+
   test("native simhash60 matches an independent explode/agg construction") {
     val docs = Tables.documents(spark, sf("sf0.01"))
       .union(Seq((-1L, "", "x", "y", 0L),

@@ -181,6 +181,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("chunkDedup keeps the first occurrence of a repeated chunk and " +
+    "reconstructs the survivors in order") {
+    // 20-token chunks: doc 1 = [A][B-partial]; doc 2 repeats chunk A then
+    // adds its own tail; doc 3 is chunk A alone (fully deduplicated away).
+    val a = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val tail = "alpha beta gamma"
+    val own = (1 to 20).map(i => s"own$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$a $tail"), (2L, s"$a $own"), (3L, a))
+      .toDF("doc_id", "text")
+    val got = DedupSuite.chunkDedup(df, "doc_id", $"text", chunkTokens = 20)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_kept", "kept_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, s"$a $tail"),
+      (2L, 2L, 1L, own),
+      (3L, 1L, 0L, "")))
+  }
+
   test("ann brute force ranks the exact duplicate first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.01f)),
