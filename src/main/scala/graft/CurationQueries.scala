@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.Curation
+import graft.operators.{Curation, Sampling}
 
 /** Corpus-curation queries over the `documents` table: decontamination
   * against a held-out eval set, PII redaction, Gopher-style quality
@@ -50,6 +50,18 @@ object CurationQueries extends QueryPack {
     }),
     "c_quality_rules" -> ((s, d) =>
       Curation.qualityRules(docs(s, d), "doc_id", col("text"))),
+    "s_stratified" -> ((s, d) =>
+      // rebalance the corpus: keep 25% of the dominant language, 75% of
+      // de, all of the rest — decisions content-addressed on doc_id.
+      Sampling.stratifiedSample(docs(s, d), col("doc_id"), col("lang"),
+        Map("en" -> 0.25, "de" -> 0.75), defaultRate = 1.0)
+        .select(col("doc_id"), col("lang"), col("source"))),
+    "s_source_mix" -> ((s, d) =>
+      // training mixture: upsample src0 2.5x (epoch replicas), keep 30%
+      // of src1, everything else at weight 1.
+      Sampling.sourceMix(docs(s, d), col("doc_id"), col("source"),
+        Map("src0" -> 2.5, "src1" -> 0.3), defaultWeight = 1.0)
+        .select(col("doc_id"), col("source"), col("epoch"))),
     "c_hash_split" -> ((s, d) =>
       docs(s, d)
         .withColumn("split", Curation.hashSplit(col("doc_id")))
@@ -74,7 +86,33 @@ object CurationQueries extends QueryPack {
   private val bucketSql =
     "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)"
 
+  // CAST(... AS DOUBLE) on the rate/weight literals: DuckDB parses bare
+  // 2.5 as DECIMAL and does exact decimal arithmetic where Spark does
+  // IEEE-double — boundary buckets would then disagree.
+  private val sampleBucketSql =
+    "CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) AS DOUBLE)"
+
   val oracle: Map[String, String] = Map(
+    "s_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE $sampleBucketSql <
+         |  (CASE WHEN lang = 'en' THEN CAST(0.25 AS DOUBLE)
+         |        WHEN lang = 'de' THEN CAST(0.75 AS DOUBLE)
+         |        ELSE CAST(1.0 AS DOUBLE) END) * 1000000""".stripMargin,
+    "s_source_mix" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN source = 'src0' THEN CAST(2.5 AS DOUBLE)
+         |         WHEN source = 'src1' THEN CAST(0.3 AS DOUBLE)
+         |         ELSE CAST(1.0 AS DOUBLE) END AS w,
+         |    $sampleBucketSql AS bkt
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id, source, w, bkt,
+         |    CAST(unnest(range(0, CAST(greatest(ceil(w), 1) AS BIGINT))) AS INT) AS epoch
+         |  FROM base)
+         |SELECT doc_id, source, epoch FROM e
+         |WHERE epoch < floor(w) OR bkt < (w - floor(w)) * 1000000""".stripMargin,
     "c_decontaminate" ->
       s"""WITH evt AS (SELECT doc_id, $toksSql AS toks FROM documents
          |             WHERE doc_id % 50 = 0),

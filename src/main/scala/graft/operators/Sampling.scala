@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deterministic sampling and data-mixing operators for training-corpus
+  * assembly: per-stratum downsampling and weighted per-source mixing with
+  * epoch upsampling.
+  *
+  * Everything is content-addressed (md5 of the row key), NOT rand()-based:
+  * a sample decision depends only on the key, so re-runs, retries,
+  * different partitionings, and incremental extensions of the corpus all
+  * agree on which rows are in — and two tables sampled on the same key
+  * keep join-compatible row sets. Every operator is a scalar projection +
+  * filter (or a row generator bounded by ceil(weight)): no shuffle, no
+  * driver state, embarrassingly parallel at any scale.
+  */
+object Sampling {
+
+  /** Deterministic sampling bucket in [0, denom): 60-bit md5-prefix hash
+    * of the key rendered as a string, mod denom. */
+  def bucket(key: Column, denom: Long = 1000000L): Column =
+    TextFunctions.md5Hash60(key.cast("string")) % lit(denom)
+
+  private val Denom = 1000000L
+
+  private def rateFor(byValue: Column, table: Map[String, Double],
+                      default: Double): Column =
+    table.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(byValue === k, lit(v)).otherwise(acc)
+    }
+
+  /** Per-stratum deterministic sampling: keep a row iff its key's bucket
+    * falls below the stratum's rate — e.g. downsample a dominant language
+    * to rebalance a corpus. Rates in [0, 1]; strata absent from `rates`
+    * use `defaultRate`. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    val rate = rateFor(stratum, rates, defaultRate)
+    df.filter(bucket(key, Denom).cast("double") < rate * Denom)
+  }
+
+  /** Weighted source mixing with epoch upsampling: a source with weight w
+    * contributes each of its rows floor(w) times (epochs 0..floor(w)-1),
+    * plus one more epoch for the deterministic fraction of rows whose
+    * bucket < frac(w) — so w=2.5 repeats every row twice and half the
+    * rows a third time, and w=0.3 keeps 30%. The output carries an
+    * `epoch` column (the training-mixture replica index). */
+  def sourceMix(df: DataFrame, key: Column, source: Column,
+                weights: Map[String, Double],
+                defaultWeight: Double = 1.0): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "mix weights must be non-negative")
+    val w = rateFor(source, weights, defaultWeight)
+    df.withColumn("_w", w)
+      .withColumn("_b", bucket(key, Denom).cast("double"))
+      .withColumn("epoch",
+        // greatest(,1): w=0 must generate [0] (then filter it out), not a
+        // DESCENDING sequence(0,-1) that would leak a spurious epoch -1.
+        explode(sequence(lit(0), greatest(ceil(col("_w")), lit(1L)).cast("int") - 1)))
+      .filter(col("epoch") < floor(col("_w")) ||
+        col("_b") < (col("_w") - floor(col("_w"))) * Denom)
+      .drop("_w", "_b")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf("sf0.001"))
+
+  test("stratified sample: rate 0 drops a stratum, rate 1 keeps it whole") {
+    val got = Sampling.stratifiedSample(docs, $"doc_id", $"lang",
+      Map("en" -> 0.0), defaultRate = 1.0)
+    assert(got.filter($"lang" === "en").count() == 0)
+    assert(got.count() == docs.filter($"lang" =!= "en").count())
+  }
+
+  test("stratified sample is deterministic and roughly proportional") {
+    val pick = Sampling.stratifiedSample(docs, $"doc_id", $"lang",
+      Map("en" -> 0.25), defaultRate = 1.0)
+    val a = pick.select("doc_id").as[Long].collect().toSet
+    val b = pick.select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    val total = docs.filter($"lang" === "en").count().toDouble
+    val kept = docs.filter($"lang" === "en")
+      .filter($"doc_id".isin(a.toSeq: _*)).count().toDouble
+    // 500-doc corpus: 25% +/- generous binomial slack
+    assert(kept / total > 0.10 && kept / total < 0.40)
+  }
+
+  test("sample membership is content-addressed: a sampled subset of a " +
+    "superset sample, and stable under re-partitioning") {
+    val half = Sampling.stratifiedSample(docs, $"doc_id", $"lang",
+      Map(), defaultRate = 0.5).select("doc_id").as[Long].collect().toSet
+    val fifth = Sampling.stratifiedSample(docs.repartition(7), $"doc_id", $"lang",
+      Map(), defaultRate = 0.2).select("doc_id").as[Long].collect().toSet
+    assert(fifth.subsetOf(half)) // nested thresholds nest the row sets
+  }
+
+  test("source mix: integer weight = exact replica count, zero weight drops") {
+    val got = Sampling.sourceMix(docs, $"doc_id", $"source",
+      Map("src0" -> 2.0, "src1" -> 0.0), defaultWeight = 1.0)
+    val perDoc = got.filter($"source" === "src0")
+      .groupBy("doc_id").count().select("count").distinct().as[Long].collect().toSeq
+    assert(perDoc == Seq(2L))
+    assert(got.filter($"source" === "src1").count() == 0)
+    assert(got.filter($"source" === "src2").count() ==
+      docs.filter($"source" === "src2").count())
+    assert(got.filter($"epoch" < 0 || $"epoch" > 1).count() == 0)
+  }
+
+  test("source mix: fractional epoch goes to the rows below the bucket threshold") {
+    val got = Sampling.sourceMix(docs, $"doc_id", $"source",
+      Map("src0" -> 1.5), defaultWeight = 1.0)
+      .filter($"source" === "src0")
+    val epochCounts = got.groupBy("doc_id")
+      .agg(count(lit(1)).as("n")).select("n").as[Long].collect()
+    // every src0 doc appears once or twice; the twice-set is the bucket-low set
+    assert(epochCounts.forall(n => n == 1L || n == 2L))
+    val twice = got.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .filter($"n" === 2).select("doc_id")
+    val belowThreshold = docs.filter($"source" === "src0")
+      .filter(Sampling.bucket($"doc_id").cast("double") < 500000.0)
+      .select("doc_id")
+    assert(twice.exceptAll(belowThreshold).count() == 0)
+    assert(belowThreshold.exceptAll(twice).count() == 0)
+  }
+}
