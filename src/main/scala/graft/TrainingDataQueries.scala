@@ -52,6 +52,20 @@ object TrainingDataQueries extends QueryPack {
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     }),
+    "d_incremental" -> ((s, d) => {
+      // incremental ingest: every 5th doc is the "new batch", the rest is
+      // the indexed corpus. The synthetic corpus has no exact dups, so
+      // plant 3 boilerplate texts on doc_id % 17 == 3 (mirrored verbatim
+      // in the oracle) to exercise all three status paths.
+      val planted = docs(s, d).withColumn("text",
+        when(pmod(col("doc_id"), lit(17L)) === 3,
+          concat(lit("boilerplate terms of service v"),
+            pmod(col("doc_id"), lit(3L))))
+          .otherwise(col("text")))
+      val batch = planted.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      val corpus = planted.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      DedupSuite.incrementalDedup(corpus, batch, "doc_id", col("text"))
+    }),
     "d_chunk_dedup" -> ((s, d) =>
       // corpus-wide duplicate-chunk removal (the line-dedup step of web
       // curation pipelines): 20-token chunks, keep first occurrence.
@@ -327,6 +341,21 @@ object TrainingDataQueries extends QueryPack {
          |    - (CASE WHEN tlen > 0 THEN punct / tlen ELSE 0.0 END) * 0.5,
          |    1.0), 0.0), 6) AS quality
          |FROM m""".stripMargin,
+    "d_incremental" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 3
+        |      THEN 'boilerplate terms of service v' || CAST(doc_id % 3 AS VARCHAR)
+        |      ELSE text END AS text
+        |  FROM documents),
+        |c AS (SELECT DISTINCT md5(text) AS h FROM p WHERE doc_id % 5 <> 0),
+        |b AS (SELECT doc_id, md5(text) AS h FROM p WHERE doc_id % 5 = 0),
+        |f AS (SELECT h, MIN(doc_id) AS first_id FROM b GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+        |       ELSE 'new' END AS status
+        |FROM b JOIN f ON b.h = f.h LEFT JOIN c ON b.h = c.h""".stripMargin,
     "d_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |ch0 AS (

@@ -192,6 +192,33 @@ object DedupSuite {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Incremental exact dedup: classify a NEW batch of documents against
+    * an already-indexed corpus by content hash. Statuses:
+    * `dup_of_corpus` (hash already in the corpus — takes precedence),
+    * `dup_in_batch` (first seen in this batch under a smaller id),
+    * `new` (the batch's first copy of an unseen text).
+    *
+    * This is the steady-state shape of corpus ingestion at scale: the
+    * corpus side collapses to its DISTINCT 16-byte hash index before the
+    * join (in production, land that index with
+    * [[graft.sources.Writers]].bucketedTable on the hash so each
+    * increment joins with zero corpus-side shuffle), and the batch —
+    * typically orders of magnitude smaller than the corpus — is the only
+    * freshly-scanned data. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, id: String,
+                       text: Column): DataFrame = {
+    val corpusIdx = corpus.select(md5(text).as("_h")).distinct()
+      .withColumn("_in_corpus", lit(1))
+    val b = batch.select(col(id).as("doc_id"), md5(text).as("_h"))
+    val firstInBatch = b.groupBy(col("_h")).agg(min(col("doc_id")).as("_first"))
+    b.join(firstInBatch, "_h")
+      .join(corpusIdx, Seq("_h"), "left")
+      .select(col("doc_id"),
+        when(col("_in_corpus").isNotNull, lit("dup_of_corpus"))
+          .when(col("doc_id") =!= col("_first"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"))
+  }
+
   /** Docs to drop after pair detection: any doc that matched a smaller id
     * (keep-first policy; a cheap, deterministic stand-in for full
     * connected-components). */

@@ -201,6 +201,21 @@ class OperatorsSpec extends SparkSpec {
       (3L, 1L, 0L, "")))
   }
 
+  test("incrementalDedup classifies batch docs against the corpus index") {
+    val corpus = Seq((1L, "indexed doc"), (2L, "other doc")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "indexed doc"),   // dup of corpus
+      (11L, "fresh text"),    // new
+      (12L, "fresh text"),    // dup of 11 within the batch
+      (13L, "also fresh")     // new
+    ).toDF("doc_id", "text")
+    val got = DedupSuite.incrementalDedup(corpus, batch, "doc_id", $"text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (10L, "dup_of_corpus"), (11L, "new"),
+      (12L, "dup_in_batch"), (13L, "new")))
+  }
+
   test("ann brute force ranks the exact duplicate first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.01f)),
