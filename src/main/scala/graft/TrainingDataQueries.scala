@@ -57,10 +57,14 @@ object TrainingDataQueries extends QueryPack {
       // the indexed corpus. The synthetic corpus has no exact dups, so
       // plant 3 boilerplate texts on doc_id % 17 == 3 (mirrored verbatim
       // in the oracle) to exercise all three status paths.
+      // doc_id % 35 == 5 implies doc_id % 5 == 0: those dups exist ONLY
+      // inside the batch, so dup_in_batch shows up too.
       val planted = docs(s, d).withColumn("text",
         when(pmod(col("doc_id"), lit(17L)) === 3,
           concat(lit("boilerplate terms of service v"),
             pmod(col("doc_id"), lit(3L))))
+          .when(pmod(col("doc_id"), lit(35L)) === 5,
+            concat(lit("batch boilerplate v"), pmod(col("doc_id"), lit(2L))))
           .otherwise(col("text")))
       val batch = planted.filter(pmod(col("doc_id"), lit(5L)) === 0)
       val corpus = planted.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
@@ -346,6 +350,8 @@ object TrainingDataQueries extends QueryPack {
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 17 = 3
         |      THEN 'boilerplate terms of service v' || CAST(doc_id % 3 AS VARCHAR)
+        |      WHEN doc_id % 35 = 5
+        |      THEN 'batch boilerplate v' || CAST(doc_id % 2 AS VARCHAR)
         |      ELSE text END AS text
         |  FROM documents),
         |c AS (SELECT DISTINCT md5(text) AS h FROM p WHERE doc_id % 5 <> 0),
