@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Ann, DedupSuite}
+import graft.operators.{Ann, Curation, DedupSuite}
 import graft.plans.TextNative
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
@@ -126,6 +126,10 @@ object TrainingDataQueries extends QueryPack {
         col("doc_id"), col("lang"),
         TextFunctions.detectLangOf(col("text"),
           TextNative.tokens(s, col("text"))).as("lang_detected"))),
+    "t_repetition" -> ((s, d) =>
+      // within-doc repetition (Gopher measures): duplicate-bigram mass,
+      // top-bigram share, duplicate 10-token chunks.
+      Curation.repetitionStats(docs(s, d), "doc_id", col("text"))),
     "t_fingerprint" -> ((s, d) => {
       // portable (md5-based) hashes → fully oracle-checkable. The
       // engine-native xxhash64 variants (TextFunctions.fingerprint,
@@ -388,6 +392,29 @@ object TrainingDataQueries extends QueryPack {
          |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 5""".stripMargin,
+    "t_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id,
+         |        [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bg,
+         |        [array_to_string(toks[((i-1)*10+1):((i-1)*10+10)], ' ')
+         |         for i in range(1, CAST(ceil(len(toks)/10.0) AS BIGINT) + 1)] AS ch
+         |      FROM t),
+         |u AS (SELECT doc_id, unnest(bg) AS g FROM b),
+         |top AS (SELECT doc_id, MAX(cnt) AS topn FROM (
+         |          SELECT doc_id, g, COUNT(*) AS cnt FROM u GROUP BY 1, 2) GROUP BY 1)
+         |SELECT b.doc_id,
+         |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+         |  CASE WHEN len(bg) > 0
+         |    THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+         |    ELSE 0.0 END AS dup_bigram_frac,
+         |  CASE WHEN len(bg) > 0
+         |    THEN CAST(COALESCE(top.topn, 0) AS DOUBLE) / len(bg)
+         |    ELSE 0.0 END AS top_bigram_ratio,
+         |  CAST(len(ch) AS BIGINT) AS n_chunks10,
+         |  CASE WHEN len(ch) > 0
+         |    THEN CAST(len(ch) - len(list_distinct(ch)) AS DOUBLE) / len(ch)
+         |    ELSE 0.0 END AS dup_chunk_frac
+         |FROM b LEFT JOIN top ON b.doc_id = top.doc_id""".stripMargin,
     "t_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |h AS (SELECT doc_id, $hsSql AS hs, $fhSql AS fh FROM t)

@@ -98,6 +98,34 @@ object Curation {
         ratio <= maxTopRatio).cast("int").as("passes"))
   }
 
+  /** Gopher-style repetition measures per document: the fraction of word
+    * bigrams that are repeats, the share held by the single most frequent
+    * bigram, and the fraction of non-overlapping 10-token chunks that are
+    * repeats ("copy-paste" structure inside one document — the
+    * within-doc complement of corpus-wide [[DedupSuite.chunkDedup]]).
+    *
+    * Zero-shuffle: the bigram/chunk arrays come from the one-pass
+    * [[TextNative.chunks]] expression and every measure is a builtin over
+    * that array — the whole operator is a single codegen'd projection.
+    * Quotients stay raw doubles (oracle parity). */
+  def repetitionStats(docs: DataFrame, id: String, text: Column): DataFrame = {
+    val s = docs.sparkSession
+    val base = docs.select(col(id).as("doc_id"),
+      TextNative.chunks(s, text, 2, 1).as("_bg"),
+      TextNative.chunks(s, text, 10, 10).as("_ch"))
+    val nBg = size(col("_bg"))
+    val nCh = size(col("_ch"))
+    base.select(col("doc_id"),
+      nBg.cast("long").as("n_bigrams"),
+      when(nBg > 0, (nBg - size(array_distinct(col("_bg")))).cast("double") / nBg)
+        .otherwise(lit(0.0)).as("dup_bigram_frac"),
+      when(nBg > 0, TextNative.topTokenCount(s, col("_bg")).cast("double") / nBg)
+        .otherwise(lit(0.0)).as("top_bigram_ratio"),
+      nCh.cast("long").as("n_chunks10"),
+      when(nCh > 0, (nCh - size(array_distinct(col("_ch")))).cast("double") / nCh)
+        .otherwise(lit(0.0)).as("dup_chunk_frac"))
+  }
+
   /** Deterministic hash-based split assignment: bucket the key's md5
     * into [0,100) and carve train/val/test by percentage. Stable across
     * runs/engines (md5 of the key string), so re-running a pipeline never

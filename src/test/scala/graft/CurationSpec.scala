@@ -7,6 +7,29 @@ import graft.operators.Curation
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("repetitionStats flags copy-paste structure and leaves clean text alone") {
+    val tenA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val tenB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$tenA $tenA $tenA"),        // same 10-chunk 3x, "aN a1" bigram seam
+      (2L, s"$tenA $tenB"),              // two distinct chunks, all bigrams unique
+      (3L, "word word word word"),       // one bigram repeated
+      (4L, "")                           // no tokens at all
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Curation.repetitionStats(df, "doc_id", $"text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Long, Double)].collect().toSeq
+    // doc 1: 3 chunks, 2 duplicates -> dup_chunk_frac = 2/3
+    assert(got(0)._5 == 3L && math.abs(got(0)._6 - 2.0 / 3.0) < 1e-12)
+    assert(got(0)._3 > 0.5) // 29 bigrams, mostly repeats
+    // doc 2: no repetition anywhere
+    assert(got(1) == ((2L, 19L, 0.0, 1.0 / 19.0, 2L, 0.0)))
+    // doc 3: "word word" x3 -> dup frac 2/3, top ratio 1
+    assert(got(2) == ((3L, 3L, 2.0 / 3.0, 1.0, 1L, 0.0)))
+    // doc 4: all guards -> zeros
+    assert(got(3) == ((4L, 0L, 0.0, 0.0, 0L, 0.0)))
+  }
+
   test("decontamination flags docs overlapping the eval set") {
     val ev = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")
