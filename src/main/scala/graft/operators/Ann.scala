@@ -228,6 +228,33 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
   }
 
+  /** SemDeDup-style semantic dedup: assign every embedding to its nearest
+    * centroid cell, compare vectors ONLY within a cell (triangular
+    * equi-join on cell_id), and drop the higher id of every pair whose
+    * cosine clears `threshold`. Returns one row per vector:
+    * (vec_id, cell_id, kept).
+    *
+    * The cell partition turns the corpus-quadratic comparison into a
+    * per-cell quadratic — with k centroids from [[trainCentroids]] the
+    * expected cost drops by ~k; at 100 TB you persist the cell assignment
+    * (partitionBy(cell_id)) once and the pair stage reads co-located
+    * cells with no further shuffle. Approximate by design (cross-cell
+    * near-dups are not compared — raise k quality or probe neighbor cells
+    * for higher recall); precision is exact. */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double): DataFrame = {
+    val cells = assignCells(vectors, idCol, vecCol, centroids)
+    val drops = cells.select(col("vid").as("id_a"), col("vec").as("v_a"), col("cell_id"))
+      .join(cells.select(col("vid").as("id_b"), col("vec").as("v_b"), col("cell_id")),
+        Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosFn(vectors, vecCol)(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as("drop_id")).distinct()
+    cells.join(drops, col("vid") === col("drop_id"), "left")
+      .select(col("vid").as("vec_id"), col("cell_id"),
+        col("drop_id").isNull.cast("int").as("kept"))
+  }
+
   /** Brute-force near-duplicate pairs by cosine threshold (triangular
     * self-join baseline; the LSH/IVF paths above are the scale variant). */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,

@@ -216,6 +216,20 @@ class OperatorsSpec extends SparkSpec {
       (12L, "dup_in_batch"), (13L, "new")))
   }
 
+  test("semanticDedup drops within-cell near-dups, keeps cross-cell ones") {
+    // two well-separated centroids; 1 & 2 are near-dups in cell 0, vector
+    // 3 lands in cell 1 so it survives even though it duplicates nothing.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.001f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.3f, 0.8f))) // cos(3,4)≈0.94 < 0.99
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cell_id", "embedding")
+    val got = Ann.semanticDedup(vecs, "vec_id", "embedding", cents, 0.99)
+      .orderBy("vec_id").as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 0L, 1), (2L, 0L, 0), (3L, 1L, 1), (4L, 1L, 1)))
+  }
+
   test("ann brute force ranks the exact duplicate first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.01f)),
