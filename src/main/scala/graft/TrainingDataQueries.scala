@@ -116,6 +116,16 @@ object TrainingDataQueries extends QueryPack {
       Ann.signLshTopK(e, "vec_id", "embedding", q, k = 10,
         numPlanes = 12, dim = 64, seed = 42L, probeHamming = 1)
     }),
+    "ann_pq" -> ((s, d) => {
+      // product quantization: 8 subspaces x 8 dims, codebook = subvectors
+      // of the 16 seed vectors (deterministic; production uses per-subspace
+      // k-means). Queries keep full precision (ADC).
+      val e = embs(s, d)
+      val seeds = e.filter(col("vec_id") < 16).select(col("vec_id"), col("embedding"))
+      val cb = Ann.pqCodebook(seeds, "vec_id", "embedding", m = 8, dim = 64)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+      Ann.pqTopK(e, "vec_id", "embedding", cb, q, k = 10, m = 8, dim = 64)
+    }),
     // text analysis --------------------------------------------------------
     "t_text_stats" -> ((s, d) => {
       // tokenize once (native, codegen'd) and fan the array into the
@@ -351,6 +361,38 @@ object TrainingDataQueries extends QueryPack {
          |SELECT query_id, neighbor_id, ROUND(cos, 6) AS sim,
          |       CAST(rn AS INT) AS rank
          |FROM ranked WHERE rn <= 10""".stripMargin,
+    "ann_pq" ->
+      s"""WITH v AS ($vSql),
+         |cbl AS (SELECT vec_id AS code,
+         |          [{'j': j, 'sub': e[(j*8+1):(j*8+8)]} for j in range(0, 8)] AS xs
+         |        FROM v WHERE vec_id < 16),
+         |cb AS (SELECT code, unnest(xs, recursive := true) FROM cbl),
+         |cvl AS (SELECT vec_id,
+         |          [{'j': j, 'sub': e[(j*8+1):(j*8+8)]} for j in range(0, 8)] AS xs
+         |        FROM v),
+         |cv AS (SELECT vec_id, unnest(xs, recursive := true) FROM cvl),
+         |enc AS (SELECT vec_id, j, code FROM (
+         |    SELECT cv.vec_id, cv.j, cb.code,
+         |      ROW_NUMBER() OVER (PARTITION BY cv.vec_id, cv.j
+         |        ORDER BY list_sum([(cv.sub[i]-cb.sub[i])*(cv.sub[i]-cb.sub[i])
+         |                           for i in range(1, 9)]) ASC,
+         |                 cb.code ASC) AS rn
+         |    FROM cv JOIN cb ON cv.j = cb.j) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 5),
+         |dt AS (SELECT q.query_id, cb.j, cb.code,
+         |         list_sum([(q.e[cb.j*8+i]-cb.sub[i])*(q.e[cb.j*8+i]-cb.sub[i])
+         |                   for i in range(1, 9)]) AS d
+         |       FROM q CROSS JOIN cb),
+         |sc AS (SELECT dt.query_id, enc.vec_id AS neighbor_id,
+         |         SUM(CAST(dt.d AS DECIMAL(38,12))) AS adc_dec
+         |       FROM enc JOIN dt ON enc.j = dt.j AND enc.code = dt.code
+         |       WHERE enc.vec_id <> dt.query_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, CAST(adc_dec AS DOUBLE) AS adc,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY adc_dec ASC, neighbor_id ASC) AS rn FROM sc)
+         |SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc, CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 10""".stripMargin,
     "t_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |m AS (

@@ -29,9 +29,12 @@ object VectorFunctions {
     when(nn > 0, d / nn).otherwise(lit(0.0))
   }
 
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v))
+  /** Squared euclidean distance (no sqrt — the PQ/ADC accumulant). */
+  def sqL2(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Distance(a: Column, b: Column): Column = sqrt(sqL2(a, b))
 
   /** Unit-normalized copy of the vector (zero vector passes through). */
   def normalized(a: Column): Column = {

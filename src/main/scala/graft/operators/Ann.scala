@@ -228,6 +228,70 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
   }
 
+  /** Product-quantization codebook laid out for [[pqEncode]]/[[pqTopK]]:
+    * each seed vector contributes one codeword per subspace — subspace j
+    * of seed `code` is the 8(ish)-dim slice [j*subDim, (j+1)*subDim).
+    * Production swaps the seed rows for per-subspace k-means centroids;
+    * any deterministic seed set works and stays oracle-replicable. */
+  def pqCodebook(seeds: DataFrame, idCol: String, vecCol: String,
+                 m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    seeds.select(col(idCol).as("code"), asDouble(col(vecCol)).as("_v"))
+      .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("_v"))
+      .select(col("j"), col("code"),
+        slice(col("_v"), col("j") * subDim + 1, lit(subDim)).as("sub"))
+  }
+
+  /** PQ encoding: each corpus vector becomes m small codes — per subspace,
+    * the argmin-squared-L2 codeword (tiebreak: smaller code). Output
+    * (vid, j, code): 100 TB of float vectors compress to m ints per row,
+    * and that codes table (not the vectors) is what ADC scoring scans.
+    * One broadcast join + an id-keyed partial-agg argmin; the vectors
+    * never shuffle. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    val sub = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("_v"))
+      .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("_v"))
+      .select(col("vid"), col("j"),
+        slice(col("_v"), col("j") * subDim + 1, lit(subDim)).as("sub"))
+    sub.join(broadcast(codebook.toDF("j", "code", "csub")), Seq("j"))
+      .withColumn("d", sqL2(col("sub"), col("csub")))
+      .groupBy(col("vid"), col("j"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+  }
+
+  /** PQ top-k via asymmetric distance computation: the query keeps full
+    * precision, the corpus is scored through its codes — approx distance
+    * = sum over subspaces of sqL2(query subvector, assigned codeword),
+    * looked up from a per-query distance table of m×|codes| entries
+    * (broadcast). The per-(query, vector) sum runs in DECIMAL so the
+    * 8-term accumulation is order-independent (exact, hash-stable) under
+    * partial aggregation. Output (query_id, neighbor_id, adc, rank). */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             codebook: DataFrame, queries: DataFrame, k: Int,
+             m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    val enc = pqEncode(corpus, idCol, vecCol, codebook, m, dim)
+    val dtab = broadcast(queries.toDF("query_id", "q_vec")
+      .crossJoin(broadcast(codebook.toDF("j", "code", "csub")))
+      .withColumn("d", sqL2(
+        slice(asDouble(col("q_vec")), col("j") * subDim + 1, lit(subDim)),
+        col("csub")))
+      .select(col("query_id"), col("j"), col("code"), col("d")))
+    val scored = enc.join(dtab, Seq("j", "code"))
+      .filter(col("vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(sum(col("d").cast("decimal(38,12)")).as("adc_dec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dec").asc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        round(col("adc_dec").cast("double"), 6).as("adc"), col("rank"))
+  }
+
   /** SemDeDup-style semantic dedup: assign every embedding to its nearest
     * centroid cell, compare vectors ONLY within a cell (triangular
     * equi-join on cell_id), and drop the higher id of every pair whose

@@ -230,6 +230,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, 0L, 1), (2L, 0L, 0), (3L, 1L, 1), (4L, 1L, 1)))
   }
 
+  test("pq encode maps a seed vector to its own codes; ADC ranks it first") {
+    val e = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+    val seeds = e.filter($"vec_id" < 16).select($"vec_id", $"embedding")
+    val cb = Ann.pqCodebook(seeds, "vec_id", "embedding", m = 8, dim = 64)
+    // a seed vector's nearest codeword in every subspace is itself
+    val own = Ann.pqEncode(seeds, "vec_id", "embedding", cb, m = 8, dim = 64)
+      .filter($"vid" =!= $"code").count()
+    assert(own == 0)
+    // plant a near-clone of query 0 in the corpus: it encodes to query 0's
+    // own codes, so its ADC distance is ~the quantization floor -> rank 1
+    val clone = e.filter($"vec_id" === 0)
+      .select(lit(9999L).as("vec_id"),
+        transform($"embedding", x => x + lit(0.001f)).as("embedding"),
+        $"label")
+    val q = e.filter($"vec_id" === 0).select($"vec_id", $"embedding")
+    val top1 = Ann.pqTopK(e.union(clone), "vec_id", "embedding", cb, q,
+      k = 1, m = 8, dim = 64)
+      .select("neighbor_id").as[Long].head()
+    assert(top1 == 9999L)
+  }
+
   test("ann brute force ranks the exact duplicate first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.01f)),
