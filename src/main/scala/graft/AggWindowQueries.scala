@@ -90,6 +90,18 @@ object AggWindowQueries extends QueryPack {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily.withColumn("cum_events", sum(col("n")).over(w))
     }),
+    "w9_rolling_avg" -> ((s, d) => {
+      // Trailing 1-hour RANGE window per user: event-time rolling count
+      // and average (decimal-exact sum so the frame aggregation is
+      // order-independent across partial evaluation).
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"), col("ts"),
+        count(col("value")).over(w).as("n_1h"),
+        round(sum(col("value").cast("decimal(27,6)")).over(w).cast("double") /
+          count(col("value")).over(w), 6).as("avg_1h"))
+    }),
     "w6_sessionize" -> ((s, d) =>
       // Gap-based sessionization (30-min gap) — lag + running-sum session
       // numbering, then per-session aggregate.
@@ -233,6 +245,14 @@ object AggWindowQueries extends QueryPack {
         |  MIN(ts) AS first_ts,
         |  MAX(ts) AS last_ts
         |FROM events GROUP BY 1""".stripMargin,
+    "w9_rolling_avg" ->
+      """SELECT event_id, user_id, ts,
+        |  COUNT(value) OVER w AS n_1h,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+        |        / COUNT(value) OVER w, 6) AS avg_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "w5_running_sum" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS date, COUNT(*) AS n
