@@ -12,6 +12,21 @@ import graft.OracleMath._
 class MultimodalMlSpec extends SparkSpec {
   import spark.implicits._
 
+  test("quality classifier learns the rule gate and is run-to-run deterministic") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val (model, auc) = graft.ml.QualityClassifier.trainOnRules(docs, "doc_id", $"text")
+    assert(auc > 0.65, s"held-out AUC $auc too low")
+    val s1 = graft.ml.QualityClassifier.score(model, docs.limit(100), "doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // second fit from scratch: content-addressed split + stateless
+    // features + deterministic optimizer -> identical scores
+    val (model2, _) = graft.ml.QualityClassifier.trainOnRules(docs, "doc_id", $"text")
+    val s2 = graft.ml.QualityClassifier.score(model2, docs.limit(100), "doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(s1 == s2)
+    assert(s1.values.forall(p => p >= 0.0 && p <= 1.0))
+  }
+
   private def mediaFixture() = {
     // binary payloads derived from the documents table (opaque bytes)
     Tables.documents(spark, sf()).limit(20)
