@@ -20,7 +20,11 @@ object Bench {
     "a2_hourly_stats", "a3_daily_rollup", "w1_top1_per_group", "w5_running_sum",
     "u2_keep_last", "w6_sessionize", "o2_topk", "sf_math",
     "d_exact_dedup", "d_minhash_lsh", "d_simhash", "ann_topk", "ann_ivf",
-    "ann_lsh", "t_text_stats", "t_langid", "c_decontaminate", "c_quality_rules")
+    "ann_lsh", "t_text_stats", "t_langid", "c_decontaminate", "c_quality_rules",
+    // round-4 additions: chunk/incremental/semantic dedup, PQ, repetition,
+    // mixing, rolling window
+    "d_chunk_dedup", "d_incremental", "d_semantic", "ann_pq",
+    "t_repetition", "s_source_mix", "w9_rolling_avg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

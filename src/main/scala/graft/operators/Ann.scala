@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 import graft.functions.VectorFunctions._
 import graft.plans.NativeFunctions
@@ -37,6 +37,16 @@ object Ann {
       case _ => cosine(a, b)
     }
 
+  /** Squared-L2 scorer for ORDERING (argmin/rank — sqrt dropped, it is
+    * monotone): native codegen'd [[graft.plans.SqL2Distance]] for
+    * float/double arrays, HOF otherwise. Bit-identical accumulation. */
+  private def sqFn(df: DataFrame, vecCol: String)(a: Column, b: Column): Column =
+    df.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        NativeFunctions.sqL2Double(df.sparkSession, a, b)
+      case _ => sqL2(a, b)
+    }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` must be small (broadcast); output (query_id, neighbor_id,
     * sim, rank) with deterministic id tiebreak. */
@@ -64,7 +74,7 @@ object Ann {
     val c = broadcast(centroids.toDF("cell_id", "centroid"))
     corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .crossJoin(c)
-      .withColumn("dist", l2Distance(col("vec"), col("centroid")))
+      .withColumn("dist", sqFn(corpus, vecCol)(col("vec"), col("centroid")))
       .groupBy(col("vid"))
       .agg(min_by(struct(col("vec"), col("cell_id")), struct(col("dist"), col("cell_id"))).as("m"))
       .select(col("vid"), col("m.vec").as("vec"), col("m.cell_id").as("cell_id"))
@@ -99,10 +109,10 @@ object Ann {
     val cells = assignCells(corpus, idCol, vecCol, centroids)
     val c = broadcast(centroids.toDF("cell_id", "centroid"))
     // which cells does each query probe?
+    val q = queries.toDF("query_id", "q_vec")
     val probes = broadcast(
-      queries.toDF("query_id", "q_vec")
-        .crossJoin(c)
-        .withColumn("dist", l2Distance(col("q_vec"), col("centroid")))
+      q.crossJoin(c)
+        .withColumn("dist", sqFn(q, "q_vec")(col("q_vec"), col("centroid")))
         .withColumn("cell_rank",
           row_number().over(Window.partitionBy(col("query_id"))
             .orderBy(col("dist").asc, col("cell_id").asc)))
@@ -257,7 +267,8 @@ object Ann {
       .select(col("vid"), col("j"),
         slice(col("_v"), col("j") * subDim + 1, lit(subDim)).as("sub"))
     sub.join(broadcast(codebook.toDF("j", "code", "csub")), Seq("j"))
-      .withColumn("d", sqL2(col("sub"), col("csub")))
+      .withColumn("d", NativeFunctions.sqL2Double(corpus.sparkSession,
+        col("sub"), col("csub")))
       .groupBy(col("vid"), col("j"))
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
   }
@@ -276,7 +287,7 @@ object Ann {
     val enc = pqEncode(corpus, idCol, vecCol, codebook, m, dim)
     val dtab = broadcast(queries.toDF("query_id", "q_vec")
       .crossJoin(broadcast(codebook.toDF("j", "code", "csub")))
-      .withColumn("d", sqL2(
+      .withColumn("d", NativeFunctions.sqL2Double(corpus.sparkSession,
         slice(asDouble(col("q_vec")), col("j") * subDim + 1, lit(subDim)),
         col("csub")))
       .select(col("query_id"), col("j"), col("code"), col("d")))

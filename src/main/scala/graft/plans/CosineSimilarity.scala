@@ -84,6 +84,78 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared euclidean distance over two numeric array columns
+  * (`array<double>` or `array<float>`, independently per side) — the
+  * PQ encode/ADC and IVF cell-assignment inner loop, executed
+  * |corpus| × |codebook or centroids| times.
+  * Same numeric contract as [[graft.functions.VectorFunctions.sqL2]]:
+  * floats widen exactly to double, accumulation is index-order (x-y)^2 in
+  * double — bit-identical to the HOF form and the DuckDB list_sum oracle;
+  * length mismatch truncates to the common prefix like the native cosine. */
+case class SqL2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sql2 expects array<double>/array<float> args, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sql2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left); val rf = isFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val getX =
+        if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY =
+        if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $getX - $getY;
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqL2Distance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Deployment-grade wiring: inject graft's native expressions into every
   * session via `spark.sql.extensions=graft.plans.GraftExtensions` (the
   * spark-submit path). In-process callers can use
@@ -95,6 +167,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getCanonicalName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sql2"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SqL2Distance].getCanonicalName, "graft_sql2"),
+      (exprs: Seq[Expression]) => SqL2Distance(exprs(0), exprs(1))))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sign_lsh"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -109,14 +186,23 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 
 /** Registration + Column-API access for the native expressions. */
 object NativeFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sql2", exprs => SqL2Distance(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Cosine over float-array columns via the native expression. The
     * session must have [[register]]ed (Ann does this on entry). */
   def cosineFloat(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_cosine", a, b)
+  }
+
+  /** Squared L2 over double-array columns via the native expression. */
+  def sqL2Double(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_sql2", a, b)
   }
 }

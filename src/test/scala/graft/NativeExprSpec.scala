@@ -40,6 +40,18 @@ class NativeExprSpec extends SparkSpec {
     assert(math.abs(got(1) - 1.0) < 1e-12)
   }
 
+  test("native squared-L2 is bit-identical to the HOF composition") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id", VectorFunctions.asDouble($"embedding").as("v"))
+    val pairs = e.toDF("id_a", "v_a").limit(50)
+      .crossJoin(e.toDF("id_b", "v_b").limit(20))
+    val diff = pairs.select(
+      VectorFunctions.sqL2($"v_a", $"v_b").as("hof"),
+      NativeFunctions.sqL2Double(spark, $"v_a", $"v_b").as("native"))
+      .filter($"hof" =!= $"native")
+    assert(diff.count() == 0)
+  }
+
   test("native sign-lsh signature matches the HOF composition bit-for-bit") {
     val e = Tables.embeddings(spark, sf("sf0.01"))
     val diff = e.select(
