@@ -15,7 +15,7 @@ object Bench {
   /** Representative mix across the operator inventory: scan+agg, joins,
     * windows, dedup (exact/LSH), ANN, text analysis, cascade. */
   val headline: Seq[String] = Seq(
-    "q1_agg", "q3_shipping", "q5_local_supplier",
+    "q1_agg", "q3_shipping", "q5_local_supplier", "q6_forecast",
     "j5_join_agg", "j1_left_join", "a1_user_counts",
     "a2_hourly_stats", "a3_daily_rollup", "w1_top1_per_group", "w5_running_sum",
     "u2_keep_last", "w6_sessionize", "o2_topk", "sf_math",

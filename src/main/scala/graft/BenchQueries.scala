@@ -34,6 +34,17 @@ object BenchQueries extends QueryPack {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
+    "q6_forecast" -> ((s, d) =>
+      // TPC-H Q6 shape: pure scan + selective predicates + single agg —
+      // the pushdown showcase (all four predicates reach the parquet
+      // reader; ReadSchema is 4 columns of 11).
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.02, 0.06) &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 6, 2)
+          .as("revenue"))),
     "q5_local_supplier" -> ((s, d) => {
       // TPC-H Q5 shape: 6-way join with co-located customer/supplier
       // nation equality; dims broadcast, facts shuffle on join keys once.
@@ -138,6 +149,11 @@ object BenchQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q6_forecast" ->
+      s"""SELECT ${dsumSql("l_extendedprice * l_discount", 6, 2)} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+         |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
     "q3_shipping" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
          |  o_orderpriority,

@@ -89,6 +89,55 @@ object ScaleSmoke {
     time("quality rules (curation shape)") {
       graft.operators.Curation.qualityRules(docs, "doc_id", col("text"))
     }
+    // round-4 shapes over the same corpus -------------------------------
+    val t1 = System.nanoTime()
+    val kept = graft.operators.DedupSuite.chunkDedup(docs, "doc_id",
+      col("text"), chunkTokens = 20)
+    val chunkAgg = kept.agg(sum(col("n_chunks")).as("nc"),
+      sum(col("n_kept")).as("nk")).collect()(0)
+    println(f"SCALE chunk dedup (winner-per-hash groupBy): " +
+      f"${(System.nanoTime() - t1) / 1e9}%.1f s " +
+      f"(${chunkAgg.getLong(0)} chunks -> ${chunkAgg.getLong(1)} kept)")
+    time("incremental dedup (batch vs corpus index)") {
+      graft.operators.DedupSuite.incrementalDedup(
+        docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 0), "doc_id", col("text"))
+    }
+    time("source mix (epoch generator, no shuffle)") {
+      graft.operators.Sampling.sourceMix(
+        docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20L)))),
+        col("doc_id"), col("source"),
+        Map("src0" -> 2.5, "src1" -> 0.3), defaultWeight = 1.0)
+    }
+    time("repetition stats (scalar projection)") {
+      graft.operators.Curation.repetitionStats(docs, "doc_id", col("text"))
+    }
+
+    // embedding shapes: synthetic 64-dim float vectors
+    val nVecs = math.max(100000L, targetRows / 200L)
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(1000L)) - 500L) / 500.0)
+          .cast("float")).as("embedding"))
+    val vpq = java.nio.file.Files.createTempDirectory("graft-scale").toString + "/vecs"
+    vecs.write.mode("overwrite").parquet(vpq)
+    val v = spark.read.parquet(vpq)
+    println(s"SCALE vecs: $nVecs")
+    time("pq encode (native ADC inner loop)") {
+      val cb = graft.operators.Ann.pqCodebook(
+        v.filter(col("vec_id") < 16).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", m = 8, dim = 64)
+      graft.operators.Ann.pqEncode(v, "vec_id", "embedding", cb, m = 8, dim = 64)
+    }
+    val t2 = System.nanoTime()
+    // 256 cells ~ sqrt-ish of 100k: assignment is |v| x 256 native sqL2,
+    // the per-cell pair scan ~ |v|^2/256 candidate grain
+    val sem = graft.operators.Ann.semanticDedup(v, "vec_id", "embedding",
+      v.filter(col("vec_id") < 256).select(col("vec_id"), col("embedding")),
+      threshold = 0.9)
+    val semDropped = sem.filter(col("kept") === 0).count()
+    println(f"SCALE semantic dedup (256 cells): " +
+      f"${(System.nanoTime() - t2) / 1e9}%.1f s ($semDropped dropped)")
     spark.stop()
   }
 }

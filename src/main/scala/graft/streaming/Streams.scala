@@ -135,6 +135,28 @@ object Streams {
       .filter(col("token_count").between(minTokens, maxTokens))
   }
 
+  /** Stream-static incremental dedup: the ingest-time face of
+    * [[graft.operators.DedupSuite.incrementalDedup]]. Within-stream dups
+    * are dropped by watermark-bounded state on the 16-byte content hash;
+    * docs already in the CORPUS are dropped by a stream-static join
+    * against its hash index (static side, re-read per micro-batch — at
+    * scale, a bucketed/partitioned hash table so each batch probes
+    * cheaply). Stream-static joins support left_outer (not left_anti),
+    * hence the join + null-filter formulation.
+    *
+    * `corpusIndex` must have a single `content_hash` column. */
+  def incrementalIngest(docs: DataFrame, corpusIndex: DataFrame,
+                        tsCol: String, textCol: String,
+                        watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .join(corpusIndex.withColumn("_in_corpus", lit(1)),
+        Seq("content_hash"), "left_outer")
+      .filter(col("_in_corpus").isNull)
+      .drop("_in_corpus")
+
   /** T2→T3 cascade: hourly aggregates stream to storage; the daily level
     * re-aggregates the hourly table. Two queries chained through a parquet
     * path — the same 3-DAG decomposition the reference uses, and the shape

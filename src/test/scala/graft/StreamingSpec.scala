@@ -29,6 +29,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L, 4L)) // dup and under-length docs gated out
   }
 
+  test("incrementalIngest drops corpus dups (stream-static) and in-stream dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusIdx = Seq("indexed doc").toDF("text")
+      .select(md5($"text").as("content_hash"))
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val out = Streams.incrementalIngest(df, corpusIdx, "ts", "text")
+    val q = out.writeStream.format("memory").queryName("ii")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-01-01 00:00:01"), 1L, "indexed doc"),   // already in corpus
+      (t("2024-01-01 00:00:02"), 2L, "fresh text"),
+      (t("2024-01-01 00:00:03"), 3L, "fresh text"),    // in-stream dup of 2
+      (t("2024-01-01 00:00:04"), 4L, "also fresh"))
+    q.processAllAvailable()
+    val got = spark.table("ii").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(2L, 4L))
+  }
+
   test("windowedStats over a memory stream: tumbling window + dedup") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Double, Long)]
