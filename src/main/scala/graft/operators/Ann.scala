@@ -253,6 +253,31 @@ object Ann {
         slice(col("_v"), col("j") * subDim + 1, lit(subDim)).as("sub"))
   }
 
+  /** Production PQ codebook: per-subspace k-means (seeded, deterministic
+    * for a fixed corpus) — m independent small models over the subvector
+    * slices, trained on a sample at 100 TB. Output shape matches
+    * [[pqCodebook]]: (j, code, sub). */
+  def pqTrainCodebook(corpus: DataFrame, vecCol: String, m: Int, dim: Int,
+                      codesPerSubspace: Int, seed: Long = 42L,
+                      maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val subDim = dim / m
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(asDouble(col(vecCol)).as("_v"))
+    (0 until m).flatMap { j =>
+      val feats = v.select(array_to_vector(
+        slice(col("_v"), lit(j * subDim + 1), lit(subDim))).as("features"))
+      val model = new KMeans().setK(codesPerSubspace).setSeed(seed + j)
+        .setMaxIter(maxIter).fit(feats)
+      model.clusterCenters.zipWithIndex.map { case (c, code) =>
+        (j, code.toLong, c.toArray)
+      }
+    }.toDF("j", "code", "sub")
+  }
+
   /** PQ encoding: each corpus vector becomes m small codes — per subspace,
     * the argmin-squared-L2 codeword (tiebreak: smaller code). Output
     * (vid, j, code): 100 TB of float vectors compress to m ints per row,

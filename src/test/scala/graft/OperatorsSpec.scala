@@ -251,6 +251,33 @@ class OperatorsSpec extends SparkSpec {
     assert(top1 == 9999L)
   }
 
+  test("trained PQ codebook beats the seed codebook on quantization error") {
+    val e = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+    val seedCb = Ann.pqCodebook(
+      e.filter($"vec_id" < 16).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", m = 8, dim = 64)
+    val trainedCb = Ann.pqTrainCodebook(e, "embedding", m = 8, dim = 64,
+      codesPerSubspace = 16)
+    assert(trainedCb.count() == 8 * 16)
+    // mean squared quantization error over (vector, subspace): the
+    // k-means codebook must beat arbitrary seed subvectors
+    def qErr(cb: org.apache.spark.sql.DataFrame): Double = {
+      val subDim = 8
+      val sub = e.select($"vec_id".as("vid"),
+        graft.functions.VectorFunctions.asDouble($"embedding").as("_v"))
+        .select($"vid", explode(sequence(lit(0), lit(7))).as("j"), $"_v")
+        .select($"vid", $"j", slice($"_v", $"j" * subDim + 1, lit(subDim)).as("sub"))
+      val enc = Ann.pqEncode(e, "vec_id", "embedding", cb, m = 8, dim = 64)
+      enc.join(cb.toDF("j", "code", "csub"), Seq("j", "code"))
+        .join(sub, Seq("vid", "j"))
+        .select(graft.functions.VectorFunctions.sqL2($"sub", $"csub").as("d"))
+        .agg(avg($"d")).as[Double].head()
+    }
+    val (seedErr, trainedErr) = (qErr(seedCb), qErr(trainedCb))
+    assert(trainedErr < seedErr,
+      s"trained codebook MSE $trainedErr !< seed MSE $seedErr")
+  }
+
   test("ann brute force ranks the exact duplicate first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.01f)),
