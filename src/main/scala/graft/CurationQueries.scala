@@ -62,6 +62,11 @@ object CurationQueries extends QueryPack {
       Sampling.sourceMix(docs(s, d), col("doc_id"), col("source"),
         Map("src0" -> 2.5, "src1" -> 0.3), defaultWeight = 1.0)
         .select(col("doc_id"), col("source"), col("epoch"))),
+    "s_pack_sequences" -> ((s, d) =>
+      // batch assembly: pack docs head-to-tail into 2048-token training
+      // sequences, 8 independent shards (no global-order funnel).
+      Curation.packSequences(docs(s, d), "doc_id", col("text"),
+        seqLen = 2048, shards = 8)),
     "c_hash_split" -> ((s, d) =>
       docs(s, d)
         .withColumn("split", Curation.hashSplit(col("doc_id")))
@@ -162,6 +167,20 @@ object CurationQueries extends QueryPack {
          |         THEN CAST(COALESCE(tp.topn, 0) AS DOUBLE) / st.token_count
          |         ELSE 0.0 END <= 0.2) AS INT) AS passes
          |FROM st LEFT JOIN tp ON st.doc_id = tp.doc_id""".stripMargin,
+    "s_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(FLOOR((cum - n_tokens) / CAST(2048 AS DOUBLE)) AS BIGINT) AS seq_id,
+         |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+         |FROM c""".stripMargin,
     "c_hash_split" ->
       s"""SELECT CASE WHEN $bucketSql < 90 THEN 'train'
          |            WHEN $bucketSql < 95 THEN 'val'

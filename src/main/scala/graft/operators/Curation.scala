@@ -126,6 +126,34 @@ object Curation {
         .otherwise(lit(0.0)).as("dup_chunk_frac"))
   }
 
+  /** Sequence packing: lay documents head-to-tail into fixed-length token
+    * sequences (the final batch-assembly step before training). Docs are
+    * packed per SHARD (deterministic pmod of the id) in id order — the
+    * global-order variant would funnel the cumsum through one partition;
+    * per-shard windows keep every shard independent and the shuffle keyed
+    * on the shard id. A document starting at cumulative offset c goes to
+    * sequence floor(c / seqLen) at offset c % seqLen (docs may straddle a
+    * boundary; the trainer's loader slices by offset).
+    *
+    * Output: (doc_id, shard, n_tokens, seq_id, seq_offset). */
+  def packSequences(docs: DataFrame, id: String, text: Column,
+                    seqLen: Int = 2048, shards: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col(id).as("doc_id"),
+        pmod(col(id), lit(shards.toLong)).as("shard"),
+        size(TextNative.tokens(s, text)).cast("long").as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("_cum") - col("n_tokens")) / lit(seqLen.toDouble))
+          .cast("long").as("seq_id"),
+        pmod(col("_cum") - col("n_tokens"), lit(seqLen.toLong)).as("seq_offset"))
+  }
+
   /** Deterministic hash-based split assignment: bucket the key's md5
     * into [0,100) and carve train/val/test by percentage. Stable across
     * runs/engines (md5 of the key string), so re-running a pipeline never

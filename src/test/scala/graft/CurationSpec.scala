@@ -30,6 +30,22 @@ class CurationSpec extends SparkSpec {
     assert(got(3) == ((4L, 0L, 0.0, 0.0, 0L, 0.0)))
   }
 
+  test("packSequences lays docs head-to-tail with straddling offsets") {
+    // one shard (ids all ≡ 1 mod 8): 3 docs of 5/3/4 tokens into seqLen 6
+    val df = Seq(
+      (1L, "a b c d e"), (9L, "f g h"), (17L, "i j k l"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Curation.packSequences(df, "doc_id", $"text",
+      seqLen = 6, shards = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 5L, 0L, 0L),   // starts seq 0 offset 0
+      (9L, 1L, 3L, 0L, 5L),   // starts at offset 5, straddles into seq 1
+      (17L, 1L, 4L, 1L, 2L))) // cumulative 8 -> seq 1 offset 2
+  }
+
   test("decontamination flags docs overlapping the eval set") {
     val ev = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")
