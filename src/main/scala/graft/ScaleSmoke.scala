@@ -113,11 +113,17 @@ object ScaleSmoke {
       graft.operators.Curation.repetitionStats(docs, "doc_id", col("text"))
     }
 
-    // embedding shapes: synthetic 64-dim float vectors
+    // embedding shapes: synthetic 64-dim float vectors. Like the doc
+    // corpus, ~1% are planted near-copies (63/64 dims shared with the
+    // preceding id, cos ≈ 0.98) so the semantic-dedup smoke proves
+    // end-to-end DISCOVERY, not just throughput over noise.
     val nVecs = math.max(100000L, targetRows / 200L)
+    val vBase = when(pmod(col("id"), lit(100L)) === 1, col("id") - 1)
+      .otherwise(col("id"))
     val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(63)), i =>
-        ((pmod(xxhash64(col("id"), i), lit(1000L)) - 500L) / 500.0)
+        ((pmod(xxhash64(when(i === lit(63), col("id")).otherwise(vBase), i),
+          lit(1000L)) - 500L) / 500.0)
           .cast("float")).as("embedding"))
     val vpq = java.nio.file.Files.createTempDirectory("graft-scale").toString + "/vecs"
     vecs.write.mode("overwrite").parquet(vpq)

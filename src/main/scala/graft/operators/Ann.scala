@@ -37,6 +37,18 @@ object Ann {
       case _ => cosine(a, b)
     }
 
+  /** Centroid table normalized for the native distance: graft_sql2
+    * accepts float/double arrays only, so other numeric centroid types
+    * (which the HOF path accepted via asDouble) are cast once on the
+    * (broadcast) centroid side — acceptance doesn't narrow. */
+  private def centroidFrame(centroids: DataFrame): DataFrame = {
+    val cRaw = centroids.toDF("cell_id", "centroid")
+    cRaw.schema("centroid").dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => cRaw
+      case _ => cRaw.withColumn("centroid", asDouble(col("centroid")))
+    }
+  }
+
   /** Squared-L2 scorer for ORDERING (argmin/rank — sqrt dropped, it is
     * monotone): native codegen'd [[graft.plans.SqL2Distance]] for
     * float/double arrays, HOF otherwise. Bit-identical accumulation. */
@@ -71,7 +83,7 @@ object Ann {
     * the exchange hashes/compares 8-byte ids instead of ~0.5 KB arrays. */
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
                   centroids: DataFrame): DataFrame = {
-    val c = broadcast(centroids.toDF("cell_id", "centroid"))
+    val c = broadcast(centroidFrame(centroids))
     corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .crossJoin(c)
       .withColumn("dist", sqFn(corpus, vecCol)(col("vec"), col("centroid")))
@@ -107,7 +119,7 @@ object Ann {
               centroids: DataFrame, queries: DataFrame,
               k: Int, nProbe: Int): DataFrame = {
     val cells = assignCells(corpus, idCol, vecCol, centroids)
-    val c = broadcast(centroids.toDF("cell_id", "centroid"))
+    val c = broadcast(centroidFrame(centroids))
     // which cells does each query probe?
     val q = queries.toDF("query_id", "q_vec")
     val probes = broadcast(

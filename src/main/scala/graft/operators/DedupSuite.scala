@@ -185,6 +185,13 @@ object DedupSuite {
       array_join(transform(
         array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
         x => x.getField("chunk")), " ").as("kept_text"))
+    // Totals are a SECOND tokenize pass over the source. Deliberate:
+    // deriving them from `chunked` would re-run the same scan+tokenize
+    // anyway (separate DAG branches recompute; no cross-branch subexpr
+    // elimination) PLUS shuffle one row per chunk — a scalar projection
+    // per doc is strictly cheaper. A pipeline running several chunk-grain
+    // operators should persist the exploded chunk table once and feed
+    // them all from it.
     docs.select(col(id).as("_id"), size(chunkArr).cast("long").as("n_chunks"))
       .join(keptAgg, Seq("_id"), "left")
       .select(col("_id").as("doc_id"), col("n_chunks"),
@@ -207,16 +214,24 @@ object DedupSuite {
     * freshly-scanned data. */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, id: String,
                        text: Column): DataFrame = {
-    val corpusIdx = corpus.select(md5(text).as("_h")).distinct()
-      .withColumn("_in_corpus", lit(1))
+    // null text has no content to match on: those rows classify as `new`
+    // (joining on a null hash would silently DROP them — the contract is
+    // one status row per batch doc).
     val b = batch.select(col(id).as("doc_id"), md5(text).as("_h"))
-    val firstInBatch = b.groupBy(col("_h")).agg(min(col("doc_id")).as("_first"))
-    b.join(firstInBatch, "_h")
+    val nullText = b.filter(col("_h").isNull)
+      .select(col("doc_id"), lit("new").as("status"))
+    val corpusIdx = corpus.select(md5(text).as("_h")).distinct()
+      .filter(col("_h").isNotNull)
+      .withColumn("_in_corpus", lit(1))
+    val hashed = b.filter(col("_h").isNotNull)
+    val firstInBatch = hashed.groupBy(col("_h")).agg(min(col("doc_id")).as("_first"))
+    hashed.join(firstInBatch, "_h")
       .join(corpusIdx, Seq("_h"), "left")
       .select(col("doc_id"),
         when(col("_in_corpus").isNotNull, lit("dup_of_corpus"))
           .when(col("doc_id") =!= col("_first"), lit("dup_in_batch"))
           .otherwise(lit("new")).as("status"))
+      .unionByName(nullText)
   }
 
   /** Docs to drop after pair detection: any doc that matched a smaller id

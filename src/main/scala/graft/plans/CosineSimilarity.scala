@@ -88,10 +88,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * (`array<double>` or `array<float>`, independently per side) — the
   * PQ encode/ADC and IVF cell-assignment inner loop, executed
   * |corpus| × |codebook or centroids| times.
-  * Same numeric contract as [[graft.functions.VectorFunctions.sqL2]]:
-  * floats widen exactly to double, accumulation is index-order (x-y)^2 in
-  * double — bit-identical to the HOF form and the DuckDB list_sum oracle;
-  * length mismatch truncates to the common prefix like the native cosine. */
+  * Numeric contract for EQUAL-length arrays (the only shape the callers
+  * produce): floats widen exactly to double, accumulation is index-order
+  * (x-y)^2 in double — bit-identical to
+  * [[graft.functions.VectorFunctions.sqL2]] and the DuckDB list_sum
+  * oracle. Length mismatch is where the two deliberately differ: this
+  * expression truncates to the common prefix (like the native cosine),
+  * while the HOF's zip_with null-pads and poisons the sum to NULL. */
 case class SqL2Distance(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -147,15 +147,21 @@ object Streams {
     * `corpusIndex` must have a single `content_hash` column. */
   def incrementalIngest(docs: DataFrame, corpusIndex: DataFrame,
                         tsCol: String, textCol: String,
-                        watermark: String = "1 hour"): DataFrame =
-    docs
-      .withColumn("content_hash", md5(col(textCol)))
+                        watermark: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("content_hash", md5(col(textCol)))
+    // null text (e.g. media-only rows) has no content to dedup on — pass
+    // through untouched; keying dedup state on a null hash would collapse
+    // ALL such rows into whichever arrived first.
+    val nullText = hashed.filter(col("content_hash").isNull)
+    hashed.filter(col("content_hash").isNotNull)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
       .join(corpusIndex.withColumn("_in_corpus", lit(1)),
         Seq("content_hash"), "left_outer")
       .filter(col("_in_corpus").isNull)
       .drop("_in_corpus")
+      .unionByName(nullText)
+  }
 
   /** T2→T3 cascade: hourly aggregates stream to storage; the daily level
     * re-aggregates the hourly table. Two queries chained through a parquet

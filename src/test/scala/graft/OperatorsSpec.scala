@@ -216,6 +216,19 @@ class OperatorsSpec extends SparkSpec {
       (12L, "dup_in_batch"), (13L, "new")))
   }
 
+  test("incrementalDedup keeps null-text batch docs (one status row per doc)") {
+    val corpus = Seq((1L, "indexed doc"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, null.asInstanceOf[String]),  // no content -> new, NOT dropped
+      (11L, null.asInstanceOf[String]),  // second null is not its dup
+      (12L, "indexed doc"))
+      .toDF("doc_id", "text")
+    val got = DedupSuite.incrementalDedup(corpus, batch, "doc_id", $"text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((10L, "new"), (11L, "new"), (12L, "dup_of_corpus")))
+  }
+
   test("semanticDedup drops within-cell near-dups, keeps cross-cell ones") {
     // two well-separated centroids; 1 & 2 are near-dups in cell 0, vector
     // 3 lands in cell 1 so it survives even though it duplicates nothing.

@@ -50,6 +50,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(2L, 4L))
   }
 
+  test("incrementalIngest passes distinct null-text rows through untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusIdx = Seq("indexed doc").toDF("text")
+      .select(md5($"text").as("content_hash"))
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val out = Streams.incrementalIngest(df, corpusIdx, "ts", "text")
+    val q = out.writeStream.format("memory").queryName("iin")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-01-01 00:00:01"), 1L, null),  // media-only rows: both kept,
+      (t("2024-01-01 00:00:02"), 2L, null),  // not collapsed as "dups"
+      (t("2024-01-01 00:00:03"), 3L, "indexed doc"))
+    q.processAllAvailable()
+    val got = spark.table("iin").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(1L, 2L))
+  }
+
   test("windowedStats over a memory stream: tumbling window + dedup") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Double, Long)]
