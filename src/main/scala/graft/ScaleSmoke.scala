@@ -135,15 +135,19 @@ object ScaleSmoke {
         "vec_id", "embedding", m = 8, dim = 64)
       graft.operators.Ann.pqEncode(v, "vec_id", "embedding", cb, m = 8, dim = 64)
     }
-    val t2 = System.nanoTime()
     // 256 cells ~ sqrt-ish of 100k: assignment is |v| x 256 native sqL2,
-    // the per-cell pair scan ~ |v|^2/256 candidate grain
-    val sem = graft.operators.Ann.semanticDedup(v, "vec_id", "embedding",
-      v.filter(col("vec_id") < 256).select(col("vec_id"), col("embedding")),
-      threshold = 0.9)
-    val semDropped = sem.filter(col("kept") === 0).count()
-    println(f"SCALE semantic dedup (256 cells): " +
-      f"${(System.nanoTime() - t2) / 1e9}%.1f s ($semDropped dropped)")
+    // the per-cell pair scan ~ |v|^2/256 candidate grain. probe=1 is
+    // classic SemDeDup (misses cell-boundary pairs); probe=2 is the
+    // multi-probe recall fix at ~2x pair-stage cost.
+    for (probe <- Seq(1, 2)) {
+      val t2 = System.nanoTime()
+      val sem = graft.operators.Ann.semanticDedup(v, "vec_id", "embedding",
+        v.filter(col("vec_id") < 256).select(col("vec_id"), col("embedding")),
+        threshold = 0.9, probeCells = probe)
+      val semDropped = sem.filter(col("kept") === 0).count()
+      println(f"SCALE semantic dedup (256 cells, probe=$probe): " +
+        f"${(System.nanoTime() - t2) / 1e9}%.1f s ($semDropped dropped)")
+    }
     spark.stop()
   }
 }

@@ -90,12 +90,13 @@ object TrainingDataQueries extends QueryPack {
         threshold = 0.478, numPlanes = 12, dim = 64, seed = 42L,
         probeHamming = 1)),
     "d_semantic" -> ((s, d) =>
-      // SemDeDup: within-centroid-cell cosine near-dup removal. Seed
-      // centroids (vec_id < 8) keep the oracle replicable; production
-      // uses Ann.trainCentroids k-means output.
+      // SemDeDup: within-centroid-cell cosine near-dup removal with
+      // 2-cell multi-probe (closes cell-boundary misses). Seed centroids
+      // (vec_id < 8) keep the oracle replicable; production uses
+      // Ann.trainCentroids k-means output.
       Ann.semanticDedup(embs(s, d), "vec_id", "embedding",
         embs(s, d).filter(col("vec_id") < 8).select(col("vec_id"), col("embedding")),
-        threshold = 0.43)),
+        threshold = 0.43, probeCells = 2)),
     // similarity search ----------------------------------------------------
     "ann_topk" -> ((s, d) => {
       val e = embs(s, d)
@@ -312,20 +313,20 @@ object TrainingDataQueries extends QueryPack {
       s"""WITH v AS ($vSql),
          |cent AS (SELECT vec_id AS cell_id, e FROM v WHERE vec_id < 8),
          |asg AS (
-         |  SELECT vec_id, e, cell_id FROM (
+         |  SELECT vec_id, e, cell_id, rn FROM (
          |    SELECT v.vec_id, v.e, cent.cell_id,
          |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
          |        ORDER BY sqrt(list_sum([(v.e[i] - cent.e[i]) * (v.e[i] - cent.e[i])
          |                                for i in range(1, 65)])) ASC, cent.cell_id ASC) AS rn
          |    FROM v CROSS JOIN cent)
-         |  WHERE rn = 1),
+         |  WHERE rn <= 2),
          |p AS (
          |  SELECT DISTINCT b.vec_id AS drop_id
          |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
          |  WHERE ${cosSql("a", "b")} >= 0.43)
          |SELECT a.vec_id, a.cell_id,
          |       CAST(a.vec_id NOT IN (SELECT drop_id FROM p) AS INT) AS kept
-         |FROM asg a""".stripMargin,
+         |FROM asg a WHERE a.rn = 1""".stripMargin,
     "d_embed_lsh" ->
       s"""WITH v AS ($vSql),
          |s AS (SELECT vec_id, e, ($lshSigSql) AS bucket FROM v),

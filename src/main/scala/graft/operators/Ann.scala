@@ -340,29 +340,56 @@ object Ann {
         round(col("adc_dec").cast("double"), 6).as("adc"), col("rank"))
   }
 
+  /** Top-`n` nearest cells per vector: like [[assignCells]] but keeps the
+    * `n` best (dist, cell_id) candidates — the multi-probe index layout.
+    * Same id-keyed shuffle; the payload per vector grows from one cell to
+    * a sorted slice of the per-centroid distance structs. Output
+    * (vid, vec, cell_id, cell_rank) with cell_rank 1..n. */
+  def assignCellsTopN(corpus: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, n: Int): DataFrame = {
+    val c = broadcast(centroidFrame(centroids))
+    corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .crossJoin(c)
+      .withColumn("dist", sqFn(corpus, vecCol)(col("vec"), col("centroid")))
+      .groupBy(col("vid"))
+      .agg(first(col("vec")).as("vec"), // constant within the group
+        slice(array_sort(collect_list(struct(col("dist"), col("cell_id")))),
+          1, n).as("_cells"))
+      .select(col("vid"), col("vec"),
+        posexplode(col("_cells")).as(Seq("_pos", "_c")))
+      .select(col("vid"), col("vec"), col("_c.cell_id").as("cell_id"),
+        (col("_pos") + 1).as("cell_rank"))
+  }
+
   /** SemDeDup-style semantic dedup: assign every embedding to its nearest
-    * centroid cell, compare vectors ONLY within a cell (triangular
-    * equi-join on cell_id), and drop the higher id of every pair whose
-    * cosine clears `threshold`. Returns one row per vector:
-    * (vec_id, cell_id, kept).
+    * centroid cell(s), compare vectors ONLY where their probed cells
+    * overlap (triangular equi-join on cell_id), and drop the higher id of
+    * every pair whose cosine clears `threshold`. Returns one row per
+    * vector: (vec_id, cell_id, kept) — cell_id is the primary (nearest)
+    * cell.
     *
     * The cell partition turns the corpus-quadratic comparison into a
     * per-cell quadratic — with k centroids from [[trainCentroids]] the
     * expected cost drops by ~k; at 100 TB you persist the cell assignment
     * (partitionBy(cell_id)) once and the pair stage reads co-located
-    * cells with no further shuffle. Approximate by design (cross-cell
-    * near-dups are not compared — raise k quality or probe neighbor cells
-    * for higher recall); precision is exact. */
+    * cells with no further shuffle. Approximate by design: a pair is
+    * compared only if some probed cell is shared. `probeCells = 1` is
+    * classic SemDeDup (boundary pairs are missed — measured 778/1000
+    * planted pairs at 256 random cells, SCALE_SMOKE.md); `probeCells = 2`
+    * closes most boundary misses for ~2x pair-stage cost. Precision is
+    * exact at any setting. */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
-                    centroids: DataFrame, threshold: Double): DataFrame = {
-    val cells = assignCells(vectors, idCol, vecCol, centroids)
+                    centroids: DataFrame, threshold: Double,
+                    probeCells: Int = 1): DataFrame = {
+    val cells = assignCellsTopN(vectors, idCol, vecCol, centroids, probeCells)
     val drops = cells.select(col("vid").as("id_a"), col("vec").as("v_a"), col("cell_id"))
       .join(cells.select(col("vid").as("id_b"), col("vec").as("v_b"), col("cell_id")),
         Seq("cell_id"))
       .filter(col("id_a") < col("id_b"))
       .filter(cosFn(vectors, vecCol)(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_b").as("drop_id")).distinct()
-    cells.join(drops, col("vid") === col("drop_id"), "left")
+    cells.filter(col("cell_rank") === 1)
+      .join(drops, col("vid") === col("drop_id"), "left")
       .select(col("vid").as("vec_id"), col("cell_id"),
         col("drop_id").isNull.cast("int").as("kept"))
   }

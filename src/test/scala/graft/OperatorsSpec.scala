@@ -264,6 +264,23 @@ class OperatorsSpec extends SparkSpec {
     assert(top1 == 9999L)
   }
 
+  test("semanticDedup multi-probe catches the cell-boundary pair single-probe misses") {
+    // u/w are near-identical but straddle the c0/c1 boundary: nearest
+    // cells differ, second-nearest cells overlap.
+    val vecs = Seq(
+      (1L, Array(0.72f, 0.70f)), (2L, Array(0.70f, 0.72f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cell_id", "embedding")
+    val single = Ann.semanticDedup(vecs, "vec_id", "embedding", cents, 0.99)
+      .orderBy("vec_id").as[(Long, Long, Int)].collect().toSeq
+    assert(single == Seq((1L, 0L, 1), (2L, 1L, 1))) // both kept: pair unseen
+    val probed = Ann.semanticDedup(vecs, "vec_id", "embedding", cents, 0.99,
+      probeCells = 2)
+      .orderBy("vec_id").as[(Long, Long, Int)].collect().toSeq
+    assert(probed == Seq((1L, 0L, 1), (2L, 1L, 0))) // boundary dup caught
+  }
+
   test("trained PQ codebook beats the seed codebook on quantization error") {
     val e = graft.core.Tables.embeddings(spark, sf("sf0.001"))
     val seedCb = Ann.pqCodebook(
