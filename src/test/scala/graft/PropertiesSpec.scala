@@ -100,4 +100,72 @@ class PropertiesSpec extends SparkSpec {
         }
     })
   }
+
+  private val docGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(8, for {
+      id <- Gen.choose(0L, 1000L)
+      words <- Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+    } yield (id, words.mkString(" "))).map(_.distinctBy(_._1))
+
+  test("chunkDedup: chunk counts conserved, kept set = distinct chunk set, " +
+    "kept_text is a subsequence reconstruction") {
+    check(Prop.forAll(docGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.DedupSuite
+        .chunkDedup(df, "doc_id", col("text"), chunkTokens = 3).collect()
+      def chunksOf(t: String): Seq[String] =
+        t.split("\\s+").filter(_.nonEmpty).grouped(3).map(_.mkString(" ")).toSeq
+      val all = docs.flatMap { case (_, t) => chunksOf(t) }
+      val gotByDoc = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+      // per-doc totals match an independent chunker; global kept count
+      // equals the number of DISTINCT chunks; every kept_text is made of
+      // that doc's own chunks in order
+      docs.forall { case (id, t) =>
+        gotByDoc(id).getAs[Long]("n_chunks") == chunksOf(t).length
+      } &&
+        got.map(_.getAs[Long]("n_kept")).sum == all.distinct.length &&
+        docs.forall { case (id, t) =>
+          val kept = gotByDoc(id).getAs[String]("kept_text")
+          kept.isEmpty || {
+            val keptChunks = chunksOf(kept) // 3-token chunks re-split cleanly
+            val own = chunksOf(t)
+            // subsequence check
+            keptChunks.foldLeft(own) { (rest, c) =>
+              val i = rest.indexOf(c); if (i < 0) Seq("⊥") else rest.drop(i + 1)
+            } != Seq("⊥")
+          }
+        }
+    })
+  }
+
+  test("stratifiedSample: rate-1 identity, rate-0 empty, threshold nesting") {
+    val idsGen = Gen.listOfN(20, Gen.choose(0L, 10000L)).map(_.distinct)
+    check(Prop.forAll(idsGen) { ids =>
+      val df = ids.map(i => (i, s"s${i % 3}")).toDF("id", "grp")
+      def sample(r: Double) = graft.operators.Sampling
+        .stratifiedSample(df, col("id"), col("grp"), Map(), defaultRate = r)
+        .select("id").as[Long].collect().toSet
+      val full = sample(1.0); val none = sample(0.0)
+      val half = sample(0.5); val fifth = sample(0.2)
+      full == ids.toSet && none.isEmpty && fifth.subsetOf(half) &&
+        half.subsetOf(full)
+    })
+  }
+
+  test("sourceMix: per-row multiplicity is floor(w) or ceil(w), determined " +
+    "by the row's bucket") {
+    val wGen = Gen.oneOf(0.0, 0.25, 1.0, 1.5, 2.0, 2.75)
+    val idsGen = Gen.listOfN(15, Gen.choose(0L, 10000L)).map(_.distinct)
+    check(Prop.forAll(idsGen, wGen) { (ids, w) =>
+      val df = ids.map(i => (i, "src")).toDF("id", "source")
+      val out = graft.operators.Sampling.sourceMix(df, col("id"),
+        col("source"), Map("src" -> w))
+      val counts = out.groupBy("id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ids.forall { i =>
+        val n = counts.getOrElse(i, 0L)
+        n == math.floor(w).toLong || n == math.ceil(w).toLong
+      }
+    })
+  }
 }
