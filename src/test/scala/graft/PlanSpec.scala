@@ -127,4 +127,29 @@ class PlanSpec extends SparkSpec {
     // the semi-filter broadcasts candidate ids into the vector scan
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("sampling/mixing/repetition are zero-exchange scalar shapes") {
+    for (q <- Seq("s_stratified", "s_source_mix", "t_repetition")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q:\n$p")
+    }
+  }
+
+  test("sequence packing shuffles once, keyed on the shard") {
+    val p = plan("s_pack_sequences")
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("chunk dedup winner aggregation is map-side partial (no join back)") {
+    val p = plan("d_chunk_dedup")
+    assert(p.contains("partial_min"), p) // hot chunks absorbed before shuffle
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("PQ scoring joins the codes to a BROADCAST distance table") {
+    val p = plan("ann_pq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // corpus never shuffles for dtab
+  }
 }
