@@ -62,6 +62,15 @@ object CurationQueries extends QueryPack {
       Sampling.sourceMix(docs(s, d), col("doc_id"), col("source"),
         Map("src0" -> 2.5, "src1" -> 0.3), defaultWeight = 1.0)
         .select(col("doc_id"), col("source"), col("epoch"))),
+    "s_token_budget" -> ((s, d) => {
+      // fill a 5000-token budget per language with a content-addressed
+      // sample (re-runs agree; a raised budget extends the selection).
+      val toks = size(graft.plans.TextNative.tokens(s, col("text"))).cast("long")
+      Sampling.tokenBudgetSample(
+        docs(s, d).select(col("doc_id"), col("lang"), toks.as("n_tokens")),
+        col("doc_id"), col("lang"), col("n_tokens"), budget = 5000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+    }),
     "s_pack_sequences" -> ((s, d) =>
       // batch assembly: pack docs head-to-tail into 2048-token training
       // sequences, 8 independent shards (no global-order funnel).
@@ -167,6 +176,18 @@ object CurationQueries extends QueryPack {
          |         THEN CAST(COALESCE(tp.topn, 0) AS DOUBLE) / st.token_count
          |         ELSE 0.0 END <= 0.2) AS INT) AS passes
          |FROM st LEFT JOIN tp ON st.doc_id = tp.doc_id""".stripMargin,
+    "s_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 5000""".stripMargin,
     "s_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, doc_id % 8 AS shard,

@@ -43,6 +43,31 @@ object Sampling {
     df.filter(bucket(key, Denom).cast("double") < rate * Denom)
   }
 
+  /** Fill a per-stratum TOKEN budget with a deterministic sample: rows are
+    * ordered by their content-addressed hash (a fixed random permutation)
+    * inside each stratum and taken while the running token total stays
+    * within `budget`. The standard "give me N billion tokens per
+    * language" corpus-assembly step; re-runs pick the same docs, and a
+    * raised budget strictly extends the previous selection.
+    *
+    * One shuffle, keyed on the stratum; the window never sees more than a
+    * stratum. (A single GLOBAL budget would funnel the cumsum through one
+    * partition — budget per stratum, or pre-shard the budget, instead.) */
+  def tokenBudgetSample(df: DataFrame, key: Column, stratum: Column,
+                        nTokens: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_stratum")).orderBy(col("_h"), col("_key"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("_key", key)
+      .withColumn("_stratum", stratum)
+      .withColumn("_n", nTokens.cast("long"))
+      .withColumn("_h", md5(key.cast("string")))
+      .withColumn("cum_tokens", sum(col("_n")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("_key", "_stratum", "_n", "_h")
+  }
+
   /** Weighted source mixing with epoch upsampling: a source with weight w
     * contributes each of its rows floor(w) times (epochs 0..floor(w)-1),
     * plus one more epoch for the deterministic fraction of rows whose

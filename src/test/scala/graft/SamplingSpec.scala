@@ -39,6 +39,22 @@ class SamplingSpec extends SparkSpec {
     assert(fifth.subsetOf(half)) // nested thresholds nest the row sets
   }
 
+  test("token budget sample: within budget per stratum, raised budget extends") {
+    val toks = size(graft.plans.TextNative.tokens(spark, $"text")).cast("long")
+    val base = docs.select($"doc_id", $"lang", toks.as("n_tokens"))
+    def pick(b: Long) = Sampling.tokenBudgetSample(
+      base, $"doc_id", $"lang", $"n_tokens", b)
+    val small = pick(2000L)
+    // per-stratum totals respect the budget
+    val overs = small.groupBy("lang").agg(sum($"n_tokens").as("t"))
+      .filter($"t" > 2000L).count()
+    assert(overs == 0)
+    // a bigger budget strictly extends the same selection
+    val smallIds = small.select("doc_id").as[Long].collect().toSet
+    val bigIds = pick(6000L).select("doc_id").as[Long].collect().toSet
+    assert(smallIds.subsetOf(bigIds) && bigIds.size > smallIds.size)
+  }
+
   test("source mix: integer weight = exact replica count, zero weight drops") {
     val got = Sampling.sourceMix(docs, $"doc_id", $"source",
       Map("src0" -> 2.0, "src1" -> 0.0), defaultWeight = 1.0)
