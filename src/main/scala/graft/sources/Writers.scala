@@ -85,6 +85,46 @@ object Writers {
     n
   }
 
+  /** Compact a parquet directory into ~`targetFileMB` output files —
+    * the small-files maintenance pass every incremental 100 TB pipeline
+    * needs (micro-batch/upsert sinks accrete thousands of tiny files;
+    * scans then pay per-file open+footer costs and lose run-length
+    * locality). Sizing uses the directory's actual on-disk bytes, so the
+    * file count tracks the data, not a guess. Rewrite goes to a temp dir
+    * then swaps via rename — readers never observe a half-written state
+    * (modulo non-atomic object-store renames; use a manifest/table format
+    * there). Returns (filesBefore, filesAfter). */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetFileMB: Int = 512): (Int, Int) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val files = fs.listFiles(p, true)
+    var bytes = 0L
+    var nFiles = 0
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        bytes += f.getLen; nFiles += 1
+      }
+    }
+    val parts = math.max(1L, (bytes + targetFileMB * 1024L * 1024L - 1) /
+      (targetFileMB * 1024L * 1024L)).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val out = fs.listStatus(tmp).count(_.getPath.getName.endsWith(".parquet"))
+    val bak = new org.apache.hadoop.fs.Path(path + "__compact_bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(p, bak)) sys.error(s"compact: could not move $path aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(bak, p) // roll back
+      sys.error(s"compact: could not swap in compacted data for $path")
+    }
+    fs.delete(bak, true)
+    (nFiles, out)
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -140,6 +140,19 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("compactParquet merges a small-files directory and preserves the data") {
+    val dir = tmp() + "/frag"
+    val df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+    df.repartition(40).write.parquet(dir) // 40 tiny files
+    val before = df.collect().map(_.getLong(0)).sorted.toSeq
+    val (nBefore, nAfter) = graft.sources.Writers.compactParquet(spark, dir, 512)
+    assert(nBefore >= 40 && nAfter == 1, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before)
+    assert(!new java.io.File(dir + "__compact_tmp").exists())
+    assert(!new java.io.File(dir + "__compact_bak").exists())
+  }
+
   test("jdbc write + read round-trip against embedded Derby (S18/K6)") {
     // The reference's Postgres pageview_counts sink (create_table.sql +
     // listing_4_20.py:73-78), executed for real against embedded Derby —
