@@ -148,6 +148,18 @@ object ScaleSmoke {
       println(f"SCALE semantic dedup (256 cells, probe=$probe): " +
         f"${(System.nanoTime() - t2) / 1e9}%.1f s ($semDropped dropped)")
     }
+    // the other recall lever: representative (k-means) centroids instead
+    // of arbitrary seed vectors
+    val t3 = System.nanoTime()
+    val trained = graft.operators.Ann.trainCentroids(
+      v.sample(withReplacement = false, 0.2, seed = 42L), "embedding",
+      k = 256, seed = 42L, maxIter = 10)
+    val semT = graft.operators.Ann.semanticDedup(v, "vec_id", "embedding",
+      trained.toDF("vec_id", "embedding"), threshold = 0.9, probeCells = 1)
+    val semTDropped = semT.filter(col("kept") === 0).count()
+    println(f"SCALE semantic dedup (256 k-means cells, probe=1, " +
+      f"incl. training on a 20%% sample): " +
+      f"${(System.nanoTime() - t3) / 1e9}%.1f s ($semTDropped dropped)")
     spark.stop()
   }
 }

@@ -144,6 +144,20 @@ object TrainingDataQueries extends QueryPack {
         col("doc_id"), col("lang"),
         TextFunctions.detectLangOf(col("text"),
           TextNative.tokens(s, col("text"))).as("lang_detected"))),
+    "t_normalize" -> ((s, d) => {
+      // normalize-before-hash: NFC + lowercase + whitespace collapse. The
+      // synthetic corpus is plain ASCII, so plant decomposed-unicode and
+      // messy-whitespace prefixes (mirrored via chr() in the oracle) to
+      // prove the composition actually happens.
+      val planted = docs(s, d).withColumn("text",
+        when(pmod(col("doc_id"), lit(13L)) === 2,
+          concat(lit("Cafe\u0301  NAI\u0308VE\t"), col("text"),
+            lit("  Stra\u00dfe \n")))
+          .otherwise(col("text")))
+      val norm = TextNative.normalizeText(s, col("text"))
+      planted.select(col("doc_id"), norm.as("norm_text"),
+        md5(norm).as("norm_hash"))
+    }),
     "t_repetition" -> ((s, d) =>
       // within-doc repetition (Gopher measures): duplicate-bigram mass,
       // top-bigram share, duplicate 10-token chunks.
@@ -460,6 +474,19 @@ object TrainingDataQueries extends QueryPack {
          |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 5""".stripMargin,
+    "t_normalize" -> {
+      val normSql =
+        "trim(regexp_replace(lower(nfc_normalize(t)), '[ \\t\\n\\r]+', ' ', 'g'))"
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 2
+         |      THEN 'Cafe' || chr(769) || '  NAI' || chr(776) || 'VE' || chr(9)
+         |           || text || '  Stra' || chr(223) || 'e ' || chr(10)
+         |      ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id, $normSql AS norm_text, md5($normSql) AS norm_hash
+         |FROM p""".stripMargin
+    },
     "t_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |b AS (SELECT doc_id,

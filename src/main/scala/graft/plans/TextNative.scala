@@ -120,6 +120,8 @@ object TextNative {
       exprs => WordChunks(exprs(0), ExprArgs.toInt(exprs(1).eval()),
         ExprArgs.toInt(exprs(2).eval())),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_norm_text", exprs => NormalizeText(exprs(0)), "built-in")
   }
 
   /** Ordered word tokens (duplicates kept) — native twin of
@@ -162,6 +164,16 @@ object TextNative {
     call_function("graft_chunks", text,
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(step))
+  }
+
+  /** Canonical text normalization in one pass: Unicode NFC composition,
+    * Unicode lowercase, whitespace collapse, trim — the normalize-before-
+    * hash step that keeps byte-level dedup from treating 'Café'/'Cafe
+    * +U0301' as different documents. Oracle twin:
+    * `trim(regexp_replace(lower(nfc_normalize(text)), '[ \\t\\n\\r]+', ' ', 'g'))`. */
+  def normalizeText(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("graft_norm_text", text)
   }
 
   /** MinHash signature (array of k minima) over a shingle array in one
@@ -449,6 +461,52 @@ case class WordChunks(child: Expression, n: Int, step: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordChunks =
+    copy(child = newChild)
+}
+
+/** NFC + Unicode lowercase + whitespace collapse + trim in one pass.
+  * Parity contract (required by the DuckDB oracle): NFC (not NFKC —
+  * DuckDB only ships nfc_normalize), java.lang.String.toLowerCase with
+  * Locale.ROOT (Unicode default casing, matching utf8proc's lower), and
+  * the collapse class is explicitly [ \t\n\r] (identical regex semantics
+  * in both engines). */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_norm_text expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_norm_text"
+
+  def compute(s: UTF8String): UTF8String = {
+    val composed = java.text.Normalizer
+      .normalize(s.toString, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(composed.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < composed.length) {
+      val c = composed.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+        if (sb.length() > 0) pendingSpace = true // leading runs -> trim
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("normalizeText", this, classOf[NormalizeText].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
     copy(child = newChild)
 }
 

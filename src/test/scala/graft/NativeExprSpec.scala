@@ -87,6 +87,31 @@ class NativeExprSpec extends SparkSpec {
     assert(shDiff.count() == 0)
   }
 
+  test("normalizeText composes NFC, lowercases, collapses whitespace") {
+    val df = Seq(
+      (1L, "Café  NAÏVE\tmixed   CASE \n"),
+      (2L, "   \t\n  "),       // whitespace-only -> empty
+      (3L, "plain ascii"),
+      (4L, "Straße")       // sharp s survives lowercase
+    ).toDF("id", "text")
+    val got = df.select($"id",
+      graft.plans.TextNative.normalizeText(spark, $"text").as("n"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "café naïve mixed case"), // composed single codepoints
+      (2L, ""),
+      (3L, "plain ascii"),
+      (4L, "straße")))
+    // normalize-before-hash: the decomposed and composed spellings of the
+    // same word now dedup together
+    val pair = Seq((1L, "Café"), (2L, "Café")).toDF("doc_id", "text")
+    val normed = pair.select($"doc_id",
+      graft.plans.TextNative.normalizeText(spark, $"text").as("text"))
+    val stats = graft.operators.DedupSuite
+      .exactDedupStats(normed, $"text", $"doc_id").collect()
+    assert(stats.length == 1 && stats(0).getAs[Long]("n_copies") == 2L)
+  }
+
   test("native chunks match independent HOF constructions in both modes") {
     val docs = Tables.documents(spark, sf("sf0.01"))
       .union(Seq((-1L, "", "x", "y", 0L),        // empty text -> no chunks
