@@ -126,6 +126,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == hourly.count())
   }
 
+  test("incrementalIngest dedup state survives a checkpointed restart") {
+    val in = Files.createTempDirectory("ii-in").toString
+    val out = Files.createTempDirectory("ii-out").toString + "/landed"
+    val ckpt = Files.createTempDirectory("ii-ck").toString
+    val corpusIdx = Seq("indexed doc").toDF("text")
+      .select(md5($"text").as("content_hash"))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = Seq((t("2024-01-01 00:00:01"), 1L, "x"))
+      .toDF("ts", "doc_id", "text").schema
+    def run(): Unit = {
+      val q = Streams.incrementalIngest(
+        Streams.fileSource(spark, in, schema), corpusIdx, "ts", "text",
+        watermark = "1 hour")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    Seq((t("2024-01-01 00:00:01"), 1L, "fresh one"),
+      (t("2024-01-01 00:00:02"), 2L, "indexed doc"))
+      .toDF("ts", "doc_id", "text")
+      .write.mode("append").parquet(in)
+    run()
+    // restart with a second file: a dup of the already-landed doc (state
+    // must remember it across restart), plus one genuinely new doc
+    Seq((t("2024-01-01 00:10:01"), 3L, "fresh one"),
+      (t("2024-01-01 00:10:02"), 4L, "fresh two"))
+      .toDF("ts", "doc_id", "text")
+      .write.mode("append").parquet(in)
+    run()
+    val landed = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L, 4L))
+  }
+
   test("full streaming cascade: ticker -> hourly query -> daily query") {
     val hourlyOut = Files.createTempDirectory("casc-h").toString + "/hourly"
     val dailyOut = Files.createTempDirectory("casc-d").toString + "/daily"
