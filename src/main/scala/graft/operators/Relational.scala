@@ -50,6 +50,27 @@ object Cleaners {
     df
   }
 
+  /** Single-pass quality counters on any frame: attaches named metric
+    * aggregates via Spark's Observation API, so the counts ride the SAME
+    * scan/action that materializes the data — no second pass, no
+    * accumulator plumbing, exactly-once semantics per action (unlike raw
+    * accumulators under task retries). Read `observation.get` AFTER an
+    * action on the returned frame.
+    *
+    * The [[requireFields]]/[[rejects]] pair stays for when the rejects
+    * themselves must be landed; this is the "count and alert" shape —
+    * at 100 TB a rejected-row COUNT is monitoring, a rejected-row COPY
+    * is another table. */
+  def withQualityCounters(df: DataFrame, rules: Map[String, Column])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(rules.nonEmpty, "at least one counter rule required")
+    val obs = new org.apache.spark.sql.Observation()
+    val aggs = rules.toSeq.map { case (name, cond) =>
+      sum(when(cond, 1L).otherwise(0L)).as(name)
+    }
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** F14 (ref: tutorial1:148-151): enrichment metadata. `record_count` is
     * computed with an aggregate + broadcast join (NOT a global window, which
     * would funnel all rows through one partition at scale). `processedAt`

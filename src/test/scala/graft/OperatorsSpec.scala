@@ -201,6 +201,19 @@ class OperatorsSpec extends SparkSpec {
       (3L, 1L, 0L, "")))
   }
 
+  test("withQualityCounters counts in the same pass as the materialization") {
+    val df = Seq(
+      (1L, "ok", 10.0), (2L, null.asInstanceOf[String], -1.0),
+      (3L, "ok", -5.0), (4L, "ok", 2.0)).toDF("id", "name", "v")
+    val (observed, obs) = Cleaners.withQualityCounters(df, Map(
+      "null_name" -> $"name".isNull,
+      "negative_v" -> ($"v" < 0)))
+    val landed = observed.filter($"name".isNotNull).count() // one action
+    assert(landed == 3)
+    // counters reflect the observed frame (pre-filter), exactly once
+    assert(obs.get == Map("null_name" -> 1L, "negative_v" -> 2L))
+  }
+
   test("incrementalDedup classifies batch docs against the corpus index") {
     val corpus = Seq((1L, "indexed doc"), (2L, "other doc")).toDF("doc_id", "text")
     val batch = Seq(
