@@ -70,6 +70,17 @@ object TrainingDataQueries extends QueryPack {
       val corpus = planted.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
       DedupSuite.incrementalDedup(corpus, batch, "doc_id", col("text"))
     }),
+    "d_incr_neardup" -> ((s, d) => {
+      // incremental fuzzy dedup: same batch/corpus split as d_incremental,
+      // MinHash+LSH candidates, exact-Jaccard verify; checked against the
+      // brute-force batch x corpus oracle (same S-curve guarantee as
+      // d_minhash_lsh).
+      val all = docs(s, d)
+      val batch = all.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      val corpus = all.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      DedupSuite.incrementalNearDup(corpus, batch, "doc_id", col("text"),
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    }),
     "d_chunk_dedup" -> ((s, d) =>
       // corpus-wide duplicate-chunk removal (the line-dedup step of web
       // curation pipelines): 20-token chunks, keep first occurrence.
@@ -448,6 +459,26 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
         |       ELSE 'new' END AS status
         |FROM b JOIN f ON b.h = f.h LEFT JOIN c ON b.h = c.h""".stripMargin,
+    "d_incr_neardup" ->
+      s"""$shingle3Sql,
+         |bt AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 0),
+         |ct AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0)
+         |SELECT b.doc_id AS batch_id, c.doc_id AS match_id,
+         |  ROUND(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(b.s, c.s))), 6) AS jaccard,
+         |  'corpus' AS origin
+         |FROM bt b JOIN ct c
+         |  ON CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(b.s, c.s))) >= 0.8
+         |UNION ALL
+         |SELECT b1.doc_id AS batch_id, b2.doc_id AS match_id,
+         |  ROUND(CAST(len(list_intersect(b1.s, b2.s)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(b1.s, b2.s))), 6) AS jaccard,
+         |  'batch' AS origin
+         |FROM bt b1 JOIN bt b2
+         |  ON b2.doc_id < b1.doc_id
+         | AND CAST(len(list_intersect(b1.s, b2.s)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(b1.s, b2.s))) >= 0.8""".stripMargin,
     "d_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |ch0 AS (

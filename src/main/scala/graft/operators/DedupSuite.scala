@@ -152,6 +152,48 @@ object DedupSuite {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental NEAR-dup detection: match a new batch against an indexed
+    * corpus by MinHash+LSH, plus within the batch itself. Returns one row
+    * per discovered match: (batch_id, match_id, jaccard, origin) with
+    * origin 'corpus' (matched an existing doc) or 'batch' (matched a
+    * smaller-id doc in the same batch). The apply step is a left_anti of
+    * the batch against `select(batch_id)`.
+    *
+    * This is the steady-state fuzzy-dedup shape: the corpus side
+    * contributes only its BAND table ((id, band, bandhash) — 24 bytes a
+    * row, `bands` rows per doc; persist it bucketed on (band, bh) so
+    * each increment's candidate join probes co-located buckets with no
+    * corpus-side shuffle), and full corpus documents are touched only
+    * behind the broadcast candidate-id semi-filter for exact verify —
+    * work scales with the batch and its matches, never the corpus. */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame, id: String,
+                         text: Column, shingleSize: Int = 3,
+                         numHashes: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.8,
+                         bucketCap: Int = 1000): DataFrame = {
+    val cBase = shingleSets(corpus, id, text, shingleSize)
+    val bBase = shingleSets(batch, id, text, shingleSize)
+    val crossCand = lshBanded(bBase, numHashes, bands)
+      .toDF("batch_id", "band", "bh")
+      .join(lshBanded(cBase, numHashes, bands).toDF("match_id", "band", "bh"),
+        Seq("band", "bh"))
+      .select(col("batch_id"), col("match_id")).distinct()
+    val candC = crossCand.select(col("match_id").as("_id")).distinct()
+    val needC = cBase.join(broadcast(candC), Seq("_id"))
+    val cross = crossCand
+      .join(bBase.toDF("batch_id", "sh_b"), "batch_id")
+      .join(needC.toDF("match_id", "sh_c"), "match_id")
+      .withColumn("jaccard", jaccard(col("sh_b"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("match_id"),
+        round(col("jaccard"), 6).as("jaccard"), lit("corpus").as("origin"))
+    val internal = minhashNearDupPairs(batch, id, text, shingleSize,
+      numHashes, bands, threshold, bucketCap)
+      .select(col("id_b").as("batch_id"), col("id_a").as("match_id"),
+        col("jaccard"), lit("batch").as("origin"))
+    cross.unionByName(internal)
+  }
+
   /** Chunk-level (line/paragraph-analog) corpus dedup: split each doc
     * into non-overlapping `chunkTokens`-token chunks (partial tail kept),
     * keep only the globally FIRST occurrence of every distinct chunk

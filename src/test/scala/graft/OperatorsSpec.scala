@@ -181,6 +181,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("incrementalNearDup finds corpus and in-batch fuzzy matches") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearA = base.replace("w30", "zz")  // ~0.93 shingle-jaccard vs base
+    val corpus = Seq((1L, base), (2L, "completely different text entirely here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, nearA),                       // near-dup of corpus doc 1
+      (11L, "fresh unrelated content words abc def ghi jkl mno"),
+      (12L, nearA.replace("w1 ", "w1b ")) // near-dup of batch doc 10
+    ).toDF("doc_id", "text")
+    val got = DedupSuite.incrementalNearDup(corpus, batch, "doc_id", $"text",
+      threshold = 0.7)
+      .select("batch_id", "match_id", "origin")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got.contains((10L, 1L, "corpus")))
+    assert(got.contains((12L, 10L, "batch")))
+    assert(!got.exists(_._1 == 11L))
+  }
+
   test("chunkDedup keeps the first occurrence of a repeated chunk and " +
     "reconstructs the survivors in order") {
     // 20-token chunks: doc 1 = [A][B-partial]; doc 2 repeats chunk A then
