@@ -70,6 +70,14 @@ object TrainingDataQueries extends QueryPack {
       val corpus = planted.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
       DedupSuite.incrementalDedup(corpus, batch, "doc_id", col("text"))
     }),
+    "d_dedup_clusters" -> ((s, d) => {
+      // pair graph -> duplicate clusters (connected components); the
+      // keep-first drop list over-keeps on transitive chains.
+      val pairs = DedupSuite.minhashNearDupPairs(docs(s, d), "doc_id",
+        col("text"), shingleSize = 3, numHashes = 64, bands = 16,
+        threshold = 0.8)
+      DedupSuite.dedupClusters(pairs)
+    }),
     "d_incr_neardup" -> ((s, d) => {
       // incremental fuzzy dedup: same batch/corpus split as d_incremental,
       // MinHash+LSH candidates, exact-Jaccard verify; checked against the
@@ -459,6 +467,20 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
         |       ELSE 'new' END AS status
         |FROM b JOIN f ON b.h = f.h LEFT JOIN c ON b.h = c.h""".stripMargin,
+    "d_dedup_clusters" ->
+      s"""${shingle3Sql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
     "d_incr_neardup" ->
       s"""$shingle3Sql,
          |bt AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 0),

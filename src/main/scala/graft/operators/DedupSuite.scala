@@ -282,6 +282,48 @@ object DedupSuite {
   def dropListFromPairs(pairs: DataFrame): DataFrame =
     pairs.select(col("id_b").as("drop_id")).distinct()
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
+    * of the pair graph by iterative min-label propagation. The keep-first
+    * pair policy ([[dropListFromPairs]]) over-keeps on transitive chains
+    * (a~b, b~c but a!~c keeps a AND c); components give the
+    * one-survivor-per-cluster answer. Output: (doc_id, cluster_id) for
+    * every doc that appears in some pair, cluster_id = min doc id in its
+    * component.
+    *
+    * Each iteration is one distributed join+agg over the edge list
+    * (undirected, both directions); the driver only checks a convergence
+    * COUNT per round. Label propagation converges in O(component
+    * diameter) rounds — near-dup clusters are shallow (stars/short
+    * chains), so `maxIter` is a backstop, with a hard error rather than a
+    * silently-wrong result if it is ever hit. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("_nl"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+        // cut the growing iterative lineage: each round plans against a
+        // materialized table, not i nested joins
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "_old"), "id")
+        .filter(col("label") =!= col("_old")).isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"dedupClusters did not converge in $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Character n-gram Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

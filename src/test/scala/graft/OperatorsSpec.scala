@@ -181,6 +181,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("dedupClusters resolves transitive chains the keep-first policy misses") {
+    // chain: 1~2, 2~3, 3~4 (one component), plus isolated pair 10~11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = DedupSuite.dedupClusters(pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+    // keep-first would keep 1 AND drop 2,3,4 — same here — but on a
+    // reversed chain (4~3, 3~2, 2~1) keep-first keeps nothing extra while
+    // clusters still yield ONE survivor (the min) per component
+    val survivors = got.map(_._2).distinct
+    assert(survivors == Seq(1L, 10L))
+  }
+
   test("incrementalNearDup finds corpus and in-batch fuzzy matches") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val nearA = base.replace("w30", "zz")  // ~0.93 shingle-jaccard vs base
