@@ -25,7 +25,8 @@ object Bench {
     // mixing, rolling window
     "d_chunk_dedup", "d_incremental", "d_semantic", "ann_pq",
     "t_repetition", "s_source_mix", "w9_rolling_avg",
-    "t_normalize", "s_token_budget", "s_pack_sequences")
+    "t_normalize", "s_token_budget", "s_pack_sequences",
+    "d_incr_neardup", "d_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

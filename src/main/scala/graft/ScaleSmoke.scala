@@ -103,6 +103,22 @@ object ScaleSmoke {
         docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(10L)) === 0), "doc_id", col("text"))
     }
+    // planted near-copies sit on id pairs (100k, 100k+1): a pmod-10 split
+    // puts every such pair across batch/corpus -> all matches are 'corpus'
+    val t1b = System.nanoTime()
+    val incrMatches = graft.operators.DedupSuite.incrementalNearDup(
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 1),
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 1), "doc_id", col("text"),
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8).count()
+    println(f"SCALE incremental near-dup (100k batch vs 900k corpus bands): " +
+      f"${(System.nanoTime() - t1b) / 1e9}%.1f s ($incrMatches matches)")
+    val t1c = System.nanoTime()
+    val pairs = graft.operators.DedupSuite.minhashNearDupPairs(
+      docs, "doc_id", col("text"), 3, 64, 16, 0.8)
+    val clusters = graft.operators.DedupSuite.dedupClusters(pairs)
+    val nClusters = clusters.select(col("cluster_id")).distinct().count()
+    println(f"SCALE dedup clusters (components over the pair graph): " +
+      f"${(System.nanoTime() - t1c) / 1e9}%.1f s ($nClusters clusters)")
     time("source mix (epoch generator, no shuffle)") {
       graft.operators.Sampling.sourceMix(
         docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20L)))),

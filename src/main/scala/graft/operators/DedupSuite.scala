@@ -297,9 +297,13 @@ object DedupSuite {
     * chains), so `maxIter` is a backstop, with a hard error rather than a
     * silently-wrong result if it is ever hit. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE: every propagation round joins it,
+    // and `pairs` is usually an expensive detection pipeline (LSH +
+    // verify) that would otherwise re-execute per round per branch
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false
