@@ -60,7 +60,13 @@ object Cleaners {
     * The [[requireFields]]/[[rejects]] pair stays for when the rejects
     * themselves must be landed; this is the "count and alert" shape —
     * at 100 TB a rejected-row COUNT is monitoring, a rejected-row COPY
-    * is another table. */
+    * is another table.
+    *
+    * Caveat (Spark 4.1): the first observe() on a session initializes its
+    * lazy, NON-serializable ObservationManager, after which closures that
+    * capture the session fail to serialize — and MLlib models capture
+    * their training session via trainingSummary. If the same session also
+    * trains models, observe on `spark.newSession()`. */
   def withQualityCounters(df: DataFrame, rules: Map[String, Column])
       : (DataFrame, org.apache.spark.sql.Observation) = {
     require(rules.nonEmpty, "at least one counter rule required")

@@ -236,13 +236,19 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("withQualityCounters counts in the same pass as the materialization") {
-    val df = Seq(
+    // run on a CHILD session: .observe() initializes the session's lazy
+    // ObservationManager (non-serializable, non-transient in Spark 4.1),
+    // and MLlib model closures capture their training session via
+    // trainingSummary — observing on the shared session would break model
+    // serialization in concurrently-running ML suites.
+    val s2 = spark.newSession()
+    val df = s2.createDataFrame(Seq(
       (1L, "ok", 10.0), (2L, null.asInstanceOf[String], -1.0),
-      (3L, "ok", -5.0), (4L, "ok", 2.0)).toDF("id", "name", "v")
+      (3L, "ok", -5.0), (4L, "ok", 2.0))).toDF("id", "name", "v")
     val (observed, obs) = Cleaners.withQualityCounters(df, Map(
-      "null_name" -> $"name".isNull,
-      "negative_v" -> ($"v" < 0)))
-    val landed = observed.filter($"name".isNotNull).count() // one action
+      "null_name" -> col("name").isNull,
+      "negative_v" -> (col("v") < 0)))
+    val landed = observed.filter(col("name").isNotNull).count() // one action
     assert(landed == 3)
     // counters reflect the observed frame (pre-filter), exactly once
     assert(obs.get == Map("null_name" -> 1L, "negative_v" -> 2L))
