@@ -250,6 +250,17 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
   }
 
+  /** Guard a vector column to exactly `dim` elements. PQ slices by fixed
+    * offsets and the native sqL2 truncates to the common prefix on length
+    * mismatch — a ragged or mis-declared vector would make slice() return
+    * short/empty subvectors and distances silently collapse toward 0
+    * (mass ties broken by id) instead of erroring. One codegen'd size()
+    * compare in the same projection; raises on the first bad row. */
+  private def checkedDim(v: Column, dim: Int, who: String): Column =
+    when(size(v) === dim, v).otherwise(raise_error(concat(
+      lit(s"$who: expected vector of dim $dim, got dim "),
+      size(v).cast("string"))))
+
   /** Product-quantization codebook laid out for [[pqEncode]]/[[pqTopK]]:
     * each seed vector contributes one codeword per subspace — subspace j
     * of seed `code` is the 8(ish)-dim slice [j*subDim, (j+1)*subDim).
@@ -259,7 +270,8 @@ object Ann {
                  m: Int, dim: Int): DataFrame = {
     val subDim = dim / m
     require(m * subDim == dim, s"m=$m must divide dim=$dim")
-    seeds.select(col(idCol).as("code"), asDouble(col(vecCol)).as("_v"))
+    seeds.select(col(idCol).as("code"),
+      asDouble(checkedDim(col(vecCol), dim, "pqCodebook")).as("_v"))
       .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("_v"))
       .select(col("j"), col("code"),
         slice(col("_v"), col("j") * subDim + 1, lit(subDim)).as("sub"))
@@ -278,7 +290,8 @@ object Ann {
     require(m * subDim == dim, s"m=$m must divide dim=$dim")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val v = corpus.select(asDouble(col(vecCol)).as("_v"))
+    val v = corpus.select(
+      asDouble(checkedDim(col(vecCol), dim, "pqTrainCodebook")).as("_v"))
     (0 until m).flatMap { j =>
       val feats = v.select(array_to_vector(
         slice(col("_v"), lit(j * subDim + 1), lit(subDim))).as("features"))
@@ -299,7 +312,9 @@ object Ann {
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                codebook: DataFrame, m: Int, dim: Int): DataFrame = {
     val subDim = dim / m
-    val sub = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("_v"))
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    val sub = corpus.select(col(idCol).as("vid"),
+      asDouble(checkedDim(col(vecCol), dim, "pqEncode")).as("_v"))
       .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("_v"))
       .select(col("vid"), col("j"),
         slice(col("_v"), col("j") * subDim + 1, lit(subDim)).as("sub"))
@@ -325,7 +340,8 @@ object Ann {
     val dtab = broadcast(queries.toDF("query_id", "q_vec")
       .crossJoin(broadcast(codebook.toDF("j", "code", "csub")))
       .withColumn("d", NativeFunctions.sqL2Double(corpus.sparkSession,
-        slice(asDouble(col("q_vec")), col("j") * subDim + 1, lit(subDim)),
+        slice(asDouble(checkedDim(col("q_vec"), dim, "pqTopK query")),
+          col("j") * subDim + 1, lit(subDim)),
         col("csub")))
       .select(col("query_id"), col("j"), col("code"), col("d")))
     val scored = enc.join(dtab, Seq("j", "code"))

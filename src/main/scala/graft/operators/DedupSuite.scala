@@ -173,11 +173,22 @@ object DedupSuite {
                          bucketCap: Int = 1000): DataFrame = {
     val cBase = shingleSets(corpus, id, text, shingleSize)
     val bBase = shingleSets(batch, id, text, shingleSize)
+    // Corpus bands are grouped into capped per-(band, bh) id lists BEFORE
+    // the candidate join — a raw band×band equi-join would go quadratic on
+    // one hot band hash (boilerplate-heavy corpora, the norm), the exact
+    // skew minhashNearDupPairs guards against in-batch. Capped buckets
+    // bound per-batch-row fan-out at bucketCap; audit the loss with
+    // [[incrementalBucketTruncation]]. No >1 filter here: a singleton
+    // corpus bucket is still a valid batch match target.
+    val corpusBuckets = lshBanded(cBase, numHashes, bands)
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_set(col("_id"))).as("cids"))
+      .select(col("band"), col("bh"), slice(col("cids"), 1, bucketCap).as("cids"))
     val crossCand = lshBanded(bBase, numHashes, bands)
       .toDF("batch_id", "band", "bh")
-      .join(lshBanded(cBase, numHashes, bands).toDF("match_id", "band", "bh"),
-        Seq("band", "bh"))
-      .select(col("batch_id"), col("match_id")).distinct()
+      .join(corpusBuckets, Seq("band", "bh"))
+      .select(col("batch_id"), explode(col("cids")).as("match_id"))
+      .distinct()
     val candC = crossCand.select(col("match_id").as("_id")).distinct()
     val needC = cBase.join(broadcast(candC), Seq("_id"))
     val cross = crossCand
@@ -192,6 +203,23 @@ object DedupSuite {
       .select(col("id_b").as("batch_id"), col("id_a").as("match_id"),
         col("jaccard"), lit("batch").as("origin"))
     cross.unionByName(internal)
+  }
+
+  /** Truncation audit for the [[incrementalNearDup]] corpus-side skew
+    * guard: corpus LSH buckets whose membership exceeds `bucketCap` — the
+    * buckets where batch candidates are truncated (lost recall against
+    * the corpus). Same contract as [[minhashBucketTruncation]]: alert on
+    * count > 0, or exact-dedup the corpus first. */
+  def incrementalBucketTruncation(corpus: DataFrame, id: String, text: Column,
+                                  shingleSize: Int = 3, numHashes: Int = 64,
+                                  bands: Int = 16,
+                                  bucketCap: Int = 1000): DataFrame = {
+    val base = shingleSets(corpus, id, text, shingleSize)
+    lshBanded(base, numHashes, bands)
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_set(col("_id"))).as("ids"))
+      .select(col("band"), col("bh"), size(col("ids")).as("bucket_size"))
+      .filter(col("bucket_size") > bucketCap)
   }
 
   /** Chunk-level (line/paragraph-analog) corpus dedup: split each doc
@@ -296,37 +324,66 @@ object DedupSuite {
     * diameter) rounds — near-dup clusters are shallow (stars/short
     * chains), so `maxIter` is a backstop, with a hard error rather than a
     * silently-wrong result if it is ever hit. */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20,
+                    reliable: Boolean = false): DataFrame = {
+    // Each round materializes against a table, not i nested joins.
+    // reliable=true uses HDFS-backed checkpoints (survives executor loss
+    // — localCheckpoint blocks are non-recoverable, so a lost executor
+    // mid-propagation fails the whole job; long production runs should
+    // set a checkpoint dir and pass reliable=true).
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // materialize the edge list ONCE: every propagation round joins it,
     // and `pairs` is usually an expensive detection pipeline (LSH +
     // verify) that would otherwise re-execute per round per branch
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
+    val edgesMat = materialize(edges)
+    var labels = edgesMat.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+    // superseded rounds are unpersisted as soon as the next round is
+    // materialized AND compared — otherwise up to maxIter copies of the
+    // labels table pile up on the executors
+    var prevMat: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val viaNeighbors = edges
+      val viaNeighbors = edgesMat
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("_nl"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
-        // cut the growing iterative lineage: each round plans against a
-        // materialized table, not i nested joins
-        .localCheckpoint(true)
+      val next = materialize(
+        labels.join(viaNeighbors, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("_nl"), col("label"))).as("label")))
       converged = next.join(labels.withColumnRenamed("label", "_old"), "id")
         .filter(col("label") =!= col("_old")).isEmpty
+      if (prevMat != null) freeMaterialized(prevMat)
+      prevMat = next
       labels = next
       i += 1
     }
     require(converged, s"dedupClusters did not converge in $maxIter rounds")
+    // the result plan reads only the final labels table — the edge list's
+    // blocks are dead weight from here on
+    freeMaterialized(edgesMat)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Release the cached blocks behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only covers `cache()`/`persist()` entries in the
+    * CacheManager; a local checkpoint lives as plain cached RDD blocks
+    * reachable through the plan's `LogicalRDD` leaf. No-op for reliable
+    * checkpoints (data lives in files, not blocks). Only call on frames
+    * nothing will read again — a freed local checkpoint cannot be
+    * recomputed. */
+  private def freeMaterialized(df: DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(true)
+        case _ => ()
+      }
 
   /** Character n-gram Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =

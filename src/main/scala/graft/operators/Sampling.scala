@@ -55,17 +55,25 @@ object Sampling {
     * partition — budget per stratum, or pre-shard the budget, instead.) */
   def tokenBudgetSample(df: DataFrame, key: Column, stratum: Column,
                         nTokens: Column, budget: Long): DataFrame = {
+    // helper columns get collision-free names: withColumn REPLACES a
+    // same-named input column silently, so fixed names like `_h` would
+    // corrupt a caller's frame that happens to carry them
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (kC, sC, nC, hC) =
+      (s"_key_$nonce", s"_stratum_$nonce", s"_n_$nonce", s"_h_$nonce")
+    require(!df.columns.contains("cum_tokens"),
+      "tokenBudgetSample: input already has a 'cum_tokens' column (reserved output)")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_stratum")).orderBy(col("_h"), col("_key"))
+      .partitionBy(col(sC)).orderBy(col(hC), col(kC))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("_key", key)
-      .withColumn("_stratum", stratum)
-      .withColumn("_n", nTokens.cast("long"))
-      .withColumn("_h", md5(key.cast("string")))
-      .withColumn("cum_tokens", sum(col("_n")).over(w))
+    df.withColumn(kC, key)
+      .withColumn(sC, stratum)
+      .withColumn(nC, nTokens.cast("long"))
+      .withColumn(hC, md5(key.cast("string")))
+      .withColumn("cum_tokens", sum(col(nC)).over(w))
       .filter(col("cum_tokens") <= budget)
-      .drop("_key", "_stratum", "_n", "_h")
+      .drop(kC, sC, nC, hC)
   }
 
   /** Weighted source mixing with epoch upsampling: a source with weight w
@@ -79,15 +87,20 @@ object Sampling {
                 defaultWeight: Double = 1.0): DataFrame = {
     require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
       "mix weights must be non-negative")
+    require(!df.columns.contains("epoch"),
+      "sourceMix: input already has an 'epoch' column (reserved output)")
+    // collision-free helper names (same hazard as tokenBudgetSample)
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (wC, bC) = (s"_w_$nonce", s"_b_$nonce")
     val w = rateFor(source, weights, defaultWeight)
-    df.withColumn("_w", w)
-      .withColumn("_b", bucket(key, Denom).cast("double"))
+    df.withColumn(wC, w)
+      .withColumn(bC, bucket(key, Denom).cast("double"))
       .withColumn("epoch",
         // greatest(,1): w=0 must generate [0] (then filter it out), not a
         // DESCENDING sequence(0,-1) that would leak a spurious epoch -1.
-        explode(sequence(lit(0), greatest(ceil(col("_w")), lit(1L)).cast("int") - 1)))
-      .filter(col("epoch") < floor(col("_w")) ||
-        col("_b") < (col("_w") - floor(col("_w"))) * Denom)
-      .drop("_w", "_b")
+        explode(sequence(lit(0), greatest(ceil(col(wC)), lit(1L)).cast("int") - 1)))
+      .filter(col("epoch") < floor(col(wC)) ||
+        col(bC) < (col(wC) - floor(col(wC))) * Denom)
+      .drop(wC, bC)
   }
 }

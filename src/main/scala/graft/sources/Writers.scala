@@ -90,30 +90,75 @@ object Writers {
     * needs (micro-batch/upsert sinks accrete thousands of tiny files;
     * scans then pay per-file open+footer costs and lose run-length
     * locality). Sizing uses the directory's actual on-disk bytes, so the
-    * file count tracks the data, not a guess. Rewrite goes to a temp dir
-    * then swaps via rename — readers never observe a half-written state
-    * (modulo non-atomic object-store renames; use a manifest/table format
-    * there). Returns (filesBefore, filesAfter). */
+    * file count tracks the data, not a guess.
+    *
+    * Hive-partitioned layouts (`.../k=v/...`) are PRESERVED: partition
+    * key columns are detected from the directory structure, rows are
+    * re-clustered on them, and the rewrite goes through `partitionBy` —
+    * downstream partition pruning keeps working (one compacted file per
+    * partition value; note partition VALUES round-trip through Spark's
+    * partition-type inference, so values that only differ in string
+    * formatting, e.g. `n=01` vs `n=1`, are normalized). Any
+    * non-partition subdirectory is refused rather than silently
+    * flattened into the output.
+    *
+    * Rewrite goes to a temp dir then swaps via rename — readers never
+    * observe a half-written state (modulo non-atomic object-store
+    * renames; use a manifest/table format there). The swap is NOT safe
+    * against concurrent WRITERS: an append that lands between the read
+    * and the rename is lost. Run compaction when the sink is quiescent,
+    * or under the table format's own transaction log.
+    * Returns (filesBefore, filesAfter). */
   def compactParquet(spark: SparkSession, path: String,
                      targetFileMB: Int = 512): (Int, Int) = {
+    require(targetFileMB > 0, s"compact: targetFileMB must be > 0, got $targetFileMB")
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
-    val files = fs.listFiles(p, true)
+    val root = fs.makeQualified(p)
+    val rootDepth = root.depth()
+    val files = fs.listFiles(root, true)
     var bytes = 0L
     var nFiles = 0
+    var partKeys: Seq[String] = null
     while (files.hasNext) {
       val f = files.next()
       if (f.getPath.getName.endsWith(".parquet")) {
         bytes += f.getLen; nFiles += 1
+        // directory segments between the root and the file must all be
+        // hive partition dirs (k=v); collect their keys and demand one
+        // consistent layout
+        var seg = f.getPath.getParent
+        var keys = List.empty[String]
+        while (seg.depth() > rootDepth) {
+          val name = seg.getName
+          val eq = name.indexOf('=')
+          require(eq > 0,
+            s"compact: non-partition subdirectory '$name' under $path — refusing to flatten")
+          keys = name.substring(0, eq) :: keys
+          seg = seg.getParent
+        }
+        if (partKeys == null) partKeys = keys
+        else require(partKeys == keys,
+          s"compact: inconsistent partition layout under $path " +
+            s"(${partKeys.mkString("/")} vs ${keys.mkString("/")})")
       }
     }
+    val keys = Option(partKeys).getOrElse(Seq.empty).toSeq
     val parts = math.max(1L, (bytes + targetFileMB * 1024L * 1024L - 1) /
       (targetFileMB * 1024L * 1024L)).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    spark.read.parquet(path).repartition(parts)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val out = fs.listStatus(tmp).count(_.getPath.getName.endsWith(".parquet"))
+    val df = spark.read.parquet(path)
+    if (keys.isEmpty)
+      df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    else
+      df.repartition(parts, keys.map(col): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(tmp.toString)
+    val outFiles = fs.listFiles(tmp, true)
+    var out = 0
+    while (outFiles.hasNext) {
+      if (outFiles.next().getPath.getName.endsWith(".parquet")) out += 1
+    }
     val bak = new org.apache.hadoop.fs.Path(path + "__compact_bak")
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(p, bak)) sys.error(s"compact: could not move $path aside")

@@ -370,4 +370,66 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
     assert(got == Seq(1L, 2L))
   }
+
+  test("pq operators raise on vectors whose length != dim (ADVICE r4)") {
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val seeds = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+      .filter($"vec_id" < 16).select($"vec_id", $"embedding")
+    val cb = Ann.pqCodebook(seeds, "vec_id", "embedding", m = 8, dim = 64)
+    val ragged = Seq((1L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Ann.pqEncode(ragged, "vec_id", "embedding", cb, m = 8, dim = 64).collect()
+    }
+    assert(msgs(ex).contains("pqEncode"), msgs(ex))
+    val exQ = intercept[Exception] {
+      Ann.pqTopK(seeds, "vec_id", "embedding", cb,
+        ragged, k = 1, m = 8, dim = 64).collect()
+    }
+    assert(msgs(exQ).contains("pqTopK"), msgs(exQ))
+  }
+
+  test("incrementalNearDup caps hot corpus buckets; the audit reports them") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    // 5 identical corpus docs: every corpus band bucket has 5 members
+    val corpus = (1L to 5L).map(i => (i, base)).toDF("doc_id", "text")
+    val batch = Seq((10L, base.replace("w30", "zz"))).toDF("doc_id", "text")
+    val audit = DedupSuite.incrementalBucketTruncation(
+      corpus, "doc_id", $"text", bucketCap = 3)
+    assert(audit.count() > 0)
+    assert(audit.filter($"bucket_size" =!= 5).count() == 0)
+    // cap 3 keeps the 3 smallest ids per bucket (sorted lists, so the
+    // truncation is deterministic) -> exactly 3 corpus matches survive
+    val capped = DedupSuite.incrementalNearDup(corpus, batch, "doc_id",
+      $"text", threshold = 0.7, bucketCap = 3)
+      .filter($"origin" === "corpus")
+      .select("match_id").as[Long].collect().toSet
+    assert(capped == Set(1L, 2L, 3L))
+    val full = DedupSuite.incrementalNearDup(corpus, batch, "doc_id",
+      $"text", threshold = 0.7)
+      .filter($"origin" === "corpus").count()
+    assert(full == 5)
+  }
+
+  test("dedupClusters frees superseded round checkpoints (ADVICE r4)") {
+    val before = spark.sparkContext.getRDDStorageInfo.length
+    // chain of 5 -> >= 3 propagation rounds; without freeing, the edge
+    // list + every round's labels table would all stay cached
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = DedupSuite.dedupClusters(pairs)
+    assert(out.count() == 7)
+    val after = spark.sparkContext.getRDDStorageInfo.length
+    assert(after - before <= 1, s"cached RDDs grew $before -> $after")
+  }
+
+  test("dedupClusters reliable mode (HDFS-backed checkpoints) agrees") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = DedupSuite.dedupClusters(pairs, reliable = true)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
 }

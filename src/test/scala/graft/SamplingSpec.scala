@@ -83,4 +83,28 @@ class SamplingSpec extends SparkSpec {
     assert(twice.exceptAll(belowThreshold).count() == 0)
     assert(belowThreshold.exceptAll(twice).count() == 0)
   }
+
+  test("tokenBudgetSample leaves caller columns named like helpers intact") {
+    val df = Seq((1L, "en", 5L, "keep1"), (2L, "en", 5L, "keep2"))
+      .toDF("doc_id", "lang", "n", "_h")
+    val got = Sampling.tokenBudgetSample(df, $"doc_id", $"lang", $"n", 100L)
+    assert(got.columns.toSeq == Seq("doc_id", "lang", "n", "_h", "cum_tokens"))
+    assert(got.select("_h").as[String].collect().toSet == Set("keep1", "keep2"))
+    // reserved output name is refused, not silently replaced
+    val clash = df.withColumnRenamed("_h", "cum_tokens")
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(clash, $"doc_id", $"lang", $"n", 100L)
+    }
+  }
+
+  test("sourceMix leaves caller helper-named columns intact, refuses epoch") {
+    val df = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "source", "_w")
+    val got = Sampling.sourceMix(df, $"id", $"source", Map("a" -> 2.0), 1.0)
+    assert(got.columns.toSeq == Seq("id", "source", "_w", "epoch"))
+    assert(got.filter($"id" === 1).count() == 2)
+    assert(got.select("_w").as[String].collect().toSet == Set("x", "y"))
+    intercept[IllegalArgumentException] {
+      Sampling.sourceMix(got, $"id", $"source", Map.empty, 1.0)
+    }
+  }
 }

@@ -181,4 +181,31 @@ class SourcesSpec extends SparkSpec {
     assert(part.select("pagename").as[String].collect().sorted.toSeq ==
       Seq("amazon", "facebook", "google"))
   }
+
+  test("compactParquet preserves hive partition layout (ADVICE r4)") {
+    val dir = tmp() + "/part"
+    spark.range(200).selectExpr("id", "CAST(id % 3 AS INT) AS k")
+      .repartition(10).write.partitionBy("k").parquet(dir)
+    val (nb, na) = Writers.compactParquet(spark, dir, 512)
+    assert(na == 3 && na < nb, s"$nb -> $na") // one compacted file per partition
+    assert(new java.io.File(dir + "/k=0").isDirectory)
+    val back = spark.read.parquet(dir)
+    assert(back.filter($"k" === 1).count() == 67)
+    assert(back.count() == 200)
+    // partition pruning still works against the compacted layout
+    val plan = back.filter($"k" === 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(k"), plan)
+  }
+
+  test("compactParquet refuses non-partition subdirs and bad targetFileMB") {
+    val dir = tmp() + "/nested"
+    spark.range(10).write.parquet(dir + "/sub1")
+    spark.range(10).write.parquet(dir + "/sub2")
+    intercept[IllegalArgumentException] { Writers.compactParquet(spark, dir) }
+    val flat = tmp() + "/flat"
+    spark.range(10).write.parquet(flat)
+    intercept[IllegalArgumentException] { Writers.compactParquet(spark, flat, 0) }
+    // refusals left the data untouched
+    assert(spark.read.parquet(flat).count() == 10)
+  }
 }
