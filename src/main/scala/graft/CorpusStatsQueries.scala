@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.CorpusStats
+
+/** Corpus-statistics queries over the `documents` table: top n-grams,
+  * token document frequency, and per-slice vocabulary measures — the
+  * corpus-profiling tier of a training-data pipeline (what boilerplate
+  * dominates, which tokens are ubiquitous, how slice vocabulary differs).
+  *
+  * All three are fully oracle-checked: tokenization is the shared
+  * portable contract (maximal [a-z0-9] runs of the lowercased text,
+  * reproduced by `toksSql` in DuckDB), counts are engine longs, and
+  * ratios are raw double quotients (never rounded).
+  */
+object CorpusStatsQueries extends QueryPack {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_top_ngrams" -> ((s, d) =>
+      // the inter-document repetition profile: top-25 word bigrams by
+      // occurrence with containing-doc counts
+      CorpusStats.topNgrams(docs(s, d), "doc_id", col("text"), n = 2, k = 25)),
+    "t_doc_frequency" -> ((s, d) =>
+      // stopword discovery: the 25 most document-frequent tokens
+      CorpusStats.docFrequency(docs(s, d), "doc_id", col("text"), k = 25)),
+    "t_vocab_stats" -> ((s, d) =>
+      // per (lang x source) slice: doc count, token mass, vocabulary,
+      // type-token ratio
+      CorpusStats.vocabStats(docs(s, d), "doc_id", col("text"),
+        Seq("lang", "source")))
+  )
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  val oracle: Map[String, String] = Map(
+    "t_top_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS ngram
+         |      FROM t)
+         |SELECT ngram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM g GROUP BY 1
+         |ORDER BY n_occurrences DESC, ngram ASC LIMIT 25""".stripMargin,
+    "t_doc_frequency" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT DISTINCT doc_id, token
+         |      FROM (SELECT doc_id, unnest(toks) AS token FROM t)),
+         |f AS (SELECT token, COUNT(*) AS df FROM d GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_total FROM documents)
+         |SELECT token, df, CAST(df AS DOUBLE) / CAST(n_total AS DOUBLE) AS df_ratio
+         |FROM f, n
+         |ORDER BY df DESC, token ASC LIMIT 25""".stripMargin,
+    "t_vocab_stats" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, unnest($toksSql) AS token
+         |           FROM documents)
+         |SELECT lang, source,
+         |  COUNT(DISTINCT doc_id) AS n_docs,
+         |  COUNT(*) AS total_tokens,
+         |  COUNT(DISTINCT token) AS distinct_tokens,
+         |  CAST(COUNT(DISTINCT token) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS type_token_ratio
+         |FROM t GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -18,6 +18,7 @@ object SparkEntry {
     AggWindowQueries,
     TrainingDataQueries,
     CurationQueries,
+    CorpusStatsQueries,
     BenchQueries
   )
 

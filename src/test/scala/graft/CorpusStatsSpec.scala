@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusStats
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat sat on the mat", "en", "src0"),
+    (2L, "the cat ran", "en", "src0"),
+    (3L, "the dog sat on the mat", "en", "src1"),
+    (4L, "ein hund", "de", "src0"),
+    (5L, "", "en", "src1")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("topNgrams counts bigram occurrences and containing docs") {
+    val got = CorpusStats.topNgrams(docs, "doc_id", col("text"), n = 2, k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // "the cat": docs 1,2 (2 occ); "the mat"/"on the"/"sat on": docs 1,3;
+    // ties break ngram-ascending
+    assert(got.head == ("on the", 2L, 2L))
+    assert(got.toSet == Set(("on the", 2L, 2L), ("sat on", 2L, 2L), ("the cat", 2L, 2L)))
+  }
+
+  test("topNgrams occurrence count keeps within-doc duplicates") {
+    val d = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val got = CorpusStats.topNgrams(d, "doc_id", col("text"), n = 2, k = 1)
+      .as[(String, Long, Long)].collect().head
+    // sliding bigrams: "a b", "b a", "a b" -> "a b" occurs twice in ONE doc
+    assert(got == ("a b", 2L, 1L))
+  }
+
+  test("docFrequency dedups tokens within a doc and ratios over all docs") {
+    val got = CorpusStats.docFrequency(docs, "doc_id", col("text"), k = 2)
+      .as[(String, Long, Double)].collect().toSeq
+    // "the" appears in docs 1,2,3 (df 3, not 6 — within-doc dup collapsed);
+    // ratio denominator is ALL 5 docs including the empty one
+    assert(got.head == ("the", 3L, 3.0 / 5.0))
+    assert(got(1)._2 == 2L) // cat/mat/on/sat all df=2; token-asc tie-break
+    assert(got(1)._1 == "cat")
+  }
+
+  test("vocabStats aggregates per slice with type-token ratio") {
+    val got = CorpusStats.vocabStats(docs, "doc_id", col("text"),
+        Seq("lang", "source"))
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // en/src0: docs 1,2 -> 9 tokens, distinct {the,cat,sat,on,mat,ran}=6
+    assert(got(("en", "src0")) == ("en", "src0", 2L, 9L, 6L, 6.0 / 9.0))
+    // de/src0: doc 4 -> 2 tokens, 2 distinct
+    assert(got(("de", "src0")) == ("de", "src0", 1L, 2L, 2L, 1.0))
+    // the zero-token doc 5 contributes no slice row for (en, src1) beyond doc 3
+    assert(got(("en", "src1"))._3 == 1L)
+  }
+
+  test("registered driver queries run on testdata with matching columns") {
+    val d = sf("sf0.001")
+    val tn = SparkEntry.queries("t_top_ngrams")(spark, d)
+    assert(tn.columns.toSeq == Seq("ngram", "n_occurrences", "n_docs"))
+    assert(tn.count() == 25)
+    val df = SparkEntry.queries("t_doc_frequency")(spark, d)
+    assert(df.columns.toSeq == Seq("token", "df", "df_ratio"))
+    assert(df.count() == 25)
+    val vs = SparkEntry.queries("t_vocab_stats")(spark, d)
+    assert(vs.columns.toSeq == Seq("lang", "source", "n_docs", "total_tokens",
+      "distinct_tokens", "type_token_ratio"))
+    assert(vs.count() > 0)
+  }
+}
