@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.CorpusStats
+import graft.operators.{CorpusStats, Relevance}
 
 /** Corpus-statistics queries over the `documents` table: top n-grams,
   * token document frequency, and per-slice vocabulary measures — the
@@ -32,7 +32,13 @@ object CorpusStatsQueries extends QueryPack {
       // per (lang x source) slice: doc count, token mass, vocabulary,
       // type-token ratio
       CorpusStats.vocabStats(docs(s, d), "doc_id", col("text"),
-        Seq("lang", "source")))
+        Seq("lang", "source"))),
+    "t_bm25" -> ((s, d) =>
+      // topic retrieval: top-25 docs by BM25 for a 3-term query.
+      // rational idf mode — ln() is not bit-reproducible across engines
+      // (see Relevance scaladoc); the default lucene mode is spec-checked.
+      Relevance.bm25TopK(docs(s, d), "doc_id", col("text"),
+        Seq("spark", "join", "vector"), idfMode = "rational"))
   )
 
   private val toksSql =
@@ -65,6 +71,48 @@ object CorpusStatsQueries extends QueryPack {
          |  COUNT(DISTINCT token) AS distinct_tokens,
          |  CAST(COUNT(DISTINCT token) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
          |    AS type_token_ratio
-         |FROM t GROUP BY 1, 2""".stripMargin
+         |FROM t GROUP BY 1, 2""".stripMargin,
+    // mirrors Relevance.bm25TopK term by term: same expression tree, same
+    // fixed left-to-right contribution order, rational idf (no ln)
+    "t_bm25" -> {
+      val terms = Seq("spark", "join", "vector")
+      val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+      val norm = s"1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / $avgdl))"
+      def idf(i: Int) =
+        s"(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / " +
+          s"(CAST(df_$i AS DOUBLE) + 0.5))"
+      val contribs = terms.indices.map(i =>
+        s"(CASE WHEN tf_$i IS NULL THEN 0.0 ELSE ${idf(i)} * " +
+          s"((CAST(tf_$i AS DOUBLE) * (1.2 + 1.0)) / " +
+          s"(CAST(tf_$i AS DOUBLE) + $norm)) END)")
+      val score = contribs.reduceLeft((a, b) => s"($a + $b)")
+      val matched = terms.indices
+        .map(i => s"(CASE WHEN tf_$i IS NULL THEN 0 ELSE 1 END)")
+        .reduceLeft((a, b) => s"($a + $b)")
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"MAX(CASE WHEN tok = '$t' THEN tf END) AS tf_$i" }.mkString(",\n  ")
+      val dfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"COALESCE(MAX(CASE WHEN tok = '$t' THEN df END), 0) AS df_$i" }
+        .mkString(",\n  ")
+      s"""WITH b AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl, $toksSql AS toks
+         |  FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM b),
+         |tokr AS (SELECT doc_id, dl, unnest(toks) AS tok FROM b),
+         |tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM tokr
+         |       WHERE tok IN ($inList) GROUP BY 1, 2, 3),
+         |dfr AS (SELECT
+         |  $dfCols
+         |  FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1)),
+         |wide AS (SELECT doc_id, dl,
+         |  $tfCols
+         |  FROM tf GROUP BY 1, 2)
+         |SELECT doc_id, CAST($matched AS BIGINT) AS n_matched, dl,
+         |  $score AS score
+         |FROM wide, dfr, stats
+         |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
+    }
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.CorpusStats
+import graft.operators.{CorpusStats, Relevance}
 
 class CorpusStatsSpec extends SparkSpec {
   import spark.implicits._
@@ -55,6 +55,40 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(("en", "src1"))._3 == 1L)
   }
 
+  private def bm25Docs = Seq(
+    (1L, "spark join spark"), (2L, "join vector"),
+    (3L, "the cat"), (4L, "spark")
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK lucene mode matches the hand-computed formula") {
+    // N=4, avgdl=2.0; df: spark=2, join=2, vector=1
+    def idf(df: Double) = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+    def norm(dl: Double) = 1.2 * ((1.0 - 0.75) + 0.75 * (dl / 2.0))
+    def c(tf: Double, df: Double, dl: Double) =
+      idf(df) * (tf * 2.2 / (tf + norm(dl)))
+    val expect = Map(
+      1L -> (c(2, 2, 3) + c(1, 2, 3)),          // spark*2, join
+      2L -> (c(1, 2, 2) + c(1, 1, 2)),          // join, vector
+      4L -> c(1, 2, 1))                         // spark
+    val got = Relevance.bm25TopK(bm25Docs, "doc_id", col("text"),
+        Seq("spark", "join", "vector"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 4L)) // rank by score desc
+    got.foreach { case (id, _, _, s) =>
+      assert(math.abs(s - expect(id)) < 1e-12, s"doc $id: $s vs ${expect(id)}")
+    }
+    assert(got.map(r => r._1 -> r._2).toMap == Map(1L -> 2L, 2L -> 2L, 4L -> 1L))
+  }
+
+  test("bm25TopK rational mode ranks identically on the fixture") {
+    val rat = Relevance.bm25TopK(bm25Docs, "doc_id", col("text"),
+      Seq("spark", "join", "vector"), idfMode = "rational")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rat.map(_._1).toSeq == Seq(2L, 1L, 4L))
+    // doc 2: join contributes idf=2.0 exactly (2.2/2.2 cancels), vector 10/3
+    assert(math.abs(rat.head._4 - (2.0 + 10.0 / 3.0)) < 1e-12)
+  }
+
   test("registered driver queries run on testdata with matching columns") {
     val d = sf("sf0.001")
     val tn = SparkEntry.queries("t_top_ngrams")(spark, d)
@@ -67,5 +101,8 @@ class CorpusStatsSpec extends SparkSpec {
     assert(vs.columns.toSeq == Seq("lang", "source", "n_docs", "total_tokens",
       "distinct_tokens", "type_token_ratio"))
     assert(vs.count() > 0)
+    val bm = SparkEntry.queries("t_bm25")(spark, d)
+    assert(bm.columns.toSeq == Seq("doc_id", "n_matched", "dl", "score"))
+    assert(bm.count() == 25)
   }
 }
