@@ -26,7 +26,10 @@ object Bench {
     "d_chunk_dedup", "d_incremental", "d_semantic", "ann_pq",
     "t_repetition", "s_source_mix", "w9_rolling_avg",
     "t_normalize", "s_token_budget", "s_pack_sequences",
-    "d_incr_neardup", "d_dedup_clusters")
+    "d_incr_neardup", "d_dedup_clusters",
+    // round-5 additions: TPC-H Q10/Q14/Q18 shapes, corpus profiling, BM25
+    "q10_returns", "q14_promo", "q18_large_orders", "j9_bloom_join",
+    "t_top_ngrams", "t_doc_frequency", "t_vocab_stats", "t_bm25")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

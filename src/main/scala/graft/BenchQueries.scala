@@ -68,6 +68,84 @@ object BenchQueries extends QueryPack {
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6, 2).as("revenue"),
           count(lit(1)).as("n_lineitems"))
     }),
+    "j9_bloom_join" -> ((s, d) => {
+      // selective fact-dim join with an explicit bloom prefilter: urgent
+      // 2001+ orders prune the lineitem scan before its shuffle; the
+      // exact join removes sketch false positives, so the result is
+      // identical to the plain join the oracle runs.
+      val small = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("2001-01-01"))
+        .select(col("o_orderkey"))
+      val large = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_discount"))
+      graft.operators.Joins.bloomPrefilterJoin(large, small,
+          "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6, 2)
+            .as("revenue"))
+    }),
+    "q10_returns" -> ((s, d) => {
+      // TPC-H Q10 shape: returned-item revenue per customer in a quarter;
+      // nation broadcast, facts shuffle once on join keys, top-20 after agg.
+      val nation = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      val orders = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6, 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+    "q14_promo" -> ((s, d) => {
+      // TPC-H Q14 shape: promo revenue share for a shipping window; part
+      // dim broadcast, ratio of two decimal-exact sums in fixed order.
+      val part = t(s, d, "part").select(col("p_partkey"), col("p_type"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01") &&
+          col("l_shipdate") < lit("1996-06-01"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0)), 6, 2).as("promo_revenue"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6, 2)
+            .as("total_revenue"))
+        .select(
+          ((lit(100.0) * col("promo_revenue")) / col("total_revenue"))
+            .as("promo_pct"),
+          col("promo_revenue"), col("total_revenue"))
+    }),
+    "q18_large_orders" -> ((s, d) => {
+      // TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+      // (group-filter on the fact, then enrich) — the HAVING-join pattern.
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity"), 2, 2).as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("orderdate"), col("o_totalprice"))
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      orders.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
     "a12_rollup" -> ((s, d) =>
       // hierarchical subtotals (beyond the reference's flat groupBys).
       t(s, d, "lineitem")
@@ -181,6 +259,47 @@ object BenchQueries extends QueryPack {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY 1""".stripMargin,
+    "j9_bloom_join" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6, 2)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+         |GROUP BY 1""".stripMargin,
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6, 2)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey ASC
+         |LIMIT 20""".stripMargin,
+    "q14_promo" ->
+      s"""WITH a AS (SELECT
+         |  ${dsumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 6, 2)} AS promo_revenue,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6, 2)} AS total_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-06-01 00:00:00')
+         |SELECT ((100.0 * promo_revenue) / total_revenue) AS promo_pct,
+         |  promo_revenue, total_revenue FROM a""".stripMargin,
+    "q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${dsumSql("l_quantity", 2, 2)} AS total_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING ${dsumSql("l_quantity", 2, 2)} > 250.0)
+         |SELECT c_name, c_custkey, o_orderkey,
+         |  CAST(o_orderdate AS DATE) AS orderdate, o_totalprice, total_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey ASC
+         |LIMIT 100""".stripMargin,
     "a12_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |  ${dsumSql("l_quantity", 2, 2)} AS qty

@@ -148,6 +148,42 @@ object Joins {
   def leftBroadcast(big: DataFrame, small: DataFrame, keys: Seq[String]): DataFrame =
     big.join(broadcast(small), keys, "left")
 
+  /** Bloom-prefiltered equi-join: build a Bloom sketch over the small
+    * side's (distinct) join keys, probe it INSIDE the large side's scan
+    * stage, then run the exact join on the survivors. The result is
+    * identical to the plain join (the sketch has false positives, never
+    * false negatives; the exact join removes them) — what changes is
+    * WHERE the pruning happens: before the large side's shuffle, in the
+    * same codegen stage as the parquet read.
+    *
+    * When to use: the join is selective (most large-side rows have no
+    * match) and the small side is still too many keys for `.isin`.
+    * Sketch size is ~1.2 MB per million keys at 1% fpp — it rides the
+    * serialized plan to executors. Spark's own runtime filtering
+    * (InjectRuntimeFilter) does this automatically only for shuffle
+    * joins with favorable stats; this operator makes it deterministic
+    * and composable.
+    *
+    * `expectedItems` sizes the sketch; left unset, a count() of the
+    * small side's distinct keys runs first (one cheap action). */
+  def bloomPrefilterJoin(large: DataFrame, small: DataFrame,
+                         largeKey: String, smallKey: String,
+                         joinType: String = "inner", fpp: Double = 0.01,
+                         expectedItems: Long = -1L): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    // pruning the large side is only sound when unmatched large rows are
+    // dropped anyway — an outer join would lose its null-extended rows
+    require(Set("inner", "left_semi")(joinType),
+      s"bloom prefilter preserves semantics only for inner/left_semi joins, got $joinType")
+    val keys = small.select(col(smallKey)).distinct()
+    val n = if (expectedItems > 0) expectedItems else keys.count()
+    val bf = keys.stat.bloomFilter(smallKey, math.max(n, 1L), fpp)
+    val pruned = large.filter(
+      graft.plans.BloomNative.mightContain(large.sparkSession,
+        col(largeKey), bf))
+    pruned.join(small, pruned(largeKey) === small(smallKey), joinType)
+  }
+
   /** As-of (backward) join: for each left row, the latest right row with
     * `right.tsCol <= left.tsCol` per key — the canonical time-series join
     * (trades→latest quote) that Spark lacks as a primitive.

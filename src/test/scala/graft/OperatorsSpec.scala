@@ -22,6 +22,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bloom prefilter join equals the plain join, and rejects outer joins") {
+    val large = (1L to 1000L).map(i => (i, i % 7)).toDF("k", "v")
+    val small = Seq(3L, 500L, 999L, 2000L).toDF("sk")
+    val got = Joins.bloomPrefilterJoin(large, small, "k", "sk")
+      .select("k", "v", "sk").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val plain = large.join(small, col("k") === col("sk"))
+      .select("k", "v", "sk").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == plain && got.map(_._1) == Seq(3L, 500L, 999L))
+    // left_semi keeps only large columns
+    val semi = Joins.bloomPrefilterJoin(large, small, "k", "sk", "left_semi")
+    assert(semi.columns.toSeq == Seq("k", "v") && semi.count() == 3)
+    intercept[IllegalArgumentException] {
+      Joins.bloomPrefilterJoin(large, small, "k", "sk", "left")
+    }
+  }
+
+  test("bloom sketch never yields false negatives at tight fpp") {
+    val large = (1L to 5000L).toDF("k")
+    val small = (1L to 5000L by 50).map(Tuple1(_)).toDF("sk")
+    val n = Joins.bloomPrefilterJoin(large, small, "k", "sk").count()
+    assert(n == small.count()) // every true match survives the prefilter
+  }
+
   test("trimStrings trims and nulls empty strings") {
     val df = Seq((1, "  a  "), (2, "   "), (3, "b")).toDF("id", "s")
     val got = Cleaners.trimStrings(df).orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))

@@ -147,6 +147,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q10/q14 broadcast their dims and push fact filters to the scan") {
+    val p10 = plan("q10_returns")
+    assert(p10.contains("BroadcastHashJoin"), p10)
+    assert(p10.contains("EqualTo(l_returnflag,R)"), p10)
+    val p14 = plan("q14_promo")
+    assert(p14.contains("BroadcastHashJoin"), p14)
+    assert(p14.contains("GreaterThanOrEqual(l_shipdate"), p14)
+  }
+
+  test("q18 group-filter top-100 finishes as TakeOrderedAndProject") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("corpus top-k stats use per-partition heaps, not a global sort") {
+    for (q <- Seq("t_top_ngrams", "t_doc_frequency", "t_bm25")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+    }
+  }
+
+  test("bm25 shuffles only matched-term rows (filter below the aggregate)") {
+    val p = plan("t_bm25")
+    // the isin filter must run below the (doc, term) aggregate's exchange,
+    // so the shuffle carries matched-term rows only: in the rendered tree
+    // the Filter line is deeper (appears after) the exchange that feeds
+    // the partial count
+    val lines = p.linesIterator.toSeq
+    val exchangeAt = lines.indexWhere(_.contains("Exchange hashpartitioning(_id"))
+    val filterAt = lines.indexWhere(_.contains("IN (spark,join,vector)"))
+    assert(exchangeAt >= 0 && filterAt > exchangeAt, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bloom join probes the sketch below the large side's exchange") {
+    val p = plan("j9_bloom_join")
+    val lines = p.linesIterator.toSeq
+    val probeAt = lines.indexWhere(_.contains("graft_bloom_contains"))
+    assert(probeAt >= 0, p)
+    // between the probe filter and the lineitem scan it guards there is
+    // no exchange: pruning happens in the scan stage, before rows move
+    val scanAt = lines.indexWhere(
+      l => l.contains("Scan parquet") && l.contains("lineitem"), probeAt)
+    assert(scanAt > probeAt, p)
+    assert(!lines.slice(probeAt, scanAt).exists(_.contains("Exchange")), p)
+  }
+
   test("PQ scoring joins the codes to a BROADCAST distance table") {
     val p = plan("ann_pq")
     assert(p.contains("BroadcastHashJoin"), p)
