@@ -193,6 +193,15 @@ object BenchQueries extends QueryPack {
       // one-pass column profile (nulls/distinct/min/max per column).
       Profile.columnProfile(t(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))),
+    "prof_skew" -> ((s, d) =>
+      // pre-flight skew report: top-10 heavy hitters per key column.
+      Profile.heavyHitters(Tables.events(s, d),
+        Seq("event_type", "user_id"), k = 10)),
+    "c_length_outliers" -> ((s, d) =>
+      // robust per-language length screen: exact-quartile IQR gate.
+      Profile.iqrOutliers(Tables.documents(s, d), col("lang"), col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("q1"), col("q3"), col("is_outlier").cast("int").as("is_outlier"))),
     "agg_salted" -> ((s, d) =>
       // two-phase salted aggregation — result identical to plain groupBy,
       // shuffle spread over 16 buckets for hot keys.
@@ -354,6 +363,25 @@ object BenchQueries extends QueryPack {
         |SELECT 'o_orderstatus', COUNT(*),
         |  CAST(SUM(CAST(o_orderstatus IS NULL AS BIGINT)) AS BIGINT), COUNT(DISTINCT o_orderstatus),
         |  NULL, NULL FROM orders""".stripMargin,
+    "prof_skew" ->
+      """WITH tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM events),
+        |a AS (SELECT 'event_type' AS "column", CAST(event_type AS VARCHAR) AS value,
+        |        COUNT(*) AS n FROM events WHERE event_type IS NOT NULL
+        |      GROUP BY 2 ORDER BY n DESC, value ASC LIMIT 10),
+        |b AS (SELECT 'user_id' AS "column", CAST(user_id AS VARCHAR) AS value,
+        |        COUNT(*) AS n FROM events WHERE user_id IS NOT NULL
+        |      GROUP BY 2 ORDER BY n DESC, value ASC LIMIT 10)
+        |SELECT "column", value, n, CAST(n AS DOUBLE) / t AS share FROM a, tot
+        |UNION ALL
+        |SELECT "column", value, n, CAST(n AS DOUBLE) / t AS share FROM b, tot""".stripMargin,
+    "c_length_outliers" ->
+      """WITH q AS (SELECT lang AS g,
+        |    quantile_cont(n_chars, 0.25) AS q1, quantile_cont(n_chars, 0.75) AS q3
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, lang, n_chars, q1, q3,
+        |  CAST(CAST(n_chars AS DOUBLE) < q1 - 1.5 * (q3 - q1)
+        |    OR CAST(n_chars AS DOUBLE) > q3 + 1.5 * (q3 - q1) AS INT) AS is_outlier
+        |FROM documents JOIN q ON lang = g""".stripMargin,
     "agg_salted" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE) AS total

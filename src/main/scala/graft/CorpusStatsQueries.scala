@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{CorpusStats, Relevance}
+import graft.operators.{CorpusStats, Relevance, Sampling}
 
 /** Corpus-statistics queries over the `documents` table: top n-grams,
   * token document frequency, and per-slice vocabulary measures — the
@@ -38,7 +38,17 @@ object CorpusStatsQueries extends QueryPack {
       // rational idf mode — ln() is not bit-reproducible across engines
       // (see Relevance scaladoc); the default lucene mode is spec-checked.
       Relevance.bm25TopK(docs(s, d), "doc_id", col("text"),
-        Seq("spark", "join", "vector"), idfMode = "rational"))
+        Seq("spark", "join", "vector"), idfMode = "rational")),
+    "t_inverted_index" -> ((s, d) =>
+      // retrieval index build: per token, df / total tf / top-100
+      // posting list (tf desc, id asc), hot tokens salt-capped.
+      CorpusStats.invertedIndex(docs(s, d), "doc_id", col("text"),
+        maxPostings = 100, saltBuckets = 16)),
+    "s_weighted" -> ((s, d) =>
+      // exactly-200 PPS sample by document length, 8 hash-shards.
+      Sampling.systematicWeightedSample(docs(s, d), col("doc_id"),
+        col("n_chars"), n = 200, shards = 8)
+        .select(col("doc_id"), col("n_chars"), col("n_picks")))
   )
 
   private val toksSql =
@@ -113,6 +123,40 @@ object CorpusStatsQueries extends QueryPack {
          |  $score AS score
          |FROM wide, dfr, stats
          |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
-    }
+    },
+    "t_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |agg AS (SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+         |  list_slice(list(CAST(doc_id AS VARCHAR) ORDER BY tf DESC, doc_id ASC),
+         |             1, 100) AS post
+         |  FROM tf GROUP BY 1)
+         |SELECT token, df, total_tf,
+         |  array_to_string(post, ',') AS postings,
+         |  df > 100 AS truncated
+         |FROM agg""".stripMargin,
+    // mirrors Sampling.systematicWeightedSample: shard by the 60-bit
+    // md5-prefix bucket, order by (md5 hex, id) inside the shard, exact
+    // DECIMAL running weights, n/shards half-stride-centered pick points
+    "s_weighted" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h,
+         |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8) AS shard,
+         |    CAST(n_chars AS DECIMAL(27,6)) AS w
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_chars, w, shard,
+         |    SUM(w) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(w) OVER (PARTITION BY shard) AS tot
+         |  FROM b),
+         |p AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(FLOOR(CAST(cum AS DOUBLE) / (CAST(tot AS DOUBLE) / 25.0) - 0.5)
+         |       - FLOOR(CAST(cum - w AS DOUBLE) / (CAST(tot AS DOUBLE) / 25.0) - 0.5)
+         |      AS BIGINT) AS n_picks
+         |  FROM c)
+         |SELECT doc_id, n_chars, n_picks FROM p WHERE n_picks > 0""".stripMargin
   )
 }

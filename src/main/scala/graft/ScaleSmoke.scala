@@ -129,6 +129,42 @@ object ScaleSmoke {
       graft.operators.Curation.repetitionStats(docs, "doc_id", col("text"))
     }
 
+    // round-5 shapes over the same corpus ------------------------------
+    time("bm25 top-k (3 terms, broadcast stats + fixed-order scoring)") {
+      graft.operators.Relevance.bm25TopK(docs, "doc_id", col("text"),
+        Seq("spark", "join", "vector"), k = 100)
+    }
+    // 30-token vocab over the full corpus = EVERY token is ultra-hot:
+    // worst case for the posting-list build (each (token, salt) sub-group
+    // carries ~nDocs/saltBuckets rows through the spillable rank window)
+    val t3b = System.nanoTime()
+    val inv = graft.operators.CorpusStats.invertedIndex(docs, "doc_id",
+      col("text"), maxPostings = 1000, saltBuckets = 64)
+    val nTok = inv.count()
+    println(f"SCALE inverted index (all-hot vocab, salt-capped): " +
+      f"${(System.nanoTime() - t3b) / 1e9}%.1f s ($nTok tokens)")
+    time("top bigrams (word-count shape)") {
+      graft.operators.CorpusStats.topNgrams(docs, "doc_id", col("text"),
+        n = 2, k = 100)
+    }
+    time("systematic weighted sample (exact-n PPS, 32 shards)") {
+      graft.operators.Sampling.systematicWeightedSample(
+        docs.withColumn("w", length(col("text")).cast("long")),
+        col("doc_id"), col("w"), n = 32000, shards = 32)
+    }
+    // bloom prefilter: selective semi-join of the event stream against a
+    // 1%-of-users key set — the probe prunes at the scan, pre-shuffle
+    val t3c = System.nanoTime()
+    // alias the key column: both sides derive from `events`, and a
+    // same-name same-lineage join condition trips ambiguous-self-join
+    val keys = events.select(col("user_id").as("k_user"))
+      .filter(pmod(col("k_user"), lit(100L)) === 0).distinct()
+    val nPruned = graft.operators.Joins.bloomPrefilterJoin(
+      events.select(col("user_id"), col("value")), keys,
+      "user_id", "k_user", "left_semi").count()
+    println(f"SCALE bloom prefilter join (1%% selectivity): " +
+      f"${(System.nanoTime() - t3c) / 1e9}%.1f s ($nPruned rows kept)")
+
     // embedding shapes: synthetic 64-dim float vectors. Like the doc
     // corpus, ~1% are planted near-copies (63/64 dims shared with the
     // preceding id, cos ≈ 0.98) so the semantic-dedup smoke proves

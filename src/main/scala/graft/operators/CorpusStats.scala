@@ -56,6 +56,63 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Inverted index: one row per token with document frequency, total
+    * term frequency, and the top-`maxPostings` posting list (doc ids
+    * ordered tf-desc, id-asc, comma-joined). The retrieval-index build
+    * step of a corpus pipeline.
+    *
+    * Hot-token posture (the reason this is two-phase): "the" appears in
+    * nearly every document, and a single groupBy(token).collect_list
+    * would materialize its full posting set on one reducer. Instead,
+    * (token, doc, tf) rows are salted into `saltBuckets` sub-groups;
+    * inside each sub-group a sort-based window rank (disk-spillable — it
+    * never holds the group in memory the way collect_list would) keeps
+    * only the top-`maxPostings`, and the merge stage sees at most
+    * saltBuckets * maxPostings candidates per token. Per-salt top-k then
+    * global top-k is exact because every globally-top row is in its
+    * salt's top-k. df/total_tf are exact (full-frame window totals
+    * computed in the same sort pass, before the cap filter); `truncated`
+    * flags tokens whose df exceeds the cap. The rank window and the
+    * stage-1 groupBy share the (token, salt) partitioning, so stage 1 is
+    * one shuffle. */
+  def invertedIndex(docs: DataFrame, id: String, text: Column,
+                    maxPostings: Int = 100, saltBuckets: Int = 16): DataFrame = {
+    require(maxPostings > 0 && saltBuckets > 0,
+      s"need positive maxPostings/saltBuckets, got $maxPostings/$saltBuckets")
+    val s = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(id).as("_id"), explode(TextNative.tokens(s, text)).as("token"))
+      .groupBy(col("token"), col("_id"))
+      .agg(count(lit(1)).as("tf"))
+    val byRank = Window.partitionBy(col("token"), col("_salt"))
+      .orderBy(col("tf").desc, col("_id").asc)
+    val whole = Window.partitionBy(col("token"), col("_salt"))
+    val s1 = tf
+      .withColumn("_salt", pmod(xxhash64(col("_id")), lit(saltBuckets)))
+      .withColumn("_rn", row_number().over(byRank))
+      .withColumn("_df_all", count(lit(1)).over(whole))
+      .withColumn("_tf_all", sum(col("tf")).over(whole))
+      .filter(col("_rn") <= maxPostings)
+      .groupBy(col("token"), col("_salt"))
+      .agg(
+        max(col("_df_all")).as("_df_part"),
+        max(col("_tf_all")).as("_tf_part"),
+        slice(array_sort(collect_list(
+          struct((-col("tf")).as("_negtf"), col("_id").as("_doc")))),
+          1, maxPostings).as("_post_part"))
+    s1.groupBy(col("token"))
+      .agg(
+        sum(col("_df_part")).as("df"),
+        sum(col("_tf_part")).cast("long").as("total_tf"),
+        slice(array_sort(flatten(collect_list(col("_post_part")))),
+          1, maxPostings).as("_post"))
+      .select(col("token"), col("df"), col("total_tf"),
+        array_join(transform(col("_post"),
+          p => p.getField("_doc").cast("string")), ",").as("postings"),
+        (col("df") > maxPostings).as("truncated"))
+  }
+
   /** Per-slice vocabulary measures: document count, token mass, distinct
     * vocabulary, and type-token ratio for every combination of the
     * `slices` columns (e.g. lang × source). Spark plans the mixed

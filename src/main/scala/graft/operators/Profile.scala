@@ -45,6 +45,50 @@ object Profile {
     wide.select(explode(array(stack: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Heavy-hitter / skew report: for each listed column, the top-`k`
+    * values by frequency with their corpus share — the pre-flight check
+    * that finds the hot keys a join/aggregate will skew on (and the
+    * degenerate values — empty string, sentinel ids — that dominate dirty
+    * corpora). One count aggregate per column (map-side partial, immune
+    * to the hot values it is hunting) finished by a per-partition-heap
+    * top-k; a final union of k-row tables. Output: (column, value, n,
+    * share), value rendered as string, NULLs excluded (they are counted
+    * by [[columnProfile]]). */
+  def heavyHitters(df: DataFrame, cols: Seq[String], k: Int = 10): DataFrame = {
+    require(cols.nonEmpty && k > 0, s"need columns and k > 0, got $cols / $k")
+    val total = df.count().toDouble
+    cols.map { c =>
+      df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("value").asc)
+        .limit(k)
+        .select(lit(c).as("column"), col("value"), col("n"),
+          (col("n").cast("double") / lit(total)).as("share"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Per-group IQR outlier gate on a numeric column: rows outside
+    * [q1 - 1.5*iqr, q3 + 1.5*iqr] of their group's exact interpolated
+    * quartiles are flagged — the robust length-outlier screen of corpus
+    * curation (truncated fragments, concatenation blobs). Quartiles are
+    * one exact-percentile aggregate per group joined back broadcast
+    * (groups are few: languages, sources); the gate itself is a scalar
+    * projection. Output: input columns + q1/q3/is_outlier. */
+  def iqrOutliers(df: DataFrame, group: Column, value: Column,
+                  factor: Double = 1.5): DataFrame = {
+    val q = df.groupBy(group.as("_g")).agg(
+      percentile(value, lit(0.25)).as("_q1x"),
+      percentile(value, lit(0.75)).as("_q3x"))
+    df.join(broadcast(q), group === col("_g"))
+      .withColumn("q1", col("_q1x").cast("double"))
+      .withColumn("q3", col("_q3x").cast("double"))
+      .withColumn("is_outlier",
+        (value.cast("double") < col("q1") - lit(factor) * (col("q3") - col("q1"))) ||
+          (value.cast("double") > col("q3") + lit(factor) * (col("q3") - col("q1"))))
+      .drop("_g", "_q1x", "_q3x")
+  }
+
   /** Two-phase (salted) aggregation for skewed keys: phase 1 aggregates on
     * (key, salt) spreading a hot key over `saltBuckets` reducers; phase 2
     * merges the partials. Result is identical to a plain groupBy count/sum

@@ -76,6 +76,61 @@ object Sampling {
       .drop(kC, sC, nC, hC)
   }
 
+  /** Exactly-n sampling with probability proportional to a weight column
+    * (systematic / PPS sampling): rows are laid out on a line in a fixed
+    * content-addressed order, each occupying a segment of length = its
+    * weight, and n equally-spaced points (one every `total/n`, centered
+    * at half-stride) pick the rows they land in. Rows heavier than a
+    * stride can be picked multiple times — `n_picks` carries the
+    * multiplicity (standard PPS-with-replacement semantics).
+    *
+    * The line is sharded: rows are deterministically split into `shards`
+    * hash-shards, each selecting n/shards — no global-order funnel (the
+    * cumulative sum windows over one shard, same posture as
+    * [[tokenBudgetSample]]'s per-stratum budget and packSequences'
+    * shards). Weights go through DECIMAL for the running sum (exact,
+    * order-independent), and the point arithmetic is plain IEEE division
+    * — bit-reproducible across engines.
+    *
+    * Deterministic: picks depend only on (key, weight) pairs — re-runs
+    * and repartitionings agree. Output: input columns + `n_picks` (> 0
+    * rows only). */
+  def systematicWeightedSample(df: DataFrame, key: Column, weight: Column,
+                               n: Int, shards: Int = 8): DataFrame = {
+    require(n > 0 && shards > 0 && n % shards == 0,
+      s"need n ($n) divisible by shards ($shards)")
+    require(!df.columns.contains("n_picks"),
+      "systematicWeightedSample: input already has an 'n_picks' column (reserved output)")
+    val perShard = n / shards
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (hC, sC, wC, cC, tC) = (s"_h_$nonce", s"_shard_$nonce",
+      s"_w_$nonce", s"_cum_$nonce", s"_tot_$nonce")
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sC)).orderBy(col(hC), key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(col(sC))
+    val stride = col(tC).cast("double") / lit(perShard.toDouble)
+    val cumD = col(cC).cast("double")
+    val prevD = (col(cC) - col(wC)).cast("double")
+    val picks = (floor(cumD / stride - lit(0.5)) -
+      floor(prevD / stride - lit(0.5))).cast("long")
+    // a negative weight would silently corrupt the cumulative pick line
+    // (non-monotone cum -> negative/shifted picks for OTHER rows): fail
+    // loudly per row instead (zero-weight rows are fine — never picked)
+    val wChecked = when(weight.cast("double") >= 0.0, weight.cast("decimal(27,6)"))
+      .otherwise(raise_error(concat(lit("systematicWeightedSample: negative weight "),
+        weight.cast("string"))))
+    df.withColumn(hC, md5(key.cast("string")))
+      .withColumn(sC, bucket(key, shards))
+      .withColumn(wC, wChecked)
+      .withColumn(cC, sum(col(wC)).over(ord))
+      .withColumn(tC, sum(col(wC)).over(whole))
+      .withColumn("n_picks", picks)
+      .filter(col("n_picks") > 0)
+      .drop(hC, sC, wC, cC, tC)
+  }
+
   /** Weighted source mixing with epoch upsampling: a source with weight w
     * contributes each of its rows floor(w) times (epochs 0..floor(w)-1),
     * plus one more epoch for the deterministic fraction of rows whose

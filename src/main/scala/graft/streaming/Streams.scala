@@ -163,6 +163,32 @@ object Streams {
       .unionByName(nullText)
   }
 
+  /** Trending terms over a document stream: tumbling-window token counts
+    * with watermark-bounded state — the streaming face of
+    * [[graft.operators.CorpusStats.topNgrams]] (monitor what vocabulary
+    * is arriving NOW; rank/alert downstream of the sink).
+    *
+    * Shape: tokenize (native, one pass) → explode → window+token
+    * groupBy count. State is one count per (window, token) — bounded by
+    * the watermark horizon × active vocabulary, not the stream length.
+    * The aggregate emits counts, not a stream-side top-k: global top-k
+    * needs a second (tiny, per-window) batch ranking over the sink table
+    * — streaming cannot re-sort a window after it closes.
+    *
+    * `minTokenLen` drops single-letter noise before state is keyed. */
+  def trendingTerms(docs: DataFrame, tsCol: String, textCol: String,
+                    window_ : String = "1 minute", watermark: String = "2 minutes",
+                    minTokenLen: Int = 2): DataFrame = {
+    val toks = graft.plans.TextNative.tokens(docs.sparkSession, col(textCol))
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(toks).as("token"))
+      .filter(length(col("token")) >= minTokenLen)
+      .groupBy(window(col(tsCol), window_), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("token"), col("n"))
+  }
+
   /** T2→T3 cascade: hourly aggregates stream to storage; the daily level
     * re-aggregates the hourly table. Two queries chained through a parquet
     * path — the same 3-DAG decomposition the reference uses, and the shape

@@ -55,6 +55,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(("en", "src1"))._3 == 1L)
   }
 
+  test("invertedIndex orders postings tf-desc id-asc with exact df/tf") {
+    val d = Seq(
+      (1L, "a a a b"), (2L, "a b b"), (3L, "a"), (4L, "b c")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.invertedIndex(d, "doc_id", col("text"),
+        maxPostings = 2, saltBuckets = 4)
+      .as[(String, Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // a: df=3, tf=5, top-2 by (tf desc, id asc) = doc1(3), doc2(1)|doc3(1) -> id asc -> doc2
+    assert(got("a") == ("a", 3L, 5L, "1,2", true))
+    // b: df=3, tf=4, top-2 = doc2(2), doc1(1)
+    assert(got("b") == ("b", 3L, 4L, "2,1", true))
+    assert(got("c") == ("c", 1L, 1L, "4", false))
+  }
+
+  test("invertedIndex salt-capped merge equals the single-phase result") {
+    val d = sf("sf0.001")
+    val docs = graft.core.Tables.documents(spark, d)
+    val twoPhase = CorpusStats.invertedIndex(docs, "doc_id", col("text"),
+      maxPostings = 10, saltBuckets = 16).orderBy("token")
+      .as[(String, Long, Long, String, Boolean)].collect().toSeq
+    val onePhase = CorpusStats.invertedIndex(docs, "doc_id", col("text"),
+      maxPostings = 10, saltBuckets = 1).orderBy("token")
+      .as[(String, Long, Long, String, Boolean)].collect().toSeq
+    assert(twoPhase == onePhase) // per-salt top-k then merge is exact
+  }
+
   private def bm25Docs = Seq(
     (1L, "spark join spark"), (2L, "join vector"),
     (3L, "the cat"), (4L, "spark")

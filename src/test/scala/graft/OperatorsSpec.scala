@@ -22,6 +22,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters ranks values by count with share of all rows") {
+    val df = Seq("a", "a", "a", "b", "b", "c").map(Tuple1(_)).toDF("k")
+      .withColumn("other", lit(1))
+    val got = Profile.heavyHitters(df, Seq("k"), k = 2)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("k", "a", 3L, 0.5), ("k", "b", 2L, 2.0 / 6.0)))
+  }
+
+  test("iqrOutliers flags values outside 1.5 IQR of their group") {
+    // spread bulk (90..108 by 2) -> q1=93.5, q3=104.5, fence [77, 121]
+    val df = ((90L to 108L by 2) ++ Seq(1000L, 1L))
+      .zipWithIndex.map { case (v, i) => (i.toLong, "en", v) }
+      .toDF("id", "lang", "n")
+    val got = Profile.iqrOutliers(df, col("lang"), col("n"))
+    val flagged = got.filter(col("is_outlier")).select("n").as[Long].collect().toSet
+    assert(flagged == Set(1000L, 1L))
+    assert(got.count() == 12) // gate flags, never drops
+  }
+
   test("bloom prefilter join equals the plain join, and rejects outer joins") {
     val large = (1L to 1000L).map(i => (i, i % 7)).toDF("k", "v")
     val small = Seq(3L, 500L, 999L, 2000L).toDF("sk")

@@ -97,6 +97,47 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("systematicWeightedSample picks exactly n with PPS multiplicity") {
+    val df = (1L to 400L).map(i => (i, if (i == 7L) 10000L else 10L))
+      .toDF("id", "w")
+    val got = Sampling.systematicWeightedSample(df, $"id", $"w", n = 40,
+      shards = 8)
+    // every shard contributes exactly n/shards picks -> total n
+    assert(got.agg(sum($"n_picks")).as[Long].head() == 40L)
+    // the one heavy row (≈71% of its shard's mass) is picked several times
+    val heavy = got.filter($"id" === 7L).select("n_picks").as[Long].collect()
+    assert(heavy.nonEmpty && heavy.head >= 2, heavy.toSeq)
+    // deterministic under repartitioning
+    val again = Sampling.systematicWeightedSample(df.repartition(13), $"id",
+      $"w", n = 40, shards = 8)
+      .select("id", "n_picks").as[(Long, Long)].collect().toSet
+    assert(again == got.select("id", "n_picks").as[(Long, Long)].collect().toSet)
+  }
+
+  test("systematicWeightedSample validates shards and reserved names") {
+    val df = Seq((1L, 5L)).toDF("id", "w")
+    intercept[IllegalArgumentException] {
+      Sampling.systematicWeightedSample(df, $"id", $"w", n = 10, shards = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.systematicWeightedSample(
+        df.withColumn("n_picks", lit(1)), $"id", $"w", n = 8, shards = 8)
+    }
+  }
+
+  test("systematicWeightedSample raises on negative weights, allows zero") {
+    val bad = Seq((1L, 5L), (2L, -1L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.systematicWeightedSample(bad, $"id", $"w", n = 8, shards = 1).count()
+    }
+    assert(e.getMessage.contains("negative weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative weight")), e.getMessage)
+    val zeros = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
+    val got = Sampling.systematicWeightedSample(zeros, $"id", $"w", n = 8, shards = 1)
+    assert(got.select("id").as[Long].collect().toSeq == Seq(1L)) // zero never picked
+    assert(got.agg(sum($"n_picks")).as[Long].head() == 8L)
+  }
+
   test("sourceMix leaves caller helper-named columns intact, refuses epoch") {
     val df = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "source", "_w")
     val got = Sampling.sourceMix(df, $"id", $"source", Map("a" -> 2.0), 1.0)

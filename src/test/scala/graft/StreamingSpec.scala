@@ -29,6 +29,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L, 4L)) // dup and under-length docs gated out
   }
 
+  test("trendingTerms counts tokens per tumbling window with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val out = Streams.trendingTerms(df, "ts", "text",
+      window_ = "1 minute", watermark = "2 minutes")
+    val q = out.writeStream.format("memory").queryName("tt")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-01-01 00:00:10"), 1L, "spark spark joins"),
+      (t("2024-01-01 00:00:40"), 2L, "spark a shuffle"), // 'a' under minTokenLen
+      (t("2024-01-01 00:01:10"), 3L, "spark window"))
+    q.processAllAvailable()
+    // advance the watermark far enough to close both windows
+    input.addData((t("2024-01-01 00:10:00"), 4L, "flush"))
+    q.processAllAvailable()
+    val got = spark.table("tt")
+      .select(date_format($"window_start", "HH:mm").as("w"), $"token", $"n")
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+    assert(got.contains(("00:00", "spark", 3L))) // two docs, three occurrences
+    assert(got.contains(("00:00", "joins", 1L)))
+    assert(got.contains(("00:01", "spark", 1L)))
+    assert(!got.exists(_._2 == "a")) // min length gate before state
+  }
+
   test("incrementalIngest drops corpus dups (stream-static) and in-stream dups") {
     implicit val sqlCtx = spark.sqlContext
     val corpusIdx = Seq("indexed doc").toDF("text")
