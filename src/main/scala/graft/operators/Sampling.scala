@@ -113,8 +113,11 @@ object Sampling {
     val stride = col(tC).cast("double") / lit(perShard.toDouble)
     val cumD = col(cC).cast("double")
     val prevD = (col(cC) - col(wC)).cast("double")
-    val picks = (floor(cumD / stride - lit(0.5)) -
-      floor(prevD / stride - lit(0.5))).cast("long")
+    // a shard whose rows all weigh 0 has no pick line (stride 0 would
+    // make the quotients NaN, and ANSI casts NaN->long as an error)
+    val picks = when(col(tC) === 0, lit(0L))
+      .otherwise((floor(cumD / stride - lit(0.5)) -
+        floor(prevD / stride - lit(0.5))).cast("long"))
     // a negative weight would silently corrupt the cumulative pick line
     // (non-monotone cum -> negative/shifted picks for OTHER rows): fail
     // loudly per row instead (zero-weight rows are fine — never picked)

@@ -189,6 +189,38 @@ object Streams {
       .select(col("window.start").as("window_start"), col("token"), col("n"))
   }
 
+  /** Stream-stream attribution join: each left event is matched to right
+    * events for the same key that happened in the `horizon` BEFORE it
+    * (click ↔ the impressions that preceded it; purchase ↔ prior views).
+    * Both sides are watermarked and the join condition bounds the time
+    * range on BOTH ends, so each side's buffered state is evicted once
+    * the watermark passes its horizon — bounded state, the requirement
+    * for an unbounded run. Inner join: unmatched left rows drop (use the
+    * batch [[graft.operators.Joins.asOfJoin]] for latest-only or outer
+    * semantics — stream-stream outer emits only after watermark close).
+    *
+    * Output: key, left ts, right ts, the right value columns, and the
+    * lag in seconds. */
+  def attributionJoin(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      rightVals: Seq[String], horizon: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col(key).as("_k"), col(leftTs).as("_lts"))
+      .withWatermark("_lts", watermark)
+    val r = right.select(
+      (col(key).as("_rk") +: col(rightTs).as("_rts") +: rightVals.map(col)).toIndexedSeq: _*)
+      .withWatermark("_rts", watermark)
+    l.join(r,
+        col("_k") === col("_rk") &&
+          col("_rts") <= col("_lts") &&
+          col("_rts") >= col("_lts") - expr(s"INTERVAL $horizon"))
+      .select(
+        Seq(col("_k").as(key), col("_lts").as(leftTs), col("_rts").as(rightTs)) ++
+          rightVals.map(col) :+
+          (unix_timestamp(col("_lts")) - unix_timestamp(col("_rts")))
+            .as("lag_seconds"): _*)
+  }
+
   /** T2→T3 cascade: hourly aggregates stream to storage; the daily level
     * re-aggregates the hourly table. Two queries chained through a parquet
     * path — the same 3-DAG decomposition the reference uses, and the shape

@@ -136,6 +136,10 @@ class SamplingSpec extends SparkSpec {
     val got = Sampling.systematicWeightedSample(zeros, $"id", $"w", n = 8, shards = 1)
     assert(got.select("id").as[Long].collect().toSeq == Seq(1L)) // zero never picked
     assert(got.agg(sum($"n_picks")).as[Long].head() == 8L)
+    // an ALL-zero-weight input has no pick line: empty result, no NaN cast
+    val allZero = Seq((1L, 0L), (2L, 0L)).toDF("id", "w")
+    assert(Sampling.systematicWeightedSample(allZero, $"id", $"w",
+      n = 8, shards = 1).count() == 0)
   }
 
   test("sourceMix leaves caller helper-named columns intact, refuses epoch") {

@@ -56,6 +56,34 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_._2 == "a")) // min length gate before state
   }
 
+  test("attributionJoin matches right events inside the horizon, both streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val views = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val out = Streams.attributionJoin(
+      clicks.toDF().toDF("ts", "user_id"),
+      views.toDF().toDF("vts", "user_id", "value"),
+      key = "user_id", leftTs = "ts", rightTs = "vts",
+      rightVals = Seq("value"), horizon = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    views.addData(
+      (t("2024-01-01 00:00:00"), 1L, 10.0),  // in horizon for the 00:05 click
+      (t("2024-01-01 00:02:00"), 1L, 20.0),  // in horizon
+      (t("2024-01-01 00:00:00"), 2L, 30.0))  // other user
+    clicks.addData((t("2024-01-01 00:05:00"), 1L))
+    clicks.addData((t("2024-01-01 00:20:00"), 1L)) // >10 min after both views
+    q.processAllAvailable()
+    val got = spark.table("attr")
+      .select($"ts", $"value", $"lag_seconds")
+      .as[(java.sql.Timestamp, Double, Long)].collect().toSet
+    q.stop()
+    assert(got == Set(
+      (t("2024-01-01 00:05:00"), 10.0, 300L),
+      (t("2024-01-01 00:05:00"), 20.0, 180L)))
+  }
+
   test("incrementalIngest drops corpus dups (stream-static) and in-stream dups") {
     implicit val sqlCtx = spark.sqlContext
     val corpusIdx = Seq("indexed doc").toDF("text")
