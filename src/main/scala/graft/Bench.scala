@@ -30,7 +30,8 @@ object Bench {
     // round-5 additions: TPC-H Q10/Q14/Q18 shapes, corpus profiling, BM25
     "q10_returns", "q14_promo", "q18_large_orders", "j9_bloom_join",
     "t_top_ngrams", "t_doc_frequency", "t_vocab_stats", "t_bm25",
-    "t_inverted_index", "s_weighted", "prof_skew", "c_length_outliers")
+    "t_inverted_index", "s_weighted", "prof_skew", "c_length_outliers",
+    "k10_scd2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -193,6 +193,14 @@ object BenchQueries extends QueryPack {
       // one-pass column profile (nulls/distinct/min/max per column).
       Profile.columnProfile(t(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))),
+    "k10_scd2" -> ((s, d) =>
+      // dimension version history: each customer's order stream as a
+      // change feed -> changes-only SCD2 intervals.
+      graft.operators.Upsert.scd2History(
+        t(s, d, "orders").select(col("o_custkey").as("custkey"),
+          col("o_orderdate").as("ts"), col("o_orderkey").as("okey"),
+          col("o_totalprice").as("value")),
+        "custkey", "ts", "okey", "value")),
     "prof_skew" -> ((s, d) =>
       // pre-flight skew report: top-10 heavy hitters per key column.
       Profile.heavyHitters(Tables.events(s, d),
@@ -363,6 +371,25 @@ object BenchQueries extends QueryPack {
         |SELECT 'o_orderstatus', COUNT(*),
         |  CAST(SUM(CAST(o_orderstatus IS NULL AS BIGINT)) AS BIGINT), COUNT(DISTINCT o_orderstatus),
         |  NULL, NULL FROM orders""".stripMargin,
+    "k10_scd2" ->
+      """WITH chg AS (
+        |  SELECT o_custkey AS custkey, o_orderdate AS ts, o_orderkey AS okey,
+        |    o_totalprice AS value,
+        |    LAG(o_totalprice) OVER w AS prev, ROW_NUMBER() OVER w AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |surv AS (
+        |  SELECT custkey, ts, okey, value FROM chg
+        |  WHERE rn = 1 OR value IS DISTINCT FROM prev),
+        |v AS (
+        |  SELECT custkey, ts, okey, value,
+        |    LEAD(ts) OVER w2 AS valid_to,
+        |    CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+        |  FROM surv
+        |  WINDOW w2 AS (PARTITION BY custkey ORDER BY ts, okey))
+        |SELECT custkey, ts, okey, value, valid_to, version,
+        |  valid_to IS NULL AS is_current
+        |FROM v""".stripMargin,
     "prof_skew" ->
       """WITH tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM events),
         |a AS (SELECT 'event_type' AS "column", CAST(event_type AS VARCHAR) AS value,

@@ -135,6 +135,39 @@ object Upsert {
     Dedup.keepLastBy(tagged, keys, struct(col("_graft_src"), order))
       .drop("_graft_src")
   }
+
+  /** SCD2 (slowly-changing-dimension) version history from a change
+    * stream: per key, keep only rows where `value` actually changed
+    * (changes-only compaction against the previous version), then assign
+    * each surviving version its validity interval and ordinal. The
+    * K4/K5 upserts answer "what is current"; this keeps every version
+    * queryable — the as-of-history side of dimension maintenance.
+    *
+    * Two window passes over the SAME (key, order) partitioning — one
+    * shuffle total: pass 1 compares against lag(value) and drops no-ops;
+    * pass 2 computes lead(ts) = valid_to (null = still current) and the
+    * version number on the survivors. `tiebreak` disambiguates equal
+    * timestamps (e.g. an event id), making the history deterministic.
+    *
+    * Output: key, ts (valid_from), tiebreak, value, valid_to, version,
+    * is_current. */
+  def scd2History(changes: DataFrame, key: String, ts: String,
+                  tiebreak: String, value: String): DataFrame = {
+    val byKey = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col(tiebreak).asc)
+    val changed = changes
+      .select(col(key), col(ts), col(tiebreak), col(value))
+      .withColumn("_prev", lag(col(value), 1).over(byKey))
+      .withColumn("_rn", row_number().over(byKey))
+      // first version always survives; NULL value is a legitimate state,
+      // so compare null-safely
+      .filter(col("_rn") === 1 || !(col(value) <=> col("_prev")))
+      .drop("_prev", "_rn")
+    changed
+      .withColumn("valid_to", lead(col(ts), 1).over(byKey))
+      .withColumn("version", row_number().over(byKey).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }
 
 object Joins {

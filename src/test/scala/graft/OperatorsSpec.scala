@@ -22,6 +22,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("scd2History compacts no-op changes and assigns validity intervals") {
+    val changes = Seq(
+      (1L, "2024-01-01", 1L, 10.0),
+      (1L, "2024-01-02", 2L, 10.0), // no-op: same value -> compacted away
+      (1L, "2024-01-03", 3L, 20.0),
+      (2L, "2024-01-01", 4L, 5.0)
+    ).toDF("k", "ts", "id", "v")
+    val got = Upsert.scd2History(changes, "k", "ts", "id", "v")
+      .orderBy("k", "version")
+      .as[(Long, String, Long, Double, Option[String], Long, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01", 1L, 10.0, Some("2024-01-03"), 1L, false),
+      (1L, "2024-01-03", 3L, 20.0, None, 2L, true),
+      (2L, "2024-01-01", 4L, 5.0, None, 1L, true)))
+  }
+
+  test("scd2History keeps a null state as a real version") {
+    val changes = Seq(
+      (1L, "2024-01-01", 1L, Some(1.0)),
+      (1L, "2024-01-02", 2L, None),       // transition to null = a change
+      (1L, "2024-01-03", 3L, None)        // still null -> compacted
+    ).toDF("k", "ts", "id", "v")
+    val got = Upsert.scd2History(changes, "k", "ts", "id", "v")
+    assert(got.count() == 2)
+    assert(got.filter($"is_current").select("ts").as[String].head() == "2024-01-02")
+  }
+
   test("heavyHitters ranks values by count with share of all rows") {
     val df = Seq("a", "a", "a", "b", "b", "c").map(Tuple1(_)).toDF("k")
       .withColumn("other", lit(1))
