@@ -195,6 +195,12 @@ class PlanSpec extends SparkSpec {
     assert(!lines.slice(probeAt, scanAt).exists(_.contains("Exchange")), p)
   }
 
+  test("scd2 history runs both window passes on ONE shuffle and sort") {
+    val p = plan("k10_scd2")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(p.linesIterator.count(_.trim.startsWith("+- Sort")) == 1, p)
+  }
+
   test("PQ scoring joins the codes to a BROADCAST distance table") {
     val p = plan("ann_pq")
     assert(p.contains("BroadcastHashJoin"), p)
