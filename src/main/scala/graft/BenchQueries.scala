@@ -408,7 +408,7 @@ object BenchQueries extends QueryPack {
         |SELECT doc_id, lang, n_chars, q1, q3,
         |  CAST(CAST(n_chars AS DOUBLE) < q1 - 1.5 * (q3 - q1)
         |    OR CAST(n_chars AS DOUBLE) > q3 + 1.5 * (q3 - q1) AS INT) AS is_outlier
-        |FROM documents JOIN q ON lang = g""".stripMargin,
+        |FROM documents JOIN q ON lang IS NOT DISTINCT FROM g""".stripMargin,
     "agg_salted" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE) AS total

@@ -176,14 +176,20 @@ object DedupSuite {
     // Corpus bands are grouped into capped per-(band, bh) id lists BEFORE
     // the candidate join — a raw band×band equi-join would go quadratic on
     // one hot band hash (boilerplate-heavy corpora, the norm), the exact
-    // skew minhashNearDupPairs guards against in-batch. Capped buckets
-    // bound per-batch-row fan-out at bucketCap; audit the loss with
+    // skew minhashNearDupPairs guards against in-batch. The cap is a
+    // sort-based window rank applied BEFORE any collect (a
+    // slice(collect_set(...)) would materialize the full hot bucket on
+    // one reducer before trimming — the failure the cap guards against;
+    // the rank window spills). Audit the loss with
     // [[incrementalBucketTruncation]]. No >1 filter here: a singleton
     // corpus bucket is still a valid batch match target.
+    val byId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh")).orderBy(col("_id").asc)
     val corpusBuckets = lshBanded(cBase, numHashes, bands)
+      .withColumn("_rn", row_number().over(byId))
+      .filter(col("_rn") <= bucketCap)
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_set(col("_id"))).as("cids"))
-      .select(col("band"), col("bh"), slice(col("cids"), 1, bucketCap).as("cids"))
     val crossCand = lshBanded(bBase, numHashes, bands)
       .toDF("batch_id", "band", "bh")
       .join(corpusBuckets, Seq("band", "bh"))
@@ -213,14 +219,11 @@ object DedupSuite {
   def incrementalBucketTruncation(corpus: DataFrame, id: String, text: Column,
                                   shingleSize: Int = 3, numHashes: Int = 64,
                                   bands: Int = 16,
-                                  bucketCap: Int = 1000): DataFrame = {
-    val base = shingleSets(corpus, id, text, shingleSize)
-    lshBanded(base, numHashes, bands)
-      .groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_set(col("_id"))).as("ids"))
-      .select(col("band"), col("bh"), size(col("ids")).as("bucket_size"))
-      .filter(col("bucket_size") > bucketCap)
-  }
+                                  bucketCap: Int = 1000): DataFrame =
+    // same audit as the in-batch guard: over-cap (band, bh) buckets (the
+    // >1-member prefilter there is subsumed by bucket_size > bucketCap)
+    minhashBucketTruncation(corpus, id, text, shingleSize, numHashes,
+      bands, bucketCap)
 
   /** Chunk-level (line/paragraph-analog) corpus dedup: split each doc
     * into non-overlapping `chunkTokens`-token chunks (partial tail kept),
@@ -371,19 +374,29 @@ object DedupSuite {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Release the cached blocks behind a `localCheckpoint`ed frame.
-    * `Dataset.unpersist` only covers `cache()`/`persist()` entries in the
-    * CacheManager; a local checkpoint lives as plain cached RDD blocks
-    * reachable through the plan's `LogicalRDD` leaf. No-op for reliable
-    * checkpoints (data lives in files, not blocks). Only call on frames
-    * nothing will read again — a freed local checkpoint cannot be
+  /** Release the storage behind a checkpointed frame. `Dataset.unpersist`
+    * only covers `cache()`/`persist()` entries in the CacheManager, so:
+    * a LOCAL checkpoint's cached RDD blocks are unpersisted through the
+    * plan's `LogicalRDD` leaf; a RELIABLE checkpoint's files are deleted
+    * from the checkpoint dir (Spark only auto-cleans those when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set, which
+    * defaults to false — without this, one full copy of the labels table
+    * per propagation round accumulates until JVM exit). Only call on
+    * frames nothing will read again — a freed checkpoint cannot be
     * recomputed. */
-  private def freeMaterialized(df: DataFrame): Unit =
+  private def freeMaterialized(df: DataFrame): Unit = {
+    val sc = df.sparkSession.sparkContext
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(true)
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.getCheckpointFile.foreach { dir =>
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+          }
+          l.rdd.unpersist(true)
         case _ => ()
       }
+  }
 
   /** Character n-gram Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =

@@ -77,16 +77,26 @@ object Profile {
     * projection. Output: input columns + q1/q3/is_outlier. */
   def iqrOutliers(df: DataFrame, group: Column, value: Column,
                   factor: Double = 1.5): DataFrame = {
-    val q = df.groupBy(group.as("_g")).agg(
-      percentile(value, lit(0.25)).as("_q1x"),
-      percentile(value, lit(0.75)).as("_q3x"))
-    df.join(broadcast(q), group === col("_g"))
-      .withColumn("q1", col("_q1x").cast("double"))
-      .withColumn("q3", col("_q3x").cast("double"))
+    // reserved output names are refused, not silently replaced, and
+    // helper columns get collision-free names (same hazard class the
+    // sampling operators guard against)
+    Seq("q1", "q3", "is_outlier").foreach(c =>
+      require(!df.columns.contains(c),
+        s"iqrOutliers: input already has a '$c' column (reserved output)"))
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (gC, q1C, q3C) = (s"_g_$nonce", s"_q1_$nonce", s"_q3_$nonce")
+    val q = df.groupBy(group.as(gC)).agg(
+      percentile(value, lit(0.25)).as(q1C),
+      percentile(value, lit(0.75)).as(q3C))
+    // null-safe join: a NULL group is a legitimate group (groupBy keeps
+    // it); a plain === would silently DROP all null-group rows
+    df.join(broadcast(q), group <=> col(gC))
+      .withColumn("q1", col(q1C).cast("double"))
+      .withColumn("q3", col(q3C).cast("double"))
       .withColumn("is_outlier",
         (value.cast("double") < col("q1") - lit(factor) * (col("q3") - col("q1"))) ||
           (value.cast("double") > col("q3") + lit(factor) * (col("q3") - col("q1"))))
-      .drop("_g", "_q1x", "_q3x")
+      .drop(gC, q1C, q3C)
   }
 
   /** Two-phase (salted) aggregation for skewed keys: phase 1 aggregates on

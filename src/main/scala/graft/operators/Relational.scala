@@ -153,6 +153,11 @@ object Upsert {
     * is_current. */
   def scd2History(changes: DataFrame, key: String, ts: String,
                   tiebreak: String, value: String): DataFrame = {
+    // output names are reserved: withColumn would silently REPLACE an
+    // input column of the same name (losing the caller's data)
+    Seq("valid_to", "version", "is_current").foreach(c =>
+      require(!Seq(key, ts, tiebreak, value).contains(c),
+        s"scd2History: input column '$c' collides with a reserved output name"))
     val byKey = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col(tiebreak).asc)
     val changed = changes
@@ -208,12 +213,22 @@ object Joins {
     // dropped anyway — an outer join would lose its null-extended rows
     require(Set("inner", "left_semi")(joinType),
       s"bloom prefilter preserves semantics only for inner/left_semi joins, got $joinType")
-    val keys = small.select(col(smallKey)).distinct()
+    // fail fast on key types the sketch probe cannot take: without this,
+    // two full jobs (count + sketch build) run before the probe's
+    // internal type check rejects the plan
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    val (lt, st) = (large.schema(largeKey).dataType, small.schema(smallKey).dataType)
+    require(integral(lt) && integral(st),
+      s"bloomPrefilterJoin needs integral join keys (probed as long), " +
+        s"got $largeKey: ${lt.simpleString}, $smallKey: ${st.simpleString}")
+    val keys = small.select(col(smallKey).cast("long").as(smallKey)).distinct()
     val n = if (expectedItems > 0) expectedItems else keys.count()
     val bf = keys.stat.bloomFilter(smallKey, math.max(n, 1L), fpp)
     val pruned = large.filter(
       graft.plans.BloomNative.mightContain(large.sparkSession,
-        col(largeKey), bf))
+        col(largeKey).cast("long"), bf))
     pruned.join(small, pruned(largeKey) === small(smallKey), joinType)
   }
 

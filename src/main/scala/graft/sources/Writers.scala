@@ -95,12 +95,14 @@ object Writers {
     * Hive-partitioned layouts (`.../k=v/...`) are PRESERVED: partition
     * key columns are detected from the directory structure, rows are
     * re-clustered on them, and the rewrite goes through `partitionBy` —
-    * downstream partition pruning keeps working (one compacted file per
-    * partition value; note partition VALUES round-trip through Spark's
-    * partition-type inference, so values that only differ in string
-    * formatting, e.g. `n=01` vs `n=1`, are normalized). Any
-    * non-partition subdirectory is refused rather than silently
-    * flattened into the output.
+    * downstream partition pruning keeps working. Each partition value is
+    * sized individually (rows per value x mean row bytes), so a skewed
+    * value re-splits into ~value_bytes/targetFileMB files instead of one
+    * giant file while small values compact to one. (Partition VALUES
+    * round-trip through Spark's partition-type inference, so values that
+    * only differ in string formatting, e.g. `n=01` vs `n=1`, are
+    * normalized.) Any non-partition subdirectory is refused rather than
+    * silently flattened into the output.
     *
     * Rewrite goes to a temp dir then swaps via rename — readers never
     * observe a half-written state (modulo non-atomic object-store
@@ -145,15 +147,38 @@ object Writers {
       }
     }
     val keys = Option(partKeys).getOrElse(Seq.empty).toSeq
-    val parts = math.max(1L, (bytes + targetFileMB * 1024L * 1024L - 1) /
-      (targetFileMB * 1024L * 1024L)).toInt
+    val targetBytes = targetFileMB * 1024L * 1024L
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     val df = spark.read.parquet(path)
     if (keys.isEmpty)
       df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    else
-      df.repartition(parts, keys.map(col): _*)
+    else {
+      // repartition(parts, keys) would hash each partition VALUE into
+      // exactly one task — a skewed partition (one value holding most of
+      // the table) becomes ONE giant file and targetFileMB is silently
+      // ignored. Size per partition value instead: rows per value (cheap
+      // parquet-metadata count), bytes-per-row from the directory total,
+      // then a per-value salt spreads big values over ceil(value_bytes /
+      // target) files while small values stay at one.
+      val rowsPerValue = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_rows_c"))
+      val totalRows = math.max(1L,
+        rowsPerValue.agg(sum(col("_rows_c"))).collect()(0).getLong(0))
+      val bytesPerRow = bytes.toDouble / totalRows
+      val sized = rowsPerValue.withColumn("_nf_c",
+        greatest(lit(1L), ceil(col("_rows_c") * bytesPerRow / targetBytes)))
+        .drop("_rows_c")
+      val dataCols = df.columns.filterNot(keys.contains).toSeq
+      val saltSrc = if (dataCols.isEmpty) lit(0L)
+        else xxhash64(dataCols.map(col): _*)
+      val salted = df.join(broadcast(sized), keys)
+        .withColumn("_salt_c", pmod(saltSrc, col("_nf_c")))
+        .drop("_nf_c")
+      salted.repartition(parts, (keys :+ "_salt_c").map(col): _*)
+        .drop("_salt_c")
         .write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(tmp.toString)
+    }
     val outFiles = fs.listFiles(tmp, true)
     var out = 0
     while (outFiles.hasNext) {

@@ -69,6 +69,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got.count() == 12) // gate flags, never drops
   }
 
+  test("iqrOutliers keeps NULL-group rows as their own group") {
+    val df = Seq((1L, Some("en"), 10L), (2L, None, 10L), (3L, None, 11L))
+      .toDF("id", "lang", "n")
+    val got = Profile.iqrOutliers(df, col("lang"), col("n"))
+    assert(got.count() == 3) // null lang rows gated, not dropped
+    intercept[IllegalArgumentException] {
+      Profile.iqrOutliers(df.withColumn("q1", lit(0)), col("lang"), col("n"))
+    }
+  }
+
+  test("bloom prefilter widens int keys and fails fast on strings") {
+    val large = (1 to 100).map(i => (i, i)).toDF("k", "v") // IntegerType key
+    val small = Seq(5L, 50L).toDF("sk")                    // LongType key
+    val got = Joins.bloomPrefilterJoin(large, small, "k", "sk")
+      .select("k").as[Int].collect().sorted
+    assert(got.toSeq == Seq(5, 50))
+    val e = intercept[IllegalArgumentException] {
+      Joins.bloomPrefilterJoin(large.withColumn("s", lit("x")), small, "s", "sk")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("scd2History refuses input columns named like its outputs") {
+    val df = Seq((1L, "2024-01-01", 1L, 1.0)).toDF("k", "version", "id", "v")
+    intercept[IllegalArgumentException] {
+      Upsert.scd2History(df, "k", "version", "id", "v")
+    }
+  }
+
   test("bloom prefilter join equals the plain join, and rejects outer joins") {
     val large = (1L to 1000L).map(i => (i, i % 7)).toDF("k", "v")
     val small = Seq(3L, 500L, 999L, 2000L).toDF("sk")

@@ -197,6 +197,27 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(k"), plan)
   }
 
+  test("compactParquet splits a skewed partition value by target size") {
+    val dir = tmp() + "/skew"
+    // k=0 carries ~99% of the rows; a key-only repartition would write it
+    // as ONE file regardless of targetFileMB
+    spark.range(100000)
+      .selectExpr("id",
+        // ~128 incompressible bytes per row -> k=0 lands well over 1 MB
+        "concat(md5(CAST(id AS STRING)), md5(CAST(id + 1 AS STRING)), " +
+          "md5(CAST(id + 2 AS STRING)), md5(CAST(id + 3 AS STRING))) AS pad",
+        "CAST(CASE WHEN id < 99000 THEN 0 ELSE id % 4 + 1 END AS INT) AS k")
+      .repartition(20).write.partitionBy("k").parquet(dir)
+    // tiny target (1 MB) so the hot value must split into several files
+    val (nb, na) = Writers.compactParquet(spark, dir, 1)
+    val hotFiles = new java.io.File(dir + "/k=0")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(hotFiles > 1, s"hot partition wrote $hotFiles file(s)")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100000)
+    assert(back.filter($"k" === 0).count() == 99000)
+  }
+
   test("compactParquet refuses non-partition subdirs and bad targetFileMB") {
     val dir = tmp() + "/nested"
     spark.range(10).write.parquet(dir + "/sub1")
