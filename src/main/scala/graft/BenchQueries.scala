@@ -193,6 +193,15 @@ object BenchQueries extends QueryPack {
       // one-pass column profile (nulls/distinct/min/max per column).
       Profile.columnProfile(t(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))),
+    "a15_resample" -> ((s, d) =>
+      // gap-filled hourly grid per event type (LOCF forward fill).
+      graft.operators.TimeSeries.resample(Tables.events(s, d),
+        col("event_type"), col("ts"), col("value"), "1 hour")
+        .select(col("key").as("event_type"), col("ts_grid"), col("value"),
+          col("is_gap").cast("int").as("is_gap"))),
+    "prof_histogram" -> ((s, d) =>
+      // 20-bin equal-width distribution of line revenue.
+      Profile.histogram(t(s, d, "lineitem"), col("l_extendedprice"), bins = 20)),
     "k10_scd2" -> ((s, d) =>
       // dimension version history: each customer's order stream as a
       // change feed -> changes-only SCD2 intervals.
@@ -371,6 +380,32 @@ object BenchQueries extends QueryPack {
         |SELECT 'o_orderstatus', COUNT(*),
         |  CAST(SUM(CAST(o_orderstatus IS NULL AS BIGINT)) AS BIGINT), COUNT(DISTINCT o_orderstatus),
         |  NULL, NULL FROM orders""".stripMargin,
+    "a15_resample" ->
+      """WITH sn AS (SELECT event_type AS k, date_trunc('hour', ts) AS t,
+        |              MAX(value) AS v FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, MIN(t) AS mn, MAX(t) AS mx FROM sn GROUP BY 1),
+        |g AS (SELECT k, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS t
+        |      FROM b),
+        |j AS (SELECT g.k, g.t, sn.v
+        |      FROM g LEFT JOIN sn ON g.k = sn.k AND g.t = sn.t)
+        |SELECT k AS event_type, t AS ts_grid,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  CAST(v IS NULL AS INT) AS is_gap
+        |FROM j""".stripMargin,
+    "prof_histogram" ->
+      """WITH bd AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |              MAX(CAST(l_extendedprice AS DOUBLE)) AS mx
+        |            FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r AS (SELECT
+        |  CASE WHEN mx = mn THEN 0
+        |    ELSE LEAST(19, CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - mn)
+        |      / ((mx - mn) / 20.0)) AS BIGINT)) END AS bucket, mn, mx
+        |  FROM lineitem, bd WHERE l_extendedprice IS NOT NULL)
+        |SELECT bucket,
+        |  mn + CAST(bucket AS DOUBLE) * ((mx - mn) / 20.0) AS bucket_low,
+        |  COUNT(*) AS n
+        |FROM r GROUP BY bucket, mn, mx""".stripMargin,
     "k10_scd2" ->
       """WITH chg AS (
         |  SELECT o_custkey AS custkey, o_orderdate AS ts, o_orderkey AS okey,

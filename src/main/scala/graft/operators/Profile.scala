@@ -68,6 +68,33 @@ object Profile {
     }.reduce(_.unionByName(_))
   }
 
+  /** Equal-width histogram of a numeric column: `bins` buckets spanning
+    * the column's own [min, max], with per-bucket counts and bounds. The
+    * distribution snapshot of data profiling — one bounds aggregate (a
+    * broadcast single row), then one codegen'd bucket projection +
+    * count groupBy on a small integer key (map-side partial, immune to
+    * spikes). Values at max land in the last bucket (the standard
+    * closed-right convention); NULLs are excluded. */
+  def histogram(df: DataFrame, value: Column, bins: Int = 20): DataFrame = {
+    require(bins > 0, s"bins must be > 0, got $bins")
+    val v = value.cast("double")
+    val bounds = df.filter(v.isNotNull)
+      .agg(min(v).as("_mn"), max(v).as("_mx"))
+    val width = (col("_mx") - col("_mn")) / lit(bins.toDouble)
+    // degenerate all-equal column: width 0 -> everything in bucket 0
+    val bucket = when(col("_mx") === col("_mn"), lit(0L))
+      .otherwise(least(lit(bins - 1L),
+        floor((v - col("_mn")) / width).cast("long")))
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucket.as("bucket"), col("_mn"), col("_mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (col("_mn") + col("bucket").cast("double") *
+          ((col("_mx") - col("_mn")) / lit(bins.toDouble))).as("bucket_low"),
+        col("n"))
+  }
+
   /** Per-group IQR outlier gate on a numeric column: rows outside
     * [q1 - 1.5*iqr, q3 + 1.5*iqr] of their group's exact interpolated
     * quartiles are flagged — the robust length-outlier screen of corpus

@@ -32,6 +32,52 @@ object TimeSeries {
       max_by(price, ts).as("last_price"),
       count(lit(1)).as("data_points"))
 
+  /** Resample a sparse per-key time series onto a regular grid with
+    * forward fill (LOCF — last observation carried forward): every key
+    * gets one row per `step` between its first and last observation;
+    * grid points with no observation carry the previous value and are
+    * flagged `is_gap`. The gap-filling step every downstream
+    * window/forecast consumer needs before assuming regular cadence.
+    *
+    * Scale shape: the grid generates per key from its own (min, max)
+    * bounds — sequence + explode, rows proportional to span/step, no
+    * driver loop; the fill is one window per key ordered by grid time
+    * (a single shuffle on the key). A key with a pathological span
+    * (sensor stuck for years at 1s step) generates span/step rows — cap
+    * upstream if that is a real hazard.
+    *
+    * Output: key, grid ts (`ts_grid`), `value` (filled), `is_gap`. */
+  def resample(points: DataFrame, key: Column, ts: Column, value: Column,
+               step: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snapped = points
+      .select(key.as("_k"), date_trunc(stepUnit(step), ts).as("_t"), value.as("_v"))
+      // one observation per (key, grid point): the LAST by raw order of
+      // arrival is arbitrary — aggregate deterministically (mean would
+      // need decimal care; max is order-free and exact)
+      .groupBy(col("_k"), col("_t")).agg(max(col("_v")).as("_v"))
+    val bounds = snapped.groupBy(col("_k"))
+      .agg(min(col("_t")).as("_mn"), max(col("_t")).as("_mx"))
+    val grid = bounds.select(col("_k"),
+      explode(sequence(col("_mn"), col("_mx"),
+        expr(s"INTERVAL $step"))).as("_t"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(snapped, Seq("_k", "_t"), "left")
+      .withColumn("value", last(col("_v"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("_v").isNull)
+      .select(col("_k").as("key"), col("_t").as("ts_grid"),
+        col("value"), col("is_gap"))
+  }
+
+  private def stepUnit(step: String): String = step.trim.toLowerCase match {
+    case s if s.endsWith("hour")   => "hour"
+    case s if s.endsWith("day")    => "day"
+    case s if s.endsWith("minute") => "minute"
+    case other => throw new IllegalArgumentException(
+      s"resample step must be 1 minute/hour/day, got '$other'")
+  }
+
   /** A3+A4/T3 (ref: 14_binance_calculate_daily.py:47-64): daily rollup over
     * the hourly output — mean of hourly means, min of mins, max of maxes,
     * open/close from the first/last hour, guarded pct-change. */

@@ -50,6 +50,40 @@ class OperatorsSpec extends SparkSpec {
     assert(got.filter($"is_current").select("ts").as[String].head() == "2024-01-02")
   }
 
+  test("resample fills gaps on a regular grid with LOCF and flags them") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val pts = Seq(
+      ("a", t("2024-01-01 00:10:00"), 1.0),
+      ("a", t("2024-01-01 03:20:00"), 4.0), // hours 1 and 2 are gaps
+      ("b", t("2024-01-01 05:00:00"), 9.0)
+    ).toDF("k", "ts", "v")
+    val got = TimeSeries.resample(pts, col("k"), col("ts"), col("v"), "1 hour")
+      .orderBy("key", "ts_grid")
+      .as[(String, java.sql.Timestamp, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("a", t("2024-01-01 00:00:00"), 1.0, false),
+      ("a", t("2024-01-01 01:00:00"), 1.0, true),
+      ("a", t("2024-01-01 02:00:00"), 1.0, true),
+      ("a", t("2024-01-01 03:00:00"), 4.0, false),
+      ("b", t("2024-01-01 05:00:00"), 9.0, false)))
+    intercept[IllegalArgumentException] {
+      TimeSeries.resample(pts, col("k"), col("ts"), col("v"), "7 weeks")
+    }
+  }
+
+  test("histogram buckets equal-width with closed-right max and degenerate case") {
+    val df = (0 to 10).map(_.toDouble).toDF("x")
+    val got = Profile.histogram(df, col("x"), bins = 5)
+      .orderBy("bucket").as[(Long, Double, Long)].collect().toSeq
+    // width 2: buckets [0,2),[2,4),[4,6),[6,8),[8,10]; 10 joins the last
+    assert(got == Seq((0L, 0.0, 2L), (1L, 2.0, 2L), (2L, 4.0, 2L),
+      (3L, 6.0, 2L), (4L, 8.0, 3L)))
+    val flat = Seq(5.0, 5.0, 5.0).toDF("x")
+    val one = Profile.histogram(flat, col("x"), bins = 5)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(one == Seq((0L, 5.0, 3L)))
+  }
+
   test("heavyHitters ranks values by count with share of all rows") {
     val df = Seq("a", "a", "a", "b", "b", "c").map(Tuple1(_)).toDF("k")
       .withColumn("other", lit(1))
