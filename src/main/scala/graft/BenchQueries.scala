@@ -396,12 +396,16 @@ object BenchQueries extends QueryPack {
     "prof_histogram" ->
       """WITH bd AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
         |              MAX(CAST(l_extendedprice AS DOUBLE)) AS mx
-        |            FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |            FROM lineitem
+        |            WHERE l_extendedprice IS NOT NULL
+        |              AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
         |r AS (SELECT
         |  CASE WHEN mx = mn THEN 0
         |    ELSE LEAST(19, CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - mn)
         |      / ((mx - mn) / 20.0)) AS BIGINT)) END AS bucket, mn, mx
-        |  FROM lineitem, bd WHERE l_extendedprice IS NOT NULL)
+        |  FROM lineitem, bd
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE)))
         |SELECT bucket,
         |  mn + CAST(bucket AS DOUBLE) * ((mx - mn) / 20.0) AS bucket_low,
         |  COUNT(*) AS n

@@ -74,18 +74,20 @@ object Profile {
     * broadcast single row), then one codegen'd bucket projection +
     * count groupBy on a small integer key (map-side partial, immune to
     * spikes). Values at max land in the last bucket (the standard
-    * closed-right convention); NULLs are excluded. */
+    * closed-right convention); NULLs and NaNs are excluded (a single NaN
+    * would poison max() and collapse every row into one NaN-bounded
+    * bucket). */
   def histogram(df: DataFrame, value: Column, bins: Int = 20): DataFrame = {
     require(bins > 0, s"bins must be > 0, got $bins")
     val v = value.cast("double")
-    val bounds = df.filter(v.isNotNull)
-      .agg(min(v).as("_mn"), max(v).as("_mx"))
+    val clean = df.filter(v.isNotNull && !isnan(v))
+    val bounds = clean.agg(min(v).as("_mn"), max(v).as("_mx"))
     val width = (col("_mx") - col("_mn")) / lit(bins.toDouble)
     // degenerate all-equal column: width 0 -> everything in bucket 0
     val bucket = when(col("_mx") === col("_mn"), lit(0L))
       .otherwise(least(lit(bins - 1L),
         floor((v - col("_mn")) / width).cast("long")))
-    df.filter(v.isNotNull)
+    clean
       .crossJoin(broadcast(bounds))
       .groupBy(bucket.as("bucket"), col("_mn"), col("_mx"))
       .agg(count(lit(1)).as("n"))
@@ -110,7 +112,7 @@ object Profile {
     Seq("q1", "q3", "is_outlier").foreach(c =>
       require(!df.columns.contains(c),
         s"iqrOutliers: input already has a '$c' column (reserved output)"))
-    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val nonce = graft.core.Cols.nonce
     val (gC, q1C, q3C) = (s"_g_$nonce", s"_q1_$nonce", s"_q3_$nonce")
     val q = df.groupBy(group.as(gC)).agg(
       percentile(value, lit(0.25)).as(q1C),

@@ -58,7 +58,7 @@ object Sampling {
     // helper columns get collision-free names: withColumn REPLACES a
     // same-named input column silently, so fixed names like `_h` would
     // corrupt a caller's frame that happens to carry them
-    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val nonce = graft.core.Cols.nonce
     val (kC, sC, nC, hC) =
       (s"_key_$nonce", s"_stratum_$nonce", s"_n_$nonce", s"_h_$nonce")
     require(!df.columns.contains("cum_tokens"),
@@ -102,7 +102,7 @@ object Sampling {
     require(!df.columns.contains("n_picks"),
       "systematicWeightedSample: input already has an 'n_picks' column (reserved output)")
     val perShard = n / shards
-    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val nonce = graft.core.Cols.nonce
     val (hC, sC, wC, cC, tC) = (s"_h_$nonce", s"_shard_$nonce",
       s"_w_$nonce", s"_cum_$nonce", s"_tot_$nonce")
     val ord = org.apache.spark.sql.expressions.Window
@@ -148,7 +148,7 @@ object Sampling {
     require(!df.columns.contains("epoch"),
       "sourceMix: input already has an 'epoch' column (reserved output)")
     // collision-free helper names (same hazard as tokenBudgetSample)
-    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val nonce = graft.core.Cols.nonce
     val (wC, bC) = (s"_w_$nonce", s"_b_$nonce")
     val w = rateFor(source, weights, defaultWeight)
     df.withColumn(wC, w)

@@ -70,12 +70,16 @@ object TimeSeries {
         col("value"), col("is_gap"))
   }
 
+  // observations snap to the step's UNIT via date_trunc, so only
+  // single-unit steps are sound: with e.g. "2 hour" an observation in an
+  // odd hour would match no grid point and silently vanish instead of
+  // being carried forward
   private def stepUnit(step: String): String = step.trim.toLowerCase match {
-    case s if s.endsWith("hour")   => "hour"
-    case s if s.endsWith("day")    => "day"
-    case s if s.endsWith("minute") => "minute"
+    case "1 hour"   => "hour"
+    case "1 day"    => "day"
+    case "1 minute" => "minute"
     case other => throw new IllegalArgumentException(
-      s"resample step must be 1 minute/hour/day, got '$other'")
+      s"resample step must be exactly '1 minute'/'1 hour'/'1 day', got '$other'")
   }
 
   /** A3+A4/T3 (ref: 14_binance_calculate_daily.py:47-64): daily rollup over

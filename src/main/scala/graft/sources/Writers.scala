@@ -161,22 +161,36 @@ object Writers {
       // parquet-metadata count), bytes-per-row from the directory total,
       // then a per-value salt spreads big values over ceil(value_bytes /
       // target) files while small values stay at one.
+      val nonce = graft.core.Cols.nonce // caller columns must survive
+      val (rowsC, nfC, saltC) = (s"_rows_$nonce", s"_nf_$nonce", s"_salt_$nonce")
       val rowsPerValue = df.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("_rows_c"))
-      val totalRows = math.max(1L,
-        rowsPerValue.agg(sum(col("_rows_c"))).collect()(0).getLong(0))
+        .agg(count(lit(1)).as(rowsC))
+      // coalesce: an all-empty-files directory has an EMPTY aggregate,
+      // and sum(empty) is NULL, not 0
+      val totalRows = math.max(1L, rowsPerValue
+        .agg(coalesce(sum(col(rowsC)), lit(0L))).collect()(0).getLong(0))
       val bytesPerRow = bytes.toDouble / totalRows
-      val sized = rowsPerValue.withColumn("_nf_c",
-        greatest(lit(1L), ceil(col("_rows_c") * bytesPerRow / targetBytes)))
-        .drop("_rows_c")
-      val dataCols = df.columns.filterNot(keys.contains).toSeq
-      val saltSrc = if (dataCols.isEmpty) lit(0L)
-        else xxhash64(dataCols.map(col): _*)
-      val salted = df.join(broadcast(sized), keys)
-        .withColumn("_salt_c", pmod(saltSrc, col("_nf_c")))
-        .drop("_nf_c")
-      salted.repartition(parts, (keys :+ "_salt_c").map(col): _*)
-        .drop("_salt_c")
+      val sized = rowsPerValue.withColumn(nfC,
+        greatest(lit(1L), ceil(col(rowsC) * bytesPerRow / targetBytes)))
+        .drop(rowsC)
+      // the salt only spreads rows — any hashable subset of columns will
+      // do, and map-typed columns cannot feed xxhash64
+      val hashableCols = df.schema.fields
+        .filter(f => !keys.contains(f.name) && hashable(f.dataType))
+        .map(f => col(f.name)).toSeq
+      val saltSrc = if (hashableCols.isEmpty) lit(0L) else xxhash64(hashableCols: _*)
+      // null-safe key equality: a null partition value is a real
+      // partition dir (k=__HIVE_DEFAULT_PARTITION__); a plain === join
+      // would silently DROP those rows from the rewritten data
+      val cond = keys.map(k => df(k) <=> sized(k)).reduce(_ && _)
+      val joined = keys.foldLeft(df.join(broadcast(sized), cond)) {
+        (d, k) => d.drop(sized(k))
+      }
+      val salted = joined
+        .withColumn(saltC, pmod(saltSrc, col(nfC)))
+        .drop(nfC)
+      salted.repartition(parts, (keys :+ saltC).map(col): _*)
+        .drop(saltC)
         .write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(tmp.toString)
     }
     val outFiles = fs.listFiles(tmp, true)
@@ -193,6 +207,14 @@ object Writers {
     }
     fs.delete(bak, true)
     (nFiles, out)
+  }
+
+  /** xxhash64 rejects map-typed input (at any nesting depth). */
+  private def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+    case _ => true
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {

@@ -69,6 +69,17 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeSeries.resample(pts, col("k"), col("ts"), col("v"), "7 weeks")
     }
+    // multi-count steps would silently DROP off-grid observations
+    intercept[IllegalArgumentException] {
+      TimeSeries.resample(pts, col("k"), col("ts"), col("v"), "2 hour")
+    }
+  }
+
+  test("histogram excludes NaN instead of poisoning the bounds") {
+    val df = Seq(1.0, 2.0, 3.0, Double.NaN).toDF("x")
+    val got = Profile.histogram(df, col("x"), bins = 2)
+      .orderBy("bucket").as[(Long, Double, Long)].collect().toSeq
+    assert(got == Seq((0L, 1.0, 1L), (1L, 2.0, 2L))) // NaN row gone, bounds sane
   }
 
   test("histogram buckets equal-width with closed-right max and degenerate case") {

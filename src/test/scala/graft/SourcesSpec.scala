@@ -218,6 +218,20 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter($"k" === 0).count() == 99000)
   }
 
+  test("compactParquet preserves the null partition value") {
+    val dir = tmp() + "/nullpart"
+    spark.range(100)
+      .selectExpr("id",
+        "CAST(CASE WHEN id % 10 = 0 THEN NULL ELSE id % 3 END AS INT) AS k")
+      .write.partitionBy("k").parquet(dir)
+    // null rows land in k=__HIVE_DEFAULT_PARTITION__; a non-null-safe
+    // sizing join would drop all 10 of them from the rewrite
+    val (nb, na) = Writers.compactParquet(spark, dir, 512)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    assert(back.filter($"k".isNull).count() == 10)
+  }
+
   test("compactParquet refuses non-partition subdirs and bad targetFileMB") {
     val dir = tmp() + "/nested"
     spark.range(10).write.parquet(dir + "/sub1")
