@@ -31,7 +31,8 @@ object Bench {
     "q10_returns", "q14_promo", "q18_large_orders", "j9_bloom_join",
     "t_top_ngrams", "t_doc_frequency", "t_vocab_stats", "t_bm25",
     "t_inverted_index", "s_weighted", "prof_skew", "c_length_outliers",
-    "k10_scd2", "a15_resample", "prof_histogram")
+    "k10_scd2", "a15_resample", "prof_histogram",
+    "q4_priority", "a16_funnel", "a17_retention")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -193,6 +193,49 @@ object BenchQueries extends QueryPack {
       // one-pass column profile (nulls/distinct/min/max per column).
       Profile.columnProfile(t(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))),
+    "q4_priority" -> ((s, d) => {
+      // TPC-H Q4 shape: EXISTS correlated subquery through the SQL
+      // surface — Catalyst rewrites it to a left-semi join (PlanSpec).
+      t(s, d, "orders").createOrReplaceTempView("graft_q4_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("graft_q4_lineitem")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+          |FROM graft_q4_orders
+          |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+          |  AND EXISTS (SELECT 1 FROM graft_q4_lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate)
+          |GROUP BY o_orderpriority""".stripMargin)
+    }),
+    "a16_funnel" -> ((s, d) => {
+      // funnel conversion: per user, first view and the first purchase
+      // AFTER that view; one aggregate + one conditional re-aggregate —
+      // no self-join of the event stream.
+      val ev = Tables.events(s, d)
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view_ts"))
+      ev.filter(col("event_type") === "purchase")
+        .join(firstView, Seq("user_id"), "right")
+        .groupBy(col("user_id"), col("first_view_ts"))
+        .agg(min(when(col("ts") >= col("first_view_ts"), col("ts")))
+          .as("first_purchase_ts"))
+        .withColumn("converted",
+          col("first_purchase_ts").isNotNull.cast("int"))
+    }),
+    "a17_retention" -> ((s, d) => {
+      // cohort retention: users grouped by first-seen day, activity
+      // counted per day-offset — two aggregates, second joined back on
+      // the (small) per-user cohort table.
+      val ev = Tables.events(s, d)
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("cohort_day"))
+      ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
     "a15_resample" -> ((s, d) =>
       // gap-filled hourly grid per event type (LOCF forward fill).
       graft.operators.TimeSeries.resample(Tables.events(s, d),
@@ -380,6 +423,36 @@ object BenchQueries extends QueryPack {
         |SELECT 'o_orderstatus', COUNT(*),
         |  CAST(SUM(CAST(o_orderstatus IS NULL AS BIGINT)) AS BIGINT), COUNT(DISTINCT o_orderstatus),
         |  NULL, NULL FROM orders""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "a16_funnel" ->
+      """WITH fv AS (SELECT user_id, MIN(ts) AS first_view_ts FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, fv.first_view_ts,
+        |        MIN(CASE WHEN e.ts >= fv.first_view_ts THEN e.ts END)
+        |          AS first_purchase_ts
+        |      FROM events e RIGHT JOIN fv ON e.user_id = fv.user_id
+        |        AND e.event_type = 'purchase'
+        |      GROUP BY 1, 2)
+        |SELECT user_id, first_view_ts, first_purchase_ts,
+        |  CAST(first_purchase_ts IS NOT NULL AS INT) AS converted
+        |FROM p""".stripMargin,
+    "a17_retention" ->
+      """WITH c AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, a.day) AS INT) AS day_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "a15_resample" ->
       """WITH sn AS (SELECT event_type AS k, date_trunc('hour', ts) AS t,
         |              MAX(value) AS v FROM events GROUP BY 1, 2),

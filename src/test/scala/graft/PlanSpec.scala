@@ -195,6 +195,12 @@ class PlanSpec extends SparkSpec {
     assert(!lines.slice(probeAt, scanAt).exists(_.contains("Exchange")), p)
   }
 
+  test("q4 EXISTS subquery plans as a semi join, not a per-row subquery") {
+    val p = plan("q4_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("scd2 history runs both window passes on ONE shuffle and sort") {
     val p = plan("k10_scd2")
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
