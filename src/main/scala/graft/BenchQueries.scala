@@ -193,6 +193,40 @@ object BenchQueries extends QueryPack {
       // one-pass column profile (nulls/distinct/min/max per column).
       Profile.columnProfile(t(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))),
+    "a18_zscore" -> ((s, d) =>
+      // parametric outlier gate: |value - mean| > 3 sigma per event type.
+      Profile.zscoreOutliers(Tables.events(s, d), col("event_type"),
+        col("value"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("mean"), col("stddev"), col("is_outlier").cast("int").as("is_outlier"))),
+    "agg_corr" -> ((s, d) => {
+      // per-flag Pearson correlation from EXACT integer moment sums:
+      // corr() the aggregate is double-accumulation-order-dependent, and
+      // even decimal-cast double products round differently per engine —
+      // so quantize to integers first (qty is integral; price becomes
+      // exact cents — corr is scale-invariant), sum in DECIMAL, and run
+      // the formula in fixed double order.
+      val x = col("l_quantity").cast("long")
+      val y = round(col("l_extendedprice") * lit(100.0)).cast("long")
+      val st = t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(x.cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(y.cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((x * x).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum((y * y).cast("decimal(38,0)")).cast("double").as("syy"),
+        sum((x * y).cast("decimal(38,0)")).cast("double").as("sxy"))
+      val nD = col("n").cast("double")
+      st.select(col("l_returnflag"), col("n"),
+        ((col("sxy") - (col("sx") * col("sy")) / nD) /
+          (sqrt(col("sxx") - (col("sx") * col("sx")) / nD) *
+            sqrt(col("syy") - (col("sy") * col("sy")) / nD))).as("corr_qty_price"))
+    }),
+    "sf_strsim" -> ((s, d) =>
+      // §2.9 string-similarity family: edit distance (same DP definition
+      // in both engines).
+      t(s, d, "part").select(col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).as("lev_name_type"),
+        levenshtein(lower(col("p_brand")), lit("brand#1")).as("lev_brand"))),
     "q4_priority" -> ((s, d) => {
       // TPC-H Q4 shape: EXISTS correlated subquery through the SQL
       // surface — Catalyst rewrites it to a left-semi join (PlanSpec).
@@ -423,6 +457,44 @@ object BenchQueries extends QueryPack {
         |SELECT 'o_orderstatus', COUNT(*),
         |  CAST(SUM(CAST(o_orderstatus IS NULL AS BIGINT)) AS BIGINT), COUNT(DISTINCT o_orderstatus),
         |  NULL, NULL FROM orders""".stripMargin,
+    "a18_zscore" ->
+      """WITH st AS (SELECT event_type AS g, COUNT(value) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS q
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_id, event_type, value, n,
+        |    s / CAST(n AS DOUBLE) AS mean,
+        |    CASE WHEN n > 1 THEN
+        |      sqrt((q - (s * s) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+        |    END AS stddev
+        |  FROM events JOIN st ON event_type IS NOT DISTINCT FROM g)
+        |SELECT event_id, event_type, value, mean, stddev,
+        |  CAST(CASE WHEN stddev IS NOT NULL AND stddev > 0.0
+        |    THEN abs(CAST(value AS DOUBLE) - mean) > 3.0 * stddev
+        |    ELSE FALSE END AS INT) AS is_outlier
+        |FROM m""".stripMargin,
+    "agg_corr" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |st AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |  FROM q GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  ((sxy - (sx * sy) / CAST(n AS DOUBLE)) /
+        |    (sqrt(sxx - (sx * sx) / CAST(n AS DOUBLE)) *
+        |     sqrt(syy - (sy * sy) / CAST(n AS DOUBLE)))) AS corr_qty_price
+        |FROM st""".stripMargin,
+    "sf_strsim" ->
+      """SELECT p_partkey,
+        |  levenshtein(p_name, p_type) AS lev_name_type,
+        |  levenshtein(lower(p_brand), 'brand#1') AS lev_brand
+        |FROM part""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders

@@ -128,6 +128,44 @@ object Profile {
       .drop(gC, q1C, q3C)
   }
 
+  /** Per-group z-score outlier gate: rows where |value - mean| exceeds
+    * `threshold` group standard deviations. The parametric sibling of
+    * [[iqrOutliers]] (cheaper — plain moment sums instead of exact
+    * percentiles — but assumes roughly normal data).
+    *
+    * Moments are DECIMAL sums (exact, order-independent — a plain double
+    * SUM is accumulation-order-dependent and not reproducible), cast to
+    * double at fixed points; variance is the textbook
+    * (sumsq - sum²/n)/(n-1) in a fixed expression order, so the whole
+    * gate is bit-reproducible across engines. Groups are few; the stats
+    * table broadcasts. Output: input columns + mean/stddev/is_outlier.
+    * Single-row groups have no sample stddev — flagged false. */
+  def zscoreOutliers(df: DataFrame, group: Column, value: Column,
+                     threshold: Double = 3.0): DataFrame = {
+    Seq("mean", "stddev", "is_outlier").foreach(c =>
+      require(!df.columns.contains(c),
+        s"zscoreOutliers: input already has a '$c' column (reserved output)"))
+    val nonce = graft.core.Cols.nonce
+    val (gC, nC, sC, qC) = (s"_g_$nonce", s"_n_$nonce", s"_s_$nonce", s"_q_$nonce")
+    val v = value.cast("double")
+    val stats = df.groupBy(group.as(gC)).agg(
+      count(v).as(nC),
+      sum(v.cast("decimal(27,6)")).cast("double").as(sC),
+      sum((v * v).cast("decimal(27,6)")).cast("double").as(qC))
+    val nD = col(nC).cast("double")
+    val mean = col(sC) / nD
+    val variance = (col(qC) - (col(sC) * col(sC)) / nD) / (nD - lit(1.0))
+    df.join(broadcast(stats), group <=> col(gC))
+      .withColumn("mean", mean)
+      .withColumn("stddev",
+        when(col(nC) > 1, sqrt(variance)).otherwise(lit(null).cast("double")))
+      .withColumn("is_outlier",
+        when(col("stddev").isNotNull && col("stddev") > 0.0,
+          abs(v - col("mean")) > lit(threshold) * col("stddev"))
+          .otherwise(lit(false)))
+      .drop(gC, nC, sC, qC)
+  }
+
   /** Two-phase (salted) aggregation for skewed keys: phase 1 aggregates on
     * (key, salt) spreading a hot key over `saltBuckets` reducers; phase 2
     * merges the partials. Result is identical to a plain groupBy count/sum

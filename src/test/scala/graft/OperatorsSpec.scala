@@ -75,6 +75,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("zscoreOutliers flags 3-sigma deviants, handles singleton groups") {
+    val df = ((1 to 40).map(i => ("a", 100.0 + (i % 5))) ++
+      Seq(("a", 500.0), ("b", 7.0)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val got = Profile.zscoreOutliers(df, col("g"), col("v"))
+    val flagged = got.filter(col("is_outlier")).select("v").as[Double].collect().toSeq
+    assert(flagged == Seq(500.0))
+    // singleton group: no sample stddev, never flagged
+    val b = got.filter(col("g") === "b").select("stddev", "is_outlier").collect().head
+    assert(b.isNullAt(0) && !b.getBoolean(1))
+    intercept[IllegalArgumentException] {
+      Profile.zscoreOutliers(df.withColumn("mean", lit(1)), col("g"), col("v"))
+    }
+  }
+
   test("histogram excludes NaN instead of poisoning the bounds") {
     val df = Seq(1.0, 2.0, 3.0, Double.NaN).toDF("x")
     val got = Profile.histogram(df, col("x"), bins = 2)
