@@ -33,7 +33,7 @@ object Bench {
     "t_inverted_index", "s_weighted", "prof_skew", "c_length_outliers",
     "k10_scd2", "a15_resample", "prof_histogram",
     "q4_priority", "a16_funnel", "a17_retention",
-    "a18_zscore", "agg_corr", "sf_strsim")
+    "a18_zscore", "agg_corr", "sf_strsim", "a19_typed_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -8,6 +8,13 @@ import graft.core.Tables
 import graft.operators.{Cleaners, Dedup, Joins, Upsert, Windows}
 import graft.OracleMath._
 
+/** Typed-API row/result shapes for the Dataset[T] surface (top level so
+  * Encoder derivation is stable). */
+final case class PartRow(p_partkey: Long, p_name: String, p_brand: String,
+                         p_type: String, p_size: Long, p_retailprice: Double)
+final case class PartTypeStats(p_type: String, n_parts: Long,
+                               total_retail: Double, max_size: Long)
+
 /** Relational operator inventory (SURVEY.md §2.3-§2.8) exercised as
   * driver-checkable queries over the testdata star schema. Each query is
   * the public-API combinator applied to real tables; the oracle is
@@ -43,6 +50,32 @@ object RelationalQueries extends QueryPack {
         countDistinct(to_date(col("ts"))).as("n_days"),
         countDistinct(col("user_id")).as("n_users"),
         dsum(col("value"), 6, 4).as("total_value"))),
+    "a19_typed_agg" -> ((s, d) => {
+      // the typed Dataset[T] surface: case-class rows, lambda filter,
+      // groupByKey + mapGroups with compile-time field access. mapGroups
+      // has no partial aggregation — the typed demo runs on a DIM table
+      // (parts); fact-scale aggregation stays in the untyped combinators.
+      // Decimal accumulation mirrors OracleMath (6-decimal values, exact
+      // sum, round-at-2 while exact) so the oracle hash-matches.
+      import s.implicits._
+      t(s, d, "part").as[PartRow]
+        .filter(_.p_size >= 10)
+        .groupByKey(_.p_type)
+        .mapGroups { (tpe, it) =>
+          var n = 0L
+          var total = BigDecimal(0)
+          var maxSize = Long.MinValue
+          it.foreach { p =>
+            n += 1
+            total += BigDecimal(p.p_retailprice)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            maxSize = math.max(maxSize, p.p_size)
+          }
+          PartTypeStats(tpe, n,
+            total.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, maxSize)
+        }
+        .toDF()
+    }),
     // J-class joins --------------------------------------------------------
     "j5_join_agg" -> ((s, d) => {
       // J5 3-way join: revenue per nation; nation broadcast (dim table).
@@ -99,6 +132,11 @@ object RelationalQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "a19_typed_agg" ->
+      s"""SELECT p_type, COUNT(*) AS n_parts,
+         |  ${dsumSql("p_retailprice", 6, 2)} AS total_retail,
+         |  CAST(MAX(p_size) AS BIGINT) AS max_size
+         |FROM part WHERE p_size >= 10 GROUP BY 1""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity", 2, 2)} AS sum_qty,
