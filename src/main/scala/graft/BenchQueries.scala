@@ -216,10 +216,15 @@ object BenchQueries extends QueryPack {
         sum((y * y).cast("decimal(38,0)")).cast("double").as("syy"),
         sum((x * y).cast("decimal(38,0)")).cast("double").as("sxy"))
       val nD = col("n").cast("double")
+      // clamp before sqrt (double cancellation can go a hair negative on
+      // a constant column — NaN here, a hard error in DuckDB) and NULL
+      // out the zero-variance case instead of dividing by zero
+      val denom = sqrt(greatest(col("sxx") - (col("sx") * col("sx")) / nD, lit(0.0))) *
+        sqrt(greatest(col("syy") - (col("sy") * col("sy")) / nD, lit(0.0)))
       st.select(col("l_returnflag"), col("n"),
-        ((col("sxy") - (col("sx") * col("sy")) / nD) /
-          (sqrt(col("sxx") - (col("sx") * col("sx")) / nD) *
-            sqrt(col("syy") - (col("sy") * col("sy")) / nD))).as("corr_qty_price"))
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise((col("sxy") - (col("sx") * col("sy")) / nD) / denom)
+          .as("corr_qty_price"))
     }),
     "sf_strsim" -> ((s, d) =>
       // §2.9 string-similarity family: edit distance (same DP definition
@@ -465,12 +470,14 @@ object BenchQueries extends QueryPack {
         |m AS (SELECT event_id, event_type, value, n,
         |    s / CAST(n AS DOUBLE) AS mean,
         |    CASE WHEN n > 1 THEN
-        |      sqrt((q - (s * s) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+        |      sqrt(greatest(
+        |        (q - (s * s) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0),
+        |        0.0))
         |    END AS stddev
         |  FROM events JOIN st ON event_type IS NOT DISTINCT FROM g)
         |SELECT event_id, event_type, value, mean, stddev,
         |  CAST(CASE WHEN stddev IS NOT NULL AND stddev > 0.0
-        |    THEN abs(CAST(value AS DOUBLE) - mean) > 3.0 * stddev
+        |    THEN COALESCE(abs(CAST(value AS DOUBLE) - mean) > 3.0 * stddev, FALSE)
         |    ELSE FALSE END AS INT) AS is_outlier
         |FROM m""".stripMargin,
     "agg_corr" ->
@@ -486,9 +493,13 @@ object BenchQueries extends QueryPack {
         |  CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
         |  FROM q GROUP BY 1)
         |SELECT l_returnflag, n,
-        |  ((sxy - (sx * sy) / CAST(n AS DOUBLE)) /
-        |    (sqrt(sxx - (sx * sx) / CAST(n AS DOUBLE)) *
-        |     sqrt(syy - (sy * sy) / CAST(n AS DOUBLE)))) AS corr_qty_price
+        |  CASE WHEN (sqrt(greatest(sxx - (sx * sx) / CAST(n AS DOUBLE), 0.0)) *
+        |             sqrt(greatest(syy - (sy * sy) / CAST(n AS DOUBLE), 0.0))) = 0.0
+        |    THEN NULL
+        |    ELSE ((sxy - (sx * sy) / CAST(n AS DOUBLE)) /
+        |      (sqrt(greatest(sxx - (sx * sx) / CAST(n AS DOUBLE), 0.0)) *
+        |       sqrt(greatest(syy - (sy * sy) / CAST(n AS DOUBLE), 0.0))))
+        |  END AS corr_qty_price
         |FROM st""".stripMargin,
     "sf_strsim" ->
       """SELECT p_partkey,
@@ -505,12 +516,14 @@ object BenchQueries extends QueryPack {
         |                AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin,
     "a16_funnel" ->
-      """WITH fv AS (SELECT user_id, MIN(ts) AS first_view_ts FROM events
-        |            WHERE event_type = 'view' GROUP BY 1),
-        |p AS (SELECT e.user_id, fv.first_view_ts,
+      """WITH ec AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |            FROM events),
+        |fv AS (SELECT user_id, MIN(ts) AS first_view_ts FROM ec
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT fv.user_id, fv.first_view_ts,
         |        MIN(CASE WHEN e.ts >= fv.first_view_ts THEN e.ts END)
         |          AS first_purchase_ts
-        |      FROM events e RIGHT JOIN fv ON e.user_id = fv.user_id
+        |      FROM ec e RIGHT JOIN fv ON e.user_id = fv.user_id
         |        AND e.event_type = 'purchase'
         |      GROUP BY 1, 2)
         |SELECT user_id, first_view_ts, first_purchase_ts,

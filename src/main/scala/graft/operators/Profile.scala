@@ -154,14 +154,21 @@ object Profile {
       sum((v * v).cast("decimal(27,6)")).cast("double").as(qC))
     val nD = col(nC).cast("double")
     val mean = col(sC) / nD
-    val variance = (col(qC) - (col(sC) * col(sC)) / nD) / (nD - lit(1.0))
+    // clamp: per-term decimal quantization can push the cancellation
+    // formula a hair NEGATIVE for near-constant groups — sqrt would then
+    // be NaN here and a hard error in the DuckDB oracle
+    val variance = greatest(
+      (col(qC) - (col(sC) * col(sC)) / nD) / (nD - lit(1.0)), lit(0.0))
     df.join(broadcast(stats), group <=> col(gC))
       .withColumn("mean", mean)
       .withColumn("stddev",
         when(col(nC) > 1, sqrt(variance)).otherwise(lit(null).cast("double")))
       .withColumn("is_outlier",
         when(col("stddev").isNotNull && col("stddev") > 0.0,
-          abs(v - col("mean")) > lit(threshold) * col("stddev"))
+          // a NULL value yields a NULL comparison — the gate contract is
+          // boolean, so NULL-valued rows read false, not null
+          coalesce(abs(v - col("mean")) > lit(threshold) * col("stddev"),
+            lit(false)))
           .otherwise(lit(false)))
       .drop(gC, nC, sC, qC)
   }

@@ -91,6 +91,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("zscoreOutliers survives near-constant groups and NULL values") {
+    // 40 identical tiny values: decimal quantization makes the variance
+    // formula slightly negative without the clamp -> NaN stddev
+    val nearConst = (1 to 40).map(i => (i.toLong, "a", Some(0.0015)))
+      .toDF("id", "g", "v")
+    val g1 = Profile.zscoreOutliers(nearConst, col("g"), col("v"))
+    assert(!g1.filter(isnan(col("stddev"))).limit(1).collect().nonEmpty)
+    assert(g1.filter(col("is_outlier")).count() == 0)
+    // a NULL value reads as NOT an outlier, never as NULL
+    val withNull = ((1 to 10).map(i => (i.toLong, "a", Some(i.toDouble))) :+
+      (99L, "a", None)).toDF("id", "g", "v")
+    val row = Profile.zscoreOutliers(withNull, col("g"), col("v"))
+      .filter(col("id") === 99L).select("is_outlier").collect().head
+    assert(!row.isNullAt(0) && !row.getBoolean(0))
+  }
+
   test("histogram excludes NaN instead of poisoning the bounds") {
     val df = Seq(1.0, 2.0, 3.0, Double.NaN).toDF("x")
     val got = Profile.histogram(df, col("x"), bins = 2)
