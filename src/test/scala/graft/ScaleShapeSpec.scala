@@ -12,6 +12,18 @@ import graft.streaming.Streams
 class ScaleShapeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("AQE coalesces an over-partitioned tiny shuffle at runtime") {
+    // 32 shuffle partitions configured, but the aggregate output is 10
+    // rows — AQE's runtime stats collapse the read side instead of
+    // launching 32 near-empty tasks (the mechanism that keeps small
+    // stages cheap at any configured parallelism)
+    val df = spark.range(1000).groupBy((col("id") % 10).as("k")).count()
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead"), finalPlan)
+    assert(finalPlan.contains("coalesced"), finalPlan)
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     spark.sql("DROP TABLE IF EXISTS g_orders_bucketed")
     spark.sql("DROP TABLE IF EXISTS g_customer_bucketed")
