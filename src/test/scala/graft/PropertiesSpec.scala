@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
 
 import graft.operators.{Dedup, Joins, Sessionize, Upsert}
 
@@ -165,6 +166,70 @@ class PropertiesSpec extends SparkSpec {
       ids.forall { i =>
         val n = counts.getOrElse(i, 0L)
         n == math.floor(w).toLong || n == math.ceil(w).toLong
+      }
+    })
+  }
+
+  test("systematicWeightedSample: total picks == n whenever weight exists") {
+    val wGen = Gen.listOfN(25, Gen.choose(0L, 1000L))
+    check(Prop.forAll(wGen) { ws =>
+      ws.exists(_ > 0) ==> {
+        val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+          .toDF("id", "w")
+        val got = graft.operators.Sampling
+          .systematicWeightedSample(df, col("id"), col("w"), n = 8, shards = 2)
+        val total = got.agg(sum(col("n_picks"))).as[Long].head()
+        // every shard holding weight contributes exactly n/shards picks;
+        // a shard that happens to hold ONLY zero-weight rows contributes 0
+        val shardsWithWeight = df
+          .filter(col("w") > 0)
+          .select(graft.operators.Sampling.bucket(col("id"), 2).as("s"))
+          .distinct().count()
+        total == 4L * shardsWithWeight
+      }
+    })
+  }
+
+  test("scd2History: per key, intervals chain and values always change") {
+    val chGen = Gen.listOfN(15, for {
+      k <- Gen.oneOf(1L, 2L, 3L)
+      d <- Gen.choose(1, 28)
+      v <- Gen.choose(0, 3)
+    } yield (k, f"2024-01-$d%02d", v.toDouble))
+    check(Prop.forAll(chGen) { ch =>
+      ch.nonEmpty ==> {
+        val df = ch.zipWithIndex
+          .map { case ((k, d, v), i) => (k, d, i.toLong, v) }
+          .toDF("k", "ts", "id", "v")
+        val hist = Upsert.scd2History(df, "k", "ts", "id", "v")
+          .orderBy("k", "version")
+          .as[(Long, String, Long, Double, Option[String], Long, Boolean)]
+          .collect().toSeq
+        hist.groupBy(_._1).values.forall { versions =>
+          val ordered = versions.sortBy(_._6)
+          // versions are 1..n, exactly one current (the last), each
+          // valid_to equals the next version's valid_from, and
+          // consecutive values always differ (compaction held)
+          ordered.map(_._6) == (1L to ordered.size).toSeq &&
+            ordered.count(_._7) == 1 && ordered.last._7 &&
+            ordered.zip(ordered.tail).forall { case (a, b) =>
+              a._5.contains(b._2) && a._4 != b._4
+            }
+        }
+      }
+    })
+  }
+
+  test("histogram: counts conserved, buckets within range, low bounds ordered") {
+    val vGen = Gen.listOfN(30, Gen.choose(-1000.0, 1000.0))
+    check(Prop.forAll(vGen) { vs =>
+      vs.nonEmpty ==> {
+        val df = vs.toDF("x")
+        val got = graft.operators.Profile.histogram(df, col("x"), bins = 7)
+          .orderBy("bucket").as[(Long, Double, Long)].collect().toSeq
+        got.map(_._3).sum == vs.size &&
+          got.forall(b => b._1 >= 0 && b._1 < 7) &&
+          got.map(_._2) == got.map(_._2).sorted
       }
     })
   }
