@@ -3,12 +3,14 @@ package graft.multimodal
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** REAL decoders for the uncompressed media formats a JVM can parse with
-  * no native libraries — binary PPM (P6) images and 16-bit PCM WAV audio —
-  * plus pixel/sample operators (nearest-neighbor resize, channel means,
-  * luminance histogram, RMS/peak). Compressed codecs (JPEG/MP4/...) stay
-  * behind the [[MediaDecoder]] seam; these formats make the decode step
-  * itself real and testable end-to-end.
+/** REAL decoders for the media formats a JVM can parse with no native
+  * libraries — binary PPM (P6) images, JPEG/PNG/GIF/BMP via
+  * `javax.imageio`, and 16-bit PCM WAV audio — plus pixel/sample operators
+  * (nearest-neighbor resize, channel means, luminance histogram,
+  * RMS/peak). Only video codecs (MP4/...) remain behind the
+  * [[MediaDecoder]] seam; every still-image and PCM-audio path decodes
+  * real bytes end-to-end (the reference's rocket-launch pipeline feeds
+  * real JPEGs — download_rocket_launches.py:33-40).
   *
   * All operators run partition-local over the binary column via
   * mapPartitions and emit only compact features — payload bytes never
@@ -55,6 +57,52 @@ object ImageOps {
       if bytes.length.toLong - i >= n
     } yield Rgb(w, h, java.util.Arrays.copyOfRange(bytes, i, i + n.toInt))
   }
+
+  // ImageIO's default temp-file cache would write to executor-local disk
+  // on every decode; disable once for the JVM before the first decode.
+  private lazy val imageIoNoCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decode a compressed still image (JPEG/PNG/GIF/BMP — whatever the JVM's
+    * `javax.imageio` registry supports) into packed RGB. Pure-JVM, no native
+    * libraries. Returns None for unrecognized or corrupt payloads — same
+    * corrupt-media contract as [[decodePpm]]. */
+  def decodeImageIo(bytes: Array[Byte]): Option[Rgb] = {
+    imageIoNoCache
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) None
+      else {
+        val out = new Array[Byte](w * h * 3)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w) // row-batched: one raster read per row
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            val d = (y * w + x) * 3
+            out(d) = ((p >> 16) & 0xff).toByte
+            out(d + 1) = ((p >> 8) & 0xff).toByte
+            out(d + 2) = (p & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(Rgb(w, h, out))
+      }
+    }
+  }
+
+  /** Format-sniffing decode: `P6` magic routes to the hand-rolled PPM
+    * parser; everything else is offered to `javax.imageio` (JPEG/PNG/GIF/
+    * BMP). None on anything unrecognized or corrupt — a hostile payload
+    * degrades the row, never the task. */
+  def decodeImage(bytes: Array[Byte]): Option[Rgb] =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else scala.util.Try(decodeImageIo(bytes)).toOption.flatten
 
   /** Nearest-neighbor resize (the deterministic, seam-free baseline). */
   def resizeNearest(img: Rgb, tw: Int, th: Int): Rgb = {
@@ -173,7 +221,8 @@ object AudioOps {
   * failing the scan (corrupt-media tolerance at 100 TB). */
 object MediaFeatureExtract {
 
-  /** PPM images: decode → optional nearest-neighbor resize → channel
+  /** Still images (PPM via the hand-rolled parser; JPEG/PNG/GIF/BMP via
+    * `javax.imageio`): decode → optional nearest-neighbor resize → channel
     * means + 16-bin luminance histogram. */
   def imageFeatures(df: DataFrame, idCol: String, contentCol: String,
                     resizeTo: Option[(Int, Int)] = None): DataFrame = {
@@ -185,7 +234,7 @@ object MediaFeatureExtract {
         it.map { case (id, bytes) =>
           // scala.util.Try: whatever a hostile payload does to the
           // parser, the row degrades to decoded=false, never a task kill
-          scala.util.Try(ImageOps.decodePpm(bytes)).toOption.flatten match {
+          scala.util.Try(ImageOps.decodeImage(bytes)).toOption.flatten match {
             case Some(img0) =>
               val img = resizeTo.map { case (w, h) =>
                 ImageOps.resizeNearest(img0, w, h) }.getOrElse(img0)

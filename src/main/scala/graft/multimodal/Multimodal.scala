@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * metadata struct; decode / feature-extract / frame-sample run as
   * partition-local transforms over the binary payloads.
   *
-  * Decode is REAL for the formats a bare JVM can parse — binary PPM
-  * images and 16-bit PCM WAV audio ([[ImageOps]]/[[AudioOps]]/
-  * [[MediaFeatureExtract]]): parse, nearest-neighbor resize, channel
-  * means, luminance histogram, RMS/peak, with corrupt-media tolerance.
-  * Compressed codecs (JPEG/MP4/...) remain behind the [[MediaDecoder]]
-  * seam — production swaps in a JNI/javacv-backed decoder; tests use
+  * Decode is REAL for every format a bare JVM can parse — binary PPM,
+  * JPEG/PNG/GIF/BMP (via `javax.imageio`), and 16-bit PCM WAV audio
+  * ([[ImageOps]]/[[AudioOps]]/[[MediaFeatureExtract]]): parse,
+  * nearest-neighbor resize, channel means, luminance histogram, RMS/peak,
+  * with corrupt-media tolerance. Only video codecs (MP4/...) remain
+  * behind the [[MediaDecoder]] seam — production swaps in a JNI/javacv-
+  * backed decoder; [[StillImageDecoder]] serves real single-frame media
+  * through the same seam, and tests of the frame plumbing use
   * [[FakeDecoder]], a deterministic stand-in. Everything around the seam
   * — schema, batch shape, partition-local execution, feature layout — is
   * real and tested either way.
@@ -37,10 +39,21 @@ trait MediaDecoder extends Serializable {
 }
 
 /** Deterministic fake: "frames" are fixed-size chunks of the payload.
-  * Stands in for the real codec (`???` seam) with stable, testable output. */
+  * Stands in for a video codec (the one remaining fake seam) with stable,
+  * testable output; still images decode for real via [[StillImageDecoder]]. */
 final class FakeDecoder(frameSize: Int = 64) extends MediaDecoder {
   def decodeFrames(content: Array[Byte], mime: String): Iterator[Array[Byte]] =
     content.grouped(frameSize)
+}
+
+/** REAL decoder for single-frame media behind the same seam: PPM/JPEG/
+  * PNG/GIF/BMP payloads decode to one packed-RGB frame via
+  * [[ImageOps.decodeImage]]; corrupt payloads yield zero frames rather
+  * than failing the task. */
+final class StillImageDecoder extends MediaDecoder {
+  def decodeFrames(content: Array[Byte], mime: String): Iterator[Array[Byte]] =
+    scala.util.Try(ImageOps.decodeImage(content)).toOption.flatten
+      .iterator.map(_.rgb)
 }
 
 object Multimodal {

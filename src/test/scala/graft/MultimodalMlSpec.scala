@@ -90,6 +90,81 @@ class MultimodalMlSpec extends SparkSpec {
     assert(!feats(1).getBoolean(1)) // corrupt media -> null features, no crash
   }
 
+  private def resourceBytes(path: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(path)
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("real PNG decode via javax.imageio: pixel-exact features") {
+    import graft.multimodal.ImageOps
+    // checked-in 16x16 fixture: r = x*17, g = y*17, b = ((x+y)%2)*255
+    val png = resourceBytes("/graft/gradient_16x16.png")
+    val p = ImageOps.decodeImage(png).get
+    assert(p.width == 16 && p.height == 16)
+    // PNG is lossless: decode must reproduce the generative pattern exactly
+    def px(x: Int, y: Int) = {
+      val o = (y * p.width + x) * 3
+      (p.rgb(o) & 0xff, p.rgb(o + 1) & 0xff, p.rgb(o + 2) & 0xff)
+    }
+    assert(px(0, 0) == ((0, 0, 0)))
+    assert(px(15, 15) == ((255, 255, 0)))
+    assert(px(3, 2) == ((51, 34, 255)))
+    assert(ImageOps.channelMeans(p) == ((127.5, 127.5, 127.5)))
+    assert(ImageOps.lumaHistogram(p).toSeq ==
+      Seq[Long](3, 5, 10, 15, 22, 24, 25, 24, 24, 28, 25, 19, 14, 9, 7, 2))
+  }
+
+  test("real JPEG decode via javax.imageio: deterministic pinned features") {
+    import graft.multimodal.ImageOps
+    val jpg = resourceBytes("/graft/gradient_16x16.jpg")
+    val j = ImageOps.decodeImage(jpg).get
+    assert(j.width == 16 && j.height == 16)
+    // JPEG is lossy but the JDK decoder is deterministic: constants pinned
+    // from the decode of the checked-in fixture (close to the lossless
+    // 127.5 means of the source pattern)
+    val (jr, jg, jb) = ImageOps.channelMeans(j)
+    assert(jr == 127.48828125 && jg == 127.4921875 && jb == 127.44921875)
+    assert(ImageOps.lumaHistogram(j).toSeq ==
+      Seq[Long](3, 6, 7, 16, 24, 22, 26, 25, 24, 30, 20, 18, 19, 8, 7, 1))
+    assert(ImageOps.lumaHistogram(j).sum == 256)
+  }
+
+  test("imageFeatures handles PPM, PNG, JPEG and corrupt rows in one frame") {
+    import graft.multimodal.MediaFeatureExtract
+    val png = resourceBytes("/graft/gradient_16x16.png")
+    val jpg = resourceBytes("/graft/gradient_16x16.jpg")
+    val ppm = ("P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array.fill(12)(100.toByte))
+    val truncatedJpg = jpg.take(24) // valid magic, corrupt body
+    val df = Seq((1L, png), (2L, jpg), (3L, ppm), (4L, truncatedJpg))
+      .toDF("media_id", "content")
+    val feats = MediaFeatureExtract.imageFeatures(df, "media_id", "content")
+      .orderBy("media_id").collect()
+    assert(feats(0).getBoolean(1) && feats(0).getDouble(4) == 127.5)
+    assert(feats(1).getBoolean(1) && feats(1).getDouble(4) == 127.48828125)
+    assert(feats(2).getBoolean(1) && feats(2).getDouble(4) == 100.0)
+    assert(!feats(3).getBoolean(1)) // truncated JPEG degrades, never crashes
+    // resize path applies to compressed input too
+    val resized = MediaFeatureExtract.imageFeatures(
+      df.filter($"media_id" === 1L), "media_id", "content",
+      resizeTo = Some((4, 4))).collect()
+    assert(resized(0).getInt(2) == 4 && resized(0).getInt(3) == 4)
+  }
+
+  test("StillImageDecoder serves real frames through the MediaDecoder seam") {
+    import graft.multimodal.StillImageDecoder
+    val png = resourceBytes("/graft/gradient_16x16.png")
+    val media = Seq(
+      MediaRecord(1L, "image", png, "image/png", 0, 0),
+      MediaRecord(2L, "image", "garbage".getBytes, "image/png", 0, 0)
+    ).toDS()
+    val frames = Multimodal.sampleFrames(media, new StillImageDecoder, maxFrames = 4)
+      .orderBy("media_id").collect()
+    // one real RGB frame (16*16*3 bytes) for the PNG, zero for garbage
+    assert(frames.length == 1)
+    assert(frames(0).getLong(0) == 1L && frames(0).getInt(2) == 16 * 16 * 3)
+  }
+
   test("adversarial media bytes degrade to decoded=false, never crash or hang") {
     import graft.multimodal.{AudioOps, ImageOps, MediaFeatureExtract}
     // PPM with dimensions whose w*h*3 overflows Int past the size guard
