@@ -281,6 +281,13 @@ object BenchQueries extends QueryPack {
         col("event_type"), col("ts"), col("value"), "1 hour")
         .select(col("key").as("event_type"), col("ts_grid"), col("value"),
           col("is_gap").cast("int").as("is_gap"))),
+    "a15_resample_15m" -> ((s, d) =>
+      // multi-unit step: same LOCF grid at 15-minute cadence (epoch-floor
+      // snapping — date_trunc can't express sub-unit multiples).
+      graft.operators.TimeSeries.resample(Tables.events(s, d),
+        col("event_type"), col("ts"), col("value"), "15 minutes")
+        .select(col("key").as("event_type"), col("ts_grid"), col("value"),
+          col("is_gap").cast("int").as("is_gap"))),
     "prof_histogram" -> ((s, d) =>
       // 20-bin equal-width distribution of line revenue.
       Profile.histogram(t(s, d, "lineitem"), col("l_extendedprice"), bins = 20)),
@@ -543,6 +550,22 @@ object BenchQueries extends QueryPack {
         |              MAX(value) AS v FROM events GROUP BY 1, 2),
         |b AS (SELECT k, MIN(t) AS mn, MAX(t) AS mx FROM sn GROUP BY 1),
         |g AS (SELECT k, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS t
+        |      FROM b),
+        |j AS (SELECT g.k, g.t, sn.v
+        |      FROM g LEFT JOIN sn ON g.k = sn.k AND g.t = sn.t)
+        |SELECT k AS event_type, t AS ts_grid,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  CAST(v IS NULL AS INT) AS is_gap
+        |FROM j""".stripMargin,
+    // time_bucket's origin (2000-01-03 00:00) is midnight-aligned, so for
+    // any step dividing a day it coincides with the engine's epoch floor
+    "a15_resample_15m" ->
+      """WITH sn AS (SELECT event_type AS k,
+        |              time_bucket(INTERVAL '15 minutes', ts) AS t,
+        |              MAX(value) AS v FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, MIN(t) AS mn, MAX(t) AS mx FROM sn GROUP BY 1),
+        |g AS (SELECT k, unnest(generate_series(mn, mx, INTERVAL '15 minutes')) AS t
         |      FROM b),
         |j AS (SELECT g.k, g.t, sn.v
         |      FROM g LEFT JOIN sn ON g.k = sn.k AND g.t = sn.t)

@@ -50,8 +50,17 @@ object TimeSeries {
   def resample(points: DataFrame, key: Column, ts: Column, value: Column,
                step: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val stepSec = stepSeconds(step)
+    // snap to the step grid by flooring epoch seconds — unlike date_trunc
+    // this supports any multiple ("15 minutes", "6 hours"); grid points
+    // are epoch-aligned, which in the pinned-UTC session coincides with
+    // date_trunc for the 1-minute/hour/day cases. cast-to-double keeps
+    // sub-second observations inside their bucket and floors correctly
+    // for pre-epoch timestamps (Long division would truncate toward 0).
+    def snap(c: Column): Column =
+      timestamp_seconds(floor(c.cast("double") / stepSec).cast("long") * stepSec)
     val snapped = points
-      .select(key.as("_k"), date_trunc(stepUnit(step), ts).as("_t"), value.as("_v"))
+      .select(key.as("_k"), snap(ts).as("_t"), value.as("_v"))
       // one observation per (key, grid point): the LAST by raw order of
       // arrival is arbitrary — aggregate deterministically (mean would
       // need decimal care; max is order-free and exact)
@@ -70,16 +79,21 @@ object TimeSeries {
         col("value"), col("is_gap"))
   }
 
-  // observations snap to the step's UNIT via date_trunc, so only
-  // single-unit steps are sound: with e.g. "2 hour" an observation in an
-  // odd hour would match no grid point and silently vanish instead of
-  // being carried forward
-  private def stepUnit(step: String): String = step.trim.toLowerCase match {
-    case "1 hour"   => "hour"
-    case "1 day"    => "day"
-    case "1 minute" => "minute"
+  private val StepRe = """(\d{1,7})\s+(second|minute|hour|day)s?""".r
+
+  /** Parse "N seconds|minutes|hours|days" to a positive second count; the
+    * same string also feeds `INTERVAL` for the grid `sequence`, so the two
+    * stay in lockstep by construction. */
+  private def stepSeconds(step: String): Long = step.trim.toLowerCase match {
+    case StepRe(n, unit) if n.toLong > 0 =>
+      n.toLong * (unit match {
+        case "second" => 1L
+        case "minute" => 60L
+        case "hour"   => 3600L
+        case "day"    => 86400L
+      })
     case other => throw new IllegalArgumentException(
-      s"resample step must be exactly '1 minute'/'1 hour'/'1 day', got '$other'")
+      s"resample step must be 'N seconds/minutes/hours/days', got '$other'")
   }
 
   /** A3+A4/T3 (ref: 14_binance_calculate_daily.py:47-64): daily rollup over

@@ -69,10 +69,36 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeSeries.resample(pts, col("k"), col("ts"), col("v"), "7 weeks")
     }
-    // multi-count steps would silently DROP off-grid observations
     intercept[IllegalArgumentException] {
-      TimeSeries.resample(pts, col("k"), col("ts"), col("v"), "2 hour")
+      TimeSeries.resample(pts, col("k"), col("ts"), col("v"), "0 hours")
     }
+  }
+
+  test("resample supports multi-unit steps via epoch-floor snapping") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val pts = Seq(
+      ("a", t("2024-01-01 00:10:00"), 1.0),
+      ("a", t("2024-01-01 03:20:00"), 4.0),
+      ("b", t("2024-01-01 05:00:00"), 9.0)
+    ).toDF("k", "ts", "v")
+    // 2-hour grid: observations snap INTO their bucket, none dropped
+    val got2h = TimeSeries.resample(pts, col("k"), col("ts"), col("v"), "2 hours")
+      .orderBy("key", "ts_grid")
+      .as[(String, java.sql.Timestamp, Double, Boolean)].collect().toSeq
+    assert(got2h == Seq(
+      ("a", t("2024-01-01 00:00:00"), 1.0, false),
+      ("a", t("2024-01-01 02:00:00"), 4.0, false),
+      ("b", t("2024-01-01 04:00:00"), 9.0, false)))
+    // 15-minute grid: 00:00 .. 03:15 inclusive = 14 points for key a,
+    // gaps carry the last observation forward
+    val got15 = TimeSeries.resample(pts, col("k"), col("ts"), col("v"), "15 minutes")
+      .filter(col("key") === "a").orderBy("ts_grid")
+      .as[(String, java.sql.Timestamp, Double, Boolean)].collect().toSeq
+    assert(got15.length == 14)
+    assert(got15.head == (("a", t("2024-01-01 00:00:00"), 1.0, false)))
+    assert(got15(1) == (("a", t("2024-01-01 00:15:00"), 1.0, true)))
+    assert(got15.last == (("a", t("2024-01-01 03:15:00"), 4.0, false)))
+    assert(got15.count(_._4 == false) == 2)
   }
 
   test("zscoreOutliers flags 3-sigma deviants, handles singleton groups") {
@@ -131,8 +157,47 @@ class OperatorsSpec extends SparkSpec {
     val df = Seq("a", "a", "a", "b", "b", "c").map(Tuple1(_)).toDF("k")
       .withColumn("other", lit(1))
     val got = Profile.heavyHitters(df, Seq("k"), k = 2)
+      .orderBy(desc("n"), asc("value"))
       .as[(String, String, Long, Double)].collect().toSeq
     assert(got == Seq(("k", "a", 3L, 0.5), ("k", "b", 2L, 2.0 / 6.0)))
+    // NULLs: excluded from the report, counted in the share denominator
+    val withNulls = Seq(Some("x"), Some("x"), None, None).map(Tuple1(_)).toDF("k")
+    val nn = Profile.heavyHitters(withNulls, Seq("k"), k = 5)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(nn == Seq(("k", "x", 2L, 0.5)))
+  }
+
+  test("heavyHitters profiles all columns off one input scan, <= 2 jobs") {
+    val df = (1 to 200).map(i => (s"u${i % 7}", s"e${i % 3}", i % 11))
+      .toDF("user_id", "event_type", "code")
+    val cols = Seq("user_id", "event_type", "code")
+    val hh = Profile.heavyHitters(df, cols, k = 3)
+    // one unpivoted pairs scan + one broadcast-total scan — NOT a scan per
+    // column (the old shape: |cols|+1 = 4 LocalTableScans here)
+    val scans = "LocalTableScan".r
+      .findAllIn(hh.queryExecution.executedPlan.toString).length
+    assert(scans == 2, s"expected 2 input scans, plan has $scans")
+    // job count: broadcast-total job + main action job (AQE off for the
+    // measurement — adaptive execution materializes stages as extra jobs)
+    val sc = spark.sparkContext
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      sc.setJobGroup("hh-jobs", "heavyHitters job count", interruptOnCancel = false)
+      val rows = Profile.heavyHitters(df, cols, k = 3).collect()
+      assert(rows.length == 3 * 3)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var ids = sc.statusTracker.getJobIdsForGroup("hh-jobs")
+      while (ids.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); ids = sc.statusTracker.getJobIdsForGroup("hh-jobs")
+      }
+      Thread.sleep(300) // let any trailing job-start events land
+      ids = sc.statusTracker.getJobIdsForGroup("hh-jobs")
+      assert(ids.nonEmpty && ids.length <= 2,
+        s"heavyHitters ran ${ids.length} jobs: ${ids.mkString(",")}")
+    } finally {
+      sc.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("iqrOutliers flags values outside 1.5 IQR of their group") {
