@@ -49,23 +49,42 @@ object Profile {
     * values by frequency with their corpus share — the pre-flight check
     * that finds the hot keys a join/aggregate will skew on (and the
     * degenerate values — empty string, sentinel ids — that dominate dirty
-    * corpora). One count aggregate per column (map-side partial, immune
-    * to the hot values it is hunting) finished by a per-partition-heap
-    * top-k; a final union of k-row tables. Output: (column, value, n,
-    * share), value rendered as string, NULLs excluded (they are counted
-    * by [[columnProfile]]). */
+    * corpora).
+    *
+    * ONE scan regardless of column count: the columns unpivot to
+    * (column, value) pairs in the projection, a single count aggregate
+    * (map-side partial, immune to the hot values it is hunting) feeds a
+    * two-phase top-k — rank within (column, salt-of-value) buckets first,
+    * then a final rank over the ≤ 64·k survivors per column — so no
+    * single reducer ever sorts a full distinct-value set. The row total
+    * folds in as a broadcast single row (same shape as [[histogram]]'s
+    * bounds), not a separate `count()` action: the whole call is the
+    * broadcast job plus the main job. Output: (column, value, n, share),
+    * value rendered as string, NULLs excluded from the report but counted
+    * in the share denominator (they are profiled by [[columnProfile]]). */
   def heavyHitters(df: DataFrame, cols: Seq[String], k: Int = 10): DataFrame = {
     require(cols.nonEmpty && k > 0, s"need columns and k > 0, got $cols / $k")
-    val total = df.count().toDouble
-    cols.map { c =>
-      df.filter(col(c).isNotNull)
-        .groupBy(col(c).cast("string").as("value"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("value").asc)
-        .limit(k)
-        .select(lit(c).as("column"), col("value"), col("n"),
-          (col("n").cast("double") / lit(total)).as("share"))
-    }.reduce(_.unionByName(_))
+    import org.apache.spark.sql.expressions.Window
+    val total = df.agg(count(lit(1)).cast("double").as("_total"))
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.value").as("value"))
+      .filter(col("value").isNotNull)
+    val counts = pairs.groupBy(col("column"), col("value")).agg(count(lit(1)).as("n"))
+    // (n desc, value asc) is a total order within a column (values are
+    // distinct post-aggregate), so phase-1 bucket rank ≤ k is a sound
+    // superset of the global top-k
+    val bucketRank = Window
+      .partitionBy(col("column"), pmod(xxhash64(col("value")), lit(64L)))
+      .orderBy(col("n").desc, col("value").asc)
+    val colRank = Window.partitionBy(col("column"))
+      .orderBy(col("n").desc, col("value").asc)
+    counts
+      .withColumn("_rk", row_number().over(bucketRank)).filter(col("_rk") <= k)
+      .withColumn("_rk", row_number().over(colRank)).filter(col("_rk") <= k)
+      .crossJoin(broadcast(total))
+      .select(col("column"), col("value"), col("n"),
+        (col("n").cast("double") / col("_total")).as("share"))
   }
 
   /** Equal-width histogram of a numeric column: `bins` buckets spanning
@@ -148,10 +167,18 @@ object Profile {
     val nonce = graft.core.Cols.nonce
     val (gC, nC, sC, qC) = (s"_g_$nonce", s"_n_$nonce", s"_s_$nonce", s"_q_$nonce")
     val v = value.cast("double")
+    // NaN/±Inf are excluded from the moment sums (same reason histogram
+    // filters them: under ANSI mode a single NaN makes the decimal cast
+    // THROW, and even quietly a NaN would poison every row's gate); such
+    // rows still flow to the output, flagged false. Finite values with
+    // |v| > ~1.5e10 overflow decimal(27,6) when squared — clean-input
+    // precondition, by design (widening to decimal(38,6) would cap the
+    // SUM's own precision headroom instead).
+    val finite = !isnan(v) && abs(v) =!= lit(Double.PositiveInfinity)
     val stats = df.groupBy(group.as(gC)).agg(
-      count(v).as(nC),
-      sum(v.cast("decimal(27,6)")).cast("double").as(sC),
-      sum((v * v).cast("decimal(27,6)")).cast("double").as(qC))
+      count(when(finite, v)).as(nC),
+      sum(when(finite, v).cast("decimal(27,6)")).cast("double").as(sC),
+      sum(when(finite, v * v).cast("decimal(27,6)")).cast("double").as(qC))
     val nD = col(nC).cast("double")
     val mean = col(sC) / nD
     // clamp: per-term decimal quantization can push the cancellation
