@@ -15,6 +15,39 @@ import graft.operators.Upsert
   */
 object Writers {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Commit lock for read-modify-swap sinks: `max_active_runs=1`
+    * semantics (C10) enforced at the storage layer by an atomically
+    * created `<path>__lock` marker. A second writer (or compactor)
+    * arriving while a mutation is in flight is REFUSED with a hard error
+    * instead of silently losing the race — the lost-write window of
+    * read-merge-overwrite (the reference's replace-hour upsert,
+    * 13_binance_calculate_hourly.py:79-85, has the same race) closes
+    * because every mutator serializes through the marker.
+    *
+    * `fs.create(overwrite = false)` is atomic on local and HDFS
+    * filesystems (object stores need their own conditional-put locking).
+    * The marker is removed in a finally — a refused caller can retry once
+    * the holder finishes; a crashed holder leaves a stale marker that an
+    * operator clears manually (deliberate: auto-expiry would reopen the
+    * race it exists to close). */
+  private[graft] def withCommitLock[T](spark: SparkSession, path: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(path + "__lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val acquired =
+      try {
+        val out = fs.create(lock, false)
+        out.writeUTF(s"pid=${ProcessHandle.current().pid()} at=${System.currentTimeMillis()}")
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!acquired) throw new IllegalStateException(
+      s"concurrent writer holds $lock — refusing to mutate $path " +
+        "(max_active_runs=1; delete the marker only if its holder is dead)")
+    try body finally fs.delete(lock, false)
+  }
+
   /** K1: JSON lines write. */
   def json(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
@@ -52,24 +85,31 @@ object Writers {
   /** K5 (ref: 13_binance:79-85): partition-grained upsert — replace the
     * partitions whose keys appear in `fresh`, leave the rest untouched.
     * Relies on dynamic partition overwrite: only partitions present in
-    * `fresh` are rewritten. */
+    * `fresh` are rewritten. Serialized via [[withCommitLock]] so it can
+    * neither race another upsert nor land mid-compaction. */
   def upsertPartition(fresh: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    fresh.write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionCols: _*).parquet(path)
+    withCommitLock(fresh.sparkSession, path) {
+      fresh.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(path)
+    }
 
   /** K4 (ref: 15_binance:125-134): append-with-dedup upsert at row grain —
-    * read existing, merge keep-last, rewrite the touched partitions. */
+    * read existing, merge keep-last, rewrite the touched partitions.
+    * The whole read-merge-rewrite runs under [[withCommitLock]]: a
+    * concurrent writer is refused up front instead of having its rows
+    * silently dropped by this writer's stale read. */
   def upsertDedup(spark: SparkSession, fresh: DataFrame, path: String,
                   keys: Seq[String], order: String,
-                  partitionCols: Seq[String]): Unit = {
-    val merged = if (exists(spark, path)) {
-      val touched = fresh.select(partitionCols.map(col): _*).distinct()
-      val existing = spark.read.parquet(path).join(broadcast(touched), partitionCols)
-      Upsert.appendDedup(existing, fresh, keys, col(order))
-    } else fresh
-    merged.write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionCols: _*).parquet(path)
-  }
+                  partitionCols: Seq[String]): Unit =
+    withCommitLock(spark, path) {
+      val merged = if (exists(spark, path)) {
+        val touched = fresh.select(partitionCols.map(col): _*).distinct()
+        val existing = spark.read.parquet(path).join(broadcast(touched), partitionCols)
+        Upsert.appendDedup(existing, fresh, keys, col(order))
+      } else fresh
+      merged.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(path)
+    }
 
   /** K6: JDBC append (ref: listing_4_20.py:73-78's INSERT generation). */
   def jdbc(df: DataFrame, url: String, table: String,
@@ -106,13 +146,13 @@ object Writers {
     *
     * Rewrite goes to a temp dir then swaps via rename — readers never
     * observe a half-written state (modulo non-atomic object-store
-    * renames; use a manifest/table format there). The swap is NOT safe
-    * against concurrent WRITERS: an append that lands between the read
-    * and the rename is lost. Run compaction when the sink is quiescent,
-    * or under the table format's own transaction log.
-    * Returns (filesBefore, filesAfter). */
+    * renames; use a manifest/table format there). Concurrent WRITERS are
+    * excluded by [[withCommitLock]]: an upsert arriving between the read
+    * and the rename is refused with a hard error rather than lost (and
+    * conversely, compaction refuses to start while an upsert holds the
+    * marker). Returns (filesBefore, filesAfter). */
   def compactParquet(spark: SparkSession, path: String,
-                     targetFileMB: Int = 512): (Int, Int) = {
+                     targetFileMB: Int = 512): (Int, Int) = withCommitLock(spark, path) {
     require(targetFileMB > 0, s"compact: targetFileMB must be > 0, got $targetFileMB")
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
@@ -174,11 +214,21 @@ object Writers {
         greatest(lit(1L), ceil(col(rowsC) * bytesPerRow / targetBytes)))
         .drop(rowsC)
       // the salt only spreads rows — any hashable subset of columns will
-      // do, and map-typed columns cannot feed xxhash64
+      // do, and map-typed columns cannot feed xxhash64. Content hashing
+      // keeps similar rows co-located (compression), but collapses when
+      // the value is duplicate-heavy (few distinct rows -> few salts ->
+      // fewer, larger files than nf planned — pre-dedup data; bounded by
+      // the distinct-row count) and degenerates entirely when NO column
+      // is hashable — fall back to a row-id spread there, loudly.
       val hashableCols = df.schema.fields
         .filter(f => !keys.contains(f.name) && hashable(f.dataType))
         .map(f => col(f.name)).toSeq
-      val saltSrc = if (hashableCols.isEmpty) lit(0L) else xxhash64(hashableCols: _*)
+      val saltSrc = if (hashableCols.isEmpty) {
+        log.warn(s"compact: no hashable non-partition columns under $path — " +
+          "spreading by row id instead of content (file sizing still honored; " +
+          "content locality not preserved)")
+        monotonically_increasing_id()
+      } else xxhash64(hashableCols: _*)
       // null-safe key equality: a null partition value is a real
       // partition dir (k=__HIVE_DEFAULT_PARTITION__); a plain === join
       // would silently DROP those rows from the rewritten data

@@ -107,6 +107,43 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("commit lock: an interleaved writer is refused, no rows lost") {
+    val dir = tmp() + "/locked"
+    val batch1 = Seq(("2026-01-01", 1L, 10.0)).toDF("date", "key", "v")
+    Writers.upsertDedup(spark, batch1, dir, Seq("key"), "v", Seq("date"))
+    // the lock marker does not outlive a successful commit
+    val lock = new org.apache.hadoop.fs.Path(dir + "__lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(lock))
+    // simulate writer A paused between its stale read and its swap: its
+    // lock is held. Writer B (upsert), a second compactor, and a
+    // partition upsert must all REFUSE — the pre-lock behavior silently
+    // dropped B's rows when A's overwrite landed last.
+    val batch2 = Seq(("2026-01-01", 2L, 20.0)).toDF("date", "key", "v")
+    Writers.withCommitLock(spark, dir) {
+      intercept[IllegalStateException] {
+        Writers.upsertDedup(spark, batch2, dir, Seq("key"), "v", Seq("date"))
+      }
+      intercept[IllegalStateException] { Writers.compactParquet(spark, dir) }
+      intercept[IllegalStateException] {
+        Writers.upsertPartition(batch2, dir, Seq("date"))
+      }
+    }
+    // holder finished -> refused writer retries -> both batches present
+    Writers.upsertDedup(spark, batch2, dir, Seq("key"), "v", Seq("date"))
+    val got = spark.read.parquet(dir).orderBy("key")
+      .select("key", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 20.0)))
+    // the lock releases even when the body throws (no stuck table)
+    intercept[RuntimeException] {
+      Writers.withCommitLock(spark, dir) { sys.error("boom") }
+    }
+    assert(!fs.exists(lock))
+    // and compaction under the lock still works end-to-end
+    val (_, after) = Writers.compactParquet(spark, dir)
+    assert(after >= 1 && spark.read.parquet(dir).count() == 2)
+  }
+
   test("notify counts after write (atomic side-effect stage)") {
     var sent = -1L
     val n = Writers.notify(Seq(1, 2, 3).toDF("x"), c => sent = c)
