@@ -356,15 +356,18 @@ object DedupSuite {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("_nl"))
+      // the convergence signal rides along as a flag computed in the SAME
+      // propagation join — the fixed-point probe is then a scan of the
+      // just-materialized blocks, not a second join against the old labels
       val next = materialize(
         labels.join(viaNeighbors, Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("_nl"), col("label"))).as("label")))
-      converged = next.join(labels.withColumnRenamed("label", "_old"), "id")
-        .filter(col("label") =!= col("_old")).isEmpty
+            least(col("label"), coalesce(col("_nl"), col("label"))).as("label"),
+            (coalesce(col("_nl"), col("label")) < col("label")).as("_changed")))
+      converged = next.filter(col("_changed")).isEmpty
       if (prevMat != null) freeMaterialized(prevMat)
       prevMat = next
-      labels = next
+      labels = next.drop("_changed")
       i += 1
     }
     require(converged, s"dedupClusters did not converge in $maxIter rounds")
