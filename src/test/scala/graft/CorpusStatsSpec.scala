@@ -116,6 +116,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(rat.head._4 - (2.0 + 10.0 / 3.0)) < 1e-12)
   }
 
+  test("bm25TopK aggregate path is bit-identical to the pivot path") {
+    // force the sorted-fold aggregate path with pivotMaxTerms = 1 and
+    // compare against the default pivot path: the fold order matches the
+    // pivot's left-to-right reduceLeft, so doubles must be EXACTLY equal
+    val terms = Seq("spark", "join", "vector")
+    val pivot = Relevance.bm25TopK(bm25Docs, "doc_id", col("text"), terms)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val agg = Relevance.bm25TopK(bm25Docs, "doc_id", col("text"), terms,
+        pivotMaxTerms = 1)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(agg == pivot)
+    // and past the boundary: a 70-term seed list (would be a 70-column
+    // pivot + reduceLeft tree) runs through the aggregate path
+    val wide = (1 to 67).map(i => s"nomatch$i") ++ terms
+    val wideGot = Relevance.bm25TopK(bm25Docs, "doc_id", col("text"), wide)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(wideGot == pivot) // unmatched terms contribute nothing
+  }
+
   test("registered driver queries run on testdata with matching columns") {
     val d = sf("sf0.001")
     val tn = SparkEntry.queries("t_top_ngrams")(spark, d)
