@@ -136,8 +136,8 @@ object CorpusStatsQueries extends QueryPack {
          |  df > 100 AS truncated
          |FROM agg""".stripMargin,
     // mirrors Sampling.systematicWeightedSample: shard by the 60-bit
-    // md5-prefix bucket, order by (md5 hex, id) inside the shard, exact
-    // DECIMAL running weights, n/shards half-stride-centered pick points
+    // md5-prefix bucket, order by (md5 hex, id, weight) inside the shard,
+    // exact DECIMAL running weights, n/shards half-stride-centered picks
     "s_weighted" ->
       s"""WITH b AS (
          |  SELECT doc_id, n_chars,
@@ -147,7 +147,7 @@ object CorpusStatsQueries extends QueryPack {
          |  FROM documents),
          |c AS (
          |  SELECT doc_id, n_chars, w, shard,
-         |    SUM(w) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |    SUM(w) OVER (PARTITION BY shard ORDER BY h, doc_id, w
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
          |    SUM(w) OVER (PARTITION BY shard) AS tot
          |  FROM b),

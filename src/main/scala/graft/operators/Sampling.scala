@@ -105,8 +105,13 @@ object Sampling {
     val nonce = graft.core.Cols.nonce
     val (hC, sC, wC, cC, tC) = (s"_h_$nonce", s"_shard_$nonce",
       s"_w_$nonce", s"_cum_$nonce", s"_tot_$nonce")
+    // weight joins the intra-shard order as a tiebreak: duplicate keys
+    // share (md5, key), and without it the per-row n_picks split between
+    // equal-position rows of DIFFERENT weight would vary run to run
+    // (shard totals are unaffected). Rows identical in (key, weight) are
+    // interchangeable — their n_picks multiset is still deterministic.
     val ord = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sC)).orderBy(col(hC), key)
+      .partitionBy(col(sC)).orderBy(col(hC), key, col(wC))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val whole = org.apache.spark.sql.expressions.Window.partitionBy(col(sC))

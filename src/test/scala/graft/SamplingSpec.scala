@@ -114,6 +114,24 @@ class SamplingSpec extends SparkSpec {
     assert(again == got.select("id", "n_picks").as[(Long, Long)].collect().toSet)
   }
 
+  test("systematicWeightedSample is deterministic under duplicate keys (ADVICE r5)") {
+    // duplicate keys with DIFFERENT weights share the same (md5, key)
+    // sort position — the weight tiebreak pins their order, so per-row
+    // (w, n_picks) assignments cannot flip between runs/partitionings
+    val dup = (Seq((1L, 500L), (1L, 10L), (1L, 200L)) ++
+      (2L to 50L).map(i => (i, 10L))).toDF("id", "w")
+    val a = Sampling.systematicWeightedSample(dup, $"id", $"w", n = 12, shards = 4)
+      .select("id", "w", "n_picks").as[(Long, Long, Long)].collect().sorted.toSeq
+    val b = Sampling.systematicWeightedSample(dup.repartition(7), $"id", $"w",
+        n = 12, shards = 4)
+      .select("id", "w", "n_picks").as[(Long, Long, Long)].collect().sorted.toSeq
+    val c = Sampling.systematicWeightedSample(dup.coalesce(1), $"id", $"w",
+        n = 12, shards = 4)
+      .select("id", "w", "n_picks").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a == b && b == c)
+    assert(a.map(_._3).sum == 12L)
+  }
+
   test("systematicWeightedSample validates shards and reserved names") {
     val df = Seq((1L, 5L)).toDF("id", "w")
     intercept[IllegalArgumentException] {
