@@ -85,6 +85,11 @@ object Profile {
       .crossJoin(broadcast(total))
       .select(col("column"), col("value"), col("n"),
         (col("n").cast("double") / col("_total")).as("share"))
+      // deterministic report order (the pre-rewrite API emitted each
+      // column's hitters top-down). coalesce(1)+local sort, NOT orderBy:
+      // a global sort's RangePartitioning adds a boundary-sampling job,
+      // and the report is ≤ |cols|·k rows — one partition is the plan
+      .coalesce(1).sortWithinPartitions(col("column"), col("n").desc, col("value"))
   }
 
   /** Equal-width histogram of a numeric column: `bins` buckets spanning
@@ -191,7 +196,11 @@ object Profile {
       .withColumn("stddev",
         when(col(nC) > 1, sqrt(variance)).otherwise(lit(null).cast("double")))
       .withColumn("is_outlier",
-        when(col("stddev").isNotNull && col("stddev") > 0.0,
+        // `finite` gates the flag too: Spark orders NaN above every
+        // numeric and Inf-mean stays Inf, so without it a non-finite
+        // value would read |v-mean| > t*stddev as TRUE — contradicting
+        // the excluded-from-moments contract above
+        when(finite && col("stddev").isNotNull && col("stddev") > 0.0,
           // a NULL value yields a NULL comparison — the gate contract is
           // boolean, so NULL-valued rows read false, not null
           coalesce(abs(v - col("mean")) > lit(threshold) * col("stddev"),

@@ -1,0 +1,327 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Upsert
+
+/** Object-store-safe table commits: immutable generation directories plus
+  * a versioned manifest log — the design the [[Writers.withCommitLock]] /
+  * rename-swap sinks document as their object-store gap (ref upsert race:
+  * 13_binance_calculate_hourly.py:79-85; this closes it without renames).
+  *
+  * Layout:
+  * {{{
+  *   <root>/_manifests/00000000000000000042.txt   // version 42, atomic create
+  *   <root>/gen-<uuid>/[k=v/...]part-*.parquet    // immutable, write-once
+  * }}}
+  *
+  * A manifest file lists every live data file (relative path + bytes) and
+  * ends with a `commit=ok` sentinel. The COMMIT is the atomic
+  * `fs.create(manifest, overwrite = false)` of the next version number —
+  * exactly the conditional-put primitive every object store offers (S3
+  * If-None-Match, GCS generation-0 precondition), so no rename is ever
+  * needed, data files are never mutated, and the version claim doubles as
+  * the concurrency arbiter: two writers racing the same version produce
+  * one winner and one [[ManifestTable.ConcurrentCommitException]] whose
+  * orphan generation is deleted. Mutators (upsert/compact) are
+  * compare-and-swap — they commit `readVersion + 1`, so a merge based on
+  * a stale read can never overwrite a concurrent commit; callers retry
+  * the whole read-merge-write.
+  *
+  * Readers resolve the newest manifest whose sentinel is present: a
+  * writer that crashed after creating but before finishing a manifest (or
+  * a reader listing mid-write) yields a sentinel-less file that readers
+  * skip, falling back to the previous version — generations are immutable,
+  * so every older manifest stays valid forever. A reader can never
+  * observe a half-commit.
+  *
+  * Scale posture (Iceberg/Delta-lite): an upsert writes ONLY the merged
+  * touched partitions into a new generation and carries every other live
+  * file forward BY REFERENCE — untouched data is neither read nor
+  * rewritten, so commit cost tracks the batch, not the 100 TB table.
+  * Per-version file lists grow with file count; [[compact]] collapses
+  * both the files and the list.
+  */
+object ManifestTable {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val ManifestDir = "_manifests"
+
+  /** One live data file: path relative to the table root (first segment
+    * is its generation dir) and its size (so sizing decisions never need
+    * a 100 TB `listFiles`). */
+  final case class FileEntry(relPath: String, bytes: Long) {
+    /** Hive partition sub-path between the generation dir and the file
+      * name ("" when unpartitioned). */
+    def partitionPath: String = {
+      val segs = relPath.split('/')
+      segs.slice(1, segs.length - 1).mkString("/")
+    }
+  }
+
+  final case class State(version: Long, files: Seq[FileEntry])
+
+  /** A compare-and-swap commit lost its race: the table moved past the
+    * version this mutation was computed against. Re-read and retry. */
+  final class ConcurrentCommitException(root: String, version: Long)
+    extends RuntimeException(
+      s"manifest table $root: version $version was committed concurrently — " +
+        "re-read the table and retry the mutation")
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, version: Long): Path =
+    new Path(root, f"$ManifestDir/$version%020d.txt")
+
+  /** Newest committed state, skipping half-written manifests (no
+    * `commit=ok` sentinel → the writer died mid-create or is mid-write
+    * right now; the previous version is still the truth). */
+  def current(spark: SparkSession, root: String): Option[State] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) return None
+    val versions = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".txt"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".txt").toLong).toOption)
+      .sorted(Ordering[Long].reverse)
+    versions.iterator.flatMap(v => readManifest(fs, root, v)).nextOption()
+  }
+
+  private def readManifest(fs: FileSystem, root: String, version: Long): Option[State] = {
+    val p = manifestPath(root, version)
+    val text =
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } catch { case _: java.io.IOException => return None }
+    val lines = text.split('\n').toSeq
+    if (!lines.contains("commit=ok")) return None // half-written → skip
+    val files = lines.filter(_.startsWith("file=")).map { l =>
+      val body = l.stripPrefix("file=")
+      val tab = body.lastIndexOf('\t')
+      FileEntry(body.substring(0, tab), body.substring(tab + 1).toLong)
+    }
+    Some(State(version, files))
+  }
+
+  /** Atomically claim `version` and, on conflict, recover a DEAD
+    * half-claim: an object-store conditional put is all-or-nothing, but
+    * on local/HDFS a claimer dying between `create` and writing the
+    * sentinel leaves a sentinel-less file that would block its version
+    * slot forever. A conflict against a sentinel-less manifest older than
+    * `graceMs` (a live claimer writes its payload within milliseconds of
+    * creating the file) deletes the corpse and retries the claim once; a
+    * conflict against a COMMITTED manifest is a genuine lost race. */
+  private def claimOrRecover(fs: FileSystem, root: String, version: Long,
+                             files: Seq[FileEntry], graceMs: Long): Boolean =
+    claim(fs, root, version, files) || {
+      val p = manifestPath(root, version)
+      readManifest(fs, root, version).isEmpty && fs.exists(p) &&
+        (System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime) > graceMs && {
+        log.warn(s"manifest table $root: clearing dead half-claim v$version " +
+          "(sentinel-less past grace) and retrying")
+        fs.delete(p, false)
+        claim(fs, root, version, files)
+      }
+    }
+
+  /** Atomically claim `version`: the create(overwrite=false) IS the
+    * commit. Payload failure deletes our own half-claim and rethrows
+    * (same never-orphan-yourself rule as [[Writers.withCommitLock]]). */
+  private def claim(fs: FileSystem, root: String, version: Long,
+                    files: Seq[FileEntry]): Boolean = {
+    val p = manifestPath(root, version)
+    fs.mkdirs(p.getParent)
+    try {
+      val out = fs.create(p, false)
+      try {
+        val sb = new StringBuilder
+        sb.append(s"version=$version\n")
+        files.foreach(f => sb.append(s"file=${f.relPath}\t${f.bytes}\n"))
+        sb.append("commit=ok")
+        out.write(sb.toString.getBytes("UTF-8"))
+        out.close()
+      } catch { case e: Throwable => fs.delete(p, false); throw e }
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+  }
+
+  /** Write `df` into a fresh immutable generation dir; returns the
+    * generation's file entries. */
+  private def writeGeneration(df: DataFrame, root: String,
+                              partitionCols: Seq[String]): (String, Seq[FileEntry]) = {
+    val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
+    val genPath = new Path(root, gen)
+    val w = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(genPath.toString)
+    val fs = fsOf(df.sparkSession, root)
+    val qualified = fs.makeQualified(genPath)
+    val it = fs.listFiles(qualified, true)
+    val entries = Seq.newBuilder[FileEntry]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rel = f.getPath.toUri.getPath.stripPrefix(qualified.toUri.getPath)
+          .stripPrefix("/")
+        entries += FileEntry(s"$gen/$rel", f.getLen)
+      }
+    }
+    (gen, entries.result())
+  }
+
+  /** Read the table at its newest committed version. Files are grouped by
+    * generation and each group scans with `basePath = <gen dir>`, so hive
+    * partition columns written inside a generation survive; generations
+    * union by name. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readState(spark, root, current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version")))
+
+  private def readState(spark: SparkSession, root: String, st: State): DataFrame = {
+    require(st.files.nonEmpty, s"manifest table $root v${st.version} lists no files")
+    st.files.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .map { case (gen, fs) =>
+        spark.read
+          .option("basePath", new Path(root, gen).toString)
+          .parquet(fs.map(f => new Path(root, f.relPath).toString): _*)
+      }
+      .reduce(_.unionByName(_))
+  }
+
+  /** Blind full-table (over)write — the manifest analogue of
+    * `SaveMode.Overwrite`. No read dependency, so a lost claim just
+    * re-claims the next version (bounded retries) without rewriting. */
+  def write(df: DataFrame, root: String, partitionCols: Seq[String] = Nil,
+            graceMs: Long = 60000L): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, root)
+    val (_, entries) = writeGeneration(df, root, partitionCols)
+    var attempts = 0
+    while (attempts < 50) {
+      val v = current(spark, root).map(_.version).getOrElse(0L) + 1
+      if (claimOrRecover(fs, root, v, entries, graceMs)) return v
+      attempts += 1
+      Thread.sleep(100L * math.min(attempts, 5))
+    }
+    sys.error(s"manifest table $root: could not claim a version after 50 attempts")
+  }
+
+  /** Append-with-dedup upsert (K4 semantics) with carry-forward: only the
+    * partitions touched by `fresh` are read, merged keep-last
+    * ([[Upsert.appendDedup]]) and rewritten into a new generation; every
+    * live file of an UNtouched partition is carried into the new manifest
+    * by reference. Compare-and-swap on the version that was read. */
+  def upsertDedup(spark: SparkSession, fresh: DataFrame, root: String,
+                  keys: Seq[String], order: String,
+                  partitionCols: Seq[String] = Nil,
+                  graceMs: Long = 60000L): Long = {
+    val fs = fsOf(spark, root)
+    current(spark, root) match {
+      case None =>
+        val (gen, entries) = writeGeneration(fresh, root, partitionCols)
+        if (!claimOrRecover(fs, root, 1L, entries, graceMs)) {
+          fs.delete(new Path(root, gen), true)
+          throw new ConcurrentCommitException(root, 1L)
+        }
+        1L
+      case Some(st) =>
+        val existing = readState(spark, root, st)
+        val (merged, carried) =
+          if (partitionCols.isEmpty)
+            (Upsert.appendDedup(existing, fresh, keys, col(order)), Seq.empty[FileEntry])
+          else {
+            val touched = fresh.select(partitionCols.map(col): _*).distinct()
+            val existingTouched = existing.join(broadcast(touched), partitionCols)
+            (Upsert.appendDedup(existingTouched, fresh, keys, col(order)), st.files)
+          }
+        val (gen, entries) = writeGeneration(merged, root, partitionCols)
+        // the new generation's partition dirs ARE the touched set, spelled
+        // exactly as the writer escapes them — carry forward only files
+        // outside those partitions (string-match-safe: same writer
+        // produced both sides)
+        val newParts = entries.map(_.partitionPath).toSet
+        val keep = carried.filterNot(f => newParts.contains(f.partitionPath))
+        val v = st.version + 1
+        if (!claimOrRecover(fs, root, v, keep ++ entries, graceMs)) {
+          fs.delete(new Path(root, gen), true)
+          throw new ConcurrentCommitException(root, v)
+        }
+        v
+    }
+  }
+
+  /** Compact the live file set into ~targetFileMB files (skew-aware, via
+    * [[Writers.sizedRewrite]]) in one new generation; the manifest
+    * shrinks with the files. Compare-and-swap like [[upsertDedup]]. */
+  def compact(spark: SparkSession, root: String, targetFileMB: Int = 512,
+              graceMs: Long = 60000L): Long = {
+    require(targetFileMB > 0, s"compact: targetFileMB must be > 0, got $targetFileMB")
+    val fs = fsOf(spark, root)
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val df = readState(spark, root, st)
+    val bytes = st.files.map(_.bytes).sum
+    // partition keys recovered from the live files' k=v sub-paths (one
+    // consistent layout demanded, like Writers.scanParquetDir)
+    val layouts = st.files.map(_.partitionPath.split('/').toSeq
+      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
+    require(layouts.size <= 1,
+      s"compact: inconsistent partition layouts in $root: $layouts")
+    val keys = layouts.headOption.getOrElse(Seq.empty)
+    val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
+    val genPath = new Path(root, gen)
+    Writers.sizedRewrite(spark, df, bytes, keys, targetFileMB, genPath.toString)
+    val qualified = fs.makeQualified(genPath)
+    val it = fs.listFiles(qualified, true)
+    val entries = Seq.newBuilder[FileEntry]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rel = f.getPath.toUri.getPath.stripPrefix(qualified.toUri.getPath)
+          .stripPrefix("/")
+        entries += FileEntry(s"$gen/$rel", f.getLen)
+      }
+    }
+    val v = st.version + 1
+    if (!claimOrRecover(fs, root, v, entries.result(), graceMs)) {
+      fs.delete(genPath, true)
+      throw new ConcurrentCommitException(root, v)
+    }
+    v
+  }
+
+  /** Drop manifests older than the newest `keep` and delete generation
+    * dirs they referenced that no kept manifest still references. An
+    * unreferenced generation near the head is left alone — it may be an
+    * in-flight writer's; run vacuum outside mutation windows for full
+    * cleanup. Returns the number of generation dirs deleted. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Int = {
+    require(keep >= 1, s"vacuum: keep must be >= 1, got $keep")
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) return 0
+    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".txt"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".txt").toLong).toOption)
+      .sorted(Ordering[Long].reverse)
+    val (kept, dropped) = versions.splitAt(keep)
+    val liveGens = kept.flatMap(v => readManifest(fs, root, v))
+      .flatMap(_.files.map(_.relPath.takeWhile(_ != '/'))).toSet
+    val deadGens = dropped.flatMap(v => readManifest(fs, root, v))
+      .flatMap(_.files.map(_.relPath.takeWhile(_ != '/'))).toSet -- liveGens
+    deadGens.foreach { g =>
+      log.info(s"vacuum($root): deleting unreferenced generation $g")
+      fs.delete(new Path(root, g), true)
+    }
+    dropped.foreach(v => fs.delete(manifestPath(root, v), false))
+    deadGens.size
+  }
+}

@@ -26,26 +26,81 @@ object Writers {
     * 13_binance_calculate_hourly.py:79-85, has the same race) closes
     * because every mutator serializes through the marker.
     *
-    * `fs.create(overwrite = false)` is atomic on local and HDFS
-    * filesystems (object stores need their own conditional-put locking).
+    * `fs.create(overwrite = false)` is atomic on HDFS; on the local FS
+    * Hadoop's check-then-create leaves a small race window (fine for the
+    * single-host test/dev use this backs; object stores need their own
+    * conditional-put locking — or use [[ManifestTable]], which replaces
+    * the lock with atomic version claims). Only
+    * `FileAlreadyExistsException` reads as contention — any other failure
+    * (permissions, transient FS) propagates as itself, and a failure
+    * while WRITING the marker payload deletes our own half-created marker
+    * before rethrowing, so we can never deadlock on our own orphan.
     * The marker is removed in a finally — a refused caller can retry once
-    * the holder finishes; a crashed holder leaves a stale marker that an
-    * operator clears manually (deliberate: auto-expiry would reopen the
-    * race it exists to close). */
+    * the holder finishes; a crashed holder leaves a stale marker that
+    * [[forceUnlock]] clears after verifying the holder is dead
+    * (deliberate: auto-expiry would reopen the race it exists to close). */
   private[graft] def withCommitLock[T](spark: SparkSession, path: String)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(path + "__lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val acquired =
       try {
         val out = fs.create(lock, false)
-        out.writeUTF(s"pid=${ProcessHandle.current().pid()} at=${System.currentTimeMillis()}")
-        out.close()
+        try {
+          out.writeUTF(s"pid=${ProcessHandle.current().pid()} " +
+            s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+            s"at=${System.currentTimeMillis()}")
+          out.close()
+        } catch { case e: Throwable => fs.delete(lock, false); throw e }
         true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
     if (!acquired) throw new IllegalStateException(
       s"concurrent writer holds $lock — refusing to mutate $path " +
-        "(max_active_runs=1; delete the marker only if its holder is dead)")
+        "(max_active_runs=1; forceUnlock(path) clears a dead holder's marker)")
     try body finally fs.delete(lock, false)
+  }
+
+  /** Recovery for a crashed [[withCommitLock]] holder: clears the stale
+    * `<path>__lock` marker IF the recorded holder can be verified dead —
+    * same-host markers are checked against the live process table; a
+    * marker from another host (or an unparseable one) can only be cleared
+    * with an explicit `iKnowTheHolderIsDead = true`. A holder that is
+    * provably ALIVE is always refused — kill the process, don't break its
+    * lock. Returns true if a marker was removed, false if none existed. */
+  def forceUnlock(spark: SparkSession, path: String,
+                  iKnowTheHolderIsDead: Boolean = false): Boolean = {
+    val lock = new org.apache.hadoop.fs.Path(path + "__lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(lock)) return false
+    val payload =
+      try {
+        val in = fs.open(lock)
+        try in.readUTF() finally in.close()
+      } catch { case _: java.io.IOException => "" } // half-written marker
+    val pid = "pid=(\\d+)".r.findFirstMatchIn(payload).map(_.group(1).toLong)
+    val host = "host=(\\S+)".r.findFirstMatchIn(payload).map(_.group(1))
+    val sameHost = host.contains(java.net.InetAddress.getLocalHost.getHostName)
+    val verdict: Either[String, String] = (pid, sameHost) match {
+      case (Some(p), true) =>
+        val h = ProcessHandle.of(p)
+        if (h.isPresent && h.get.isAlive)
+          Left(s"holder pid=$p is ALIVE on this host — kill it instead of breaking its lock")
+        else Right(s"holder pid=$p verified dead on this host")
+      case _ =>
+        if (iKnowTheHolderIsDead)
+          Right(s"holder unverifiable (payload='$payload') — cleared on caller's explicit assertion")
+        else Left(s"cannot verify holder (payload='$payload', " +
+          s"host=${host.getOrElse("?")}) — pass iKnowTheHolderIsDead=true to override")
+    }
+    verdict match {
+      case Left(reason) => throw new IllegalStateException(s"forceUnlock($path): $reason")
+      case Right(why) =>
+        log.warn(s"forceUnlock($path): clearing stale commit lock — $why")
+        fs.delete(lock, false)
+        true
+    }
   }
 
   /** K1: JSON lines write. */
@@ -157,7 +212,31 @@ object Writers {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
-    val root = fs.makeQualified(p)
+    val (bytes, nFiles, keys) = scanParquetDir(fs, fs.makeQualified(p))
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    sizedRewrite(spark, spark.read.parquet(path), bytes, keys, targetFileMB, tmp.toString)
+    val outFiles = fs.listFiles(tmp, true)
+    var out = 0
+    while (outFiles.hasNext) {
+      if (outFiles.next().getPath.getName.endsWith(".parquet")) out += 1
+    }
+    val bak = new org.apache.hadoop.fs.Path(path + "__compact_bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(p, bak)) sys.error(s"compact: could not move $path aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(bak, p) // roll back
+      sys.error(s"compact: could not swap in compacted data for $path")
+    }
+    fs.delete(bak, true)
+    (nFiles, out)
+  }
+
+  /** Recursive parquet-dir inventory: (total bytes, file count, hive
+    * partition keys). Demands ONE consistent k=v layout; any
+    * non-partition subdirectory is refused rather than silently
+    * flattened. Shared by [[compactParquet]] and [[ManifestTable]]. */
+  private[sources] def scanParquetDir(fs: org.apache.hadoop.fs.FileSystem,
+                                      root: org.apache.hadoop.fs.Path): (Long, Int, Seq[String]) = {
     val rootDepth = root.depth()
     val files = fs.listFiles(root, true)
     var bytes = 0L
@@ -176,23 +255,31 @@ object Writers {
           val name = seg.getName
           val eq = name.indexOf('=')
           require(eq > 0,
-            s"compact: non-partition subdirectory '$name' under $path — refusing to flatten")
+            s"compact: non-partition subdirectory '$name' under $root — refusing to flatten")
           keys = name.substring(0, eq) :: keys
           seg = seg.getParent
         }
         if (partKeys == null) partKeys = keys
         else require(partKeys == keys,
-          s"compact: inconsistent partition layout under $path " +
+          s"compact: inconsistent partition layout under $root " +
             s"(${partKeys.mkString("/")} vs ${keys.mkString("/")})")
       }
     }
-    val keys = Option(partKeys).getOrElse(Seq.empty).toSeq
+    (bytes, nFiles, Option(partKeys).getOrElse(Seq.empty).toSeq)
+  }
+
+  /** Rewrite `df` (known to occupy `bytes` on disk, hive-partitioned by
+    * `keys` — possibly empty) into ~targetFileMB files under `out`,
+    * preserving the partition layout. Skew-aware: each partition VALUE is
+    * sized individually. Shared by [[compactParquet]] and
+    * [[ManifestTable.compact]]. */
+  private[sources] def sizedRewrite(spark: SparkSession, df: DataFrame, bytes: Long,
+                                    keys: Seq[String], targetFileMB: Int,
+                                    out: String): Unit = {
     val targetBytes = targetFileMB * 1024L * 1024L
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    val df = spark.read.parquet(path)
     if (keys.isEmpty)
-      df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(out)
     else {
       // repartition(parts, keys) would hash each partition VALUE into
       // exactly one task — a skewed partition (one value holding most of
@@ -224,7 +311,7 @@ object Writers {
         .filter(f => !keys.contains(f.name) && hashable(f.dataType))
         .map(f => col(f.name)).toSeq
       val saltSrc = if (hashableCols.isEmpty) {
-        log.warn(s"compact: no hashable non-partition columns under $path — " +
+        log.warn(s"compact: no hashable non-partition columns for $out — " +
           "spreading by row id instead of content (file sizing still honored; " +
           "content locality not preserved)")
         monotonically_increasing_id()
@@ -241,22 +328,8 @@ object Writers {
         .drop(nfC)
       salted.repartition(parts, (keys :+ saltC).map(col): _*)
         .drop(saltC)
-        .write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(tmp.toString)
+        .write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(out)
     }
-    val outFiles = fs.listFiles(tmp, true)
-    var out = 0
-    while (outFiles.hasNext) {
-      if (outFiles.next().getPath.getName.endsWith(".parquet")) out += 1
-    }
-    val bak = new org.apache.hadoop.fs.Path(path + "__compact_bak")
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (!fs.rename(p, bak)) sys.error(s"compact: could not move $path aside")
-    if (!fs.rename(tmp, p)) {
-      fs.rename(bak, p) // roll back
-      sys.error(s"compact: could not swap in compacted data for $path")
-    }
-    fs.delete(bak, true)
-    (nFiles, out)
   }
 
   /** xxhash64 rejects map-typed input (at any nesting depth). */

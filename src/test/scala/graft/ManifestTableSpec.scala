@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.sources.{ManifestTable, Writers}
+
+/** Object-store-safe commit protocol (ManifestTable) + commit-lock
+  * recovery (forceUnlock). The half-commit tests simulate writer crashes
+  * at every dangerous point and assert a reader NEVER observes them. */
+class ManifestTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-manifest").toString
+
+  private def fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("write/read round-trip; overwrite bumps the version") {
+    val root = tmp() + "/t"
+    val v1 = ManifestTable.write(Seq((1, "a"), (2, "b")).toDF("k", "s"), root)
+    assert(v1 == 1L)
+    assert(ManifestTable.read(spark, root).orderBy("k").as[(Int, String)].collect()
+      .toSeq == Seq((1, "a"), (2, "b")))
+    val v2 = ManifestTable.write(Seq((3, "c")).toDF("k", "s"), root)
+    assert(v2 == 2L)
+    assert(ManifestTable.read(spark, root).as[(Int, String)].collect().toSeq ==
+      Seq((3, "c")))
+  }
+
+  test("upsert carries untouched partitions forward by reference") {
+    val root = tmp() + "/t"
+    val seed = Seq(("2026-01-01", 1L, 10.0), ("2026-01-01", 2L, 20.0),
+      ("2026-01-02", 3L, 30.0)).toDF("date", "key", "v")
+    ManifestTable.upsertDedup(spark, seed, root, Seq("key"), "v", Seq("date"))
+    val before = ManifestTable.current(spark, root).get
+    val untouched = before.files.filter(_.partitionPath == "date=2026-01-02")
+    assert(untouched.nonEmpty)
+    // second batch touches only 2026-01-01: key 2 updated, key 9 new
+    val fresh = Seq(("2026-01-01", 2L, 99.0), ("2026-01-01", 9L, 90.0))
+      .toDF("date", "key", "v")
+    ManifestTable.upsertDedup(spark, fresh, root, Seq("key"), "v", Seq("date"))
+    val after = ManifestTable.current(spark, root).get
+    assert(after.version == before.version + 1)
+    // the untouched partition's physical files are the SAME entries —
+    // carried by reference, not rewritten (the 100 TB property)
+    assert(untouched.forall(after.files.contains))
+    // and none of the old touched-partition files survive
+    assert(!before.files.filter(_.partitionPath == "date=2026-01-01")
+      .exists(after.files.contains))
+    val got = ManifestTable.read(spark, root).orderBy("key")
+      .select("key", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (9L, 90.0)))
+    // partition pruning still works through the manifest reader
+    val pruned = ManifestTable.read(spark, root).filter($"date" === "2026-01-02")
+    assert(pruned.count() == 1)
+  }
+
+  test("reader never observes a half-commit (crash at every point)") {
+    val root = tmp() + "/t"
+    ManifestTable.write(Seq((1, "a")).toDF("k", "s"), root)
+    val v1 = ManifestTable.read(spark, root).as[(Int, String)].collect().toSeq
+    // crash point A: generation fully written, manifest never created —
+    // invisible (data files alone mean nothing)
+    Seq((9, "z")).toDF("k", "s").write.parquet(root + "/gen-orphan")
+    assert(ManifestTable.read(spark, root).as[(Int, String)].collect().toSeq == v1)
+    // crash point B: manifest file created but sentinel never written
+    // (died between create and close) — readers skip it and fall back
+    val half = new Path(root, "_manifests/00000000000000000002.txt")
+    val out = fs.create(half, false)
+    out.write("version=2\nfile=gen-orphan/whatever.parquet\t123\n".getBytes("UTF-8"))
+    out.close()
+    assert(ManifestTable.current(spark, root).get.version == 1L)
+    assert(ManifestTable.read(spark, root).as[(Int, String)].collect().toSeq == v1)
+  }
+
+  test("CAS commit: lost race throws, orphan generation is cleaned up") {
+    val root = tmp() + "/t"
+    ManifestTable.upsertDedup(spark, Seq(("2026-01-01", 1L, 10.0)).toDF("date", "key", "v"),
+      root, Seq("key"), "v", Seq("date"))
+    // a concurrent claimer holds version 2 (fresh, within grace): our CAS
+    // must refuse rather than skip past it
+    val rival = new Path(root, "_manifests/00000000000000000002.txt")
+    val out = fs.create(rival, false)
+    out.write("version=2\n".getBytes("UTF-8")) // in-flight, sentinel-less
+    out.close()
+    val gensBefore = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).toSet
+    intercept[ManifestTable.ConcurrentCommitException] {
+      ManifestTable.upsertDedup(spark, Seq(("2026-01-01", 2L, 20.0)).toDF("date", "key", "v"),
+        root, Seq("key"), "v", Seq("date"))
+    }
+    // the loser deleted its own generation dir
+    val gensAfter = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).toSet
+    assert(gensAfter == gensBefore)
+    // once the rival is known dead (grace 0), the same mutation recovers
+    // the slot and lands
+    ManifestTable.upsertDedup(spark, Seq(("2026-01-01", 2L, 20.0)).toDF("date", "key", "v"),
+      root, Seq("key"), "v", Seq("date"), graceMs = 0L)
+    assert(ManifestTable.current(spark, root).get.version == 2L)
+    assert(ManifestTable.read(spark, root).count() == 2)
+  }
+
+  test("compact shrinks the file list, preserves rows, bumps version") {
+    val root = tmp() + "/t"
+    // fragmented seed: 4 files per partition, then tiny upsert generations
+    val seed = (1 to 40).map(i => (s"2026-01-0${i % 3 + 1}", i.toLong, i.toDouble))
+      .toDF("date", "key", "v").repartition(4)
+    ManifestTable.write(seed, root, Seq("date"))
+    // upserts pinned to ONE date: the other two partitions keep their
+    // fragmented seed files (carried by reference) until compaction
+    (41 to 44).foreach { i =>
+      ManifestTable.upsertDedup(spark,
+        Seq(("2026-01-01", i.toLong, i.toDouble)).toDF("date", "key", "v"),
+        root, Seq("key"), "v", Seq("date"))
+    }
+    val before = ManifestTable.current(spark, root).get
+    assert(before.files.map(_.relPath.takeWhile(_ != '/')).distinct.size > 1)
+    val rows = ManifestTable.read(spark, root).orderBy("key")
+      .select("key", "v").as[(Long, Double)].collect().toSeq
+    val v = ManifestTable.compact(spark, root)
+    val after = ManifestTable.current(spark, root).get
+    assert(v == before.version + 1)
+    assert(after.files.size < before.files.size)
+    assert(ManifestTable.read(spark, root).orderBy("key")
+      .select("key", "v").as[(Long, Double)].collect().toSeq == rows)
+    // partition layout survived compaction
+    assert(after.files.forall(_.partitionPath.startsWith("date=")))
+  }
+
+  test("vacuum deletes dropped generations, keeps live ones") {
+    val root = tmp() + "/t"
+    (1 to 4).foreach(i =>
+      ManifestTable.write(Seq((i, s"v$i")).toDF("k", "s"), root))
+    val live = ManifestTable.read(spark, root).as[(Int, String)].collect().toSeq
+    val deleted = ManifestTable.vacuum(spark, root, keep = 2)
+    assert(deleted == 2) // gens of v1 and v2 (each write = full overwrite)
+    assert(ManifestTable.read(spark, root).as[(Int, String)].collect().toSeq == live)
+    // dropped manifests are gone too
+    val versions = fs.listStatus(new Path(root, "_manifests"))
+      .map(_.getPath.getName).toSeq.sorted
+    assert(versions == Seq("00000000000000000003.txt", "00000000000000000004.txt"))
+  }
+
+  // --- forceUnlock (commit-lock recovery) ---
+
+  private def writeMarker(lock: Path, payload: String): Unit = {
+    val out = fs.create(lock, false)
+    out.writeUTF(payload)
+    out.close()
+  }
+
+  test("forceUnlock clears a crashed holder's marker (dead pid verified)") {
+    val dir = tmp() + "/locked"
+    val lock = new Path(dir + "__lock")
+    val deadPid = (200000L to 400000L).find(p => ProcessHandle.of(p).isEmpty).get
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    writeMarker(lock, s"pid=$deadPid host=$host at=0")
+    assert(Writers.forceUnlock(spark, dir))
+    assert(!fs.exists(lock))
+    // idempotent: nothing left to clear
+    assert(!Writers.forceUnlock(spark, dir))
+  }
+
+  test("forceUnlock refuses a provably-alive holder, even when overridden") {
+    val dir = tmp() + "/locked"
+    val lock = new Path(dir + "__lock")
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    writeMarker(lock, s"pid=${ProcessHandle.current().pid()} host=$host at=0")
+    intercept[IllegalStateException] { Writers.forceUnlock(spark, dir) }
+    intercept[IllegalStateException] {
+      Writers.forceUnlock(spark, dir, iKnowTheHolderIsDead = true)
+    }
+    assert(fs.exists(lock)) // marker untouched
+  }
+
+  test("forceUnlock on an unverifiable holder needs the explicit override") {
+    val dir = tmp() + "/locked"
+    val lock = new Path(dir + "__lock")
+    writeMarker(lock, s"pid=1234 host=some-other-machine at=0")
+    intercept[IllegalStateException] { Writers.forceUnlock(spark, dir) }
+    assert(Writers.forceUnlock(spark, dir, iKnowTheHolderIsDead = true))
+    assert(!fs.exists(lock))
+  }
+}

@@ -133,6 +133,21 @@ class OperatorsSpec extends SparkSpec {
     assert(!row.isNullAt(0) && !row.getBoolean(0))
   }
 
+  test("zscoreOutliers never flags NaN/Inf rows (excluded from moments AND gate)") {
+    // Spark orders NaN above every numeric, so without the finite gate
+    // |NaN - mean| > t*stddev reads TRUE and a non-finite row would be
+    // flagged despite being excluded from the stats it is judged against
+    val df = ((1 to 40).map(i => (i.toLong, "a", 100.0 + (i % 5))) ++ Seq(
+      (97L, "a", Double.NaN), (98L, "a", Double.PositiveInfinity),
+      (99L, "a", Double.NegativeInfinity), (96L, "a", 500.0)))
+      .toDF("id", "g", "v")
+    val got = Profile.zscoreOutliers(df, col("g"), col("v"))
+    val flagged = got.filter(col("is_outlier")).select("id").as[Long].collect().toSeq
+    assert(flagged == Seq(96L)) // the genuine deviant, never the non-finite rows
+    // and the non-finite rows did not poison anyone's mean/stddev
+    assert(got.filter(isnan(col("mean")) || isnan(col("stddev"))).count() == 0)
+  }
+
   test("histogram excludes NaN instead of poisoning the bounds") {
     val df = Seq(1.0, 2.0, 3.0, Double.NaN).toDF("x")
     val got = Profile.histogram(df, col("x"), bins = 2)
@@ -165,6 +180,17 @@ class OperatorsSpec extends SparkSpec {
     val nn = Profile.heavyHitters(withNulls, Seq("k"), k = 5)
       .as[(String, String, Long, Double)].collect().toSeq
     assert(nn == Seq(("k", "x", 2L, 0.5)))
+  }
+
+  test("heavyHitters emits report order without a caller sort") {
+    // consumers read the report top-down: (column asc, n desc, value asc)
+    // is part of the API, not an accident of the physical plan
+    val df = (1 to 60).map(i => (s"u${i % 3}", s"e${i % 5}")).toDF("b_user", "a_event")
+    val got = Profile.heavyHitters(df, Seq("b_user", "a_event"), k = 3)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val expected = got.sortBy { case (c, v, n, _) => (c, -n, v) }
+    assert(got == expected)
+    assert(got.map(_._1).distinct == Seq("a_event", "b_user"))
   }
 
   test("heavyHitters profiles all columns off one input scan, <= 2 jobs") {
