@@ -119,13 +119,24 @@ object RelationalQueries extends QueryPack {
       Windows.topOnePerGroup(hourly, Seq("event_type"), Seq(col("n").desc, col("hr").asc))
     }),
     "w2_lead" -> ((s, d) => {
-      // W2 (ref: gold_war_etl_dag.py:144-145): next-day value + up/down target.
+      // W2 (ref: gold_war_etl_dag.py:144-145): next-day value + up/down
+      // target — the reference's single bounded daily series (global window).
       val daily = t(s, d, "orders")
         .groupBy(to_date(col("o_orderdate")).as("date"))
         .agg(dsum(col("o_totalprice"), 4, 2).as("close"))
-      val w = Window.orderBy(col("date"))
-      daily
-        .withColumn("close_next", lead(col("close"), 1).over(w))
+      Windows.leadShift(daily, Nil, col("date"), col("close"), 1, "close_next")
+        .withColumn("target", (col("close_next") > col("close")).cast("int"))
+        .na.drop(Seq("close_next"))
+    }),
+    "w2_lead_by_key" -> ((s, d) => {
+      // W2 at scale: the multi-series form — one daily close series PER
+      // order priority, each shifted independently (partitioned window,
+      // parallel, no single-reducer sort).
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("date"))
+        .agg(dsum(col("o_totalprice"), 4, 2).as("close"))
+      Windows.leadShift(daily, Seq("priority"), col("date"), col("close"), 1, "close_next")
         .withColumn("target", (col("close_next") > col("close")).cast("int"))
         .na.drop(Seq("close_next"))
     })
@@ -195,6 +206,18 @@ object RelationalQueries extends QueryPack {
          |  SELECT date, close, LEAD(close, 1) OVER (ORDER BY date) AS close_next
          |  FROM daily)
          |SELECT date, close, close_next,
+         |       CAST(close_next > close AS INT) AS target
+         |FROM led WHERE close_next IS NOT NULL""".stripMargin,
+    "w2_lead_by_key" ->
+      s"""WITH daily AS (
+         |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS date,
+         |         ${dsumSql("o_totalprice", 4, 2)} AS close
+         |  FROM orders GROUP BY 1, 2),
+         |led AS (
+         |  SELECT priority, date, close,
+         |         LEAD(close, 1) OVER (PARTITION BY priority ORDER BY date) AS close_next
+         |  FROM daily)
+         |SELECT priority, date, close, close_next,
          |       CAST(close_next > close AS INT) AS target
          |FROM led WHERE close_next IS NOT NULL""".stripMargin
   )

@@ -19,10 +19,16 @@ object RfPipeline {
 
   /** Build the training frame from a daily series: features + next-day
     * up/down target (ref: gold_war:144-146). `orderCol` must be unique per
-    * row (a date). Global-window lead is acceptable for daily series
-    * (thousands of rows); partition by instrument when generalized. */
-  def withTarget(daily: DataFrame, closeCol: String, orderCol: String): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
+    * row (a date) within a series. The reference's single-instrument
+    * series uses the default empty `partitionCols` (global-window lead —
+    * acceptable for thousands of rows); pass the instrument/key columns
+    * for a multi-series frame, where each series shifts independently in
+    * parallel with no single-reducer sort. */
+  def withTarget(daily: DataFrame, closeCol: String, orderCol: String,
+                 partitionCols: Seq[String] = Nil): DataFrame = {
+    val w =
+      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
     daily
       .withColumn("close_next", lead(col(closeCol), 1).over(w))
       .withColumn("label", (col("close_next") > col(closeCol)).cast("double"))

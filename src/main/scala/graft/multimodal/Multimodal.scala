@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * partition-local transforms over the binary payloads.
   *
   * Decode is REAL for every format a bare JVM can parse — binary PPM,
-  * JPEG/PNG/GIF/BMP (via `javax.imageio`), and 16-bit PCM WAV audio
-  * ([[ImageOps]]/[[AudioOps]]/[[MediaFeatureExtract]]): parse,
+  * JPEG/PNG/GIF/BMP (via `javax.imageio`), 16-bit PCM WAV audio
+  * ([[ImageOps]]/[[AudioOps]]/[[MediaFeatureExtract]]), and Y4M video
+  * ([[Y4m]]/[[Y4mDecoder]]: YUV4MPEG2 frame parsing + BT.601 → RGB, the
+  * one true multi-frame format needing no native codec): parse,
   * nearest-neighbor resize, channel means, luminance histogram, RMS/peak,
-  * with corrupt-media tolerance. Only video codecs (MP4/...) remain
-  * behind the [[MediaDecoder]] seam — production swaps in a JNI/javacv-
-  * backed decoder; [[StillImageDecoder]] serves real single-frame media
-  * through the same seam, and tests of the frame plumbing use
+  * frame sampling, with corrupt-media tolerance. Only COMPRESSED video
+  * codecs (MP4/H.264/VP9) remain behind the [[MediaDecoder]] seam — they
+  * require native libraries, so production swaps in a JNI/javacv-backed
+  * decoder; [[StillImageDecoder]]/[[Y4mDecoder]] serve real media through
+  * the same seam, and tests of the raw chunk plumbing use
   * [[FakeDecoder]], a deterministic stand-in. Everything around the seam
   * — schema, batch shape, partition-local execution, feature layout — is
   * real and tested either way.

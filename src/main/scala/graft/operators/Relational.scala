@@ -340,4 +340,18 @@ object Windows {
       .filter(col("_graft_rn") === 1)
       .drop("_graft_rn")
   }
+
+  /** W2 generalized (ref: gold_war_etl_dag.py:144-145's pandas shift(-1)):
+    * next-value column per key series. The reference shifts ONE bounded
+    * daily series, which an empty `partition` reproduces (global window —
+    * single-reducer sort, fine for thousands of rows, spark warns); the
+    * partitioned form is the scale path: every key's series shifts
+    * independently in parallel, one hash-shuffle, no global sort. */
+  def leadShift(df: DataFrame, partition: Seq[String], order: Column,
+                value: Column, offset: Int = 1, as: String = "next"): DataFrame = {
+    val w =
+      if (partition.isEmpty) Window.orderBy(order)
+      else Window.partitionBy(partition.map(col).toIndexedSeq: _*).orderBy(order)
+    df.withColumn(as, lead(value, offset).over(w))
+  }
 }

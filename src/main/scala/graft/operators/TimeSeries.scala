@@ -50,6 +50,15 @@ object TimeSeries {
   def resample(points: DataFrame, key: Column, ts: Column, value: Column,
                step: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // epoch-floor snapping is timezone-free, which equals date_trunc's
+    // hour/day buckets ONLY under a UTC session — a non-UTC session would
+    // silently produce UTC-midnight day buckets where the caller expects
+    // session-local midnights (and day-length DST anomalies in the
+    // INTERVAL grid). GraftSession pins UTC; a foreign session must too.
+    val tz = points.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+      s"resample requires a UTC session (epoch-aligned buckets); " +
+        s"spark.sql.session.timeZone is '$tz'")
     val stepSec = stepSeconds(step)
     // snap to the step grid by flooring epoch seconds — unlike date_trunc
     // this supports any multiple ("15 minutes", "6 hours"); grid points

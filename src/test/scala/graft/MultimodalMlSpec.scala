@@ -237,6 +237,65 @@ class MultimodalMlSpec extends SparkSpec {
     assert(acc2 >= 0.0 && acc2 <= 1.0)
   }
 
+  test("real Y4M video decode: frame-exact RGB from the checked-in fixture") {
+    import graft.multimodal.Y4m
+    // 2 frames, 4x2, C420jpeg: quadrant colors planted at canonical BT.601
+    // YUV values (red 81/90/240, white 235/128/128, black 16/128/128,
+    // blue 41/240/110) — the integer transform must recover the pure RGB
+    // primaries EXACTLY
+    val y4m = resourceBytes("/graft/colors_4x2_2f.y4m")
+    val frames = Y4m.decode(y4m).toSeq
+    assert(frames.length == 2)
+    assert(frames.forall(f => f.width == 4 && f.height == 2))
+    def px(f: graft.multimodal.ImageOps.Rgb, x: Int, y: Int) = {
+      val o = (y * f.width + x) * 3
+      (f.rgb(o) & 0xff, f.rgb(o + 1) & 0xff, f.rgb(o + 2) & 0xff)
+    }
+    // frame 1: left 2x2 block red, right white — all rows of each block
+    for (y <- 0 until 2; x <- 0 until 2) {
+      assert(px(frames(0), x, y) == ((255, 0, 0)), s"f0 ($x,$y)")
+      assert(px(frames(0), x + 2, y) == ((255, 255, 255)), s"f0 ($x,$y)+2")
+      assert(px(frames(1), x, y) == ((0, 0, 0)), s"f1 ($x,$y)")
+      assert(px(frames(1), x + 2, y) == ((0, 0, 255)), s"f1 ($x,$y)+2")
+    }
+    // truncated mid-frame-2: one clean frame, no error
+    assert(Y4m.decode(y4m.dropRight(5)).toSeq.length == 1)
+    // garbage / header-only: zero frames, never a throw
+    assert(Y4m.decode("not a video".getBytes).isEmpty)
+    assert(Y4m.decode("YUV4MPEG2 W4 H2 C420\n".getBytes).isEmpty)
+    assert(Y4m.decode("YUV4MPEG2 W4 H3 C420\n".getBytes).isEmpty) // odd h for 420
+  }
+
+  test("Y4M colourspaces: C444 full-res chroma and Cmono grayscale") {
+    import graft.multimodal.Y4m
+    // C444 1x1, two frames: red then blue — per-pixel chroma, no subsampling
+    val c444 = "YUV4MPEG2 W1 H1 C444\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes ++ Array[Byte](81.toByte, 90.toByte, 240.toByte) ++
+      "FRAME\n".getBytes ++ Array[Byte](41.toByte, 240.toByte, 110.toByte)
+    val f444 = Y4m.decode(c444).toSeq
+    assert(f444.map(_.rgb.toSeq) == Seq(
+      Seq[Byte](255.toByte, 0, 0), Seq[Byte](0, 0, 255.toByte)))
+    // Cmono 2x1: black | white
+    val mono = "YUV4MPEG2 W2 H1 Cmono\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes ++ Array[Byte](16.toByte, 235.toByte)
+    assert(Y4m.decode(mono).toSeq.head.rgb.toSeq ==
+      Seq[Byte](0, 0, 0, 255.toByte, 255.toByte, 255.toByte))
+  }
+
+  test("Y4mDecoder closes the video seam: sampleFrames is real end-to-end") {
+    import graft.multimodal.Y4mDecoder
+    val y4m = resourceBytes("/graft/colors_4x2_2f.y4m")
+    val media = Seq((1L, y4m), (2L, Array[Byte](9, 9, 9))) // one corrupt row
+      .toDF("media_id", "content")
+    val typed = Multimodal.asMediaTable(media, "media_id", "content",
+      "video", "video/x-yuv4mpeg").as[MediaRecord]
+    val frames = Multimodal.sampleFrames(typed, new Y4mDecoder, maxFrames = 8)
+      .orderBy("media_id", "frame_idx")
+      .as[(Long, Int, Int)].collect().toSeq
+    // 2 real frames of 4x2 packed RGB (24 bytes); corrupt row contributes none
+    assert(frames == Seq((1L, 0, 24), (1L, 1, 24)))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
