@@ -233,6 +233,15 @@ object ManifestTable {
         }
         1L
       case Some(st) =>
+        // a partition layout CHANGE between commits would make the
+        // carry-forward filter miss (old files kept alongside a full
+        // rewrite → silent duplicates): demand the same layout as the
+        // live files before doing anything
+        val liveLayouts = st.files.map(_.partitionPath.split('/').toSeq
+          .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
+        require(liveLayouts == Seq(partitionCols.toSeq),
+          s"manifest table $root: upsert partitionCols $partitionCols does not match " +
+            s"the live partition layout $liveLayouts — rewrite via write() to change layout")
         val existing = readState(spark, root, st)
         val (merged, carried) =
           if (partitionCols.isEmpty)

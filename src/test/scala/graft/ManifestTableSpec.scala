@@ -103,6 +103,25 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() == 2)
   }
 
+  test("upsert refuses a partition-layout change (silent-duplicate hazard)") {
+    val root = tmp() + "/t"
+    ManifestTable.upsertDedup(spark, Seq(("2026-01-01", 1L, 10.0)).toDF("date", "key", "v"),
+      root, Seq("key"), "v", Seq("date"))
+    // dropping (or changing) partitionCols against a partitioned table
+    // would carry old files alongside a full rewrite — refused up front
+    intercept[IllegalArgumentException] {
+      ManifestTable.upsertDedup(spark, Seq(("2026-01-01", 2L, 20.0)).toDF("date", "key", "v"),
+        root, Seq("key"), "v", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.upsertDedup(spark, Seq(("2026-01-01", 2L, 20.0)).toDF("date", "key", "v"),
+        root, Seq("key"), "v", Seq("key"))
+    }
+    // table unchanged by the refused attempts
+    assert(ManifestTable.current(spark, root).get.version == 1L)
+    assert(ManifestTable.read(spark, root).count() == 1)
+  }
+
   test("compact shrinks the file list, preserves rows, bumps version") {
     val root = tmp() + "/t"
     // fragmented seed: 4 files per partition, then tiny upsert generations
