@@ -212,4 +212,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p) // corpus never shuffles for dtab
   }
+
+  test("partitioned lead shuffles on the key — no single-reducer sort") {
+    val p = plan("w2_lead_by_key")
+    // the window's distribution is hashpartitioning(priority, ...); the
+    // SinglePartition funnel of the global-window w2_lead form must not
+    // appear anywhere in this plan
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(priority"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
