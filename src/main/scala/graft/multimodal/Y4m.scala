@@ -88,7 +88,9 @@ object Y4m {
                  nl - pos < 512) nl += 1
           if (nl >= bytes.length || bytes(nl) != '\n'.toByte) { done = true; return }
           val start = nl + 1
-          if (start + fb > bytes.length) { done = true; return }
+          // subtraction form: `start + fb` can overflow Int on a ~2 GB
+          // hostile payload and bypass the truncation check
+          if (fb > bytes.length - start) { done = true; return }
           nextFrame = toRgb(bytes, start, hd)
           pos = start + fb
         }

@@ -93,11 +93,16 @@ object ManifestTable {
 
   private def readManifest(fs: FileSystem, root: String, version: Long): Option[State] = {
     val p = manifestPath(root, version)
+    // ONLY not-found (vacuumed between list and open) and half-written
+    // (no sentinel) read as "no committed manifest here" — a transient
+    // read failure (throttling, permissions) PROPAGATES: conflating it
+    // would make readers silently serve a stale version and would let
+    // claimOrRecover destroy a committed manifest it merely failed to read
     val text =
       try {
         val in = fs.open(p)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      } catch { case _: java.io.IOException => return None }
+      } catch { case _: java.io.FileNotFoundException => return None }
     val lines = text.split('\n').toSeq
     if (!lines.contains("commit=ok")) return None // half-written → skip
     val files = lines.filter(_.startsWith("file=")).map { l =>
@@ -131,7 +136,12 @@ object ManifestTable {
 
   /** Atomically claim `version`: the create(overwrite=false) IS the
     * commit. Payload failure deletes our own half-claim and rethrows
-    * (same never-orphan-yourself rule as [[Writers.withCommitLock]]). */
+    * (same never-orphan-yourself rule as [[Writers.withCommitLock]]) —
+    * but only after verifying the file is still OURS (sentinel-less): if
+    * we stalled past grace and a rival recovered our corpse and committed
+    * the slot, deleting would destroy the rival's commit. That residual
+    * stall-past-grace window is a local/HDFS artifact only; the real
+    * object-store target commits with one atomic conditional put. */
   private def claim(fs: FileSystem, root: String, version: Long,
                     files: Seq[FileEntry]): Boolean = {
     val p = manifestPath(root, version)
@@ -145,12 +155,34 @@ object ManifestTable {
         sb.append("commit=ok")
         out.write(sb.toString.getBytes("UTF-8"))
         out.close()
-      } catch { case e: Throwable => fs.delete(p, false); throw e }
+      } catch {
+        case e: Throwable =>
+          if (scala.util.Try(readManifest(fs, root, version)).toOption.flatten.isEmpty)
+            fs.delete(p, false)
+          throw e
+      }
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.nio.file.FileAlreadyExistsException => false
     }
+  }
+
+  /** Inventory one generation dir's parquet files as root-relative
+    * entries. */
+  private def listGeneration(fs: FileSystem, root: String, gen: String): Seq[FileEntry] = {
+    val qualified = fs.makeQualified(new Path(root, gen))
+    val it = fs.listFiles(qualified, true)
+    val entries = Seq.newBuilder[FileEntry]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rel = f.getPath.toUri.getPath.stripPrefix(qualified.toUri.getPath)
+          .stripPrefix("/")
+        entries += FileEntry(s"$gen/$rel", f.getLen)
+      }
+    }
+    entries.result()
   }
 
   /** Write `df` into a fresh immutable generation dir; returns the
@@ -162,19 +194,7 @@ object ManifestTable {
     val w = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(genPath.toString)
-    val fs = fsOf(df.sparkSession, root)
-    val qualified = fs.makeQualified(genPath)
-    val it = fs.listFiles(qualified, true)
-    val entries = Seq.newBuilder[FileEntry]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
-        val rel = f.getPath.toUri.getPath.stripPrefix(qualified.toUri.getPath)
-          .stripPrefix("/")
-        entries += FileEntry(s"$gen/$rel", f.getLen)
-      }
-    }
-    (gen, entries.result())
+    (gen, listGeneration(fsOf(df.sparkSession, root), root, gen))
   }
 
   /** Read the table at its newest committed version. Files are grouped by
@@ -242,13 +262,31 @@ object ManifestTable {
         require(liveLayouts == Seq(partitionCols.toSeq),
           s"manifest table $root: upsert partitionCols $partitionCols does not match " +
             s"the live partition layout $liveLayouts — rewrite via write() to change layout")
-        val existing = readState(spark, root, st)
         val (merged, carried) =
           if (partitionCols.isEmpty)
-            (Upsert.appendDedup(existing, fresh, keys, col(order)), Seq.empty[FileEntry])
+            (Upsert.appendDedup(readState(spark, root, st), fresh, keys, col(order)),
+              Seq.empty[FileEntry])
           else {
-            val touched = fresh.select(partitionCols.map(col): _*).distinct()
-            val existingTouched = existing.join(broadcast(touched), partitionCols)
+            // touched partition VALUES collect to the driver (tiny — the
+            // incoming batch's partitions) and prune as LITERAL
+            // predicates: static partition pruning reaches every per-gen
+            // scan, so a 1-partition upsert reads 1 partition's files,
+            // not the table (a broadcast-join filter cannot prune at
+            // planning time). Null-safe per element: a NULL partition
+            // value is a real partition — an equi-join here would
+            // silently DROP all its existing rows while still retiring
+            // their files from the manifest.
+            val touched = fresh.select(partitionCols.map(col).toIndexedSeq: _*)
+              .distinct().collect()
+            require(touched.length <= 100000,
+              s"manifest table $root: batch touches ${touched.length} partitions — " +
+                "not an incremental upsert; use write() for full rewrites")
+            val pred = touched.map { r =>
+              partitionCols.zipWithIndex.map { case (c, i) =>
+                if (r.isNullAt(i)) col(c).isNull else col(c) <=> lit(r.get(i))
+              }.reduce(_ && _)
+            }.reduce(_ || _)
+            val existingTouched = readState(spark, root, st).filter(pred)
             (Upsert.appendDedup(existingTouched, fresh, keys, col(order)), st.files)
           }
         val (gen, entries) = writeGeneration(merged, root, partitionCols)
@@ -288,49 +326,59 @@ object ManifestTable {
     val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
     val genPath = new Path(root, gen)
     Writers.sizedRewrite(spark, df, bytes, keys, targetFileMB, genPath.toString)
-    val qualified = fs.makeQualified(genPath)
-    val it = fs.listFiles(qualified, true)
-    val entries = Seq.newBuilder[FileEntry]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
-        val rel = f.getPath.toUri.getPath.stripPrefix(qualified.toUri.getPath)
-          .stripPrefix("/")
-        entries += FileEntry(s"$gen/$rel", f.getLen)
-      }
-    }
+    val entries = listGeneration(fs, root, gen)
     val v = st.version + 1
-    if (!claimOrRecover(fs, root, v, entries.result(), graceMs)) {
+    if (!claimOrRecover(fs, root, v, entries, graceMs)) {
       fs.delete(genPath, true)
       throw new ConcurrentCommitException(root, v)
     }
     v
   }
 
-  /** Drop manifests older than the newest `keep` and delete generation
-    * dirs they referenced that no kept manifest still references. An
-    * unreferenced generation near the head is left alone — it may be an
-    * in-flight writer's; run vacuum outside mutation windows for full
-    * cleanup. Returns the number of generation dirs deleted. */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Int = {
+  /** Drop COMMITTED manifests older than the newest `keep` committed
+    * ones and delete generation dirs they referenced that no kept
+    * manifest still references. Sentinel-less corpse manifests never
+    * count toward `keep` (a corpse at the head would otherwise displace
+    * the newest real commit from the kept set — total table loss) and
+    * are never deleted here ([[claimOrRecover]] owns corpse recovery).
+    *
+    * `deleteOrphans = true` additionally removes generation dirs
+    * referenced by NO manifest at all (writers that crashed before their
+    * claim). Only safe when no writer is in flight — an in-flight
+    * writer's freshly written generation is indistinguishable from an
+    * orphan. Returns the number of generation dirs deleted. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+             deleteOrphans: Boolean = false): Int = {
     require(keep >= 1, s"vacuum: keep must be >= 1, got $keep")
     val fs = fsOf(spark, root)
     val dir = new Path(root, ManifestDir)
     if (!fs.exists(dir)) return 0
-    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val committed = fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".txt"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".txt").toLong).toOption)
       .sorted(Ordering[Long].reverse)
-    val (kept, dropped) = versions.splitAt(keep)
-    val liveGens = kept.flatMap(v => readManifest(fs, root, v))
-      .flatMap(_.files.map(_.relPath.takeWhile(_ != '/'))).toSet
-    val deadGens = dropped.flatMap(v => readManifest(fs, root, v))
-      .flatMap(_.files.map(_.relPath.takeWhile(_ != '/'))).toSet -- liveGens
+      .flatMap(v => readManifest(fs, root, v)) // corpses drop out here
+    val (kept, dropped) = committed.splitAt(keep)
+    def gens(sts: Seq[State]): Set[String] =
+      sts.flatMap(_.files.map(_.relPath.takeWhile(_ != '/'))).toSet
+    val liveGens = gens(kept)
+    val deadGens = gens(dropped) -- liveGens
     deadGens.foreach { g =>
       log.info(s"vacuum($root): deleting unreferenced generation $g")
       fs.delete(new Path(root, g), true)
     }
-    dropped.foreach(v => fs.delete(manifestPath(root, v), false))
-    deadGens.size
+    dropped.foreach(st => fs.delete(manifestPath(root, st.version), false))
+    val orphans: Set[String] =
+      if (!deleteOrphans) Set.empty
+      else {
+        val onDisk = fs.listStatus(new Path(root)).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("gen-")).toSet
+        val refd = liveGens ++ gens(dropped) // dropped's dead gens already handled
+        (onDisk -- refd -- deadGens).tapEach { g =>
+          log.info(s"vacuum($root): deleting ORPHAN generation $g (no manifest references it)")
+          fs.delete(new Path(root, g), true)
+        }.toSet
+      }
+    deadGens.size + orphans.size
   }
 }

@@ -163,6 +163,50 @@ class ManifestTableSpec extends SparkSpec {
     assert(versions == Seq("00000000000000000003.txt", "00000000000000000004.txt"))
   }
 
+  test("vacuum never counts a corpse manifest toward keep (table-loss hazard)") {
+    val root = tmp() + "/t"
+    ManifestTable.write(Seq((1, "a")).toDF("k", "s"), root)
+    val live = ManifestTable.read(spark, root).as[(Int, String)].collect().toSeq
+    // a sentinel-less corpse at the HEAD version (claimer died mid-create)
+    val corpse = new Path(root, "_manifests/00000000000000000002.txt")
+    val out = fs.create(corpse, false)
+    out.write("version=2\n".getBytes("UTF-8"))
+    out.close()
+    // keep=1 must keep the newest COMMITTED manifest (v1), not the corpse
+    val deleted = ManifestTable.vacuum(spark, root, keep = 1)
+    assert(deleted == 0)
+    assert(ManifestTable.read(spark, root).as[(Int, String)].collect().toSeq == live)
+    assert(fs.exists(corpse)) // corpse recovery belongs to the claim path
+  }
+
+  test("vacuum(deleteOrphans) removes never-claimed generations") {
+    val root = tmp() + "/t"
+    ManifestTable.write(Seq((1, "a")).toDF("k", "s"), root)
+    // a writer that crashed after writing its generation, before claiming
+    Seq((9, "z")).toDF("k", "s").write.parquet(root + "/gen-orphan")
+    assert(ManifestTable.vacuum(spark, root, keep = 1) == 0) // default: untouched
+    assert(fs.exists(new Path(root, "gen-orphan")))
+    assert(ManifestTable.vacuum(spark, root, keep = 1, deleteOrphans = true) == 1)
+    assert(!fs.exists(new Path(root, "gen-orphan")))
+    assert(ManifestTable.read(spark, root).count() == 1)
+  }
+
+  test("upsert preserves a NULL-valued partition's existing rows") {
+    val root = tmp() + "/t"
+    val seed = Seq((Some("2026-01-01"), 1L, 10.0), (None, 2L, 20.0), (None, 3L, 30.0))
+      .toDF("date", "key", "v")
+    ManifestTable.upsertDedup(spark, seed, root, Seq("key"), "v", Seq("date"))
+    // fresh batch touches the NULL partition: key 3 updated, key 8 new —
+    // keys 1 AND 2 must survive (an equi-join prune would drop key 2's
+    // row while retiring its file: silent data loss)
+    val fresh = Seq((None, 3L, 99.0), (Option.empty[String], 8L, 80.0))
+      .toDF("date", "key", "v")
+    ManifestTable.upsertDedup(spark, fresh, root, Seq("key"), "v", Seq("date"))
+    val got = ManifestTable.read(spark, root).orderBy("key")
+      .select("key", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 99.0), (8L, 80.0)))
+  }
+
   // --- forceUnlock (commit-lock recovery) ---
 
   private def writeMarker(lock: Path, payload: String): Unit = {
