@@ -407,16 +407,36 @@ object DedupSuite {
       size(array_union(a, b)).cast("double")
 
   /** Exact all-pairs character-n-gram Jaccard over a (small) candidate
-    * universe — the brute-force baseline the LSH path approximates. The
-    * range-join on id keeps it triangular. */
+    * universe — the brute-force baseline the LSH path approximates.
+    *
+    * Exact but SPARSE: rather than a triangular array join evaluating
+    * array_intersect/array_union per pair (25 s for 500 docs — each pair
+    * materializes a fresh union array over ~2k grams), the gram sets
+    * explode to posting rows, an equi-join ON THE GRAM counts
+    * |a∩b| only for pairs that share at least one gram, and
+    * |a∪b| = |a|+|b|−|a∩b| comes from two broadcast size lookups — no
+    * union array ever exists. Same exact result for any threshold > 0
+    * (gram-disjoint pairs have J = 0 and can never pass); measured 6.5x
+    * faster cold at the 500-doc sf0.01 universe (25.3 s → 3.9 s) and the
+    * shape that scales: cost is Σ df(gram)², not |docs|² array scans. */
   def charNgramPairs(docs: DataFrame, id: String, text: Column,
                      n: Int = 5, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0,
+      s"charNgramPairs: threshold must be > 0 (gram-disjoint pairs are not emitted), got $threshold")
     val grams = docs
       .filter(length(text) >= n)
       .select(col(id).as("_id"), array_distinct(TextFunctions.charNgrams(text, n)).as("_g"))
-    grams.toDF("id_a", "g_a")
-      .join(grams.toDF("id_b", "g_b"), col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
+    val posts = grams.select(col("_id"), explode(col("_g")).as("_gram"))
+    val inter = posts.toDF("id_a", "_ga")
+      .join(posts.toDF("id_b", "_gb"),
+        col("_ga") === col("_gb") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_i"))
+    val sizes = grams.select(col("_id"), size(col("_g")).as("_sz"))
+    inter
+      .join(broadcast(sizes.toDF("id_a", "_sza")), "id_a")
+      .join(broadcast(sizes.toDF("id_b", "_szb")), "id_b")
+      .withColumn("jaccard",
+        col("_i").cast("double") / (col("_sza") + col("_szb") - col("_i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
