@@ -61,7 +61,10 @@ object ManifestTable {
     }
   }
 
-  final case class State(version: Long, files: Seq[FileEntry])
+  /** `tags` carries small commit metadata (e.g. the streaming sink's
+    * last-applied batch id) atomically with the file list. */
+  final case class State(version: Long, files: Seq[FileEntry],
+                         tags: Map[String, String] = Map.empty)
 
   /** A compare-and-swap commit lost its race: the table moved past the
     * version this mutation was computed against. Re-read and retry. */
@@ -110,7 +113,12 @@ object ManifestTable {
       val tab = body.lastIndexOf('\t')
       FileEntry(body.substring(0, tab), body.substring(tab + 1).toLong)
     }
-    Some(State(version, files))
+    val tags = lines.filter(_.startsWith("tag=")).map { l =>
+      val body = l.stripPrefix("tag=")
+      val tab = body.indexOf('\t')
+      body.substring(0, tab) -> body.substring(tab + 1)
+    }.toMap
+    Some(State(version, files, tags))
   }
 
   /** Atomically claim `version` and, on conflict, recover a DEAD
@@ -122,15 +130,16 @@ object ManifestTable {
     * creating the file) deletes the corpse and retries the claim once; a
     * conflict against a COMMITTED manifest is a genuine lost race. */
   private def claimOrRecover(fs: FileSystem, root: String, version: Long,
-                             files: Seq[FileEntry], graceMs: Long): Boolean =
-    claim(fs, root, version, files) || {
+                             files: Seq[FileEntry], graceMs: Long,
+                             tags: Map[String, String] = Map.empty): Boolean =
+    claim(fs, root, version, files, tags) || {
       val p = manifestPath(root, version)
       readManifest(fs, root, version).isEmpty && fs.exists(p) &&
         (System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime) > graceMs && {
         log.warn(s"manifest table $root: clearing dead half-claim v$version " +
           "(sentinel-less past grace) and retrying")
         fs.delete(p, false)
-        claim(fs, root, version, files)
+        claim(fs, root, version, files, tags)
       }
     }
 
@@ -143,7 +152,12 @@ object ManifestTable {
     * stall-past-grace window is a local/HDFS artifact only; the real
     * object-store target commits with one atomic conditional put. */
   private def claim(fs: FileSystem, root: String, version: Long,
-                    files: Seq[FileEntry]): Boolean = {
+                    files: Seq[FileEntry],
+                    tags: Map[String, String] = Map.empty): Boolean = {
+    tags.keys.foreach(k => require(!k.exists(c => c == '\t' || c == '\n'),
+      s"manifest tag key '$k' contains a separator"))
+    tags.values.foreach(v => require(!v.exists(_ == '\n'),
+      s"manifest tag value '$v' contains a newline"))
     val p = manifestPath(root, version)
     fs.mkdirs(p.getParent)
     try {
@@ -152,6 +166,7 @@ object ManifestTable {
         val sb = new StringBuilder
         sb.append(s"version=$version\n")
         files.foreach(f => sb.append(s"file=${f.relPath}\t${f.bytes}\n"))
+        tags.toSeq.sortBy(_._1).foreach { case (k, v) => sb.append(s"tag=$k\t$v\n") }
         sb.append("commit=ok")
         out.write(sb.toString.getBytes("UTF-8"))
         out.close()
@@ -242,12 +257,13 @@ object ManifestTable {
   def upsertDedup(spark: SparkSession, fresh: DataFrame, root: String,
                   keys: Seq[String], order: String,
                   partitionCols: Seq[String] = Nil,
-                  graceMs: Long = 60000L): Long = {
+                  graceMs: Long = 60000L,
+                  tags: Map[String, String] = Map.empty): Long = {
     val fs = fsOf(spark, root)
     current(spark, root) match {
       case None =>
         val (gen, entries) = writeGeneration(fresh, root, partitionCols)
-        if (!claimOrRecover(fs, root, 1L, entries, graceMs)) {
+        if (!claimOrRecover(fs, root, 1L, entries, graceMs, tags)) {
           fs.delete(new Path(root, gen), true)
           throw new ConcurrentCommitException(root, 1L)
         }
@@ -297,7 +313,7 @@ object ManifestTable {
         val newParts = entries.map(_.partitionPath).toSet
         val keep = carried.filterNot(f => newParts.contains(f.partitionPath))
         val v = st.version + 1
-        if (!claimOrRecover(fs, root, v, keep ++ entries, graceMs)) {
+        if (!claimOrRecover(fs, root, v, keep ++ entries, graceMs, tags)) {
           fs.delete(new Path(root, gen), true)
           throw new ConcurrentCommitException(root, v)
         }
@@ -334,6 +350,57 @@ object ManifestTable {
     }
     v
   }
+
+  private val StreamBatchTag = "stream_batch"
+
+  /** Apply one streaming micro-batch idempotently: the batch commits as
+    * an [[upsertDedup]] tagged with its batch id; a REPLAYED batch (id ≤
+    * the last applied id in the newest manifest) is skipped, so
+    * restart-replay can never double-apply. Returns true if the batch
+    * was applied, false if recognized as a replay. */
+  private[graft] def commitStreamBatch(spark: SparkSession, batch: DataFrame,
+                                       batchId: Long, root: String,
+                                       keys: Seq[String], order: String,
+                                       partitionCols: Seq[String]): Boolean = {
+    val applied = current(spark, root)
+      .flatMap(_.tags.get(StreamBatchTag)).map(_.toLong)
+    if (applied.exists(_ >= batchId)) {
+      log.info(s"manifest stream sink $root: batch $batchId already applied " +
+        s"(last=${applied.get}) — replay skipped")
+      false
+    } else if (batch.isEmpty) {
+      // no-data micro-batches happen routinely (watermark ticks); an
+      // empty generation would commit a file-less manifest
+      false
+    } else {
+      upsertDedup(spark, batch, root, keys, order, partitionCols,
+        tags = Map(StreamBatchTag -> batchId.toString))
+      true
+    }
+  }
+
+  /** Exactly-once streaming sink into a manifest table. Structured
+    * Streaming's foreachBatch is at-least-once (a batch that committed
+    * to the sink but not to the checkpoint REPLAYS on restart — the
+    * standard double-append hazard of parquet foreachBatch sinks); here
+    * each micro-batch commits atomically WITH its batch id in the
+    * manifest tags, so the replayed batch is recognized and skipped and
+    * end-to-end the sink is exactly-once. Single-writer per table (the
+    * streaming query itself serializes batches); a concurrent OTHER
+    * writer surfaces as [[ConcurrentCommitException]] and fails the
+    * query loudly rather than losing either side's commit. */
+  def streamUpsertSink(stream: DataFrame, root: String, checkpoint: String,
+                       keys: Seq[String], order: String,
+                       partitionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitStreamBatch(batch.sparkSession, batch, batchId, root,
+          keys, order, partitionCols)
+        ()
+      }
+      .start()
 
   /** Drop COMMITTED manifests older than the newest `keep` committed
     * ones and delete generation dirs they referenced that no kept

@@ -207,6 +207,51 @@ class ManifestTableSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 99.0), (8L, 80.0)))
   }
 
+  test("stream batch commits are idempotent under replay") {
+    val root = tmp() + "/t"
+    def batch(rows: (String, Long, Double)*) = rows.toSeq.toDF("date", "key", "v")
+    assert(ManifestTable.commitStreamBatch(spark,
+      batch(("2026-01-01", 1L, 10.0)), 0L, root, Seq("key"), "v", Seq("date")))
+    assert(ManifestTable.commitStreamBatch(spark,
+      batch(("2026-01-01", 2L, 20.0)), 1L, root, Seq("key"), "v", Seq("date")))
+    val before = ManifestTable.current(spark, root).get
+    // restart-replay of batch 1 (foreachBatch is at-least-once): skipped,
+    // no new version, no double-append
+    assert(!ManifestTable.commitStreamBatch(spark,
+      batch(("2026-01-01", 2L, 20.0)), 1L, root, Seq("key"), "v", Seq("date")))
+    assert(ManifestTable.current(spark, root).get == before)
+    assert(ManifestTable.read(spark, root).count() == 2)
+    // empty micro-batch (watermark tick): no file-less manifest committed
+    assert(!ManifestTable.commitStreamBatch(spark,
+      batch(), 2L, root, Seq("key"), "v", Seq("date")))
+    // the next real batch still lands
+    assert(ManifestTable.commitStreamBatch(spark,
+      batch(("2026-01-02", 3L, 30.0)), 3L, root, Seq("key"), "v", Seq("date")))
+    assert(ManifestTable.read(spark, root).orderBy("key")
+      .select("key").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("streamUpsertSink end-to-end: micro-batches land as manifest versions") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp() + "/t"
+    val ckpt = tmp() + "/ckpt"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)]
+    val q = ManifestTable.streamUpsertSink(
+      input.toDF().toDF("date", "key", "v"), root, ckpt,
+      Seq("key"), "v", Seq("date"))
+    try {
+      input.addData(("2026-01-01", 1L, 10.0), ("2026-01-01", 2L, 20.0))
+      q.processAllAvailable()
+      input.addData(("2026-01-01", 2L, 99.0), ("2026-01-02", 3L, 30.0)) // key 2 updated
+      q.processAllAvailable()
+      val got = ManifestTable.read(spark, root).orderBy("key")
+        .select("key", "v").as[(Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+      val st = ManifestTable.current(spark, root).get
+      assert(st.tags.get("stream_batch").exists(_.toLong >= 1L))
+    } finally q.stop()
+  }
+
   // --- forceUnlock (commit-lock recovery) ---
 
   private def writeMarker(lock: Path, payload: String): Unit = {
