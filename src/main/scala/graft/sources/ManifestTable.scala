@@ -215,10 +215,23 @@ object ManifestTable {
   /** Read the table at its newest committed version. Files are grouped by
     * generation and each group scans with `basePath = <gen dir>`, so hive
     * partition columns written inside a generation survive; generations
-    * union by name. */
+    * union by name with ADDITIVE schema evolution — a column added by a
+    * later generation reads as null in rows from generations written
+    * before it existed (the standard lakehouse contract; a RENAME or
+    * type change is a rewrite, not evolution). */
   def read(spark: SparkSession, root: String): DataFrame =
     readState(spark, root, current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version")))
+
+  /** Time travel: read the table exactly as committed at `version`.
+    * Generations are immutable and manifests stay valid until vacuumed,
+    * so any retained version reproduces its results bit-for-bit — the
+    * audit/backfill answer to "what did the table say when the model
+    * trained". Fails if the version was vacuumed or never committed. */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    readState(spark, root,
+      readManifest(fsOf(spark, root), root, version).getOrElse(sys.error(
+        s"manifest table $root has no committed version $version (vacuumed or never committed)")))
 
   private def readState(spark: SparkSession, root: String, st: State): DataFrame = {
     require(st.files.nonEmpty, s"manifest table $root v${st.version} lists no files")
@@ -228,7 +241,7 @@ object ManifestTable {
           .option("basePath", new Path(root, gen).toString)
           .parquet(fs.map(f => new Path(root, f.relPath).toString): _*)
       }
-      .reduce(_.unionByName(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Blind full-table (over)write — the manifest analogue of

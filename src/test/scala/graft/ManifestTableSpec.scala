@@ -207,6 +207,33 @@ class ManifestTableSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 99.0), (8L, 80.0)))
   }
 
+  test("time travel reads any retained version bit-for-bit") {
+    val root = tmp() + "/t"
+    ManifestTable.upsertDedup(spark, Seq(("2026-01-01", 1L, 10.0)).toDF("date", "key", "v"),
+      root, Seq("key"), "v", Seq("date"))
+    ManifestTable.upsertDedup(spark, Seq(("2026-01-01", 1L, 99.0)).toDF("date", "key", "v"),
+      root, Seq("key"), "v", Seq("date"))
+    assert(ManifestTable.readVersion(spark, root, 1L)
+      .select("v").as[Double].collect().toSeq == Seq(10.0))
+    assert(ManifestTable.readVersion(spark, root, 2L)
+      .select("v").as[Double].collect().toSeq == Seq(99.0))
+    intercept[RuntimeException] { ManifestTable.readVersion(spark, root, 7L) }
+  }
+
+  test("additive schema evolution: old generations read new columns as null") {
+    val root = tmp() + "/t"
+    ManifestTable.upsertDedup(spark, Seq(("2026-01-01", 1L, 10.0)).toDF("date", "key", "v"),
+      root, Seq("key"), "v", Seq("date"))
+    // a later batch adds a `lang` column; the untouched 01-01 generation
+    // carries forward without it
+    ManifestTable.upsertDedup(spark,
+      Seq(("2026-01-02", 2L, 20.0, "en")).toDF("date", "key", "v", "lang"),
+      root, Seq("key"), "v", Seq("date"))
+    val got = ManifestTable.read(spark, root).orderBy("key")
+      .select("key", "lang").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq((1L, None), (2L, Some("en"))))
+  }
+
   test("stream batch commits are idempotent under replay") {
     val root = tmp() + "/t"
     def batch(rows: (String, Long, Double)*) = rows.toSeq.toDF("date", "key", "v")
