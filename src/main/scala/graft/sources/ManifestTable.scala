@@ -254,8 +254,12 @@ object ManifestTable {
     val (_, entries) = writeGeneration(df, root, partitionCols)
     var attempts = 0
     while (attempts < 50) {
-      val v = current(spark, root).map(_.version).getOrElse(0L) + 1
-      if (claimOrRecover(fs, root, v, entries, graceMs)) return v
+      val prev = current(spark, root)
+      val v = prev.map(_.version).getOrElse(0L) + 1
+      // previous tags carry forward (e.g. the stream sink's last-applied
+      // batch id — losing it would re-open the replay double-apply)
+      val tags = prev.map(_.tags).getOrElse(Map.empty)
+      if (claimOrRecover(fs, root, v, entries, graceMs, tags)) return v
       attempts += 1
       Thread.sleep(100L * math.min(attempts, 5))
     }
@@ -326,7 +330,10 @@ object ManifestTable {
         val newParts = entries.map(_.partitionPath).toSet
         val keep = carried.filterNot(f => newParts.contains(f.partitionPath))
         val v = st.version + 1
-        if (!claimOrRecover(fs, root, v, keep ++ entries, graceMs, tags)) {
+        // previous tags persist unless this commit overrides them — a
+        // manual upsert between stream batches must not erase the sink's
+        // replay watermark
+        if (!claimOrRecover(fs, root, v, keep ++ entries, graceMs, st.tags ++ tags)) {
           fs.delete(new Path(root, gen), true)
           throw new ConcurrentCommitException(root, v)
         }
@@ -357,7 +364,8 @@ object ManifestTable {
     Writers.sizedRewrite(spark, df, bytes, keys, targetFileMB, genPath.toString)
     val entries = listGeneration(fs, root, gen)
     val v = st.version + 1
-    if (!claimOrRecover(fs, root, v, entries, graceMs)) {
+    // compaction preserves commit metadata (stream replay watermark etc.)
+    if (!claimOrRecover(fs, root, v, entries, graceMs, st.tags)) {
       fs.delete(genPath, true)
       throw new ConcurrentCommitException(root, v)
     }

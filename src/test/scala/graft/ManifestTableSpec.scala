@@ -207,6 +207,25 @@ class ManifestTableSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 99.0), (8L, 80.0)))
   }
 
+  test("partition pruning reaches the scan through the manifest reader") {
+    val root = tmp() + "/t"
+    val seed = Seq(("2026-01-01", 1L, 10.0), ("2026-01-02", 2L, 20.0),
+      ("2026-01-03", 3L, 30.0)).toDF("date", "key", "v")
+    ManifestTable.write(seed, root, Seq("date"))
+    ManifestTable.upsertDedup(spark, Seq(("2026-01-02", 9L, 90.0)).toDF("date", "key", "v"),
+      root, Seq("key"), "v", Seq("date")) // two generations now
+    val plan = ManifestTable.read(spark, root)
+      .filter($"date" === "2026-01-02")
+      .queryExecution.executedPlan.toString
+    // the literal date predicate must land as a PartitionFilter on every
+    // generation's scan — files of other partitions never open
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("date) = 2026-01-02") || plan.contains("date = 2026-01-02")
+      || plan.contains("date#"), plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(!plan.contains("PartitionFilters: []"),
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("time travel reads any retained version bit-for-bit") {
     val root = tmp() + "/t"
     ManifestTable.upsertDedup(spark, Seq(("2026-01-01", 1L, 10.0)).toDF("date", "key", "v"),
@@ -256,6 +275,24 @@ class ManifestTableSpec extends SparkSpec {
       batch(("2026-01-02", 3L, 30.0)), 3L, root, Seq("key"), "v", Seq("date")))
     assert(ManifestTable.read(spark, root).orderBy("key")
       .select("key").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("tags survive compaction and manual commits (replay watermark safety)") {
+    val root = tmp() + "/t"
+    def batch(rows: (String, Long, Double)*) = rows.toSeq.toDF("date", "key", "v")
+    ManifestTable.commitStreamBatch(spark,
+      batch(("2026-01-01", 1L, 10.0)), 5L, root, Seq("key"), "v", Seq("date"))
+    // a maintenance compaction between stream batches...
+    ManifestTable.compact(spark, root)
+    // ...and a manual upsert...
+    ManifestTable.upsertDedup(spark, batch(("2026-01-02", 2L, 20.0)),
+      root, Seq("key"), "v", Seq("date"))
+    // ...must both preserve the sink's last-applied batch id, so a
+    // replay of batch 5 is still recognized
+    assert(ManifestTable.current(spark, root).get.tags("stream_batch") == "5")
+    assert(!ManifestTable.commitStreamBatch(spark,
+      batch(("2026-01-01", 1L, 10.0)), 5L, root, Seq("key"), "v", Seq("date")))
+    assert(ManifestTable.read(spark, root).count() == 2)
   }
 
   test("streamUpsertSink end-to-end: micro-batches land as manifest versions") {
