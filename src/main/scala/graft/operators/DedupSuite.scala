@@ -418,7 +418,11 @@ object DedupSuite {
     * union array ever exists. Same exact result for any threshold > 0
     * (gram-disjoint pairs have J = 0 and can never pass); measured 6.5x
     * faster cold at the 500-doc sf0.01 universe (25.3 s → 3.9 s) and the
-    * shape that scales: cost is Σ df(gram)², not |docs|² array scans. */
+    * shape that scales: cost is Σ df(gram)², not |docs|² array scans.
+    *
+    * PRECONDITION (suite-wide convention): `id` is unique per document.
+    * A duplicated id would sum its intersections across the duplicates
+    * (the old dense join instead emitted one duplicated row per copy). */
   def charNgramPairs(docs: DataFrame, id: String, text: Column,
                      n: Int = 5, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0,

@@ -108,17 +108,50 @@ object ManifestTable {
       } catch { case _: java.io.FileNotFoundException => return None }
     val lines = text.split('\n').toSeq
     if (!lines.contains("commit=ok")) return None // half-written → skip
-    val files = lines.filter(_.startsWith("file=")).map { l =>
-      val body = l.stripPrefix("file=")
-      val tab = body.lastIndexOf('\t')
-      FileEntry(body.substring(0, tab), body.substring(tab + 1).toLong)
+    // defensive parse: a sentinel-complete but garbled manifest (hand
+    // edit, bitrot) reads as ABSENT with a loud warning — readers fall
+    // back to the previous version instead of every table operation
+    // dying on a substring index
+    try {
+      val files = lines.filter(_.startsWith("file=")).map { l =>
+        val body = l.stripPrefix("file=")
+        val tab = body.lastIndexOf('\t')
+        FileEntry(body.substring(0, tab), body.substring(tab + 1).toLong)
+      }
+      val tags = lines.filter(_.startsWith("tag=")).map { l =>
+        val body = l.stripPrefix("tag=")
+        val tab = body.indexOf('\t')
+        body.substring(0, tab) -> body.substring(tab + 1)
+      }.toMap
+      Some(State(version, files, tags))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"manifest table $root: v$version has a sentinel but unparseable " +
+          s"content (${e.getClass.getSimpleName}) — treating as absent")
+        None
     }
-    val tags = lines.filter(_.startsWith("tag=")).map { l =>
-      val body = l.stripPrefix("tag=")
-      val tab = body.indexOf('\t')
-      body.substring(0, tab) -> body.substring(tab + 1)
-    }.toMap
-    Some(State(version, files, tags))
+  }
+
+  /** Tag hygiene, checked at API ENTRY (before any generation write —
+    * a failure here must not orphan a generation): separator-free keys/
+    * values, and the reserved stream watermark keys are monotonic
+    * numerics so a stray commit can neither corrupt nor rewind a sink's
+    * replay detection. */
+  private def validateTags(tags: Map[String, String],
+                           prev: Map[String, String]): Unit = {
+    tags.foreach { case (k, v) =>
+      require(!k.exists(c => c == '\t' || c == '\n') && !v.exists(_ == '\n'),
+        s"manifest tag '$k' contains a separator character")
+      if (k.startsWith(StreamBatchTag)) {
+        val n = scala.util.Try(v.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"manifest tag '$k' is a reserved stream watermark — value must be numeric, got '$v'"))
+        prev.get(k).flatMap(p => scala.util.Try(p.toLong).toOption)
+          .foreach(p => require(n > p,
+            s"manifest tag '$k' must advance monotonically ($p -> $n refused: " +
+              "rewinding a replay watermark re-opens double-apply)"))
+      }
+    }
   }
 
   /** Atomically claim `version` and, on conflict, recover a DEAD
@@ -275,9 +308,22 @@ object ManifestTable {
                   keys: Seq[String], order: String,
                   partitionCols: Seq[String] = Nil,
                   graceMs: Long = 60000L,
-                  tags: Map[String, String] = Map.empty): Long = {
+                  tags: Map[String, String] = Map.empty,
+                  mergeSchema: Boolean = false): Long =
+    upsertFrom(spark, fresh, root, keys, order, partitionCols, graceMs, tags,
+      mergeSchema, current(spark, root))
+
+  /** [[upsertDedup]] body against an already-read `prior` state — the
+    * streaming sink reuses its watermark read instead of listing the
+    * manifest log twice per micro-batch. */
+  private def upsertFrom(spark: SparkSession, fresh: DataFrame, root: String,
+                         keys: Seq[String], order: String,
+                         partitionCols: Seq[String], graceMs: Long,
+                         tags: Map[String, String], mergeSchema: Boolean,
+                         prior: Option[State]): Long = {
+    validateTags(tags, prior.map(_.tags).getOrElse(Map.empty))
     val fs = fsOf(spark, root)
-    current(spark, root) match {
+    prior match {
       case None =>
         val (gen, entries) = writeGeneration(fresh, root, partitionCols)
         if (!claimOrRecover(fs, root, 1L, entries, graceMs, tags)) {
@@ -295,9 +341,20 @@ object ManifestTable {
         require(liveLayouts == Seq(partitionCols.toSeq),
           s"manifest table $root: upsert partitionCols $partitionCols does not match " +
             s"the live partition layout $liveLayouts — rewrite via write() to change layout")
+        val existing = readState(spark, root, st)
+        // schema drift is an ERROR unless evolution is asked for: with
+        // the reader unioning allowMissingColumns, a typo'd column name
+        // would otherwise commit fine and read back as silent nulls
+        if (!mergeSchema) {
+          val (ec, fc) = (existing.columns.toSet, fresh.columns.toSet)
+          require(ec == fc,
+            s"manifest table $root: batch schema differs from the table " +
+              s"(table-only=${(ec -- fc).toSeq.sorted}, batch-only=${(fc -- ec).toSeq.sorted}) " +
+              "— pass mergeSchema=true for additive evolution")
+        }
         val (merged, carried) =
           if (partitionCols.isEmpty)
-            (Upsert.appendDedup(readState(spark, root, st), fresh, keys, col(order)),
+            (Upsert.appendDedup(existing, fresh, keys, col(order)),
               Seq.empty[FileEntry])
           else {
             // touched partition VALUES collect to the driver (tiny — the
@@ -319,7 +376,7 @@ object ManifestTable {
                 if (r.isNullAt(i)) col(c).isNull else col(c) <=> lit(r.get(i))
               }.reduce(_ && _)
             }.reduce(_ || _)
-            val existingTouched = readState(spark, root, st).filter(pred)
+            val existingTouched = existing.filter(pred)
             (Upsert.appendDedup(existingTouched, fresh, keys, col(order)), st.files)
           }
         val (gen, entries) = writeGeneration(merged, root, partitionCols)
@@ -375,27 +432,39 @@ object ManifestTable {
   private val StreamBatchTag = "stream_batch"
 
   /** Apply one streaming micro-batch idempotently: the batch commits as
-    * an [[upsertDedup]] tagged with its batch id; a REPLAYED batch (id ≤
-    * the last applied id in the newest manifest) is skipped, so
-    * restart-replay can never double-apply. Returns true if the batch
-    * was applied, false if recognized as a replay. */
+    * an upsert tagged `stream_batch.<sinkId> = batchId`; a REPLAYED
+    * batch (id ≤ the last applied id for THAT sink) is skipped, so
+    * restart-replay can never double-apply. The watermark is per-sink
+    * (Delta's txnAppId pattern), not global: a different logical stream
+    * — or the same one restarted with a FRESH checkpoint, whose batch
+    * ids restart at 0 — uses its own sinkId and is never silently
+    * swallowed by another sink's high-water mark. Returns true if the
+    * batch was applied, false if recognized as a replay (or empty). */
   private[graft] def commitStreamBatch(spark: SparkSession, batch: DataFrame,
                                        batchId: Long, root: String,
                                        keys: Seq[String], order: String,
-                                       partitionCols: Seq[String]): Boolean = {
-    val applied = current(spark, root)
-      .flatMap(_.tags.get(StreamBatchTag)).map(_.toLong)
+                                       partitionCols: Seq[String],
+                                       sinkId: String): Boolean = {
+    require(sinkId.nonEmpty && !sinkId.exists(c => c == '\t' || c == '\n'),
+      s"sinkId must be a non-empty separator-free identifier, got '$sinkId'")
+    val tagKey = s"$StreamBatchTag.$sinkId"
+    val prior = current(spark, root)
+    val applied = prior.flatMap(_.tags.get(tagKey))
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
     if (applied.exists(_ >= batchId)) {
-      log.info(s"manifest stream sink $root: batch $batchId already applied " +
-        s"(last=${applied.get}) — replay skipped")
+      log.info(s"manifest stream sink $root [$sinkId]: batch $batchId already " +
+        s"applied (last=${applied.get}) — replay skipped")
       false
     } else if (batch.isEmpty) {
       // no-data micro-batches happen routinely (watermark ticks); an
       // empty generation would commit a file-less manifest
       false
     } else {
-      upsertDedup(spark, batch, root, keys, order, partitionCols,
-        tags = Map(StreamBatchTag -> batchId.toString))
+      // reuse the watermark read as the CAS base — one manifest-log
+      // listing per micro-batch, not two
+      upsertFrom(spark, batch, root, keys, order, partitionCols,
+        graceMs = 60000L, tags = Map(tagKey -> batchId.toString),
+        mergeSchema = false, prior = prior)
       true
     }
   }
@@ -406,19 +475,25 @@ object ManifestTable {
     * standard double-append hazard of parquet foreachBatch sinks); here
     * each micro-batch commits atomically WITH its batch id in the
     * manifest tags, so the replayed batch is recognized and skipped and
-    * end-to-end the sink is exactly-once. Single-writer per table (the
-    * streaming query itself serializes batches); a concurrent OTHER
-    * writer surfaces as [[ConcurrentCommitException]] and fails the
-    * query loudly rather than losing either side's commit. */
+    * end-to-end the sink is exactly-once.
+    *
+    * `sinkId` names the logical stream (Delta's txnAppId): keep it
+    * stable across restarts OF THE SAME checkpoint; when starting over
+    * with a fresh checkpoint (batch ids restart at 0), use a NEW sinkId
+    * or the old watermark will classify the new batches as replays.
+    * Single-writer per (table, sinkId) — the streaming query itself
+    * serializes batches; a concurrent OTHER writer surfaces as
+    * [[ConcurrentCommitException]] and fails the query loudly rather
+    * than losing either side's commit. */
   def streamUpsertSink(stream: DataFrame, root: String, checkpoint: String,
-                       keys: Seq[String], order: String,
+                       keys: Seq[String], order: String, sinkId: String,
                        partitionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitStreamBatch(batch.sparkSession, batch, batchId, root,
-          keys, order, partitionCols)
+          keys, order, partitionCols, sinkId)
         ()
       }
       .start()

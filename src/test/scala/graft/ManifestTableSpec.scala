@@ -219,11 +219,12 @@ class ManifestTableSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // the literal date predicate must land as a PartitionFilter on every
     // generation's scan — files of other partitions never open
-    assert(plan.contains("PartitionFilters"), plan)
-    assert(plan.contains("date) = 2026-01-02") || plan.contains("date = 2026-01-02")
-      || plan.contains("date#"), plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
-    assert(!plan.contains("PartitionFilters: []"),
-      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.nonEmpty, plan)
+    // every generation's scan carries the literal date in its PARTITION
+    // filters (not merely a post-scan Filter node referencing the column)
+    assert(pf.forall(_.contains("2026-01-02")), pf.mkString("\n"))
+    assert(!plan.contains("PartitionFilters: []"), pf.mkString("\n"))
   }
 
   test("time travel reads any retained version bit-for-bit") {
@@ -239,49 +240,71 @@ class ManifestTableSpec extends SparkSpec {
     intercept[RuntimeException] { ManifestTable.readVersion(spark, root, 7L) }
   }
 
-  test("additive schema evolution: old generations read new columns as null") {
+  test("schema drift errors by default; mergeSchema=true evolves additively") {
     val root = tmp() + "/t"
     ManifestTable.upsertDedup(spark, Seq(("2026-01-01", 1L, 10.0)).toDF("date", "key", "v"),
       root, Seq("key"), "v", Seq("date"))
-    // a later batch adds a `lang` column; the untouched 01-01 generation
-    // carries forward without it
+    // a typo'd column must ERROR, not commit and read back as nulls
+    intercept[IllegalArgumentException] {
+      ManifestTable.upsertDedup(spark,
+        Seq(("2026-01-02", 2L, 20.0)).toDF("date", "key", "val"),
+        root, Seq("key"), "val", Seq("date"))
+    }
+    // deliberate evolution: a later batch adds a `lang` column; the
+    // untouched 01-01 generation carries forward without it
     ManifestTable.upsertDedup(spark,
       Seq(("2026-01-02", 2L, 20.0, "en")).toDF("date", "key", "v", "lang"),
-      root, Seq("key"), "v", Seq("date"))
+      root, Seq("key"), "v", Seq("date"), mergeSchema = true)
     val got = ManifestTable.read(spark, root).orderBy("key")
       .select("key", "lang").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
     assert(got == Seq((1L, None), (2L, Some("en"))))
   }
 
-  test("stream batch commits are idempotent under replay") {
+  test("stream batch commits are idempotent under replay, per sink") {
     val root = tmp() + "/t"
     def batch(rows: (String, Long, Double)*) = rows.toSeq.toDF("date", "key", "v")
     assert(ManifestTable.commitStreamBatch(spark,
-      batch(("2026-01-01", 1L, 10.0)), 0L, root, Seq("key"), "v", Seq("date")))
+      batch(("2026-01-01", 1L, 10.0)), 0L, root, Seq("key"), "v", Seq("date"), "s1"))
     assert(ManifestTable.commitStreamBatch(spark,
-      batch(("2026-01-01", 2L, 20.0)), 1L, root, Seq("key"), "v", Seq("date")))
+      batch(("2026-01-01", 2L, 20.0)), 1L, root, Seq("key"), "v", Seq("date"), "s1"))
     val before = ManifestTable.current(spark, root).get
     // restart-replay of batch 1 (foreachBatch is at-least-once): skipped,
     // no new version, no double-append
     assert(!ManifestTable.commitStreamBatch(spark,
-      batch(("2026-01-01", 2L, 20.0)), 1L, root, Seq("key"), "v", Seq("date")))
+      batch(("2026-01-01", 2L, 20.0)), 1L, root, Seq("key"), "v", Seq("date"), "s1"))
     assert(ManifestTable.current(spark, root).get == before)
     assert(ManifestTable.read(spark, root).count() == 2)
     // empty micro-batch (watermark tick): no file-less manifest committed
     assert(!ManifestTable.commitStreamBatch(spark,
-      batch(), 2L, root, Seq("key"), "v", Seq("date")))
+      batch(), 2L, root, Seq("key"), "v", Seq("date"), "s1"))
     // the next real batch still lands
     assert(ManifestTable.commitStreamBatch(spark,
-      batch(("2026-01-02", 3L, 30.0)), 3L, root, Seq("key"), "v", Seq("date")))
+      batch(("2026-01-02", 3L, 30.0)), 3L, root, Seq("key"), "v", Seq("date"), "s1"))
     assert(ManifestTable.read(spark, root).orderBy("key")
       .select("key").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    // a DIFFERENT sink (fresh checkpoint, ids restart at 0) is never
+    // swallowed by s1's watermark — the per-sink fix
+    assert(ManifestTable.commitStreamBatch(spark,
+      batch(("2026-01-03", 9L, 90.0)), 0L, root, Seq("key"), "v", Seq("date"), "s2"))
+    assert(ManifestTable.read(spark, root).count() == 4)
+    // and a stray manual commit cannot rewind or corrupt a watermark
+    intercept[IllegalArgumentException] {
+      ManifestTable.upsertDedup(spark, batch(("2026-01-01", 5L, 50.0)),
+        root, Seq("key"), "v", Seq("date"),
+        tags = Map("stream_batch.s1" -> "garbage"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.upsertDedup(spark, batch(("2026-01-01", 5L, 50.0)),
+        root, Seq("key"), "v", Seq("date"),
+        tags = Map("stream_batch.s1" -> "1"))
+    }
   }
 
   test("tags survive compaction and manual commits (replay watermark safety)") {
     val root = tmp() + "/t"
     def batch(rows: (String, Long, Double)*) = rows.toSeq.toDF("date", "key", "v")
     ManifestTable.commitStreamBatch(spark,
-      batch(("2026-01-01", 1L, 10.0)), 5L, root, Seq("key"), "v", Seq("date"))
+      batch(("2026-01-01", 1L, 10.0)), 5L, root, Seq("key"), "v", Seq("date"), "s1")
     // a maintenance compaction between stream batches...
     ManifestTable.compact(spark, root)
     // ...and a manual upsert...
@@ -289,9 +312,9 @@ class ManifestTableSpec extends SparkSpec {
       root, Seq("key"), "v", Seq("date"))
     // ...must both preserve the sink's last-applied batch id, so a
     // replay of batch 5 is still recognized
-    assert(ManifestTable.current(spark, root).get.tags("stream_batch") == "5")
+    assert(ManifestTable.current(spark, root).get.tags("stream_batch.s1") == "5")
     assert(!ManifestTable.commitStreamBatch(spark,
-      batch(("2026-01-01", 1L, 10.0)), 5L, root, Seq("key"), "v", Seq("date")))
+      batch(("2026-01-01", 1L, 10.0)), 5L, root, Seq("key"), "v", Seq("date"), "s1"))
     assert(ManifestTable.read(spark, root).count() == 2)
   }
 
@@ -302,7 +325,7 @@ class ManifestTableSpec extends SparkSpec {
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)]
     val q = ManifestTable.streamUpsertSink(
       input.toDF().toDF("date", "key", "v"), root, ckpt,
-      Seq("key"), "v", Seq("date"))
+      Seq("key"), "v", sinkId = "e2e", Seq("date"))
     try {
       input.addData(("2026-01-01", 1L, 10.0), ("2026-01-01", 2L, 20.0))
       q.processAllAvailable()
@@ -312,7 +335,7 @@ class ManifestTableSpec extends SparkSpec {
         .select("key", "v").as[(Long, Double)].collect().toSeq
       assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
       val st = ManifestTable.current(spark, root).get
-      assert(st.tags.get("stream_batch").exists(_.toLong >= 1L))
+      assert(st.tags.get("stream_batch.e2e").exists(_.toLong >= 1L))
     } finally q.stop()
   }
 
