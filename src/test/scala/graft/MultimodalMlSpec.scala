@@ -282,6 +282,43 @@ class MultimodalMlSpec extends SparkSpec {
       Seq[Byte](0, 0, 0, 255.toByte, 255.toByte, 255.toByte))
   }
 
+  test("Y4M C420 decode matches an independent per-pixel recompute (random frames)") {
+    import graft.multimodal.Y4m
+    // seeded generator: random even dims + random planes, validated
+    // against a clean-room scalar BT.601 transform — catches plane
+    // offset / chroma upsampling indexing errors the corner fixtures
+    // can't (different W so the cw = w/2 stride actually varies)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val w = 2 * (1 + rnd.nextInt(8))
+      val h = 2 * (1 + rnd.nextInt(6))
+      val frames = 1 + rnd.nextInt(3)
+      val header = s"YUV4MPEG2 W$w H$h F25:1 C420\n".getBytes("US-ASCII")
+      val planes = (1 to frames).map { _ =>
+        val y = Array.fill((w * h))(rnd.nextInt(256).toByte)
+        val u = Array.fill((w / 2) * (h / 2))(rnd.nextInt(256).toByte)
+        val v = Array.fill((w / 2) * (h / 2))(rnd.nextInt(256).toByte)
+        (y, u, v)
+      }
+      val bytes = header ++ planes.flatMap { case (y, u, v) =>
+        "FRAME\n".getBytes("US-ASCII") ++ y ++ u ++ v
+      }
+      val decoded = Y4m.decode(bytes).toSeq
+      assert(decoded.length == frames)
+      def clamp(x: Int) = math.max(0, math.min(255, x))
+      for (((yP, uP, vP), f) <- planes.zip(decoded); py <- 0 until h; px <- 0 until w) {
+        val c = 298 * ((yP(py * w + px) & 0xff) - 16)
+        val ci = (py / 2) * (w / 2) + px / 2
+        val d = (uP(ci) & 0xff) - 128
+        val e = (vP(ci) & 0xff) - 128
+        val o = (py * w + px) * 3
+        assert((f.rgb(o) & 0xff) == clamp((c + 409 * e + 128) >> 8), s"R ($w x $h) ($px,$py)")
+        assert((f.rgb(o + 1) & 0xff) == clamp((c - 100 * d - 208 * e + 128) >> 8), s"G ($px,$py)")
+        assert((f.rgb(o + 2) & 0xff) == clamp((c + 516 * d + 128) >> 8), s"B ($px,$py)")
+      }
+    }
+  }
+
   test("Y4mDecoder closes the video seam: sampleFrames is real end-to-end") {
     import graft.multimodal.Y4mDecoder
     val y4m = resourceBytes("/graft/colors_4x2_2f.y4m")
