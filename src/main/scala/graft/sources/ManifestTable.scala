@@ -42,7 +42,13 @@ import graft.operators.Upsert
   * file forward BY REFERENCE — untouched data is neither read nor
   * rewritten, so commit cost tracks the batch, not the 100 TB table.
   * Per-version file lists grow with file count; [[compact]] collapses
-  * both the files and the list.
+  * both the files and the list, and [[vacuum]] bounds the manifest-log
+  * listing `current()` performs. Known boundary, deliberately out of
+  * scope: at MILLIONS of live files the newest manifest itself becomes
+  * large to read/write per commit — the production answer is periodic
+  * binary manifest checkpoints + incremental deltas (Delta's
+  * `_last_checkpoint` design); the commit protocol here is unchanged by
+  * that optimization.
   */
 object ManifestTable {
 
