@@ -191,8 +191,11 @@ object BenchQueries extends QueryPack {
         expr("percentile(l_quantity, 0.9)").as("p90_qty"))),
     "prof_columns" -> ((s, d) =>
       // one-pass column profile (nulls/distinct/min/max per column).
+      // exact distinct pinned here so the DuckDB oracle can hash-match;
+      // the operator DEFAULT is approx (HLL++) — the 100 TB shape.
       Profile.columnProfile(t(s, d, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        approxDistinct = false)),
     "a18_zscore" -> ((s, d) =>
       // parametric outlier gate: |value - mean| > 3 sigma per event type.
       Profile.zscoreOutliers(Tables.events(s, d), col("event_type"),

@@ -422,11 +422,26 @@ object DedupSuite {
     *
     * PRECONDITION (suite-wide convention): `id` is unique per document.
     * A duplicated id would sum its intersections across the duplicates
-    * (the old dense join instead emitted one duplicated row per copy). */
+    * (the old dense join instead emitted one duplicated row per copy).
+    *
+    * The small-universe precondition is ENFORCED, not just documented
+    * (`maxDocs`, one cheap count action): the posting-list join's cost
+    * is Σ df(gram)² — one corpus-frequent gram (" the ") makes a single
+    * join key quadratic — and the per-doc size table rides the
+    * broadcast/driver path, so a corpus-scale call would hit broadcast
+    * limits rather than mere slowness. Pointing this at a corpus is a
+    * misuse: the corpus-scale near-dup path is [[minhashNearDupPairs]]. */
   def charNgramPairs(docs: DataFrame, id: String, text: Column,
-                     n: Int = 5, threshold: Double = 0.8): DataFrame = {
+                     n: Int = 5, threshold: Double = 0.8,
+                     maxDocs: Int = 10000): DataFrame = {
     require(threshold > 0,
       s"charNgramPairs: threshold must be > 0 (gram-disjoint pairs are not emitted), got $threshold")
+    val universe = docs.count()
+    require(universe <= maxDocs,
+      s"charNgramPairs: candidate universe has $universe docs (> maxDocs=$maxDocs) — " +
+        "this exact all-pairs baseline is quadratic in gram document-frequency; " +
+        "use minhashNearDupPairs for corpus-scale near-dup detection " +
+        "(or raise maxDocs deliberately for a bounded experiment)")
     val grams = docs
       .filter(length(text) >= n)
       .select(col(id).as("_id"), array_distinct(TextFunctions.charNgrams(text, n)).as("_g"))

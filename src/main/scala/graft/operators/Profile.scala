@@ -13,12 +13,15 @@ object Profile {
     * min/max (numeric/string-safe). Single aggregation over the table —
     * one scan regardless of column count. Output: one row per column.
     *
-    * `approxDistinct = true` swaps exact countDistinct (an expand +
-    * shuffle per column — exact, used by the oracle check) for
-    * HyperLogLog++ approx_count_distinct, which aggregates map-side in
-    * constant memory — the right default when profiling 100 TB. */
+    * `approxDistinct = true` (the DEFAULT) uses HyperLogLog++
+    * approx_count_distinct, which aggregates map-side in constant
+    * memory — the right profile shape at 100 TB. `approxDistinct =
+    * false` opts into exact countDistinct, which plans an Expand that
+    * multiplies the scan by the column count plus a shuffle per column
+    * — reserved for oracle checks and small tables (the `prof_columns`
+    * query pins it explicitly). */
   def columnProfile(df: DataFrame, cols: Seq[String],
-                    approxDistinct: Boolean = false): DataFrame = {
+                    approxDistinct: Boolean = true): DataFrame = {
     val distinctAgg: Column => Column =
       if (approxDistinct) c => approx_count_distinct(c) else c => countDistinct(c)
     val aggs = cols.flatMap { c =>

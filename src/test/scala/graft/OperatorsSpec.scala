@@ -11,7 +11,7 @@ class OperatorsSpec extends SparkSpec {
   test("approx column profile agrees with exact within HLL tolerance") {
     val df = graft.core.Tables.table(spark, sf("sf0.01"), "orders")
     val cols = Seq("o_orderkey", "o_orderstatus")
-    val exact = Profile.columnProfile(df, cols)
+    val exact = Profile.columnProfile(df, cols, approxDistinct = false)
       .select("column", "n_distinct").as[(String, Long)].collect().toMap
     val approx = Profile.columnProfile(df, cols, approxDistinct = true)
       .select("column", "n_distinct").as[(String, Long)].collect().toMap
@@ -20,6 +20,20 @@ class OperatorsSpec extends SparkSpec {
       // HLL++ default rsd is 5%; allow 2 sigma
       assert(math.abs(a - e) / e < 0.10, s"$c: approx $a vs exact $e")
     }
+  }
+
+  test("charNgramPairs refuses a candidate universe past maxDocs") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "abcdefghik"), (3L, "zzzzzzzzzz"))
+      .toDF("doc_id", "body")
+    // within the cap: the exact baseline runs and finds the planted pair
+    val ok = DedupSuite.charNgramPairs(docs, "doc_id", col("body"), n = 5,
+      threshold = 0.3, maxDocs = 3)
+    assert(ok.count() === 1)
+    val e = intercept[IllegalArgumentException] {
+      DedupSuite.charNgramPairs(docs, "doc_id", col("body"), n = 5,
+        threshold = 0.3, maxDocs = 2)
+    }
+    assert(e.getMessage.contains("minhashNearDupPairs"))
   }
 
   test("scd2History compacts no-op changes and assigns validity intervals") {
