@@ -173,12 +173,29 @@ object ManifestTable {
                              tags: Map[String, String] = Map.empty): Boolean =
     claim(fs, root, version, files, tags) || {
       val p = manifestPath(root, version)
-      readManifest(fs, root, version).isEmpty && fs.exists(p) &&
-        (System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime) > graceMs && {
-        log.warn(s"manifest table $root: clearing dead half-claim v$version " +
-          "(sentinel-less past grace) and retrying")
-        fs.delete(p, false)
-        claim(fs, root, version, files, tags)
+      val corpse = scala.util.Try(fs.getFileStatus(p)).toOption
+      corpse.exists { st0 =>
+        readManifest(fs, root, version).isEmpty &&
+          (System.currentTimeMillis() - st0.getModificationTime) > graceMs && {
+          // re-verify IMMEDIATELY before the destructive delete: between
+          // the grace check above and here, a rival may have deleted the
+          // same corpse and committed a real manifest at this version —
+          // a stale-check delete would destroy the rival's commit (and
+          // both writers would then report success). The fresh stat must
+          // be the SAME file instance (modification time unchanged) and
+          // still sentinel-less. Local/HDFS-only hazard: the object-store
+          // conditional put never produces corpses. A sub-granularity
+          // swap (rival delete + create within one mtime tick) remains
+          // theoretically possible on local FS — the documented residual.
+          val fresh = scala.util.Try(fs.getFileStatus(p)).toOption
+          fresh.exists(_.getModificationTime == st0.getModificationTime) &&
+            readManifest(fs, root, version).isEmpty && {
+            log.warn(s"manifest table $root: clearing dead half-claim v$version " +
+              "(sentinel-less past grace) and retrying")
+            fs.delete(p, false)
+            claim(fs, root, version, files, tags)
+          }
+        }
       }
     }
 
@@ -274,25 +291,43 @@ object ManifestTable {
 
   private def readState(spark: SparkSession, root: String, st: State): DataFrame = {
     require(st.files.nonEmpty, s"manifest table $root v${st.version} lists no files")
-    st.files.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-      .map { case (gen, fs) =>
-        spark.read
-          .option("basePath", new Path(root, gen).toString)
-          .parquet(fs.map(f => new Path(root, f.relPath).toString): _*)
-      }
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    // partition columns are pinned to STRING (no type inference): the
+    // carry-forward filter and compaction both assume a partition value
+    // re-spells identically when rewritten ("same writer produced both
+    // sides"). Inference breaks that — a k=01 dir reads back as int 1 and
+    // rewrites as k=1, silently duplicating the partition next to its
+    // carried files. String pinning makes the round-trip exact. Schema
+    // resolution is EAGER (the conf is read while each per-generation
+    // frame is constructed here), so the set/restore window is confined
+    // to this driver-side loop.
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "false")
+      st.files.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+        .map { case (gen, fs) =>
+          spark.read
+            .option("basePath", new Path(root, gen).toString)
+            .parquet(fs.map(f => new Path(root, f.relPath).toString): _*)
+        }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Blind full-table (over)write — the manifest analogue of
     * `SaveMode.Overwrite`. No read dependency, so a lost claim just
     * re-claims the next version (bounded retries) without rewriting. */
   def write(df: DataFrame, root: String, partitionCols: Seq[String] = Nil,
-            graceMs: Long = 60000L): Long = {
+            graceMs: Long = 60000L, maxAttempts: Int = 50): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
-    val (_, entries) = writeGeneration(df, root, partitionCols)
+    val (gen, entries) = writeGeneration(df, root, partitionCols)
     var attempts = 0
-    while (attempts < 50) {
+    while (attempts < maxAttempts) {
       val prev = current(spark, root)
       val v = prev.map(_.version).getOrElse(0L) + 1
       // previous tags carry forward (e.g. the stream sink's last-applied
@@ -302,7 +337,12 @@ object ManifestTable {
       attempts += 1
       Thread.sleep(100L * math.min(attempts, 5))
     }
-    sys.error(s"manifest table $root: could not claim a version after 50 attempts")
+    // never-orphan-yourself, same as the upsert/compact conflict paths:
+    // without this, exhausting the claim loop leaves a generation only
+    // vacuum(deleteOrphans = true) — unsafe with writers in flight —
+    // could ever reclaim
+    fs.delete(new Path(root, gen), true)
+    sys.error(s"manifest table $root: could not claim a version after $maxAttempts attempts")
   }
 
   /** Append-with-dedup upsert (K4 semantics) with carry-forward: only the
@@ -357,6 +397,22 @@ object ManifestTable {
             s"manifest table $root: batch schema differs from the table " +
               s"(table-only=${(ec -- fc).toSeq.sorted}, batch-only=${(fc -- ec).toSeq.sorted}) " +
               "— pass mergeSchema=true for additive evolution")
+        }
+        // dtype drift on COMMON columns is an error even under
+        // mergeSchema (evolution is additive — new columns only): a
+        // type-changed batch would silently coerce through unionByName,
+        // and a re-typed partition column would re-spell its dirs out
+        // from under the carry-forward string match. Partition columns
+        // read as string (pinned above), so a partitioned upsert's batch
+        // must carry string-typed partition values.
+        locally {
+          val eT = existing.schema.map(f => f.name -> f.dataType).toMap
+          val drift = fresh.schema
+            .filter(f => eT.get(f.name).exists(_ != f.dataType))
+            .map(f => s"${f.name}: table=${eT(f.name).sql} batch=${f.dataType.sql}")
+          require(drift.isEmpty,
+            s"manifest table $root: batch column types differ from the table " +
+              s"(${drift.mkString("; ")}) — a type change is a rewrite (write()), not evolution")
         }
         val (merged, carried) =
           if (partitionCols.isEmpty)

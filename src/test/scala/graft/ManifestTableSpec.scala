@@ -122,6 +122,61 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() == 1)
   }
 
+  test("upsert refuses a re-typed column (dtype drift, ADVICE r7)") {
+    val root = tmp() + "/t"
+    ManifestTable.upsertDedup(spark, Seq(("2026-01-01", 1L, 10.0)).toDF("date", "key", "v"),
+      root, Seq("key"), "v", Seq("date"))
+    // v re-typed double -> int: names match, so the old name-only check
+    // passed this and unionByName silently coerced — now refused
+    val reTyped = Seq(("2026-01-01", 2L, 20)).toDF("date", "key", "v")
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.upsertDedup(spark, reTyped, root, Seq("key"), "v", Seq("date"))
+    }
+    assert(e.getMessage.contains("column types differ"))
+    // dtype drift on a COMMON column is refused even under mergeSchema
+    // (evolution is additive only)
+    intercept[IllegalArgumentException] {
+      ManifestTable.upsertDedup(spark, reTyped, root, Seq("key"), "v", Seq("date"),
+        mergeSchema = true)
+    }
+    assert(ManifestTable.current(spark, root).get.version == 1L)
+  }
+
+  test("partition columns read back pinned to string (no type inference)") {
+    val root = tmp() + "/t"
+    // "2026-01-01" would infer as DATE and a numeric partition as INT —
+    // either re-type would re-spell dirs on rewrite out from under the
+    // carry-forward string match; the manifest reader pins them to string
+    ManifestTable.upsertDedup(spark, Seq(("2026-01-01", 1L, 10.0)).toDF("date", "key", "v"),
+      root, Seq("key"), "v", Seq("date"))
+    val schema = ManifestTable.read(spark, root).schema
+    assert(schema("date").dataType == org.apache.spark.sql.types.StringType)
+    // and the session conf the pin toggles is restored afterwards
+    assert(spark.conf.getOption(
+      "spark.sql.sources.partitionColumnTypeInference.enabled").forall(_ == "true"))
+  }
+
+  test("write deletes its own generation when the claim loop exhausts") {
+    val root = tmp() + "/t"
+    // a FRESH (within-grace) sentinel-less corpse at v1 blocks every
+    // claim attempt: current() sees no committed version, claim conflicts,
+    // recovery declines (not past grace)
+    val mdir = new Path(root, "_manifests")
+    fs.mkdirs(mdir)
+    val out = fs.create(new Path(mdir, f"${1L}%020d.txt"), false)
+    out.write("version=1\n".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[RuntimeException] {
+      ManifestTable.write(Seq((1, "a")).toDF("k", "s"), root,
+        graceMs = 3600000L, maxAttempts = 2)
+    }
+    assert(e.getMessage.contains("could not claim"))
+    // the orphan generation was cleaned up (never-orphan-yourself)
+    val gens = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.startsWith("gen-"))
+    assert(gens.isEmpty, s"orphan generations left behind: ${gens.toSeq}")
+  }
+
   test("compact shrinks the file list, preserves rows, bumps version") {
     val root = tmp() + "/t"
     // fragmented seed: 4 files per partition, then tiny upsert generations
