@@ -28,7 +28,8 @@ import graft.operators.Upsert
   * orphan generation is deleted. Mutators (upsert/compact) are
   * compare-and-swap — they commit `readVersion + 1`, so a merge based on
   * a stale read can never overwrite a concurrent commit; callers retry
-  * the whole read-merge-write.
+  * the whole read-merge-write ([[upsertWithRetry]] packages that loop
+  * with bounded exponential backoff).
   *
   * Readers resolve the newest manifest whose sentinel is present: a
   * writer that crashed after creating but before finishing a manifest (or
@@ -298,24 +299,32 @@ object ManifestTable {
     // rewrites as k=1, silently duplicating the partition next to its
     // carried files. String pinning makes the round-trip exact. Schema
     // resolution is EAGER (the conf is read while each per-generation
-    // frame is constructed here), so the set/restore window is confined
-    // to this driver-side loop.
-    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.getOption(key)
-    try {
-      spark.conf.set(key, "false")
-      st.files.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-        .map { case (gen, fs) =>
-          spark.read
-            .option("basePath", new Path(root, gen).toString)
-            .parquet(fs.map(f => new Path(root, f.relPath).toString): _*)
-        }
-        .reduce(_.unionByName(_, allowMissingColumns = true))
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    // frame is constructed here), and the set/restore is serialized by a
+    // process-wide lock: two concurrent manifest reads (e.g. racing
+    // upsert writers) would otherwise restore the conf out from under
+    // each other mid-plan. Non-manifest reads on OTHER threads can still
+    // observe the toggled conf for the lock's duration — driver-side
+    // planning only, milliseconds.
+    inferenceLock.synchronized {
+      val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prev = spark.conf.getOption(key)
+      try {
+        spark.conf.set(key, "false")
+        st.files.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+          .map { case (gen, fs) =>
+            spark.read
+              .option("basePath", new Path(root, gen).toString)
+              .parquet(fs.map(f => new Path(root, f.relPath).toString): _*)
+          }
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
   }
+
+  private val inferenceLock = new Object
 
   /** Blind full-table (over)write — the manifest analogue of
     * `SaveMode.Overwrite`. No read dependency, so a lost claim just
@@ -358,6 +367,48 @@ object ManifestTable {
                   mergeSchema: Boolean = false): Long =
     upsertFrom(spark, fresh, root, keys, order, partitionCols, graceMs, tags,
       mergeSchema, current(spark, root))
+
+  /** [[upsertDedup]] with the documented CAS retry loop BUILT IN: on
+    * [[ConcurrentCommitException]] the whole read-merge-write re-runs
+    * against the table's new head (the merge MUST be recomputed — the
+    * rival's commit may have changed the very partitions this batch
+    * touches), with bounded exponential backoff + jitter between
+    * attempts so N racing writers don't re-collide in lockstep. Each
+    * losing attempt has already deleted its orphan generation (the
+    * upsert conflict path cleans up before throwing), so retries leak
+    * nothing. Throws the last [[ConcurrentCommitException]] after
+    * `maxRetries` lost races — under that much sustained contention the
+    * caller should serialize its writers instead. */
+  def upsertWithRetry(spark: SparkSession, fresh: DataFrame, root: String,
+                      keys: Seq[String], order: String,
+                      partitionCols: Seq[String] = Nil,
+                      graceMs: Long = 60000L,
+                      tags: Map[String, String] = Map.empty,
+                      mergeSchema: Boolean = false,
+                      maxRetries: Int = 8,
+                      baseBackoffMs: Long = 50L): Long = {
+    require(maxRetries >= 0 && baseBackoffMs >= 0,
+      s"maxRetries/baseBackoffMs must be >= 0, got $maxRetries/$baseBackoffMs")
+    var attempt = 0
+    while (true) {
+      try
+        return upsertDedup(spark, fresh, root, keys, order, partitionCols,
+          graceMs, tags, mergeSchema)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          // exponential backoff capped at 64x base, +-20% jitter
+          val backoff = baseBackoffMs << math.min(attempt - 1, 6)
+          val jitter = (backoff * 0.2 *
+            java.util.concurrent.ThreadLocalRandom.current().nextDouble()).toLong
+          log.info(s"manifest table $root: lost CAS race (attempt $attempt/" +
+            s"$maxRetries) — retrying in ${backoff + jitter} ms")
+          Thread.sleep(backoff + jitter)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** [[upsertDedup]] body against an already-read `prior` state — the
     * streaming sink reuses its watermark read instead of listing the

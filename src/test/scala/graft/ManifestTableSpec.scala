@@ -177,6 +177,70 @@ class ManifestTableSpec extends SparkSpec {
     assert(gens.isEmpty, s"orphan generations left behind: ${gens.toSeq}")
   }
 
+  test("upsertWithRetry: two racing writers both land, no lost update, no orphans") {
+    val root = tmp() + "/t"
+    val seed = Seq(("2026-01-01", 1L, 10.0), ("2026-01-02", 2L, 20.0))
+      .toDF("date", "key", "v")
+    ManifestTable.upsertDedup(spark, seed, root, Seq("key"), "v", Seq("date"))
+    // two writers race DISJOINT partitions from the same start line: one
+    // wins version 2, the other's CAS loses, re-reads, re-merges against
+    // the winner's head and lands version 3 — no hand-rolled caller loop
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fut = Seq("2026-01-01" -> 11.0, "2026-01-02" -> 22.0).map {
+        case (date, v) =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              gate.await()
+              ManifestTable.upsertWithRetry(spark,
+                Seq((date, if (date.endsWith("01")) 1L else 2L, v)).toDF("date", "key", "v"),
+                root, Seq("key"), "v", Seq("date"), baseBackoffMs = 10L)
+            }
+          })
+      }
+      gate.countDown()
+      val versions = fut.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.toSet == Set(2L, 3L), s"expected versions 2 and 3, got $versions")
+    } finally pool.shutdownNow()
+    // no lost update: BOTH writers' values are live
+    val got = ManifestTable.read(spark, root).orderBy("key")
+      .select("key", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 11.0), (2L, 22.0)))
+    // every generation on disk is referenced by some committed manifest —
+    // the losing attempt deleted its orphan before retrying
+    val onDisk = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).toSet
+    val referenced = (1L to 3L).flatMap(v =>
+      ManifestTable.readVersion(spark, root, v).inputFiles.toSeq
+        .flatMap(_.split('/').find(_.startsWith("gen-")))).toSet
+    assert(onDisk == referenced, s"orphans: ${onDisk -- referenced}")
+  }
+
+  test("upsertWithRetry exhausts retries under a permanently blocked slot") {
+    val root = tmp() + "/t"
+    ManifestTable.upsertDedup(spark, Seq(("2026-01-01", 1L, 10.0)).toDF("date", "key", "v"),
+      root, Seq("key"), "v", Seq("date"))
+    // a FRESH sentinel-less corpse permanently blocks v2 (never past the
+    // huge grace): every CAS attempt loses, the bounded loop gives up
+    val out = fs.create(new Path(root, f"_manifests/${2L}%020d.txt"), false)
+    out.write("version=2\n".getBytes("UTF-8"))
+    out.close()
+    intercept[ManifestTable.ConcurrentCommitException] {
+      ManifestTable.upsertWithRetry(spark,
+        Seq(("2026-01-01", 1L, 99.0)).toDF("date", "key", "v"),
+        root, Seq("key"), "v", Seq("date"),
+        graceMs = 3600000L, maxRetries = 2, baseBackoffMs = 1L)
+    }
+    // table unchanged and the failed attempts left no orphan generations
+    assert(ManifestTable.current(spark, root).get.version == 1L)
+    val liveGens = ManifestTable.read(spark, root).inputFiles.toSeq
+      .flatMap(_.split('/').find(_.startsWith("gen-"))).toSet
+    val onDisk = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).toSet
+    assert(onDisk == liveGens, s"orphans: ${onDisk -- liveGens}")
+  }
+
   test("compact shrinks the file list, preserves rows, bumps version") {
     val root = tmp() + "/t"
     // fragmented seed: 4 files per partition, then tiny upsert generations
