@@ -68,6 +68,42 @@ object ScaleSmokeManifest {
     check("planted updates landed (keep-last over the touched partition)",
       updated == target / 30L, s"updated=$updated expected=${target / 30}")
 
+    // ---- checkpoint log: commit bytes stay flat as live files grow 10x ----
+    // two tables, same row volume, 10x the partition/file count; the SAME
+    // 1-partition upsert commits a delta manifest on both — its size must
+    // track the batch (one partition's adds+removes), not the table.
+    def manifestBytes(tRoot: String, v: Long): Long = {
+      val fs = new org.apache.hadoop.fs.Path(tRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(tRoot, f"_manifests/$v%020d.txt")).getLen
+    }
+    val ckptRows = math.max(1000000L, target / 10L)
+    val results = Seq(30, 300).map { parts =>
+      val tRoot = java.nio.file.Files.createTempDirectory("graft-scale-ckpt").toString + "/t"
+      val seed2 = spark.range(ckptRows).select(
+        lpad(pmod(col("id"), lit(parts.toLong)).cast("string"), 4, "0").as("part"),
+        col("id").as("key"), lit(1.0).as("v"))
+      ManifestTable.write(seed2, tRoot, Seq("part"))
+      val liveFiles = ManifestTable.current(spark, tRoot).get.files.size
+      val batch2 = spark.range(ckptRows / parts).select(
+        lit("0007").as("part"), (col("id") + ckptRows * 2L).as("key"), lit(-1.0).as("v"))
+      val t = System.nanoTime()
+      val v = ManifestTable.upsertDedup(spark, batch2, tRoot, Seq("key"), "v", Seq("part"))
+      val sec = (System.nanoTime() - t) / 1e9
+      val deltaB = manifestBytes(tRoot, v)
+      val snapB = manifestBytes(tRoot, 1L)
+      println(f"SCALE ckpt: $parts%3d partitions, $liveFiles files live -> " +
+        f"delta commit $deltaB B vs v1 snapshot $snapB B, upsert $sec%.1f s")
+      (liveFiles, deltaB, snapB, sec)
+    }
+    val (filesS, deltaS, snapS, _) = results(0)
+    val (filesL, deltaL, snapL, _) = results(1)
+    check("snapshot manifests grow with the table (the cost deltas avoid)",
+      filesL >= 8 * filesS && snapL >= 8 * snapS,
+      s"files $filesS->$filesL, snapshot bytes $snapS->$snapL")
+    check("delta commit bytes stay flat as live-file count grows 10x",
+      deltaL <= 2 * deltaS, s"delta bytes $deltaS->$deltaL")
+
     println(if (failures == 0) "SCALE manifest: ALL CHECKS PASSED"
     else s"SCALE manifest: $failures CHECK(S) FAILED")
     spark.stop()

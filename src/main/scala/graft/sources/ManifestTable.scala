@@ -42,14 +42,23 @@ import graft.operators.Upsert
   * touched partitions into a new generation and carries every other live
   * file forward BY REFERENCE — untouched data is neither read nor
   * rewritten, so commit cost tracks the batch, not the 100 TB table.
-  * Per-version file lists grow with file count; [[compact]] collapses
-  * both the files and the list, and [[vacuum]] bounds the manifest-log
-  * listing `current()` performs. Known boundary, deliberately out of
-  * scope: at MILLIONS of live files the newest manifest itself becomes
-  * large to read/write per commit — the production answer is periodic
-  * binary manifest checkpoints + incremental deltas (Delta's
-  * `_last_checkpoint` design); the commit protocol here is unchanged by
-  * that optimization.
+  *
+  * The manifest LOG has the same property (Delta's `_last_checkpoint`
+  * design): a partitioned upsert commits a DELTA manifest listing only
+  * the files it added and removed — O(batch) bytes, however many
+  * million files are live — and every `checkpointInterval`-th commit
+  * (plus every [[write]]/[[compact]], which rewrite everything anyway)
+  * writes a FULL snapshot manifest. Readers resolve a version by
+  * walking back to the nearest snapshot and folding the deltas forward
+  * — at most `checkpointInterval` small reads. A `_last_checkpoint`
+  * pointer file names the newest snapshot so `current()` can probe
+  * forward from it instead of listing the log directory; the pointer
+  * is a pure HINT, written best-effort AFTER its snapshot commits —
+  * missing, stale, or garbled, readers fall back to the listing and
+  * every answer is identical (a writer crashing between snapshot commit
+  * and pointer write is invisible). [[compact]] collapses the data
+  * files, and [[vacuum]] bounds the log while always retaining the
+  * snapshot+delta chain the kept versions resolve through.
   */
 object ManifestTable {
 
@@ -86,22 +95,63 @@ object ManifestTable {
   private def manifestPath(root: String, version: Long): Path =
     new Path(root, f"$ManifestDir/$version%020d.txt")
 
+  private def pointerPath(root: String): Path =
+    new Path(root, s"$ManifestDir/_last_checkpoint")
+
+  /** One committed log entry: a FULL snapshot (complete live-file list)
+    * or a DELTA against the previous version (adds + removed rel-paths).
+    * Every entry carries the COMPLETE tag state (tags are tiny), so
+    * resolution takes tags from the head entry alone. */
+  private sealed trait Manifest {
+    def version: Long
+    def tags: Map[String, String]
+  }
+  private final case class FullManifest(version: Long, files: Seq[FileEntry],
+                                        tags: Map[String, String]) extends Manifest
+  private final case class DeltaManifest(version: Long, adds: Seq[FileEntry],
+                                         removes: Seq[String],
+                                         tags: Map[String, String]) extends Manifest
+
   /** Newest committed state, skipping half-written manifests (no
     * `commit=ok` sentinel → the writer died mid-create or is mid-write
-    * right now; the previous version is still the truth). */
+    * right now; the previous version is still the truth).
+    *
+    * Fast path: the `_last_checkpoint` pointer names a committed
+    * snapshot; probe forward from it one version at a time (versions are
+    * claimed contiguously, so the first missing file is the end of the
+    * log) — no directory listing. Any pointer defect — absent, garbled,
+    * naming a vacuumed or non-snapshot version — falls back to the full
+    * listing with identical results. */
   def current(spark: SparkSession, root: String): Option[State] = {
     val fs = fsOf(spark, root)
-    val dir = new Path(root, ManifestDir)
-    if (!fs.exists(dir)) return None
-    val versions = fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".txt"))
-      .flatMap(n => scala.util.Try(n.stripSuffix(".txt").toLong).toOption)
-      .sorted(Ordering[Long].reverse)
-    versions.iterator.flatMap(v => readManifest(fs, root, v)).nextOption()
+    val hinted = readPointer(fs, root)
+      .filter(c => readRaw(fs, root, c).exists(_.isInstanceOf[FullManifest]))
+      .flatMap { c =>
+        var newest = c
+        var probe = c + 1
+        while (fs.exists(manifestPath(root, probe))) {
+          if (readRaw(fs, root, probe).nonEmpty) newest = probe
+          probe += 1
+        }
+        resolveState(fs, root, newest)
+      }
+    hinted.orElse {
+      val dir = new Path(root, ManifestDir)
+      if (!fs.exists(dir)) return None
+      val versions = fs.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".txt"))
+        .flatMap(n => scala.util.Try(n.stripSuffix(".txt").toLong).toOption)
+        .sorted(Ordering[Long].reverse)
+      versions.iterator.flatMap(v => resolveState(fs, root, v)).nextOption()
+    }
   }
 
-  private def readManifest(fs: FileSystem, root: String, version: Long): Option[State] = {
+  /** Parse ONE manifest file; no chain resolution. `None` means "no
+    * committed manifest at this version" — exactly: file absent
+    * (vacuumed), sentinel absent (half-written), or sentinel-complete
+    * but garbled (bitrot — loud warning, readers fall back). */
+  private def readRaw(fs: FileSystem, root: String, version: Long): Option[Manifest] = {
     val p = manifestPath(root, version)
     // ONLY not-found (vacuumed between list and open) and half-written
     // (no sentinel) read as "no committed manifest here" — a transient
@@ -130,7 +180,10 @@ object ManifestTable {
         val tab = body.indexOf('\t')
         body.substring(0, tab) -> body.substring(tab + 1)
       }.toMap
-      Some(State(version, files, tags))
+      if (lines.contains("kind=delta")) {
+        val removes = lines.filter(_.startsWith("remove=")).map(_.stripPrefix("remove="))
+        Some(DeltaManifest(version, files, removes, tags))
+      } else Some(FullManifest(version, files, tags))
     } catch {
       case scala.util.control.NonFatal(e) =>
         log.warn(s"manifest table $root: v$version has a sentinel but unparseable " +
@@ -138,6 +191,66 @@ object ManifestTable {
         None
     }
   }
+
+  /** Resolve `version` to its full live-file list: walk back to the
+    * nearest snapshot, fold the deltas forward. At most
+    * checkpointInterval + 1 manifest reads. A broken link (missing or
+    * garbled manifest inside the chain) resolves to None with a warning
+    * — `current()` then falls back to the next older resolvable head. */
+  private def resolveState(fetch: Long => Option[Manifest], version: Long,
+                           root: String): Option[State] = {
+    var deltas = List.empty[DeltaManifest]
+    var v = version
+    while (v >= 1) {
+      fetch(v) match {
+        case Some(f: FullManifest) =>
+          var files = f.files
+          deltas.foreach { d =>
+            val rm = d.removes.toSet
+            files = files.filterNot(e => rm(e.relPath)) ++ d.adds
+          }
+          val head: Manifest = deltas.lastOption.getOrElse(f)
+          return Some(State(version, files, head.tags))
+        case Some(d: DeltaManifest) =>
+          deltas = deltas :+ d // applied oldest-first after the snapshot
+          v -= 1
+        case None =>
+          log.warn(s"manifest table $root: v$version is committed but its delta " +
+            s"chain breaks at v$v (missing/garbled) — treating v$version as unresolvable")
+          return None
+      }
+    }
+    log.warn(s"manifest table $root: v$version's delta chain has no snapshot base")
+    None
+  }
+
+  private def resolveState(fs: FileSystem, root: String, version: Long): Option[State] =
+    readRaw(fs, root, version) match {
+      case None    => None // not committed at all
+      case Some(_) => resolveState(v => readRaw(fs, root, v), version, root)
+    }
+
+  /** Best-effort `_last_checkpoint` maintenance: written AFTER a
+    * snapshot's claim succeeds (so it can never point past the log) and
+    * read as a hint only. Overwrite races between writers leave SOME
+    * committed snapshot version in the file — always valid, self-heals
+    * at the next snapshot. */
+  private def writePointer(fs: FileSystem, root: String, version: Long): Unit =
+    try {
+      val out = fs.create(pointerPath(root), true)
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"manifest table $root: could not update _last_checkpoint to " +
+          s"v$version (${e.getClass.getSimpleName}) — readers fall back to listing")
+    }
+
+  private def readPointer(fs: FileSystem, root: String): Option[Long] =
+    try {
+      val in = fs.open(pointerPath(root))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      scala.util.Try(text.trim.toLong).toOption.filter(_ >= 1L)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Tag hygiene, checked at API ENTRY (before any generation write —
     * a failure here must not orphan a generation): separator-free keys/
@@ -169,14 +282,14 @@ object ManifestTable {
     * `graceMs` (a live claimer writes its payload within milliseconds of
     * creating the file) deletes the corpse and retries the claim once; a
     * conflict against a COMMITTED manifest is a genuine lost race. */
-  private def claimOrRecover(fs: FileSystem, root: String, version: Long,
-                             files: Seq[FileEntry], graceMs: Long,
-                             tags: Map[String, String] = Map.empty): Boolean =
-    claim(fs, root, version, files, tags) || {
+  private def claimOrRecover(fs: FileSystem, root: String, m: Manifest,
+                             graceMs: Long): Boolean =
+    claim(fs, root, m) || {
+      val version = m.version
       val p = manifestPath(root, version)
       val corpse = scala.util.Try(fs.getFileStatus(p)).toOption
       corpse.exists { st0 =>
-        readManifest(fs, root, version).isEmpty &&
+        readRaw(fs, root, version).isEmpty &&
           (System.currentTimeMillis() - st0.getModificationTime) > graceMs && {
           // re-verify IMMEDIATELY before the destructive delete: between
           // the grace check above and here, a rival may have deleted the
@@ -190,11 +303,11 @@ object ManifestTable {
           // theoretically possible on local FS — the documented residual.
           val fresh = scala.util.Try(fs.getFileStatus(p)).toOption
           fresh.exists(_.getModificationTime == st0.getModificationTime) &&
-            readManifest(fs, root, version).isEmpty && {
+            readRaw(fs, root, version).isEmpty && {
             log.warn(s"manifest table $root: clearing dead half-claim v$version " +
               "(sentinel-less past grace) and retrying")
             fs.delete(p, false)
-            claim(fs, root, version, files, tags)
+            claim(fs, root, m)
           }
         }
       }
@@ -208,12 +321,11 @@ object ManifestTable {
     * the slot, deleting would destroy the rival's commit. That residual
     * stall-past-grace window is a local/HDFS artifact only; the real
     * object-store target commits with one atomic conditional put. */
-  private def claim(fs: FileSystem, root: String, version: Long,
-                    files: Seq[FileEntry],
-                    tags: Map[String, String] = Map.empty): Boolean = {
-    tags.keys.foreach(k => require(!k.exists(c => c == '\t' || c == '\n'),
+  private def claim(fs: FileSystem, root: String, m: Manifest): Boolean = {
+    val version = m.version
+    m.tags.keys.foreach(k => require(!k.exists(c => c == '\t' || c == '\n'),
       s"manifest tag key '$k' contains a separator"))
-    tags.values.foreach(v => require(!v.exists(_ == '\n'),
+    m.tags.values.foreach(v => require(!v.exists(_ == '\n'),
       s"manifest tag value '$v' contains a newline"))
     val p = manifestPath(root, version)
     fs.mkdirs(p.getParent)
@@ -222,14 +334,21 @@ object ManifestTable {
       try {
         val sb = new StringBuilder
         sb.append(s"version=$version\n")
-        files.foreach(f => sb.append(s"file=${f.relPath}\t${f.bytes}\n"))
-        tags.toSeq.sortBy(_._1).foreach { case (k, v) => sb.append(s"tag=$k\t$v\n") }
+        m match {
+          case FullManifest(_, files, _) =>
+            files.foreach(f => sb.append(s"file=${f.relPath}\t${f.bytes}\n"))
+          case DeltaManifest(_, adds, removes, _) =>
+            sb.append("kind=delta\n")
+            adds.foreach(f => sb.append(s"file=${f.relPath}\t${f.bytes}\n"))
+            removes.foreach(r => sb.append(s"remove=$r\n"))
+        }
+        m.tags.toSeq.sortBy(_._1).foreach { case (k, v) => sb.append(s"tag=$k\t$v\n") }
         sb.append("commit=ok")
         out.write(sb.toString.getBytes("UTF-8"))
         out.close()
       } catch {
         case e: Throwable =>
-          if (scala.util.Try(readManifest(fs, root, version)).toOption.flatten.isEmpty)
+          if (scala.util.Try(readRaw(fs, root, version)).toOption.flatten.isEmpty)
             fs.delete(p, false)
           throw e
       }
@@ -287,7 +406,7 @@ object ManifestTable {
     * trained". Fails if the version was vacuumed or never committed. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
     readState(spark, root,
-      readManifest(fsOf(spark, root), root, version).getOrElse(sys.error(
+      resolveState(fsOf(spark, root), root, version).getOrElse(sys.error(
         s"manifest table $root has no committed version $version (vacuumed or never committed)")))
 
   private def readState(spark: SparkSession, root: String, st: State): DataFrame = {
@@ -328,7 +447,9 @@ object ManifestTable {
 
   /** Blind full-table (over)write — the manifest analogue of
     * `SaveMode.Overwrite`. No read dependency, so a lost claim just
-    * re-claims the next version (bounded retries) without rewriting. */
+    * re-claims the next version (bounded retries) without rewriting.
+    * Always commits a FULL snapshot (the file list IS the batch) and
+    * advances the `_last_checkpoint` pointer. */
   def write(df: DataFrame, root: String, partitionCols: Seq[String] = Nil,
             graceMs: Long = 60000L, maxAttempts: Int = 50): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
@@ -342,7 +463,10 @@ object ManifestTable {
       // previous tags carry forward (e.g. the stream sink's last-applied
       // batch id — losing it would re-open the replay double-apply)
       val tags = prev.map(_.tags).getOrElse(Map.empty)
-      if (claimOrRecover(fs, root, v, entries, graceMs, tags)) return v
+      if (claimOrRecover(fs, root, FullManifest(v, entries, tags), graceMs)) {
+        writePointer(fs, root, v)
+        return v
+      }
       attempts += 1
       Thread.sleep(100L * math.min(attempts, 5))
     }
@@ -358,15 +482,22 @@ object ManifestTable {
     * partitions touched by `fresh` are read, merged keep-last
     * ([[Upsert.appendDedup]]) and rewritten into a new generation; every
     * live file of an UNtouched partition is carried into the new manifest
-    * by reference. Compare-and-swap on the version that was read. */
+    * by reference. Compare-and-swap on the version that was read.
+    *
+    * Partitioned upserts commit a DELTA manifest (adds + removes only —
+    * O(batch) bytes at any table size); every `checkpointInterval`-th
+    * version commits a FULL snapshot instead and advances the
+    * `_last_checkpoint` pointer. `checkpointInterval <= 1` forces a
+    * snapshot every commit (the pre-checkpoint behavior). */
   def upsertDedup(spark: SparkSession, fresh: DataFrame, root: String,
                   keys: Seq[String], order: String,
                   partitionCols: Seq[String] = Nil,
                   graceMs: Long = 60000L,
                   tags: Map[String, String] = Map.empty,
-                  mergeSchema: Boolean = false): Long =
+                  mergeSchema: Boolean = false,
+                  checkpointInterval: Int = DefaultCheckpointInterval): Long =
     upsertFrom(spark, fresh, root, keys, order, partitionCols, graceMs, tags,
-      mergeSchema, current(spark, root))
+      mergeSchema, current(spark, root), checkpointInterval)
 
   /** [[upsertDedup]] with the documented CAS retry loop BUILT IN: on
     * [[ConcurrentCommitException]] the whole read-merge-write re-runs
@@ -386,14 +517,15 @@ object ManifestTable {
                       tags: Map[String, String] = Map.empty,
                       mergeSchema: Boolean = false,
                       maxRetries: Int = 8,
-                      baseBackoffMs: Long = 50L): Long = {
+                      baseBackoffMs: Long = 50L,
+                      checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     require(maxRetries >= 0 && baseBackoffMs >= 0,
       s"maxRetries/baseBackoffMs must be >= 0, got $maxRetries/$baseBackoffMs")
     var attempt = 0
     while (true) {
       try
         return upsertDedup(spark, fresh, root, keys, order, partitionCols,
-          graceMs, tags, mergeSchema)
+          graceMs, tags, mergeSchema, checkpointInterval)
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -417,16 +549,18 @@ object ManifestTable {
                          keys: Seq[String], order: String,
                          partitionCols: Seq[String], graceMs: Long,
                          tags: Map[String, String], mergeSchema: Boolean,
-                         prior: Option[State]): Long = {
+                         prior: Option[State],
+                         checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     validateTags(tags, prior.map(_.tags).getOrElse(Map.empty))
     val fs = fsOf(spark, root)
     prior match {
       case None =>
         val (gen, entries) = writeGeneration(fresh, root, partitionCols)
-        if (!claimOrRecover(fs, root, 1L, entries, graceMs, tags)) {
+        if (!claimOrRecover(fs, root, FullManifest(1L, entries, tags), graceMs)) {
           fs.delete(new Path(root, gen), true)
           throw new ConcurrentCommitException(root, 1L)
         }
+        writePointer(fs, root, 1L)
         1L
       case Some(st) =>
         // a partition layout CHANGE between commits would make the
@@ -503,17 +637,42 @@ object ManifestTable {
         // previous tags persist unless this commit overrides them — a
         // manual upsert between stream batches must not erase the sink's
         // replay watermark
-        if (!claimOrRecover(fs, root, v, keep ++ entries, graceMs, st.tags ++ tags)) {
+        val newTags = st.tags ++ tags
+        // delta vs snapshot: a partitioned upsert's delta lists only the
+        // batch's adds + the touched partitions' retired files — O(batch)
+        // manifest bytes however many million files are live. Every
+        // checkpointInterval-th version snapshots so resolution chains
+        // stay short. Unpartitioned upserts rewrite the whole table
+        // anyway (carried is empty) — a snapshot IS the smaller record.
+        val isSnapshot = carried.isEmpty ||
+          checkpointInterval <= 1 || v % checkpointInterval == 0
+        val manifest: Manifest =
+          if (isSnapshot) FullManifest(v, keep ++ entries, newTags)
+          else {
+            val keptPaths = keep.map(_.relPath).toSet
+            val removes = st.files.collect {
+              case f if !keptPaths.contains(f.relPath) => f.relPath
+            }
+            DeltaManifest(v, entries, removes, newTags)
+          }
+        if (!claimOrRecover(fs, root, manifest, graceMs)) {
           fs.delete(new Path(root, gen), true)
           throw new ConcurrentCommitException(root, v)
         }
+        if (isSnapshot) writePointer(fs, root, v)
         v
     }
   }
 
+  /** Default snapshot cadence for partitioned upserts: resolution reads
+    * at most this many manifests; commit bytes stay O(batch) in between. */
+  val DefaultCheckpointInterval: Int = 10
+
   /** Compact the live file set into ~targetFileMB files (skew-aware, via
     * [[Writers.sizedRewrite]]) in one new generation; the manifest
-    * shrinks with the files. Compare-and-swap like [[upsertDedup]]. */
+    * shrinks with the files. Compare-and-swap like [[upsertDedup]].
+    * Always commits a FULL snapshot (it rewrites every file anyway) and
+    * advances the `_last_checkpoint` pointer. */
   def compact(spark: SparkSession, root: String, targetFileMB: Int = 512,
               graceMs: Long = 60000L): Long = {
     require(targetFileMB > 0, s"compact: targetFileMB must be > 0, got $targetFileMB")
@@ -535,10 +694,11 @@ object ManifestTable {
     val entries = listGeneration(fs, root, gen)
     val v = st.version + 1
     // compaction preserves commit metadata (stream replay watermark etc.)
-    if (!claimOrRecover(fs, root, v, entries, graceMs, st.tags)) {
+    if (!claimOrRecover(fs, root, FullManifest(v, entries, st.tags), graceMs)) {
       fs.delete(genPath, true)
       throw new ConcurrentCommitException(root, v)
     }
+    writePointer(fs, root, v)
     v
   }
 
@@ -622,34 +782,67 @@ object ManifestTable {
     * referenced by NO manifest at all (writers that crashed before their
     * claim). Only safe when no writer is in flight — an in-flight
     * writer's freshly written generation is indistinguishable from an
-    * orphan. Returns the number of generation dirs deleted. */
+    * orphan. Returns the number of generation dirs deleted.
+    *
+    * Delta-chain preservation: a kept version may be a delta, so the
+    * retention FLOOR is the newest snapshot at-or-below the oldest kept
+    * version — every manifest from the floor up is retained (the kept
+    * versions resolve through them), and only committed manifests BELOW
+    * the floor are dropped. v1 is always a snapshot, so a floor always
+    * exists. If the `_last_checkpoint` pointer named a dropped version
+    * it is refreshed to the newest retained snapshot. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2,
              deleteOrphans: Boolean = false): Int = {
     require(keep >= 1, s"vacuum: keep must be >= 1, got $keep")
     val fs = fsOf(spark, root)
     val dir = new Path(root, ManifestDir)
     if (!fs.exists(dir)) return 0
-    val committed = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    // one read per manifest file; corpses drop out (never deleted here,
+    // never counted toward keep)
+    val raws: Seq[Manifest] = fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".txt"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".txt").toLong).toOption)
       .sorted(Ordering[Long].reverse)
-      .flatMap(v => readManifest(fs, root, v)) // corpses drop out here
-    val (kept, dropped) = committed.splitAt(keep)
+      .flatMap(v => readRaw(fs, root, v))
+    if (raws.isEmpty) return 0
+    val byVersion = raws.map(m => m.version -> m).toMap
+    def resolveIn(v: Long): Option[State] =
+      resolveState(byVersion.get(_), v, root)
+    val keptVersions = raws.take(keep).map(_.version)
+    val floor: Long = raws
+      .collect { case f: FullManifest if f.version <= keptVersions.min => f.version }
+      .maxOption
+      .getOrElse {
+        log.warn(s"vacuum($root): no snapshot at or below v${keptVersions.min} — " +
+          "retaining the entire log")
+        return 0
+      }
+    val (retained, dropped) = raws.partition(_.version >= floor)
+    // resolved file sets: retained states must resolve (their chain is
+    // intact by construction); dropped states resolve through the full
+    // in-memory map BEFORE anything is deleted
+    val retainedStates = retained.map(_.version).flatMap(resolveIn)
+    val droppedStates = dropped.map(_.version).flatMap(resolveIn)
     def gens(sts: Seq[State]): Set[String] =
       sts.flatMap(_.files.map(_.relPath.takeWhile(_ != '/'))).toSet
-    val liveGens = gens(kept)
-    val deadGens = gens(dropped) -- liveGens
+    val liveGens = gens(retainedStates)
+    val deadGens = gens(droppedStates) -- liveGens
     deadGens.foreach { g =>
       log.info(s"vacuum($root): deleting unreferenced generation $g")
       fs.delete(new Path(root, g), true)
     }
-    dropped.foreach(st => fs.delete(manifestPath(root, st.version), false))
+    dropped.foreach(m => fs.delete(manifestPath(root, m.version), false))
+    // heal a pointer that named a dropped snapshot (readers would fall
+    // back to listing forever otherwise)
+    if (readPointer(fs, root).exists(_ < floor))
+      retained.collect { case f: FullManifest => f.version }.maxOption
+        .foreach(writePointer(fs, root, _))
     val orphans: Set[String] =
       if (!deleteOrphans) Set.empty
       else {
         val onDisk = fs.listStatus(new Path(root)).toSeq
           .map(_.getPath.getName).filter(_.startsWith("gen-")).toSet
-        val refd = liveGens ++ gens(dropped) // dropped's dead gens already handled
+        val refd = liveGens ++ gens(droppedStates) // dropped's dead gens already handled
         (onDisk -- refd -- deadGens).tapEach { g =>
           log.info(s"vacuum($root): deleting ORPHAN generation $g (no manifest references it)")
           fs.delete(new Path(root, g), true)

@@ -241,6 +241,105 @@ class ManifestTableSpec extends SparkSpec {
     assert(onDisk == liveGens, s"orphans: ${onDisk -- liveGens}")
   }
 
+  private def manifestText(root: String, v: Long): String = {
+    val in = fs.open(new Path(root, f"_manifests/$v%020d.txt"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  test("partitioned upserts commit deltas; every Nth version snapshots + pointer") {
+    val root = tmp() + "/t"
+    def up(date: String, key: Long, v: Double): Long =
+      ManifestTable.upsertDedup(spark, Seq((date, key, v)).toDF("date", "key", "v"),
+        root, Seq("key"), "v", Seq("date"), checkpointInterval = 3)
+    assert(up("2026-01-01", 1L, 1.0) == 1L) // first commit: snapshot
+    assert(up("2026-01-02", 2L, 2.0) == 2L) // delta
+    assert(up("2026-01-03", 3L, 3.0) == 3L) // v3 % 3 == 0: snapshot
+    assert(up("2026-01-01", 1L, 9.0) == 4L) // delta
+    assert(!manifestText(root, 1L).contains("kind=delta"))
+    assert(manifestText(root, 2L).contains("kind=delta"))
+    assert(!manifestText(root, 3L).contains("kind=delta"))
+    assert(manifestText(root, 4L).contains("kind=delta"))
+    // the pointer names the newest snapshot
+    val ptr = fs.open(new Path(root, "_manifests/_last_checkpoint"))
+    val ptrText = try scala.io.Source.fromInputStream(ptr, "UTF-8").mkString finally ptr.close()
+    assert(ptrText.trim == "3")
+    // a delta lists ONLY the touched partition: v4 touched 01-01, so the
+    // untouched partitions' files appear nowhere in it (O(batch) bytes)
+    val d4 = manifestText(root, 4L)
+    assert(!d4.contains("date=2026-01-02") && !d4.contains("date=2026-01-03"), d4)
+    // v4's remove list retires v1's 01-01 file; resolution folds it all
+    val got = ManifestTable.read(spark, root).orderBy("key")
+      .select("key", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 9.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("resolution through the pointer equals resolution through the log") {
+    val root = tmp() + "/t"
+    (1 to 7).foreach { i =>
+      ManifestTable.upsertDedup(spark,
+        Seq((s"2026-01-0${i % 3 + 1}", i.toLong, i.toDouble)).toDF("date", "key", "v"),
+        root, Seq("key"), "v", Seq("date"), checkpointInterval = 3)
+    }
+    val viaPointer = ManifestTable.read(spark, root).orderBy("key")
+      .select("key", "v").as[(Long, Double)].collect().toSeq
+    val ptrPath = new Path(root, "_manifests/_last_checkpoint")
+    // crash between snapshot commit and pointer write == pointer absent:
+    // the listing fallback must produce the identical answer
+    fs.delete(ptrPath, false)
+    assert(ManifestTable.read(spark, root).orderBy("key")
+      .select("key", "v").as[(Long, Double)].collect().toSeq == viaPointer)
+    // garbled pointer: same answer (hint is advisory, never trusted)
+    val out = fs.create(ptrPath, true)
+    out.write("not-a-version".getBytes("UTF-8")); out.close()
+    assert(ManifestTable.read(spark, root).orderBy("key")
+      .select("key", "v").as[(Long, Double)].collect().toSeq == viaPointer)
+    // stale pointer (an OLD snapshot): probe walks forward, same answer
+    val out2 = fs.create(ptrPath, true)
+    out2.write("3".getBytes("UTF-8")); out2.close()
+    assert(ManifestTable.read(spark, root).orderBy("key")
+      .select("key", "v").as[(Long, Double)].collect().toSeq == viaPointer)
+    // time travel resolves a delta version through its chain
+    assert(ManifestTable.readVersion(spark, root, 5L).count() == 5L)
+  }
+
+  test("vacuum retains the snapshot+delta chain the kept versions need") {
+    val root = tmp() + "/t"
+    (1 to 5).foreach { i =>
+      ManifestTable.upsertDedup(spark,
+        Seq((s"2026-01-0$i", i.toLong, i.toDouble)).toDF("date", "key", "v"),
+        root, Seq("key"), "v", Seq("date"), checkpointInterval = 2)
+    }
+    // log: v1 snap, v2 snap(2%2), v3 delta, v4 snap, v5 delta
+    val live = ManifestTable.read(spark, root).orderBy("key")
+      .select("key", "v").as[(Long, Double)].collect().toSeq
+    ManifestTable.vacuum(spark, root, keep = 2)
+    // kept 5,4; floor = v4 (newest snapshot <= 4): v1..v3 dropped
+    val versions = fs.listStatus(new Path(root, "_manifests"))
+      .map(_.getPath.getName).filter(_.endsWith(".txt")).toSeq.sorted
+    assert(versions == Seq("00000000000000000004.txt", "00000000000000000005.txt"))
+    assert(ManifestTable.read(spark, root).orderBy("key")
+      .select("key", "v").as[(Long, Double)].collect().toSeq == live)
+    // the delta head still resolves (its snapshot base was retained)
+    assert(ManifestTable.readVersion(spark, root, 5L).count() == 5L)
+  }
+
+  test("vacuum keeps a delta head's chain even when keep=1 lands on a delta") {
+    val root = tmp() + "/t"
+    (1 to 3).foreach { i =>
+      ManifestTable.upsertDedup(spark,
+        Seq((s"2026-01-0$i", i.toLong, i.toDouble)).toDF("date", "key", "v"),
+        root, Seq("key"), "v", Seq("date"), checkpointInterval = 100)
+    }
+    // log: v1 snap, v2 delta, v3 delta — keep=1 keeps v3, whose chain
+    // needs v1 and v2: NOTHING may be dropped
+    val live = ManifestTable.read(spark, root).count()
+    assert(ManifestTable.vacuum(spark, root, keep = 1) == 0)
+    val versions = fs.listStatus(new Path(root, "_manifests"))
+      .map(_.getPath.getName).filter(_.endsWith(".txt")).toSeq
+    assert(versions.size == 3)
+    assert(ManifestTable.read(spark, root).count() == live)
+  }
+
   test("compact shrinks the file list, preserves rows, bumps version") {
     val root = tmp() + "/t"
     // fragmented seed: 4 files per partition, then tiny upsert generations
@@ -276,9 +375,10 @@ class ManifestTableSpec extends SparkSpec {
     val deleted = ManifestTable.vacuum(spark, root, keep = 2)
     assert(deleted == 2) // gens of v1 and v2 (each write = full overwrite)
     assert(ManifestTable.read(spark, root).as[(Int, String)].collect().toSeq == live)
-    // dropped manifests are gone too
+    // dropped manifests are gone too (the _last_checkpoint pointer is
+    // not a manifest — it stays)
     val versions = fs.listStatus(new Path(root, "_manifests"))
-      .map(_.getPath.getName).toSeq.sorted
+      .map(_.getPath.getName).toSeq.filter(_.endsWith(".txt")).sorted
     assert(versions == Seq("00000000000000000003.txt", "00000000000000000004.txt"))
   }
 
