@@ -318,6 +318,26 @@ object BenchQueries extends QueryPack {
         t(s, d, "events").withColumn("_v", col("value").cast("decimal(27,6)")),
         "event_type", col("_v"), saltBuckets = 16, saltSource = col("event_id"))
         .withColumn("total", round(col("total"), 4).cast("double"))),
+    "j10_skew_join" -> ((s, d) => {
+      // skew-hardened join: events enriched with per-type stats.
+      // event_type is the prof_skew hot column — in a plain shuffle join
+      // its hottest value lands on ONE reducer; skewedEquiJoin salts the
+      // hot keys over 8 buckets and the result stays bit-identical to
+      // the plain join (the oracle is exactly that plain join).
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val dim = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_type"),
+          round(sum(col("value").cast("decimal(27,6)")), 4).cast("double")
+            .as("total_type"))
+      // hot set from the data itself (top-2 types), the heavyHitters
+      // composition a real pipeline would use
+      val hot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("_n"))
+        .orderBy(col("_n").desc, col("event_type").asc).limit(2)
+        .select(col("event_type"))
+      graft.operators.Joins.skewedEquiJoin(ev, dim, Seq("event_type"), hot,
+        joinType = "inner", saltBuckets = 8, saltSource = Some(col("event_id")))
+    }),
     "j6_asof_join" -> ((s, d) => {
       // as-of join: each purchase matched to the user's latest prior view.
       val purchases = t(s, d, "events").filter(col("event_type") === "purchase")
@@ -636,6 +656,12 @@ object BenchQueries extends QueryPack {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE) AS total
         |FROM events GROUP BY 1""".stripMargin,
+    "j10_skew_join" ->
+      """SELECT e.event_id, e.event_type, e.value, t.n_type, t.total_type
+        |FROM events e
+        |JOIN (SELECT event_type, COUNT(*) AS n_type,
+        |        CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 4) AS DOUBLE) AS total_type
+        |      FROM events GROUP BY 1) t USING (event_type)""".stripMargin,
     "j6_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts,
         |       v.value AS view_value

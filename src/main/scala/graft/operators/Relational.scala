@@ -186,6 +186,75 @@ object Joins {
   def leftBroadcast(big: DataFrame, small: DataFrame, keys: Seq[String]): DataFrame =
     big.join(broadcast(small), keys, "left")
 
+  /** Skew-hardened equi-join: the classic 100 TB join killer is ONE hot
+    * key (a sentinel id, a default date, a null-ish placeholder) putting
+    * 40% of the large side on a single reducer while 999 executors idle.
+    * This helper splits the join into two paths around a small set of
+    * known-hot key values and unions the results — bit-identical to the
+    * plain join for every supported join type:
+    *
+    *  - COLD path: rows whose key is not hot join normally (their
+    *    shuffle is uniform by assumption).
+    *  - HOT path: the left side gets a deterministic salt in
+    *    [0, saltBuckets); the right side's hot rows REPLICATE once per
+    *    bucket; the join key becomes (keys..., salt), so the hot key's
+    *    rows spread over `saltBuckets` reducers instead of one.
+    *
+    * `hotKeys` is a small DataFrame of the hot key tuples (columns =
+    * `keys`) — typically [[graft.operators.Profile.heavyHitters]] output
+    * filtered to share ≥ a few percent; it broadcasts four times (two
+    * semi/anti splits per side), so keep it to the actual heavy hitters
+    * (≤ thousands). Join types: inner / left / left_semi / left_anti —
+    * the ones where replicating the RIGHT side cannot duplicate output
+    * (a right/full outer would emit each unmatched replicated row
+    * `saltBuckets` times). NULL keys never equi-match, so null-key rows
+    * ride the cold path and behave exactly as in the plain join.
+    *
+    * The salt must be DETERMINISTIC per row (a task retry that re-salts
+    * with rand() would send the row to a different bucket than the copy
+    * a lost shuffle block already delivered): default is a hash of the
+    * whole left row; pass `saltSource` (e.g. a unique id column) when
+    * the row contains types xxhash64 can't take (maps).
+    *
+    * Spark's own AQE skew-join (enabled in [[graft.core.GraftSession]])
+    * splits oversized sort-merge partitions at runtime and composes
+    * with — or substitutes for — this operator when statistics surface
+    * the skew; this helper is the deterministic, planner-independent
+    * path for skew you KNOW about (and the only one that also covers
+    * shuffled hash joins Spark 4 won't split).
+    *
+    * Scale shape: four broadcast semi/anti filters (map-side, no
+    * shuffle), one salted shuffle spread over saltBuckets reducers, one
+    * uniform cold shuffle. Right-side replication costs
+    * |hot right rows| × saltBuckets — hot keys are few by definition,
+    * so this is bounded. */
+  def skewedEquiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     hotKeys: DataFrame, joinType: String = "inner",
+                     saltBuckets: Int = 32,
+                     saltSource: Option[Column] = None): DataFrame = {
+    require(keys.nonEmpty, "skewedEquiJoin: need at least one join key")
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(joinType),
+      s"skewedEquiJoin supports inner/left/left_semi/left_anti (right-side " +
+        s"replication would duplicate unmatched rows of an outer right side), got $joinType")
+    require(saltBuckets > 1, s"saltBuckets must be > 1, got $saltBuckets")
+    require(hotKeys.columns.toSeq.sorted == keys.sorted,
+      s"hotKeys columns ${hotKeys.columns.toSeq} must be exactly the join keys $keys")
+    val nonce = graft.core.Cols.nonce
+    val saltC = s"_salt_$nonce"
+    val hk = broadcast(hotKeys.select(keys.map(col).toIndexedSeq: _*).distinct())
+    val leftHot = left.join(hk, keys, "left_semi")
+    val leftCold = left.join(hk, keys, "left_anti")
+    val rightHot = right.join(hk, keys, "left_semi")
+    val rightCold = right.join(hk, keys, "left_anti")
+    val salt = saltSource.getOrElse(struct(left.columns.map(col).toIndexedSeq: _*))
+    val salted = leftHot.withColumn(saltC, pmod(xxhash64(salt), lit(saltBuckets.toLong)))
+    val replicated = rightHot.withColumn(saltC,
+      explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+    val hotJoined = salted.join(replicated, keys :+ saltC, joinType).drop(saltC)
+    val coldJoined = leftCold.join(rightCold, keys, joinType)
+    hotJoined.unionByName(coldJoined)
+  }
+
   /** Bloom-prefiltered equi-join: build a Bloom sketch over the small
     * side's (distinct) join keys, probe it INSIDE the large side's scan
     * stage, then run the exact join on the survivors. The result is

@@ -36,6 +36,51 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("minhashNearDupPairs"))
   }
 
+  test("skewedEquiJoin is bit-identical to the plain join for every supported type") {
+    // 40%-hot key, null keys both sides, right-side duplicates, keys
+    // present on only one side — every equi-join edge case at once
+    val left = spark.range(2000).select(
+      when(col("id") % 5 < 2, lit("HOT"))
+        .when(col("id") % 97 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("k"), (col("id") % 60).cast("string"))).as("k"),
+      col("id").as("lv"))
+    val right = spark.range(120).select(
+      when(col("id") === 0, lit("HOT"))
+        .when(col("id") === 1, lit(null).cast("string"))
+        .otherwise(concat(lit("k"), (col("id") % 45).cast("string"))).as("k"),
+      col("id").as("rv")) // k0..k44 duplicated; k45..k59 left-only
+    val hot = Seq("HOT", "k3").toDF("k")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val fast = Joins.skewedEquiJoin(left, right, Seq("k"), hot, jt,
+        saltBuckets = 8)
+      val plain = left.join(right, Seq("k"), jt)
+      assert(fast.columns.toSeq.sorted == plain.columns.toSeq.sorted, jt)
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.select(plain.columns.sorted.map(col).toIndexedSeq: _*)
+          .collect().map(_.toString).toSeq.sorted
+      assert(canon(fast) == canon(plain), s"join type $jt diverged")
+    }
+    // outer-right types are refused (replication would duplicate rows)
+    intercept[IllegalArgumentException] {
+      Joins.skewedEquiJoin(left, right, Seq("k"), hot, "full")
+    }
+  }
+
+  test("skewedEquiJoin plan: hot path shuffles on (key, salt)") {
+    val left = spark.range(1000).select(
+      (col("id") % 3).cast("string").as("k"), col("id").as("lv"))
+    val right = spark.range(30).select(
+      (col("id") % 3).cast("string").as("k"), col("id").as("rv"))
+    val hot = Seq("0").toDF("k")
+    val joined = Joins.skewedEquiJoin(left, right, Seq("k"), hot,
+      "inner", saltBuckets = 8)
+    val plan = joined.queryExecution.executedPlan.toString
+    // the hot path's exchange must carry the salt column — that IS the
+    // skew spread; without it the hot key still lands on one reducer
+    assert(plan.contains("_salt_"), plan)
+    assert(plan.contains("pmod"), plan)
+  }
+
   test("scd2History compacts no-op changes and assigns validity intervals") {
     val changes = Seq(
       (1L, "2024-01-01", 1L, 10.0),
