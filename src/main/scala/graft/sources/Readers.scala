@@ -66,9 +66,10 @@ object Readers {
 }
 
 /** S6-S9/S13-S15: the reference's HTTP-ish sources re-expressed as a
-  * pluggable fetcher. Production impl does driver-side (or
-  * mapPartitions-pooled) HTTP; tests and the zero-egress environment use
-  * fixtures. Mirrors the reference's own mock-mode precedent
+  * pluggable fetcher. The production implementation is [[HttpFetcher]]
+  * (java.net.http with the reference's timeout + retries=3 schedule);
+  * tests and the zero-egress environment use fixtures or scripted
+  * transports. Mirrors the reference's own mock-mode precedent
   * (weather_ollama_dag.py:59-70). */
 trait Fetcher {
   /** Fetch one logical page/payload; returns raw text (JSON/CSV body). */
