@@ -436,9 +436,11 @@ object DedupSuite {
                      maxDocs: Int = 10000): DataFrame = {
     require(threshold > 0,
       s"charNgramPairs: threshold must be > 0 (gram-disjoint pairs are not emitted), got $threshold")
-    val universe = docs.count()
+    // bounded guard: scan stops after maxDocs+1 rows, so the check costs
+    // O(maxDocs) even when someone points this at a 100 TB corpus
+    val universe = docs.limit(maxDocs + 1).count()
     require(universe <= maxDocs,
-      s"charNgramPairs: candidate universe has $universe docs (> maxDocs=$maxDocs) — " +
+      s"charNgramPairs: candidate universe has >$maxDocs docs (maxDocs=$maxDocs) — " +
         "this exact all-pairs baseline is quadratic in gram document-frequency; " +
         "use minhashNearDupPairs for corpus-scale near-dup detection " +
         "(or raise maxDocs deliberately for a bounded experiment)")

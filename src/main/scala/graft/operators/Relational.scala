@@ -255,6 +255,50 @@ object Joins {
     hotJoined.unionByName(coldJoined)
   }
 
+  /** [[skewedEquiJoin]] with the hot-key set DETECTED from a seeded
+    * sample of the left side: keys whose sampled share is at least
+    * `hotShare` are salted; everything else rides the cold path. Two
+    * small driver jobs over the sample (count + filtered aggregate) —
+    * at 0.1% of 100 TB that is a few GB, and a hot key at 5% share is
+    * found with near-certainty. The RESULT never depends on detection
+    * (both paths are exact), so a missed borderline key costs only its
+    * old skew, never correctness; `maxHotKeys` caps the broadcast.
+    * For skew you already know, pass the set to [[skewedEquiJoin]]
+    * directly and skip the sample. */
+  def skewedEquiJoinSampled(left: DataFrame, right: DataFrame, keys: Seq[String],
+                            joinType: String = "inner",
+                            saltBuckets: Int = 32,
+                            hotShare: Double = 0.05,
+                            sampleFraction: Double = 0.001,
+                            maxHotKeys: Int = 1000,
+                            saltSource: Option[Column] = None): DataFrame = {
+    require(hotShare > 0 && hotShare <= 1, s"hotShare must be in (0,1], got $hotShare")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0,1], got $sampleFraction")
+    val sampled = left.select(keys.map(col).toIndexedSeq: _*)
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+    val n = sampled.count()
+    // the hot set MATERIALIZES on the driver (bounded by maxHotKeys):
+    // skewedEquiJoin evaluates it in four separate filters, and a lazily
+    // recomputed plan that broke a count tie differently between them
+    // would split one key across inconsistent hot/cold paths — silent
+    // duplicates or drops. A collected local relation cannot diverge.
+    val hotRows: Array[org.apache.spark.sql.Row] =
+      if (n == 0) Array.empty
+      else sampled.groupBy(keys.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= math.max(1.0, hotShare * n))
+        .orderBy(col("_n").desc +: keys.map(col(_).asc_nulls_first): _*)
+        .limit(maxHotKeys)
+        .select(keys.map(col).toIndexedSeq: _*)
+        .collect()
+    val schema = org.apache.spark.sql.types.StructType(
+      keys.map(k => left.schema(k)))
+    val hot = left.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), schema)
+    skewedEquiJoin(left, right, keys, hot, joinType, saltBuckets, saltSource)
+  }
+
   /** Bloom-prefiltered equi-join: build a Bloom sketch over the small
     * side's (distinct) join keys, probe it INSIDE the large side's scan
     * stage, then run the exact join on the survivors. The result is

@@ -323,6 +323,25 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.readVersion(spark, root, 5L).count() == 5L)
   }
 
+  test("vacuum heals a pointer that named a dropped snapshot") {
+    val root = tmp() + "/t"
+    (1 to 5).foreach { i =>
+      ManifestTable.upsertDedup(spark,
+        Seq((s"2026-01-0$i", i.toLong, i.toDouble)).toDF("date", "key", "v"),
+        root, Seq("key"), "v", Seq("date"), checkpointInterval = 2)
+    }
+    // simulate a writer that crashed before its pointer writes: the
+    // pointer still names the OLD snapshot v2, which vacuum drops
+    val ptrPath = new Path(root, "_manifests/_last_checkpoint")
+    val out = fs.create(ptrPath, true)
+    out.write("2".getBytes("UTF-8")); out.close()
+    ManifestTable.vacuum(spark, root, keep = 2) // floor = v4; drops v1..v3
+    val in = fs.open(ptrPath)
+    val ptr = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    assert(ptr.trim == "4") // healed to the newest retained snapshot
+    assert(ManifestTable.read(spark, root).count() == 5)
+  }
+
   test("vacuum keeps a delta head's chain even when keep=1 lands on a delta") {
     val root = tmp() + "/t"
     (1 to 3).foreach { i =>

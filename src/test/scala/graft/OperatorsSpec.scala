@@ -66,6 +66,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("skewedEquiJoinSampled detects the planted hot key and matches the plain join") {
+    val left = spark.range(5000).select(
+      when(col("id") % 5 < 2, lit("HOT"))
+        .otherwise(concat(lit("k"), (col("id") % 40).cast("string"))).as("k"),
+      col("id").as("lv"))
+    val right = spark.range(41).select(
+      when(col("id") === 40, lit("HOT"))
+        .otherwise(concat(lit("k"), col("id").cast("string"))).as("k"),
+      col("id").as("rv"))
+    // full sample so detection is exact in the spec; production uses 0.001
+    val fast = Joins.skewedEquiJoinSampled(left, right, Seq("k"),
+      saltBuckets = 8, hotShare = 0.1, sampleFraction = 1.0)
+    val plain = left.join(right, Seq("k"), "inner")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(plain.columns.sorted.map(col).toIndexedSeq: _*)
+        .collect().map(_.toString).toSeq.sorted
+    assert(canon(fast) == canon(plain))
+    // the 40%-hot key must be salted: the plan carries the salt exchange
+    assert(fast.queryExecution.executedPlan.toString.contains("_salt_"))
+    // degenerate: nothing hot -> still identical to the plain join
+    val uniform = spark.range(400).select(
+      concat(lit("k"), (col("id") % 40).cast("string")).as("k"), col("id").as("lv"))
+    val fastU = Joins.skewedEquiJoinSampled(uniform, right, Seq("k"),
+      hotShare = 0.5, sampleFraction = 1.0)
+    assert(canon(fastU) == canon(uniform.join(right, Seq("k"), "inner")))
+  }
+
   test("skewedEquiJoin plan: hot path shuffles on (key, salt)") {
     val left = spark.range(1000).select(
       (col("id") % 3).cast("string").as("k"), col("id").as("lv"))
