@@ -717,7 +717,8 @@ object ManifestTable {
                                        batchId: Long, root: String,
                                        keys: Seq[String], order: String,
                                        partitionCols: Seq[String],
-                                       sinkId: String): Boolean = {
+                                       sinkId: String,
+                                       checkpointInterval: Int = DefaultCheckpointInterval): Boolean = {
     require(sinkId.nonEmpty && !sinkId.exists(c => c == '\t' || c == '\n'),
       s"sinkId must be a non-empty separator-free identifier, got '$sinkId'")
     val tagKey = s"$StreamBatchTag.$sinkId"
@@ -737,7 +738,8 @@ object ManifestTable {
       // listing per micro-batch, not two
       upsertFrom(spark, batch, root, keys, order, partitionCols,
         graceMs = 60000L, tags = Map(tagKey -> batchId.toString),
-        mergeSchema = false, prior = prior)
+        mergeSchema = false, prior = prior,
+        checkpointInterval = checkpointInterval)
       true
     }
   }
@@ -760,13 +762,14 @@ object ManifestTable {
     * than losing either side's commit. */
   def streamUpsertSink(stream: DataFrame, root: String, checkpoint: String,
                        keys: Seq[String], order: String, sinkId: String,
-                       partitionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+                       partitionCols: Seq[String] = Nil,
+                       checkpointInterval: Int = DefaultCheckpointInterval): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitStreamBatch(batch.sparkSession, batch, batchId, root,
-          keys, order, partitionCols, sinkId)
+          keys, order, partitionCols, sinkId, checkpointInterval)
         ()
       }
       .start()
