@@ -359,6 +359,50 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() == live)
   }
 
+  test("model-based random op sequence: table equals the in-memory model after every op") {
+    // seeded random walk over the whole mutation surface — upserts
+    // (delta AND snapshot commits, interval 3), full rewrites, compact,
+    // vacuum — with the table read back and compared to a trivial
+    // in-memory model after EVERY op. The strongest protocol check we
+    // have: any resolution bug (delta fold order, remove-list mismatch,
+    // chain break, vacuum over-delete) surfaces as a model divergence.
+    val rnd = new scala.util.Random(8L)
+    val root = tmp() + "/t"
+    val dates = Array("2026-01-01", "2026-01-02", "2026-01-03")
+    // key k lives in partition dates(k % 3) so a key never moves
+    // partitions (upsert merges per touched partition)
+    var model = Map.empty[Long, Double]
+    var op = 0L
+    def rows(n: Int): Seq[(String, Long, Double, Long)] =
+      (0 until n).map { _ =>
+        val k = rnd.nextInt(12).toLong
+        (dates((k % 3).toInt), k, rnd.nextInt(100).toDouble, op)
+      }.groupBy(_._2).map(_._2.last).toSeq // keep-last within the batch
+    for (i <- 1 to 14) {
+      op += 1
+      val dice = if (i == 1) 0 else rnd.nextInt(10)
+      dice match {
+        case n if n < 6 =>
+          val batch = rows(1 + rnd.nextInt(4))
+          ManifestTable.upsertDedup(spark, batch.toDF("date", "key", "v", "o"),
+            root, Seq("key"), "o", Seq("date"), checkpointInterval = 3)
+          model = model ++ batch.map(r => r._2 -> r._3)
+        case 6 | 7 =>
+          ManifestTable.compact(spark, root, targetFileMB = 16)
+        case 8 =>
+          ManifestTable.vacuum(spark, root, keep = 1 + rnd.nextInt(2))
+        case _ =>
+          val fresh = rows(5)
+          ManifestTable.write(fresh.toDF("date", "key", "v", "o"),
+            root, Seq("date"))
+          model = fresh.map(r => r._2 -> r._3).toMap
+      }
+      val got = ManifestTable.read(spark, root)
+        .select("key", "v").as[(Long, Double)].collect().toSeq.sorted
+      assert(got == model.toSeq.sorted, s"divergence after op $i (dice $dice)")
+    }
+  }
+
   test("compact shrinks the file list, preserves rows, bumps version") {
     val root = tmp() + "/t"
     // fragmented seed: 4 files per partition, then tiny upsert generations
