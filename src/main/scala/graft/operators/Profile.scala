@@ -52,7 +52,9 @@ object Profile {
     * values by frequency with their corpus share — the pre-flight check
     * that finds the hot keys a join/aggregate will skew on (and the
     * degenerate values — empty string, sentinel ids — that dominate dirty
-    * corpora).
+    * corpora). Feed the hot values into
+    * [[graft.operators.Joins.skewedEquiJoin]] (salted join path) or
+    * [[saltedGroupAgg]] to act on what this finds.
     *
     * ONE scan regardless of column count: the columns unpivot to
     * (column, value) pairs in the projection, a single count aggregate

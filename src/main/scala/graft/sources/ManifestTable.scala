@@ -332,22 +332,28 @@ object ManifestTable {
     try {
       val out = fs.create(p, false)
       try {
-        val sb = new StringBuilder
-        sb.append(s"version=$version\n")
+        // streamed line-by-line (buffered): a snapshot of a million-file
+        // table is ~100 MB of text — building it as one driver-side
+        // String would double-buffer that; the delta/sentinel protocol
+        // doesn't care how the bytes arrive, only that the sentinel is
+        // last
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(out, "UTF-8"), 1 << 16)
+        w.write(s"version=$version\n")
         m match {
           case FullManifest(_, files, _) =>
-            files.foreach(f => sb.append(s"file=${f.relPath}\t${f.bytes}\n"))
+            files.foreach(f => w.write(s"file=${f.relPath}\t${f.bytes}\n"))
           case DeltaManifest(_, adds, removes, _) =>
-            sb.append("kind=delta\n")
-            adds.foreach(f => sb.append(s"file=${f.relPath}\t${f.bytes}\n"))
-            removes.foreach(r => sb.append(s"remove=$r\n"))
+            w.write("kind=delta\n")
+            adds.foreach(f => w.write(s"file=${f.relPath}\t${f.bytes}\n"))
+            removes.foreach(r => w.write(s"remove=$r\n"))
         }
-        m.tags.toSeq.sortBy(_._1).foreach { case (k, v) => sb.append(s"tag=$k\t$v\n") }
-        sb.append("commit=ok")
-        out.write(sb.toString.getBytes("UTF-8"))
-        out.close()
+        m.tags.toSeq.sortBy(_._1).foreach { case (k, v) => w.write(s"tag=$k\t$v\n") }
+        w.write("commit=ok")
+        w.close()
       } catch {
         case e: Throwable =>
+          scala.util.Try(out.close())
           if (scala.util.Try(readRaw(fs, root, version)).toOption.flatten.isEmpty)
             fs.delete(p, false)
           throw e
