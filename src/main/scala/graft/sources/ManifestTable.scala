@@ -59,6 +59,13 @@ import graft.operators.Upsert
   * and pointer write is invisible). [[compact]] collapses the data
   * files, and [[vacuum]] bounds the log while always retaining the
   * snapshot+delta chain the kept versions resolve through.
+  *
+  * Remaining boundary, deliberately in scope for a future pass: the
+  * periodic SNAPSHOT is still line-oriented text, so every Nth commit
+  * writes (and a cold resolve reads) O(live files) text bytes — ~100 MB
+  * at a million files. Delta's answer is a columnar (parquet) checkpoint
+  * file; the commit protocol here would be unchanged by that swap (the
+  * snapshot is already a distinct artifact class behind `readRaw`).
   */
 object ManifestTable {
 
