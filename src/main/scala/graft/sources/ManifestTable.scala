@@ -60,12 +60,18 @@ import graft.operators.Upsert
   * files, and [[vacuum]] bounds the log while always retaining the
   * snapshot+delta chain the kept versions resolve through.
   *
-  * Remaining boundary, deliberately in scope for a future pass: the
-  * periodic SNAPSHOT is still line-oriented text, so every Nth commit
-  * writes (and a cold resolve reads) O(live files) text bytes — ~100 MB
-  * at a million files. Delta's answer is a columnar (parquet) checkpoint
-  * file; the commit protocol here would be unchanged by that swap (the
-  * snapshot is already a distinct artifact class behind `readRaw`).
+  * Large snapshots go COLUMNAR (Delta's parquet-checkpoint design): a
+  * snapshot listing at least `graft.manifest.columnarSnapshotThreshold`
+  * files (default 100 000 — session conf) is written as an immutable
+  * parquet sidecar `_manifests/ckpt-<uuid>/` BEFORE the claim, and the
+  * committed manifest is a tiny `kind=snapshot-ref` stub naming it plus
+  * a row-count integrity check. The commit protocol is unchanged — the
+  * atomic stub claim IS the commit; a writer crashing after the sidecar
+  * but before the claim leaves an orphan dir that `vacuum(deleteOrphans)`
+  * reclaims, and a sidecar that cannot be read back (missing/corrupt/
+  * wrong count) degrades exactly like a garbled manifest: loud warning,
+  * readers fall back to the previous resolvable version. Small tables
+  * keep the debuggable inline-text snapshot.
   */
 object ManifestTable {
 
@@ -118,6 +124,18 @@ object ManifestTable {
   private final case class DeltaManifest(version: Long, adds: Seq[FileEntry],
                                          removes: Seq[String],
                                          tags: Map[String, String]) extends Manifest
+  /** Columnar snapshot: the committed stub names an immutable parquet
+    * sidecar under `_manifests/` holding the file list; `count` is the
+    * integrity check on read-back. */
+  private final case class SnapshotRef(version: Long, refDir: String, count: Long,
+                                       tags: Map[String, String]) extends Manifest
+
+  /** Session conf: snapshots listing at least this many files are
+    * written as parquet sidecars instead of inline text. */
+  val ColumnarSnapshotThresholdKey = "graft.manifest.columnarSnapshotThreshold"
+
+  private def columnarThreshold(spark: SparkSession): Int =
+    scala.util.Try(spark.conf.get(ColumnarSnapshotThresholdKey).toInt).getOrElse(100000)
 
   /** Newest committed state, skipping half-written manifests (no
     * `commit=ok` sentinel → the writer died mid-create or is mid-write
@@ -132,7 +150,7 @@ object ManifestTable {
   def current(spark: SparkSession, root: String): Option[State] = {
     val fs = fsOf(spark, root)
     val hinted = readPointer(fs, root)
-      .filter(c => readRaw(fs, root, c).exists(_.isInstanceOf[FullManifest]))
+      .filter(c => readRaw(fs, root, c).exists(isSnapshot))
       .flatMap { c =>
         var newest = c
         var probe = c + 1
@@ -140,7 +158,7 @@ object ManifestTable {
           if (readRaw(fs, root, probe).nonEmpty) newest = probe
           probe += 1
         }
-        resolveState(fs, root, newest)
+        resolveState(spark, root, newest)
       }
     hinted.orElse {
       val dir = new Path(root, ManifestDir)
@@ -150,9 +168,11 @@ object ManifestTable {
         .filter(_.endsWith(".txt"))
         .flatMap(n => scala.util.Try(n.stripSuffix(".txt").toLong).toOption)
         .sorted(Ordering[Long].reverse)
-      versions.iterator.flatMap(v => resolveState(fs, root, v)).nextOption()
+      versions.iterator.flatMap(v => resolveState(spark, root, v)).nextOption()
     }
   }
+
+  private def isSnapshot(m: Manifest): Boolean = !m.isInstanceOf[DeltaManifest]
 
   /** Parse ONE manifest file; no chain resolution. `None` means "no
     * committed manifest at this version" — exactly: file absent
@@ -190,6 +210,12 @@ object ManifestTable {
       if (lines.contains("kind=delta")) {
         val removes = lines.filter(_.startsWith("remove=")).map(_.stripPrefix("remove="))
         Some(DeltaManifest(version, files, removes, tags))
+      } else if (lines.contains("kind=snapshot-ref")) {
+        val refDir = lines.find(_.startsWith("checkpoint=")).map(_.stripPrefix("checkpoint="))
+          .getOrElse(sys.error("snapshot-ref without checkpoint= line"))
+        val count = lines.find(_.startsWith("count=")).map(_.stripPrefix("count=").toLong)
+          .getOrElse(sys.error("snapshot-ref without count= line"))
+        Some(SnapshotRef(version, refDir, count, tags))
       } else Some(FullManifest(version, files, tags))
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -204,23 +230,36 @@ object ManifestTable {
     * checkpointInterval + 1 manifest reads. A broken link (missing or
     * garbled manifest inside the chain) resolves to None with a warning
     * — `current()` then falls back to the next older resolvable head. */
-  private def resolveState(fetch: Long => Option[Manifest], version: Long,
-                           root: String): Option[State] = {
+  private def resolveState(fetch: Long => Option[Manifest],
+                           loadRef: SnapshotRef => Option[Seq[FileEntry]],
+                           version: Long, root: String): Option[State] = {
     var deltas = List.empty[DeltaManifest]
     var v = version
     while (v >= 1) {
       fetch(v) match {
-        case Some(f: FullManifest) =>
-          var files = f.files
-          deltas.foreach { d =>
-            val rm = d.removes.toSet
-            files = files.filterNot(e => rm(e.relPath)) ++ d.adds
-          }
-          val head: Manifest = deltas.lastOption.getOrElse(f)
-          return Some(State(version, files, head.tags))
         case Some(d: DeltaManifest) =>
           deltas = deltas :+ d // applied oldest-first after the snapshot
           v -= 1
+        case Some(base) =>
+          val baseFiles = base match {
+            case f: FullManifest  => Some(f.files)
+            case r: SnapshotRef   => loadRef(r)
+            case _: DeltaManifest => None // unreachable (matched above)
+          }
+          baseFiles match {
+            case None =>
+              log.warn(s"manifest table $root: v$version resolves through snapshot " +
+                s"v$v whose sidecar cannot be read — treating v$version as unresolvable")
+              return None
+            case Some(bf) =>
+              var files = bf
+              deltas.foreach { d =>
+                val rm = d.removes.toSet
+                files = files.filterNot(e => rm(e.relPath)) ++ d.adds
+              }
+              val head: Manifest = deltas.lastOption.getOrElse(base)
+              return Some(State(version, files, head.tags))
+          }
         case None =>
           log.warn(s"manifest table $root: v$version is committed but its delta " +
             s"chain breaks at v$v (missing/garbled) — treating v$version as unresolvable")
@@ -231,10 +270,35 @@ object ManifestTable {
     None
   }
 
-  private def resolveState(fs: FileSystem, root: String, version: Long): Option[State] =
+  private def resolveState(spark: SparkSession, root: String, version: Long): Option[State] = {
+    val fs = fsOf(spark, root)
     readRaw(fs, root, version) match {
       case None    => None // not committed at all
-      case Some(_) => resolveState(v => readRaw(fs, root, v), version, root)
+      case Some(_) => resolveState(v => readRaw(fs, root, v),
+        loadRefFiles(spark, root, _), version, root)
+    }
+  }
+
+  /** Read a columnar snapshot sidecar back; any failure — missing dir,
+    * unreadable parquet, row count not matching the committed stub —
+    * reads as absent (loud warning), so resolution degrades exactly
+    * like a garbled manifest instead of crashing every table op. */
+  private def loadRefFiles(spark: SparkSession, root: String,
+                           ref: SnapshotRef): Option[Seq[FileEntry]] =
+    try {
+      val rows = spark.read
+        .parquet(new Path(root, s"$ManifestDir/${ref.refDir}").toString)
+        .select("relPath", "bytes").collect()
+      if (rows.length != ref.count) {
+        log.warn(s"manifest table $root: snapshot sidecar ${ref.refDir} has " +
+          s"${rows.length} rows, stub committed ${ref.count} — treating as absent")
+        None
+      } else Some(rows.toSeq.map(r => FileEntry(r.getString(0), r.getLong(1))))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"manifest table $root: snapshot sidecar ${ref.refDir} unreadable " +
+          s"(${e.getClass.getSimpleName}) — treating as absent")
+        None
     }
 
   /** Best-effort `_last_checkpoint` maintenance: written AFTER a
@@ -354,6 +418,10 @@ object ManifestTable {
             w.write("kind=delta\n")
             adds.foreach(f => w.write(s"file=${f.relPath}\t${f.bytes}\n"))
             removes.foreach(r => w.write(s"remove=$r\n"))
+          case SnapshotRef(_, refDir, count, _) =>
+            w.write("kind=snapshot-ref\n")
+            w.write(s"checkpoint=$refDir\n")
+            w.write(s"count=$count\n")
         }
         m.tags.toSeq.sortBy(_._1).foreach { case (k, v) => w.write(s"tag=$k\t$v\n") }
         w.write("commit=ok")
@@ -389,6 +457,37 @@ object ManifestTable {
     entries.result()
   }
 
+  /** Build the snapshot artifact for `files`: inline text below the
+    * columnar threshold; otherwise a parquet sidecar under
+    * `_manifests/ckpt-<uuid>` (version-free name — a CAS retry re-claims
+    * a different version with the same sidecar) plus the path to delete
+    * if the claim ultimately fails. The sidecar is written BEFORE any
+    * claim, so a committed stub always has its sidecar; a crash here
+    * leaves an orphan dir for vacuum(deleteOrphans). */
+  private def mkSnapshot(spark: SparkSession, root: String, version: Long,
+                         files: Seq[FileEntry],
+                         tags: Map[String, String]): (Manifest, Option[Path]) =
+    if (files.size < columnarThreshold(spark))
+      (FullManifest(version, files, tags), None)
+    else {
+      import spark.implicits._
+      val refDir = s"ckpt-${java.util.UUID.randomUUID().toString.take(12)}"
+      val p = new Path(root, s"$ManifestDir/$refDir")
+      // one parquet file: the sidecar is driver-read back in one go and
+      // object stores price requests, not bytes
+      files.map(f => (f.relPath, f.bytes)).toDF("relPath", "bytes")
+        .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(p.toString)
+      (SnapshotRef(version, refDir, files.size, tags), Some(p))
+    }
+
+  /** Re-stamp a snapshot artifact with a new claim version (CAS retry
+    * moved the slot): the sidecar, if any, is reused as-is. */
+  private def restamp(m: Manifest, version: Long): Manifest = m match {
+    case f: FullManifest => f.copy(version = version)
+    case r: SnapshotRef  => r.copy(version = version)
+    case d: DeltaManifest => d.copy(version = version)
+  }
+
   /** Write `df` into a fresh immutable generation dir; returns the
     * generation's file entries. */
   private def writeGeneration(df: DataFrame, root: String,
@@ -419,7 +518,7 @@ object ManifestTable {
     * trained". Fails if the version was vacuumed or never committed. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
     readState(spark, root,
-      resolveState(fsOf(spark, root), root, version).getOrElse(sys.error(
+      resolveState(spark, root, version).getOrElse(sys.error(
         s"manifest table $root has no committed version $version (vacuumed or never committed)")))
 
   private def readState(spark: SparkSession, root: String, st: State): DataFrame = {
@@ -469,6 +568,7 @@ object ManifestTable {
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
     val (gen, entries) = writeGeneration(df, root, partitionCols)
+    val (proto, sidecar) = mkSnapshot(spark, root, 1L, entries, Map.empty)
     var attempts = 0
     while (attempts < maxAttempts) {
       val prev = current(spark, root)
@@ -476,7 +576,12 @@ object ManifestTable {
       // previous tags carry forward (e.g. the stream sink's last-applied
       // batch id — losing it would re-open the replay double-apply)
       val tags = prev.map(_.tags).getOrElse(Map.empty)
-      if (claimOrRecover(fs, root, FullManifest(v, entries, tags), graceMs)) {
+      val manifest = restamp(proto, v) match {
+        case f: FullManifest => f.copy(tags = tags)
+        case r: SnapshotRef  => r.copy(tags = tags)
+        case d               => d
+      }
+      if (claimOrRecover(fs, root, manifest, graceMs)) {
         writePointer(fs, root, v)
         return v
       }
@@ -484,10 +589,11 @@ object ManifestTable {
       Thread.sleep(100L * math.min(attempts, 5))
     }
     // never-orphan-yourself, same as the upsert/compact conflict paths:
-    // without this, exhausting the claim loop leaves a generation only
-    // vacuum(deleteOrphans = true) — unsafe with writers in flight —
-    // could ever reclaim
+    // without this, exhausting the claim loop leaves a generation (and
+    // sidecar) only vacuum(deleteOrphans = true) — unsafe with writers
+    // in flight — could ever reclaim
     fs.delete(new Path(root, gen), true)
+    sidecar.foreach(fs.delete(_, true))
     sys.error(s"manifest table $root: could not claim a version after $maxAttempts attempts")
   }
 
@@ -569,8 +675,10 @@ object ManifestTable {
     prior match {
       case None =>
         val (gen, entries) = writeGeneration(fresh, root, partitionCols)
-        if (!claimOrRecover(fs, root, FullManifest(1L, entries, tags), graceMs)) {
+        val (m1, sidecar1) = mkSnapshot(spark, root, 1L, entries, tags)
+        if (!claimOrRecover(fs, root, m1, graceMs)) {
           fs.delete(new Path(root, gen), true)
+          sidecar1.foreach(fs.delete(_, true))
           throw new ConcurrentCommitException(root, 1L)
         }
         writePointer(fs, root, 1L)
@@ -657,22 +765,23 @@ object ManifestTable {
         // checkpointInterval-th version snapshots so resolution chains
         // stay short. Unpartitioned upserts rewrite the whole table
         // anyway (carried is empty) — a snapshot IS the smaller record.
-        val isSnapshot = carried.isEmpty ||
+        val snapshotting = carried.isEmpty ||
           checkpointInterval <= 1 || v % checkpointInterval == 0
-        val manifest: Manifest =
-          if (isSnapshot) FullManifest(v, keep ++ entries, newTags)
+        val (manifest, sidecar) =
+          if (snapshotting) mkSnapshot(spark, root, v, keep ++ entries, newTags)
           else {
             val keptPaths = keep.map(_.relPath).toSet
             val removes = st.files.collect {
               case f if !keptPaths.contains(f.relPath) => f.relPath
             }
-            DeltaManifest(v, entries, removes, newTags)
+            (DeltaManifest(v, entries, removes, newTags), None)
           }
         if (!claimOrRecover(fs, root, manifest, graceMs)) {
           fs.delete(new Path(root, gen), true)
+          sidecar.foreach(fs.delete(_, true))
           throw new ConcurrentCommitException(root, v)
         }
-        if (isSnapshot) writePointer(fs, root, v)
+        if (snapshotting) writePointer(fs, root, v)
         v
     }
   }
@@ -707,8 +816,10 @@ object ManifestTable {
     val entries = listGeneration(fs, root, gen)
     val v = st.version + 1
     // compaction preserves commit metadata (stream replay watermark etc.)
-    if (!claimOrRecover(fs, root, FullManifest(v, entries, st.tags), graceMs)) {
+    val (manifest, sidecar) = mkSnapshot(spark, root, v, entries, st.tags)
+    if (!claimOrRecover(fs, root, manifest, graceMs)) {
       fs.delete(genPath, true)
+      sidecar.foreach(fs.delete(_, true))
       throw new ConcurrentCommitException(root, v)
     }
     writePointer(fs, root, v)
@@ -823,10 +934,10 @@ object ManifestTable {
     if (raws.isEmpty) return 0
     val byVersion = raws.map(m => m.version -> m).toMap
     def resolveIn(v: Long): Option[State] =
-      resolveState(byVersion.get(_), v, root)
+      resolveState(byVersion.get(_), loadRefFiles(spark, root, _), v, root)
     val keptVersions = raws.take(keep).map(_.version)
     val floor: Long = raws
-      .collect { case f: FullManifest if f.version <= keptVersions.min => f.version }
+      .collect { case m if isSnapshot(m) && m.version <= keptVersions.min => m.version }
       .maxOption
       .getOrElse {
         log.warn(s"vacuum($root): no snapshot at or below v${keptVersions.min} — " +
@@ -847,11 +958,19 @@ object ManifestTable {
       log.info(s"vacuum($root): deleting unreferenced generation $g")
       fs.delete(new Path(root, g), true)
     }
-    dropped.foreach(m => fs.delete(manifestPath(root, m.version), false))
+    dropped.foreach { m =>
+      fs.delete(manifestPath(root, m.version), false)
+      m match {
+        case SnapshotRef(_, refDir, _, _) =>
+          // the dropped stub was the sidecar's only committed reference
+          fs.delete(new Path(root, s"$ManifestDir/$refDir"), true)
+        case _ => ()
+      }
+    }
     // heal a pointer that named a dropped snapshot (readers would fall
     // back to listing forever otherwise)
     if (readPointer(fs, root).exists(_ < floor))
-      retained.collect { case f: FullManifest => f.version }.maxOption
+      retained.collect { case m if isSnapshot(m) => m.version }.maxOption
         .foreach(writePointer(fs, root, _))
     val orphans: Set[String] =
       if (!deleteOrphans) Set.empty
@@ -859,10 +978,20 @@ object ManifestTable {
         val onDisk = fs.listStatus(new Path(root)).toSeq
           .map(_.getPath.getName).filter(_.startsWith("gen-")).toSet
         val refd = liveGens ++ gens(droppedStates) // dropped's dead gens already handled
-        (onDisk -- refd -- deadGens).tapEach { g =>
+        val genOrphans = (onDisk -- refd -- deadGens).tapEach { g =>
           log.info(s"vacuum($root): deleting ORPHAN generation $g (no manifest references it)")
           fs.delete(new Path(root, g), true)
         }.toSet
+        // sidecars from writers that crashed between sidecar write and
+        // claim (or lost the claim before their cleanup ran)
+        val refdCkpts = raws.collect { case SnapshotRef(_, d, _, _) => d }.toSet
+        val ckptOrphans = fs.listStatus(new Path(root, ManifestDir)).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("ckpt-")).toSet
+          .diff(refdCkpts).tapEach { c =>
+            log.info(s"vacuum($root): deleting ORPHAN snapshot sidecar $c")
+            fs.delete(new Path(root, s"$ManifestDir/$c"), true)
+          }.toSet
+        genOrphans ++ ckptOrphans
       }
     deadGens.size + orphans.size
   }

@@ -360,6 +360,17 @@ class ManifestTableSpec extends SparkSpec {
   }
 
   test("model-based random op sequence: table equals the in-memory model after every op") {
+    modelRun()
+  }
+
+  test("model-based random op sequence with COLUMNAR snapshots (threshold 1)") {
+    // same walk, every snapshot forced through the parquet-sidecar path
+    spark.conf.set(ManifestTable.ColumnarSnapshotThresholdKey, "1")
+    try modelRun()
+    finally spark.conf.unset(ManifestTable.ColumnarSnapshotThresholdKey)
+  }
+
+  private def modelRun(): Unit = {
     // seeded random walk over the whole mutation surface — upserts
     // (delta AND snapshot commits, interval 3), full rewrites, compact,
     // vacuum — with the table read back and compared to a trivial
@@ -401,6 +412,84 @@ class ManifestTableSpec extends SparkSpec {
         .select("key", "v").as[(Long, Double)].collect().toSeq.sorted
       assert(got == model.toSeq.sorted, s"divergence after op $i (dice $dice)")
     }
+  }
+
+  test("columnar snapshot: large snapshots commit as parquet sidecars") {
+    spark.conf.set(ManifestTable.ColumnarSnapshotThresholdKey, "2")
+    try {
+      val root = tmp() + "/t"
+      val seed = Seq(("2026-01-01", 1L, 10.0), ("2026-01-02", 2L, 20.0),
+        ("2026-01-03", 3L, 30.0)).toDF("date", "key", "v")
+      ManifestTable.upsertDedup(spark, seed, root, Seq("key"), "v", Seq("date"))
+      // 3 files >= threshold 2: v1 is a snapshot-ref stub + parquet sidecar
+      val t1 = manifestText(root, 1L)
+      assert(t1.contains("kind=snapshot-ref") && t1.contains("count=3"), t1)
+      assert(!t1.contains("file="), t1) // the stub carries no inline list
+      val ckpts = fs.listStatus(new Path(root, "_manifests"))
+        .map(_.getPath.getName).filter(_.startsWith("ckpt-"))
+      assert(ckpts.length == 1)
+      // a delta on top resolves THROUGH the sidecar
+      ManifestTable.upsertDedup(spark, Seq(("2026-01-02", 2L, 99.0)).toDF("date", "key", "v"),
+        root, Seq("key"), "v", Seq("date"))
+      val got = ManifestTable.read(spark, root).orderBy("key")
+        .select("key", "v").as[(Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+      // time travel to the columnar version itself
+      assert(ManifestTable.readVersion(spark, root, 1L).count() == 3)
+    } finally spark.conf.unset(ManifestTable.ColumnarSnapshotThresholdKey)
+  }
+
+  test("columnar snapshot: an unreadable sidecar degrades like a garbled manifest") {
+    spark.conf.set(ManifestTable.ColumnarSnapshotThresholdKey, "2")
+    try {
+      val root = tmp() + "/t"
+      def up(date: String, key: Long, v: Double): Long =
+        ManifestTable.upsertDedup(spark, Seq((date, key, v)).toDF("date", "key", "v"),
+          root, Seq("key"), "v", Seq("date"), checkpointInterval = 3)
+      up("2026-01-01", 1L, 1.0) // v1 snapshot (columnar: 1 file < 2? no —
+      // one partition = 1 file, below threshold -> INLINE; that's fine:
+      // the v3 snapshot below is the columnar one (3 files)
+      up("2026-01-02", 2L, 2.0) // v2 delta
+      up("2026-01-03", 3L, 3.0) // v3 snapshot, 3 files -> columnar
+      up("2026-01-01", 1L, 9.0) // v4 delta
+      assert(manifestText(root, 3L).contains("kind=snapshot-ref"))
+      val v2State = ManifestTable.readVersion(spark, root, 2L)
+        .orderBy("key").select("key", "v").as[(Long, Double)].collect().toSeq
+      // destroy v3's sidecar: v4 and v3 become unresolvable; readers must
+      // fall back to v2 (resolves through the inline v1 snapshot), not crash
+      val ckpt = fs.listStatus(new Path(root, "_manifests"))
+        .map(_.getPath.getName).find(_.startsWith("ckpt-")).get
+      fs.delete(new Path(root, s"_manifests/$ckpt"), true)
+      val got = ManifestTable.read(spark, root).orderBy("key")
+        .select("key", "v").as[(Long, Double)].collect().toSeq
+      assert(got == v2State, s"expected fallback to v2, got $got")
+    } finally spark.conf.unset(ManifestTable.ColumnarSnapshotThresholdKey)
+  }
+
+  test("vacuum deletes dropped columnar sidecars and reclaims orphaned ones") {
+    spark.conf.set(ManifestTable.ColumnarSnapshotThresholdKey, "1")
+    try {
+      val root = tmp() + "/t"
+      (1 to 5).foreach { i =>
+        ManifestTable.upsertDedup(spark,
+          Seq((s"2026-01-0$i", i.toLong, i.toDouble)).toDF("date", "key", "v"),
+          root, Seq("key"), "v", Seq("date"), checkpointInterval = 2)
+      }
+      // v1 snap, v2 snap, v3 delta, v4 snap, v5 delta — all snaps columnar
+      // plus a sidecar orphaned by a simulated pre-claim crash
+      fs.mkdirs(new Path(root, "_manifests/ckpt-orphaned"))
+      ManifestTable.vacuum(spark, root, keep = 2) // floor v4: drops v1..v3
+      val ckpts = fs.listStatus(new Path(root, "_manifests"))
+        .map(_.getPath.getName).filter(_.startsWith("ckpt-")).toSet
+      // v4's sidecar survives; v1/v2's are gone; the orphan needs deleteOrphans
+      assert(ckpts.size == 2 && ckpts.contains("ckpt-orphaned"), ckpts)
+      ManifestTable.vacuum(spark, root, keep = 2, deleteOrphans = true)
+      val after = fs.listStatus(new Path(root, "_manifests"))
+        .map(_.getPath.getName).filter(_.startsWith("ckpt-")).toSet
+      assert(after.size == 1 && !after.contains("ckpt-orphaned"), after)
+      assert(ManifestTable.read(spark, root).count() == 5)
+      assert(ManifestTable.readVersion(spark, root, 5L).count() == 5)
+    } finally spark.conf.unset(ManifestTable.ColumnarSnapshotThresholdKey)
   }
 
   test("compact shrinks the file list, preserves rows, bumps version") {
