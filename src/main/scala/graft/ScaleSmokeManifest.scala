@@ -104,6 +104,32 @@ object ScaleSmokeManifest {
     check("delta commit bytes stay flat as live-file count grows 10x",
       deltaL <= 2 * deltaS, s"delta bytes $deltaS->$deltaL")
 
+    // ---- columnar snapshot sidecar at the 10x table ----
+    // same 300-partition/9600-file shape, snapshot forced columnar: the
+    // committed stub stays tiny and the file list rides a parquet
+    // sidecar — the million-file answer (text snapshots re-parse ~100 MB
+    // per cold resolve; parquet is columnar, compressed, and immutable)
+    spark.conf.set(ManifestTable.ColumnarSnapshotThresholdKey, "500")
+    val cRoot = java.nio.file.Files.createTempDirectory("graft-scale-ckpt-col").toString + "/t"
+    val cSeed = spark.range(ckptRows).select(
+      lpad(pmod(col("id"), lit(300L)).cast("string"), 4, "0").as("part"),
+      col("id").as("key"), lit(1.0).as("v"))
+    ManifestTable.write(cSeed, cRoot, Seq("part"))
+    val stubB = manifestBytes(cRoot, 1L)
+    val ckptDirs = new org.apache.hadoop.fs.Path(cRoot + "/_manifests")
+    val cfs = ckptDirs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecarB = cfs.listStatus(ckptDirs).filter(_.getPath.getName.startsWith("ckpt-"))
+      .map(d => cfs.getContentSummary(d.getPath).getLength).sum
+    val t2 = System.nanoTime()
+    val nCol = ManifestTable.read(spark, cRoot).count()
+    val readSec = (System.nanoTime() - t2) / 1e9
+    println(f"SCALE ckpt columnar: 9600-file snapshot = $stubB B stub + $sidecarB B parquet " +
+      f"sidecar (text snapshot was ${results(1)._3} B); resolve+count $readSec%.1f s")
+    check("columnar snapshot: stub is O(1), sidecar beats the text snapshot",
+      stubB < 1000 && sidecarB < results(1)._3 && nCol == ckptRows,
+      s"stub=$stubB B, sidecar=$sidecarB B vs text=${results(1)._3} B, rows=$nCol")
+    spark.conf.unset(ManifestTable.ColumnarSnapshotThresholdKey)
+
     println(if (failures == 0) "SCALE manifest: ALL CHECKS PASSED"
     else s"SCALE manifest: $failures CHECK(S) FAILED")
     spark.stop()
