@@ -283,12 +283,13 @@ object Joins {
     // recomputed plan that broke a count tie differently between them
     // would split one key across inconsistent hot/cold paths — silent
     // duplicates or drops. A collected local relation cannot diverge.
+    val nC = s"_n_${graft.core.Cols.nonce}" // collision-free: a join key named "_n" is legal
     val hotRows: Array[org.apache.spark.sql.Row] =
       if (n == 0) Array.empty
       else sampled.groupBy(keys.map(col).toIndexedSeq: _*)
-        .agg(count(lit(1)).as("_n"))
-        .filter(col("_n") >= math.max(1.0, hotShare * n))
-        .orderBy(col("_n").desc +: keys.map(col(_).asc_nulls_first): _*)
+        .agg(count(lit(1)).as(nC))
+        .filter(col(nC) >= math.max(1.0, hotShare * n))
+        .orderBy(col(nC).desc +: keys.map(col(_).asc_nulls_first): _*)
         .limit(maxHotKeys)
         .select(keys.map(col).toIndexedSeq: _*)
         .collect()

@@ -134,6 +134,11 @@ final class HttpFetcher(transport: HttpTransport = new JdkHttpTransport(),
       outcome match {
         case Right(body) => return body
         case Left(e) =>
+          // a cancelled thread must abort NOW, not re-send the request
+          // up to `retries` more times — the transport re-sets the
+          // interrupt flag before wrapping the InterruptedException
+          if (Thread.currentThread().isInterrupted ||
+              e.getCause.isInstanceOf[InterruptedException]) throw e
           attempt += 1
           if (attempt > retries) throw e
           sleeper(retryDelayMs)
@@ -161,6 +166,11 @@ final class OllamaClient(baseUrl: String = "http://127.0.0.1:11434",
                          transport: HttpTransport = new JdkHttpTransport(),
                          timeout: Duration = Duration.ofSeconds(180)) extends LlmClient {
 
+  // one mapper per client (= per partition in the X2 mapPartitions
+  // shape), not per row — ObjectMapper is expensive to build and
+  // designed for reuse; @transient so executor copies rebuild lazily
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def jsonStr(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
@@ -187,7 +197,6 @@ final class OllamaClient(baseUrl: String = "http://127.0.0.1:11434",
     if (resp.status < 200 || resp.status >= 300)
       throw new HttpTransport.HttpStatusException(resp.status, url, resp.body)
     // jackson-databind rides Spark's own classpath — no new dependency
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val payload =
       try mapper.readTree(resp.body)
       catch {

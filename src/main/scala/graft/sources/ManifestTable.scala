@@ -149,17 +149,24 @@ object ManifestTable {
     * listing with identical results. */
   def current(spark: SparkSession, root: String): Option[State] = {
     val fs = fsOf(spark, root)
-    val hinted = readPointer(fs, root)
-      .filter(c => readRaw(fs, root, c).exists(isSnapshot))
-      .flatMap { c =>
+    val hinted = readPointer(fs, root).flatMap { c =>
+      // each manifest is read and parsed ONCE across the snapshot
+      // check, the probe, and the resolution — for a large inline-text
+      // snapshot the parse is the cost the pointer path exists to bound
+      val cache = scala.collection.mutable.Map.empty[Long, Option[Manifest]]
+      def fetch(v: Long): Option[Manifest] =
+        cache.getOrElseUpdate(v, readRaw(fs, root, v))
+      if (!fetch(c).exists(isSnapshot)) None
+      else {
         var newest = c
         var probe = c + 1
         while (fs.exists(manifestPath(root, probe))) {
-          if (readRaw(fs, root, probe).nonEmpty) newest = probe
+          if (fetch(probe).nonEmpty) newest = probe
           probe += 1
         }
-        resolveState(spark, root, newest)
+        resolveState(fetch, loadRefFiles(spark, root, _), newest, root)
       }
+    }
     hinted.orElse {
       val dir = new Path(root, ManifestDir)
       if (!fs.exists(dir)) return None
@@ -238,7 +245,11 @@ object ManifestTable {
     while (v >= 1) {
       fetch(v) match {
         case Some(d: DeltaManifest) =>
-          deltas = deltas :+ d // applied oldest-first after the snapshot
+          // PREPEND: the walk visits head-first, the fold must apply
+          // oldest-first — appending here once resurrected files whose
+          // removal preceded a re-add (caught by a review repro: two
+          // consecutive same-partition deltas read back both versions)
+          deltas = d +: deltas
           v -= 1
         case Some(base) =>
           val baseFiles = base match {
@@ -273,8 +284,9 @@ object ManifestTable {
   private def resolveState(spark: SparkSession, root: String, version: Long): Option[State] = {
     val fs = fsOf(spark, root)
     readRaw(fs, root, version) match {
-      case None    => None // not committed at all
-      case Some(_) => resolveState(v => readRaw(fs, root, v),
+      case None       => None // not committed at all
+      case head @ Some(_) => resolveState(
+        v => if (v == version) head else readRaw(fs, root, v),
         loadRefFiles(spark, root, _), version, root)
     }
   }
@@ -488,6 +500,19 @@ object ManifestTable {
     case d: DeltaManifest => d.copy(version = version)
   }
 
+  /** Partition columns are STRING throughout the table's life (the
+    * read side pins inference off, so they read back as string): cast
+    * them at the write boundary too, or a table seeded with an int/date
+    * partition column would fail every subsequent upsert's dtype check
+    * against its own string read-back — permanently un-upsertable. The
+    * cast also makes dir spelling canonical from birth (dirs are
+    * written from the string form, which round-trips exactly). */
+  private def normalizePartitionCols(df: DataFrame, partitionCols: Seq[String]): DataFrame =
+    if (partitionCols.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map { c =>
+      if (partitionCols.contains(c)) col(c).cast("string").as(c) else col(c)
+    }: _*)
+
   /** Write `df` into a fresh immutable generation dir; returns the
     * generation's file entries. */
   private def writeGeneration(df: DataFrame, root: String,
@@ -567,7 +592,8 @@ object ManifestTable {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
-    val (gen, entries) = writeGeneration(df, root, partitionCols)
+    val (gen, entries) =
+      writeGeneration(normalizePartitionCols(df, partitionCols), root, partitionCols)
     val (proto, sidecar) = mkSnapshot(spark, root, 1L, entries, Map.empty)
     var attempts = 0
     while (attempts < maxAttempts) {
@@ -672,9 +698,13 @@ object ManifestTable {
                          checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     validateTags(tags, prior.map(_.tags).getOrElse(Map.empty))
     val fs = fsOf(spark, root)
+    // string partition columns from the first commit on (see
+    // normalizePartitionCols): the dtype check below then compares the
+    // batch against the table's own string read-back consistently
+    val freshN = normalizePartitionCols(fresh, partitionCols)
     prior match {
       case None =>
-        val (gen, entries) = writeGeneration(fresh, root, partitionCols)
+        val (gen, entries) = writeGeneration(freshN, root, partitionCols)
         val (m1, sidecar1) = mkSnapshot(spark, root, 1L, entries, tags)
         if (!claimOrRecover(fs, root, m1, graceMs)) {
           fs.delete(new Path(root, gen), true)
@@ -698,7 +728,7 @@ object ManifestTable {
         // the reader unioning allowMissingColumns, a typo'd column name
         // would otherwise commit fine and read back as silent nulls
         if (!mergeSchema) {
-          val (ec, fc) = (existing.columns.toSet, fresh.columns.toSet)
+          val (ec, fc) = (existing.columns.toSet, freshN.columns.toSet)
           require(ec == fc,
             s"manifest table $root: batch schema differs from the table " +
               s"(table-only=${(ec -- fc).toSeq.sorted}, batch-only=${(fc -- ec).toSeq.sorted}) " +
@@ -713,7 +743,7 @@ object ManifestTable {
         // must carry string-typed partition values.
         locally {
           val eT = existing.schema.map(f => f.name -> f.dataType).toMap
-          val drift = fresh.schema
+          val drift = freshN.schema
             .filter(f => eT.get(f.name).exists(_ != f.dataType))
             .map(f => s"${f.name}: table=${eT(f.name).sql} batch=${f.dataType.sql}")
           require(drift.isEmpty,
@@ -722,7 +752,7 @@ object ManifestTable {
         }
         val (merged, carried) =
           if (partitionCols.isEmpty)
-            (Upsert.appendDedup(existing, fresh, keys, col(order)),
+            (Upsert.appendDedup(existing, freshN, keys, col(order)),
               Seq.empty[FileEntry])
           else {
             // touched partition VALUES collect to the driver (tiny — the
@@ -734,7 +764,7 @@ object ManifestTable {
             // value is a real partition — an equi-join here would
             // silently DROP all its existing rows while still retiring
             // their files from the manifest.
-            val touched = fresh.select(partitionCols.map(col).toIndexedSeq: _*)
+            val touched = freshN.select(partitionCols.map(col).toIndexedSeq: _*)
               .distinct().collect()
             require(touched.length <= 100000,
               s"manifest table $root: batch touches ${touched.length} partitions — " +
@@ -745,7 +775,7 @@ object ManifestTable {
               }.reduce(_ && _)
             }.reduce(_ || _)
             val existingTouched = existing.filter(pred)
-            (Upsert.appendDedup(existingTouched, fresh, keys, col(order)), st.files)
+            (Upsert.appendDedup(existingTouched, freshN, keys, col(order)), st.files)
           }
         val (gen, entries) = writeGeneration(merged, root, partitionCols)
         // the new generation's partition dirs ARE the touched set, spelled
@@ -949,6 +979,14 @@ object ManifestTable {
     // intact by construction); dropped states resolve through the full
     // in-memory map BEFORE anything is deleted
     val retainedStates = retained.map(_.version).flatMap(resolveIn)
+    // a retained version that fails to resolve — e.g. a TRANSIENT read
+    // error on a columnar sidecar — must abort the whole vacuum: its
+    // generations would silently drop out of liveGens and this method
+    // would DELETE files the committed head still references. Readers
+    // may degrade softly; a deleter may not.
+    require(retainedStates.size == retained.size,
+      s"vacuum($root): ${retained.size - retainedStates.size} retained version(s) " +
+        "failed to resolve (transient read error or corruption) — refusing to delete anything")
     val droppedStates = dropped.map(_.version).flatMap(resolveIn)
     def gens(sts: Seq[State]): Set[String] =
       sts.flatMap(_.files.map(_.relPath.takeWhile(_ != '/'))).toSet

@@ -414,6 +414,47 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("delta chains fold OLDEST-first: consecutive same-partition deltas (r8 review)") {
+    val root = tmp() + "/t"
+    def up(v: Double, tag: String): Long =
+      ManifestTable.upsertDedup(spark,
+        Seq(("2026-01-01", 1L, v)).toDF("date", "key", "v"),
+        root, Seq("key"), "v", Seq("date"), checkpointInterval = 100,
+        tags = Map("x" -> tag))
+    up(1.0, "t1") // v1 snapshot
+    up(2.0, "t2") // v2 delta: removes v1's file, adds its own
+    up(3.0, "t3") // v3 delta: removes v2's file, adds its own
+    // newest-first folding re-added v2's file after applying v3's
+    // remove against the base — the table read back BOTH rows
+    val got = ManifestTable.read(spark, root)
+      .select("key", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3.0)), s"stale delta rows resurrected: $got")
+    // and the resolved tag state is the HEAD's, not the oldest delta's —
+    // a regressed stream watermark would re-open the replay double-apply
+    assert(ManifestTable.current(spark, root).get.tags("x") == "t3")
+    // intermediate versions time-travel correctly through the chain
+    assert(ManifestTable.readVersion(spark, root, 2L)
+      .select("v").as[Double].collect().toSeq == Seq(2.0))
+  }
+
+  test("non-string partition columns normalize to string and stay upsertable (r8 review)") {
+    val root = tmp() + "/t"
+    // int partition column: before normalization, the table's string
+    // read-back made every SECOND upsert fail the dtype check forever
+    ManifestTable.upsertDedup(spark,
+      Seq((1, 1L, 10.0), (2, 2L, 20.0)).toDF("bucket", "key", "v"),
+      root, Seq("key"), "v", Seq("bucket"))
+    ManifestTable.upsertDedup(spark,
+      Seq((1, 1L, 99.0)).toDF("bucket", "key", "v"),
+      root, Seq("key"), "v", Seq("bucket"))
+    val df = ManifestTable.read(spark, root)
+    assert(df.schema("bucket").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.orderBy("key").select("key", "v").as[(Long, Double)].collect().toSeq
+      == Seq((1L, 99.0), (2L, 20.0)))
+    // carried-forward untouched partition still prunable by its string value
+    assert(ManifestTable.read(spark, root).filter($"bucket" === "2").count() == 1)
+  }
+
   test("columnar snapshot: large snapshots commit as parquet sidecars") {
     spark.conf.set(ManifestTable.ColumnarSnapshotThresholdKey, "2")
     try {

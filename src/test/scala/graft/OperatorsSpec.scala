@@ -93,6 +93,16 @@ class OperatorsSpec extends SparkSpec {
     assert(canon(fastU) == canon(uniform.join(right, Seq("k"), "inner")))
   }
 
+  test("skewedEquiJoinSampled tolerates a join key named _n (r8 review)") {
+    val left = spark.range(200).select((col("id") % 3).cast("string").as("_n"),
+      col("id").as("lv"))
+    val right = spark.range(9).select((col("id") % 3).cast("string").as("_n"),
+      col("id").as("rv"))
+    val fast = Joins.skewedEquiJoinSampled(left, right, Seq("_n"),
+      hotShare = 0.2, sampleFraction = 1.0)
+    assert(fast.count() == left.join(right, Seq("_n"), "inner").count())
+  }
+
   test("skewedEquiJoin plan: hot path shuffles on (key, salt)") {
     val left = spark.range(1000).select(
       (col("id") % 3).cast("string").as("k"), col("id").as("lv"))
