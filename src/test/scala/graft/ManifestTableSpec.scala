@@ -370,7 +370,15 @@ class ManifestTableSpec extends SparkSpec {
     finally spark.conf.unset(ManifestTable.ColumnarSnapshotThresholdKey)
   }
 
-  private def modelRun(): Unit = {
+  test("model-based walk with ONE partition: every delta chain is same-partition") {
+    // the r8 fold-order bug hid from the 3-partition walk because its
+    // seed never produced consecutive same-partition deltas; this walk
+    // makes EVERY consecutive delta pair same-partition by construction
+    modelRun(dates = Array("2026-01-01"))
+  }
+
+  private def modelRun(dates: Array[String] =
+      Array("2026-01-01", "2026-01-02", "2026-01-03")): Unit = {
     // seeded random walk over the whole mutation surface — upserts
     // (delta AND snapshot commits, interval 3), full rewrites, compact,
     // vacuum — with the table read back and compared to a trivial
@@ -379,15 +387,14 @@ class ManifestTableSpec extends SparkSpec {
     // chain break, vacuum over-delete) surfaces as a model divergence.
     val rnd = new scala.util.Random(8L)
     val root = tmp() + "/t"
-    val dates = Array("2026-01-01", "2026-01-02", "2026-01-03")
-    // key k lives in partition dates(k % 3) so a key never moves
+    // key k lives in partition dates(k % |dates|) so a key never moves
     // partitions (upsert merges per touched partition)
     var model = Map.empty[Long, Double]
     var op = 0L
     def rows(n: Int): Seq[(String, Long, Double, Long)] =
       (0 until n).map { _ =>
         val k = rnd.nextInt(12).toLong
-        (dates((k % 3).toInt), k, rnd.nextInt(100).toDouble, op)
+        (dates((k % dates.length).toInt), k, rnd.nextInt(100).toDouble, op)
       }.groupBy(_._2).map(_._2.last).toSeq // keep-last within the batch
     for (i <- 1 to 14) {
       op += 1
