@@ -177,6 +177,11 @@ object Upsert {
 
 object Joins {
 
+  /** Minimum expected hot-key sample count before
+    * [[skewedEquiJoinSampled]] trusts its sample: below this,
+    * detection falls back to the plain join (see guard in-method). */
+  val MinHotSampleCount: Double = 8.0
+
   /** J3 (ref: tutorial2:222-259): multi-source union merge with schema
     * alignment — missing columns null-filled. */
   def unionMerge(dfs: Seq[DataFrame]): DataFrame =
@@ -278,6 +283,15 @@ object Joins {
     val sampled = left.select(keys.map(col).toIndexedSeq: _*)
       .sample(withReplacement = false, sampleFraction, seed = 42L)
     val n = sampled.count()
+    // degenerate-sample guard: when hotShare*n < MinHotSampleCount the
+    // threshold below would admit near-singleton sampled keys as "hot"
+    // (at hotShare*n < 1 EVERY sampled key qualifies), broadcasting up
+    // to maxHotKeys keys 4x and replicating their right rows
+    // saltBuckets-fold — a perf inversion on exactly the inputs (tiny
+    // table / tiny sample) where salting is pointless. Too few sampled
+    // rows = no skew evidence = plain join (identical result).
+    if (hotShare * n < MinHotSampleCount)
+      return left.join(right, keys, joinType)
     // the hot set MATERIALIZES on the driver (bounded by maxHotKeys):
     // skewedEquiJoin evaluates it in four separate filters, and a lazily
     // recomputed plan that broke a count tie differently between them

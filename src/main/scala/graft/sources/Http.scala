@@ -141,7 +141,17 @@ final class HttpFetcher(transport: HttpTransport = new JdkHttpTransport(),
               e.getCause.isInstanceOf[InterruptedException]) throw e
           attempt += 1
           if (attempt > retries) throw e
-          sleeper(retryDelayMs)
+          // an interrupt during the retry delay surfaces exactly like
+          // one during the transport hop: flag re-set, wrapped in
+          // TransportException — not a raw InterruptedException with
+          // the flag cleared (callers would mis-classify the state)
+          try sleeper(retryDelayMs)
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw new HttpTransport.TransportException(
+                s"interrupted during retry delay for $url", ie)
+          }
       }
     }
     throw new IllegalStateException("unreachable")

@@ -164,7 +164,20 @@ object ManifestTable {
           if (fetch(probe).nonEmpty) newest = probe
           probe += 1
         }
-        resolveState(fetch, loadRefFiles(spark, root, _), newest, root)
+        // a None cached during the probe may be a manifest that was
+        // MID-WRITE when probed and has landed since (with a successor
+        // committing above it — making it part of newest's chain):
+        // re-read such a version once before declaring the chain broken,
+        // or a steady write load would discard the pointer fast path
+        // for a full listing on every resolution
+        def fetchReprobe(v: Long): Option[Manifest] = fetch(v) match {
+          case None =>
+            val re = readRaw(fs, root, v)
+            cache(v) = re
+            re
+          case some => some
+        }
+        resolveState(fetchReprobe, loadRefFiles(spark, root, _), newest, root)
       }
     }
     hinted.orElse {
@@ -327,6 +340,25 @@ object ManifestTable {
         log.warn(s"manifest table $root: could not update _last_checkpoint to " +
           s"v$version (${e.getClass.getSimpleName}) — readers fall back to listing")
     }
+
+  /** Versions in the log whose manifest is COMMITTED (sentinel present,
+    * parseable) — sentinel-less corpses and garbled files drop out.
+    * Guards the v1 re-seed hazard: [[current]] can transiently resolve
+    * to None while committed versions exist (a columnar snapshot
+    * sidecar read failing on e.g. object-store throttling degrades soft
+    * in [[loadRefFiles]]); claiming v1 then would succeed BELOW the
+    * vacuum floor, and the pointer fast path would serve the fresh v1 —
+    * silently shadowing every newer committed version and forking the
+    * log. Any v1 claim must first see this list empty. */
+  private def committedVersions(fs: FileSystem, root: String): Seq[Long] = {
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".txt"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".txt").toLong).toOption)
+      .filter(v => readRaw(fs, root, v).nonEmpty)
+      .sorted
+  }
 
   private def readPointer(fs: FileSystem, root: String): Option[Long] =
     try {
