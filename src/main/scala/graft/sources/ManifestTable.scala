@@ -630,21 +630,34 @@ object ManifestTable {
     var attempts = 0
     while (attempts < maxAttempts) {
       val prev = current(spark, root)
-      val v = prev.map(_.version).getOrElse(0L) + 1
-      // previous tags carry forward (e.g. the stream sink's last-applied
-      // batch id — losing it would re-open the replay double-apply)
-      val tags = prev.map(_.tags).getOrElse(Map.empty)
-      val manifest = restamp(proto, v) match {
-        case f: FullManifest => f.copy(tags = tags)
-        case r: SnapshotRef  => r.copy(tags = tags)
-        case d               => d
+      // v1 re-seed guard: current()=None while COMMITTED versions exist
+      // means resolution transiently failed (e.g. a sidecar read during
+      // object-store throttling degrades soft) — claiming v1 then would
+      // succeed below the vacuum floor and the pointer fast path would
+      // serve the fresh v1, shadowing every newer commit. Treat it as a
+      // transient and retry the read instead of seeding.
+      if (prev.isEmpty && committedVersions(fs, root).nonEmpty) {
+        log.warn(s"manifest table $root: current() resolved to None but committed " +
+          "versions exist — refusing to re-seed v1; retrying resolution")
+        attempts += 1
+        Thread.sleep(100L * math.min(attempts, 5))
+      } else {
+        val v = prev.map(_.version).getOrElse(0L) + 1
+        // previous tags carry forward (e.g. the stream sink's last-applied
+        // batch id — losing it would re-open the replay double-apply)
+        val tags = prev.map(_.tags).getOrElse(Map.empty)
+        val manifest = restamp(proto, v) match {
+          case f: FullManifest => f.copy(tags = tags)
+          case r: SnapshotRef  => r.copy(tags = tags)
+          case d               => d
+        }
+        if (claimOrRecover(fs, root, manifest, graceMs)) {
+          writePointer(fs, root, v)
+          return v
+        }
+        attempts += 1
+        Thread.sleep(100L * math.min(attempts, 5))
       }
-      if (claimOrRecover(fs, root, manifest, graceMs)) {
-        writePointer(fs, root, v)
-        return v
-      }
-      attempts += 1
-      Thread.sleep(100L * math.min(attempts, 5))
     }
     // never-orphan-yourself, same as the upsert/compact conflict paths:
     // without this, exhausting the claim loop leaves a generation (and
@@ -736,6 +749,13 @@ object ManifestTable {
     val freshN = normalizePartitionCols(fresh, partitionCols)
     prior match {
       case None =>
+        // v1 re-seed guard (mirror of write()'s): a None prior with
+        // committed versions in the log is a TRANSIENT resolution
+        // failure, not an empty table — claiming v1 below the vacuum
+        // floor would shadow every newer commit via the pointer fast
+        // path. Surface as a CAS conflict so upsertWithRetry re-reads.
+        if (committedVersions(fs, root).nonEmpty)
+          throw new ConcurrentCommitException(root, 1L)
         val (gen, entries) = writeGeneration(freshN, root, partitionCols)
         val (m1, sidecar1) = mkSnapshot(spark, root, 1L, entries, tags)
         if (!claimOrRecover(fs, root, m1, graceMs)) {

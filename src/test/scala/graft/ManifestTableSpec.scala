@@ -514,6 +514,49 @@ class ManifestTableSpec extends SparkSpec {
     } finally spark.conf.unset(ManifestTable.ColumnarSnapshotThresholdKey)
   }
 
+  test("transient resolution failure never re-seeds v1 below the vacuum floor") {
+    // the r8-advice hazard: current() can transiently resolve to None
+    // while committed versions exist (sidecar read fails soft); a writer
+    // claiming v1 then would succeed BELOW the vacuum floor and the
+    // pointer fast path would serve the fresh v1, silently shadowing
+    // every newer commit. Both seed paths must refuse.
+    spark.conf.set(ManifestTable.ColumnarSnapshotThresholdKey, "1")
+    try {
+      val root = tmp() + "/t"
+      ManifestTable.write(Seq((1, "a")).toDF("k", "s"), root)
+      ManifestTable.write(Seq((2, "b")).toDF("k", "s"), root)
+      ManifestTable.vacuum(spark, root, keep = 1) // drops v1; floor = v2
+      assert(!fs.exists(new Path(root, f"_manifests/${1L}%020d.txt")))
+      // knock out v2's sidecar -> current() transiently None
+      val ckpt = fs.listStatus(new Path(root, "_manifests"))
+        .map(_.getPath.getName).find(_.startsWith("ckpt-")).get
+      val hidden = new Path(root, "hidden-ckpt")
+      assert(fs.rename(new Path(root, s"_manifests/$ckpt"), hidden))
+      assert(ManifestTable.current(spark, root).isEmpty)
+      // write(): refuses to seed v1, exhausts, cleans up its generation
+      val gensBefore = fs.listStatus(new Path(root)).map(_.getPath.getName)
+        .filter(_.startsWith("gen-")).toSet
+      intercept[RuntimeException] {
+        ManifestTable.write(Seq((9, "x")).toDF("k", "s"), root, maxAttempts = 2)
+      }
+      assert(!fs.exists(new Path(root, f"_manifests/${1L}%020d.txt")),
+        "write() re-seeded v1 below the vacuum floor")
+      assert(fs.listStatus(new Path(root)).map(_.getPath.getName)
+        .filter(_.startsWith("gen-")).toSet == gensBefore, "orphan generation leaked")
+      // upsert seed path: surfaces as a CAS conflict (retry-able)
+      intercept[ManifestTable.ConcurrentCommitException] {
+        ManifestTable.upsertDedup(spark, Seq((9, "x")).toDF("k", "s"),
+          root, Seq("k"), "s")
+      }
+      assert(!fs.exists(new Path(root, f"_manifests/${1L}%020d.txt")))
+      // restore the sidecar: the same writes now land ABOVE the head
+      assert(fs.rename(hidden, new Path(root, s"_manifests/$ckpt")))
+      assert(ManifestTable.write(Seq((9, "x")).toDF("k", "s"), root) == 3L)
+      assert(ManifestTable.read(spark, root).as[(Int, String)].collect().toSeq ==
+        Seq((9, "x")))
+    } finally spark.conf.unset(ManifestTable.ColumnarSnapshotThresholdKey)
+  }
+
   test("vacuum deletes dropped columnar sidecars and reclaims orphaned ones") {
     spark.conf.set(ManifestTable.ColumnarSnapshotThresholdKey, "1")
     try {
