@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Table registry over the driver testdata layout: one parquet per table
   * under a scale-factor directory (/root/repo/TESTDATA.md).
@@ -18,19 +18,39 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 cannot read natively. We read nanos as long
-    * (spark.sql.legacy.parquet.nanosAsLong, set in GraftSession/Verify) and
-    * truncate to microseconds — the same truncation DuckDB applies when it
-    * casts TIMESTAMP_NS to TIMESTAMP, keeping oracle parity. */
+  /** Driver-generated parquet writes TIMESTAMP(MICROS) without the
+    * isAdjustedToUTC flag, which Spark 4 surfaces as TIMESTAMP_NTZ — but the
+    * DuckDB oracle reads the same files as plain TIMESTAMP, and several
+    * engine functions (`unix_micros`, `unix_millis`) reject NTZ input at
+    * analysis time. The session TZ is pinned to UTC, so casting NTZ→LTZ is a
+    * wall-clock identity; normalize at the registry seam so every query sees
+    * one timestamp posture regardless of testdata-generation drift. */
+  private def normalizeNtz(df: DataFrame): DataFrame =
+    df.schema.fields.collect { case f if f.dataType == TimestampNTZType => f.name }
+      .foldLeft(df)((d, c) => d.withColumn(c, d(c).cast("timestamp")))
+
+  /** The events table's `ts` encoding has drifted across testdata
+    * generations; absorb every variant here so queries always see a plain
+    * session-TZ TIMESTAMP:
+    *
+    *   - TIMESTAMP(NANOS): Spark 4 cannot read natively — read nanos as long
+    *     (spark.sql.legacy.parquet.nanosAsLong, set in GraftSession/Verify)
+    *     and truncate to micros, the same truncation DuckDB applies casting
+    *     TIMESTAMP_NS to TIMESTAMP, keeping oracle parity.
+    *   - TIMESTAMP(MICROS) without isAdjustedToUTC: Spark reads
+    *     TIMESTAMP_NTZ — cast to TIMESTAMP. The session TZ is pinned to UTC,
+    *     so the NTZ→LTZ cast is a wall-clock identity and DuckDB (which reads
+    *     the same file as plain TIMESTAMP) stays in parity.
+    *   - TIMESTAMP(MICROS) adjusted to UTC: already TimestampType, pass
+    *     through. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => raw
+      case _        => normalizeNtz(raw)
     }
   }
 
