@@ -249,6 +249,59 @@ object BenchQueries extends QueryPack {
           |                AND l_shipdate > o_orderdate)
           |GROUP BY o_orderpriority""".stripMargin)
     }),
+    "q2_min_price_supp" -> ((s, d) => {
+      // TPC-H Q2 shape: CORRELATED SCALAR subquery (per-part minimum) in
+      // the WHERE clause — Catalyst decorrelates it into an aggregate
+      // joined back (PlanSpec: no subquery survives the optimized plan,
+      // so it runs as two scans + joins, never per-row).
+      t(s, d, "part").createOrReplaceTempView("graft_q2_part")
+      t(s, d, "supplier").createOrReplaceTempView("graft_q2_supplier")
+      t(s, d, "lineitem").createOrReplaceTempView("graft_q2_lineitem")
+      s.sql(
+        """SELECT p_partkey, s_name, l_extendedprice AS min_price
+          |FROM graft_q2_part, graft_q2_supplier, graft_q2_lineitem
+          |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+          |  AND p_size <= 20
+          |  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+          |                         FROM graft_q2_lineitem l2
+          |                         WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
+    "q21_last_shipper" -> ((s, d) => {
+      // TPC-H Q21 shape: EXISTS + NOT EXISTS, BOTH correlated on the
+      // outer lineitem — the suppliers who shipped strictly last among
+      // multi-supplier orders. Catalyst plans the pair as a left-semi
+      // plus a left-anti join on l_orderkey (PlanSpec).
+      t(s, d, "supplier").createOrReplaceTempView("graft_q21_supplier")
+      t(s, d, "lineitem").createOrReplaceTempView("graft_q21_lineitem")
+      s.sql(
+        """SELECT s_name, COUNT(*) AS numwait
+          |FROM graft_q21_supplier, graft_q21_lineitem l1
+          |WHERE l1.l_suppkey = s_suppkey
+          |  AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM graft_q21_lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM graft_q21_lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > l1.l_shipdate)
+          |GROUP BY s_name""".stripMargin)
+    }),
+    "q13_custdist" -> ((s, d) => {
+      // TPC-H Q13 shape: LEFT OUTER join with an extra ON-clause filter,
+      // then a count-of-counts distribution — customers with zero orders
+      // must survive as c_count = 0 (the outer join's whole point).
+      t(s, d, "customer").createOrReplaceTempView("graft_q13_customer")
+      t(s, d, "orders").createOrReplaceTempView("graft_q13_orders")
+      s.sql(
+        """SELECT c_count, COUNT(*) AS custdist
+          |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          |      FROM graft_q13_customer LEFT OUTER JOIN graft_q13_orders
+          |        ON c_custkey = o_custkey
+          |        AND o_orderpriority <> '1-URGENT'
+          |      GROUP BY c_custkey) cnt
+          |GROUP BY c_count""".stripMargin)
+    }),
     "a16_funnel" -> ((s, d) => {
       // funnel conversion: per user, first view and the first purchase
       // AFTER that view; one aggregate + one conditional re-aggregate —
@@ -545,6 +598,35 @@ object BenchQueries extends QueryPack {
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q2_min_price_supp" ->
+      """SELECT p_partkey, s_name, l_extendedprice AS min_price
+        |FROM part, supplier, lineitem
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND p_size <= 20
+        |  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q21_last_shipper" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1
+        |WHERE l1.l_suppkey = s_suppkey
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) cnt
+        |GROUP BY c_count""".stripMargin,
     "a16_funnel" ->
       """WITH ec AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |            FROM events),

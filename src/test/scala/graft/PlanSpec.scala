@@ -201,6 +201,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  /** No SubqueryExpression may survive optimization anywhere in the plan
+    * tree — a surviving one executes per outer row (driver round-trip per
+    * row at 100 TB). */
+  private def assertDecorrelated(name: String): String = {
+    val qe = SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution
+    val survivors = qe.optimizedPlan.collect { case n =>
+      n.expressions.flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => s
+      })
+    }.flatten
+    assert(survivors.isEmpty, s"$name kept correlated subqueries: $survivors")
+    qe.executedPlan.toString
+  }
+
+  test("q2 correlated scalar MIN decorrelates to an aggregate join") {
+    val p = assertDecorrelated("q2_min_price_supp")
+    // the per-part minimum runs ONCE as its own aggregate, joined back
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q21 EXISTS + NOT EXISTS decorrelate to semi + anti joins") {
+    val p = assertDecorrelated("q21_last_shipper")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q13 outer-join distribution keeps zero-order customers without a subquery") {
+    val p = assertDecorrelated("q13_custdist")
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("scd2 history runs both window passes on ONE shuffle and sort") {
     val p = plan("k10_scd2")
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
