@@ -191,6 +191,24 @@ object AggWindowQueries extends QueryPack {
         .agg((dsum(col("o_totalprice"), 4, 2) + 0.5).as("revenue"))
         .withColumn("version", lit(2))
       Upsert.appendDedup(existing, fresh, Seq("date"), col("version"))
+    }),
+    "k11_pruned_read" -> ((s, d) => {
+      // K11 (beyond-reference B4): manifest data skipping end-to-end —
+      // land orders in a manifest table partitioned by priority, read it
+      // back through readWhere so the partition value + the per-file
+      // o_totalprice min/max stats prune files BEFORE the scan. The
+      // oracle sees only the final relational result, which pruning (by
+      // contract, spec'd in DataSkippingSpec) can never change.
+      val root = java.nio.file.Files.createTempDirectory("graft-k11")
+        .toString + "/orders_lake"
+      graft.sources.ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")),
+        root, partitionCols = Seq("o_orderpriority"))
+      graft.sources.ManifestTable.readWhere(s, root,
+          col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000.0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
     })
   )
 
@@ -356,7 +374,11 @@ object AggWindowQueries extends QueryPack {
          |ranked AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY date ORDER BY version DESC) AS rn
          |  FROM u)
-         |SELECT date, revenue, version FROM ranked WHERE rn = 1""".stripMargin
+         |SELECT date, revenue, version FROM ranked WHERE rn = 1""".stripMargin,
+    "k11_pruned_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0""".stripMargin
   )
 }
 

@@ -78,13 +78,20 @@ object ManifestTable {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val ManifestDir = "_manifests"
 
-  /** Per-file, per-column min/max collected from the parquet footer at
-    * write time. `kind` is 'n' (numeric — ints, floats, dates as epoch
-    * days, timestamps as epoch micros, all canonicalized to decimal
-    * strings) or 's' (UTF-8 string, compared lexicographically). A column
-    * absent from a file's stats map means "unknown" — data skipping must
-    * keep the file. */
-  final case class ColStats(kind: Char, min: String, max: String)
+  /** Per-file, per-column statistics collected from the parquet footer
+    * at write time. `kind` is 'n' (numeric — ints, floats, dates as
+    * epoch days, timestamps as epoch micros, all canonicalized to
+    * decimal strings), 's' (UTF-8 string, compared lexicographically),
+    * or '_' (no usable bounds — all-null column, unsupported type —
+    * but null/value counts still valid). `nulls`/`count` are the file's
+    * null and total value counts for the column, -1 when unknown
+    * (legacy manifests). A column absent from a file's stats map means
+    * "unknown" — data skipping must keep the file. */
+  final case class ColStats(kind: Char, min: String, max: String,
+                            nulls: Long = -1L, count: Long = -1L) {
+    /** Provably zero non-null values: no comparison predicate can match. */
+    def allNull: Boolean = count >= 0 && nulls == count
+  }
 
   /** One live data file: path relative to the table root (first segment
     * is its generation dir), its size (so sizing decisions never need
@@ -137,12 +144,13 @@ object ManifestTable {
     java.net.URLDecoder.decode(s, "UTF-8")
 
   /** Stats wire format (3rd tab field of a `file=` line, and the `stats`
-    * sidecar column): comma-joined `col:kind:min:max` specs with every
-    * component URL-encoded, so column names and values may contain any
-    * character. Empty string = no stats. */
+    * sidecar column): comma-joined `col:kind:min:max:nulls:count` specs
+    * with every component URL-encoded, so column names and values may
+    * contain any character. 4-part specs (pre-null-count manifests)
+    * decode with unknown counts. Empty string = no stats. */
   private[graft] def encodeStats(stats: Map[String, ColStats]): String =
     stats.toSeq.sortBy(_._1).map { case (c, s) =>
-      s"${enc(c)}:${s.kind}:${enc(s.min)}:${enc(s.max)}"
+      s"${enc(c)}:${s.kind}:${enc(s.min)}:${enc(s.max)}:${s.nulls}:${s.count}"
     }.mkString(",")
 
   private[graft] def decodeStats(s: String): Map[String, ColStats] =
@@ -151,6 +159,9 @@ object ManifestTable {
       spec.split(':') match {
         case Array(c, k, mn, mx) if k.length == 1 =>
           Some(dec(c) -> ColStats(k.charAt(0), dec(mn), dec(mx)))
+        case Array(c, k, mn, mx, nl, ct) if k.length == 1 =>
+          scala.util.Try(ColStats(k.charAt(0), dec(mn), dec(mx), nl.toLong, ct.toLong))
+            .toOption.map(dec(c) -> _)
         case _ => None // unknown spec shape: ignore (stats are advisory)
       }
     }.toMap

@@ -41,10 +41,10 @@ class DataSkippingSpec extends SparkSpec {
     val st = ManifestTable.current(spark, root).get
     assert(st.files.nonEmpty)
     val stats = st.files.head.stats
-    assert(stats("id") == ColStats('n', "1", "2"))
-    assert(stats("v") == ColStats('n', "10", "20")
-      || stats("v") == ColStats('n', "10.0", "20.0"), stats("v"))
-    assert(stats("name") == ColStats('s', "alpha", "beta"))
+    assert(stats("id") == ColStats('n', "1", "2", 0, 2))
+    assert(stats("v") == ColStats('n', "10", "20", 0, 2)
+      || stats("v") == ColStats('n', "10.0", "20.0", 0, 2), stats("v"))
+    assert(stats("name") == ColStats('s', "alpha", "beta", 0, 2))
   }
 
   // ------------------------------------------------------- footer stats
@@ -67,21 +67,43 @@ class DataSkippingSpec extends SparkSpec {
     val file = new Path(dir + "/p").getFileSystem(hconf)
       .globStatus(new Path(dir + "/p/*.parquet")).head.getPath
     val stats = DataSkipping.footerStats(hconf, file)
-    assert(stats("l") == ColStats('n', "1", "9"))
-    assert(stats("i") == ColStats('n', "3", "7"))
-    assert(stats("f") == ColStats('n', "0.5", "1.5"))
-    assert(stats("d") == ColStats('n', "2.5", "7.5"))
-    assert(stats("s") == ColStats('s', "abc", "xyz"))
+    assert(stats("l") == ColStats('n', "1", "9", 0, 2))
+    assert(stats("i") == ColStats('n', "3", "7", 0, 2))
+    assert(stats("f") == ColStats('n', "0.5", "1.5", 0, 2))
+    assert(stats("d") == ColStats('n', "2.5", "7.5", 0, 2))
+    assert(stats("s") == ColStats('s', "abc", "xyz", 0, 2))
     // DateType canonical = epoch days (Catalyst internal repr)
     assert(stats("dt") == ColStats('n',
       java.time.LocalDate.parse("2024-01-10").toEpochDay.toString,
-      java.time.LocalDate.parse("2024-02-10").toEpochDay.toString))
+      java.time.LocalDate.parse("2024-02-10").toEpochDay.toString, 0, 2))
     // TimestampType canonical = epoch micros (derived from the same
     // Timestamp objects so the assertion is JVM-timezone independent)
     assert(stats("ts") == ColStats('n',
-      (ts1.getTime * 1000L).toString, (ts2.getTime * 1000L).toString))
-    // all-null column contributes no stats — pruning must keep the file
-    assert(!stats.contains("nul"))
+      (ts1.getTime * 1000L).toString, (ts2.getTime * 1000L).toString, 0, 2))
+    // all-null column: no bounds, but null/value counts still recorded —
+    // IS NOT NULL and every comparison can prove the file irrelevant
+    assert(stats("nul") == ColStats('_', "", "", 2, 2))
+  }
+
+  test("prune: null-count layer answers IS NULL / IS NOT NULL / all-null comparisons") {
+    val files = Seq(
+      fe("gen-a/p1.parquet", Map("v" -> ColStats('n', "0", "10", 0, 100))),   // no nulls
+      fe("gen-a/p2.parquet", Map("v" -> ColStats('n', "5", "9", 40, 100))),   // mixed
+      fe("gen-a/p3.parquet", Map("v" -> ColStats('_', "", "", 100, 100))),    // all null
+      fe("gen-a/p4.parquet", Map("v" -> ColStats('n', "0", "99"))))           // legacy: counts unknown
+    def paths(c: org.apache.spark.sql.Column) =
+      DataSkipping.prune(files, c).map(_.relPath)
+    assert(paths(col("v").isNull) ==
+      Seq("gen-a/p2.parquet", "gen-a/p3.parquet", "gen-a/p4.parquet"))
+    assert(paths(col("v").isNotNull) ==
+      Seq("gen-a/p1.parquet", "gen-a/p2.parquet", "gen-a/p4.parquet"))
+    assert(paths(col("v") <=> lit(null)) ==
+      Seq("gen-a/p2.parquet", "gen-a/p3.parquet", "gen-a/p4.parquet"))
+    // a comparison can never match a provably all-null file
+    assert(paths(col("v") === 7) ==
+      Seq("gen-a/p1.parquet", "gen-a/p2.parquet", "gen-a/p4.parquet"))
+    assert(paths(col("v") < 100) ==
+      Seq("gen-a/p1.parquet", "gen-a/p2.parquet", "gen-a/p4.parquet"))
   }
 
   // ---------------------------------------------------------- prune unit
