@@ -718,9 +718,22 @@ object ManifestTable {
     * only in pruned-away generations is absent (the unpruned read would
     * carry it as all-null). */
   def readWhere(spark: SparkSession, root: String,
-                filter: org.apache.spark.sql.Column): DataFrame = {
-    val st = current(spark, root).getOrElse(
-      sys.error(s"manifest table $root has no committed version"))
+                filter: org.apache.spark.sql.Column): DataFrame =
+    readStateWhere(spark, root, current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version")), filter)
+
+  /** [[readWhere]] against a time-travel version ([[readVersion]]'s
+    * contract): metadata pruning works identically on any retained
+    * version — its manifest carries the same partition paths and stats. */
+  def readVersionWhere(spark: SparkSession, root: String, version: Long,
+                       filter: org.apache.spark.sql.Column): DataFrame =
+    readStateWhere(spark, root,
+      resolveState(spark, root, version).getOrElse(sys.error(
+        s"manifest table $root has no committed version $version (vacuumed or never committed)")),
+      filter)
+
+  private def readStateWhere(spark: SparkSession, root: String, st: State,
+                             filter: org.apache.spark.sql.Column): DataFrame = {
     val kept = DataSkipping.prune(st.files, filter)
     if (kept.isEmpty) {
       // schema-preserving empty frame with NO scan in the plan (a
@@ -1101,11 +1114,69 @@ object ManifestTable {
       Writers.sizedRewrite(spark, df, bytes, keys, targetFileMB, genPath.toString)
     }
     val entries = listGeneration(fs, root, gen)
+    commitRewrite(spark, fs, root, st, gen, entries, graceMs)
+  }
+
+  /** Clustered compaction (the Delta OPTIMIZE ZORDER / Iceberg
+    * sort-order role, linear form): rewrite the live file set
+    * RANGE-PARTITIONED and sorted on `sortCols`, so each output file
+    * covers a DISJOINT slice of the sort key space — after which
+    * [[readWhere]]'s min/max skipping on those columns touches only the
+    * files whose slice intersects the predicate. This is what makes
+    * data skipping effective on UNPARTITIONED tables (and, within each
+    * hive partition, on secondary columns): freshly upserted generations
+    * have overlapping ranges per file; clustering collapses the overlap.
+    *
+    * Same CAS commit discipline as [[compact]]: full snapshot, pointer
+    * advance, tags preserved, orphan generation deleted on a lost race.
+    * Sort is per-output-file (`sortWithinPartitions`), not global — no
+    * single-reducer funnel at any table size; skew in the sort key is
+    * absorbed by the range partitioner's sampling. */
+  def cluster(spark: SparkSession, root: String, sortCols: Seq[String],
+              targetFileMB: Int = 512, graceMs: Long = 60000L): Long = {
+    require(sortCols.nonEmpty, "cluster: sortCols must be non-empty")
+    require(targetFileMB > 0, s"cluster: targetFileMB must be > 0, got $targetFileMB")
+    val fs = fsOf(spark, root)
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val df = readState(spark, root, st)
+    val bytes = st.files.map(_.bytes).sum
+    val layouts = st.files.map(_.partitionPath.split('/').toSeq
+      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
+    require(layouts.size <= 1,
+      s"cluster: inconsistent partition layouts in $root: $layouts")
+    val partKeys = layouts.headOption.getOrElse(Seq.empty)
+    require(sortCols.forall(df.columns.contains),
+      s"cluster: sortCols ${sortCols.filterNot(df.columns.contains)} not in table schema")
+    val targetBytes = targetFileMB * 1024L * 1024L
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
+    val genPath = new Path(root, gen)
+    // range-partition on (partition cols ++ sort cols) so rows of one
+    // hive partition land contiguously and each task's slice of the sort
+    // key is disjoint; the writer then splits tasks by partition dir
+    val rangeCols = (partKeys ++ sortCols).map(col)
+    withMicrosTimestamps(spark) {
+      val clustered = df.repartitionByRange(parts, rangeCols: _*)
+        .sortWithinPartitions(rangeCols: _*)
+      val w = clustered.write.mode(SaveMode.ErrorIfExists)
+      (if (partKeys.nonEmpty) w.partitionBy(partKeys: _*) else w)
+        .parquet(genPath.toString)
+    }
+    val entries = listGeneration(fs, root, gen)
+    commitRewrite(spark, fs, root, st, gen, entries, graceMs)
+  }
+
+  /** Shared CAS commit for whole-table rewrites ([[compact]]/[[cluster]]):
+    * full snapshot at version+1 with tags preserved (stream replay
+    * watermark etc.), pointer advance, orphan cleanup on a lost race. */
+  private def commitRewrite(spark: SparkSession, fs: FileSystem, root: String,
+                            st: State, gen: String, entries: Seq[FileEntry],
+                            graceMs: Long): Long = {
     val v = st.version + 1
-    // compaction preserves commit metadata (stream replay watermark etc.)
     val (manifest, sidecar) = mkSnapshot(spark, root, v, entries, st.tags)
     if (!claimOrRecover(fs, root, manifest, graceMs)) {
-      fs.delete(genPath, true)
+      fs.delete(new Path(root, gen), true)
       sidecar.foreach(fs.delete(_, true))
       throw new ConcurrentCommitException(root, v)
     }

@@ -214,6 +214,68 @@ class DataSkippingSpec extends SparkSpec {
     assert(none.inputFiles.isEmpty)
   }
 
+  test("cluster makes per-file ranges disjoint: range query scans fewer files after") {
+    val root = tmp() + "/t"
+    // interleaved writes: every file spans nearly the full id range, so
+    // stats skipping can prove nothing before clustering
+    val df = spark.range(600000).select(col("id"),
+      rand(11).as("v"), // incompressible: keeps the rewrite multi-file
+      expr("uuid()").as("pad"))
+      .repartition(8) // round-robin: each file gets a slice of ALL ids
+    ManifestTable.write(df, root)
+    val q = col("id") >= 1000L && col("id") < 3000L
+    val before = ManifestTable.readWhere(spark, root, q)
+    val beforeFiles = before.inputFiles.length
+    assert(beforeFiles == 8, s"precondition: overlapping files, got $beforeFiles")
+    val expect = before.orderBy("id").collect().toSeq
+
+    val v = ManifestTable.cluster(spark, root, Seq("id"), targetFileMB = 1)
+    assert(v == 2L)
+    val st = ManifestTable.current(spark, root).get
+    assert(st.files.size > 1, "cluster must still produce multiple files for this test")
+    // disjointness: no two files' id ranges overlap
+    val ranges = st.files.map(f => (BigDecimal(f.stats("id").min), BigDecimal(f.stats("id").max)))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin, s"overlap: $ranges")
+      case _ => ()
+    }
+    val after = ManifestTable.readWhere(spark, root, q)
+    assert(after.inputFiles.length < beforeFiles,
+      s"after=${after.inputFiles.length} before=$beforeFiles")
+    assert(after.orderBy("id").collect().toSeq == expect)
+  }
+
+  test("cluster preserves hive partitions and tags; skips within each partition") {
+    val root = tmp() + "/t"
+    val df = spark.range(8000).select(
+      concat(lit("p"), (col("id") % 2).cast("string")).as("part"),
+      col("id"), rand(7).as("v"))
+    ManifestTable.upsertDedup(spark, df, root, Seq("id"), "v", Seq("part"),
+      tags = Map("who" -> "spec"))
+    ManifestTable.cluster(spark, root, Seq("id"), targetFileMB = 1)
+    val st = ManifestTable.current(spark, root).get
+    assert(st.tags("who") == "spec", "rewrite must carry tags forward")
+    assert(st.files.map(_.partitionPath).toSet == Set("part=p0", "part=p1"))
+    val q = col("part") === "p0" && col("id") < 500L
+    val pruned = ManifestTable.readWhere(spark, root, q)
+    val full = ManifestTable.read(spark, root)
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.count() == full.filter(q).count())
+  }
+
+  test("readVersionWhere prunes a time-travel version identically") {
+    val root = tmp() + "/t"
+    ManifestTable.write((1L to 100L).toDF("id").withColumn("tag", lit("v1")), root)
+    ManifestTable.write((1L to 100L).toDF("id").withColumn("tag", lit("v2")), root)
+    val old = ManifestTable.readVersionWhere(spark, root, 1L, col("id") <= 10L)
+    assert(old.select("tag").distinct().as[String].collect().toSeq == Seq("v1"))
+    assert(old.count() == 10)
+    // a predicate outside v1's range scans nothing
+    assert(ManifestTable.readVersionWhere(spark, root, 1L, col("id") > 1000L)
+      .inputFiles.isEmpty)
+  }
+
   test("legacy two-field file= manifests still parse (stats optional)") {
     val root = tmp() + "/t"
     ManifestTable.write(Seq((1L, "a")).toDF("id", "s"), root)
