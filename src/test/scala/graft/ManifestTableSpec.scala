@@ -405,8 +405,12 @@ class ManifestTableSpec extends SparkSpec {
           ManifestTable.upsertDedup(spark, batch.toDF("date", "key", "v", "o"),
             root, Seq("key"), "o", Seq("date"), checkpointInterval = 3)
           model = model ++ batch.map(r => r._2 -> r._3)
-        case 6 | 7 =>
+        case 6 =>
           ManifestTable.compact(spark, root, targetFileMB = 16)
+        case 7 =>
+          // clustered rewrite joins the walk: same read-back contract,
+          // plus it must keep the stats/pruning invariant below intact
+          ManifestTable.cluster(spark, root, Seq("key"), targetFileMB = 16)
         case 8 =>
           ManifestTable.vacuum(spark, root, keep = 1 + rnd.nextInt(2))
         case _ =>
@@ -418,6 +422,16 @@ class ManifestTableSpec extends SparkSpec {
       val got = ManifestTable.read(spark, root)
         .select("key", "v").as[(Long, Double)].collect().toSeq.sorted
       assert(got == model.toSeq.sorted, s"divergence after op $i (dice $dice)")
+      // data-skipping invariant at EVERY table state: a metadata-pruned
+      // read equals the model under the same predicate — whatever mix of
+      // generations, deltas, stats-less legacy entries and rewrites the
+      // walk has produced
+      val probe = rnd.nextInt(12).toLong
+      val gotW = ManifestTable.readWhere(spark, root,
+          org.apache.spark.sql.functions.col("key") === probe)
+        .select("key", "v").as[(Long, Double)].collect().toSeq.sorted
+      assert(gotW == model.filter(_._1 == probe).toSeq.sorted,
+        s"readWhere divergence after op $i (dice $dice, key $probe)")
     }
   }
 
