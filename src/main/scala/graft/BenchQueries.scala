@@ -302,6 +302,42 @@ object BenchQueries extends QueryPack {
           |      GROUP BY c_custkey) cnt
           |GROUP BY c_count""".stripMargin)
     }),
+    "q16_supplier_cnt" -> ((s, d) => {
+      // TPC-H Q16 shape: NOT IN subquery — Catalyst plans it as a
+      // null-aware anti join (broadcast), then COUNT(DISTINCT) per
+      // part attribute group.
+      t(s, d, "part").createOrReplaceTempView("graft_q16_part")
+      t(s, d, "supplier").createOrReplaceTempView("graft_q16_supplier")
+      t(s, d, "lineitem").createOrReplaceTempView("graft_q16_lineitem")
+      s.sql(
+        """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM graft_q16_part, graft_q16_lineitem
+          |WHERE p_partkey = l_partkey
+          |  AND p_brand <> 'Brand#1'
+          |  AND p_size IN (5, 10, 15, 20)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_q16_supplier
+          |                        WHERE s_name LIKE '%33%')
+          |GROUP BY p_brand, p_type, p_size""".stripMargin)
+    }),
+    "q22_idle_balance" -> ((s, d) => {
+      // TPC-H Q22 shape: uncorrelated scalar subquery (global average,
+      // executed ONCE) + NOT EXISTS anti join — rich customers with no
+      // URGENT order. Decimal-via-cents sum keeps the float total
+      // hash-stable across engines.
+      t(s, d, "customer").createOrReplaceTempView("graft_q22_customer")
+      t(s, d, "orders").createOrReplaceTempView("graft_q22_orders")
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS numcust,
+          |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+          |    AS totacctbal
+          |FROM graft_q22_customer c
+          |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM graft_q22_customer
+          |                   WHERE c_acctbal > 0.0)
+          |  AND NOT EXISTS (SELECT 1 FROM graft_q22_orders
+          |                  WHERE o_custkey = c.c_custkey
+          |                    AND o_orderpriority = '1-URGENT')
+          |GROUP BY c_mktsegment""".stripMargin)
+    }),
     "a16_funnel" -> ((s, d) => {
       // funnel conversion: per user, first view and the first purchase
       // AFTER that view; one aggregate + one conditional re-aggregate —
@@ -627,6 +663,26 @@ object BenchQueries extends QueryPack {
         |        AND o_orderpriority <> '1-URGENT'
         |      GROUP BY c_custkey) cnt
         |GROUP BY c_count""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part, lineitem
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#1'
+        |  AND p_size IN (5, 10, 15, 20)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_name LIKE '%33%')
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q22_idle_balance" ->
+      """SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
     "a16_funnel" ->
       """WITH ec AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |            FROM events),

@@ -235,6 +235,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q16 NOT IN plans as a null-aware anti join") {
+    val p = assertDecorrelated("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q22 keeps only the run-once scalar subquery; NOT EXISTS is an anti join") {
+    // the global-average scalar subquery legitimately survives (executed
+    // ONCE, broadcast into the filter) — what must NOT survive is
+    // anything CORRELATED, which would run per outer row
+    val qe = SparkEntry.queries("q22_idle_balance")(spark, sf("sf0.001")).queryExecution
+    val correlated = qe.optimizedPlan.collect { case n =>
+      n.expressions.filter(
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression.hasCorrelatedSubquery)
+    }.flatten
+    assert(correlated.isEmpty, s"correlated subqueries survived: $correlated")
+    val p = qe.executedPlan.toString
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("scd2 history runs both window passes on ONE shuffle and sort") {
     val p = plan("k10_scd2")
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
