@@ -276,6 +276,67 @@ class DataSkippingSpec extends SparkSpec {
       .inputFiles.isEmpty)
   }
 
+  test("property: readWhere equals read().filter() for random predicates on random tables") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // three fixed table shapes, many random predicates: pruning is the
+    // variable under test, so spend the budget on predicate diversity
+    val rnd = new scala.util.Random(42)
+    def rows(n: Int) = (0 until n).map { i =>
+      (if (rnd.nextInt(5) == 0) null else s"p${i % 3}",
+        i.toLong,
+        if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(50).toDouble),
+        Seq("alpha", "beta", "gamma", "delta")(rnd.nextInt(4)))
+    }
+    val unpart = tmp() + "/u"
+    ManifestTable.upsertDedup(spark, rows(120).toDF("part", "id", "v", "s"),
+      unpart, Seq("id"), "s")
+    ManifestTable.upsertDedup(spark,
+      rows(120).map(r => r.copy(_2 = r._2 + 200)).toDF("part", "id", "v", "s"),
+      unpart, Seq("id"), "s")
+    val parted = tmp() + "/p"
+    ManifestTable.write(rows(150).toDF("part", "id", "v", "s"), parted, Seq("part"))
+    val clustered = tmp() + "/c"
+    ManifestTable.write(rows(150).toDF("part", "id", "v", "s"), clustered)
+    ManifestTable.cluster(spark, clustered, Seq("id"), targetFileMB = 1)
+
+    val atomGen: Gen[org.apache.spark.sql.Column] = for {
+      c <- Gen.oneOf("part", "id", "v", "s")
+      a <- {
+        val litGen: Gen[Any] = c match {
+          case "part" => Gen.oneOf("p0", "p1", "p2", "nope")
+          case "id"   => Gen.choose(-5L, 400L)
+          case "v"    => Gen.choose(-10.0, 60.0)
+          case "s"    => Gen.oneOf("alpha", "beta", "zzz", "")
+        }
+        Gen.oneOf[Gen[org.apache.spark.sql.Column]](
+          litGen.map(v => col(c) === lit(v)),
+          litGen.map(v => col(c) < lit(v)),
+          litGen.map(v => col(c) <= lit(v)),
+          litGen.map(v => col(c) > lit(v)),
+          litGen.map(v => col(c) >= lit(v)),
+          Gen.listOfN(3, litGen).map(vs => col(c).isin(vs: _*)),
+          Gen.const(col(c).isNull),
+          Gen.const(col(c).isNotNull),
+          litGen.map(v => col(c) <=> lit(v))
+        ).flatMap(identity)
+      }
+    } yield a
+    val predGen: Gen[org.apache.spark.sql.Column] =
+      Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, atomGen).map(_.reduce(_ && _)))
+
+    val roots = Seq(unpart, parted, clustered)
+    val prop = Prop.forAll(predGen, Gen.oneOf(roots)) { (pred, root) =>
+      val got = ManifestTable.readWhere(spark, root, pred)
+        .select("part", "id", "v", "s").collect().map(_.toString).sorted.toSeq
+      val expect = ManifestTable.read(spark, root).filter(pred)
+        .select("part", "id", "v", "s").collect().map(_.toString).sorted.toSeq
+      got == expect
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("legacy two-field file= manifests still parse (stats optional)") {
     val root = tmp() + "/t"
     ManifestTable.write(Seq((1L, "a")).toDF("id", "s"), root)
