@@ -337,6 +337,23 @@ class DataSkippingSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("readWhere keeps row-group pushdown below the manifest file pruning") {
+    // three pruning layers must coexist: manifest metadata drops whole
+    // files, Spark's partition filter handles the hive dirs, and the
+    // residual predicate still reaches the parquet reader for row-group
+    // skipping — readWhere must not flatten the scan into a plain
+    // filter-after-read
+    val root = tmp() + "/t"
+    ManifestTable.write(
+      (1L to 1000L).map(i => (s"p${i % 3}", i, i * 2.0)).toDF("part", "id", "v"),
+      root, Seq("part"))
+    val plan = ManifestTable.readWhere(spark, root,
+        col("part") === "p1" && col("id") > 500L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,500)]"), plan)
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
+  }
+
   test("legacy two-field file= manifests still parse (stats optional)") {
     val root = tmp() + "/t"
     ManifestTable.write(Seq((1L, "a")).toDF("id", "s"), root)
