@@ -735,6 +735,10 @@ object ManifestTable {
   private def readStateWhere(spark: SparkSession, root: String, st: State,
                              filter: org.apache.spark.sql.Column): DataFrame = {
     val kept = DataSkipping.prune(st.files, filter)
+    // the number an operator tunes partitioning/clustering by — and the
+    // tell-tale that a predicate shape isn't prunable (kept == total)
+    log.info(s"manifest table $root v${st.version}: data skipping kept " +
+      s"${kept.size}/${st.files.size} files for $filter")
     if (kept.isEmpty) {
       // schema-preserving empty frame with NO scan in the plan (a
       // filter(false) over the scan still reports the files in
