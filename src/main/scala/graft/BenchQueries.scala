@@ -319,6 +319,25 @@ object BenchQueries extends QueryPack {
           |                        WHERE s_name LIKE '%33%')
           |GROUP BY p_brand, p_type, p_size""".stripMargin)
     }),
+    "q11_important_part" -> ((s, d) => {
+      // TPC-H Q11 shape: per-group value filtered against a FRACTION of
+      // the scale-free threshold (1.5x the mean per-part value) — the
+      // same aggregate runs once as a scalar
+      // subquery and once grouped; cents-rounded sums keep both engines'
+      // totals bit-identical.
+      t(s, d, "lineitem").createOrReplaceTempView("graft_q11_lineitem")
+      s.sql(
+        """SELECT l_partkey,
+          |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+          |    AS DOUBLE) / 100.0 AS value
+          |FROM graft_q11_lineitem
+          |GROUP BY l_partkey
+          |HAVING CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+          |    AS DOUBLE) / 100.0 >
+          |  (SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+          |     AS DOUBLE) / 100.0 / COUNT(DISTINCT l_partkey) * 1.5
+          |   FROM graft_q11_lineitem)""".stripMargin)
+    }),
     "q22_idle_balance" -> ((s, d) => {
       // TPC-H Q22 shape: uncorrelated scalar subquery (global average,
       // executed ONCE) + NOT EXISTS anti join — rich customers with no
@@ -672,6 +691,17 @@ object BenchQueries extends QueryPack {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
         |                        WHERE s_name LIKE '%33%')
         |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q11_important_part" ->
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+        |    AS DOUBLE) / 100.0 AS value
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+        |    AS DOUBLE) / 100.0 >
+        |  (SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+        |     AS DOUBLE) / 100.0 / COUNT(DISTINCT l_partkey) * 1.5
+        |   FROM lineitem)""".stripMargin,
     "q22_idle_balance" ->
       """SELECT c_mktsegment, COUNT(*) AS numcust,
         |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0

@@ -241,6 +241,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q11 HAVING-vs-global-fraction keeps only the run-once scalar subquery") {
+    val qe = SparkEntry.queries("q11_important_part")(spark, sf("sf0.001")).queryExecution
+    val correlated = qe.optimizedPlan.collect { case n =>
+      n.expressions.filter(
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression.hasCorrelatedSubquery)
+    }.flatten
+    assert(correlated.isEmpty, s"correlated subqueries survived: $correlated")
+    assert(qe.executedPlan.toString.contains("HashAggregate"))
+  }
+
   test("q22 keeps only the run-once scalar subquery; NOT EXISTS is an anti join") {
     // the global-average scalar subquery legitimately survives (executed
     // ONCE, broadcast into the filter) — what must NOT survive is
