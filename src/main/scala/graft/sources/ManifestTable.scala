@@ -79,9 +79,11 @@ object ManifestTable {
   private val ManifestDir = "_manifests"
 
   /** Per-file, per-column statistics collected from the parquet footer
-    * at write time. `kind` is 'n' (numeric — ints, floats, dates as
-    * epoch days, timestamps as epoch micros, all canonicalized to
-    * decimal strings), 's' (UTF-8 string, compared lexicographically),
+    * at write time. `kind` is 'n' (numeric — ints and floats,
+    * canonicalized to decimal strings), 'd' (dates as epoch days),
+    * 't' (timestamps as epoch micros — a distinct kind from 'd' so a
+    * cross-scale days-vs-micros comparison is a mismatch, not a wrong
+    * prune), 's' (UTF-8 string, compared lexicographically),
     * or '_' (no usable bounds — all-null column, unsupported type —
     * but null/value counts still valid). `nulls`/`count` are the file's
     * null and total value counts for the column, -1 when unknown
@@ -666,30 +668,25 @@ object ManifestTable {
                               partitionCols: Seq[String]): (String, Seq[FileEntry]) = {
     val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
     val genPath = new Path(root, gen)
-    withMicrosTimestamps(df.sparkSession) {
-      val w = df.write.mode(SaveMode.ErrorIfExists)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(genPath.toString)
-    }
+    val micros = withMicrosTimestamps(df)
+    val w = micros.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(genPath.toString)
     (gen, listGeneration(fsOf(df.sparkSession, root), root, gen))
   }
 
-  /** Run `body` with parquet TIMESTAMP_MICROS output, restoring the
-    * previous conf after. Serialized by [[inferenceLock]]'s sibling
-    * hazard: two concurrent generation writes racing the set/restore
-    * would leak the toggled conf — same process-wide lock discipline as
-    * the read side's partition-inference toggle. */
-  private val timestampConfLock = new Object
-  private def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A =
-    timestampConfLock.synchronized {
-      val key = "spark.sql.parquet.outputTimestampType"
-      val prev = spark.conf.getOption(key)
-      try { spark.conf.set(key, "TIMESTAMP_MICROS"); body }
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-    }
+  /** `df` rebound to a CLONED session whose parquet output type is
+    * TIMESTAMP_MICROS; actions on the result write micros timestamps
+    * while the caller's session — including concurrent parquet writes on
+    * its other threads — keeps its own posture (INT96 by default, which
+    * the driver's comparator requires session-wide). The clone shares
+    * the SparkContext and catalog, so this is conf isolation only, not a
+    * second cluster footprint. */
+  private def withMicrosTimestamps(df: DataFrame): DataFrame = {
+    val iso = org.apache.spark.sql.graftshim.SessionIsolation.sessionWithConf(
+      df.sparkSession, "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+    org.apache.spark.sql.graftshim.SessionIsolation.rebind(df, iso)
+  }
 
   /** Read the table at its newest committed version. Files are grouped by
     * generation and each group scans with `basePath = <gen dir>`, so hive
@@ -1114,9 +1111,8 @@ object ManifestTable {
     val keys = layouts.headOption.getOrElse(Seq.empty)
     val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
     val genPath = new Path(root, gen)
-    withMicrosTimestamps(spark) {
-      Writers.sizedRewrite(spark, df, bytes, keys, targetFileMB, genPath.toString)
-    }
+    val micros = withMicrosTimestamps(df)
+    Writers.sizedRewrite(micros.sparkSession, micros, bytes, keys, targetFileMB, genPath.toString)
     val entries = listGeneration(fs, root, gen)
     commitRewrite(spark, fs, root, st, gen, entries, graceMs)
   }
@@ -1160,13 +1156,11 @@ object ManifestTable {
     // hive partition land contiguously and each task's slice of the sort
     // key is disjoint; the writer then splits tasks by partition dir
     val rangeCols = (partKeys ++ sortCols).map(col)
-    withMicrosTimestamps(spark) {
-      val clustered = df.repartitionByRange(parts, rangeCols: _*)
-        .sortWithinPartitions(rangeCols: _*)
-      val w = clustered.write.mode(SaveMode.ErrorIfExists)
-      (if (partKeys.nonEmpty) w.partitionBy(partKeys: _*) else w)
-        .parquet(genPath.toString)
-    }
+    val clustered = withMicrosTimestamps(df).repartitionByRange(parts, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+    val w = clustered.write.mode(SaveMode.ErrorIfExists)
+    (if (partKeys.nonEmpty) w.partitionBy(partKeys: _*) else w)
+      .parquet(genPath.toString)
     val entries = listGeneration(fs, root, gen)
     commitRewrite(spark, fs, root, st, gen, entries, graceMs)
   }

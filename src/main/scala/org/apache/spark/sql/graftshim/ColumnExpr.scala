@@ -14,3 +14,29 @@ object ColumnExpr {
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 }
+
+/** Conf isolation for writes that need a non-default SQLConf posture
+  * (e.g. ManifestTable generation writes use TIMESTAMP_MICROS parquet
+  * output for footer stats while the session default stays INT96).
+  * Mutating the session conf — even temporally scoped under a lock —
+  * leaks the toggled value to concurrent queries on other threads of
+  * the same session; a CLONED session (shared SparkContext, catalog and
+  * cached data, own SQLConf copy) is actual isolation. */
+object SessionIsolation {
+  import org.apache.spark.sql.{classic, DataFrame, SparkSession}
+
+  /** A clone of `spark` (inherits its current runtime conf) with the
+    * given conf entries set on the clone only. */
+  def sessionWithConf(spark: SparkSession, kv: (String, String)*): SparkSession = {
+    val clone = spark.asInstanceOf[classic.SparkSession].cloneSession()
+    kv.foreach { case (k, v) => clone.conf.set(k, v) }
+    clone
+  }
+
+  /** The same logical plan bound to another session of the same
+    * SparkContext, so actions on the result run under THAT session's
+    * SQLConf. */
+  def rebind(df: DataFrame, to: SparkSession): DataFrame =
+    classic.Dataset.ofRows(to.asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.Dataset[_]].queryExecution.logical)
+}

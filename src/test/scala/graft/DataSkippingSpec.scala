@@ -72,13 +72,15 @@ class DataSkippingSpec extends SparkSpec {
     assert(stats("f") == ColStats('n', "0.5", "1.5", 0, 2))
     assert(stats("d") == ColStats('n', "2.5", "7.5", 0, 2))
     assert(stats("s") == ColStats('s', "abc", "xyz", 0, 2))
-    // DateType canonical = epoch days (Catalyst internal repr)
-    assert(stats("dt") == ColStats('n',
+    // DateType canonical = epoch days (Catalyst internal repr), its OWN
+    // kind 'd' so days never compare against micros
+    assert(stats("dt") == ColStats('d',
       java.time.LocalDate.parse("2024-01-10").toEpochDay.toString,
       java.time.LocalDate.parse("2024-02-10").toEpochDay.toString, 0, 2))
     // TimestampType canonical = epoch micros (derived from the same
-    // Timestamp objects so the assertion is JVM-timezone independent)
-    assert(stats("ts") == ColStats('n',
+    // Timestamp objects so the assertion is JVM-timezone independent),
+    // kind 't'
+    assert(stats("ts") == ColStats('t',
       (ts1.getTime * 1000L).toString, (ts2.getTime * 1000L).toString, 0, 2))
     // all-null column: no bounds, but null/value counts still recorded —
     // IS NOT NULL and every comparison can prove the file irrelevant
@@ -149,6 +151,63 @@ class DataSkippingSpec extends SparkSpec {
     // unrecognized conjunct (OR, function call): prunes nothing
     assert(paths(col("v") === 25 || col("v") === 1).size == 3)
     assert(paths(abs(col("v")) === 25).size == 3)
+  }
+
+  test("prune: IN over literals canonLit cannot canonicalize keeps all files") {
+    val files = Seq(
+      fe("gen-a/p1.parquet", Map("flag" -> ColStats('_', "", "", 0, 100),
+                                 "v"    -> ColStats('n', "0", "10", 0, 100))),
+      fe("gen-a/p2.parquet", Map("flag" -> ColStats('_', "", "", 0, 100),
+                                 "v"    -> ColStats('n', "20", "30", 0, 100))))
+    def paths(c: org.apache.spark.sql.Column) =
+      DataSkipping.prune(files, c).map(_.relPath)
+    // booleans have no canonical stat form — the conjunct must degrade to
+    // "keep all", NOT to an empty probe set that prunes every file
+    assert(paths(col("flag").isin(true)).size == 2)
+    assert(paths(col("flag").isin(true, false)).size == 2)
+    // a mixed list with one uncanonicalizable literal degrades the WHOLE
+    // conjunct (dropping just that element would under-keep)
+    assert(paths(col("v").isin(lit(25), lit(true))).size == 2)
+    // null ELEMENTS alone are still safe to drop: IN (NULL) matches no row,
+    // and IN (25, NULL) prunes like IN (25)
+    assert(paths(col("v").isin(lit(25), lit(null))) == Seq("gen-a/p2.parquet"))
+  }
+
+  test("prune: date stats never compare against timestamp literals (cross-scale)") {
+    val day = java.time.LocalDate.parse("2024-01-15").toEpochDay // ~19737
+    val files = Seq(
+      fe("gen-a/p1.parquet", Map("dt" -> ColStats('d', day.toString, (day + 30).toString, 0, 100))))
+    def paths(c: org.apache.spark.sql.Column) =
+      DataSkipping.prune(files, c).map(_.relPath)
+    // dateCol > timestamp-literal: Spark coerces to a timestamp compare;
+    // days-vs-micros is a kind MISMATCH here, so the file is KEPT even
+    // though 19737 days < 1.7e15 micros numerically
+    assert(paths(col("dt") > lit(Timestamp.valueOf("2024-01-01 00:00:00"))).size == 1)
+    assert(paths(col("dt") < lit(Timestamp.valueOf("2024-01-01 00:00:00"))).size == 1)
+    // same-kind date literals still prune exactly
+    assert(paths(col("dt") < lit(java.sql.Date.valueOf("2024-01-01"))).isEmpty)
+    assert(paths(col("dt") >= lit(java.sql.Date.valueOf("2024-01-15"))).size == 1)
+  }
+
+  test("readWhere: date-vs-timestamp filter returns matching rows (e2e)") {
+    val root = tmp() + "/t"
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-10")),
+      (2L, java.sql.Date.valueOf("2024-03-10"))).toDF("id", "dt")
+    ManifestTable.write(df, root)
+    // the filter is legal Spark (date coerced to timestamp); before the
+    // 'd'/'t' kind split this pruned EVERY file and silently returned
+    // zero rows
+    val f = col("dt") > lit(Timestamp.valueOf("2024-02-01 00:00:00"))
+    val got = ManifestTable.readWhere(spark, root, f).select("id").as[Long].collect().toSeq
+    val want = ManifestTable.read(spark, root).filter(f).select("id").as[Long].collect().toSeq
+    assert(got == want && want == Seq(2L))
+    // boolean isin e2e: unsupported literal kind must not empty the scan
+    val root2 = tmp() + "/t2"
+    ManifestTable.write(Seq((1L, true), (2L, false)).toDF("id", "flag"), root2)
+    val got2 = ManifestTable.readWhere(spark, root2, col("flag").isin(true))
+      .select("id").as[Long].collect().toSeq
+    assert(got2 == Seq(1L))
   }
 
   // ----------------------------------------------------------------- e2e

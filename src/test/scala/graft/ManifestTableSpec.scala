@@ -855,4 +855,38 @@ class ManifestTableSpec extends SparkSpec {
     assert(Writers.forceUnlock(spark, dir, iKnowTheHolderIsDead = true))
     assert(!fs.exists(lock))
   }
+
+  test("generation writes isolate the micros-timestamp conf from the caller session") {
+    import org.apache.spark.sql.graftshim.SessionIsolation
+    import graft.sources.DataSkipping
+    val key = "spark.sql.parquet.outputTimestampType"
+    val dir = tmp()
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-10 00:00:01")),
+                 (2L, java.sql.Timestamp.valueOf("2024-02-10 00:00:01"))).toDF("id", "ts")
+    // the isolated session carries TIMESTAMP_MICROS; the caller's session
+    // — which a concurrent query on another thread would write through —
+    // must NOT see it, even mid-write (the old temporally-scoped conf
+    // mutation leaked exactly there)
+    val iso = SessionIsolation.sessionWithConf(spark, key -> "TIMESTAMP_MICROS")
+    assert(iso.conf.get(key) == "TIMESTAMP_MICROS")
+    assert(!spark.conf.getOption(key).contains("TIMESTAMP_MICROS"))
+    SessionIsolation.rebind(df, iso).coalesce(1).write.parquet(dir + "/micros")
+    df.coalesce(1).write.parquet(dir + "/int96") // caller posture, concurrently valid
+    def tsStats(sub: String) = {
+      val f = new Path(dir + sub).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .globStatus(new Path(dir + sub + "/*.parquet")).head.getPath
+      DataSkipping.footerStats(spark.sparkContext.hadoopConfiguration, f).get("ts")
+    }
+    // micros write has usable 't' footer stats; the INT96 write has none
+    // for the timestamp column — proving the two sessions kept their own
+    // posture side by side
+    assert(tsStats("/micros").exists(_.kind == 't'))
+    assert(!tsStats("/int96").exists(_.kind == 't'))
+    // and the full manifest write path leaves the caller conf untouched
+    val before = spark.conf.getOption(key)
+    ManifestTable.write(df, dir + "/tbl")
+    assert(spark.conf.getOption(key) == before)
+    assert(ManifestTable.current(spark, dir + "/tbl").get
+      .files.head.stats.get("ts").exists(_.kind == 't'))
+  }
 }
