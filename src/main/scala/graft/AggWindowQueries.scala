@@ -209,6 +209,30 @@ object AggWindowQueries extends QueryPack {
           col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000.0)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice"), col("o_orderpriority"))
+    }),
+    "k12_incremental_read" -> ((s, d) => {
+      // K12 (beyond-reference): incremental read of a manifest table —
+      // seed years ≤1995, upsert years ≥1995 (1995 overlaps), then
+      // readChanges over the upsert window. File-level change granularity
+      // re-emits the touched 1995 partition's full merged content plus
+      // the new years — exactly "every order of a year ≥ 1995", which the
+      // oracle recomputes relationally. A compact() in between proves
+      // rewrites contribute nothing to the window.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k12")
+        .toString + "/orders_inc"
+      val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"),
+        year(col("o_orderdate")).cast("string").as("o_year"))
+      ManifestTable.write(orders.filter(col("o_year") <= "1995"), root,
+        partitionCols = Seq("o_year"))
+      val v1 = ManifestTable.compact(s, root, targetFileMB = 64) // rewrite: no changes
+      ManifestTable.upsertDedup(s, orders.filter(col("o_year") >= "1995"), root,
+        keys = Seq("o_orderkey"), order = "o_totalprice",
+        partitionCols = Seq("o_year"))
+      val v3 = ManifestTable.currentVersion(s, root).get
+      ManifestTable.readChanges(s, root, v1 - 1, v3)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_year"))
     })
   )
 
@@ -378,7 +402,12 @@ object AggWindowQueries extends QueryPack {
     "k11_pruned_read" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
         |FROM orders
-        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0""".stripMargin
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0""".stripMargin,
+    "k12_incremental_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        |FROM orders
+        |WHERE EXTRACT(year FROM o_orderdate) >= 1995""".stripMargin
   )
 }
 

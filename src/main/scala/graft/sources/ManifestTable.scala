@@ -460,6 +460,15 @@ object ManifestTable {
       scala.util.Try(text.trim.toLong).toOption.filter(_ >= 1L)
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Per-commit operation marker, written into every commit's tag map
+    * (tags are re-written whole each commit, so the value always
+    * describes ITS commit, not an inherited one): "upsert" / "overwrite"
+    * = data-changing; "rewrite" = [[compact]]/[[cluster]] — same rows,
+    * new files — which incremental readers must NOT re-emit. Absent on
+    * pre-r11 manifests: [[changedFiles]] treats unknown ops as
+    * data-changing (conservative: at-least-once, never lost). */
+  private[graft] val OpTag = "graft.op"
+
   /** Tag hygiene, checked at API ENTRY (before any generation write —
     * a failure here must not orphan a generation): separator-free keys/
     * values, and the reserved stream watermark keys are monotonic
@@ -470,6 +479,8 @@ object ManifestTable {
     tags.foreach { case (k, v) =>
       require(!k.exists(c => c == '\t' || c == '\n') && !v.exists(_ == '\n'),
         s"manifest tag '$k' contains a separator character")
+      require(k != OpTag,
+        s"manifest tag '$OpTag' is reserved (per-commit operation marker)")
       if (k.startsWith(StreamBatchTag)) {
         val n = scala.util.Try(v.toLong).getOrElse(
           throw new IllegalArgumentException(
@@ -755,6 +766,124 @@ object ManifestTable {
       resolveState(spark, root, version).getOrElse(sys.error(
         s"manifest table $root has no committed version $version (vacuumed or never committed)")))
 
+  /** Newest committed version number, if any — the offset axis for
+    * incremental reads ([[readChanges]]) and the streaming source. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    current(spark, root).map(_.version)
+
+  /** Files ADDED by data-changing commits in `(fromVersion, toVersion]` —
+    * the incremental-read primitive. Generations are immutable and a
+    * relative path is only ever added by ONE commit, so the change set
+    * between two versions is exactly the union of per-commit adds:
+    *
+    *  - a DELTA commit (partitioned upsert) lists its adds directly —
+    *    O(batch) manifest bytes, no state resolution at all;
+    *  - a SNAPSHOT commit diffs against the resolved previous version
+    *    (at most `checkpointInterval` manifest reads);
+    *  - a commit whose [[OpTag]] is "rewrite" ([[compact]]/[[cluster]])
+    *    contributes NOTHING: its files hold the same rows re-laid-out,
+    *    and re-emitting them would replay the whole table downstream.
+    *    Pre-r11 manifests without the marker are treated as
+    *    data-changing (at-least-once, never lost).
+    *
+    * Granularity contract (the Iceberg incremental-append / pre-CDF
+    * Delta model): changes are FILE-level. An upsert that touches a
+    * partition rewrites that partition wholesale, so its add-files carry
+    * the partition's carried-forward rows alongside the genuinely new
+    * ones — downstream consumers see a touched partition's full merged
+    * content (exactly what a partition-cascading pipeline recomputes
+    * from) and must be keyed/idempotent for row-exact semantics
+    * ([[consumeChanges]] packages that). `fromVersion = 0` yields the
+    * complete table content at `toVersion` — the natural "initial
+    * snapshot, then increments" stream bootstrap.
+    *
+    * Every version in the window must still be retained: a vacuumed
+    * manifest inside the window fails loudly rather than silently
+    * dropping its adds. */
+  def changedFiles(spark: SparkSession, root: String, fromVersion: Long,
+                   toVersion: Long): Seq[FileEntry] = {
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"changedFiles: need 0 <= fromVersion <= toVersion, got ($fromVersion, $toVersion]")
+    if (toVersion == fromVersion) return Seq.empty
+    val fs = fsOf(spark, root)
+    val out = Seq.newBuilder[FileEntry]
+    var v = fromVersion + 1
+    while (v <= toVersion) {
+      readRaw(fs, root, v) match {
+        case Some(d: DeltaManifest) => out ++= d.adds
+        case Some(m) if m.tags.get(OpTag).contains("rewrite") => () // same rows, new layout
+        case Some(_) =>
+          val cur = resolveState(spark, root, v).getOrElse(sys.error(
+            s"manifest table $root: v$v does not resolve (broken chain) — " +
+              "cannot compute its change set"))
+          val prevPaths: Set[String] =
+            if (v == 1) Set.empty
+            else resolveState(spark, root, v - 1).map(_.files.map(_.relPath).toSet)
+              .getOrElse(sys.error(
+                s"manifest table $root: v${v - 1} does not resolve — " +
+                  s"cannot diff snapshot v$v against it"))
+          out ++= cur.files.filterNot(f => prevPaths(f.relPath))
+        case None => sys.error(
+          s"manifest table $root: v$v is vacuumed or was never committed — " +
+            s"the incremental window ($fromVersion, $toVersion] must lie within retained versions")
+      }
+      v += 1
+    }
+    out.result()
+  }
+
+  /** Rows added between two committed versions ([[changedFiles]]'s
+    * contract lifted to a DataFrame): the multi-hop answer — a
+    * downstream pipeline consumes `(lastSeen, current]` instead of
+    * re-scanning the full snapshot every run, so per-hop cost tracks
+    * the batch, not the 100 TB table. Empty change set returns a
+    * schema-preserving zero-row frame with no scan in the plan. */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Long,
+                  toVersion: Long): DataFrame = {
+    val files = changedFiles(spark, root, fromVersion, toVersion)
+    if (files.isEmpty) {
+      val st = resolveState(spark, root, toVersion).getOrElse(sys.error(
+        s"manifest table $root has no committed version $toVersion"))
+      val schema = readState(spark, root, st).schema
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    } else readState(spark, root, State(toVersion, files))
+  }
+
+  /** Exactly-once incremental relay between two manifest tables: read
+    * the source's changes since this consumer's last processed version,
+    * apply `transform`, and upsert the result into `dstRoot` with the
+    * advanced source-version watermark IN THE SAME atomic commit (the
+    * [[commitStreamBatch]] machinery with the source version as the
+    * batch id). Crash before the commit → nothing moved, the window
+    * replays identically; crash after → the replay is recognized by the
+    * watermark and skipped. This is the reference's minute→hourly→daily
+    * cadence chain (12/13/14_binance_*.py) as incremental lakehouse
+    * hops: each run processes O(new data), never the full snapshot.
+    *
+    * Returns the source version consumed, or None when there was
+    * nothing new. Single consumer per (dstRoot, consumerId) — a rival
+    * writer surfaces as [[ConcurrentCommitException]]. */
+  def consumeChanges(spark: SparkSession, srcRoot: String, dstRoot: String,
+                     consumerId: String, keys: Seq[String], order: String,
+                     partitionCols: Seq[String] = Nil,
+                     checkpointInterval: Int = DefaultCheckpointInterval)
+                    (transform: DataFrame => DataFrame): Option[Long] = {
+    require(consumerId.nonEmpty && !consumerId.exists(c => c == '\t' || c == '\n'),
+      s"consumerId must be a non-empty separator-free identifier, got '$consumerId'")
+    val srcV = currentVersion(spark, srcRoot).getOrElse(return None)
+    val sinkId = s"consume.$consumerId"
+    val lastV = current(spark, dstRoot)
+      .flatMap(_.tags.get(s"$StreamBatchTag.$sinkId"))
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
+    if (srcV <= lastV) None
+    else {
+      val batch = transform(readChanges(spark, srcRoot, lastV, srcV))
+      if (commitStreamBatch(spark, batch, srcV, dstRoot, keys, order,
+          partitionCols, sinkId, checkpointInterval)) Some(srcV)
+      else None // all-rewrite window or transform emitted nothing
+    }
+  }
+
   private def readState(spark: SparkSession, root: String, st: State): DataFrame = {
     require(st.files.nonEmpty, s"manifest table $root v${st.version} lists no files")
     // partition columns are pinned to STRING (no type inference): the
@@ -842,7 +971,7 @@ object ManifestTable {
             if (reseedUnresolvable) newestClaimedVersion(fs, root) else 0L) + 1
           // previous tags carry forward (e.g. the stream sink's last-applied
           // batch id — losing it would re-open the replay double-apply)
-          val tags = prev.map(_.tags).getOrElse(Map.empty)
+          val tags = prev.map(_.tags).getOrElse(Map.empty) + (OpTag -> "overwrite")
           val manifest = restamp(proto, v) match {
             case f: FullManifest => f.copy(tags = tags)
             case r: SnapshotRef  => r.copy(tags = tags)
@@ -974,7 +1103,7 @@ object ManifestTable {
         if (hasCommittedVersion(fs, root))
           throw new ConcurrentCommitException(root, 1L)
         val (gen, entries) = writeGeneration(freshN, root, partitionCols)
-        val (m1, sidecar1) = mkSnapshot(spark, root, 1L, entries, tags)
+        val (m1, sidecar1) = mkSnapshot(spark, root, 1L, entries, tags + (OpTag -> "upsert"))
         if (!claimOrRecover(fs, root, m1, graceMs)) {
           fs.delete(new Path(root, gen), true)
           sidecar1.foreach(fs.delete(_, true))
@@ -1057,7 +1186,7 @@ object ManifestTable {
         // previous tags persist unless this commit overrides them — a
         // manual upsert between stream batches must not erase the sink's
         // replay watermark
-        val newTags = st.tags ++ tags
+        val newTags = st.tags ++ tags + (OpTag -> "upsert")
         // delta vs snapshot: a partitioned upsert's delta lists only the
         // batch's adds + the touched partitions' retired files — O(batch)
         // manifest bytes however many million files are live. Every
@@ -1172,7 +1301,10 @@ object ManifestTable {
                             st: State, gen: String, entries: Seq[FileEntry],
                             graceMs: Long): Long = {
     val v = st.version + 1
-    val (manifest, sidecar) = mkSnapshot(spark, root, v, entries, st.tags)
+    // "rewrite" marks this commit as data-IDENTICAL (same rows, new
+    // files) so incremental readers skip it instead of re-emitting the
+    // whole table
+    val (manifest, sidecar) = mkSnapshot(spark, root, v, entries, st.tags + (OpTag -> "rewrite"))
     if (!claimOrRecover(fs, root, manifest, graceMs)) {
       fs.delete(new Path(root, gen), true)
       sidecar.foreach(fs.delete(_, true))

@@ -39,4 +39,18 @@ object SessionIsolation {
   def rebind(df: DataFrame, to: SparkSession): DataFrame =
     classic.Dataset.ofRows(to.asInstanceOf[classic.SparkSession],
       df.asInstanceOf[classic.Dataset[_]].queryExecution.logical)
+
+  /** `df` re-wrapped with `isStreaming = true` so a V1 streaming
+    * `Source.getBatch` can hand the engine a plan built with the normal
+    * batch reader (MicroBatchExecution asserts the flag). This is the
+    * established file-lakehouse-source pattern — Delta's DeltaSource
+    * returns `internalCreateDataFrame(rdd, schema, isStreaming = true)`
+    * for exactly this reason: a micro-batch of parquet files should be
+    * scanned by Spark's own vectorized parquet reader, not a hand-rolled
+    * row reader. */
+  def streamingFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
