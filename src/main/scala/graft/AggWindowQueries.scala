@@ -233,6 +233,26 @@ object AggWindowQueries extends QueryPack {
       val v3 = ManifestTable.currentVersion(s, root).get
       ManifestTable.readChanges(s, root, v1 - 1, v3)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_year"))
+    }),
+    "k13_join_pruned_read" -> ((s, d) => {
+      // K13 (beyond-reference): dynamic file pruning — a q10-class
+      // star-schema query where the manifest FACT table (orders,
+      // clustered on the join key) is pruned by the FILTERED dim's key
+      // set before the scan; the semi-join inside readWhereJoin keeps
+      // the result identical to the relational plan the oracle runs.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k13")
+        .toString + "/orders_fact"
+      ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        root)
+      ManifestTable.cluster(s, root, sortCols = Seq("o_custkey"), targetFileMB = 4)
+      val dim = t(s, d, "customer").filter(col("c_nationkey") === 5)
+        .select(col("c_custkey"), col("c_name"))
+      val fact = ManifestTable.readWhereJoin(s, root, dim, Seq("o_custkey" -> "c_custkey"))
+      fact.join(broadcast(dim), fact("o_custkey") === dim("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("order_cnt"), dsum(col("o_totalprice"), 4, 2).as("revenue"))
     })
   )
 
@@ -407,7 +427,13 @@ object AggWindowQueries extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |       CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
         |FROM orders
-        |WHERE EXTRACT(year FROM o_orderdate) >= 1995""".stripMargin
+        |WHERE EXTRACT(year FROM o_orderdate) >= 1995""".stripMargin,
+    "k13_join_pruned_read" ->
+      s"""SELECT c_custkey, c_name, COUNT(*) AS order_cnt,
+         |       ${dsumSql("o_totalprice", 4, 2)} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_nationkey = 5
+         |GROUP BY 1, 2""".stripMargin
   )
 }
 

@@ -363,10 +363,40 @@ object DataSkipping {
           val lits = list.collect { case l: Literal => l }.filter(_.value != null)
           val canons = lits.map(canonLit)
           if (canons.exists(_.isEmpty)) None
-          else Some { (f: FileEntry) =>
-            canons.flatten.exists { case (k, v) =>
-              onColumn(n)(partCompare(_, k, v, _ == 0))(statsOverlapEq(_, k, v))(f)
-            }
+          else {
+            // probe sets sorted per kind: a dynamic-pruning isin carries
+            // up to maxKeys (100k) values, so the per-file check must be
+            // O(log K) range/membership, not an O(K) scan per file.
+            // Ordering is compareTo-based (TreeSet), never hashing —
+            // BigDecimal("10.0") must equal BigDecimal("10")
+            val byKind: Map[Char, java.util.TreeSet[AnyRef]] =
+              canons.flatten.groupBy(_._1).map { case (k, vs) =>
+                val set = new java.util.TreeSet[AnyRef]()
+                vs.foreach(v => set.add(v._2.asInstanceOf[AnyRef]))
+                k -> set
+              }
+            def keepKind(k: Char, set: java.util.TreeSet[AnyRef], f: FileEntry): Boolean =
+              f.partitionValues.get(n) match {
+                case Some(pv) => pv match {
+                  case None => false // NULL partition never equals anything
+                  case Some(s) =>
+                    if (k == 's') set.contains(s)
+                    else Try(BigDecimal(s)).toOption
+                      // unparseable partition value: conservative keep
+                      .forall(bd => set.contains(bd.asInstanceOf[AnyRef]))
+                }
+                case None => f.stats.get(n).forall { cs =>
+                  !cs.allNull && (cs.kind != k || {
+                    // any probe value inside [min, max]?
+                    val (lo, hi): (AnyRef, AnyRef) =
+                      if (k == 's') (cs.min, cs.max)
+                      else (BigDecimal(cs.min).asInstanceOf[AnyRef],
+                            BigDecimal(cs.max).asInstanceOf[AnyRef])
+                    !set.subSet(lo, true, hi, true).isEmpty
+                  })
+                }
+              }
+            Some((f: FileEntry) => byKind.exists { case (k, set) => keepKind(k, set, f) })
           }
         }
       // null-count layer: IS NULL keeps only files with at least one

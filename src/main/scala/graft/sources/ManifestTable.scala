@@ -766,6 +766,54 @@ object ManifestTable {
       resolveState(spark, root, version).getOrElse(sys.error(
         s"manifest table $root has no committed version $version (vacuumed or never committed)")))
 
+  /** Join-driven (dynamic) file pruning — the Delta/Iceberg
+    * dynamic-file-pruning move for star-schema queries against a manifest
+    * FACT table: literal-only pruning ([[readWhere]]) can't see through a
+    * join, so `fact JOIN dim WHERE dim.filter` scans every fact file even
+    * when the filtered dim matches a sliver of the key space. Here the
+    * (bounded) dim key set is collected to the driver, fact files are
+    * pruned by per-key-column `isin` against manifest stats + partition
+    * values, and the surviving rows are LEFT SEMI joined against the
+    * exact key tuples — so the result is always identical to
+    * `read(...).join(dim.select(keys).distinct(), cond, "left_semi")`,
+    * with pruning only reducing the files scanned.
+    *
+    * `on` maps fact column → dim column. More than `maxKeys` distinct dim
+    * keys degrades to the unpruned semi-join with a warning (dynamic
+    * pruning is an optimization, never a correctness gate) — at that
+    * cardinality the dim side is no longer "small" and a shuffled join is
+    * the right plan anyway. NULL dim keys never equi-match and are
+    * dropped from the probe set. Pruning effectiveness follows the
+    * table's layout: hive-partition or [[cluster]] the fact table on the
+    * join key to make the per-file key ranges disjoint. */
+  def readWhereJoin(spark: SparkSession, root: String, dim: DataFrame,
+                    on: Seq[(String, String)],
+                    maxKeys: Int = 100000): DataFrame = {
+    require(on.nonEmpty, "readWhereJoin: need at least one (factCol, dimCol) pair")
+    val dimKeys = dim.select(on.map { case (_, dc) => col(dc) }.toIndexedSeq: _*).distinct()
+    val collected = dimKeys.limit(maxKeys + 1).collect()
+    def semi(fact: DataFrame): DataFrame = {
+      val cond = on.map { case (fc, dc) => fact(fc) === dimKeys(dc) }.reduce(_ && _)
+      fact.join(broadcast(dimKeys), cond, "left_semi")
+    }
+    if (collected.length > maxKeys) {
+      log.warn(s"manifest table $root: dim side has > $maxKeys distinct keys — " +
+        "dynamic file pruning skipped (falling back to the unpruned semi-join)")
+      semi(read(spark, root))
+    } else {
+      // per-column isin: conjunct-shaped so DataSkipping can evaluate it
+      // per file (a tuple-wise OR-of-ANDs is opaque to the conjunct
+      // compiler); per-column is a SUPERSET of the tuple match, which the
+      // exact semi-join below then tightens — and the same isin reaches
+      // the parquet scan for row-group pruning on the surviving files
+      val perCol = on.zipWithIndex.map { case ((fc, _), i) =>
+        val vs = collected.map(_.get(i)).filter(_ != null).distinct
+        if (vs.isEmpty) lit(false) else col(fc).isin(vs.toIndexedSeq: _*)
+      }.reduce(_ && _)
+      semi(readWhere(spark, root, perCol))
+    }
+  }
+
   /** Newest committed version number, if any — the offset axis for
     * incremental reads ([[readChanges]]) and the streaming source. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] =

@@ -189,6 +189,38 @@ class DataSkippingSpec extends SparkSpec {
     assert(paths(col("dt") >= lit(java.sql.Date.valueOf("2024-01-15"))).size == 1)
   }
 
+  test("readWhereJoin: dim keys prune fact files; result equals the unpruned semi-join") {
+    val root = tmp() + "/fact"
+    // fact keyed 0..999, range-laid-out on the join key so per-file key
+    // ranges are disjoint and key-based skipping can bite (at real scale
+    // cluster() produces this layout; its MB-granular sizing keeps this
+    // toy table in one file, so lay out directly here)
+    val fact = (0 until 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .repartitionByRange(8, col("k"))
+    ManifestTable.write(fact, root)
+    val totalFiles = ManifestTable.current(spark, root).get.files.size
+    assert(totalFiles > 2, s"need a multi-file layout, got $totalFiles")
+    // a selective dim: 5 keys in one narrow range
+    val dim = Seq(100L, 101L, 102L, 103L, 104L).toDF("dk")
+    val pruned = ManifestTable.readWhereJoin(spark, root, dim, Seq("k" -> "dk"))
+    val expect = ManifestTable.read(spark, root)
+      .join(dim.distinct(), col("k") === col("dk"), "left_semi")
+    assert(pruned.inputFiles.length < totalFiles,
+      s"pruned=${pruned.inputFiles.length} total=$totalFiles")
+    assert(pruned.orderBy("k").collect().toSeq == expect.orderBy("k").collect().toSeq)
+    // dim with nulls and duplicates: nulls never equi-match, dupes collapse
+    val dimN = Seq(Some(7L), Some(7L), None).toDF("dk")
+    val got = ManifestTable.readWhereJoin(spark, root, dimN, Seq("k" -> "dk"))
+    assert(got.select("k").as[Long].collect().toSeq == Seq(7L))
+    // degenerate dim (no non-null keys) is empty, not a scan error
+    assert(ManifestTable.readWhereJoin(spark, root,
+      Seq(Option.empty[Long]).toDF("dk"), Seq("k" -> "dk")).count() == 0)
+    // maxKeys overflow falls back to the unpruned semi-join, same rows
+    val wide = (0 until 200).map(_.toLong).toDF("dk")
+    val fb = ManifestTable.readWhereJoin(spark, root, wide, Seq("k" -> "dk"), maxKeys = 50)
+    assert(fb.count() == 200)
+  }
+
   test("readWhere: date-vs-timestamp filter returns matching rows (e2e)") {
     val root = tmp() + "/t"
     val df = Seq(
