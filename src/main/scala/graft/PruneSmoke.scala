@@ -45,6 +45,31 @@ object PruneSmoke {
       println(f"SCALE prune: files=${st.files.size}%5d pruned-read=$pT%.2fs " +
         f"(scans $prunedFiles files) full-read=$fT%.2fs rows=${pruned()}")
     }
+
+    // z-order vs linear clustering: point/range filters on EACH of two
+    // clustered axes — file-skip counts per layout (the multi-dimensional
+    // skipping claim, measured)
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("prune-smoke-z").toString + "/t"
+      val n = 1 << 20 // 1M rows, 1024x1024 grid, high-entropy padding
+      val grid = spark.range(n).select(
+        (col("id") % 1024).as("a"), (col("id") / 1024).as("b"),
+        concat((0 until 4).map(i => md5(concat(col("id").cast("string"), lit(i)))): _*).as("pad"))
+      ManifestTable.write(grid.repartition(32), root)
+      val vLin = ManifestTable.cluster(spark, root, sortCols = Seq("a", "b"), targetFileMB = 4)
+      val vZ = ManifestTable.cluster(spark, root, sortCols = Seq("a", "b"),
+        targetFileMB = 4, zOrder = true)
+      val total = ManifestTable.current(spark, root).get.files.size
+      def scanned(v: Long, f: org.apache.spark.sql.Column) =
+        ManifestTable.readVersionWhere(spark, root, v, f).inputFiles.length
+      for ((name, f) <- Seq(
+          "a=17" -> (col("a") === 17), "b=17" -> (col("b") === 17),
+          "a in [100,120]" -> col("a").between(100, 120),
+          "b in [100,120]" -> col("b").between(100, 120))) {
+        println(f"SCALE zorder: files=$total%4d filter=$name%-16s " +
+          f"linear-scans=${scanned(vLin, f)}%4d z-scans=${scanned(vZ, f)}%4d")
+      }
+    }
     spark.stop()
   }
 }

@@ -1310,7 +1310,8 @@ object ManifestTable {
     * single-reducer funnel at any table size; skew in the sort key is
     * absorbed by the range partitioner's sampling. */
   def cluster(spark: SparkSession, root: String, sortCols: Seq[String],
-              targetFileMB: Int = 512, graceMs: Long = 60000L): Long = {
+              targetFileMB: Int = 512, graceMs: Long = 60000L,
+              zOrder: Boolean = false): Long = {
     require(sortCols.nonEmpty, "cluster: sortCols must be non-empty")
     require(targetFileMB > 0, s"cluster: targetFileMB must be > 0, got $targetFileMB")
     val fs = fsOf(spark, root)
@@ -1331,10 +1332,17 @@ object ManifestTable {
     val genPath = new Path(root, gen)
     // range-partition on (partition cols ++ sort cols) so rows of one
     // hive partition land contiguously and each task's slice of the sort
-    // key is disjoint; the writer then splits tasks by partition dir
-    val rangeCols = (partKeys ++ sortCols).map(col)
-    val clustered = withMicrosTimestamps(df).repartitionByRange(parts, rangeCols: _*)
-      .sortWithinPartitions(rangeCols: _*)
+    // key is disjoint; the writer then splits tasks by partition dir.
+    // zOrder replaces the linear multi-column sort with the interleaved
+    // Morton key (graft.plans.ZOrder): skipping then bites on EVERY
+    // clustered column, not just the sort prefix — the key is a derived
+    // sort expression only, never written
+    val orderCols: Seq[org.apache.spark.sql.Column] =
+      if (zOrder && sortCols.size > 1)
+        partKeys.map(col) :+ graft.plans.ZOrder.zkey(df, sortCols)
+      else (partKeys ++ sortCols).map(col)
+    val clustered = withMicrosTimestamps(df).repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
     val w = clustered.write.mode(SaveMode.ErrorIfExists)
     (if (partKeys.nonEmpty) w.partitionBy(partKeys: _*) else w)
       .parquet(genPath.toString)

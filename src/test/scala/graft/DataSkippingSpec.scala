@@ -189,6 +189,70 @@ class DataSkippingSpec extends SparkSpec {
     assert(paths(col("dt") >= lit(java.sql.Date.valueOf("2024-01-15"))).size == 1)
   }
 
+  test("cluster zOrder: skipping bites on BOTH clustered columns, not just the sort prefix") {
+    val root = tmp() + "/z"
+    // 256x256 grid (a, b independent) with padding so the rewrite yields
+    // a multi-file layout at 1 MB targets
+    val n = 1 << 16
+    val grid = spark.range(n).select(
+      (col("id") % 256).as("a"),
+      (col("id") / 256).as("b"),
+      // high-entropy padding: compressible filler would collapse the
+      // table into too few files for layout comparisons
+      concat((0 until 8).map(i => md5(concat(col("id").cast("string"), lit(i)))): _*).as("pad"))
+    ManifestTable.write(grid.repartition(8), root)
+    val vLinear = ManifestTable.cluster(spark, root, sortCols = Seq("a", "b"), targetFileMB = 1)
+    val linFiles = ManifestTable.current(spark, root).get.files.size
+    assert(linFiles >= 8, s"need a multi-file layout, got $linFiles")
+    val vZ = ManifestTable.cluster(spark, root, sortCols = Seq("a", "b"),
+      targetFileMB = 1, zOrder = true)
+    val zFiles = ManifestTable.current(spark, root).get.files.size
+
+    def scanned(v: Long, f: org.apache.spark.sql.Column) =
+      ManifestTable.readVersionWhere(spark, root, v, f).inputFiles.length
+    val onB = col("b") === 7
+    val onA = col("a") === 3
+    // the linear layout sorts by a first: a-filters prune, b-filters do not
+    assert(scanned(vLinear, onA) < linFiles)
+    assert(scanned(vLinear, onB) == linFiles,
+      "precondition: a linear (a,b) sort cannot skip on b alone")
+    // the z-order layout prunes on EACH axis independently
+    assert(scanned(vZ, onA) < zFiles, s"z-order a-filter scanned all $zFiles files")
+    assert(scanned(vZ, onB) < zFiles, s"z-order b-filter scanned all $zFiles files")
+    // and results are identical to the unpruned filter on both layouts
+    val expectB = ManifestTable.read(spark, root).filter(onB)
+      .select("a", "b").orderBy("a").collect().toSeq
+    assert(ManifestTable.readVersionWhere(spark, root, vZ, onB)
+      .select("a", "b").orderBy("a").collect().toSeq == expectB)
+    assert(ManifestTable.readVersionWhere(spark, root, vLinear, onB)
+      .select("a", "b").orderBy("a").collect().toSeq == expectB)
+    // range predicates prune too (hyper-rectangle boxes, not just points)
+    assert(scanned(vZ, col("b").between(100, 110)) < zFiles)
+    // and a rewrite contributes nothing to the incremental change feed
+    assert(ManifestTable.readChanges(spark, root, vLinear, vZ).count() == 0)
+  }
+
+  test("zkey: interleaved ranks are deterministic, order-preserving per axis, string-capable") {
+    import graft.plans.ZOrder
+    val df = spark.range(1000).select(
+      col("id").cast("double").as("x"),
+      concat(lit("k"), lpad((col("id") % 97).cast("string"), 3, "0")).as("s"))
+    val keyed = df.withColumn("z", ZOrder.zkey(df, Seq("x", "s")))
+      .withColumn("z2", ZOrder.zkey(df, Seq("x", "s")))
+    // deterministic: two derivations agree row-for-row
+    assert(keyed.filter(col("z") =!= col("z2")).count() == 0)
+    // single-column zkey is monotone in the column's order
+    val single = df.withColumn("z", ZOrder.zkey(df, Seq("x")))
+      .orderBy("x").select("z").as[Long].collect()
+    assert(single.sliding(2).forall(p => p(0) <= p(1)))
+    // nulls rank lowest, never NULL out the key
+    val withNull = Seq[(java.lang.Double, String)]((null, "a"), (5.0, "b"))
+      .toDF("x", "s")
+    val zRows = withNull.withColumn("z", ZOrder.zkey(withNull, Seq("x", "s")))
+      .select("z").collect()
+    assert(zRows.length == 2 && zRows.forall(!_.isNullAt(0)))
+  }
+
   test("readWhereJoin: dim keys prune fact files; result equals the unpruned semi-join") {
     val root = tmp() + "/fact"
     // fact keyed 0..999, range-laid-out on the join key so per-file key
