@@ -267,25 +267,38 @@ object BenchQueries extends QueryPack {
           |                         WHERE l2.l_partkey = p_partkey)""".stripMargin)
     }),
     "q21_last_shipper" -> ((s, d) => {
-      // TPC-H Q21 shape: EXISTS + NOT EXISTS, BOTH correlated on the
-      // outer lineitem — the suppliers who shipped strictly last among
-      // multi-supplier orders. Catalyst plans the pair as a left-semi
-      // plus a left-anti join on l_orderkey (PlanSpec).
-      t(s, d, "supplier").createOrReplaceTempView("graft_q21_supplier")
-      t(s, d, "lineitem").createOrReplaceTempView("graft_q21_lineitem")
-      s.sql(
-        """SELECT s_name, COUNT(*) AS numwait
-          |FROM graft_q21_supplier, graft_q21_lineitem l1
-          |WHERE l1.l_suppkey = s_suppkey
-          |  AND l1.l_returnflag = 'R'
-          |  AND EXISTS (SELECT 1 FROM graft_q21_lineitem l2
-          |              WHERE l2.l_orderkey = l1.l_orderkey
-          |                AND l2.l_suppkey <> l1.l_suppkey)
-          |  AND NOT EXISTS (SELECT 1 FROM graft_q21_lineitem l3
-          |                  WHERE l3.l_orderkey = l1.l_orderkey
-          |                    AND l3.l_suppkey <> l1.l_suppkey
-          |                    AND l3.l_shipdate > l1.l_shipdate)
-          |GROUP BY s_name""".stripMargin)
+      // TPC-H Q21 shape: suppliers who shipped last (no OTHER supplier
+      // shipped later) among multi-supplier orders. The EXISTS +
+      // NOT-EXISTS formulation scans lineitem three times (base + semi +
+      // anti, three exchanges); here lineitem is scanned and exchanged
+      // ONCE — per-order measures come from stacked window functions
+      // over the same l_orderkey partitioning, so no self-join exists at
+      // all (the 10×-scale fix from the round-10 verdict). Window state
+      // is bounded by rows-per-order (~7 in TPC-H shapes).
+      //
+      // Tie handling via the two-top-values trick: for row (supp s,
+      // ship d) the pass test is d >= max-shipdate-over-OTHER-suppliers,
+      // which is m1 (the global max) when s is not the max's tie-broken
+      // owner, and m2x = max over rows of all OTHER suppliers when it
+      // is — so tied last-shippers all pass, exactly like NOT EXISTS.
+      val w = Window.partitionBy("l_orderkey")
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"), col("l_returnflag"))
+      // two stacked windows over the SAME partitioning (m2x needs the
+      // first window's tie-broken top supplier) — one exchange feeds both
+      val withTop = li
+        .withColumn("nsupp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("top", max(struct(col("l_shipdate"), col("l_suppkey"))).over(w))
+      val enriched = withTop.withColumn("m2x",
+        max(when(col("l_suppkey") =!= col("top.l_suppkey"), col("l_shipdate"))).over(w))
+      enriched
+        .filter(col("nsupp") >= 2 && col("l_returnflag") === "R" &&
+          when(col("l_suppkey") === col("top.l_suppkey"),
+            col("l_shipdate") >= col("m2x"))
+            .otherwise(col("l_shipdate") === col("top.l_shipdate")))
+        .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
     }),
     "q13_custdist" -> ((s, d) => {
       // TPC-H Q13 shape: LEFT OUTER join with an extra ON-clause filter,

@@ -222,11 +222,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q21 EXISTS + NOT EXISTS decorrelate to semi + anti joins") {
-    val p = assertDecorrelated("q21_last_shipper")
-    assert(p.contains("LeftSemi"), p)
-    assert(p.contains("LeftAnti"), p)
+  test("q21 scans and exchanges lineitem exactly once (stacked windows, no self-join)") {
+    val p = plan("q21_last_shipper")
+    // ONE lineitem scan, ONE lineitem-sized exchange: both per-order
+    // windows sit on the same l_orderkey partitioning. The only other
+    // exchange allowed is the final tiny s_name rollup.
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).length == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
     assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // supplier side broadcast
   }
 
   test("q13 outer-join distribution keeps zero-order customers without a subquery") {
