@@ -253,6 +253,30 @@ object AggWindowQueries extends QueryPack {
       fact.join(broadcast(dim), fact("o_custkey") === dim("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(count(lit(1)).as("order_cnt"), dsum(col("o_totalprice"), 4, 2).as("revenue"))
+    }),
+    "k14_stats_agg" -> ((s, d) => {
+      // K14 (beyond-reference): metadata-only aggregates — COUNT/MIN/MAX
+      // answered from the manifest's per-file footer stats without
+      // touching a data file (statsOnly is a driver-side metadata fold);
+      // the oracle recomputes the same aggregates relationally.
+      import s.implicits._
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k14")
+        .toString + "/orders_stats"
+      ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")).repartition(8),
+        root)
+      val stats = ManifestTable.statsOnly(s, root)
+      val cust = stats.filter(col("column") === "o_custkey")
+        .select("value_count", "null_count").collect().head
+      val (nRows, nullCust) = (cust.getLong(0), cust.getLong(1))
+      Seq((nRows, nRows - nullCust,
+        ManifestTable.statDouble(stats, "o_totalprice", "min").get,
+        ManifestTable.statDouble(stats, "o_totalprice", "max").get,
+        ManifestTable.statString(stats, "o_orderpriority", "min").get,
+        ManifestTable.statString(stats, "o_orderpriority", "max").get))
+        .toDF("n_rows", "n_cust", "min_price", "max_price", "min_prio", "max_prio")
     })
   )
 
@@ -433,7 +457,12 @@ object AggWindowQueries extends QueryPack {
          |       ${dsumSql("o_totalprice", 4, 2)} AS revenue
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |WHERE c_nationkey = 5
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+    "k14_stats_agg" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+        |       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |       MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio
+        |FROM orders""".stripMargin
   )
 }
 

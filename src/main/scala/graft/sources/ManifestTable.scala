@@ -819,6 +819,81 @@ object ManifestTable {
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
     current(spark, root).map(_.version)
 
+  /** Metadata-only aggregates: one row per stats-bearing column with
+    * exact `value_count` / `null_count` / canonical `min` / `max`
+    * answered from the MANIFEST alone — zero data files touched, the
+    * classic lakehouse fast path for `count(*)`, `count(col)`,
+    * `min/max(col)` (at 100 TB that is a driver-side metadata fold vs a
+    * full scan). Values are nullable by honesty, never approximated:
+    *
+    *  - `value_count`/`null_count` are null when any live file carries
+    *    unknown counts for the column (legacy manifests) or misses the
+    *    column entirely (additive evolution — its rows READ as null, but
+    *    how many there are is not recorded per file);
+    *  - `min`/`max` are null when any file with non-null values for the
+    *    column has no usable bounds (footer-statless write, non-ASCII
+    *    strings, NaN floats) or when kinds disagree across files;
+    *    all-null files legitimately contribute counts and no bounds.
+    *
+    * `min`/`max` are the canonical stat encodings ([[ColStats]]): use
+    * [[statDouble]]/[[statString]] for typed access. Hive partition
+    * columns are not stats-bearing (their values live in paths, their
+    * per-file row counts are not recorded) and do not appear. */
+  def statsOnly(spark: SparkSession, root: String): DataFrame = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val cols = st.files.flatMap(_.stats.keys).distinct.sorted
+    val rows = cols.map { c =>
+      val everywhere = st.files.forall(_.stats.contains(c))
+      val entries = st.files.flatMap(_.stats.get(c))
+      val counts =
+        if (everywhere && entries.forall(e => e.count >= 0 && e.nulls >= 0))
+          Some((entries.map(_.count).sum, entries.map(_.nulls).sum))
+        else None
+      val bounded = entries.filter(e => !e.allNull)
+      val kinds = bounded.map(_.kind).distinct
+      val bounds =
+        if (everywhere && kinds.sizeIs == 1 && kinds.head != '_')
+          Some((kinds.head,
+            bounded.map(_.min).reduce((a, b) => ordCanon(kinds.head, a, b, min = true)),
+            bounded.map(_.max).reduce((a, b) => ordCanon(kinds.head, a, b, min = false))))
+        else None
+      org.apache.spark.sql.Row(c,
+        counts.map(x => Long.box(x._1)).orNull, counts.map(x => Long.box(x._2)).orNull,
+        bounds.map(_._1.toString).orNull,
+        bounds.map(_._2).orNull, bounds.map(_._3).orNull)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("value_count", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("null_count", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType, true),
+      org.apache.spark.sql.types.StructField("min", org.apache.spark.sql.types.StringType, true),
+      org.apache.spark.sql.types.StructField("max", org.apache.spark.sql.types.StringType, true)))
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  private def ordCanon(kind: Char, a: String, b: String, min: Boolean): String =
+    if (kind == 's') { if ((a <= b) == min) a else b }
+    else { if ((BigDecimal(a).compare(BigDecimal(b)) <= 0) == min) a else b }
+
+  /** Typed min/max from [[statsOnly]]'s canonical encoding for numeric
+    * ('n') columns; None when the stat is unavailable. */
+  def statDouble(stats: DataFrame, column: String, which: String): Option[Double] =
+    statRaw(stats, column, which, "n").map(_.toDouble)
+
+  /** Typed min/max for string ('s') columns. */
+  def statString(stats: DataFrame, column: String, which: String): Option[String] =
+    statRaw(stats, column, which, "s")
+
+  private def statRaw(stats: DataFrame, column: String, which: String,
+                      kind: String): Option[String] = {
+    require(which == "min" || which == "max", s"which must be min/max, got $which")
+    stats.filter(col("column") === column && col("kind") === kind)
+      .select(which).collect().headOption.flatMap(r => Option(r.getString(0)))
+  }
+
   /** Files ADDED by data-changing commits in `(fromVersion, toVersion]` —
     * the incremental-read primitive. Generations are immutable and a
     * relative path is only ever added by ONE commit, so the change set

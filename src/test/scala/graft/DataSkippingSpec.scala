@@ -189,6 +189,35 @@ class DataSkippingSpec extends SparkSpec {
     assert(paths(col("dt") >= lit(java.sql.Date.valueOf("2024-01-15"))).size == 1)
   }
 
+  test("statsOnly: exact metadata-only count/null/min/max; honest nulls under evolution") {
+    val root = tmp() + "/t"
+    val df = Seq((1L, Some(10.0), "beta", "p1"), (2L, None, "alpha", "p1"),
+        (3L, Some(30.5), "gamma", "p2"))
+      .toDF("id", "v", "name", "p").repartition(2)
+    ManifestTable.write(df, root, partitionCols = Seq("p"))
+    val st = ManifestTable.statsOnly(spark, root).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // exact counts and bounds, multi-file fold
+    assert(st("id").getLong(1) == 3 && st("id").getLong(2) == 0)
+    assert(st("v").getLong(1) == 3 && st("v").getLong(2) == 1)
+    assert(BigDecimal(st("v").getString(4)) == BigDecimal(10.0) &&
+      BigDecimal(st("v").getString(5)) == BigDecimal(30.5))
+    assert(st("name").getString(4) == "alpha" && st("name").getString(5) == "gamma")
+    val sdf = ManifestTable.statsOnly(spark, root)
+    assert(ManifestTable.statDouble(sdf, "v", "max").contains(30.5))
+    assert(ManifestTable.statString(sdf, "name", "min").contains("alpha"))
+    // additive evolution on a PARTITIONED table: only the touched
+    // partition's new files carry the new column — its table-wide counts
+    // and bounds must go NULL (unknown), never guess
+    ManifestTable.upsertDedup(spark,
+      Seq((4L, Some(99.0), "zz", "p3", 7.0)).toDF("id", "v", "name", "p", "extra"),
+      root, keys = Seq("id"), order = "id", partitionCols = Seq("p"), mergeSchema = true)
+    val st2 = ManifestTable.statsOnly(spark, root).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st2("extra").isNullAt(1) && st2("extra").isNullAt(4))
+    assert(st2("id").getLong(1) == 4) // evolved table, full column still exact
+  }
+
   test("cluster zOrder: skipping bites on BOTH clustered columns, not just the sort prefix") {
     val root = tmp() + "/z"
     // 256x256 grid (a, b independent) with padding so the rewrite yields

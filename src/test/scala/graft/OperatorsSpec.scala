@@ -22,6 +22,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("columnProfile default plans HLL (no Expand); only the exact opt-in pays it") {
+    // pins the cost story the oracle entry depends on: prof_columns
+    // pins approxDistinct=false ONLY so DuckDB can hash-match; the
+    // operator DEFAULT must stay map-side HLL — if someone "optimizes"
+    // the exact path away, the oracle breaks, and if someone defaults
+    // to exact, the 100 TB profile shape silently inherits an Expand
+    // that multiplies the scan by the column count. This spec fails
+    // either way.
+    val df = graft.core.Tables.table(spark, sf("sf0.001"), "orders")
+    val cols = Seq("o_orderkey", "o_orderstatus")
+    val defPlan = Profile.columnProfile(df, cols)
+      .queryExecution.executedPlan.toString
+    assert(defPlan.contains("approx_count_distinct"), defPlan)
+    assert(!defPlan.contains("Expand"), defPlan)
+    val exactPlan = Profile.columnProfile(df, cols, approxDistinct = false)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand") && !exactPlan.contains("approx_count_distinct"),
+      exactPlan)
+  }
+
   test("charNgramPairs refuses a candidate universe past maxDocs") {
     val docs = Seq((1L, "abcdefghij"), (2L, "abcdefghik"), (3L, "zzzzzzzzzz"))
       .toDF("doc_id", "body")
