@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** `ManifestTable` as a registered Spark data source — the DataFrame/SQL
+  * front door over the lakehouse layer:
+  *
+  * {{{
+  * spark.read.format("graft-manifest").load(root)                 // snapshot
+  * spark.read.format("graft-manifest")
+  *   .option("versionAsOf", 3).load(root)                         // time travel
+  * df.write.format("graft-manifest").mode("overwrite").save(root) // write()
+  * df.write.format("graft-manifest").mode("append")
+  *   .option("keys", "day,id").option("order", "v")
+  *   .option("partitionCols", "day").save(root)                   // upsertDedup
+  * }}}
+  *
+  * Reads implement `PrunedFilteredScan`: Catalyst hands the data source
+  * the pushable predicates, which are rebuilt as Columns and routed
+  * through [[ManifestTable.readWhere]] — so a SQL `WHERE day = '…'`
+  * prunes manifest FILES from metadata before any scan, exactly like the
+  * programmatic API (Spark re-evaluates every filter above the source,
+  * so the handled-filters contract stays trivially safe). The V1
+  * relation API is deliberate, same reasoning as the streaming source:
+  * batches are parquet file sets best scanned by Spark's own reader
+  * (`buildScan` returns that plan's RDD), not a hand-rolled row reader.
+  */
+class ManifestTableProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+
+  private def root(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      sys.error("graft-manifest: 'path' (table root) is required — use .load(root)/.save(root)"))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val r = root(parameters)
+    val version = parameters.get("versionasof").orElse(parameters.get("versionAsOf"))
+      .map(_.trim.toLong)
+    new ManifestRelation(sqlContext, r, version)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val r = root(parameters)
+    val partitionCols = parameters.get("partitioncols").orElse(parameters.get("partitionCols"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val exists = ManifestTable.currentVersion(sqlContext.sparkSession, r).isDefined
+    mode match {
+      case SaveMode.Overwrite =>
+        ManifestTable.write(data, r, partitionCols)
+      case SaveMode.ErrorIfExists =>
+        if (exists) sys.error(s"graft-manifest: $r already exists (mode=ErrorIfExists)")
+        ManifestTable.write(data, r, partitionCols)
+      case SaveMode.Ignore =>
+        if (!exists) ManifestTable.write(data, r, partitionCols)
+      case SaveMode.Append =>
+        val keys = parameters.get("keys").map(_.split(',').map(_.trim).toSeq)
+          .getOrElse(sys.error(
+            "graft-manifest append is a keyed upsert: set .option(\"keys\", \"k1,k2\") " +
+              "and .option(\"order\", \"col\")"))
+        val order = parameters.getOrElse("order", sys.error(
+          "graft-manifest append requires .option(\"order\", \"col\") (keep-last tiebreak)"))
+        ManifestTable.upsertWithRetry(sqlContext.sparkSession, data, r, keys, order,
+          partitionCols)
+    }
+    new ManifestRelation(sqlContext, r, None)
+  }
+}
+
+final class ManifestRelation(val sqlContext: SQLContext, root: String,
+                             version: Option[Long])
+    extends BaseRelation with PrunedFilteredScan {
+
+  private def spark = sqlContext.sparkSession
+
+  private def snapshot: DataFrame = version match {
+    case Some(v) => ManifestTable.readVersion(spark, root, v)
+    case None    => ManifestTable.read(spark, root)
+  }
+
+  override val schema: StructType = snapshot.schema
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val pruned = filters.flatMap(toColumn(_)).reduceOption(_ && _) match {
+      case Some(f) => version match {
+        case Some(v) => ManifestTable.readVersionWhere(spark, root, v, f)
+        case None    => ManifestTable.readWhere(spark, root, f)
+      }
+      case None => snapshot
+    }
+    // positional row contract: exactly the required columns (a
+    // COUNT(*)-style scan asks for none — empty rows, correct count)
+    pruned.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+
+  /** Source filters → a Column that is EQUAL TO OR WEAKER THAN the
+    * original filter — readWhere applies it to ROWS, so a stricter
+    * conversion would lose rows Spark's re-filter above cannot
+    * resurrect. Weaker is always safe (Spark re-applies every filter
+    * above the source); it only costs pruning opportunity. AND may keep
+    * either convertible half (weaker); OR needs both halves (weak
+    * halves still weaken the whole); NOT flips strictness, so its child
+    * must convert EXACTLY — under `exact`, partial AND conversion is
+    * refused. */
+  private def toColumn(f: Filter, exact: Boolean = false): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case And(l, r) => (toColumn(l, exact), toColumn(r, exact)) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (one, two)         => if (exact) None else one.orElse(two)
+    }
+    case Or(l, r) =>
+      for { a <- toColumn(l, exact); b <- toColumn(r, exact) } yield a || b
+    case Not(child) => toColumn(child, exact = true).map(!_)
+    case _ => None
+  }
+
+  override def toString: String =
+    s"ManifestRelation[$root${version.map(v => s"@v$v").getOrElse("")}]"
+}

@@ -837,13 +837,15 @@ object ManifestTable {
     *
     * `min`/`max` are the canonical stat encodings ([[ColStats]]): use
     * [[statDouble]]/[[statString]] for typed access. Hive partition
-    * columns are not stats-bearing (their values live in paths, their
-    * per-file row counts are not recorded) and do not appear. */
+    * columns DO appear (kind 's' — they are string-pinned table-wide):
+    * their values come from the file paths, their per-file row counts
+    * from any sibling column's value count (value counts include nulls,
+    * so every stats-bearing column of a file counts its rows). */
   def statsOnly(spark: SparkSession, root: String): DataFrame = {
     val st = current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
     val cols = st.files.flatMap(_.stats.keys).distinct.sorted
-    val rows = cols.map { c =>
+    val dataRows = cols.map { c =>
       val everywhere = st.files.forall(_.stats.contains(c))
       val entries = st.files.flatMap(_.stats.get(c))
       val counts =
@@ -863,6 +865,27 @@ object ManifestTable {
         bounds.map(_._1.toString).orNull,
         bounds.map(_._2).orNull, bounds.map(_._3).orNull)
     }
+    // per-file row count = any stats-bearing column's value count
+    // (parquet value counts include nulls); None when a file has no
+    // counted column — partition stats then go honest-NULL
+    def fileRows(f: FileEntry): Option[Long] =
+      f.stats.values.collectFirst { case s if s.count >= 0 => s.count }
+    val partCols = st.files.flatMap(_.partitionValues.keys).distinct.sorted
+    val partRows = partCols.map { c =>
+      val everywhere = st.files.forall(_.partitionValues.contains(c))
+      val perFile = st.files.map(f => (f.partitionValues.get(c).flatten, fileRows(f)))
+      val counts =
+        if (everywhere && perFile.forall(_._2.nonEmpty))
+          Some((perFile.map(_._2.get).sum,
+            perFile.collect { case (None, Some(n)) => n }.sum)) // null-partition rows
+        else None
+      val vals = perFile.flatMap(_._1)
+      val bounds = if (everywhere && vals.nonEmpty) Some((vals.min, vals.max)) else None
+      org.apache.spark.sql.Row(c,
+        counts.map(x => Long.box(x._1)).orNull, counts.map(x => Long.box(x._2)).orNull,
+        bounds.map(_ => "s").orNull, bounds.map(_._1).orNull, bounds.map(_._2).orNull)
+    }
+    val rows = dataRows ++ partRows
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType, false),
       org.apache.spark.sql.types.StructField("value_count", org.apache.spark.sql.types.LongType, true),

@@ -216,6 +216,10 @@ class DataSkippingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r).toMap
     assert(st2("extra").isNullAt(1) && st2("extra").isNullAt(4))
     assert(st2("id").getLong(1) == 4) // evolved table, full column still exact
+    // hive partition column: values from paths, row counts from sibling
+    // column stats — exact count and string bounds
+    assert(st2("p").getLong(1) == 4 && st2("p").getLong(2) == 0)
+    assert(st2("p").getString(4) == "p1" && st2("p").getString(5) == "p3")
   }
 
   test("cluster zOrder: skipping bites on BOTH clustered columns, not just the sort prefix") {
