@@ -995,6 +995,28 @@ object ManifestTable {
     } else readState(spark, root, State(toVersion, files))
   }
 
+  /** [[readChanges]] composed with metadata pruning ([[readWhere]]'s
+    * contract): the change-set files are pruned by partition values +
+    * footer stats before the scan and the full filter is re-applied
+    * after — a downstream hop that consumes only a SLICE of upstream
+    * changes (one region, one event class) skips the rest of the
+    * window's files entirely. Semantically identical to
+    * `readChanges(...).filter(filter)`. */
+  def readChangesWhere(spark: SparkSession, root: String, fromVersion: Long,
+                       toVersion: Long,
+                       filter: org.apache.spark.sql.Column): DataFrame = {
+    val files = changedFiles(spark, root, fromVersion, toVersion)
+    val kept = DataSkipping.prune(files, filter)
+    log.info(s"manifest table $root changes ($fromVersion, $toVersion]: data skipping " +
+      s"kept ${kept.size}/${files.size} changed files for $filter")
+    if (kept.isEmpty) {
+      val st = resolveState(spark, root, toVersion).getOrElse(sys.error(
+        s"manifest table $root has no committed version $toVersion"))
+      val schema = readState(spark, root, st).schema
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    } else readState(spark, root, State(toVersion, kept)).filter(filter)
+  }
+
   /** Exactly-once incremental relay between two manifest tables: read
     * the source's changes since this consumer's last processed version,
     * apply `transform`, and upsert the result into `dstRoot` with the

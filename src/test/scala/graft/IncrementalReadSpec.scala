@@ -82,6 +82,25 @@ class IncrementalReadSpec extends SparkSpec {
       mk("d9", 0 until 3, 9.0).as[(String, Long, Double)].collect().toSet)
   }
 
+  test("readChangesWhere prunes changed files by predicate, same rows as filter") {
+    val root = tmp() + "/t"
+    ManifestTable.write(mk("d1", 0 until 10, 1.0), root, partitionCols = Seq("day"))
+    val v1 = ManifestTable.currentVersion(spark, root).get
+    // one upsert touching TWO partitions; the filtered incremental read
+    // must scan only the matching partition's changed files
+    ManifestTable.upsertDedup(spark,
+      mk("d2", 10 until 20, 2.0).union(mk("d3", 20 until 30, 3.0)), root,
+      keys = Seq("day", "id"), order = "v", partitionCols = Seq("day"))
+    val v2 = ManifestTable.currentVersion(spark, root).get
+    val all = ManifestTable.readChanges(spark, root, v1, v2)
+    val sliced = ManifestTable.readChangesWhere(spark, root, v1, v2, col("day") === "d3")
+    assert(sliced.inputFiles.length < all.inputFiles.length)
+    assert(rows(sliced) == rows(all.filter(col("day") === "d3")))
+    // empty slice: schema-preserving zero-row frame, no scan
+    val none = ManifestTable.readChangesWhere(spark, root, v1, v2, col("day") === "nope")
+    assert(none.count() == 0 && none.schema == all.schema)
+  }
+
   test("consumeChanges: exactly-once incremental relay with aggregation, idempotent replays") {
     val src = tmp() + "/src"
     val dst = tmp() + "/dst"
