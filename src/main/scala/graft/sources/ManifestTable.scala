@@ -1414,6 +1414,90 @@ object ManifestTable {
     commitRewrite(spark, fs, root, st, gen, entries, graceMs)
   }
 
+  /** Incremental compaction — the auto-OPTIMIZE shape: rewrite ONLY the
+    * small-file debt (files under `smallFileMB`, the streaming sink's
+    * and fine-grained upserts' residue) into right-sized files, carrying
+    * every already-right-sized file forward by reference. Compaction
+    * cost tracks the debt, not the table: a 100 TB table with 2 GB of
+    * fresh micro-batch files rewrites 2 GB. Within each hive partition
+    * the rewrite groups per partition (the small files' rows stay in
+    * their partitions); commits as a REWRITE (op tag), so incremental
+    * readers emit nothing. No-op (returns current version) when fewer
+    * than `minFiles` small files exist — call it on a cadence without
+    * wasting commits. */
+  def compactSmallFiles(spark: SparkSession, root: String,
+                        smallFileMB: Int = 64, targetFileMB: Int = 512,
+                        minFiles: Int = 2, graceMs: Long = 60000L): Long = {
+    require(smallFileMB > 0 && targetFileMB >= smallFileMB,
+      s"need 0 < smallFileMB <= targetFileMB, got $smallFileMB/$targetFileMB")
+    val fs = fsOf(spark, root)
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val smallBytes = smallFileMB * 1024L * 1024L
+    val (small, big) = st.files.partition(_.bytes < smallBytes)
+    if (small.sizeIs < minFiles) return st.version
+    val layouts = small.map(_.partitionPath.split('/').toSeq
+      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
+    require(layouts.size <= 1,
+      s"compactSmallFiles: inconsistent partition layouts in $root: $layouts")
+    val keys = layouts.headOption.getOrElse(Seq.empty)
+    val df = readState(spark, root, st.copy(files = small))
+    val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
+    val micros = withMicrosTimestamps(df)
+    Writers.sizedRewrite(micros.sparkSession, micros, small.map(_.bytes).sum,
+      keys, targetFileMB, new Path(root, gen).toString)
+    val entries = listGeneration(fs, root, gen)
+    val v = st.version + 1
+    val (manifest, sidecar) = mkSnapshot(spark, root, v, big ++ entries,
+      st.tags + (OpTag -> "rewrite"))
+    if (!claimOrRecover(fs, root, manifest, graceMs)) {
+      fs.delete(new Path(root, gen), true)
+      sidecar.foreach(fs.delete(_, true))
+      throw new ConcurrentCommitException(root, v)
+    }
+    writePointer(fs, root, v)
+    v
+  }
+
+  /** The commit log as a DataFrame (the DESCRIBE HISTORY role): one row
+    * per RETAINED version, newest first — version, operation marker,
+    * manifest kind, files added/removed by that commit, and the commit
+    * file's modification time (best-effort wall clock; the protocol
+    * never depends on it). Driver-side metadata read only. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, ManifestDir)
+    val versions: Seq[Long] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.endsWith(".txt"))
+        .flatMap(n => scala.util.Try(n.stripSuffix(".txt").toLong).toOption)
+        .sorted(Ordering[Long].reverse)
+    val rows = versions.flatMap { v =>
+      readRaw(fs, root, v).map { m =>
+        val (kind, adds, removes) = m match {
+          case f: FullManifest  => ("snapshot", f.files.size.toLong, -1L)
+          case r: SnapshotRef   => ("snapshot-ref", r.count, -1L)
+          case d: DeltaManifest => ("delta", d.adds.size.toLong, d.removes.size.toLong)
+        }
+        val ts = scala.util.Try(
+          fs.getFileStatus(manifestPath(root, v)).getModificationTime).getOrElse(0L)
+        org.apache.spark.sql.Row(v, m.tags.getOrElse(OpTag, null), kind, adds,
+          if (removes < 0) null else Long.box(removes),
+          new java.sql.Timestamp(ts))
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType, true),
+      org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("files_listed", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("removes", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("commit_time", org.apache.spark.sql.types.TimestampType, false)))
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
   /** Clustered compaction (the Delta OPTIMIZE ZORDER / Iceberg
     * sort-order role, linear form): rewrite the live file set
     * RANGE-PARTITIONED and sorted on `sortCols`, so each output file

@@ -82,6 +82,48 @@ class IncrementalReadSpec extends SparkSpec {
       mk("d9", 0 until 3, 9.0).as[(String, Long, Double)].collect().toSet)
   }
 
+  test("compactSmallFiles rewrites only the debt; big files carried; history records ops") {
+    val root = tmp() + "/t"
+    // one genuinely-big d1 generation (high-entropy padding pushes its
+    // files past the 1 MB debt threshold) + several tiny d2 micro-upserts
+    // d1 is heavy (high-entropy padding, ~2.5 MB per task file), d2 is 20
+    // tiny rows; written through 6 round-robin tasks, each partition dir
+    // gets 6 files — d1's all >= 1 MB (not debt), d2's all tiny (the
+    // streaming-sink residue shape compaction exists for)
+    val data = spark.range(60000).select(lit("d1").as("day"), col("id"),
+        col("id").cast("double").as("v"),
+        concat((0 until 4).map(i => md5(concat(col("id").cast("string"), lit(i)))): _*).as("pad"))
+      .union(mk("d2", 60000 until 60020, 2.0).withColumn("pad", lit("x")))
+      .repartition(6)
+    ManifestTable.write(data, root, partitionCols = Seq("day"))
+    // plus one micro-upsert so history shows a delta commit too
+    ManifestTable.upsertDedup(spark,
+      mk("d3", 70000 until 70005, 3.0).withColumn("pad", lit("y")),
+      root, keys = Seq("day", "id"), order = "v", partitionCols = Seq("day"))
+    val before = ManifestTable.current(spark, root).get
+    val bigPaths = before.files.filter(_.bytes >= 1024 * 1024).map(_.relPath).toSet
+    assert(bigPaths.nonEmpty, s"need >=1MB files, sizes=${before.files.map(_.bytes)}")
+    val countBefore = ManifestTable.read(spark, root).count()
+    val vc = ManifestTable.compactSmallFiles(spark, root,
+      smallFileMB = 1, targetFileMB = 64, minFiles = 2)
+    val after = ManifestTable.current(spark, root).get
+    assert(vc == before.version + 1 && after.files.size < before.files.size)
+    // the big files are carried BY REFERENCE — identical paths survive
+    assert(bigPaths.subsetOf(after.files.map(_.relPath).toSet))
+    assert(ManifestTable.read(spark, root).count() == countBefore)
+    // incremental readers see NOTHING from the rewrite
+    assert(ManifestTable.readChanges(spark, root, before.version, vc).count() == 0)
+    // below minFiles → no-op commit
+    assert(ManifestTable.compactSmallFiles(spark, root, smallFileMB = 1,
+      minFiles = 1000) == vc)
+    // history: newest first, ops recorded, delta commits show removes
+    val h = ManifestTable.history(spark, root)
+      .select("version", "op", "kind").collect()
+    assert(h.head.getLong(0) == vc && h.head.getString(1) == "rewrite")
+    assert(h.map(_.getLong(0)).toSeq == h.map(_.getLong(0)).toSeq.sorted.reverse)
+    assert(h.exists(r => r.getString(1) == "upsert" && r.getString(2) == "delta"))
+  }
+
   test("readChangesWhere prunes changed files by predicate, same rows as filter") {
     val root = tmp() + "/t"
     ManifestTable.write(mk("d1", 0 until 10, 1.0), root, partitionCols = Seq("day"))
