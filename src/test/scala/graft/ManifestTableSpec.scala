@@ -396,9 +396,44 @@ class ManifestTableSpec extends SparkSpec {
         val k = rnd.nextInt(12).toLong
         (dates((k % dates.length).toInt), k, rnd.nextInt(100).toDouble, op)
       }.groupBy(_._2).map(_._2.last).toSeq // keep-last within the batch
-    for (i <- 1 to 14) {
+    // incremental CONSUMER model: folds readChanges windows keep-last by
+    // key, lagging behind at random so windows span multiple commits,
+    // vacuums can cut its window (forcing the documented re-bootstrap),
+    // and overwrite commits force the documented history check
+    var cons = Map.empty[Long, Double]
+    var consV = 0L
+    def snapshotCons(): Unit = {
+      cons = ManifestTable.read(spark, root)
+        .select("key", "v").as[(Long, Double)].collect().toMap
+      consV = ManifestTable.currentVersion(spark, root).get
+    }
+    def consume(i: Int): Unit = {
+      val curV = ManifestTable.currentVersion(spark, root).get
+      if (curV == consV) return
+      // the documented consumer recipe: an overwrite inside the window
+      // is a reset boundary the file-level feed cannot express — detect
+      // via history and re-bootstrap from the snapshot
+      val winOps = ManifestTable.history(spark, root)
+        .filter(org.apache.spark.sql.functions.col("version") > consV &&
+          org.apache.spark.sql.functions.col("version") <= curV)
+        .select("op").collect().map(_.getString(0)).toSet
+      if (winOps.contains("overwrite")) snapshotCons()
+      else try {
+        val win = ManifestTable.readChanges(spark, root, consV, curV)
+          .select("key", "v", "o").as[(Long, Double, Long)].collect()
+        cons = cons ++ win.groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._3)._2 }
+        consV = curV
+      } catch {
+        case e: RuntimeException if e.getMessage != null &&
+            e.getMessage.contains("vacuumed") =>
+          snapshotCons() // fell behind the retention horizon
+      }
+      assert(cons.toSeq.sorted == model.toSeq.sorted,
+        s"incremental consumer diverged after op $i (window ops $winOps)")
+    }
+    for (i <- 1 to 18) {
       op += 1
-      val dice = if (i == 1) 0 else rnd.nextInt(10)
+      val dice = if (i == 1) 0 else rnd.nextInt(12)
       dice match {
         case n if n < 6 =>
           val batch = rows(1 + rnd.nextInt(4))
@@ -413,6 +448,14 @@ class ManifestTableSpec extends SparkSpec {
           ManifestTable.cluster(spark, root, Seq("key"), targetFileMB = 16)
         case 8 =>
           ManifestTable.vacuum(spark, root, keep = 1 + rnd.nextInt(2))
+        case 9 =>
+          // everything in the walk is tiny, so this rewrites all files —
+          // the contract under test is rewrite-invisibility + model parity
+          ManifestTable.compactSmallFiles(spark, root, smallFileMB = 16,
+            targetFileMB = 16, minFiles = 2)
+        case 10 =>
+          ManifestTable.cluster(spark, root, Seq("key", "v"),
+            targetFileMB = 16, zOrder = true)
         case _ =>
           val fresh = rows(5)
           ManifestTable.write(fresh.toDF("date", "key", "v", "o"),
@@ -432,6 +475,8 @@ class ManifestTableSpec extends SparkSpec {
         .select("key", "v").as[(Long, Double)].collect().toSeq.sorted
       assert(gotW == model.filter(_._1 == probe).toSeq.sorted,
         s"readWhere divergence after op $i (dice $dice, key $probe)")
+      // the lagging incremental consumer (always catches up at the end)
+      if (i == 18 || rnd.nextInt(3) != 0) consume(i)
     }
   }
 
