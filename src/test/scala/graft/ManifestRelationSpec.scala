@@ -62,6 +62,23 @@ class ManifestRelationSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(1L, 3L))
   }
 
+  test("CREATE TABLE ... USING graft-manifest: catalog tables over the lakehouse") {
+    val root = tmp() + "/t"
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+      .write.format("graft-manifest").mode("overwrite").save(root)
+    spark.sql("DROP TABLE IF EXISTS graft_cat_t")
+    spark.sql(s"CREATE TABLE graft_cat_t USING `graft-manifest` OPTIONS (path '$root')")
+    try {
+      assert(spark.sql("SELECT k FROM graft_cat_t WHERE n = 2").as[String]
+        .collect().toSeq == Seq("b"))
+      // the catalog table sees subsequent commits (resolution is per-read)
+      Seq(("c", 3L)).toDF("k", "n").write.format("graft-manifest").mode("append")
+        .option("keys", "k").option("order", "n").save(root)
+      assert(spark.sql("SELECT COUNT(*) FROM graft_cat_t").as[Long]
+        .collect().toSeq == Seq(3L))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cat_t")
+  }
+
   test("versionAsOf option time-travels; append mode is the keyed upsert") {
     val root = tmp() + "/t"
     Seq(("d1", 1L, 1.0)).toDF("day", "id", "v")
