@@ -277,6 +277,38 @@ object AggWindowQueries extends QueryPack {
         ManifestTable.statString(stats, "o_orderpriority", "min").get,
         ManifestTable.statString(stats, "o_orderpriority", "max").get))
         .toDF("n_rows", "n_cust", "min_price", "max_price", "min_prio", "max_prio")
+    }),
+    "k15_delete" -> ((s, d) => {
+      // K15 (beyond-reference): copy-on-write DELETE WHERE — only files
+      // whose stats might match are rewritten (partitioned by priority,
+      // so the predicate prunes to one partition's files); the oracle
+      // recomputes the surviving rows relationally.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k15")
+        .toString + "/orders_del"
+      ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+        root, partitionCols = Seq("o_orderpriority"))
+      ManifestTable.delete(s, root,
+        col("o_orderpriority") === "1-URGENT" && col("o_totalprice") < 150000.0)
+      ManifestTable.read(s, root)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    }),
+    "k16_update" -> ((s, d) => {
+      // K16 (beyond-reference): copy-on-write UPDATE ... SET evaluated
+      // against the OLD row; non-matching rows byte-identical.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k16")
+        .toString + "/orders_upd"
+      ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+        root, partitionCols = Seq("o_orderpriority"))
+      ManifestTable.update(s, root, col("o_orderpriority") === "5-LOW",
+        Map("o_totalprice" -> (col("o_totalprice") * 1.1)))
+      ManifestTable.read(s, root)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
     })
   )
 
@@ -462,6 +494,16 @@ object AggWindowQueries extends QueryPack {
       """SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
         |       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
         |       MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio
+        |FROM orders""".stripMargin,
+    "k15_delete" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_orderpriority = '1-URGENT' AND o_totalprice < 150000.0)""".stripMargin,
+    "k16_update" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderpriority = '5-LOW'
+        |            THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+        |       o_orderpriority
         |FROM orders""".stripMargin
   )
 }

@@ -1414,6 +1414,90 @@ object ManifestTable {
     commitRewrite(spark, fs, root, st, gen, entries, graceMs)
   }
 
+  /** Copy-on-write DELETE (the Delta/Iceberg `DELETE WHERE` role): drop
+    * rows matching `predicate`. Only files that MIGHT contain matches
+    * (by manifest stats + partition values — the same conservative
+    * pruning as [[readWhere]]) are rewritten; every provably-unaffected
+    * file is carried by reference, so at 100 TB a targeted delete
+    * rewrites the matching sliver, not the table. SQL semantics: a row
+    * is deleted when the predicate is TRUE; FALSE and NULL rows are
+    * kept. Commits a DELTA manifest (op "delete") — O(touched files)
+    * bytes. Returns the new version (or the current one untouched when
+    * nothing could match).
+    *
+    * Incremental-consumer caveat (file-level change feed): the rewrite
+    * re-emits surviving rows of touched files; DELETED keys simply never
+    * reappear, so a keyed downstream retains them until reconciled —
+    * consumers that must propagate deletes should treat op="delete"
+    * windows like "overwrite" ones (re-bootstrap; see the model walk). */
+  def delete(spark: SparkSession, root: String,
+             predicate: org.apache.spark.sql.Column,
+             graceMs: Long = 60000L): Long =
+    rewriteMatching(spark, root, predicate, "delete", graceMs) { df =>
+      // keep rows where the predicate is FALSE or NULL
+      df.filter(!coalesce(predicate, lit(false)))
+    }
+
+  /** Copy-on-write UPDATE: for rows matching `predicate`, replace each
+    * column in `set` with its expression (evaluated against the old
+    * row); all other rows and columns pass through. Same file-pruned
+    * rewrite economics and delta commit as [[delete]] (op "update");
+    * updated rows DO re-emit through the incremental feed (they are in
+    * the rewritten files' adds). */
+  def update(spark: SparkSession, root: String,
+             predicate: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column],
+             graceMs: Long = 60000L): Long = {
+    require(set.nonEmpty, "update: need at least one column -> expression")
+    rewriteMatching(spark, root, predicate, "update", graceMs) { df =>
+      val bad = set.keySet -- df.columns
+      require(bad.isEmpty, s"update: columns $bad not in table schema")
+      val cond = coalesce(predicate, lit(false))
+      df.select(df.columns.toIndexedSeq.map { c =>
+        set.get(c) match {
+          case Some(e) => when(cond, e).otherwise(col(c)).as(c)
+          case None    => col(c)
+        }
+      }: _*)
+    }
+  }
+
+  /** Shared copy-on-write core: prune the live set to files that might
+    * match, rewrite those through `transform`, commit adds+removes as a
+    * delta with the given op tag. CAS like every mutator. */
+  private def rewriteMatching(spark: SparkSession, root: String,
+                              predicate: org.apache.spark.sql.Column,
+                              opName: String, graceMs: Long)
+                             (transform: DataFrame => DataFrame): Long = {
+    val fs = fsOf(spark, root)
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val touched = DataSkipping.prune(st.files, predicate)
+    if (touched.isEmpty) return st.version // provably nothing to do
+    val layouts = touched.map(_.partitionPath.split('/').toSeq
+      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
+    require(layouts.size <= 1,
+      s"$opName: inconsistent partition layouts in $root: $layouts")
+    val partKeys = layouts.headOption.getOrElse(Seq.empty)
+    val kept = transform(readState(spark, root, st.copy(files = touched)))
+    // all rows of every touched file removed: commit removes only (an
+    // empty generation dir would be unlistable noise)
+    val (entries, gen) =
+      if (kept.isEmpty) (Seq.empty[FileEntry], None)
+      else {
+        val (g, es) = writeGeneration(kept, root, partKeys)
+        (es, Some(g))
+      }
+    val removes = touched.map(_.relPath)
+    val v = st.version + 1
+    val manifest = DeltaManifest(v, entries, removes, st.tags + (OpTag -> opName))
+    if (!claimOrRecover(fs, root, manifest, graceMs)) {
+      gen.foreach(g => fs.delete(new Path(root, g), true))
+      throw new ConcurrentCommitException(root, v)
+    }
+    v
+  }
+
   /** Incremental compaction — the auto-OPTIMIZE shape: rewrite ONLY the
     * small-file debt (files under `smallFileMB`, the streaming sink's
     * and fine-grained upserts' residue) into right-sized files, carrying

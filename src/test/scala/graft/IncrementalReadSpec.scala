@@ -82,6 +82,50 @@ class IncrementalReadSpec extends SparkSpec {
       mk("d9", 0 until 3, 9.0).as[(String, Long, Double)].collect().toSet)
   }
 
+  test("delete/update: copy-on-write rewrites only files that might match") {
+    val root = tmp() + "/t"
+    ManifestTable.write(
+      mk("d1", 0 until 100, 1.0).union(mk("d2", 100 until 200, 2.0))
+        .union(mk("d3", 200 until 300, 3.0)),
+      root, partitionCols = Seq("day"))
+    val before = ManifestTable.current(spark, root).get
+    val untouchedPaths = before.files.filterNot(_.partitionPath == "day=d2")
+      .map(_.relPath).toSet
+
+    // DELETE rows of d2 with id < 150: only d2's files rewritten
+    val v2 = ManifestTable.delete(spark, root, col("day") === "d2" && col("id") < 150)
+    val after = ManifestTable.current(spark, root).get
+    assert(untouchedPaths.subsetOf(after.files.map(_.relPath).toSet),
+      "files that cannot match must be carried by reference")
+    assert(rows(ManifestTable.read(spark, root)) ==
+      (rows(mk("d1", 0 until 100, 1.0)) ++ rows(mk("d2", 150 until 200, 2.0)) ++
+        rows(mk("d3", 200 until 300, 3.0))))
+    // provably-no-match predicate: version unchanged, nothing rewritten
+    assert(ManifestTable.delete(spark, root, col("day") === "zzz") == v2)
+    // NULL-predicate rows are KEPT (SQL DELETE semantics)
+    val rootN = tmp() + "/tn"
+    ManifestTable.write(Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "v"), rootN)
+    ManifestTable.delete(spark, rootN, col("v") > 2.0)
+    assert(ManifestTable.read(spark, rootN).select("id").as[Long].collect().toSeq.sorted
+      == Seq(1L, 2L))
+
+    // UPDATE: expression sees the OLD row; non-matching rows untouched
+    ManifestTable.update(spark, root, col("day") === "d3" && col("id") < 210,
+      Map("v" -> (col("v") * 10 + col("id"))))
+    val d3 = ManifestTable.read(spark, root).filter(col("day") === "d3")
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(d3(205L) == 3.0 * 10 + 205 && d3(250L) == 3.0)
+    // update of an unknown column fails before any write
+    intercept[IllegalArgumentException] {
+      ManifestTable.update(spark, root, col("id") === 1, Map("nope" -> lit(1)))
+    }
+    // both ops are data-changing in the change feed (adds re-emit)
+    val h = ManifestTable.history(spark, root).select("version", "op").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h(v2) == "delete" && h(v2 + 1) == "update")
+  }
+
   test("compactSmallFiles rewrites only the debt; big files carried; history records ops") {
     val root = tmp() + "/t"
     // one genuinely-big d1 generation (high-entropy padding pushes its

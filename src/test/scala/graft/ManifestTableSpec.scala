@@ -417,7 +417,7 @@ class ManifestTableSpec extends SparkSpec {
         .filter(org.apache.spark.sql.functions.col("version") > consV &&
           org.apache.spark.sql.functions.col("version") <= curV)
         .select("op").collect().map(_.getString(0)).toSet
-      if (winOps.contains("overwrite")) snapshotCons()
+      if (winOps.contains("overwrite") || winOps.contains("delete")) snapshotCons()
       else try {
         val win = ManifestTable.readChanges(spark, root, consV, curV)
           .select("key", "v", "o").as[(Long, Double, Long)].collect()
@@ -433,7 +433,7 @@ class ManifestTableSpec extends SparkSpec {
     }
     for (i <- 1 to 18) {
       op += 1
-      val dice = if (i == 1) 0 else rnd.nextInt(12)
+      val dice = if (i == 1) 0 else rnd.nextInt(14)
       dice match {
         case n if n < 6 =>
           val batch = rows(1 + rnd.nextInt(4))
@@ -456,6 +456,25 @@ class ManifestTableSpec extends SparkSpec {
         case 10 =>
           ManifestTable.cluster(spark, root, Seq("key", "v"),
             targetFileMB = 16, zOrder = true)
+        case 11 =>
+          // copy-on-write DELETE of one key (predicate-pruned rewrite)
+          val k = rnd.nextInt(12).toLong
+          ManifestTable.delete(spark, root,
+            org.apache.spark.sql.functions.col("key") === k)
+          model = model - k
+          if (model.isEmpty) { // design: tables are never file-less
+            val fresh = rows(3)
+            ManifestTable.write(fresh.toDF("date", "key", "v", "o"), root, Seq("date"))
+            model = fresh.map(r => r._2 -> r._3).toMap
+          }
+        case 12 =>
+          // copy-on-write UPDATE: bump one key's value (old-row based)
+          val k = rnd.nextInt(12).toLong
+          ManifestTable.update(spark, root,
+            org.apache.spark.sql.functions.col("key") === k,
+            Map("v" -> (org.apache.spark.sql.functions.col("v") + 1000.0),
+              "o" -> org.apache.spark.sql.functions.lit(op)))
+          model = model.map { case (mk, mv) => mk -> (if (mk == k) mv + 1000.0 else mv) }
         case _ =>
           val fresh = rows(5)
           ManifestTable.write(fresh.toDF("date", "key", "v", "o"),
