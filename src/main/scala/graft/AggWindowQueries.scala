@@ -309,6 +309,25 @@ object AggWindowQueries extends QueryPack {
         Map("o_totalprice" -> (col("o_totalprice") * 1.1)))
       ManifestTable.read(s, root)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    }),
+    "k17_merge" -> ((s, d) => {
+      // K17 (beyond-reference): MERGE INTO — target is orders ≤1996,
+      // source is 1996-1997 with shifted prices; matched rows combine
+      // OLD target and source values (the _src_ seam), unmatched source
+      // rows insert. The oracle replays the same arithmetic with CASE.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k17")
+        .toString + "/orders_merge"
+      val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      ManifestTable.write(orders.filter(col("o_year") <= 1996), root)
+      val src = orders.filter(col("o_year").isin(1996, 1997))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      ManifestTable.merge(s, root, src, keys = Seq("o_orderkey"),
+        whenMatched = ManifestTable.MatchUpdate(
+          Map("o_totalprice" -> (col("o_totalprice") + col("_src_o_totalprice")))))
+      ManifestTable.read(s, root)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_year"))
     })
   )
 
@@ -504,7 +523,17 @@ object AggWindowQueries extends QueryPack {
         |       CASE WHEN o_orderpriority = '5-LOW'
         |            THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
         |       o_orderpriority
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "k17_merge" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+        |              THEN o_totalprice + (o_totalprice + 1000.0)
+        |            WHEN EXTRACT(year FROM o_orderdate) = 1997
+        |              THEN o_totalprice + 1000.0
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       EXTRACT(year FROM o_orderdate) AS o_year
+        |FROM orders
+        |WHERE EXTRACT(year FROM o_orderdate) <= 1997""".stripMargin
   )
 }
 

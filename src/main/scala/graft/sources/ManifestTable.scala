@@ -1462,6 +1462,136 @@ object ManifestTable {
     }
   }
 
+  /** WHEN MATCHED action for [[merge]]. `MatchUpdate` expressions may
+    * reference target columns by name and source columns as
+    * `_src_<name>` (the join exposes the source side under that
+    * prefix). */
+  sealed trait WhenMatched
+  /** Replace the matched target row with the source row wholesale. */
+  case object MatchUpdateAll extends WhenMatched
+  /** Set specific target columns from expressions over old-target +
+    * source (`_src_*`) columns. */
+  final case class MatchUpdate(set: Map[String, org.apache.spark.sql.Column]) extends WhenMatched
+  /** Drop the matched target row. */
+  case object MatchDelete extends WhenMatched
+
+  /** MERGE INTO (the Delta `MERGE` role), copy-on-write: join `source`
+    * against the target on equality of `keys`, apply `whenMatched` to
+    * matched target rows, and (when `insertUnmatched`) append source
+    * rows matching no target key. File economics mirror [[delete]]:
+    * only target files that might contain a source key — pruned by the
+    * collected (bounded) source key set against manifest stats, like
+    * [[readWhereJoin]] — are rewritten; when the source key set exceeds
+    * `maxKeys` every file is considered touched (a bulk merge IS a
+    * table-sized operation). Pruning conservatism makes the unmatched
+    * set exact: untouched files provably contain no source key, so
+    * inserts anti-join only the touched slice.
+    *
+    * `source` must be UNIQUE on `keys` (checked — one aggregate over
+    * the source): duplicate source matches per target row are the
+    * classic silent-fanout bug and an error in every MERGE dialect.
+    * Commits a DELTA (op "merge"). Returns the new version, or the
+    * current one when the merge provably changes nothing. */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+            keys: Seq[String], whenMatched: WhenMatched = MatchUpdateAll,
+            insertUnmatched: Boolean = true, maxKeys: Int = 100000,
+            graceMs: Long = 60000L): Long = {
+    require(keys.nonEmpty, "merge: need at least one key column")
+    val fs = fsOf(spark, root)
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val target = readState(spark, root, st)
+    require(keys.forall(target.columns.contains) && keys.forall(source.columns.contains),
+      s"merge: keys $keys must exist on both sides")
+    val dup = source.groupBy(keys.map(col).toIndexedSeq: _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge: source has duplicate keys (e.g. ${dup.headOption}) — " +
+        "a target row must match at most one source row")
+    // bounded source-key collection drives file pruning (readWhereJoin's
+    // per-column-isin shape); overflow = whole-table merge
+    val collected = source.select(keys.map(col).toIndexedSeq: _*)
+      .distinct().limit(maxKeys + 1).collect()
+    val touched =
+      if (collected.length > maxKeys) st.files
+      else {
+        val perCol = keys.zipWithIndex.map { case (k, i) =>
+          val vs = collected.map(_.get(i)).filter(_ != null).distinct
+          if (vs.isEmpty) lit(false) else col(k).isin(vs.toIndexedSeq: _*)
+        }.reduce(_ && _)
+        DataSkipping.prune(st.files, perCol)
+      }
+    if (touched.isEmpty && !insertUnmatched) return st.version
+    val layouts = st.files.map(_.partitionPath.split('/').toSeq
+      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
+    require(layouts.size <= 1,
+      s"merge: inconsistent partition layouts in $root: $layouts")
+    val partKeys = layouts.headOption.getOrElse(Seq.empty)
+    val srcN = normalizePartitionCols(source, partKeys)
+    locally { // same schema discipline as upserts: no silent coercion
+      val tT = target.schema.map(f => f.name -> f.dataType).toMap
+      val drift = srcN.schema.filter(f => tT.get(f.name).exists(_ != f.dataType))
+        .map(f => s"${f.name}: table=${tT(f.name).sql} batch=${f.dataType.sql}")
+      require(drift.isEmpty,
+        s"merge: source column types differ from the table (${drift.mkString("; ")})")
+    }
+    val touchedDf =
+      if (touched.isEmpty) { // no rewrite side, inserts may still exist
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          target.schema)
+      } else readState(spark, root, st.copy(files = touched))
+    // sentinel marker instead of key-null checks: the join is null-SAFE,
+    // so a matched row may legitimately carry null source keys
+    val srcPrefixed = srcN.select(srcN.columns.toIndexedSeq.map(c =>
+      col(c).as(s"_src_$c")) :+ lit(true).as("_src__matched"): _*)
+    val joinCond = keys.map(k => col(k) <=> col(s"_src_$k")).reduce(_ && _)
+    val joined = touchedDf.join(srcPrefixed, joinCond, "left")
+    val matchedMarker = col("_src__matched").isNotNull
+    val targetCols = target.columns.toIndexedSeq
+    val rewritten: DataFrame = whenMatched match {
+      case MatchDelete => joined.filter(!matchedMarker).select(targetCols.map(col): _*)
+      case MatchUpdateAll => joined.select(targetCols.map { c =>
+        when(matchedMarker, col(s"_src_$c")).otherwise(col(c)).as(c)
+      }: _*)
+      case MatchUpdate(set) =>
+        val bad = set.keySet -- targetCols
+        require(bad.isEmpty, s"merge: update columns $bad not in table schema")
+        joined.select(targetCols.map { c =>
+          set.get(c) match {
+            case Some(e) => when(matchedMarker, e).otherwise(col(c)).as(c)
+            case None    => col(c)
+          }
+        }: _*)
+    }
+    val inserts: DataFrame =
+      if (!insertUnmatched)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          target.schema)
+      else {
+        require(srcN.columns.sorted.sameElements(target.columns.sorted),
+          s"merge: insertUnmatched needs the full target schema on the source " +
+            s"(source=${srcN.columns.sorted.toSeq}, table=${target.columns.sorted.toSeq})")
+        // conservative pruning guarantee: untouched files hold no source
+        // key, so anti-joining the TOUCHED slice finds exactly the new keys
+        srcN.join(touchedDf.select(keys.map(col).toIndexedSeq: _*),
+          keys.map(k => srcN(k) <=> touchedDf(k)).reduce(_ && _), "left_anti")
+          .select(targetCols.map(col): _*)
+      }
+    val outRows = rewritten.unionByName(inserts)
+    val (entries, gen) =
+      if (outRows.isEmpty) (Seq.empty[FileEntry], None)
+      else { val (g, es) = writeGeneration(outRows, root, partKeys); (es, Some(g)) }
+    if (entries.isEmpty && touched.isEmpty) return st.version // nothing to do
+    val v = st.version + 1
+    val manifest = DeltaManifest(v, entries, touched.map(_.relPath),
+      st.tags + (OpTag -> "merge"))
+    if (!claimOrRecover(fs, root, manifest, graceMs)) {
+      gen.foreach(g => fs.delete(new Path(root, g), true))
+      throw new ConcurrentCommitException(root, v)
+    }
+    v
+  }
+
   /** Shared copy-on-write core: prune the live set to files that might
     * match, rewrite those through `transform`, commit adds+removes as a
     * delta with the given op tag. CAS like every mutator. */

@@ -82,6 +82,54 @@ class IncrementalReadSpec extends SparkSpec {
       mk("d9", 0 until 3, 9.0).as[(String, Long, Double)].collect().toSet)
   }
 
+  test("merge: UpdateAll/Update/Delete actions, pruned rewrite, exact inserts") {
+    import ManifestTable.{MatchDelete, MatchUpdate, MatchUpdateAll}
+    val root = tmp() + "/t"
+    ManifestTable.write(
+      mk("d1", 0 until 50, 1.0).union(mk("d2", 50 until 100, 2.0)),
+      root, partitionCols = Seq("day"))
+    val before = ManifestTable.current(spark, root).get
+    val d1Paths = before.files.filter(_.partitionPath == "day=d1").map(_.relPath).toSet
+
+    // UpdateAll + insert: touches only d2 (source keys live there) + new d3
+    val src = mk("d2", 90 until 110, 9.0) // 90..99 match, 100..109 insert
+      .withColumn("day", when(col("id") >= 100, "d3").otherwise(col("day")))
+    val v2 = ManifestTable.merge(spark, root, src, keys = Seq("id"))
+    assert(v2 == before.version + 1)
+    val after = ManifestTable.current(spark, root).get
+    assert(d1Paths.subsetOf(after.files.map(_.relPath).toSet),
+      "d1 files cannot match any source key and must be carried by reference")
+    val now = rows(ManifestTable.read(spark, root))
+    assert(now == (rows(mk("d1", 0 until 50, 1.0)) ++ rows(mk("d2", 50 until 90, 2.0)) ++
+      rows(mk("d2", 90 until 100, 9.0)) ++ rows(mk("d3", 100 until 110, 9.0))))
+
+    // MatchUpdate mixing old-target and source values (_src_ prefix)
+    ManifestTable.merge(spark, root,
+      mk("d1", 0 until 5, 100.0), keys = Seq("id"),
+      whenMatched = MatchUpdate(Map("v" -> (col("v") + col("_src_v")))),
+      insertUnmatched = false)
+    val d1v = ManifestTable.read(spark, root).filter(col("id") < 6)
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(d1v(0L) == 101.0 && d1v(5L) == 1.0)
+
+    // MatchDelete removes matched rows only
+    ManifestTable.merge(spark, root, mk("d3", 100 until 105, 0.0),
+      keys = Seq("id"), whenMatched = MatchDelete, insertUnmatched = false)
+    assert(ManifestTable.read(spark, root).filter(col("day") === "d3").count() == 5)
+
+    // duplicate source keys refuse loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root,
+        mk("d1", 0 until 2, 1.0).union(mk("d1", 0 until 1, 2.0)), keys = Seq("id"))
+    }
+    // history records the op
+    assert(ManifestTable.history(spark, root).select("op").collect()
+      .map(_.getString(0)).count(_ == "merge") == 3)
+    assert(ManifestTable.merge(spark, root, mk("dX", 5000 until 5001, 1.0),
+      keys = Seq("id"), whenMatched = MatchUpdateAll).toString.nonEmpty) // insert-only path runs
+    assert(ManifestTable.read(spark, root).filter(col("day") === "dX").count() == 1)
+  }
+
   test("delete/update: copy-on-write rewrites only files that might match") {
     val root = tmp() + "/t"
     ManifestTable.write(
