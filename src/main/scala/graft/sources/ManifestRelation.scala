@@ -43,7 +43,18 @@ class ManifestTableProvider extends RelationProvider
     val r = root(parameters)
     val version = parameters.get("versionasof").orElse(parameters.get("versionAsOf"))
       .map(_.trim.toLong)
-    new ManifestRelation(sqlContext, r, version)
+    val changesFrom = parameters.get("changesfrom").orElse(parameters.get("changesFrom"))
+      .map(_.trim.toLong)
+    changesFrom match {
+      case Some(from) =>
+        require(version.isEmpty, "graft-manifest: changesFrom and versionAsOf are exclusive")
+        val to = parameters.get("changesto").orElse(parameters.get("changesTo"))
+          .map(_.trim.toLong)
+          .orElse(ManifestTable.currentVersion(sqlContext.sparkSession, r))
+          .getOrElse(sys.error(s"graft-manifest: $r has no committed version"))
+        new ManifestChangesRelation(sqlContext, r, from, to)
+      case None => new ManifestRelation(sqlContext, r, version)
+    }
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -90,7 +101,7 @@ final class ManifestRelation(val sqlContext: SQLContext, root: String,
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val pruned = filters.flatMap(toColumn(_)).reduceOption(_ && _) match {
+    val pruned = filters.flatMap(ManifestRelationFilters.toColumn(_)).reduceOption(_ && _) match {
       case Some(f) => version match {
         case Some(v) => ManifestTable.readVersionWhere(spark, root, v, f)
         case None    => ManifestTable.readWhere(spark, root, f)
@@ -102,6 +113,11 @@ final class ManifestRelation(val sqlContext: SQLContext, root: String,
     pruned.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 
+  override def toString: String =
+    s"ManifestRelation[$root${version.map(v => s"@v$v").getOrElse("")}]"
+}
+
+private[sources] object ManifestRelationFilters {
   /** Source filters → a Column that is EQUAL TO OR WEAKER THAN the
     * original filter — readWhere applies it to ROWS, so a stricter
     * conversion would lose rows Spark's re-filter above cannot
@@ -111,7 +127,7 @@ final class ManifestRelation(val sqlContext: SQLContext, root: String,
     * halves still weaken the whole); NOT flips strictness, so its child
     * must convert EXACTLY — under `exact`, partial AND conversion is
     * refused. */
-  private def toColumn(f: Filter, exact: Boolean = false): Option[Column] = f match {
+  def toColumn(f: Filter, exact: Boolean = false): Option[Column] = f match {
     case EqualTo(a, v)            => Some(col(a) === lit(v))
     case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
     case GreaterThan(a, v)        => Some(col(a) > lit(v))
@@ -130,7 +146,30 @@ final class ManifestRelation(val sqlContext: SQLContext, root: String,
     case Not(child) => toColumn(child, exact = true).map(!_)
     case _ => None
   }
+}
+
+/** Batch view of an incremental window — `option("changesFrom", v)`
+  * (exclusive) with optional `changesTo` (inclusive; default = current
+  * head): [[ManifestTable.readChanges]] behind the same pushdown
+  * surface, so a SQL consumer can express "what changed since v, where
+  * …" and still prune files ([[ManifestTable.readChangesWhere]]). */
+final class ManifestChangesRelation(val sqlContext: SQLContext, root: String,
+                                    fromVersion: Long, toVersion: Long)
+    extends BaseRelation with PrunedFilteredScan {
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType =
+    ManifestTable.readChanges(spark, root, fromVersion, toVersion).schema
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val base = filters.flatMap(ManifestRelationFilters.toColumn(_)).reduceOption(_ && _) match {
+      case Some(f) => ManifestTable.readChangesWhere(spark, root, fromVersion, toVersion, f)
+      case None    => ManifestTable.readChanges(spark, root, fromVersion, toVersion)
+    }
+    base.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
 
   override def toString: String =
-    s"ManifestRelation[$root${version.map(v => s"@v$v").getOrElse("")}]"
+    s"ManifestChangesRelation[$root ($fromVersion, $toVersion]]"
 }

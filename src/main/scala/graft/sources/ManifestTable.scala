@@ -481,6 +481,9 @@ object ManifestTable {
         s"manifest tag '$k' contains a separator character")
       require(k != OpTag,
         s"manifest tag '$OpTag' is reserved (per-commit operation marker)")
+      require(!k.startsWith(ConstraintTagPrefix),
+        s"manifest tag namespace '$ConstraintTagPrefix' is reserved — declare " +
+          "constraints via addConstraint (it validates the live table first)")
       if (k.startsWith(StreamBatchTag)) {
         val n = scala.util.Try(v.toLong).getOrElse(
           throw new IllegalArgumentException(
@@ -1111,6 +1114,11 @@ object ManifestTable {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
+    // constraint gate against the table's CURRENT declarations (a racing
+    // addConstraint between this check and the claim re-validates the
+    // full table itself, so rows slipping that window still get caught)
+    current(spark, root).foreach(prior =>
+      enforceConstraints(df, prior.tags, root, "overwrite batch"))
     val (gen, entries) =
       writeGeneration(normalizePartitionCols(df, partitionCols), root, partitionCols)
     val (proto, sidecar) = mkSnapshot(spark, root, 1L, entries, Map.empty)
@@ -1316,6 +1324,9 @@ object ManifestTable {
             s"manifest table $root: batch column types differ from the table " +
               s"(${drift.mkString("; ")}) — a type change is a rewrite (write()), not evolution")
         }
+        // CHECK constraints gate the BATCH before any generation write —
+        // carried rows already passed at their own commit time
+        enforceConstraints(freshN, st.tags, root, "upsert batch")
         val (merged, carried) =
           if (partitionCols.isEmpty)
             (Upsert.appendDedup(existing, freshN, keys, col(order)),
@@ -1462,6 +1473,80 @@ object ManifestTable {
     }
   }
 
+  /** Tag namespace for CHECK constraints: `constraint.<name>` → the SQL
+    * expression every committed row must satisfy (TRUE or NULL passes,
+    * FALSE is a violation — standard SQL CHECK / Delta semantics).
+    * Reserved: constraints enter via [[addConstraint]] only, which
+    * validates the expression against the live table first. */
+  private[graft] val ConstraintTagPrefix = "constraint."
+
+  /** Declared CHECK constraints, name → SQL expression. */
+  def constraints(spark: SparkSession, root: String): Map[String, String] =
+    current(spark, root).map(_.tags.collect {
+      case (k, v) if k.startsWith(ConstraintTagPrefix) =>
+        k.stripPrefix(ConstraintTagPrefix) -> v
+    }).getOrElse(Map.empty)
+
+  /** Declare a CHECK constraint (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * role): the live table is validated FIRST (one scan — a constraint
+    * that existing rows violate is refused), then the constraint commits
+    * as a metadata-only delta; every subsequent data commit (write,
+    * upsert, streaming batch, merge, update) enforces it on the
+    * incoming/changed rows BEFORE any generation is written, so a
+    * violating batch leaves no trace. Enforcement cost is O(batch),
+    * never O(table). */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    exprSql: String, graceMs: Long = 60000L): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      s"constraint name must be a non-empty separator-free identifier, got '$name'")
+    require(!exprSql.exists(_ == '\n'), "constraint expression must be single-line")
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val live = readState(spark, root, st)
+    val bad = live.filter(!coalesce(expr(exprSql).cast("boolean"), lit(true)))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"manifest table $root: existing rows violate CHECK ($exprSql), e.g. ${bad.head}")
+    commitMeta(spark, root, st, st.tags + (s"$ConstraintTagPrefix$name" -> exprSql), graceMs)
+  }
+
+  /** Remove a CHECK constraint. */
+  def dropConstraint(spark: SparkSession, root: String, name: String,
+                     graceMs: Long = 60000L): Long = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val key = s"$ConstraintTagPrefix$name"
+    require(st.tags.contains(key), s"manifest table $root has no constraint '$name'")
+    commitMeta(spark, root, st, st.tags - key, graceMs)
+  }
+
+  /** Metadata-only commit: a delta with no file changes carrying the new
+    * tag state (op "meta" — invisible to incremental readers). */
+  private def commitMeta(spark: SparkSession, root: String, st: State,
+                         tags: Map[String, String], graceMs: Long): Long = {
+    val fs = fsOf(spark, root)
+    val v = st.version + 1
+    if (!claimOrRecover(fs, root,
+        DeltaManifest(v, Seq.empty, Seq.empty, tags + (OpTag -> "meta")), graceMs))
+      throw new ConcurrentCommitException(root, v)
+    v
+  }
+
+  /** Refuse `df` if any row violates a declared constraint — called by
+    * every data-committing path on its incoming/changed rows before the
+    * generation write. */
+  private def enforceConstraints(df: DataFrame, tags: Map[String, String],
+                                 root: String, context: String): Unit =
+    tags.foreach {
+      case (k, exprSql) if k.startsWith(ConstraintTagPrefix) =>
+        val name = k.stripPrefix(ConstraintTagPrefix)
+        val bad = df.filter(!coalesce(expr(exprSql).cast("boolean"), lit(true)))
+          .limit(1).collect()
+        require(bad.isEmpty,
+          s"manifest table $root: $context violates CHECK $name ($exprSql), e.g. ${bad.head}")
+      case _ => ()
+    }
+
   /** WHEN MATCHED action for [[merge]]. `MatchUpdate` expressions may
     * reference target columns by name and source columns as
     * `_src_<name>` (the join exposes the source side under that
@@ -1578,6 +1663,7 @@ object ManifestTable {
           .select(targetCols.map(col): _*)
       }
     val outRows = rewritten.unionByName(inserts)
+    enforceConstraints(outRows, st.tags, root, "merge result")
     val (entries, gen) =
       if (outRows.isEmpty) (Seq.empty[FileEntry], None)
       else { val (g, es) = writeGeneration(outRows, root, partKeys); (es, Some(g)) }
@@ -1610,6 +1696,8 @@ object ManifestTable {
       s"$opName: inconsistent partition layouts in $root: $layouts")
     val partKeys = layouts.headOption.getOrElse(Seq.empty)
     val kept = transform(readState(spark, root, st.copy(files = touched)))
+    if (opName == "update") // delete cannot introduce violations
+      enforceConstraints(kept, st.tags, root, "update result")
     // all rows of every touched file removed: commit removes only (an
     // empty generation dir would be unlistable noise)
     val (entries, gen) =

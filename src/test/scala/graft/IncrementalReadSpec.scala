@@ -82,6 +82,60 @@ class IncrementalReadSpec extends SparkSpec {
       mk("d9", 0 until 3, 9.0).as[(String, Long, Double)].collect().toSet)
   }
 
+  test("CHECK constraints: gate every data path, validate live data first, droppable") {
+    val root = tmp() + "/t"
+    ManifestTable.write(mk("d1", 0 until 10, 1.0), root, partitionCols = Seq("day"))
+    // a constraint existing rows violate is refused outright
+    intercept[IllegalArgumentException] {
+      ManifestTable.addConstraint(spark, root, "v_big", "v > 100.0")
+    }
+    val vc = ManifestTable.addConstraint(spark, root, "v_pos", "v > 0.0")
+    assert(ManifestTable.constraints(spark, root) == Map("v_pos" -> "v > 0.0"))
+    // the metadata commit is invisible to incremental readers
+    assert(ManifestTable.readChanges(spark, root, vc - 1, vc).count() == 0)
+
+    // violating batch: refused BEFORE any write, table unchanged
+    val before = ManifestTable.current(spark, root).get
+    intercept[IllegalArgumentException] {
+      ManifestTable.upsertDedup(spark, mk("d2", 10 until 12, -5.0), root,
+        keys = Seq("day", "id"), order = "v", partitionCols = Seq("day"))
+    }
+    assert(ManifestTable.current(spark, root).get.version == before.version)
+    // passing batch commits; the constraint tag carries forward
+    ManifestTable.upsertDedup(spark, mk("d2", 10 until 12, 5.0), root,
+      keys = Seq("day", "id"), order = "v", partitionCols = Seq("day"))
+    assert(ManifestTable.constraints(spark, root) == Map("v_pos" -> "v > 0.0"))
+
+    // update and merge are gated on their RESULTS (an expression can
+    // push a previously-valid row over the line)
+    intercept[IllegalArgumentException] {
+      ManifestTable.update(spark, root, col("id") === 0, Map("v" -> lit(-1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root, mk("d1", 0 until 1, -2.0), keys = Seq("id"),
+        whenMatched = ManifestTable.MatchUpdateAll, insertUnmatched = false)
+    }
+    // overwrite path gated too; NULL evaluates as pass (SQL CHECK)
+    intercept[IllegalArgumentException] {
+      ManifestTable.write(mk("d1", 0 until 2, -1.0), root, partitionCols = Seq("day"))
+    }
+    ManifestTable.upsertDedup(spark,
+      Seq(("d2", 99L, Option.empty[Double])).toDF("day", "id", "v"), root,
+      keys = Seq("day", "id"), order = "id", partitionCols = Seq("day"))
+
+    // reserved namespace: raw tags cannot smuggle constraints in
+    intercept[IllegalArgumentException] {
+      ManifestTable.upsertDedup(spark, mk("d3", 50 until 51, 1.0), root,
+        keys = Seq("day", "id"), order = "v", partitionCols = Seq("day"),
+        tags = Map("constraint.evil" -> "1 = 1"))
+    }
+    // drop, then the previously-violating write passes
+    ManifestTable.dropConstraint(spark, root, "v_pos")
+    assert(ManifestTable.constraints(spark, root).isEmpty)
+    ManifestTable.write(mk("d1", 0 until 2, -1.0), root, partitionCols = Seq("day"))
+    assert(ManifestTable.read(spark, root).count() == 2)
+  }
+
   test("merge: UpdateAll/Update/Delete actions, pruned rewrite, exact inserts") {
     import ManifestTable.{MatchDelete, MatchUpdate, MatchUpdateAll}
     val root = tmp() + "/t"

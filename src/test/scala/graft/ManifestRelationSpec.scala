@@ -62,6 +62,27 @@ class ManifestRelationSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(1L, 3L))
   }
 
+  test("changesFrom option exposes incremental windows with pushdown pruning") {
+    val root = tmp() + "/t"
+    Seq(("d1", 1L)).toDF("day", "id").write.format("graft-manifest")
+      .mode("overwrite").option("partitionCols", "day").save(root)
+    Seq(("d2", 2L), ("d3", 3L)).toDF("day", "id").write.format("graft-manifest")
+      .mode("append").option("keys", "day,id").option("order", "id")
+      .option("partitionCols", "day").save(root)
+    val win = spark.read.format("graft-manifest")
+      .option("changesFrom", 1).load(root)
+    assert(win.select("id").as[Long].collect().toSeq.sorted == Seq(2L, 3L))
+    // WHERE over the window still prunes (one changed partition scanned)
+    val sliced = win.filter(col("day") === "d3")
+    assert(sliced.select("id").as[Long].collect().toSeq == Seq(3L))
+    assert(ManifestTable.readChangesWhere(spark, root, 1L, 2L, col("day") === "d3")
+      .inputFiles.length <
+      ManifestTable.readChanges(spark, root, 1L, 2L).inputFiles.length)
+    // explicit empty window
+    assert(spark.read.format("graft-manifest")
+      .option("changesFrom", 2).option("changesTo", 2).load(root).count() == 0)
+  }
+
   test("CREATE TABLE ... USING graft-manifest: catalog tables over the lakehouse") {
     val root = tmp() + "/t"
     Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
