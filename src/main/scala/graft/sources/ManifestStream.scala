@@ -68,13 +68,50 @@ class ManifestChangesSourceProvider extends StreamSourceProvider with DataSource
         s"graft-manifest-changes: startingversion must be a version number, " +
           s"'earliest' or 'latest', got '$n'"))
     }
-    new ManifestChangesSource(sqlContext, r, starting)
+    val maxVersions = parameters.get("maxversionsperbatch").map(_.trim.toLong)
+      .getOrElse(Long.MaxValue)
+    require(maxVersions >= 1, "graft-manifest-changes: maxversionsperbatch must be >= 1")
+    new ManifestChangesSource(sqlContext, r, starting, maxVersions)
   }
 }
 
 final class ManifestChangesSource(sqlContext: SQLContext, root: String,
-                                  startingVersion: Long) extends Source {
+                                  startingVersion: Long,
+                                  maxVersionsPerBatch: Long = Long.MaxValue)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, ReadMaxRows}
+
   private val spark = sqlContext.sparkSession
+
+  /** Trigger.AvailableNow pins the drain target at prepare time: commits
+    * landing after it belong to the next run. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = ManifestTable.currentVersion(spark, root)
+      .orElse(Some(startingVersion))
+
+  /** Admission control: `maxversionsperbatch` bounds how many COMMITS a
+    * micro-batch folds — a stream restarted after a long outage catches
+    * up in bounded steps instead of one table-sized batch. (ReadLimit's
+    * vocabulary is rows; versions are the natural admission unit here
+    * and each is O(batch-sized) by construction.) */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxVersionsPerBatch == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxVersionsPerBatch)
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val s = Option(start).map(o => o.json.trim.toLong).getOrElse(startingVersion)
+    val head0 = ManifestTable.currentVersion(spark, root).getOrElse(startingVersion)
+    val head = availableNowCap.fold(head0)(math.min(_, head0))
+    val capped = limit match {
+      case mr: ReadMaxRows => math.min(head, math.max(s, startingVersion) + mr.maxRows)
+      case _               => head
+    }
+    if (capped <= math.max(s, startingVersion)) null else LongOffset(capped)
+  }
 
   /** Pinned at stream start; batches are projected onto it so upstream
     * additive evolution cannot silently widen a running stream. */

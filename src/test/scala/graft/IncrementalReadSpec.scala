@@ -358,6 +358,31 @@ class IncrementalReadSpec extends SparkSpec {
     assert(hopHourly().isEmpty && hopDaily().isEmpty)
   }
 
+  test("streaming source admission control: bounded catch-up batches + AvailableNow drain") {
+    val src = tmp() + "/src"
+    ManifestTable.write(mk("d1", 0 until 3, 1.0), src, partitionCols = Seq("day"))
+    ManifestTable.upsertDedup(spark, mk("d2", 3 until 6, 2.0), src,
+      keys = Seq("day", "id"), order = "v", partitionCols = Seq("day"))
+    ManifestTable.upsertDedup(spark, mk("d3", 6 until 9, 3.0), src,
+      keys = Seq("day", "id"), order = "v", partitionCols = Seq("day"))
+    // a stream starting from scratch with maxversionsperbatch=1 folds
+    // ONE commit per micro-batch instead of one table-sized batch
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[String]]()
+    val q = spark.readStream.format("graft.sources.ManifestChangesSourceProvider")
+      .option("path", src).option("maxversionsperbatch", 1).load()
+      .writeStream.option("checkpointLocation", tmp() + "/ck")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(b.select("day").distinct().collect().map(_.getString(0)).toSet); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000L)
+    assert(!q.isActive, "AvailableNow must terminate after draining")
+    val got = scala.jdk.CollectionConverters.CollectionHasAsScala(batches).asScala.toSeq
+    assert(got == Seq(Set("d1"), Set("d2"), Set("d3")),
+      s"expected one commit per batch, got $got")
+  }
+
   test("streaming source → streamUpsertSink: incremental, restart-safe, no duplicates") {
     val src = tmp() + "/src"
     val dst = tmp() + "/dst"
