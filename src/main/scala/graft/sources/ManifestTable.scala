@@ -1473,6 +1473,35 @@ object ManifestTable {
     }
   }
 
+  /** Generic CAS retry loop for the copy-on-write mutators
+    * ([[delete]]/[[update]]/[[merge]]/[[compactSmallFiles]]) — the
+    * [[upsertWithRetry]] discipline for any conflicting operation: on
+    * [[ConcurrentCommitException]] the WHOLE thunk re-runs (it must
+    * re-read the head — the rival's commit may have changed the very
+    * files this mutation touches), with bounded exponential backoff +
+    * jitter. */
+  def retryOnConflict[A](maxRetries: Int = 8, baseBackoffMs: Long = 50L)
+                        (op: => A): A = {
+    require(maxRetries >= 0 && baseBackoffMs >= 0,
+      s"maxRetries/baseBackoffMs must be >= 0, got $maxRetries/$baseBackoffMs")
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val backoff = baseBackoffMs << math.min(attempt - 1, 6)
+          val jitter = (backoff * 0.2 *
+            java.util.concurrent.ThreadLocalRandom.current().nextDouble()).toLong
+          log.info(s"retryOnConflict: lost CAS race (attempt $attempt/$maxRetries) — " +
+            s"retrying in ${backoff + jitter} ms")
+          Thread.sleep(backoff + jitter)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Tag namespace for CHECK constraints: `constraint.<name>` → the SQL
     * expression every committed row must satisfy (TRUE or NULL passes,
     * FALSE is a violation — standard SQL CHECK / Delta semantics).

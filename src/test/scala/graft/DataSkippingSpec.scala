@@ -316,6 +316,19 @@ class DataSkippingSpec extends SparkSpec {
     val wide = (0 until 200).map(_.toLong).toDF("dk")
     val fb = ManifestTable.readWhereJoin(spark, root, wide, Seq("k" -> "dk"), maxKeys = 50)
     assert(fb.count() == 200)
+    // hive-partitioned fact: dim keys on the partition column prune to
+    // exactly the matching partitions' files (the q5/q10 star shape)
+    val rootP = tmp() + "/factp"
+    ManifestTable.write(
+      (0 until 300).map(i => (s"r${i % 6}", i.toLong)).toDF("region", "id"),
+      rootP, partitionCols = Seq("region"))
+    val dimR = Seq("r2", "r4").toDF("dr")
+    val prunedP = ManifestTable.readWhereJoin(spark, rootP, dimR, Seq("region" -> "dr"))
+    val stP = ManifestTable.current(spark, rootP).get
+    val expectFiles = stP.files.count(f =>
+      Set("region=r2", "region=r4").contains(f.partitionPath))
+    assert(prunedP.inputFiles.length == expectFiles)
+    assert(prunedP.count() == 100)
   }
 
   test("readWhere: date-vs-timestamp filter returns matching rows (e2e)") {

@@ -82,6 +82,30 @@ class IncrementalReadSpec extends SparkSpec {
       mk("d9", 0 until 3, 9.0).as[(String, Long, Double)].collect().toSet)
   }
 
+  test("retryOnConflict: racing merge and upsert both land, nothing lost") {
+    val root = tmp() + "/t"
+    ManifestTable.write(mk("d1", 0 until 20, 1.0), root, partitionCols = Seq("day"))
+    // two writers race the same CAS version; the retry loop re-reads and
+    // both mutations land (order-independent final state here)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fa = scala.concurrent.Future {
+      ManifestTable.retryOnConflict() {
+        ManifestTable.merge(spark, root, mk("d2", 20 until 25, 2.0), keys = Seq("id"))
+      }
+    }
+    val fb = scala.concurrent.Future {
+      ManifestTable.retryOnConflict() {
+        ManifestTable.delete(spark, root, col("id") < 5)
+      }
+    }
+    scala.concurrent.Await.result(fa.zip(fb), scala.concurrent.duration.Duration("120s"))
+    pool.shutdown()
+    assert(rows(ManifestTable.read(spark, root)) ==
+      (rows(mk("d1", 5 until 20, 1.0)) ++ rows(mk("d2", 20 until 25, 2.0))))
+  }
+
   test("CHECK constraints: gate every data path, validate live data first, droppable") {
     val root = tmp() + "/t"
     ManifestTable.write(mk("d1", 0 until 10, 1.0), root, partitionCols = Seq("day"))
