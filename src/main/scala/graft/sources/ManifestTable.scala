@@ -1605,7 +1605,12 @@ object ManifestTable {
     * the source): duplicate source matches per target row are the
     * classic silent-fanout bug and an error in every MERGE dialect.
     * Commits a DELTA (op "merge"). Returns the new version, or the
-    * current one when the merge provably changes nothing. */
+    * current one when the merge provably changes nothing.
+    *
+    * Incremental-consumer caveat: like [[delete]], a `MatchDelete` merge
+    * removes rows the file-level change feed cannot announce — keyed
+    * consumers that must propagate such removals should treat op="merge"
+    * windows from delete-merges as re-bootstrap boundaries. */
   def merge(spark: SparkSession, root: String, source: DataFrame,
             keys: Seq[String], whenMatched: WhenMatched = MatchUpdateAll,
             insertUnmatched: Boolean = true, maxKeys: Int = 100000,
@@ -1691,12 +1696,15 @@ object ManifestTable {
           keys.map(k => srcN(k) <=> touchedDf(k)).reduce(_ && _), "left_anti")
           .select(targetCols.map(col): _*)
       }
-    val outRows = rewritten.unionByName(inserts)
+    val outRows = normalizePartitionCols(rewritten.unionByName(inserts), partKeys)
     enforceConstraints(outRows, st.tags, root, "merge result")
     val (entries, gen) =
       if (outRows.isEmpty) (Seq.empty[FileEntry], None)
       else { val (g, es) = writeGeneration(outRows, root, partKeys); (es, Some(g)) }
     if (entries.isEmpty && touched.isEmpty) return st.version // nothing to do
+    require(entries.nonEmpty || touched.size < st.files.size,
+      s"merge would remove every live row of $root (MatchDelete over all " +
+        "files) — a full-table clear is a rewrite: use write()")
     val v = st.version + 1
     val manifest = DeltaManifest(v, entries, touched.map(_.relPath),
       st.tags + (OpTag -> "merge"))
@@ -1724,7 +1732,11 @@ object ManifestTable {
     require(layouts.size <= 1,
       s"$opName: inconsistent partition layouts in $root: $layouts")
     val partKeys = layouts.headOption.getOrElse(Seq.empty)
-    val kept = transform(readState(spark, root, st.copy(files = touched)))
+    // normalize partition values on the rewrite output: an update could
+    // retype or respell a partition column out from under the string-
+    // pinned carry-forward contract
+    val kept = normalizePartitionCols(
+      transform(readState(spark, root, st.copy(files = touched))), partKeys)
     if (opName == "update") // delete cannot introduce violations
       enforceConstraints(kept, st.tags, root, "update result")
     // all rows of every touched file removed: commit removes only (an
@@ -1735,6 +1747,12 @@ object ManifestTable {
         val (g, es) = writeGeneration(kept, root, partKeys)
         (es, Some(g))
       }
+    // a removes-everything commit would leave a file-less table that the
+    // design cannot read or upsert (readState demands >= 1 file): refuse
+    // with the recovery path spelled out rather than brick the table
+    require(entries.nonEmpty || touched.size < st.files.size,
+      s"$opName would remove every live row of $root — a full-table clear " +
+        "is a rewrite: use write() with the replacement content")
     val removes = touched.map(_.relPath)
     val v = st.version + 1
     val manifest = DeltaManifest(v, entries, removes, st.tags + (OpTag -> opName))
