@@ -44,7 +44,32 @@ object ZOrder {
     require(cols.nonEmpty && cols.size * Bits <= 63,
       s"zkey: 1..7 columns supported, got ${cols.size}")
     val k = cols.size
-    val buckets = cols.map(c => coalesce(bucketColumn(df, c), lit(0)).cast("long"))
+    // ONE approxQuantile pass learns boundaries for ALL numeric-like
+    // columns together (a per-column pass would scan the table k times
+    // at rewrite time); strings sample separately
+    val numeric = cols.flatMap(c => numericize(c, df.schema(c).dataType).map(c -> _))
+    val numericBounds: Map[String, Array[Double]] =
+      if (numeric.isEmpty) Map.empty
+      else {
+        val probes = (1 until Buckets).map(_.toDouble / Buckets).toArray
+        val proj = df.select(numeric.zipWithIndex.map {
+          case ((_, num), i) => num.as(s"_z$i")
+        }: _*)
+        val qs = proj.stat.approxQuantile(
+          numeric.indices.map(i => s"_z$i").toArray, probes, 0.001)
+        numeric.zipWithIndex.map { case ((c, _), i) =>
+          c -> qs(i).distinct.sorted
+        }.toMap
+      }
+    val buckets = cols.map { c =>
+      val b = numericBounds.get(c) match {
+        case Some(bs) =>
+          ColumnExpr.column(RangeBucket(
+            ColumnExpr.expression(numericize(c, df.schema(c).dataType).get), bs))
+        case None => bucketColumn(df, c)
+      }
+      coalesce(b, lit(0)).cast("long")
+    }
     // bit j of column i lands at position j*k + i: column bits alternate,
     // so truncating the key from the top loses resolution evenly across
     // columns — the Morton property that makes per-file boxes square
@@ -55,8 +80,9 @@ object ZOrder {
     }.reduce(_ + _)
   }
 
-  /** 0..255 rank bucket of one column (null in → null out; zkey
-    * coalesces). */
+  /** 0..255 rank bucket for a non-numeric column (null in → null out;
+    * zkey coalesces). Numeric columns go through the shared one-pass
+    * quantile sampling in [[zkey]]. */
   private def bucketColumn(df: DataFrame, c: String): Column = {
     val dt = df.schema(c).dataType
     numericize(c, dt) match {
