@@ -212,6 +212,7 @@ object DataSkipping {
         case (Seq("in"), head +: tail) if tail.nonEmpty => In(head, tail)
         case (Seq("isnull"), Seq(a))        => IsNull(a)
         case (Seq("isnotnull"), Seq(a))     => IsNotNull(a)
+        case (Seq("startswith"), Seq(l, r)) => StartsWith(l, r)
         case _ => uf
       }
     case other => other
@@ -253,6 +254,16 @@ object DataSkipping {
   }
 
   private type FilePred = FileEntry => Boolean
+
+  /** Smallest ASCII string greater than every string with this prefix:
+    * increment the last strictly-incrementable character, drop the tail.
+    * None when no such bound exists within ASCII (all chars are 0x7F). */
+  private def successor(prefix: String): Option[String] = {
+    var i = prefix.length - 1
+    while (i >= 0 && prefix.charAt(i) >= 127) i -= 1
+    if (i < 0) None
+    else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
+  }
 
   /** Route a per-column check through the file's partition values when
     * the column is a partition column (exact knowledge), else through its
@@ -399,6 +410,24 @@ object DataSkipping {
             Some((f: FileEntry) => byKind.exists { case (k, set) => keepKind(k, set, f) })
           }
         }
+      // prefix predicate: a file can hold a prefix-matching string iff
+      // its [min, max] range intersects [prefix, successor(prefix)) —
+      // the standard prefix-to-range rewrite. No computable successor
+      // (prefix of 0x7F chars) keeps the file.
+      case StartsWith(l, r) => (attrName(l), r) match {
+        case (Some(n), Literal(v, StringType)) if v != null =>
+          val prefix = v.toString
+          if (!isAscii(prefix)) None // stats hold ASCII bounds only
+          else Some(onColumn(n) {
+            case None     => false
+            case Some(pv) => pv.startsWith(prefix)
+          } { cs =>
+            !cs.allNull && (cs.kind != 's' || {
+              cs.max >= prefix && successor(prefix).forall(cs.min < _)
+            })
+          })
+        case _ => None
+      }
       // null-count layer: IS NULL keeps only files with at least one
       // null (unknown counts keep); IS NOT NULL drops provably all-null
       // files — both exact on partition columns

@@ -137,6 +137,7 @@ private[sources] object ManifestRelationFilters {
     case In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toIndexedSeq: _*))
     case IsNull(a)                => Some(col(a).isNull)
     case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
     case And(l, r) => (toColumn(l, exact), toColumn(r, exact)) match {
       case (Some(a), Some(b)) => Some(a && b)
       case (one, two)         => if (exact) None else one.orElse(two)

@@ -153,6 +153,39 @@ class DataSkippingSpec extends SparkSpec {
     assert(paths(abs(col("v")) === 25).size == 3)
   }
 
+  test("prune: startsWith becomes a [prefix, successor) range probe") {
+    val files = Seq(
+      fe("gen-a/p1.parquet", Map("s" -> ColStats('s', "apple", "banana", 0, 10))),
+      fe("gen-a/p2.parquet", Map("s" -> ColStats('s', "cherry", "grape", 0, 10))),
+      fe("gen-a/day=2024-01-02/p3.parquet"))
+    def paths(c: org.apache.spark.sql.Column) =
+      DataSkipping.prune(files, c).map(_.relPath)
+    assert(paths(col("s").startsWith("ba")) == Seq("gen-a/p1.parquet",
+      "gen-a/day=2024-01-02/p3.parquet"))
+    assert(paths(col("s").startsWith("d")) == Seq("gen-a/p2.parquet",
+      "gen-a/day=2024-01-02/p3.parquet"))
+    // boundary: prefix between the two ranges keeps neither stats file
+    assert(paths(col("s").startsWith("bz")) == Seq("gen-a/day=2024-01-02/p3.parquet"))
+    // prefix covering a whole range keeps it
+    assert(paths(col("s").startsWith("a")) == Seq("gen-a/p1.parquet",
+      "gen-a/day=2024-01-02/p3.parquet"))
+    // partition values match exactly
+    assert(paths(col("day").startsWith("2024-01")).size == 3)
+    assert(paths(col("day").startsWith("2024-02")) ==
+      Seq("gen-a/p1.parquet", "gen-a/p2.parquet"))
+    // e2e: identical rows, fewer files
+    val root = tmp() + "/t"
+    import spark.implicits._
+    val df = (0 until 400).map(i => (f"u${i % 4}%s-${i}%03d", i.toLong)).toDF("tag", "id")
+      .repartitionByRange(4, col("tag"))
+    ManifestTable.write(df, root)
+    val pruned = ManifestTable.readWhere(spark, root, col("tag").startsWith("u2"))
+    val full = ManifestTable.read(spark, root)
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.orderBy("id").collect().toSeq ==
+      full.filter(col("tag").startsWith("u2")).orderBy("id").collect().toSeq)
+  }
+
   test("prune: IN over literals canonLit cannot canonicalize keeps all files") {
     val files = Seq(
       fe("gen-a/p1.parquet", Map("flag" -> ColStats('_', "", "", 0, 100),
