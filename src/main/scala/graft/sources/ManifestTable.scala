@@ -1808,6 +1808,37 @@ object ManifestTable {
     v
   }
 
+  /** One-row table summary (the DESCRIBE DETAIL role): current version,
+    * live file count and bytes, generation count, hive partition layout
+    * and distinct partition count, declared constraints — driver-side
+    * manifest metadata only, no data files touched. */
+  def detail(spark: SparkSession, root: String): DataFrame = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val layouts = st.files.map(_.partitionPath.split('/').toSeq
+      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
+    val partCols = layouts.headOption.getOrElse(Seq.empty)
+    val row = org.apache.spark.sql.Row(
+      root, st.version, st.files.size.toLong, st.files.map(_.bytes).sum,
+      st.files.map(_.relPath.takeWhile(_ != '/')).distinct.size.toLong,
+      partCols.mkString(","),
+      st.files.map(_.partitionPath).distinct.size.toLong,
+      st.tags.collect { case (k, v) if k.startsWith(ConstraintTagPrefix) =>
+        s"${k.stripPrefix(ConstraintTagPrefix)}: $v" }.toSeq.sorted.mkString("; "))
+    val t = org.apache.spark.sql.types
+    val schema = t.StructType(Seq(
+      t.StructField("location", t.StringType, false),
+      t.StructField("version", t.LongType, false),
+      t.StructField("num_files", t.LongType, false),
+      t.StructField("size_bytes", t.LongType, false),
+      t.StructField("num_generations", t.LongType, false),
+      t.StructField("partition_columns", t.StringType, false),
+      t.StructField("num_partitions", t.LongType, false),
+      t.StructField("constraints", t.StringType, false)))
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(Seq(row)).asJava), schema)
+  }
+
   /** The commit log as a DataFrame (the DESCRIBE HISTORY role): one row
     * per RETAINED version, newest first — version, operation marker,
     * manifest kind, files added/removed by that commit, and the commit

@@ -82,6 +82,20 @@ class IncrementalReadSpec extends SparkSpec {
       mk("d9", 0 until 3, 9.0).as[(String, Long, Double)].collect().toSet)
   }
 
+  test("detail: one-row metadata summary, no data scan") {
+    val root = tmp() + "/t"
+    ManifestTable.write(mk("d1", 0 until 10, 1.0).union(mk("d2", 10 until 20, 2.0)),
+      root, partitionCols = Seq("day"))
+    ManifestTable.addConstraint(spark, root, "v_pos", "v > 0.0")
+    val d = ManifestTable.detail(spark, root).collect().head
+    assert(d.getString(0) == root)
+    assert(d.getLong(1) == ManifestTable.currentVersion(spark, root).get)
+    val st = ManifestTable.current(spark, root).get
+    assert(d.getLong(2) == st.files.size && d.getLong(3) == st.files.map(_.bytes).sum)
+    assert(d.getString(5) == "day" && d.getLong(6) == 2L)
+    assert(d.getString(7) == "v_pos: v > 0.0")
+  }
+
   test("retryOnConflict: racing merge and upsert both land, nothing lost") {
     val root = tmp() + "/t"
     ManifestTable.write(mk("d1", 0 until 20, 1.0), root, partitionCols = Seq("day"))
