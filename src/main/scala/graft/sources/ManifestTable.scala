@@ -1825,16 +1825,16 @@ object ManifestTable {
       st.files.map(_.partitionPath).distinct.size.toLong,
       st.tags.collect { case (k, v) if k.startsWith(ConstraintTagPrefix) =>
         s"${k.stripPrefix(ConstraintTagPrefix)}: $v" }.toSeq.sorted.mkString("; "))
-    val t = org.apache.spark.sql.types
-    val schema = t.StructType(Seq(
-      t.StructField("location", t.StringType, false),
-      t.StructField("version", t.LongType, false),
-      t.StructField("num_files", t.LongType, false),
-      t.StructField("size_bytes", t.LongType, false),
-      t.StructField("num_generations", t.LongType, false),
-      t.StructField("partition_columns", t.StringType, false),
-      t.StructField("num_partitions", t.LongType, false),
-      t.StructField("constraints", t.StringType, false)))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("location", StringType, false),
+      StructField("version", LongType, false),
+      StructField("num_files", LongType, false),
+      StructField("size_bytes", LongType, false),
+      StructField("num_generations", LongType, false),
+      StructField("partition_columns", StringType, false),
+      StructField("num_partitions", LongType, false),
+      StructField("constraints", StringType, false)))
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(Seq(row)).asJava), schema)
   }
