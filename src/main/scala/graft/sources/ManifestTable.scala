@@ -2046,6 +2046,30 @@ object ManifestTable {
     * the floor are dropped. v1 is always a snapshot, so a floor always
     * exists. If the `_last_checkpoint` pointer named a dropped version
     * it is refreshed to the newest retained snapshot. */
+  /** Time-based retention ([[vacuum]] with the knob ops teams actually
+    * set): retain every version committed within `retainMs` of now (by
+    * the manifest file's mtime — best-effort wall clock, floor of one
+    * version always kept), drop the rest. Same chain-preserving
+    * guarantees as [[vacuum]]. */
+  def vacuumRetain(spark: SparkSession, root: String, retainMs: Long,
+                   deleteOrphans: Boolean = false): Int = {
+    require(retainMs >= 0, s"vacuumRetain: retainMs must be >= 0, got $retainMs")
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) return 0
+    val cutoff = System.currentTimeMillis() - retainMs
+    val committed = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".txt"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".txt").toLong).toOption)
+      .sorted(Ordering[Long].reverse)
+      .filter(v => readRaw(fs, root, v).nonEmpty)
+    if (committed.isEmpty) return 0
+    val recent = committed.count(v =>
+      scala.util.Try(fs.getFileStatus(manifestPath(root, v)).getModificationTime)
+        .toOption.exists(_ >= cutoff))
+    vacuum(spark, root, keep = math.max(1, recent), deleteOrphans)
+  }
+
   def vacuum(spark: SparkSession, root: String, keep: Int = 2,
              deleteOrphans: Boolean = false): Int = {
     require(keep >= 1, s"vacuum: keep must be >= 1, got $keep")

@@ -82,6 +82,23 @@ class IncrementalReadSpec extends SparkSpec {
       mk("d9", 0 until 3, 9.0).as[(String, Long, Double)].collect().toSet)
   }
 
+  test("vacuumRetain: time-based retention maps to a chain-safe keep count") {
+    val root = tmp() + "/t"
+    ManifestTable.write(mk("d1", 0 until 5, 1.0), root, partitionCols = Seq("day"))
+    for (i <- 0 until 3)
+      ManifestTable.upsertDedup(spark, mk(s"d${i + 2}", i * 5 until i * 5 + 5, 2.0),
+        root, keys = Seq("day", "id"), order = "v", partitionCols = Seq("day"))
+    // everything is seconds old: a 1-hour retention drops nothing
+    assert(ManifestTable.vacuumRetain(spark, root, retainMs = 3600L * 1000) == 0)
+    assert(ManifestTable.history(spark, root).count() == 4)
+    // zero retention keeps the mandatory floor of one resolvable head
+    ManifestTable.vacuumRetain(spark, root, retainMs = 0L)
+    val left = ManifestTable.history(spark, root).select("version").collect()
+      .map(_.getLong(0))
+    assert(left.max == 4L, s"head must survive, got ${left.toSeq}")
+    assert(ManifestTable.read(spark, root).count() == 20)
+  }
+
   test("detail: one-row metadata summary, no data scan") {
     val root = tmp() + "/t"
     ManifestTable.write(mk("d1", 0 until 10, 1.0).union(mk("d2", 10 until 20, 2.0)),
