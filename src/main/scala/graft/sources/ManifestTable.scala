@@ -1996,6 +1996,25 @@ object ManifestTable {
     }
   }
 
+  /** Idempotent BATCH commit — the streaming sink's per-sink watermark
+    * (Delta's txnAppId/txnVersion pattern) exposed for plain batch jobs:
+    * an orchestrated task that may RE-RUN (retry, backfill, at-least-once
+    * scheduler) commits its keyed upsert tagged with its own
+    * (`appId`, `appVersion`); a replay of the same or an older version is
+    * recognized from the atomically-committed watermark and skipped.
+    * Returns true when applied, false on a recognized replay (or empty
+    * batch). Versions must advance monotonically per appId. */
+  def idempotentUpsert(spark: SparkSession, batch: DataFrame, root: String,
+                       keys: Seq[String], order: String,
+                       appId: String, appVersion: Long,
+                       partitionCols: Seq[String] = Nil,
+                       checkpointInterval: Int = DefaultCheckpointInterval): Boolean = {
+    require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n'),
+      s"appId must be a non-empty separator-free identifier, got '$appId'")
+    commitStreamBatch(spark, batch, appVersion, root, keys, order,
+      partitionCols, s"app.$appId", checkpointInterval)
+  }
+
   /** Exactly-once streaming sink into a manifest table. Structured
     * Streaming's foreachBatch is at-least-once (a batch that committed
     * to the sink but not to the checkpoint REPLAYS on restart — the

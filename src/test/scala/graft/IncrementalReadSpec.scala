@@ -82,6 +82,28 @@ class IncrementalReadSpec extends SparkSpec {
       mk("d9", 0 until 3, 9.0).as[(String, Long, Double)].collect().toSet)
   }
 
+  test("idempotentUpsert: re-run batch jobs apply exactly once per (appId, version)") {
+    val root = tmp() + "/t"
+    ManifestTable.write(mk("d1", 0 until 5, 1.0), root, partitionCols = Seq("day"))
+    def run(v: Long, data: org.apache.spark.sql.DataFrame) =
+      ManifestTable.idempotentUpsert(spark, data, root,
+        keys = Seq("day", "id"), order = "v", appId = "daily_etl", appVersion = v,
+        partitionCols = Seq("day"))
+    assert(run(1L, mk("d2", 5 until 10, 2.0)))
+    // scheduler retry replays the same version with (possibly different!)
+    // content: recognized, skipped, table unchanged
+    assert(!run(1L, mk("d2", 5 until 10, 99.0)))
+    assert(rows(ManifestTable.read(spark, root)).count(_._3 == 99.0) == 0)
+    // older version after newer: skipped too (monotonic watermark)
+    assert(run(3L, mk("d3", 10 until 12, 3.0)))
+    assert(!run(2L, mk("d4", 12 until 14, 4.0)))
+    // a DIFFERENT app has its own watermark
+    assert(ManifestTable.idempotentUpsert(spark, mk("d5", 14 until 16, 5.0), root,
+      keys = Seq("day", "id"), order = "v", appId = "other_etl", appVersion = 1L,
+      partitionCols = Seq("day")))
+    assert(ManifestTable.read(spark, root).count() == 14)
+  }
+
   test("vacuumRetain: time-based retention maps to a chain-safe keep count") {
     val root = tmp() + "/t"
     ManifestTable.write(mk("d1", 0 until 5, 1.0), root, partitionCols = Seq("day"))

@@ -433,7 +433,7 @@ class ManifestTableSpec extends SparkSpec {
     }
     for (i <- 1 to 18) {
       op += 1
-      val dice = if (i == 1) 0 else rnd.nextInt(14)
+      val dice = if (i == 1) 0 else rnd.nextInt(15)
       dice match {
         case n if n < 6 =>
           val batch = rows(1 + rnd.nextInt(4))
@@ -477,6 +477,13 @@ class ManifestTableSpec extends SparkSpec {
             Map("v" -> (org.apache.spark.sql.functions.col("v") + 1000.0),
               "o" -> org.apache.spark.sql.functions.lit(op)))
           model = model.map { case (mk, mv) => mk -> (if (mk == k) mv + 1000.0 else mv) }
+        case 13 =>
+          // MERGE (UpdateAll + insert) — same keep-last table effect as
+          // an upsert, exercised through the copy-on-write path
+          val batch = rows(1 + rnd.nextInt(3))
+          ManifestTable.merge(spark, root, batch.toDF("date", "key", "v", "o"),
+            keys = Seq("key"))
+          model = model ++ batch.map(r => r._2 -> r._3)
         case _ =>
           val fresh = rows(5)
           ManifestTable.write(fresh.toDF("date", "key", "v", "o"),
