@@ -1590,9 +1590,10 @@ object ManifestTable {
   case object MatchDelete extends WhenMatched
 
   /** MERGE INTO (the Delta `MERGE` role), copy-on-write: join `source`
-    * against the target on equality of `keys`, apply `whenMatched` to
-    * matched target rows, and (when `insertUnmatched`) append source
-    * rows matching no target key. File economics mirror [[delete]]:
+    * against the target on equality of `keys` (standard SQL `ON t.k =
+    * s.k` — NULL keys never match, so null-keyed source rows only ever
+    * insert), apply `whenMatched` to matched target rows, and (when
+    * `insertUnmatched`) append source rows matching no target key. File economics mirror [[delete]]:
     * only target files that might contain a source key — pruned by the
     * collected (bounded) source key set against manifest stats, like
     * [[readWhereJoin]] — are rewritten; when the source key set exceeds
@@ -1631,12 +1632,17 @@ object ManifestTable {
     // per-column-isin shape); overflow = whole-table merge
     val collected = source.select(keys.map(col).toIndexedSeq: _*)
       .distinct().limit(maxKeys + 1).collect()
+    // SQL MERGE ON equality: NULL keys never match (rows with any null
+    // key on the source side only ever INSERT) — consistent with the
+    // null-dropping probe set below, where a null-safe join would
+    // secretly need null-keyed files kept
+    val keyVals = keys.indices.map(i => collected.map(_.get(i)).filter(_ != null).distinct)
     val touched =
       if (collected.length > maxKeys) st.files
+      else if (keyVals.exists(_.isEmpty)) Seq.empty // no non-null tuple can match
       else {
-        val perCol = keys.zipWithIndex.map { case (k, i) =>
-          val vs = collected.map(_.get(i)).filter(_ != null).distinct
-          if (vs.isEmpty) lit(false) else col(k).isin(vs.toIndexedSeq: _*)
+        val perCol = keys.zip(keyVals).map { case (k, vs) =>
+          col(k).isin(vs.toIndexedSeq: _*)
         }.reduce(_ && _)
         DataSkipping.prune(st.files, perCol)
       }
@@ -1654,16 +1660,22 @@ object ManifestTable {
       require(drift.isEmpty,
         s"merge: source column types differ from the table (${drift.mkString("; ")})")
     }
-    val touchedDf =
-      if (touched.isEmpty) { // no rewrite side, inserts may still exist
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          target.schema)
-      } else readState(spark, root, st.copy(files = touched))
-    // sentinel marker instead of key-null checks: the join is null-SAFE,
-    // so a matched row may legitimately carry null source keys
+    val touchedDf = {
+      val raw =
+        if (touched.isEmpty) // no rewrite side, inserts may still exist
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            target.schema)
+        else readState(spark, root, st.copy(files = touched))
+      // a touched slice may miss columns living only in untouched
+      // generations (additive evolution): surface them as nulls so the
+      // targetCols projection below always resolves
+      target.schema.fields.filterNot(f => raw.columns.contains(f.name))
+        .foldLeft(raw)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
+    // sentinel marker, not key-null checks, detects the matched side
     val srcPrefixed = srcN.select(srcN.columns.toIndexedSeq.map(c =>
       col(c).as(s"_src_$c")) :+ lit(true).as("_src__matched"): _*)
-    val joinCond = keys.map(k => col(k) <=> col(s"_src_$k")).reduce(_ && _)
+    val joinCond = keys.map(k => col(k) === col(s"_src_$k")).reduce(_ && _)
     val joined = touchedDf.join(srcPrefixed, joinCond, "left")
     val matchedMarker = col("_src__matched").isNotNull
     val targetCols = target.columns.toIndexedSeq
@@ -1691,9 +1703,10 @@ object ManifestTable {
           s"merge: insertUnmatched needs the full target schema on the source " +
             s"(source=${srcN.columns.sorted.toSeq}, table=${target.columns.sorted.toSeq})")
         // conservative pruning guarantee: untouched files hold no source
-        // key, so anti-joining the TOUCHED slice finds exactly the new keys
+        // key, so anti-joining the TOUCHED slice finds exactly the new
+        // keys (null-keyed source rows never equi-match → always insert)
         srcN.join(touchedDf.select(keys.map(col).toIndexedSeq: _*),
-          keys.map(k => srcN(k) <=> touchedDf(k)).reduce(_ && _), "left_anti")
+          keys.map(k => srcN(k) === touchedDf(k)).reduce(_ && _), "left_anti")
           .select(targetCols.map(col): _*)
       }
     val outRows = normalizePartitionCols(rewritten.unionByName(inserts), partKeys)
