@@ -1114,11 +1114,22 @@ object ManifestTable {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
-    // constraint gate against the table's CURRENT declarations (a racing
-    // addConstraint between this check and the claim re-validates the
-    // full table itself, so rows slipping that window still get caught)
-    current(spark, root).foreach(prior =>
-      enforceConstraints(df, prior.tags, root, "overwrite batch"))
+    // constraint gate against the table's CURRENT declarations; the
+    // claim loop below re-enforces whenever a retry observes a DIFFERENT
+    // constraint set (a racing addConstraint commits a version, making
+    // this writer's first claim lose — the retry must not slip past the
+    // new constraint). The CAS mutators get this for free (their retry
+    // re-runs the whole read-merge-write); the blind-claim overwrite
+    // needs it explicitly.
+    var enforcedAgainst: Option[Map[String, String]] = None
+    def gate(tags: Map[String, String]): Unit = {
+      val cs = tags.filter(_._1.startsWith(ConstraintTagPrefix))
+      if (!enforcedAgainst.contains(cs)) {
+        enforceConstraints(df, cs, root, "overwrite batch")
+        enforcedAgainst = Some(cs)
+      }
+    }
+    current(spark, root).foreach(prior => gate(prior.tags))
     val (gen, entries) =
       writeGeneration(normalizePartitionCols(df, partitionCols), root, partitionCols)
     val (proto, sidecar) = mkSnapshot(spark, root, 1L, entries, Map.empty)
@@ -1147,6 +1158,7 @@ object ManifestTable {
             if (reseedUnresolvable) newestClaimedVersion(fs, root) else 0L) + 1
           // previous tags carry forward (e.g. the stream sink's last-applied
           // batch id — losing it would re-open the replay double-apply)
+          prev.foreach(p => gate(p.tags)) // re-gate on a changed constraint set
           val tags = prev.map(_.tags).getOrElse(Map.empty) + (OpTag -> "overwrite")
           val manifest = restamp(proto, v) match {
             case f: FullManifest => f.copy(tags = tags)
