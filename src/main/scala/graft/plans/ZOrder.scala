@@ -66,7 +66,7 @@ object ZOrder {
         case Some(bs) =>
           ColumnExpr.column(RangeBucket(
             ColumnExpr.expression(numericize(c, df.schema(c).dataType).get), bs))
-        case None => bucketColumn(df, c)
+        case None => stringBucketColumn(df, c)
       }
       coalesce(b, lit(0)).cast("long")
     }
@@ -83,35 +83,24 @@ object ZOrder {
   /** 0..255 rank bucket for a non-numeric column (null in → null out;
     * zkey coalesces). Numeric columns go through the shared one-pass
     * quantile sampling in [[zkey]]. */
-  private def bucketColumn(df: DataFrame, c: String): Column = {
-    val dt = df.schema(c).dataType
-    numericize(c, dt) match {
-      case Some(num) =>
-        val probes = (1 until Buckets).map(_.toDouble / Buckets).toArray
-        val bs = df.select(num.as("z")).na.drop("any", Seq("z"))
-          .stat.approxQuantile("z", probes, 0.001)
-          .distinct.sorted
-        ColumnExpr.column(RangeBucket(ColumnExpr.expression(num), bs))
-      case None =>
-        dt match {
-          case StringType =>
-            // bounded, seeded sample for boundary estimation — layout
-            // quality only, never correctness
-            val sample = df.select(col(c)).na.drop().limit(2000000)
-              .rdd.takeSample(withReplacement = false, num = 65536, seed = 42L)
-              .map(_.getString(0)).distinct.sorted
-            val bs =
-              if (sample.length <= Buckets - 1) sample
-              else Array.tabulate(Buckets - 1)(i => sample((i + 1) * sample.length / Buckets))
-                .distinct
-            ColumnExpr.column(RangeBucketStr(ColumnExpr.expression(col(c)),
-              bs.map(UTF8String.fromString)))
-          case other => throw new IllegalArgumentException(
-            s"zkey: column '$c' of type ${other.simpleString} is not z-orderable " +
-              "(numeric, date, timestamp and string are)")
-        }
+  private def stringBucketColumn(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case StringType =>
+        // bounded, seeded sample for boundary estimation — layout
+        // quality only, never correctness
+        val sample = df.select(col(c)).na.drop().limit(2000000)
+          .rdd.takeSample(withReplacement = false, num = 65536, seed = 42L)
+          .map(_.getString(0)).distinct.sorted
+        val bs =
+          if (sample.length <= Buckets - 1) sample
+          else Array.tabulate(Buckets - 1)(i => sample((i + 1) * sample.length / Buckets))
+            .distinct
+        ColumnExpr.column(RangeBucketStr(ColumnExpr.expression(col(c)),
+          bs.map(UTF8String.fromString)))
+      case other => throw new IllegalArgumentException(
+        s"zkey: column '$c' of type ${other.simpleString} is not z-orderable " +
+          "(numeric, date, timestamp and string are)")
     }
-  }
 
   /** Order-preserving numeric view of a column, if its type has one.
     * Doubles lose integer precision above 2^53 — irrelevant here: ranks
