@@ -152,6 +152,37 @@ object DedupSuite {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Band-membership rows for a PERSISTENT MinHash-LSH dedup index —
+    * `(id, band, bh)`, `bands` rows per document. Maintained as a
+    * manifest table via [[graft.sources.ManifestTable.consumeChanges]]
+    * (corpus table → index table), the index costs O(new docs) per hop,
+    * and [[minhashProbeIndex]] then finds a batch's near-dup candidates
+    * against the WHOLE corpus without ever re-scanning it — the
+    * at-scale posture for continuous ingest dedup (the batch-local
+    * variant, [[incrementalNearDups]], recomputes the corpus side each
+    * run). */
+  def minhashIndexRows(docs: DataFrame, id: String, text: Column,
+                       shingleSize: Int = 3, numHashes: Int = 64,
+                       bands: Int = 16): DataFrame =
+    lshBanded(shingleSets(docs, id, text, shingleSize), numHashes, bands)
+      .select(col("_id").as(id), col("band"), col("bh"))
+
+  /** Near-dup CANDIDATES of `batch` against a prebuilt
+    * [[minhashIndexRows]] index: the batch's band rows equi-join the
+    * index's on (band, bh) — shuffles scale with the batch and its
+    * collisions, never the corpus. Pairs are unverified LSH candidates
+    * (exact-verify against stored text where the workflow needs it);
+    * self-matches are dropped, so probing a batch whose rows are already
+    * indexed reports only genuine partners. */
+  def minhashProbeIndex(batch: DataFrame, index: DataFrame, id: String,
+                        text: Column, shingleSize: Int = 3,
+                        numHashes: Int = 64, bands: Int = 16): DataFrame =
+    minhashIndexRows(batch, id, text, shingleSize, numHashes, bands)
+      .join(index.select(col(id).as("corpus_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col(id) =!= col("corpus_id"))
+      .select(col(id), col("corpus_id")).distinct()
+
   /** Incremental NEAR-dup detection: match a new batch against an indexed
     * corpus by MinHash+LSH, plus within the batch itself. Returns one row
     * per discovered match: (batch_id, match_id, jaccard, origin) with

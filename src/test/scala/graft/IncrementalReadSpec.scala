@@ -82,6 +82,54 @@ class IncrementalReadSpec extends SparkSpec {
       mk("d9", 0 until 3, 9.0).as[(String, Long, Double)].collect().toSet)
   }
 
+  test("incremental LSH dedup index: consumeChanges-maintained, probes without corpus rescans") {
+    import graft.operators.DedupSuite
+    val corpus = tmp() + "/corpus"
+    val index = tmp() + "/lsh_index"
+    def doc(seed: Int): String =
+      (0 until 60).map(i => s"w${(seed * 131 + i * 17) % 9973}x$i").mkString(" ")
+    def batchDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+
+    // index maintenance = one incremental hop: band rows of the CHANGED
+    // docs only, keyed so replays/rewrites stay idempotent
+    def hopIndex(): Option[Long] =
+      ManifestTable.consumeChanges(spark, corpus, index, "lshidx",
+        keys = Seq("doc_id", "band", "bh"), order = "doc_id") { ch =>
+        DedupSuite.minhashIndexRows(ch, "doc_id", col("body"))
+      }
+
+    // batch 1: docs 1..20
+    ManifestTable.write(batchDf((1L to 20L).map(i => i -> doc(i.toInt))), corpus)
+    assert(hopIndex().nonEmpty)
+    // batch 2: docs 21..40 (no dups) — unpartitioned upsert rewrites the
+    // table; the file-level feed re-emits it, the keyed index absorbs it
+    ManifestTable.upsertDedup(spark, batchDf((21L to 40L).map(i => i -> doc(i.toInt))),
+      corpus, keys = Seq("doc_id"), order = "doc_id")
+    assert(hopIndex().nonEmpty)
+
+    // batch 3 contains a planted near-dup of doc 7 (59/60 tokens shared)
+    val nearDup = doc(7).split(" ").updated(30, "MUTATED").mkString(" ")
+    val b3 = batchDf(Seq(41L -> nearDup, 42L -> doc(42)))
+    // probe BEFORE ingesting: candidates against the whole corpus via the
+    // index alone (b3 is not in the index, so no self-match exclusion
+    // is even needed)
+    val idx = ManifestTable.read(spark, index)
+    val cands = DedupSuite.minhashProbeIndex(b3, idx, "doc_id", col("body"))
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((41L, 7L)), s"planted pair not found: $cands")
+    assert(!cands.exists(_._1 == 42L), s"clean doc matched: $cands")
+
+    // ingest batch 3, advance the index, and re-probe: the self-match
+    // filter hides (41,41); the (41,7) partnership persists
+    ManifestTable.upsertDedup(spark, b3, corpus, keys = Seq("doc_id"), order = "doc_id")
+    assert(hopIndex().nonEmpty)
+    val cands2 = DedupSuite.minhashProbeIndex(b3, ManifestTable.read(spark, index),
+      "doc_id", col("body")).as[(Long, Long)].collect().toSet
+    assert(cands2.contains((41L, 7L)) && !cands2.contains((41L, 41L)))
+    // index size = bands per doc × docs (16 × 42), exactly once per doc
+    assert(ManifestTable.read(spark, index).count() == 16L * 42)
+  }
+
   test("idempotentUpsert: re-run batch jobs apply exactly once per (appId, version)") {
     val root = tmp() + "/t"
     ManifestTable.write(mk("d1", 0 until 5, 1.0), root, partitionCols = Seq("day"))
