@@ -1684,9 +1684,15 @@ object ManifestTable {
       target.schema.fields.filterNot(f => raw.columns.contains(f.name))
         .foldLeft(raw)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
     }
-    // sentinel marker, not key-null checks, detects the matched side
-    val srcPrefixed = srcN.select(srcN.columns.toIndexedSeq.map(c =>
+    // sentinel marker, not key-null checks, detects the matched side.
+    // Under the pruning path the source is bounded (≤ maxKeys distinct
+    // keys, duplicates refused) — broadcast it so the touched slice
+    // never shuffles; the overflow path is a table-sized merge and the
+    // planner picks the join strategy.
+    val srcPrefixed0 = srcN.select(srcN.columns.toIndexedSeq.map(c =>
       col(c).as(s"_src_$c")) :+ lit(true).as("_src__matched"): _*)
+    val srcPrefixed =
+      if (collected.length <= maxKeys) broadcast(srcPrefixed0) else srcPrefixed0
     val joinCond = keys.map(k => col(k) === col(s"_src_$k")).reduce(_ && _)
     val joined = touchedDf.join(srcPrefixed, joinCond, "left")
     val matchedMarker = col("_src__matched").isNotNull
