@@ -222,6 +222,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("k13 dynamic-pruned star join: broadcast semi + broadcast dim, no cartesian") {
+    val p = plan("k13_join_pruned_read")
+    // readWhereJoin's exact semi-join and the final dim join both
+    // broadcast the bounded dim side; the fact side never shuffles for
+    // either join
+    assert(p.contains("LeftSemi"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("q21 scans and exchanges lineitem exactly once (stacked windows, no self-join)") {
     val p = plan("q21_last_shipper")
     // ONE lineitem scan, ONE lineitem-sized exchange: both per-order
