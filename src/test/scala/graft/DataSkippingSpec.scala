@@ -515,34 +515,51 @@ class DataSkippingSpec extends SparkSpec {
     // three fixed table shapes, many random predicates: pruning is the
     // variable under test, so spend the budget on predicate diversity
     val rnd = new scala.util.Random(42)
+    // boolean, date and timestamp columns joined the shapes in r11:
+    // the r10 ADVICE holes (boolean IN constant-false, days-vs-micros
+    // cross-scale compares) lived exactly in the classes the generator
+    // never produced
     def rows(n: Int) = (0 until n).map { i =>
       (if (rnd.nextInt(5) == 0) null else s"p${i % 3}",
         i.toLong,
         if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(50).toDouble),
-        Seq("alpha", "beta", "gamma", "delta")(rnd.nextInt(4)))
+        Seq("alpha", "beta", "gamma", "delta")(rnd.nextInt(4)),
+        rnd.nextBoolean(),
+        java.sql.Date.valueOf(s"2024-0${1 + rnd.nextInt(3)}-${10 + rnd.nextInt(10)}"),
+        java.sql.Timestamp.valueOf(s"2024-01-${10 + rnd.nextInt(10)} 0${rnd.nextInt(9)}:00:00"))
     }
+    val cols = Seq("part", "id", "v", "s", "flag", "d", "ts")
     val unpart = tmp() + "/u"
-    ManifestTable.upsertDedup(spark, rows(120).toDF("part", "id", "v", "s"),
+    ManifestTable.upsertDedup(spark, rows(120).toDF(cols: _*),
       unpart, Seq("id"), "s")
     ManifestTable.upsertDedup(spark,
-      rows(120).map(r => r.copy(_2 = r._2 + 200)).toDF("part", "id", "v", "s"),
+      rows(120).map(r => r.copy(_2 = r._2 + 200)).toDF(cols: _*),
       unpart, Seq("id"), "s")
     val parted = tmp() + "/p"
-    ManifestTable.write(rows(150).toDF("part", "id", "v", "s"), parted, Seq("part"))
+    ManifestTable.write(rows(150).toDF(cols: _*), parted, Seq("part"))
     val clustered = tmp() + "/c"
-    ManifestTable.write(rows(150).toDF("part", "id", "v", "s"), clustered)
+    ManifestTable.write(rows(150).toDF(cols: _*), clustered)
     ManifestTable.cluster(spark, clustered, Seq("id"), targetFileMB = 1)
 
     val atomGen: Gen[org.apache.spark.sql.Column] = for {
-      c <- Gen.oneOf("part", "id", "v", "s")
+      c <- Gen.oneOf(cols)
       a <- {
         val litGen: Gen[Any] = c match {
           case "part" => Gen.oneOf("p0", "p1", "p2", "nope")
           case "id"   => Gen.choose(-5L, 400L)
           case "v"    => Gen.choose(-10.0, 60.0)
           case "s"    => Gen.oneOf("alpha", "beta", "zzz", "")
+          case "flag" => Gen.oneOf(true, false)
+          case "d" => Gen.oneOf( // date AND timestamp literals: the
+            // cross-scale compare (days vs micros) must stay conservative
+            java.sql.Date.valueOf("2024-01-15"), java.sql.Date.valueOf("2024-02-20"),
+            java.sql.Timestamp.valueOf("2024-02-01 12:00:00"))
+          case "ts" => Gen.oneOf(
+            java.sql.Timestamp.valueOf("2024-01-12 03:00:00"),
+            java.sql.Timestamp.valueOf("2024-01-18 00:00:00"),
+            java.sql.Date.valueOf("2024-01-15"))
         }
-        Gen.oneOf[Gen[org.apache.spark.sql.Column]](
+        val base = Seq[Gen[org.apache.spark.sql.Column]](
           litGen.map(v => col(c) === lit(v)),
           litGen.map(v => col(c) < lit(v)),
           litGen.map(v => col(c) <= lit(v)),
@@ -551,8 +568,12 @@ class DataSkippingSpec extends SparkSpec {
           Gen.listOfN(3, litGen).map(vs => col(c).isin(vs: _*)),
           Gen.const(col(c).isNull),
           Gen.const(col(c).isNotNull),
-          litGen.map(v => col(c) <=> lit(v))
-        ).flatMap(identity)
+          litGen.map(v => col(c) <=> lit(v)))
+        val withPrefix = if (c == "s" || c == "part")
+          base :+ Gen.oneOf("a", "be", "p", "zz", "").map(p => col(c).startsWith(p))
+        else base
+        Gen.oneOf[Gen[org.apache.spark.sql.Column]](
+          withPrefix.head, withPrefix.tail.head, withPrefix.drop(2): _*).flatMap(identity)
       }
     } yield a
     val predGen: Gen[org.apache.spark.sql.Column] =
@@ -561,9 +582,9 @@ class DataSkippingSpec extends SparkSpec {
     val roots = Seq(unpart, parted, clustered)
     val prop = Prop.forAll(predGen, Gen.oneOf(roots)) { (pred, root) =>
       val got = ManifestTable.readWhere(spark, root, pred)
-        .select("part", "id", "v", "s").collect().map(_.toString).sorted.toSeq
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
       val expect = ManifestTable.read(spark, root).filter(pred)
-        .select("part", "id", "v", "s").collect().map(_.toString).sorted.toSeq
+        .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
       got == expect
     }
     val r = SCTest.check(
