@@ -328,6 +328,26 @@ object AggWindowQueries extends QueryPack {
           Map("o_totalprice" -> (col("o_totalprice") + col("_src_o_totalprice")))))
       ManifestTable.read(s, root)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_year"))
+    }),
+    "k18_zorder_read" -> ((s, d) => {
+      // K18 (beyond-reference): z-order clustering end-to-end — orders
+      // clustered on the Morton-interleaved (o_custkey, o_totalprice)
+      // key, then filtered on EACH axis independently through readWhere;
+      // by contract (DataSkippingSpec) pruning never changes results, so
+      // the oracle is the plain relational filter.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k18")
+        .toString + "/orders_z"
+      ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartition(8),
+        root)
+      ManifestTable.cluster(s, root, sortCols = Seq("o_custkey", "o_totalprice"),
+        targetFileMB = 1, zOrder = true)
+      ManifestTable.readWhere(s, root, col("o_totalprice") > 350000.0)
+        .unionByName(ManifestTable.readWhere(s, root,
+          col("o_custkey") < 100 && col("o_totalprice") <= 350000.0))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     })
   )
 
@@ -533,7 +553,13 @@ object AggWindowQueries extends QueryPack {
         |            ELSE o_totalprice END AS o_totalprice,
         |       EXTRACT(year FROM o_orderdate) AS o_year
         |FROM orders
-        |WHERE EXTRACT(year FROM o_orderdate) <= 1997""".stripMargin
+        |WHERE EXTRACT(year FROM o_orderdate) <= 1997""".stripMargin,
+    "k18_zorder_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 350000.0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey < 100 AND o_totalprice <= 350000.0""".stripMargin
   )
 }
 
