@@ -67,6 +67,29 @@ class IncrementalReadSpec extends SparkSpec {
       mk("d3", 100 until 110, 3.0).as[(String, Long, Double)].collect().toSet)
   }
 
+  test("readChanges: a window crossing the vacuum horizon errors loudly") {
+    val root = tmp() + "/t"
+    ManifestTable.write(mk("d1", 0 until 5, 1.0), root, partitionCols = Seq("day"))
+    // checkpointInterval=1 forces snapshot commits so vacuum can drop
+    // the old versions outright
+    for (i <- 2 to 4)
+      ManifestTable.upsertDedup(spark, mk(s"d$i", i * 5 until i * 5 + 5, i.toDouble),
+        root, keys = Seq("day", "id"), order = "v", partitionCols = Seq("day"),
+        checkpointInterval = 1)
+    ManifestTable.vacuum(spark, root, keep = 1)
+    val head = ManifestTable.currentVersion(spark, root).get
+    // a consumer that fell behind the retention horizon must get an
+    // ERROR (Delta-class semantics), never a silently truncated window
+    val e = intercept[RuntimeException] {
+      ManifestTable.readChanges(spark, root, 1L, head)
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // in-retention windows still work
+    assert(ManifestTable.readChanges(spark, root, head, head).count() == 0)
+    // and the documented recovery is a snapshot re-bootstrap
+    assert(ManifestTable.read(spark, root).count() == 20)
+  }
+
   test("readChanges: overwrite emits the full new content; unpartitioned upserts emit the merged table") {
     val root = tmp() + "/t"
     ManifestTable.write(mk("d1", 0 until 5, 1.0), root)
