@@ -559,6 +559,16 @@ class IncrementalReadSpec extends SparkSpec {
       (mk("d1", 0 until 10, 10.0).as[(String, Long, Double)].collect().toSet ++
         mk("d2", 10 until 14, 20.0).as[(String, Long, Double)].collect().toSet))
 
+    // compact + z-order cluster while the stream is live: rewrites are
+    // invisible to the feed — no batch reaches the sink, nothing changes
+    val beforeRewrite = dstRows()
+    ManifestTable.compact(spark, src, targetFileMB = 16)
+    ManifestTable.cluster(spark, src, Seq("id"), targetFileMB = 16, zOrder = true)
+    val q2b = startHop()
+    try q2b.processAllAvailable() finally q2b.stop()
+    assert(dstRows() == beforeRewrite,
+      "a compaction/clustering rewrite must not re-emit the table downstream")
+
     // startingversion=latest subscribes to NEW commits only
     val late = spark.readStream.format("graft.sources.ManifestChangesSourceProvider")
       .option("path", src).option("startingversion", "latest").load()
