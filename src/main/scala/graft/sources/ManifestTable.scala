@@ -1051,7 +1051,28 @@ object ManifestTable {
       val batch = transform(readChanges(spark, srcRoot, lastV, srcV))
       if (commitStreamBatch(spark, batch, srcV, dstRoot, keys, order,
           partitionCols, sinkId, checkpointInterval)) Some(srcV)
-      else None // all-rewrite window or transform emitted nothing
+      else {
+        // all-rewrite window or transform emitted nothing: the window is
+        // consumed even though no data moved — advance the watermark with
+        // a tags-only commit so later calls don't re-walk the same
+        // manifests (and a rewrite-heavy source doesn't pin the consumer
+        // at an ever-older version). Only possible once the destination
+        // exists (tags live on commits); before that the next call simply
+        // re-reads the window — idempotent either way.
+        current(spark, dstRoot).foreach { dstSt =>
+          try commitMeta(spark, dstRoot, dstSt,
+            dstSt.tags + (s"$StreamBatchTag.$sinkId" -> srcV.toString), 60000L)
+          catch {
+            case _: ConcurrentCommitException =>
+              // the advance is an optimization, not a correctness gate:
+              // losing this race just means the next call re-walks the
+              // (still-empty) window
+              log.info(s"consumeChanges($consumerId): lost the watermark-advance " +
+                s"race on $dstRoot — next call re-reads the empty window")
+          }
+        }
+        None
+      }
     }
   }
 
@@ -1907,6 +1928,43 @@ object ManifestTable {
       org.apache.spark.sql.types.StructField("commit_time", org.apache.spark.sql.types.TimestampType, false)))
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** Roll the table BACK to a retained earlier version (the Delta
+    * `RESTORE TABLE ... TO VERSION AS OF` role) by committing a NEW
+    * version whose live-file list is the target version's — history is
+    * append-only, so the restore is itself an auditable commit and can
+    * be restored away from again. Zero data movement: generations are
+    * immutable and the target's files are still on disk (its manifest
+    * still resolves, which is exactly the precondition checked), so this
+    * re-lists them — at 100 TB a metadata-only operation.
+    *
+    * Tag posture: CURRENT tags are kept (constraints, stream replay
+    * watermarks — rewinding a watermark would re-open double-apply,
+    * which [[validateTags]] refuses by design); only the file list time
+    * travels. Commits op "restore" as a SNAPSHOT, so incremental readers
+    * see resurrected files as adds (at-least-once, never silently
+    * dropped). Restoring to the current version is a no-op. */
+  def restore(spark: SparkSession, root: String, version: Long,
+              graceMs: Long = 60000L): Long = {
+    val fs = fsOf(spark, root)
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    if (version == st.version) return st.version
+    require(version < st.version,
+      s"restore: target version $version is newer than the current ${st.version}")
+    val target = resolveState(spark, root, version).getOrElse(sys.error(
+      s"manifest table $root has no committed version $version (vacuumed or never " +
+        "committed) — restore needs the target's manifest chain intact"))
+    val v = st.version + 1
+    val (manifest, sidecar) = mkSnapshot(spark, root, v, target.files,
+      st.tags + (OpTag -> "restore"))
+    if (!claimOrRecover(fs, root, manifest, graceMs)) {
+      sidecar.foreach(fs.delete(_, true))
+      throw new ConcurrentCommitException(root, v)
+    }
+    writePointer(fs, root, v)
+    v
   }
 
   /** Clustered compaction (the Delta OPTIMIZE ZORDER / Iceberg

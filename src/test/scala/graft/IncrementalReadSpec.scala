@@ -584,4 +584,43 @@ class IncrementalReadSpec extends SparkSpec {
         .as[String].collect().toSeq == Seq("d3"))
     } finally q3.stop()
   }
+
+  test("consumeChanges advances its watermark across rewrite-only / empty windows") {
+    val src = tmp() + "/src"
+    val dst = tmp() + "/dst"
+    ManifestTable.write(mk("d1", 0 until 10, 2.0), src, partitionCols = Seq("day"))
+
+    var transformRuns = 0
+    def hop(): Option[Long] =
+      ManifestTable.consumeChanges(spark, src, dst, "daily", keys = Seq("day"),
+        order = "total", partitionCols = Nil) { changes =>
+        transformRuns += 1
+        changes.groupBy("day").agg(sum("v").as("total"))
+      }
+    def watermark(): Option[String] =
+      ManifestTable.current(spark, dst).flatMap(_.tags.get("stream_batch.consume.daily"))
+
+    assert(hop().contains(1L))
+    assert(watermark().contains("1"))
+
+    // rewrite-only window: nothing to consume, but the watermark must
+    // advance via a tags-only commit so the next call does not re-walk
+    // (and re-transform) the same empty window
+    val v2 = ManifestTable.compact(spark, src, targetFileMB = 1)
+    assert(v2 == 2L)
+    val runsBefore = transformRuns
+    assert(hop().isEmpty)
+    assert(transformRuns == runsBefore + 1) // this call walked the window...
+    assert(watermark().contains("2"), "empty window must advance the watermark")
+    assert(hop().isEmpty)
+    assert(transformRuns == runsBefore + 1, "...but the next call must NOT")
+
+    // destination data unaffected by the meta commits; later real data flows
+    ManifestTable.upsertDedup(spark, mk("d2", 0 until 5, 1.0), src,
+      keys = Seq("day", "id"), order = "v", partitionCols = Seq("day"))
+    assert(hop().contains(3L))
+    assert(watermark().contains("3"))
+    assert(ManifestTable.read(spark, dst).select("day", "total")
+      .as[(String, Double)].collect().toSet == Set(("d1", 20.0), ("d2", 5.0)))
+  }
 }

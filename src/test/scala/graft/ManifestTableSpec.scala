@@ -962,4 +962,48 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.current(spark, dir + "/tbl").get
       .files.head.stats.get("ts").exists(_.kind == 't'))
   }
+
+  test("restore rolls the file list back as a NEW auditable commit, zero data movement") {
+    val root = tmp() + "/t"
+    def content() = ManifestTable.read(spark, root)
+      .as[(Int, String)].collect().toSet
+    ManifestTable.write(Seq((1, "a"), (2, "b")).toDF("k", "s"), root) // v1
+    val v1Rows = content()
+    ManifestTable.upsertDedup(spark, Seq((3, "c")).toDF("k", "s"), root,
+      keys = Seq("k"), order = "s")                                   // v2
+    ManifestTable.delete(spark, root, org.apache.spark.sql.functions.col("k") === 1) // v3
+    assert(content() == Set((2, "b"), (3, "c")))
+
+    // restore to v1: new head v4, content bit-identical to v1, and the
+    // generations were NOT rewritten (the restored entries are v1's own)
+    val v1Files = ManifestTable.current(spark, root).map(_ =>
+      ManifestTable.readVersion(spark, root, 1L)).get // proves v1 resolves
+    val v4 = ManifestTable.restore(spark, root, 1L)
+    assert(v4 == 4L)
+    assert(content() == v1Rows)
+    assert(v1Files.as[(Int, String)].collect().toSet == content())
+
+    // history records the restore; the pre-restore head is still readable
+    val ops = ManifestTable.history(spark, root)
+      .select("version", "op").as[(Long, String)].collect().toMap
+    assert(ops(4L) == "restore")
+    assert(ManifestTable.readVersion(spark, root, 3L)
+      .as[(Int, String)].collect().toSet == Set((2, "b"), (3, "c")))
+
+    // restore away from the restore (forward to v3's content)
+    ManifestTable.restore(spark, root, 3L)
+    assert(content() == Set((2, "b"), (3, "c")))
+
+    // no-op + error shapes
+    val head = ManifestTable.currentVersion(spark, root).get
+    assert(ManifestTable.restore(spark, root, head) == head)
+    intercept[IllegalArgumentException] {
+      ManifestTable.restore(spark, root, head + 5)
+    }
+
+    // vacuum after a restore keeps the resurrected generations live
+    ManifestTable.restore(spark, root, 1L)
+    ManifestTable.vacuum(spark, root, keep = 1, deleteOrphans = true)
+    assert(content() == v1Rows)
+  }
 }
