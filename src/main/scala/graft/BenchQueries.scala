@@ -370,6 +370,190 @@ object BenchQueries extends QueryPack {
           |                    AND o_orderpriority = '1-URGENT')
           |GROUP BY c_mktsegment""".stripMargin)
     }),
+    "q7_volume_shipping" -> ((s, d) => {
+      // TPC-H Q7 shape: bilateral trade volume between two nations by
+      // ship year. Both nation dims broadcast; the nation filter lands
+      // on supplier AND customer BEFORE their fact joins, so the
+      // lineitem/orders shuffles carry only the two nations' slice.
+      val pair = t(s, d, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = t(s, d, "supplier").join(broadcast(pair),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, d, "customer").join(broadcast(pair),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6, 2)
+          .as("revenue"))
+    }),
+    "q8_market_share" -> ((s, d) => {
+      // TPC-H Q8 shape: one nation's share of a region's PROMO-part
+      // revenue per order year — ratio of two conditional decimal sums
+      // in fixed order. part/supplier/nation/region broadcast; the
+      // customer-region filter rides the customer dim into the orders
+      // join, facts shuffle once each.
+      val europe = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = t(s, d, "customer").join(broadcast(europe),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppNation = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").select(col("n_nationkey"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val part = t(s, d, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val orders = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          dsum(when(col("supp_nation") === "NATION_19", volume).otherwise(lit(0.0)), 6, 2)
+            .as("nation_volume"),
+          dsum(volume, 6, 2).as("total_volume"))
+        .select(col("o_year"), col("nation_volume"), col("total_volume"),
+          (col("nation_volume") / col("total_volume")).as("mkt_share"))
+    }),
+    "q9_product_profit" -> ((s, d) => {
+      // TPC-H Q9 shape (no partsupp in this schema: supply cost is
+      // derived as 10% of retail price × quantity): profit on widget
+      // parts by supplier nation and order year. part + supplier-nation
+      // broadcast, single orders shuffle.
+      val part = t(s, d, "part").filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val suppNation = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").select(col("n_nationkey"),
+          col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("nation"))
+      val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity") * lit(0.1)
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(amount, 6, 2).as("sum_profit"))
+    }),
+    "q12_late_priority" -> ((s, d) => {
+      // TPC-H Q12 shape (no shipmode column: line status stands in as
+      // the grouping axis): late-shipped 1997 lineitems split into
+      // high/low order-priority counts — the conditional-count pair.
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
+        .join(orders, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .cast("long").as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0).otherwise(1))
+            .cast("long").as("low_line_count"))
+    }),
+    "q15_top_supplier" -> ((s, d) => {
+      // TPC-H Q15 shape: revenue view + scalar-subquery MAX — the
+      // classic "top supplier" with the aggregate computed ONCE and
+      // broadcast back (PlanSpec: the CTE's aggregate is not re-run per
+      // row).
+      t(s, d, "lineitem").createOrReplaceTempView("graft_q15_lineitem")
+      t(s, d, "supplier").createOrReplaceTempView("graft_q15_supplier")
+      s.sql(
+        s"""WITH rev AS (
+           |  SELECT l_suppkey AS supplier_no,
+           |    ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6, 2)} AS total_rev
+           |  FROM graft_q15_lineitem
+           |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+           |  GROUP BY l_suppkey)
+           |SELECT s_suppkey, s_name, total_rev
+           |FROM graft_q15_supplier JOIN rev ON s_suppkey = supplier_no
+           |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin)
+    }),
+    "q17_small_qty_rev" -> ((s, d) => {
+      // TPC-H Q17 shape: correlated scalar AVG against the outer part —
+      // Catalyst decorrelates to a per-part aggregate joined back, so
+      // lineitem is scanned twice but never per-row. l_quantity is
+      // integral, so AVG is accumulation-order-exact in both engines.
+      t(s, d, "lineitem").createOrReplaceTempView("graft_q17_lineitem")
+      t(s, d, "part").createOrReplaceTempView("graft_q17_part")
+      s.sql(
+        s"""SELECT ${dsumSql("l_extendedprice", 4, 2)} / 7.0 AS avg_yearly
+           |FROM graft_q17_lineitem JOIN graft_q17_part ON p_partkey = l_partkey
+           |WHERE p_brand = 'Brand#3' AND p_size < 15
+           |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+           |                    FROM graft_q17_lineitem l2
+           |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
+    "q19_bracket_rev" -> ((s, d) => {
+      // TPC-H Q19 shape: OR of three brand/size/quantity brackets — the
+      // disjunctive-pushdown case (each branch's part predicate prunes
+      // at the broadcast dim, the residual OR filters post-join).
+      val part = t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6, 2)
+          .as("revenue"))
+    }),
+    "q20_promo_suppliers" -> ((s, d) => {
+      // TPC-H Q20 shape (no partsupp availqty: the volume threshold is
+      // absolute): suppliers who shipped > 300 units of PROMO parts in
+      // 1997 — nested IN subqueries planned as stacked left-semi joins.
+      t(s, d, "lineitem").createOrReplaceTempView("graft_q20_lineitem")
+      t(s, d, "part").createOrReplaceTempView("graft_q20_part")
+      t(s, d, "supplier").createOrReplaceTempView("graft_q20_supplier")
+      s.sql(
+        """SELECT s_name, s_acctbal
+          |FROM graft_q20_supplier
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey FROM graft_q20_lineitem
+          |  WHERE l_partkey IN (SELECT p_partkey FROM graft_q20_part
+          |                      WHERE p_type = 'PROMO')
+          |    AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+          |  GROUP BY l_suppkey
+          |  HAVING SUM(l_quantity) > 300)""".stripMargin)
+    }),
     "a16_funnel" -> ((s, d) => {
       // funnel conversion: per user, first view and the first purchase
       // AFTER that view; one aggregate + one conditional re-aggregate —
@@ -726,6 +910,108 @@ object BenchQueries extends QueryPack {
         |                  WHERE o_custkey = c.c_custkey
         |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  ${dsumSql("volume", 6, 2)} AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(YEAR(l_shipdate) AS INT) AS l_year,
+         |    l_extendedprice * (1.0 - l_discount) AS volume
+         |  FROM lineitem
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') v
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH v AS (
+         |  SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+         |    l_extendedprice * (1.0 - l_discount) AS volume,
+         |    n2.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+         |a AS (SELECT o_year,
+         |  ${dsumSql("CASE WHEN supp_nation = 'NATION_19' THEN volume ELSE 0.0 END", 6, 2)}
+         |    AS nation_volume,
+         |  ${dsumSql("volume", 6, 2)} AS total_volume
+         |FROM v GROUP BY 1)
+         |SELECT o_year, nation_volume, total_volume,
+         |  nation_volume / total_volume AS mkt_share FROM a""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, o_year, ${dsumSql("amount", 6, 2)} AS sum_profit
+         |FROM (
+         |  SELECT n.n_name, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+         |    l_extendedprice * (1.0 - l_discount)
+         |      - p_retailprice * l_quantity * 0.1 AS amount
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN nation n ON s_nationkey = n.n_nationkey
+         |  WHERE p_name LIKE '%widget%') profit
+         |GROUP BY 1, 2""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6, 2)} AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM supplier JOIN rev ON s_suppkey = supplier_no
+         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin,
+    "q17_small_qty_rev" ->
+      s"""SELECT ${dsumSql("l_extendedprice", 4, 2)} / 7.0 AS avg_yearly
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#3' AND p_size < 15
+         |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+         |                    FROM lineitem l2
+         |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q19_bracket_rev" ->
+      s"""SELECT ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6, 2)} AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_promo_suppliers" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |  HAVING SUM(l_quantity) > 300)""".stripMargin,
     "a16_funnel" ->
       """WITH ec AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |            FROM events),
