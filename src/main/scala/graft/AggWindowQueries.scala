@@ -348,6 +348,24 @@ object AggWindowQueries extends QueryPack {
         .unionByName(ManifestTable.readWhere(s, root,
           col("o_custkey") < 100 && col("o_totalprice") <= 350000.0))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+    "k19_mor_roundtrip" -> ((s, d) => {
+      // K19 (beyond-reference): MERGE-ON-READ mutation via deletion
+      // vectors — a DELETE then an UPDATE mark row positions in dv-*
+      // sidecars instead of rewriting files; every read anti-joins the
+      // positions out, so the oracle sees plain relational semantics.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k19")
+        .toString + "/orders_mor"
+      ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")).repartition(6),
+        root)
+      ManifestTable.deleteMoR(s, root, col("o_totalprice") < 100000.0)
+      ManifestTable.updateMoR(s, root, col("o_orderpriority") === "5-LOW",
+        Map("o_totalprice" -> (col("o_totalprice") * 1.1)))
+      ManifestTable.read(s, root)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
     })
   )
 
@@ -559,7 +577,14 @@ object AggWindowQueries extends QueryPack {
         |WHERE o_totalprice > 350000.0
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_custkey < 100 AND o_totalprice <= 350000.0""".stripMargin
+        |WHERE o_custkey < 100 AND o_totalprice <= 350000.0""".stripMargin,
+    "k19_mor_roundtrip" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice * 1.1
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_totalprice < 100000.0)""".stripMargin
   )
 }
 

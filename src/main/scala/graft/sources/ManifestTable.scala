@@ -95,12 +95,23 @@ object ManifestTable {
     def allNull: Boolean = count >= 0 && nulls == count
   }
 
+  /** Reference from a live file to its deletion vector: `dir` is the
+    * table-root-relative `dv-*` dataset holding (relPath, pos) rows for
+    * deleted positions, `count` is how many of THIS file's positions it
+    * lists. Merge-on-read: the file's bytes are untouched; readers
+    * anti-join the positions out ([[readState]]). */
+  final case class DvRef(dir: String, count: Long)
+
   /** One live data file: path relative to the table root (first segment
     * is its generation dir), its size (so sizing decisions never need
-    * a 100 TB `listFiles`), and optional per-column min/max stats for
-    * metadata-level data skipping ([[readWhere]]). */
+    * a 100 TB `listFiles`), optional per-column min/max stats for
+    * metadata-level data skipping ([[readWhere]]), and an optional
+    * deletion-vector reference ([[deleteMoR]]). A file with a `dv` has
+    * SUPERSET stats: bounds/counts include deleted rows, so pruning
+    * stays conservative but [[statsOnly]] loses exactness. */
   final case class FileEntry(relPath: String, bytes: Long,
-                             stats: Map[String, ColStats] = Map.empty) {
+                             stats: Map[String, ColStats] = Map.empty,
+                             dv: Option[DvRef] = None) {
     /** Hive partition sub-path between the generation dir and the file
       * name ("" when unpartitioned). */
     def partitionPath: String = {
@@ -154,6 +165,20 @@ object ManifestTable {
     stats.toSeq.sortBy(_._1).map { case (c, s) =>
       s"${enc(c)}:${s.kind}:${enc(s.min)}:${enc(s.max)}:${s.nulls}:${s.count}"
     }.mkString(",")
+
+  /** DV wire format (4th tab field of a `file=` line, and the `dv`
+    * sidecar column): `<url-encoded dir>:<count>`. Unlike stats, a
+    * garbled DV spec is an ERROR, never ignored — dropping a deletion
+    * vector would resurrect deleted rows (the parse error degrades the
+    * whole manifest to absent via [[readRaw]]'s defensive catch). */
+  private[graft] def encodeDv(d: DvRef): String = s"${enc(d.dir)}:${d.count}"
+
+  private[graft] def decodeDv(s: String): Option[DvRef] =
+    if (s == null || s.isEmpty) None
+    else s.split(':') match {
+      case Array(dir, n) => Some(DvRef(dec(dir), n.toLong))
+      case _ => sys.error(s"malformed deletion-vector spec '$s'")
+    }
 
   private[graft] def decodeStats(s: String): Map[String, ColStats] =
     if (s == null || s.isEmpty) Map.empty
@@ -296,11 +321,16 @@ object ManifestTable {
     // dying on a substring index
     try {
       val files = lines.filter(_.startsWith("file=")).map { l =>
-        // 2 fields (legacy) or 3 (with stats); relPath is tab-free (hive
-        // escaping percent-encodes control chars in partition dirs)
+        // 2 fields (legacy), 3 (with stats), or 4 (stats + deletion
+        // vector — the stats field may be empty); relPath is tab-free
+        // (hive escaping percent-encodes control chars in partition
+        // dirs). split keeps interior empty fields, so a stats-less
+        // DV'd file still parses as 4 fields.
         l.stripPrefix("file=").split('\t') match {
           case Array(p, b)    => FileEntry(p, b.toLong)
           case Array(p, b, s) => FileEntry(p, b.toLong, decodeStats(s))
+          case Array(p, b, s, dv) =>
+            FileEntry(p, b.toLong, decodeStats(s), decodeDv(dv))
           case other => sys.error(s"malformed file= line (${other.length} fields)")
         }
       }
@@ -395,10 +425,15 @@ object ManifestTable {
     try {
       val raw = spark.read
         .parquet(new Path(root, s"$ManifestDir/${ref.refDir}").toString)
-      // legacy sidecars (pre-stats) have no `stats` column
+      // legacy sidecars may predate the `stats` and/or `dv` columns
+      val withStats =
+        if (raw.columns.contains("stats")) raw
+        else raw.withColumn("stats", lit(null: String))
       val rows =
-        (if (raw.columns.contains("stats")) raw.select("relPath", "bytes", "stats")
-         else raw.select("relPath", "bytes").withColumn("stats", lit(null: String)))
+        (if (withStats.columns.contains("dv"))
+           withStats.select("relPath", "bytes", "stats", "dv")
+         else withStats.select("relPath", "bytes", "stats")
+           .withColumn("dv", lit(null: String)))
           .collect()
       if (rows.length != ref.count) {
         log.warn(s"manifest table $root: snapshot sidecar ${ref.refDir} has " +
@@ -406,7 +441,8 @@ object ManifestTable {
         None
       } else Some(rows.toSeq.map(r =>
         FileEntry(r.getString(0), r.getLong(1),
-          if (r.isNullAt(2)) Map.empty else decodeStats(r.getString(2)))))
+          if (r.isNullAt(2)) Map.empty else decodeStats(r.getString(2)),
+          if (r.isNullAt(3)) None else decodeDv(r.getString(3)))))
     } catch {
       case scala.util.control.NonFatal(e) =>
         log.warn(s"manifest table $root: snapshot sidecar ${ref.refDir} unreadable " +
@@ -562,9 +598,13 @@ object ManifestTable {
         val w = new java.io.BufferedWriter(
           new java.io.OutputStreamWriter(out, "UTF-8"), 1 << 16)
         w.write(s"version=$version\n")
-        def fileLine(f: FileEntry): String =
-          if (f.stats.isEmpty) s"file=${f.relPath}\t${f.bytes}\n"
-          else s"file=${f.relPath}\t${f.bytes}\t${encodeStats(f.stats)}\n"
+        def fileLine(f: FileEntry): String = f.dv match {
+          case Some(d) =>
+            s"file=${f.relPath}\t${f.bytes}\t${encodeStats(f.stats)}\t${encodeDv(d)}\n"
+          case None =>
+            if (f.stats.isEmpty) s"file=${f.relPath}\t${f.bytes}\n"
+            else s"file=${f.relPath}\t${f.bytes}\t${encodeStats(f.stats)}\n"
+        }
         m match {
           case FullManifest(_, files, _) =>
             files.foreach(f => w.write(fileLine(f)))
@@ -643,8 +683,9 @@ object ManifestTable {
       // one parquet file: the sidecar is driver-read back in one go and
       // object stores price requests, not bytes
       files.map(f => (f.relPath, f.bytes,
-          if (f.stats.isEmpty) null else encodeStats(f.stats)))
-        .toDF("relPath", "bytes", "stats")
+          if (f.stats.isEmpty) null else encodeStats(f.stats),
+          f.dv.map(encodeDv).orNull))
+        .toDF("relPath", "bytes", "stats", "dv")
         .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(p.toString)
       (SnapshotRef(version, refDir, files.size, tags), Some(p))
     }
@@ -838,6 +879,10 @@ object ManifestTable {
     *    strings, NaN floats) or when kinds disagree across files;
     *    all-null files legitimately contribute counts and no bounds.
     *
+    * Any LIVE deletion vector ([[deleteMoR]]) voids exactness table-wide
+    * — every stat reads NULL until [[materializeDeletes]] (or a rewrite)
+    * folds the DVs in.
+    *
     * `min`/`max` are the canonical stat encodings ([[ColStats]]): use
     * [[statDouble]]/[[statString]] for typed access. Hive partition
     * columns DO appear (kind 's' — they are string-pinned table-wide):
@@ -847,9 +892,15 @@ object ManifestTable {
   def statsOnly(spark: SparkSession, root: String): DataFrame = {
     val st = current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
+    // a live deletion vector makes every file-level stat a SUPERSET of
+    // the live rows (counts overcount; a deleted row may have owned the
+    // min/max) — exactness is the whole contract here, so every stat
+    // goes honest-NULL until materializeDeletes (or any rewrite) folds
+    // the DVs in. Pruning is unaffected (supersets stay conservative).
+    val anyDv = st.files.exists(_.dv.nonEmpty)
     val cols = st.files.flatMap(_.stats.keys).distinct.sorted
     val dataRows = cols.map { c =>
-      val everywhere = st.files.forall(_.stats.contains(c))
+      val everywhere = !anyDv && st.files.forall(_.stats.contains(c))
       val entries = st.files.flatMap(_.stats.get(c))
       val counts =
         if (everywhere && entries.forall(e => e.count >= 0 && e.nulls >= 0))
@@ -868,14 +919,9 @@ object ManifestTable {
         bounds.map(_._1.toString).orNull,
         bounds.map(_._2).orNull, bounds.map(_._3).orNull)
     }
-    // per-file row count = any stats-bearing column's value count
-    // (parquet value counts include nulls); None when a file has no
-    // counted column — partition stats then go honest-NULL
-    def fileRows(f: FileEntry): Option[Long] =
-      f.stats.values.collectFirst { case s if s.count >= 0 => s.count }
     val partCols = st.files.flatMap(_.partitionValues.keys).distinct.sorted
     val partRows = partCols.map { c =>
-      val everywhere = st.files.forall(_.partitionValues.contains(c))
+      val everywhere = !anyDv && st.files.forall(_.partitionValues.contains(c))
       val perFile = st.files.map(f => (f.partitionValues.get(c).flatten, fileRows(f)))
       val counts =
         if (everywhere && perFile.forall(_._2.nonEmpty))
@@ -899,6 +945,13 @@ object ManifestTable {
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
+
+  /** A file's TOTAL row count (pre-DV) from any stats-bearing column's
+    * value count (parquet value counts include nulls, so every counted
+    * column counts the file's rows); None when no column carries counts
+    * (legacy manifests, footer-read failure). */
+  private def fileRows(f: FileEntry): Option[Long] =
+    f.stats.values.collectFirst { case s if s.count >= 0 => s.count }
 
   private def ordCanon(kind: Char, a: String, b: String, min: Boolean): String =
     if (kind == 's') { if ((a <= b) == min) a else b }
@@ -959,8 +1012,11 @@ object ManifestTable {
     var v = fromVersion + 1
     while (v <= toVersion) {
       readRaw(fs, root, v) match {
-        case Some(d: DeltaManifest) => out ++= d.adds
+        // rewrite wins over shape: a rewrite can be a SNAPSHOT
+        // (compact/cluster) or a DELTA (materializeDeletes) — both carry
+        // the same rows re-laid-out and contribute nothing
         case Some(m) if m.tags.get(OpTag).contains("rewrite") => () // same rows, new layout
+        case Some(d: DeltaManifest) => out ++= d.adds
         case Some(_) =>
           val cur = resolveState(spark, root, v).getOrElse(sys.error(
             s"manifest table $root: v$v does not resolve (broken chain) — " +
@@ -1076,8 +1132,71 @@ object ManifestTable {
     }
   }
 
+  /** Helper column names for deletion-vector application — struck from
+    * the result before it leaves [[readState]]. */
+  private val DvRelCol = "__graft_dv_rel"
+  private val DvPosCol = "__graft_dv_pos"
+
   private def readState(spark: SparkSession, root: String, st: State): DataFrame = {
     require(st.files.nonEmpty, s"manifest table $root v${st.version} lists no files")
+    val (dvd, clean) = st.files.partition(_.dv.nonEmpty)
+    if (dvd.isEmpty) scanFiles(spark, root, st.files, withPositions = false)
+    else {
+      // merge-on-read: scan the DV'd files WITH parquet row positions
+      // (file path + `_metadata.row_index` — stable per immutable file)
+      // and anti-join their deletion vectors out. Only the DV'd slice
+      // pays the join; untouched files stream through unchanged. The DV
+      // side is broadcast when its total cardinality (known exactly from
+      // the manifest, no scan) is bounded, so the common
+      // targeted-delete case adds a broadcast-hash anti — no shuffle of
+      // the table; a table-sized delete falls back to a shuffled anti
+      // join (and is better served by [[materializeDeletes]]).
+      val cleaned = scanLiveWithPositions(spark, root, dvd)
+        .drop(DvRelCol, DvPosCol)
+      if (clean.isEmpty) cleaned
+      else scanFiles(spark, root, clean, withPositions = false)
+        .unionByName(cleaned, allowMissingColumns = true)
+    }
+  }
+
+  /** Scan `files` with row positions ([[DvRelCol]]/[[DvPosCol]] kept in
+    * the result) and any deletion vectors anti-joined out — the live
+    * rows, addressable by (file, position). */
+  private def scanLiveWithPositions(spark: SparkSession, root: String,
+                                    files: Seq[FileEntry]): DataFrame = {
+    val scanned = scanFiles(spark, root, files, withPositions = true)
+    val dvd = files.filter(_.dv.nonEmpty)
+    if (dvd.isEmpty) scanned
+    else {
+      val dvDf = loadDvs(spark, root, dvd)
+      val totalDv = dvd.flatMap(_.dv).map(_.count).sum
+      val dvSide = if (totalDv <= 10000000L) broadcast(dvDf) else dvDf
+      scanned.join(dvSide, Seq(DvRelCol, DvPosCol), "left_anti")
+    }
+  }
+
+  /** The deletion-vector rows (relPath, pos) referenced by `dvd`'s
+    * entries, restricted per DV dataset to the files that still point at
+    * it. The restriction is a pure optimization (pushdown on the DV
+    * scan, tighter broadcast): a dataset's rows for files repointed or
+    * rewritten since can never mis-apply — rel paths are UUID-unique and
+    * a repointing dataset carries its predecessor's positions. */
+  private def loadDvs(spark: SparkSession, root: String,
+                      dvd: Seq[FileEntry]): DataFrame =
+    dvd.groupBy(_.dv.get.dir).toSeq.sortBy(_._1).map { case (dir, fs) =>
+      spark.read.parquet(new Path(root, dir).toString)
+        .filter(col("relPath").isin(fs.map(_.relPath): _*))
+        .select(col("relPath").as(DvRelCol), col("pos").as(DvPosCol))
+    }.reduce(_.unionByName(_))
+
+  /** Scan `files` grouped per generation (basePath = the gen dir, so
+    * hive partition columns survive), unioned by name with additive
+    * schema evolution. `withPositions` appends the table-root-relative
+    * file path and parquet row index as [[DvRelCol]]/[[DvPosCol]] —
+    * derived per scan (metadata columns do not survive a union). */
+  private def scanFiles(spark: SparkSession, root: String,
+                        files: Seq[FileEntry],
+                        withPositions: Boolean): DataFrame = {
     // partition columns are pinned to STRING (no type inference): the
     // carry-forward filter and compaction both assume a partition value
     // re-spells identically when rewritten ("same writer produced both
@@ -1091,16 +1210,25 @@ object ManifestTable {
     // each other mid-plan. Non-manifest reads on OTHER threads can still
     // observe the toggled conf for the lock's duration — driver-side
     // planning only, milliseconds.
+    val qualRoot = fsOf(spark, root).makeQualified(new Path(root)).toString
     inferenceLock.synchronized {
       val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
       val prev = spark.conf.getOption(key)
       try {
         spark.conf.set(key, "false")
-        st.files.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+        files.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
           .map { case (gen, fs) =>
-            spark.read
+            val df = spark.read
               .option("basePath", new Path(root, gen).toString)
               .parquet(fs.map(f => new Path(root, f.relPath).toString): _*)
+            if (!withPositions) df
+            else df.select(col("*"),
+              // file_path is the reader's fully-qualified URI; the
+              // manifest speaks root-relative paths — strip the
+              // qualified root prefix + '/' (substring is 1-based)
+              expr(s"substring(_metadata.file_path, ${qualRoot.length + 2})")
+                .as(DvRelCol),
+              col("_metadata.row_index").as(DvPosCol))
           }
           .reduce(_.unionByName(_, allowMissingColumns = true))
       } finally prev match {
@@ -1481,6 +1609,193 @@ object ManifestTable {
       // keep rows where the predicate is FALSE or NULL
       df.filter(!coalesce(predicate, lit(false)))
     }
+
+  /** MERGE-ON-READ delete (the Delta deletion-vector role): instead of
+    * rewriting every touched file ([[delete]]'s copy-on-write), record
+    * the deleted rows' parquet POSITIONS in a `dv-*` sidecar dataset and
+    * repoint the touched entries at it — the data files are untouched.
+    * Readers anti-join the positions out ([[readState]]); with DV
+    * cardinality bounded the anti side broadcasts, so reads pay a
+    * streaming hash probe, never a shuffle. At 100 TB this is the delete
+    * economics that matter: a 0.1% targeted delete writes ~0.1% × 8
+    * bytes/row of positions, not a rewrite of every file that contains a
+    * match. Same SQL semantics as [[delete]] (TRUE deletes, FALSE/NULL
+    * keeps), same conservative file pruning, same delta commit (op
+    * "delete").
+    *
+    * A file whose deletions reach its (manifest-known) row count is
+    * dropped outright. A repeat delete on an already-DV'd file writes
+    * the UNION of old + new positions into the new dataset, so one ref
+    * per file always fully describes its deletions. Trade-offs vs
+    * copy-on-write: reads pay the anti-join until [[materializeDeletes]]
+    * (or any rewrite — compact/cluster/upsert-touch) folds the DVs in,
+    * and [[statsOnly]] loses exactness while any DV is live. */
+  def deleteMoR(spark: SparkSession, root: String,
+                predicate: org.apache.spark.sql.Column,
+                graceMs: Long = 60000L): Long = {
+    val fs = fsOf(spark, root)
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val touched = DataSkipping.prune(st.files, predicate)
+    if (touched.isEmpty) return st.version // provably nothing to do
+    // matching positions among LIVE rows only: existing DVs are applied
+    // before the predicate, so already-deleted positions never re-count
+    val matches = scanLiveWithPositions(spark, root, touched)
+      .filter(coalesce(predicate, lit(false)))
+      .select(col(DvRelCol).as("relPath"), col(DvPosCol).as("pos"))
+    writeDv(spark, root, touched, matches) match {
+      case None => st.version // predicate matched nothing
+      case Some(dv) =>
+        // all rows of every live file deleted → file-less table
+        // (readState demands >= 1 file): refuse like the copy-on-write path
+        require(dv.adds.nonEmpty || dv.removes.size < st.files.size,
+          s"deleteMoR would remove every live row of $root — a full-table clear " +
+            "is a rewrite: use write() with the replacement content")
+        log.info(s"manifest table $root: deleteMoR marked ${dv.marked} rows " +
+          s"across ${dv.removes.size} files for $predicate")
+        val v = st.version + 1
+        val manifest = DeltaManifest(v, dv.adds, dv.removes, st.tags + (OpTag -> "delete"))
+        if (!claimOrRecover(fs, root, manifest, graceMs)) {
+          fs.delete(new Path(root, dv.dir), true)
+          throw new ConcurrentCommitException(root, v)
+        }
+        v
+    }
+  }
+
+  /** MERGE-ON-READ update: the matched rows' OLD positions go into a
+    * deletion vector and their UPDATED versions append as a fresh
+    * generation — one atomic commit (op "update"), data files untouched,
+    * same economics as [[deleteMoR]]. `set` expressions evaluate against
+    * the old row, exactly like [[update]]. The matched set is persisted
+    * between the position pass and the rewrite pass so a
+    * non-deterministic predicate cannot tear the two apart. */
+  def updateMoR(spark: SparkSession, root: String,
+                predicate: org.apache.spark.sql.Column,
+                set: Map[String, org.apache.spark.sql.Column],
+                graceMs: Long = 60000L): Long = {
+    require(set.nonEmpty, "updateMoR: need at least one column -> expression")
+    val fs = fsOf(spark, root)
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val touched = DataSkipping.prune(st.files, predicate)
+    if (touched.isEmpty) return st.version
+    val layouts = touched.map(_.partitionPath.split('/').toSeq
+      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
+    require(layouts.size <= 1,
+      s"updateMoR: inconsistent partition layouts in $root: $layouts")
+    val partKeys = layouts.headOption.getOrElse(Seq.empty)
+    val matched = scanLiveWithPositions(spark, root, touched)
+      .filter(coalesce(predicate, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dataCols = matched.columns.filterNot(c => c == DvRelCol || c == DvPosCol)
+      val bad = set.keySet -- dataCols
+      require(bad.isEmpty, s"updateMoR: columns $bad not in table schema")
+      writeDv(spark, root, touched,
+          matched.select(col(DvRelCol).as("relPath"), col(DvPosCol).as("pos"))) match {
+        case None => st.version // predicate matched nothing
+        case Some(dv) =>
+          val updated = normalizePartitionCols(
+            matched.select(dataCols.toIndexedSeq.map(c =>
+              set.get(c).map(_.as(c)).getOrElse(col(c))): _*), partKeys)
+          enforceConstraints(updated, st.tags, root, "updateMoR result")
+          val (gen, entries) = writeGeneration(updated, root, partKeys)
+          val v = st.version + 1
+          val manifest = DeltaManifest(v, entries ++ dv.adds, dv.removes,
+            st.tags + (OpTag -> "update"))
+          if (!claimOrRecover(fs, root, manifest, graceMs)) {
+            fs.delete(new Path(root, gen), true)
+            fs.delete(new Path(root, dv.dir), true)
+            throw new ConcurrentCommitException(root, v)
+          }
+          v
+      }
+    } finally matched.unpersist()
+  }
+
+  /** A written deletion-vector dataset and its manifest consequences:
+    * `adds` = touched entries repointed at `dir`, `removes` = their old
+    * listings (including files whose deletions reached their row count —
+    * those drop without a successor), `marked` = newly-deleted rows. */
+  private final case class DvCommit(dir: String, adds: Seq[FileEntry],
+                                    removes: Seq[String], marked: Long)
+
+  /** Write a `dv-*` dataset covering `positions` (columns relPath/pos,
+    * live rows of `touched`) plus the prior positions of every file it
+    * repoints — one ref per file always fully describes its deletions.
+    * None when `positions` is empty. The dataset lands BEFORE any
+    * commit; the caller deletes it on a lost claim. */
+  private def writeDv(spark: SparkSession, root: String,
+                      touched: Seq[FileEntry],
+                      positions: DataFrame): Option[DvCommit] = {
+    // per-file delete counts: bounded by the touched file count
+    val newCounts: Map[String, Long] = positions.groupBy("relPath").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (newCounts.isEmpty) return None
+    val repointed = touched.filter(f => newCounts.contains(f.relPath))
+    val priors = repointed.filter(_.dv.nonEmpty)
+    val allRows =
+      if (priors.isEmpty) positions
+      else positions.unionByName(loadDvs(spark, root, priors)
+        .select(col(DvRelCol).as("relPath"), col(DvPosCol).as("pos")))
+    val total = newCounts.values.sum + priors.flatMap(_.dv).map(_.count).sum
+    val dvDir = s"dv-${java.util.UUID.randomUUID().toString.take(12)}"
+    allRows
+      .coalesce(math.max(1, math.min(64, total / 8000000L + 1)).toInt)
+      .sortWithinPartitions("relPath", "pos")
+      .write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(root, dvDir).toString)
+    val adds = Seq.newBuilder[FileEntry]
+    val removes = Seq.newBuilder[String]
+    repointed.foreach { f =>
+      val newTotal = newCounts(f.relPath) + f.dv.map(_.count).getOrElse(0L)
+      removes += f.relPath
+      fileRows(f) match {
+        case Some(n) if n == newTotal => () // provably empty: drop outright
+        case _ => adds += f.copy(dv = Some(DvRef(dvDir, newTotal)))
+      }
+    }
+    Some(DvCommit(dvDir, adds.result(), removes.result(), newCounts.values.sum))
+  }
+
+  /** Fold live deletion vectors back into the data: rewrite ONLY the
+    * DV'd files without their deleted rows and drop the DV refs —
+    * the OPTIMIZE-side of merge-on-read. Rewrite cost tracks the DV'd
+    * slice, not the table. Commits as a REWRITE (rows identical), so
+    * incremental readers emit nothing; [[statsOnly]] exactness returns
+    * once no live file carries a DV. No-op without DVs. */
+  def materializeDeletes(spark: SparkSession, root: String,
+                         graceMs: Long = 60000L): Long = {
+    val fs = fsOf(spark, root)
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val dvd = st.files.filter(_.dv.nonEmpty)
+    if (dvd.isEmpty) return st.version
+    val layouts = dvd.map(_.partitionPath.split('/').toSeq
+      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
+    require(layouts.size <= 1,
+      s"materializeDeletes: inconsistent partition layouts in $root: $layouts")
+    val partKeys = layouts.headOption.getOrElse(Seq.empty)
+    val kept = readState(spark, root, st.copy(files = dvd))
+    val (entries, gen) =
+      if (kept.isEmpty) (Seq.empty[FileEntry], None) // every row was deleted
+      else {
+        val (g, es) = writeGeneration(kept, root, partKeys)
+        (es, Some(g))
+      }
+    require(entries.nonEmpty || dvd.size < st.files.size,
+      s"materializeDeletes would leave $root file-less — a full-table clear " +
+        "is a rewrite: use write() with the replacement content")
+    val v = st.version + 1
+    val manifest = DeltaManifest(v, entries, dvd.map(_.relPath),
+      st.tags + (OpTag -> "rewrite"))
+    if (!claimOrRecover(fs, root, manifest, graceMs)) {
+      gen.foreach(g => fs.delete(new Path(root, g), true))
+      throw new ConcurrentCommitException(root, v)
+    }
+    v
+  }
 
   /** Copy-on-write UPDATE: for rows matching `predicate`, replace each
     * column in `set` with its expression (evaluated against the old
@@ -1876,7 +2191,9 @@ object ManifestTable {
       partCols.mkString(","),
       st.files.map(_.partitionPath).distinct.size.toLong,
       st.tags.collect { case (k, v) if k.startsWith(ConstraintTagPrefix) =>
-        s"${k.stripPrefix(ConstraintTagPrefix)}: $v" }.toSeq.sorted.mkString("; "))
+        s"${k.stripPrefix(ConstraintTagPrefix)}: $v" }.toSeq.sorted.mkString("; "),
+      st.files.count(_.dv.nonEmpty).toLong,
+      st.files.flatMap(_.dv).map(_.count).sum)
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val schema = StructType(Seq(
       StructField("location", StringType, false),
@@ -1886,7 +2203,9 @@ object ManifestTable {
       StructField("num_generations", LongType, false),
       StructField("partition_columns", StringType, false),
       StructField("num_partitions", LongType, false),
-      StructField("constraints", StringType, false)))
+      StructField("constraints", StringType, false),
+      StructField("num_dv_files", LongType, false),
+      StructField("num_deleted_rows", LongType, false)))
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(Seq(row)).asJava), schema)
   }
@@ -2218,8 +2537,11 @@ object ManifestTable {
       s"vacuum($root): ${retained.size - retainedStates.size} retained version(s) " +
         "failed to resolve (transient read error or corruption) — refusing to delete anything")
     val droppedStates = dropped.map(_.version).flatMap(resolveIn)
+    // reclamation unit = top-level dirs a state references: generation
+    // dirs (from rel paths) AND deletion-vector datasets (from dv refs)
     def gens(sts: Seq[State]): Set[String] =
-      sts.flatMap(_.files.map(_.relPath.takeWhile(_ != '/'))).toSet
+      sts.flatMap(_.files.flatMap(f =>
+        f.relPath.takeWhile(_ != '/') +: f.dv.map(_.dir).toSeq)).toSet
     val liveGens = gens(retainedStates)
     val deadGens = gens(droppedStates) -- liveGens
     deadGens.foreach { g =>
@@ -2244,7 +2566,8 @@ object ManifestTable {
       if (!deleteOrphans) Set.empty
       else {
         val onDisk = fs.listStatus(new Path(root)).toSeq
-          .map(_.getPath.getName).filter(_.startsWith("gen-")).toSet
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith("gen-") || n.startsWith("dv-")).toSet
         val refd = liveGens ++ gens(droppedStates) // dropped's dead gens already handled
         val genOrphans = (onDisk -- refd -- deadGens).tapEach { g =>
           log.info(s"vacuum($root): deleting ORPHAN generation $g (no manifest references it)")
