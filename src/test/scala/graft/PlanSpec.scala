@@ -302,4 +302,65 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(priority"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("q7 broadcasts the nation-filtered dims; lineitem scans once with the date pushed") {
+    val p = plan("q7_volume_shipping")
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p) // pushed to the scan
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q8 market share: one lineitem scan, part/supplier/nation sides all broadcast") {
+    val p = plan("q8_market_share")
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q9 profit: one lineitem scan, dims broadcast, single grouped aggregate") {
+    val p = plan("q9_product_profit")
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q15 top supplier: only the run-once scalar MAX survives") {
+    val qe = SparkEntry.queries("q15_top_supplier")(spark, sf("sf0.001")).queryExecution
+    val correlated = qe.optimizedPlan.collect { case n =>
+      n.expressions.filter(
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression.hasCorrelatedSubquery)
+    }.flatten
+    assert(correlated.isEmpty, s"correlated subqueries survived: $correlated")
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("q17 correlated AVG decorrelates to a per-part aggregate joined back") {
+    val p = assertDecorrelated("q17_small_qty_rev")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q20 nested INs plan as stacked semi joins, never per-row subqueries") {
+    val p = assertDecorrelated("q20_promo_suppliers")
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q19 OR-bracket revenue broadcasts part; the residual OR filters post-join") {
+    val p = plan("q19_bracket_rev")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("merge-on-read table read applies DVs as a BROADCAST anti join (no table shuffle)") {
+    // k19 ends in a read of a DV-carrying manifest table: the deletion
+    // vectors must anti-join via broadcast — a shuffled anti here would
+    // re-shuffle the whole table at 100 TB for a 0.1% delete
+    val p = plan("k19_mor_roundtrip")
+    assert(p.contains("LeftAnti"), p)
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
