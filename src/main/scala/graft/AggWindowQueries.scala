@@ -366,6 +366,25 @@ object AggWindowQueries extends QueryPack {
         Map("o_totalprice" -> (col("o_totalprice") * 1.1)))
       ManifestTable.read(s, root)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    }),
+    "k20_bloom_read" -> ((s, d) => {
+      // K20 (beyond-reference): point-lookup file skipping via the
+      // per-file bloom index — orderkeys are hash-scattered across files
+      // (every file's min/max spans the key space, so range stats prune
+      // NOTHING), then an IN probe reads only the bloom-positive files.
+      // By contract pruning never changes results, so the oracle is the
+      // plain IN filter.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k20")
+        .toString + "/orders_bloom"
+      ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")).repartition(8, col("o_orderkey")),
+        root)
+      ManifestTable.buildBloomIndex(s, root, Seq("o_orderkey"))
+      ManifestTable.readWhere(s, root,
+          col("o_orderkey").isin(1L, 42L, 500L, 1337L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     })
   )
 
@@ -584,7 +603,10 @@ object AggWindowQueries extends QueryPack {
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderpriority
         |FROM orders
-        |WHERE NOT (o_totalprice < 100000.0)""".stripMargin
+        |WHERE NOT (o_totalprice < 100000.0)""".stripMargin,
+    "k20_bloom_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (1, 42, 500, 1337)""".stripMargin
   )
 }
 

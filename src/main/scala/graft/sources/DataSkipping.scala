@@ -253,6 +253,35 @@ object DataSkipping {
     }
   }
 
+  /** Equality probes a bloom index can answer: one (attr, canonical
+    * values) pair per `=`/`<=>`/`IN` conjunct of `filter` (either
+    * operand order) — a file provably matching NONE of a conjunct's
+    * values cannot satisfy the AND. A conjunct with any null or
+    * uncanonicalizable literal is omitted: exclusion needs proof for
+    * EVERY probe value, so a partial set could never prune anyway. */
+  private[sources] def equalityProbes(filter: Column): Seq[(String, Seq[(Char, Any)])] = {
+    val conjuncts = splitConjuncts(normalize(ColumnExpr.expression(filter)))
+    conjuncts.flatMap {
+      case EqualTo(l, r)        => eqProbe(l, r)
+      case EqualNullSafe(l, r)  => eqProbe(l, r)
+      case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+        attrName(a).flatMap { n =>
+          val canons = list.map(l => canonLit(l.asInstanceOf[Literal]))
+          if (canons.exists(_.isEmpty)) None else Some(n -> canons.flatten)
+        }
+      case _ => None
+    }
+  }
+
+  private def eqProbe(l: Expression, r: Expression): Option[(String, Seq[(Char, Any)])] =
+    ((attrName(l), r) match {
+      case (Some(n), lit: Literal) => canonLit(lit).map(c => n -> Seq(c))
+      case _ => None
+    }).orElse((attrName(r), l) match {
+      case (Some(n), lit: Literal) => canonLit(lit).map(c => n -> Seq(c))
+      case _ => None
+    })
+
   private type FilePred = FileEntry => Boolean
 
   /** Smallest ASCII string greater than every string with this prefix:

@@ -520,6 +520,9 @@ object ManifestTable {
       require(!k.startsWith(ConstraintTagPrefix),
         s"manifest tag namespace '$ConstraintTagPrefix' is reserved — declare " +
           "constraints via addConstraint (it validates the live table first)")
+      require(!k.startsWith(BloomTagPrefix),
+        s"manifest tag namespace '$BloomTagPrefix' is reserved — build the " +
+          "point-lookup index via buildBloomIndex")
       if (k.startsWith(StreamBatchTag)) {
         val n = scala.util.Try(v.toLong).getOrElse(
           throw new IllegalArgumentException(
@@ -786,7 +789,8 @@ object ManifestTable {
 
   private def readStateWhere(spark: SparkSession, root: String, st: State,
                              filter: org.apache.spark.sql.Column): DataFrame = {
-    val kept = DataSkipping.prune(st.files, filter)
+    val kept = bloomPrune(spark, root, st, filter,
+      DataSkipping.prune(st.files, filter))
     // the number an operator tunes partitioning/clustering by — and the
     // tell-tale that a predicate shape isn't prunable (kept == total)
     log.info(s"manifest table $root v${st.version}: data skipping kept " +
@@ -862,6 +866,173 @@ object ManifestTable {
     * incremental reads ([[readChanges]]) and the streaming source. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
     current(spark, root).map(_.version)
+
+  // ---------------------------------------------------------- bloom index
+
+  /** Tag namespace for the point-lookup bloom index: `bloom.index` names
+    * the live `bloomidx-*` dataset, `bloom.cols` its column/kind spec.
+    * Reserved — enters via [[buildBloomIndex]] only. */
+  private[graft] val BloomIndexTag = "bloom.index"
+  private[graft] val BloomColsTag = "bloom.cols"
+  private[graft] val BloomTagPrefix = "bloom."
+
+  /** Build a per-file BLOOM-FILTER index over `cols` (integral or string
+    * — the point-lookup types) and commit it as table metadata. Min/max
+    * skipping is blind to equality probes on high-cardinality columns
+    * whose per-file ranges overlap (any unclustered key column at 100 TB
+    * — every file's [min,max] spans the whole key space); a per-file
+    * bloom answers "does file F possibly contain k" directly, the Delta
+    * BLOOMFILTER-index move. Blooms are sized from each file's
+    * manifest-known row count at `fpp`.
+    *
+    * The index is ADVISORY and always conservative: files written after
+    * the build are absent from it and never excluded; [[readWhere]]
+    * consults it only for `=`/`IN` conjuncts on indexed columns. Blooms
+    * are built over pre-deletion-vector rows (a superset — skipping
+    * stays safe under [[deleteMoR]]). Probing is a DISTRIBUTED job over
+    * the index dataset: the driver only ever receives the excluded path
+    * list, never a bloom — at a million files the index is GBs that no
+    * driver should hold. Rebuild after heavy churn; the superseded
+    * dataset is vacuum-reclaimed once no retained version references
+    * it. */
+  def buildBloomIndex(spark: SparkSession, root: String, cols: Seq[String],
+                      fpp: Double = 0.01, graceMs: Long = 60000L): Long = {
+    require(cols.nonEmpty, "buildBloomIndex: need at least one column")
+    require(fpp > 0.0 && fpp < 1.0, s"buildBloomIndex: fpp must be in (0,1), got $fpp")
+    val fs = fsOf(spark, root)
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val df = scanFiles(spark, root, st.files, withPositions = true)
+    val schema = df.schema
+    import org.apache.spark.sql.types._
+    val kinds: Array[Char] = cols.map { c =>
+      schema.find(_.name == c).getOrElse(
+        sys.error(s"buildBloomIndex: column $c not in table schema")).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => 'l'
+        case StringType => 's'
+        case dt => sys.error(s"buildBloomIndex: unsupported type ${dt.sql} for $c " +
+          "(integral and string columns only — the point-lookup types)")
+      }
+    }.toArray
+    val rowsOf = st.files.map(f => f.relPath -> fileRows(f).getOrElse(1L << 20)).toMap
+    val rowsB = spark.sparkContext.broadcast(rowsOf)
+    val colsArr = cols.toArray
+    val fppLocal = fpp
+    val input = df.select((col(DvRelCol) +: cols.map(col)).toIndexedSeq: _*)
+    import org.apache.spark.sql.Encoders
+    val outEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.BINARY)
+    val idx = input
+      .groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroups { (rel: String, it: Iterator[org.apache.spark.sql.Row]) =>
+        val expected = math.max(64L, rowsB.value.getOrElse(rel, 1L << 20))
+        val blooms = Array.fill(colsArr.length)(
+          org.apache.spark.util.sketch.BloomFilter.create(expected, fppLocal))
+        it.foreach { row =>
+          var i = 0
+          while (i < colsArr.length) {
+            if (!row.isNullAt(i + 1)) {
+              if (kinds(i) == 'l')
+                blooms(i).putLong(row.get(i + 1).asInstanceOf[Number].longValue())
+              else blooms(i).putString(row.getString(i + 1))
+            }
+            i += 1
+          }
+        }
+        colsArr.indices.iterator.map { i =>
+          val bos = new java.io.ByteArrayOutputStream()
+          blooms(i).writeTo(bos)
+          (rel, colsArr(i), bos.toByteArray)
+        }
+      }(outEnc)
+      .toDF("relPath", "column", "bloom")
+    val dir = s"bloomidx-${java.util.UUID.randomUUID().toString.take(12)}"
+    idx.write.mode(SaveMode.ErrorIfExists).parquet(new Path(root, dir).toString)
+    val colsSpec = cols.zip(kinds).map { case (c, k) => s"${enc(c)}:$k" }.mkString(",")
+    try commitMeta(spark, root, st,
+      st.tags + (BloomIndexTag -> dir) + (BloomColsTag -> colsSpec), graceMs)
+    catch {
+      case e: ConcurrentCommitException =>
+        fs.delete(new Path(root, dir), true)
+        throw e
+    }
+  }
+
+  /** Retire the bloom index (metadata commit; the dataset itself is
+    * vacuum-reclaimed once unreferenced). No-op without one. */
+  def dropBloomIndex(spark: SparkSession, root: String,
+                     graceMs: Long = 60000L): Long = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    if (!st.tags.contains(BloomIndexTag)) return st.version
+    commitMeta(spark, root, st, st.tags - BloomIndexTag - BloomColsTag, graceMs)
+  }
+
+  /** Cap on probe values per conjunct: above this the TreeSet range
+    * pruning in [[DataSkipping]] is the right tool and per-file bloom
+    * testing would cost more than it saves. */
+  private val MaxBloomProbeValues = 1024
+
+  /** Exclude `kept` files whose bloom provably rejects an entire
+    * equality conjunct of `filter`. Conservative everywhere: no index,
+    * no probe-shaped conjunct, unkeyable value, file absent from the
+    * index (written after the build) — each keeps the file. */
+  private def bloomPrune(spark: SparkSession, root: String, st: State,
+                         filter: org.apache.spark.sql.Column,
+                         kept: Seq[FileEntry]): Seq[FileEntry] = {
+    if (kept.isEmpty) return kept
+    val dir = st.tags.get(BloomIndexTag).getOrElse(return kept)
+    val colKinds: Map[String, Char] = st.tags.get(BloomColsTag)
+      .map(_.split(',').toSeq.flatMap { spec =>
+        spec.split(':') match {
+          case Array(c, k) if k.length == 1 => Some(dec(c) -> k.charAt(0))
+          case _ => None
+        }
+      }.toMap).getOrElse(return kept)
+    def key(kind: Char, cv: (Char, Any)): Option[Any] = (kind, cv._1, cv._2) match {
+      case ('l', 'n', bd: BigDecimal) => if (bd.isValidLong) Some(bd.toLong) else None
+      case ('s', 's', s: String)      => Some(s)
+      case _                          => None // cross-kind probe: cannot prune
+    }
+    val probes: Seq[(String, Seq[Any])] =
+      DataSkipping.equalityProbes(filter).flatMap { case (n, vs) =>
+        colKinds.get(n).flatMap { k =>
+          if (vs.isEmpty || vs.sizeIs > MaxBloomProbeValues) None
+          else {
+            val keys = vs.map(key(k, _))
+            if (keys.exists(_.isEmpty)) None else Some(n -> keys.flatten)
+          }
+        }
+      }
+    if (probes.isEmpty) return kept
+    val idxPath = new Path(root, dir).toString
+    import org.apache.spark.sql.Encoders
+    val rowEnc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    val excluded: Set[String] = probes.flatMap { case (c, values) =>
+      val longs = values.collect { case l: Long => l }.toArray
+      val strs = values.collect { case s: String => s }.toArray
+      spark.read.parquet(idxPath)
+        .filter(col("column") === c)
+        .select(col("relPath"), col("bloom"))
+        .as[(String, Array[Byte])](rowEnc)
+        .mapPartitions { it =>
+          it.flatMap { case (rel, bytes) =>
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes))
+            val mightMatch = longs.exists(bf.mightContainLong) ||
+              strs.exists(bf.mightContainString)
+            if (mightMatch) None else Some(rel)
+          }
+        }(Encoders.STRING)
+        .collect()
+    }.toSet
+    if (excluded.isEmpty) kept
+    else {
+      val out = kept.filterNot(f => excluded.contains(f.relPath))
+      log.info(s"manifest table $root v${st.version}: bloom index excluded " +
+        s"${kept.size - out.size}/${kept.size} candidate files for $filter")
+      out
+    }
+  }
 
   /** Metadata-only aggregates: one row per stats-bearing column with
     * exact `value_count` / `null_count` / canonical `min` / `max`
@@ -2538,10 +2709,12 @@ object ManifestTable {
         "failed to resolve (transient read error or corruption) — refusing to delete anything")
     val droppedStates = dropped.map(_.version).flatMap(resolveIn)
     // reclamation unit = top-level dirs a state references: generation
-    // dirs (from rel paths) AND deletion-vector datasets (from dv refs)
+    // dirs (from rel paths), deletion-vector datasets (from dv refs),
+    // and the bloom index dataset (from the tag)
     def gens(sts: Seq[State]): Set[String] =
-      sts.flatMap(_.files.flatMap(f =>
-        f.relPath.takeWhile(_ != '/') +: f.dv.map(_.dir).toSeq)).toSet
+      sts.flatMap(st => st.files.flatMap(f =>
+        f.relPath.takeWhile(_ != '/') +: f.dv.map(_.dir).toSeq) ++
+        st.tags.get(BloomIndexTag)).toSet
     val liveGens = gens(retainedStates)
     val deadGens = gens(droppedStates) -- liveGens
     deadGens.foreach { g =>
@@ -2567,7 +2740,8 @@ object ManifestTable {
       else {
         val onDisk = fs.listStatus(new Path(root)).toSeq
           .map(_.getPath.getName)
-          .filter(n => n.startsWith("gen-") || n.startsWith("dv-")).toSet
+          .filter(n => n.startsWith("gen-") || n.startsWith("dv-") ||
+            n.startsWith("bloomidx-")).toSet
         val refd = liveGens ++ gens(droppedStates) // dropped's dead gens already handled
         val genOrphans = (onDisk -- refd -- deadGens).tapEach { g =>
           log.info(s"vacuum($root): deleting ORPHAN generation $g (no manifest references it)")
