@@ -2253,6 +2253,130 @@ object ManifestTable {
     v
   }
 
+  /** MERGE-ON-READ merge: [[merge]]'s exact semantics (same key
+    * matching, same `WhenMatched` actions, same exact-insert guarantee
+    * from pruning conservatism, same source-duplicate refusal) with
+    * [[deleteMoR]]'s file economics — matched target rows' POSITIONS go
+    * into a deletion vector, their updated versions (plus inserts)
+    * append as one fresh generation, and every UNMATCHED row of a
+    * touched file stays in its untouched bytes. At 100 TB a 0.1%-key
+    * merge stops rewriting the 99.9% bystander rows that share files
+    * with the matches — the dominant cost of the copy-on-write plan.
+    * One atomic commit (op "merge"); reads pay the DV anti-join until
+    * [[materializeDeletes]]. The matched set is persisted between the
+    * position pass and the re-emit pass so non-deterministic expressions
+    * cannot tear them apart. */
+  def mergeMoR(spark: SparkSession, root: String, source: DataFrame,
+               keys: Seq[String], whenMatched: WhenMatched = MatchUpdateAll,
+               insertUnmatched: Boolean = true, maxKeys: Int = 100000,
+               graceMs: Long = 60000L): Long = {
+    require(keys.nonEmpty, "mergeMoR: need at least one key column")
+    val fs = fsOf(spark, root)
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val target = readState(spark, root, st)
+    require(keys.forall(target.columns.contains) && keys.forall(source.columns.contains),
+      s"mergeMoR: keys $keys must exist on both sides")
+    val dup = source.groupBy(keys.map(col).toIndexedSeq: _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"mergeMoR: source has duplicate keys (e.g. ${dup.headOption}) — " +
+        "a target row must match at most one source row")
+    val collected = source.select(keys.map(col).toIndexedSeq: _*)
+      .distinct().limit(maxKeys + 1).collect()
+    val keyVals = keys.indices.map(i => collected.map(_.get(i)).filter(_ != null).distinct)
+    val touched =
+      if (collected.length > maxKeys) st.files
+      else if (keyVals.exists(_.isEmpty)) Seq.empty
+      else DataSkipping.prune(st.files, keys.zip(keyVals).map { case (k, vs) =>
+        col(k).isin(vs.toIndexedSeq: _*)
+      }.reduce(_ && _))
+    if (touched.isEmpty && !insertUnmatched) return st.version
+    val layouts = st.files.map(_.partitionPath.split('/').toSeq
+      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
+    require(layouts.size <= 1,
+      s"mergeMoR: inconsistent partition layouts in $root: $layouts")
+    val partKeys = layouts.headOption.getOrElse(Seq.empty)
+    val srcN = normalizePartitionCols(source, partKeys)
+    locally {
+      val tT = target.schema.map(f => f.name -> f.dataType).toMap
+      val drift = srcN.schema.filter(f => tT.get(f.name).exists(_ != f.dataType))
+        .map(f => s"${f.name}: table=${tT(f.name).sql} batch=${f.dataType.sql}")
+      require(drift.isEmpty,
+        s"mergeMoR: source column types differ from the table (${drift.mkString("; ")})")
+    }
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val liveTouched = {
+      val raw =
+        if (touched.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(target.schema.fields.toSeq :+
+              StructField(DvRelCol, StringType) :+ StructField(DvPosCol, LongType)))
+        else scanLiveWithPositions(spark, root, touched)
+      target.schema.fields.filterNot(f => raw.columns.contains(f.name))
+        .foldLeft(raw)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
+    val srcPrefixed0 = srcN.select(srcN.columns.toIndexedSeq.map(c =>
+      col(c).as(s"_src_$c")): _*)
+    val srcPrefixed =
+      if (collected.length <= maxKeys) broadcast(srcPrefixed0) else srcPrefixed0
+    val joinCond = keys.map(k => col(k) === col(s"_src_$k")).reduce(_ && _)
+    // INNER join: merge-on-read only ever touches MATCHED rows — the
+    // unmatched rows of a touched file are precisely what stays put
+    val matched = liveTouched.join(srcPrefixed, joinCond, "inner")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val targetCols = target.columns.toIndexedSeq
+      val reemit: DataFrame = whenMatched match {
+        case MatchDelete =>
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            target.schema)
+        case MatchUpdateAll =>
+          matched.select(targetCols.map(c => col(s"_src_$c").as(c)): _*)
+        case MatchUpdate(set) =>
+          val bad = set.keySet -- targetCols
+          require(bad.isEmpty, s"mergeMoR: update columns $bad not in table schema")
+          matched.select(targetCols.map(c =>
+            set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+      }
+      val inserts: DataFrame =
+        if (!insertUnmatched)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            target.schema)
+        else {
+          require(srcN.columns.sorted.sameElements(target.columns.sorted),
+            s"mergeMoR: insertUnmatched needs the full target schema on the source " +
+              s"(source=${srcN.columns.sorted.toSeq}, table=${target.columns.sorted.toSeq})")
+          srcN.join(liveTouched.select(keys.map(col).toIndexedSeq: _*),
+            keys.map(k => srcN(k) === liveTouched(k)).reduce(_ && _), "left_anti")
+            .select(targetCols.map(col): _*)
+        }
+      val outRows = normalizePartitionCols(reemit.unionByName(inserts), partKeys)
+      enforceConstraints(outRows, st.tags, root, "merge result")
+      val dvOpt =
+        if (touched.isEmpty) None
+        else writeDv(spark, root, touched,
+          matched.select(col(DvRelCol).as("relPath"), col(DvPosCol).as("pos")))
+      val (entries, gen) =
+        if (outRows.isEmpty) (Seq.empty[FileEntry], None)
+        else { val (g, es) = writeGeneration(outRows, root, partKeys); (es, Some(g)) }
+      if (entries.isEmpty && dvOpt.isEmpty) return st.version // nothing to do
+      val adds = entries ++ dvOpt.toSeq.flatMap(_.adds)
+      val removes = dvOpt.toSeq.flatMap(_.removes)
+      require(adds.nonEmpty || removes.size < st.files.size,
+        s"mergeMoR would remove every live row of $root (MatchDelete over all " +
+          "files) — a full-table clear is a rewrite: use write()")
+      val v = st.version + 1
+      val manifest = DeltaManifest(v, adds, removes, st.tags + (OpTag -> "merge"))
+      if (!claimOrRecover(fs, root, manifest, graceMs)) {
+        gen.foreach(g => fs.delete(new Path(root, g), true))
+        dvOpt.foreach(d => fs.delete(new Path(root, d.dir), true))
+        throw new ConcurrentCommitException(root, v)
+      }
+      v
+    } finally matched.unpersist()
+  }
+
   /** Shared copy-on-write core: prune the live set to files that might
     * match, rewrite those through `transform`, commit adds+removes as a
     * delta with the given op tag. CAS like every mutator. */

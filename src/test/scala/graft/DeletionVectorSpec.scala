@@ -195,6 +195,33 @@ class DeletionVectorSpec extends SparkSpec {
       .select("v").as[Double].head() == 1.0)
   }
 
+  test("mergeMoR: merge semantics with DV economics — bystanders stay in place") {
+    val root = tmp() + "/t"
+    val rootC = tmp() + "/c"
+    ManifestTable.write(mk(0 until 40, "a").repartition(2), root)
+    ManifestTable.write(mk(0 until 40, "a").repartition(2), rootC)
+    val src = Seq((5L, "a", 500.0), (100L, "a", 1000.0)).toDF("id", "tag", "v")
+    val action = ManifestTable.MatchUpdate(Map("v" -> (col("v") + col("_src_v"))))
+    ManifestTable.mergeMoR(spark, root, src, keys = Seq("id"), whenMatched = action)
+    ManifestTable.merge(spark, rootC, src, keys = Seq("id"), whenMatched = action)
+    def all(r: String) = ManifestTable.read(spark, r)
+      .select("id", "v").as[(Long, Double)].collect().toSet
+    assert(all(root) == all(rootC), "MoR merge must equal the CoW merge row-for-row")
+    assert(all(root).contains((5L, 550.0)) && all(root).contains((100L, 1000.0)))
+    // MoR mechanics: the matched row's OLD file is still live (1-row dv);
+    // its bystander rows were never rewritten
+    val st = ManifestTable.current(spark, root).get
+    assert(st.files.flatMap(_.dv).map(_.count).sum == 1L)
+    assert(ManifestTable.history(spark, root).select("version", "op")
+      .as[(Long, String)].collect().toMap.apply(2L) == "merge")
+
+    // MatchDelete through the MoR path
+    ManifestTable.mergeMoR(spark, root, Seq((6L, "a", 0.0)).toDF("id", "tag", "v"),
+      keys = Seq("id"), whenMatched = ManifestTable.MatchDelete, insertUnmatched = false)
+    assert(!all(root).exists(_._1 == 6L))
+    assert(all(root).size == 40) // 39 originals (6 gone) + insert 100 + update 5
+  }
+
   test("readChanges across a deleteMoR window re-emits the files' LIVE rows") {
     val root = tmp() + "/t"
     ManifestTable.write(mk(0 until 20, "a").repartition(1), root)
