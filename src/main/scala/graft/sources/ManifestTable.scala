@@ -1893,41 +1893,57 @@ object ManifestTable {
                                     removes: Seq[String], marked: Long)
 
   /** Write a `dv-*` dataset covering `positions` (columns relPath/pos,
-    * live rows of `touched`) plus the prior positions of every file it
-    * repoints — one ref per file always fully describes its deletions.
-    * None when `positions` is empty. The dataset lands BEFORE any
-    * commit; the caller deletes it on a lost claim. */
+    * live rows of `touched`) plus the prior positions of `touched`'s
+    * DV'd files — one ref per file always fully describes its
+    * deletions. None when nothing new was marked. The dataset lands
+    * BEFORE any commit; the caller deletes it on a lost claim.
+    *
+    * Counts come from reading the WRITTEN dataset back, never from
+    * re-evaluating `positions`: the position plan is evaluated exactly
+    * once, so a non-deterministic predicate cannot desync the counts
+    * from the stored positions — the hazard being a file wrongly
+    * "proven" fully deleted (= silent data loss), not just a stale
+    * number. */
   private def writeDv(spark: SparkSession, root: String,
                       touched: Seq[FileEntry],
                       positions: DataFrame): Option[DvCommit] = {
-    // per-file delete counts: bounded by the touched file count
-    val newCounts: Map[String, Long] = positions.groupBy("relPath").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (newCounts.isEmpty) return None
-    val repointed = touched.filter(f => newCounts.contains(f.relPath))
-    val priors = repointed.filter(_.dv.nonEmpty)
+    val fs = fsOf(spark, root)
+    val priors = touched.filter(_.dv.nonEmpty)
     val allRows =
       if (priors.isEmpty) positions
       else positions.unionByName(loadDvs(spark, root, priors)
         .select(col(DvRelCol).as("relPath"), col(DvPosCol).as("pos")))
-    val total = newCounts.values.sum + priors.flatMap(_.dv).map(_.count).sum
     val dvDir = s"dv-${java.util.UUID.randomUUID().toString.take(12)}"
-    allRows
-      .coalesce(math.max(1, math.min(64, total / 8000000L + 1)).toInt)
-      .sortWithinPartitions("relPath", "pos")
-      .write.mode(SaveMode.ErrorIfExists)
-      .parquet(new Path(root, dvDir).toString)
+    val dvPath = new Path(root, dvDir)
+    allRows.sortWithinPartitions("relPath", "pos")
+      .write.mode(SaveMode.ErrorIfExists).parquet(dvPath.toString)
+    // per-file totals from the dataset itself (bounded by touched size)
+    val totals: Map[String, Long] = spark.read.parquet(dvPath.toString)
+      .groupBy("relPath").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val priorCount: Map[String, Long] =
+      priors.map(f => f.relPath -> f.dv.get.count).toMap
+    val marked = totals.values.sum - priorCount.values.sum
+    if (marked == 0L) { // predicate matched nothing new
+      fs.delete(dvPath, true)
+      return None
+    }
     val adds = Seq.newBuilder[FileEntry]
     val removes = Seq.newBuilder[String]
-    repointed.foreach { f =>
-      val newTotal = newCounts(f.relPath) + f.dv.map(_.count).getOrElse(0L)
-      removes += f.relPath
-      fileRows(f) match {
-        case Some(n) if n == newTotal => () // provably empty: drop outright
-        case _ => adds += f.copy(dv = Some(DvRef(dvDir, newTotal)))
+    touched.foreach { f =>
+      val newTotal = totals.getOrElse(f.relPath, 0L)
+      // untouched-by-this-predicate files (including ones whose priors
+      // were carried into the dataset defensively) keep their entry —
+      // their old dv dir stays referenced and alive
+      if (newTotal > priorCount.getOrElse(f.relPath, 0L)) {
+        removes += f.relPath
+        fileRows(f) match {
+          case Some(n) if n == newTotal => () // provably empty: drop outright
+          case _ => adds += f.copy(dv = Some(DvRef(dvDir, newTotal)))
+        }
       }
     }
-    Some(DvCommit(dvDir, adds.result(), removes.result(), newCounts.values.sum))
+    Some(DvCommit(dvDir, adds.result(), removes.result(), marked))
   }
 
   /** Fold live deletion vectors back into the data: rewrite ONLY the

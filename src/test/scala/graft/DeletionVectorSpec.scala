@@ -195,6 +195,23 @@ class DeletionVectorSpec extends SparkSpec {
       .select("v").as[Double].head() == 1.0)
   }
 
+  test("deleteMoR under a NON-DETERMINISTIC predicate: counts match stored positions") {
+    // the position plan must be evaluated exactly ONCE (counts are read
+    // back from the written dataset) — a second evaluation of rand()
+    // would desync counts from positions, and a wrongly "proven" fully
+    // deleted file is silent data loss
+    val root = tmp() + "/t"
+    ManifestTable.write(mk(0 until 1000, "a").repartition(2), root)
+    ManifestTable.deleteMoR(spark, root, rand() < 0.5 && col("id") >= 0)
+    val st = ManifestTable.current(spark, root).get
+    val preDv = st.files.map(_.stats("id").count).sum
+    val dvSum = st.files.flatMap(_.dv).map(_.count).sum
+    val live = ManifestTable.read(spark, root).count()
+    assert(preDv - dvSum == live,
+      s"rows unaccounted for: $preDv files-total - $dvSum dv = expected, read $live")
+    assert(dvSum > 0L && live > 0L) // ~B(1000, .5): both sides occupied
+  }
+
   test("mergeMoR: merge semantics with DV economics — bystanders stay in place") {
     val root = tmp() + "/t"
     val rootC = tmp() + "/c"
