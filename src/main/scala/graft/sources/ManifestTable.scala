@@ -1706,23 +1706,91 @@ object ManifestTable {
         // anyway (carried is empty) — a snapshot IS the smaller record.
         val snapshotting = carried.isEmpty ||
           checkpointInterval <= 1 || v % checkpointInterval == 0
+        val removesAll = {
+          val keptPaths = keep.map(_.relPath).toSet
+          st.files.collect {
+            case f if !keptPaths.contains(f.relPath) => f.relPath
+          }
+        }
         val (manifest, sidecar) =
           if (snapshotting) mkSnapshot(spark, root, v, keep ++ entries, newTags)
-          else {
-            val keptPaths = keep.map(_.relPath).toSet
-            val removes = st.files.collect {
-              case f if !keptPaths.contains(f.relPath) => f.relPath
-            }
-            (DeltaManifest(v, entries, removes, newTags), None)
+          else (DeltaManifest(v, entries, removesAll, newTags), None)
+        if (claimOrRecover(fs, root, manifest, graceMs)) {
+          if (snapshotting) writePointer(fs, root, v)
+          v
+        } else {
+          // lost the CAS race. Before recomputing the whole merge (the
+          // retry loop's job), try the optimistic-concurrency rebase: if
+          // the rival's commits are LOGICALLY disjoint from this one,
+          // the already-written generation re-claims at the new head.
+          sidecar.foreach(fs.delete(_, true)) // a rebase recommits as a delta
+          val rebased =
+            if (carried.nonEmpty)
+              rebaseDeltaUpsert(spark, fs, root, st, newParts, entries,
+                removesAll, tags, graceMs)
+            else None // unpartitioned upserts merge the FULL table: any rival invalidates
+          rebased.getOrElse {
+            fs.delete(new Path(root, gen), true)
+            throw new ConcurrentCommitException(root, v)
           }
-        if (!claimOrRecover(fs, root, manifest, graceMs)) {
-          fs.delete(new Path(root, gen), true)
-          sidecar.foreach(fs.delete(_, true))
-          throw new ConcurrentCommitException(root, v)
         }
-        if (snapshotting) writePointer(fs, root, v)
-        v
     }
+  }
+
+  /** Test-visible count of successful optimistic rebases in this JVM. */
+  private[graft] val rebaseCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Optimistic-concurrency rebase (the Delta conflict-checker move): a
+    * partitioned upsert that lost its CAS claim re-commits its
+    * ALREADY-WRITTEN generation against the new head — without
+    * re-reading, re-merging, or re-writing anything — when the rival
+    * commits are provably disjoint from it:
+    *
+    *  - the touched partitions' live file sets are IDENTICAL between the
+    *    base this merge read and the new head (the rival neither added,
+    *    removed, rewrote, nor DV'd a file this merge's content depends
+    *    on — a same-partition rival means the merged rows are stale);
+    *  - the CHECK-constraint set is unchanged (a new constraint must
+    *    re-gate the batch — the recompute path does that);
+    *  - this commit's own tags still validate against the new head's
+    *    (stream watermarks must stay monotonic vs the rival's).
+    *
+    * Any doubt returns None and the caller falls back to the recompute
+    * retry. At high ingest concurrency this is the difference between
+    * N writers to N partitions serializing on redundant rewrites and
+    * them serializing only on manifest claims. Always commits a DELTA
+    * (the snapshot cadence resumes on later commits). */
+  private def rebaseDeltaUpsert(spark: SparkSession, fs: FileSystem,
+                                root: String, base: State,
+                                touchedParts: Set[String],
+                                entries: Seq[FileEntry], removes: Seq[String],
+                                userTags: Map[String, String],
+                                graceMs: Long): Option[Long] = {
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val st2 = current(spark, root).getOrElse(return None)
+      def partFiles(s: State) =
+        s.files.filter(f => touchedParts.contains(f.partitionPath))
+          .map(f => (f.relPath, f.bytes, f.dv)).toSet
+      val disjoint = partFiles(st2) == partFiles(base)
+      def constraintsOf(t: Map[String, String]) =
+        t.view.filterKeys(_.startsWith(ConstraintTagPrefix)).toMap
+      val constraintsSame = constraintsOf(st2.tags) == constraintsOf(base.tags)
+      val tagsOk = scala.util.Try(validateTags(userTags, st2.tags)).isSuccess
+      if (!disjoint || !constraintsSame || !tagsOk) return None
+      val v2 = st2.version + 1
+      val m = DeltaManifest(v2, entries, removes,
+        st2.tags ++ userTags + (OpTag -> "upsert"))
+      if (claimOrRecover(fs, root, m, graceMs)) {
+        log.info(s"manifest table $root: lost claim at v${base.version + 1} " +
+          s"rebased onto v${st2.version} (rival commits disjoint from " +
+          s"${touchedParts.size} touched partitions)")
+        rebaseCount.incrementAndGet()
+        return Some(v2)
+      }
+    }
+    None
   }
 
   /** Default snapshot cadence for partitioned upserts: resolution reads
