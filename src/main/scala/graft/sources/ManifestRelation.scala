@@ -41,13 +41,25 @@ class ManifestTableProvider extends RelationProvider
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val r = root(parameters)
-    val version = parameters.get("versionasof").orElse(parameters.get("versionAsOf"))
-      .map(_.trim.toLong)
+    val tsAsOf = parameters.get("timestampasof").orElse(parameters.get("timestampAsOf"))
+      .map { raw =>
+        // epoch millis or an ISO-ish timestamp literal
+        scala.util.Try(raw.trim.toLong).getOrElse(
+          java.sql.Timestamp.valueOf(raw.trim.replace('T', ' ')).getTime)
+      }
+    val explicitVersion = parameters.get("versionasof")
+      .orElse(parameters.get("versionAsOf")).map(_.trim.toLong)
+    require(explicitVersion.isEmpty || tsAsOf.isEmpty,
+      "graft-manifest: versionAsOf and timestampAsOf are exclusive")
+    val version = explicitVersion.orElse(tsAsOf.map { ms =>
+      ManifestTable.versionAtTime(sqlContext.sparkSession, r, ms).getOrElse(
+        sys.error(s"graft-manifest: $r has no commit at or before $ms"))
+    })
     val changesFrom = parameters.get("changesfrom").orElse(parameters.get("changesFrom"))
       .map(_.trim.toLong)
     changesFrom match {
       case Some(from) =>
-        require(version.isEmpty, "graft-manifest: changesFrom and versionAsOf are exclusive")
+        require(version.isEmpty, "graft-manifest: changesFrom and versionAsOf/timestampAsOf are exclusive")
         val to = parameters.get("changesto").orElse(parameters.get("changesTo"))
           .map(_.trim.toLong)
           .orElse(ManifestTable.currentVersion(sqlContext.sparkSession, r))

@@ -2594,6 +2594,35 @@ object ManifestTable {
     * manifest kind, files added/removed by that commit, and the commit
     * file's modification time (best-effort wall clock; the protocol
     * never depends on it). Driver-side metadata read only. */
+  /** Newest committed version whose manifest's modification time is at
+    * or before `epochMs` — the `TIMESTAMP AS OF` resolution rule
+    * (Delta's): "the table as it was at 14:00" is the last commit
+    * visible by then. Commit times are the manifest files' wall-clock
+    * mtimes (best-effort, like DESCRIBE HISTORY's `commit_time`; the
+    * protocol itself never depends on them — audit-exact replays should
+    * pin VERSIONS). None when every commit is newer than `epochMs` or
+    * the log is empty. Vacuumed versions resolve like any time travel:
+    * loudly, at read time. */
+  def versionAtTime(spark: SparkSession, root: String, epochMs: Long): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".txt"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".txt").toLong).toOption)
+      .sorted(Ordering[Long].reverse)
+      .find { v =>
+        scala.util.Try(fs.getFileStatus(manifestPath(root, v)).getModificationTime)
+          .toOption.exists(_ <= epochMs) && readRaw(fs, root, v).nonEmpty
+      }
+  }
+
+  /** `TIMESTAMP AS OF` read: [[readVersion]] at [[versionAtTime]]'s
+    * resolution. Fails loudly when no commit predates `epochMs`. */
+  def readTimestampAsOf(spark: SparkSession, root: String, epochMs: Long): DataFrame =
+    readVersion(spark, root, versionAtTime(spark, root, epochMs).getOrElse(
+      sys.error(s"manifest table $root has no commit at or before epoch-ms $epochMs")))
+
   def history(spark: SparkSession, root: String): DataFrame = {
     val fs = fsOf(spark, root)
     val dir = new Path(root, ManifestDir)

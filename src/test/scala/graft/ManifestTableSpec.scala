@@ -963,6 +963,28 @@ class ManifestTableSpec extends SparkSpec {
       .files.head.stats.get("ts").exists(_.kind == 't'))
   }
 
+  test("TIMESTAMP AS OF resolves the last commit visible at that instant") {
+    val root = tmp() + "/t"
+    ManifestTable.write(Seq((1, "a")).toDF("k", "s"), root) // v1
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(1100) // mtime granularity can be a full second
+    ManifestTable.write(Seq((2, "b")).toDF("k", "s"), root) // v2
+    val afterV2 = System.currentTimeMillis()
+
+    assert(ManifestTable.versionAtTime(spark, root, afterV1).contains(1L))
+    assert(ManifestTable.versionAtTime(spark, root, afterV2).contains(2L))
+    assert(ManifestTable.versionAtTime(spark, root, afterV1 - 3600000L).isEmpty)
+    assert(ManifestTable.readTimestampAsOf(spark, root, afterV1)
+      .as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    intercept[RuntimeException] {
+      ManifestTable.readTimestampAsOf(spark, root, afterV1 - 3600000L)
+    }
+    // the SQL front door speaks it too (epoch millis or a timestamp string)
+    assert(spark.read.format("graft-manifest").option("path", root)
+      .option("timestampAsOf", afterV1.toString).load()
+      .as[(Int, String)].collect().toSeq == Seq((1, "a")))
+  }
+
   test("lost CAS on DISJOINT partitions rebases the written generation, no recompute") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
