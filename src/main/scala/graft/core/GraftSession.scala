@@ -26,6 +26,9 @@ object GraftSession {
     SparkSession.builder()
       .appName(appName)
       .master(master)
+      // native expressions + the GRAFT maintenance SQL grammar in every
+      // engine session (driver-owned sessions get tune() instead)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -165,6 +165,9 @@ case class SqL2Distance(left: Expression, right: Expression)
   * [[NativeFunctions.register]] instead. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    // lakehouse maintenance grammar (GRAFT HISTORY/VACUUM/RESTORE/…):
+    // a delegating parser — non-GRAFT statements reach Spark untouched
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
