@@ -2850,13 +2850,26 @@ object ManifestTable {
   def streamUpsertSink(stream: DataFrame, root: String, checkpoint: String,
                        keys: Seq[String], order: String, sinkId: String,
                        partitionCols: Seq[String] = Nil,
-                       checkpointInterval: Int = DefaultCheckpointInterval): org.apache.spark.sql.streaming.StreamingQuery =
+                       checkpointInterval: Int = DefaultCheckpointInterval,
+                       autoCompactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitStreamBatch(batch.sparkSession, batch, batchId, root,
+        val applied = commitStreamBatch(batch.sparkSession, batch, batchId, root,
           keys, order, partitionCols, sinkId, checkpointInterval)
+        // auto-OPTIMIZE cadence: every Nth APPLIED batch folds the
+        // sink's small-file residue back into right-sized files — a
+        // REWRITE commit (incremental readers skip it), best-effort (a
+        // lost race never fails the stream; the debt waits for the next
+        // cadence hit). 0 disables.
+        if (applied && autoCompactEvery > 0 && batchId % autoCompactEvery == 0)
+          try compactSmallFiles(batch.sparkSession, root)
+          catch {
+            case _: ConcurrentCommitException =>
+              log.info(s"streamUpsertSink($sinkId): auto-compact lost a CAS race — " +
+                "small-file debt deferred to the next cadence")
+          }
         ()
       }
       .start()

@@ -888,6 +888,32 @@ class ManifestTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamUpsertSink auto-compaction folds micro-batch debt on cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp() + "/t"
+    val ckpt = tmp() + "/ckpt"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)]
+    val q = ManifestTable.streamUpsertSink(
+      input.toDF().toDF("date", "key", "v"), root, ckpt,
+      Seq("key"), "v", sinkId = "ac", Seq("date"), autoCompactEvery = 2)
+    try {
+      for (b <- 0 until 4) {
+        input.addData(("2026-01-01", b.toLong, b * 1.0), ("2026-01-02", 100L + b, b * 1.0))
+        q.processAllAvailable()
+      }
+      // batches 0 and 2 hit the cadence: a rewrite commit exists, the
+      // content is intact, and the rewrite re-emitted nothing downstream
+      val ops = ManifestTable.history(spark, root)
+        .select("op").as[String].collect().toSeq
+      assert(ops.contains("rewrite"), s"no auto-compact commit in $ops")
+      assert(ManifestTable.read(spark, root).count() == 8)
+      val rewriteV = ManifestTable.history(spark, root)
+        .filter(org.apache.spark.sql.functions.col("op") === "rewrite")
+        .select("version").as[Long].collect().max
+      assert(ManifestTable.readChanges(spark, root, rewriteV - 1, rewriteV).count() == 0L)
+    } finally q.stop()
+  }
+
   // --- forceUnlock (commit-lock recovery) ---
 
   private def writeMarker(lock: Path, payload: String): Unit = {
