@@ -112,17 +112,13 @@ object Ann {
     }.toSeq.toDF("cell_id", "embedding")
   }
 
-  /** IVF top-k: probe the `nProbe` nearest cells per query, score only
-    * vectors in those cells. Centroids are typically k-means output
-    * ([[trainCentroids]]); any deterministic centroid set works. */
-  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              centroids: DataFrame, queries: DataFrame,
-              k: Int, nProbe: Int): DataFrame = {
-    val cells = assignCells(corpus, idCol, vecCol, centroids)
+  /** The `nProbe` nearest cells per query (query_id, q_vec, cell_id),
+    * broadcast — centroid sets are small by construction. */
+  private def queryProbes(queries: DataFrame, centroids: DataFrame,
+                          nProbe: Int): DataFrame = {
     val c = broadcast(centroidFrame(centroids))
-    // which cells does each query probe?
     val q = queries.toDF("query_id", "q_vec")
-    val probes = broadcast(
+    broadcast(
       q.crossJoin(c)
         .withColumn("dist", sqFn(q, "q_vec")(col("q_vec"), col("centroid")))
         .withColumn("cell_rank",
@@ -130,15 +126,66 @@ object Ann {
             .orderBy(col("dist").asc, col("cell_id").asc)))
         .filter(col("cell_rank") <= nProbe)
         .select(col("query_id"), col("q_vec"), col("cell_id")))
+  }
+
+  /** Top-k scoring of candidate (cell_id, vid, vec) rows against probe
+    * rows — the shared tail of [[ivfTopK]] and [[ivfProbeIndex]]. */
+  private def scoreProbed(cells: DataFrame, vecColForKind: DataFrame,
+                          vecCol: String, probes: DataFrame, k: Int): DataFrame = {
     val scored = cells.join(probes, Seq("cell_id"))
       .filter(col("vid") =!= col("query_id"))
-      .withColumn("cos", cosFn(corpus, vecCol)(col("q_vec"), col("vec")))
+      .withColumn("cos", cosFn(vecColForKind, vecCol)(col("q_vec"), col("vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vid").as("neighbor_id"),
         round(col("cos"), 6).as("sim"), col("rank"))
+  }
+
+  /** IVF top-k: probe the `nProbe` nearest cells per query, score only
+    * vectors in those cells. Centroids are typically k-means output
+    * ([[trainCentroids]]); any deterministic centroid set works. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame, queries: DataFrame,
+              k: Int, nProbe: Int): DataFrame =
+    scoreProbed(assignCells(corpus, idCol, vecCol, centroids), corpus, vecCol,
+      queryProbes(queries, centroids, nProbe), k)
+
+  /** Rows of the PERSISTENT IVF index: each vector with its assigned
+    * cell, shaped for a [[graft.sources.ManifestTable]] hive-partitioned
+    * by `cell_id` (string — partition columns are string-pinned
+    * table-wide). Maintained incrementally with
+    * `ManifestTable.consumeChanges(corpus, indexRoot, …)(ivfIndexRows(_, …))`
+    * — O(new vectors) per hop, exactly-once, the embedding analog of the
+    * [[graft.operators.DedupSuite.minhashIndexRows]] text index. The
+    * centroid set must stay FIXED for the index's lifetime (retrain =
+    * rebuild). */
+  def ivfIndexRows(vectors: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame): DataFrame =
+    assignCells(vectors, idCol, vecCol, centroids)
+      .select(col("vid").as(idCol), col("vec").as(vecCol),
+        col("cell_id").cast("string").as("cell_id"))
+
+  /** ANN probe against the persistent index WITHOUT touching the
+    * corpus: resolve each query's `nProbe` cells, read ONLY those
+    * cells' index files (hive-partition pruning via
+    * [[graft.sources.ManifestTable.readWhere]] — at 100 TB the probe
+    * scans nProbe/k-th of the index, not the corpus), and score.
+    * Identical results to [[ivfTopK]] over the indexed vectors with the
+    * same centroids. */
+  def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                    idCol: String, vecCol: String, centroids: DataFrame,
+                    queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    import graft.sources.ManifestTable
+    val probes = queryProbes(queries, centroids, nProbe)
+    val wanted = probes.select("cell_id").distinct()
+      .collect().map(_.getLong(0).toString) // bounded: queries × nProbe
+    val slice = ManifestTable.readWhere(spark, indexRoot,
+      col("cell_id").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(wanted): _*))
+    val cells = slice.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+      col("cell_id").cast("long").as("cell_id"))
+    scoreProbed(cells, slice, vecCol, probes, k)
   }
 
   /** Sign-LSH signature, HOF form: bit p = (v · plane_p) > 0, assembled

@@ -585,6 +585,50 @@ class IncrementalReadSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("persistent IVF index: consumeChanges-maintained, probes read only the probed cells") {
+    import graft.operators.Ann
+    val corpus = tmp() + "/vecs"
+    val index = tmp() + "/ivf_index"
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val first = emb.filter(col("vec_id") < 250)
+    ManifestTable.write(first, corpus)
+    val centroids = Ann.trainCentroids(first, "embedding", k = 8)
+
+    def hop(): Option[Long] =
+      ManifestTable.consumeChanges(spark, corpus, index, "ivfidx",
+        keys = Seq("vec_id"), order = "vec_id",
+        partitionCols = Seq("cell_id")) { ch =>
+        Ann.ivfIndexRows(ch, "vec_id", "embedding", centroids)
+      }
+    assert(hop().nonEmpty)
+
+    val queries = emb.filter(col("vec_id").isin(3L, 77L))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+
+    // parity: the index probe equals from-scratch IVF over the same
+    // vectors and centroids
+    val viaIndex = Ann.ivfProbeIndex(spark, index, "vec_id", "embedding",
+      centroids, queries, k = 5, nProbe = 3)
+    assert(asSet(viaIndex) ==
+      asSet(Ann.ivfTopK(first, "vec_id", "embedding", centroids, queries, k = 5, nProbe = 3)))
+
+    // the probe scanned only the probed cells' partition files
+    val totalFiles = ManifestTable.read(spark, index).inputFiles.length
+    assert(viaIndex.inputFiles.length < totalFiles,
+      s"probe scanned ${viaIndex.inputFiles.length}/$totalFiles index files")
+
+    // second half of the corpus arrives: one incremental hop, same parity
+    ManifestTable.upsertDedup(spark, emb.filter(col("vec_id") >= 250), corpus,
+      keys = Seq("vec_id"), order = "vec_id")
+    assert(hop().nonEmpty)
+    assert(asSet(Ann.ivfProbeIndex(spark, index, "vec_id", "embedding",
+        centroids, queries, k = 5, nProbe = 3)) ==
+      asSet(Ann.ivfTopK(emb, "vec_id", "embedding", centroids, queries, k = 5, nProbe = 3)))
+  }
+
   test("consumeChanges advances its watermark across rewrite-only / empty windows") {
     val src = tmp() + "/src"
     val dst = tmp() + "/dst"
