@@ -175,6 +175,52 @@ object BenchQueries extends QueryPack {
         ntile(4).over(w).as("quartile"),
         percent_rank().over(w).as("pr"))
     }),
+    "w10_range_frame" -> ((s, d) => {
+      // RANGE-framed sliding aggregate: each event's trailing-1-hour sum
+      // per type (range on the time AXIS, not row counts — peers at the
+      // same ts aggregate together in both engines). Decimal sum keeps
+      // the frame total order-independent.
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        round(sum(col("value").cast("decimal(27,6)")).over(w), 4)
+          .cast("double").as("hour_sum"))
+    }),
+    "w11_dist_funcs" -> ((s, d) => {
+      // distribution + positional window family: cume_dist and the 3rd
+      // richest customer's name per segment (explicit full-partition
+      // frame — engines default value-function frames differently).
+      val ord = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        cume_dist().over(ord).as("cd"),
+        nth_value(col("c_name"), 3).over(full).as("third_name"))
+    }),
+    "a19_grouping_sets" -> ((s, d) => {
+      // explicit GROUPING SETS that are NOT a rollup prefix chain —
+      // (flag,status) plus (status) alone — through the SQL surface.
+      t(s, d, "lineitem").createOrReplaceTempView("graft_a19_lineitem")
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           |  ${dsumSql("l_quantity", 2, 2)} AS qty
+           |FROM graft_a19_lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))""".stripMargin)
+    }),
+    "j11_full_outer" -> ((s, d) => {
+      // FULL OUTER reconciliation: customers' 1996 vs 1997 order counts,
+      // keeping customers active in only one of the years on both sides.
+      def yearly(y: Int, as: String) = t(s, d, "orders")
+        .filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as(as))
+      val a = yearly(1996, "n_1996")
+      val b = yearly(1997, "n_1997")
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_1996"), lit(0L)).as("n_1996"),
+          coalesce(col("n_1997"), lit(0L)).as("n_1997"))
+    }),
     "u4_set_ops" -> ((s, d) => {
       // intersect/except on full rows (§2.8 note: inherited from Spark).
       val f = t(s, d, "orders").filter(col("o_orderstatus") === "F")
@@ -768,6 +814,40 @@ object BenchQueries extends QueryPack {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment
         |             ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
+    "w10_range_frame" ->
+      """SELECT event_id, event_type,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))) OVER w, 4) AS DOUBLE)
+        |    AS hour_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type
+        |             -- FLOOR before the cast: Spark's cast-to-long
+        |             -- truncates sub-second ts, DuckDB's cast rounds
+        |             ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "w11_dist_funcs" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(c_name, 3) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS third_name
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
+    "a19_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${dsumSql("l_quantity", 2, 2)} AS qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))""".stripMargin,
+    "j11_full_outer" ->
+      """WITH a AS (SELECT o_custkey, COUNT(*) AS n_1996 FROM orders
+        |           WHERE YEAR(o_orderdate) = 1996 GROUP BY 1),
+        |b AS (SELECT o_custkey, COUNT(*) AS n_1997 FROM orders
+        |      WHERE YEAR(o_orderdate) = 1997 GROUP BY 1)
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  COALESCE(n_1996, 0) AS n_1996,
+        |  COALESCE(n_1997, 0) AS n_1997
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""".stripMargin,
     "u4_set_ops" ->
       """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
         |p AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')
