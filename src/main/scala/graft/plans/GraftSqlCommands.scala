@@ -94,7 +94,8 @@ final case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
     StructField("num_partitions", LongType, false),
     StructField("constraints", StringType, false),
     StructField("num_dv_files", LongType, false),
-    StructField("num_deleted_rows", LongType, false))))
+    StructField("num_deleted_rows", LongType, false),
+    StructField("num_rows", LongType, true))))
   override def run(spark: SparkSession): Seq[Row] =
     ManifestTable.detail(spark, root).collect().toSeq
 }

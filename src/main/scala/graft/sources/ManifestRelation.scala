@@ -91,8 +91,10 @@ class ManifestTableProvider extends RelationProvider
               "and .option(\"order\", \"col\")"))
         val order = parameters.getOrElse("order", sys.error(
           "graft-manifest append requires .option(\"order\", \"col\") (keep-last tiebreak)"))
+        val mergeSchema = parameters.get("mergeschema").orElse(parameters.get("mergeSchema"))
+          .exists(_.trim.equalsIgnoreCase("true"))
         ManifestTable.upsertWithRetry(sqlContext.sparkSession, data, r, keys, order,
-          partitionCols)
+          partitionCols, mergeSchema = mergeSchema)
     }
     new ManifestRelation(sqlContext, r, None)
   }

@@ -2572,7 +2572,13 @@ object ManifestTable {
       st.tags.collect { case (k, v) if k.startsWith(ConstraintTagPrefix) =>
         s"${k.stripPrefix(ConstraintTagPrefix)}: $v" }.toSeq.sorted.mkString("; "),
       st.files.count(_.dv.nonEmpty).toLong,
-      st.files.flatMap(_.dv).map(_.count).sum)
+      st.files.flatMap(_.dv).map(_.count).sum,
+      // live rows, metadata-only: per-file footer counts minus DV'd
+      // positions; honest-NULL when any file lacks counts
+      (if (st.files.forall(f => fileRows(f).nonEmpty))
+        Long.box(st.files.flatMap(fileRows).sum -
+          st.files.flatMap(_.dv).map(_.count).sum)
+      else null))
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val schema = StructType(Seq(
       StructField("location", StringType, false),
@@ -2584,7 +2590,8 @@ object ManifestTable {
       StructField("num_partitions", LongType, false),
       StructField("constraints", StringType, false),
       StructField("num_dv_files", LongType, false),
-      StructField("num_deleted_rows", LongType, false)))
+      StructField("num_deleted_rows", LongType, false),
+      StructField("num_rows", LongType, true)))
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(Seq(row)).asJava), schema)
   }

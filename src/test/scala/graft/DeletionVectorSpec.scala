@@ -146,6 +146,8 @@ class DeletionVectorSpec extends SparkSpec {
     val d = ManifestTable.detail(spark, root).collect().head
     assert(d.getLong(d.fieldIndex("num_deleted_rows")) == 15L)
     assert(d.getLong(d.fieldIndex("num_dv_files")) >= 1L)
+    // metadata-only live row count: footer totals minus DV'd positions
+    assert(d.getLong(d.fieldIndex("num_rows")) == 15L)
   }
 
   test("upsert and compact materialize DVs along their rewrites") {

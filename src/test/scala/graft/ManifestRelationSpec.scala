@@ -121,4 +121,20 @@ class ManifestRelationSpec extends SparkSpec {
         .write.format("graft-manifest").mode("append").save(root)
     }
   }
+
+  test("append mergeSchema option: additive evolution through the data source") {
+    val root = tmp() + "/t"
+    Seq((1L, "a")).toDF("k", "s").write.format("graft-manifest")
+      .mode("overwrite").save(root)
+    val plus = Seq((2L, "b", 9.0)).toDF("k", "s", "x")
+    intercept[Exception] { // schema drift is an error by default
+      plus.write.format("graft-manifest").option("keys", "k").option("order", "s")
+        .mode("append").save(root)
+    }
+    plus.write.format("graft-manifest").option("keys", "k").option("order", "s")
+      .option("mergeSchema", "true").mode("append").save(root)
+    val got = spark.read.format("graft-manifest").load(root)
+      .select("k", "x").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> None, 2L -> Some(9.0)))
+  }
 }
