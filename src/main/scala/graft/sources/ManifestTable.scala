@@ -1940,6 +1940,24 @@ object ManifestTable {
               set.get(c).map(_.as(c)).getOrElse(col(c))): _*), partKeys)
           enforceConstraints(updated, st.tags, root, "updateMoR result")
           val (gen, entries) = writeGeneration(updated, root, partKeys)
+          // tear check, free from the new generation's footer counts:
+          // the persisted matched set keeps the position pass and this
+          // re-emit pass consistent, but persist is best-effort — under
+          // cache eviction a NON-DETERMINISTIC predicate/SET would
+          // re-evaluate differently, and committing a re-emit that does
+          // not match the marked positions loses or duplicates rows.
+          // Abort loudly instead (nothing committed).
+          locally {
+            val counted = entries.flatMap(fileRows)
+            if (counted.size == entries.size && counted.sum != dv.marked) {
+              fs.delete(new Path(root, gen), true)
+              fs.delete(new Path(root, dv.dir), true)
+              sys.error(s"updateMoR on $root: re-emitted ${counted.sum} rows but " +
+                s"marked ${dv.marked} positions — the matched set re-evaluated " +
+                "differently between passes (non-deterministic predicate or SET " +
+                "under cache eviction). Nothing was committed.")
+            }
+          }
           val v = st.version + 1
           val manifest = DeltaManifest(v, entries ++ dv.adds, dv.removes,
             st.tags + (OpTag -> "update"))
