@@ -208,6 +208,16 @@ object BenchQueries extends QueryPack {
            |FROM graft_a19_lineitem
            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))""".stripMargin)
     }),
+    "a20_bool_aggs" -> ((s, d) =>
+      // modern conditional/boolean aggregate family: count_if + bool
+      // conjunction/disjunction per group — deterministic predicates, no
+      // float accumulation.
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_if(col("l_discount") > 0.05).as("n_discounted"),
+          bool_and(col("l_quantity") >= 1.0).as("all_qty_pos"),
+          bool_or(col("l_tax") > 0.07).as("any_high_tax"))),
     "j11_full_outer" -> ((s, d) => {
       // FULL OUTER reconciliation: customers' 1996 vs 1997 order counts,
       // keeping customers active in only one of the years on both sides.
@@ -839,6 +849,12 @@ object BenchQueries extends QueryPack {
          |  ${dsumSql("l_quantity", 2, 2)} AS qty
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))""".stripMargin,
+    "a20_bool_aggs" ->
+      """SELECT l_returnflag,
+        |  CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+        |  bool_and(l_quantity >= 1.0) AS all_qty_pos,
+        |  bool_or(l_tax > 0.07) AS any_high_tax
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "j11_full_outer" ->
       """WITH a AS (SELECT o_custkey, COUNT(*) AS n_1996 FROM orders
         |           WHERE YEAR(o_orderdate) = 1996 GROUP BY 1),

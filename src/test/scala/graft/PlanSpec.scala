@@ -353,6 +353,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("w10/w11 window shapes shuffle once on their partition key, never SinglePartition") {
+    for (q <- Seq("w10_range_frame", "w11_dist_funcs")) {
+      val p = plan(q)
+      assert(p.contains("Window"), p)
+      assert(!p.contains("Exchange SinglePartition"), s"$q funnels: $p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, s"$q: $p")
+    }
+  }
+
+  test("j11 full-outer reconciliation aggregates BEFORE the join (two small sides)") {
+    val p = plan("j11_full_outer")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both year slices aggregate to per-customer counts pre-join, so the
+    // join inputs are the aggregated frames, not raw orders
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("merge-on-read table read applies DVs as a BROADCAST anti join (no table shuffle)") {
     // k19 ends in a read of a DV-carrying manifest table: the deletion
     // vectors must anti-join via broadcast — a shuffled anti here would
