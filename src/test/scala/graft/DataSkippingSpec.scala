@@ -540,6 +540,14 @@ class DataSkippingSpec extends SparkSpec {
     val clustered = tmp() + "/c"
     ManifestTable.write(rows(150).toDF(cols: _*), clustered)
     ManifestTable.cluster(spark, clustered, Seq("id"), targetFileMB = 1)
+    // round-12 shape: deletion vectors (two stacked MoR deletes, one
+    // post-index) + a bloom index — random predicates must agree with
+    // read().filter() through the anti-join AND the bloom exclusion
+    val mor = tmp() + "/m"
+    ManifestTable.write(rows(150).toDF(cols: _*).repartition(3), mor)
+    ManifestTable.deleteMoR(spark, mor, col("id") % 7 === 0)
+    ManifestTable.buildBloomIndex(spark, mor, Seq("id", "s"))
+    ManifestTable.deleteMoR(spark, mor, col("s") === "beta" && col("id") < 50L)
 
     val atomGen: Gen[org.apache.spark.sql.Column] = for {
       c <- Gen.oneOf(cols)
@@ -579,7 +587,7 @@ class DataSkippingSpec extends SparkSpec {
     val predGen: Gen[org.apache.spark.sql.Column] =
       Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, atomGen).map(_.reduce(_ && _)))
 
-    val roots = Seq(unpart, parted, clustered)
+    val roots = Seq(unpart, parted, clustered, mor)
     val prop = Prop.forAll(predGen, Gen.oneOf(roots)) { (pred, root) =>
       val got = ManifestTable.readWhere(spark, root, pred)
         .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
