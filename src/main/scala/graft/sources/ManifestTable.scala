@@ -2696,7 +2696,11 @@ object ManifestTable {
     * which [[validateTags]] refuses by design); only the file list time
     * travels. Commits op "restore" as a SNAPSHOT, so incremental readers
     * see resurrected files as adds (at-least-once, never silently
-    * dropped). Restoring to the current version is a no-op. */
+    * dropped) — but reverted rows carry their ORIGINAL ordering values,
+    * which keep-last consumers cannot apply backwards: treat op
+    * "restore" windows as re-bootstrap boundaries, exactly like
+    * "overwrite" (the model walk pins this recipe). Restoring to the
+    * current version is a no-op. */
   def restore(spark: SparkSession, root: String, version: Long,
               graceMs: Long = 60000L): Long = {
     val fs = fsOf(spark, root)

@@ -417,7 +417,11 @@ class ManifestTableSpec extends SparkSpec {
         .filter(org.apache.spark.sql.functions.col("version") > consV &&
           org.apache.spark.sql.functions.col("version") <= curV)
         .select("op").collect().map(_.getString(0)).toSet
-      if (winOps.contains("overwrite") || winOps.contains("delete")) snapshotCons()
+      // restore joins overwrite/delete as a reset boundary: reverted
+      // rows re-emit with their OLD order stamps, which keep-last
+      // folding cannot apply backwards
+      if (winOps.contains("overwrite") || winOps.contains("delete") ||
+          winOps.contains("restore")) snapshotCons()
       else try {
         val win = ManifestTable.readChanges(spark, root, consV, curV)
           .select("key", "v", "o").as[(Long, Double, Long)].collect()
@@ -431,9 +435,11 @@ class ManifestTableSpec extends SparkSpec {
       assert(cons.toSeq.sorted == model.toSeq.sorted,
         s"incremental consumer diverged after op $i (window ops $winOps)")
     }
-    for (i <- 1 to 18) {
+    // version → model at that version, for RESTORE targets
+    var modelAt = Map.empty[Long, Map[Long, Double]]
+    for (i <- 1 to 24) {
       op += 1
-      val dice = if (i == 1) 0 else rnd.nextInt(15)
+      val dice = if (i == 1) 0 else rnd.nextInt(20)
       dice match {
         case n if n < 6 =>
           val batch = rows(1 + rnd.nextInt(4))
@@ -484,12 +490,58 @@ class ManifestTableSpec extends SparkSpec {
           ManifestTable.merge(spark, root, batch.toDF("date", "key", "v", "o"),
             keys = Seq("key"))
           model = model ++ batch.map(r => r._2 -> r._3)
+        case 14 =>
+          // MERGE-ON-READ delete: deletion vector instead of rewrite;
+          // the full-clear refusal mirrors the copy-on-write guard
+          val k = rnd.nextInt(12).toLong
+          try {
+            ManifestTable.deleteMoR(spark, root,
+              org.apache.spark.sql.functions.col("key") === k)
+            model = model - k
+          } catch {
+            case e: IllegalArgumentException
+              if e.getMessage.contains("every live row") => ()
+          }
+        case 15 =>
+          // MERGE-ON-READ update: old rows DV'd, updates appended
+          val k = rnd.nextInt(12).toLong
+          ManifestTable.updateMoR(spark, root,
+            org.apache.spark.sql.functions.col("key") === k,
+            Map("v" -> (org.apache.spark.sql.functions.col("v") + 500.0),
+              "o" -> org.apache.spark.sql.functions.lit(op)))
+          model = model.map { case (mk, mv) => mk -> (if (mk == k) mv + 500.0 else mv) }
+        case 16 =>
+          // MERGE-ON-READ merge (UpdateAll + insert)
+          val batch = rows(1 + rnd.nextInt(3))
+          ManifestTable.mergeMoR(spark, root, batch.toDF("date", "key", "v", "o"),
+            keys = Seq("key"))
+          model = model ++ batch.map(r => r._2 -> r._3)
+        case 17 =>
+          // fold any live deletion vectors back in (rewrite, rows same)
+          ManifestTable.materializeDeletes(spark, root)
+        case 18 =>
+          // RESTORE to a random still-resolvable earlier version; the
+          // model time-travels with it (vacuumed targets are refused
+          // loudly — the walk just skips those)
+          val cur = ManifestTable.currentVersion(spark, root).get
+          val targets = modelAt.keys.filter(_ < cur).toSeq
+          if (targets.nonEmpty) {
+            val t = targets(rnd.nextInt(targets.size))
+            try {
+              ManifestTable.restore(spark, root, t)
+              model = modelAt(t)
+            } catch {
+              case e: RuntimeException
+                if e.getMessage != null && e.getMessage.contains("vacuumed") => ()
+            }
+          }
         case _ =>
           val fresh = rows(5)
           ManifestTable.write(fresh.toDF("date", "key", "v", "o"),
             root, Seq("date"))
           model = fresh.map(r => r._2 -> r._3).toMap
       }
+      modelAt += ManifestTable.currentVersion(spark, root).get -> model
       val got = ManifestTable.read(spark, root)
         .select("key", "v").as[(Long, Double)].collect().toSeq.sorted
       assert(got == model.toSeq.sorted, s"divergence after op $i (dice $dice)")
