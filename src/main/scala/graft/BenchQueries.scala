@@ -208,6 +208,16 @@ object BenchQueries extends QueryPack {
            |FROM graft_a19_lineitem
            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))""".stripMargin)
     }),
+    "a21_unpivot" -> ((s, d) =>
+      // wide→long reshaping (the pivot inverse): three measure columns
+      // melt into (metric, val) rows, then aggregate per metric.
+      t(s, d, "lineitem")
+        .select(col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), dsum(col("val"), 6, 2).as("total"))),
     "a20_bool_aggs" -> ((s, d) =>
       // modern conditional/boolean aggregate family: count_if + bool
       // conjunction/disjunction per group — deterministic predicates, no
@@ -849,6 +859,11 @@ object BenchQueries extends QueryPack {
          |  ${dsumSql("l_quantity", 2, 2)} AS qty
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))""".stripMargin,
+    "a21_unpivot" ->
+      s"""SELECT metric, COUNT(*) AS n, ${dsumSql("val", 6, 2)} AS total
+         |FROM (UNPIVOT (SELECT l_quantity, l_discount, l_tax FROM lineitem)
+         |      ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val)
+         |GROUP BY 1""".stripMargin,
     "a20_bool_aggs" ->
       """SELECT l_returnflag,
         |  CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
