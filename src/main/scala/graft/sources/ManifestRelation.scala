@@ -43,9 +43,11 @@ class ManifestTableProvider extends RelationProvider
     val r = root(parameters)
     val tsAsOf = parameters.get("timestampasof").orElse(parameters.get("timestampAsOf"))
       .map { raw =>
-        // epoch millis or an ISO-ish timestamp literal
-        scala.util.Try(raw.trim.toLong).getOrElse(
-          java.sql.Timestamp.valueOf(raw.trim.replace('T', ' ')).getTime)
+        // epoch millis, an ISO-ish timestamp literal, or a bare date
+        val t = raw.trim.replace('T', ' ')
+        scala.util.Try(t.toLong)
+          .orElse(scala.util.Try(java.sql.Timestamp.valueOf(t).getTime))
+          .getOrElse(java.sql.Date.valueOf(t).getTime)
       }
     val explicitVersion = parameters.get("versionasof")
       .orElse(parameters.get("versionAsOf")).map(_.trim.toLong)

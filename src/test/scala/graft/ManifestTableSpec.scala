@@ -1061,6 +1061,12 @@ class ManifestTableSpec extends SparkSpec {
     assert(spark.read.format("graft-manifest").option("path", root)
       .option("timestampAsOf", afterV1.toString).load()
       .as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    // a bare-date literal resolves as that day's midnight (here: before
+    // every commit → a loud error, not a parse failure)
+    intercept[RuntimeException] {
+      spark.read.format("graft-manifest").option("path", root)
+        .option("timestampAsOf", "2001-01-01").load()
+    }
   }
 
   test("lost CAS on DISJOINT partitions rebases the written generation, no recompute") {
