@@ -385,6 +385,35 @@ object AggWindowQueries extends QueryPack {
       ManifestTable.readWhere(s, root,
           col("o_orderkey").isin(1L, 42L, 500L, 1337L))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+    "k21_sql_dml" -> ((s, d) => {
+      // K21 (beyond-reference): the full DML lifecycle through
+      // `spark.sql` alone — the injected GRAFT grammar plans DELETE
+      // (copy-on-write), UPDATE (merge-on-read deletion vectors) and
+      // MERGE INTO (t/s alias arithmetic, insert-unmatched) onto the
+      // manifest-table mutators; the oracle replays the same three
+      // mutations relationally. The MERGE source is every 1-URGENT
+      // order with a shifted price: survivors of the DELETE match (2×
+      // price + 1000), deleted ones re-insert (price + 1000).
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k21")
+        .toString + "/orders_sqldml"
+      ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+        root)
+      s.sql(s"GRAFT DELETE FROM '$root' WHERE o_totalprice < 50000.0")
+      s.sql(s"GRAFT UPDATE MOR '$root' SET o_totalprice = o_totalprice * 1.05 " +
+        "WHERE o_orderpriority = '5-LOW'")
+      t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"), col("o_orderpriority"))
+        .createOrReplaceTempView("k21_src")
+      s.sql(s"GRAFT MERGE INTO '$root' USING k21_src ON (o_orderkey) " +
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + s.o_totalprice " +
+        "WHEN NOT MATCHED THEN INSERT ALL")
+      ManifestTable.read(s, root)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
     })
   )
 
@@ -606,7 +635,19 @@ object AggWindowQueries extends QueryPack {
         |WHERE NOT (o_totalprice < 100000.0)""".stripMargin,
     "k20_bloom_read" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_orderkey IN (1, 42, 500, 1337)""".stripMargin
+        |WHERE o_orderkey IN (1, 42, 500, 1337)""".stripMargin,
+    "k21_sql_dml" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT'
+        |         THEN o_totalprice + (o_totalprice + 1000.0)
+        |       WHEN o_orderpriority = '5-LOW' THEN o_totalprice * 1.05
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders WHERE NOT (o_totalprice < 50000.0)
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 50000.0""".stripMargin
   )
 }
 

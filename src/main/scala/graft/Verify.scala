@@ -10,11 +10,11 @@ object Verify {
     // the driver always passes exactly two args → full run).
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // the engine's own builder: brings the GraftExtensions parser (k21's
+    // GRAFT DML statements need it — extensions bind at session build,
+    // tune() cannot inject a parser post-hoc) plus the AQE/UTC posture
+    val spark = graft.core.GraftSession
+      .builder("graft-verify", s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")

@@ -20,40 +20,146 @@ import graft.sources.ManifestTable
   *   GRAFT HISTORY 'path'                  -- DESCRIBE HISTORY
   *   GRAFT DETAIL 'path'                   -- DESCRIBE DETAIL
   *   GRAFT STATS 'path'                    -- metadata-only column stats
-  *   GRAFT VACUUM 'path' [KEEP n]          -- version-count retention
+  *   GRAFT VACUUM 'path' [KEEP n] [ORPHANS] -- version-count retention
   *   GRAFT RESTORE 'path' TO VERSION n     -- auditable rollback
   *   GRAFT COMPACT 'path' [TARGET mb]      -- sized rewrite
   * }}}
   *
+  * and full DML over manifest tables (Delta's SQL surface re-expressed;
+  * `MOR` after the verb picks the merge-on-read deletion-vector plan,
+  * the default is copy-on-write):
+  *
+  * {{{
+  *   GRAFT DELETE [MOR] FROM 'path' WHERE <expr>
+  *   GRAFT UPDATE [MOR] 'path' SET c = <expr> [, ...] [WHERE <expr>]
+  *   GRAFT MERGE [MOR] INTO 'path' USING <view | (subquery)> ON (k1 [, k2 ...])
+  *     [WHEN MATCHED THEN UPDATE ALL]
+  *     [WHEN MATCHED THEN UPDATE SET c = <expr> [, ...]]
+  *     [WHEN MATCHED THEN DELETE]
+  *     [WHEN NOT MATCHED THEN INSERT ALL]
+  * }}}
+  *
+  * MERGE fixes the aliases `t` (target) and `s` (source): inside the
+  * UPDATE SET expressions `t.c` is the OLD target value and `s.c` the
+  * matching source value (bare names are target columns). With no WHEN
+  * clause at all the statement is the classic upsert (UPDATE ALL +
+  * INSERT ALL); with any WHEN clause present, exactly what is declared
+  * runs. VACUUM deletes unreferenced ORPHAN dirs only when the ORPHANS
+  * keyword is given (crash debris from writers that died pre-claim),
+  * and even then only dirs older than the grace window — a concurrent
+  * writer's in-flight pre-claim data is never eligible.
+  *
   * Commands run on the driver against the manifest log (metadata ops)
-  * or launch the usual distributed rewrite jobs (compact) — the SQL
-  * layer adds no execution machinery of its own.
+  * or launch the usual distributed rewrite jobs (compact, DML) — the
+  * SQL layer adds no execution machinery of its own.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
 
   private val Prefix = """(?is)^\s*GRAFT\s+(.*?)\s*;?\s*$""".r
   private val History = """(?is)HISTORY\s+'([^']+)'""".r
   private val Detail  = """(?is)DETAIL\s+'([^']+)'""".r
   private val Stats   = """(?is)STATS\s+'([^']+)'""".r
-  private val Vacuum  = """(?is)VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?""".r
+  private val Vacuum  = """(?is)VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?(?:\s+(ORPHANS))?""".r
   private val Restore = """(?is)RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)""".r
   private val Compact = """(?is)COMPACT\s+'([^']+)'(?:\s+TARGET\s+(\d+))?""".r
+  private val Delete  = """(?is)DELETE\s+(?:(MOR)\s+)?FROM\s+'([^']+)'\s+WHERE\s+(.+)""".r
+  private val Update  = """(?is)UPDATE\s+(?:(MOR)\s+)?'([^']+)'\s+SET\s+(.+)""".r
+  private val Merge   = """(?is)MERGE\s+(?:(MOR)\s+)?INTO\s+'([^']+)'\s+USING\s+(.+)""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Prefix(body) => body match {
       case History(p) => GraftHistoryCommand(p)
       case Detail(p)  => GraftDetailCommand(p)
       case Stats(p)   => GraftStatsCommand(p)
-      case Vacuum(p, keep) =>
-        GraftVacuumCommand(p, Option(keep).map(_.toInt).getOrElse(2))
+      case Vacuum(p, keep, orphans) =>
+        GraftVacuumCommand(p, Option(keep).map(_.toInt).getOrElse(2),
+          deleteOrphans = orphans != null)
       case Restore(p, v) => GraftRestoreCommand(p, v.toLong)
       case Compact(p, mb) =>
         GraftCompactCommand(p, Option(mb).map(_.toInt).getOrElse(512))
+      case Delete(mor, p, where) =>
+        GraftDeleteCommand(p, where.trim, mor = mor != null)
+      case Update(mor, p, rest) =>
+        val (setPart, wherePart) = splitAtKeyword(rest, "WHERE") match {
+          case Some((s, w)) => (s, Some(w.trim))
+          case None         => (rest, None)
+        }
+        GraftUpdateCommand(p, parseAssignments(setPart, "UPDATE"), wherePart,
+          mor = mor != null)
+      case Merge(mor, p, rest) => parseMerge(p, rest.trim, mor = mor != null)
       case other => sys.error(
         s"GRAFT statement not recognized: '$other' — expected HISTORY | DETAIL | " +
-          "STATS | VACUUM [KEEP n] | RESTORE … TO VERSION n | COMPACT [TARGET mb]")
+          "STATS | VACUUM [KEEP n] [ORPHANS] | RESTORE … TO VERSION n | " +
+          "COMPACT [TARGET mb] | DELETE [MOR] FROM … WHERE … | " +
+          "UPDATE [MOR] … SET … [WHERE …] | MERGE [MOR] INTO … USING … ON (…) [WHEN …]")
     }
     case _ => delegate.parsePlan(sqlText)
+  }
+
+  /** `USING <src> ON (keys) [WHEN …]*` — src is a view/table name or a
+    * parenthesized subquery (balanced-paren scan, never a regex). */
+  private def parseMerge(root: String, rest: String, mor: Boolean): LogicalPlan = {
+    val (source, isQuery, afterSrc) =
+      if (rest.startsWith("(")) {
+        val close = matchingParen(rest, 0)
+        require(close > 0, s"GRAFT MERGE: unbalanced parens in USING source: $rest")
+        (rest.substring(1, close).trim, true, rest.substring(close + 1))
+      } else {
+        val on = topLevelKeyword(rest, "ON")
+        require(on > 0, s"GRAFT MERGE: expected ON after the USING source: $rest")
+        (rest.substring(0, on).trim, false, rest.substring(on))
+      }
+    val onAt = topLevelKeyword(afterSrc, "ON")
+    require(onAt >= 0, s"GRAFT MERGE: expected ON (key columns): $afterSrc")
+    val afterOn = afterSrc.substring(onAt + 2).trim
+    require(afterOn.startsWith("("),
+      s"GRAFT MERGE: ON takes a parenthesized key-column list, got: $afterOn")
+    val closeKeys = matchingParen(afterOn, 0)
+    require(closeKeys > 0, s"GRAFT MERGE: unbalanced parens in ON key list")
+    val keys = afterOn.substring(1, closeKeys).split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    require(keys.nonEmpty, "GRAFT MERGE: ON key list is empty")
+    require(keys.forall(_.matches("""[A-Za-z_][A-Za-z0-9_]*""")),
+      s"GRAFT MERGE: ON keys must be plain column names, got $keys")
+    var tail = afterOn.substring(closeKeys + 1).trim
+    // split the tail into WHEN clauses (top-level scan — a WHEN inside a
+    // quoted literal or CASE … END inside parens never splits)
+    var clauses = List.empty[String]
+    while (tail.nonEmpty) {
+      require(topLevelKeyword(tail, "WHEN") == 0,
+        s"GRAFT MERGE: expected WHEN clause, got: $tail")
+      val next = topLevelKeyword(tail.substring(4), "WHEN")
+      if (next < 0) { clauses ::= tail.trim; tail = "" }
+      else { clauses ::= tail.substring(0, next + 4).trim; tail = tail.substring(next + 4) }
+    }
+    clauses = clauses.reverse
+    val MatchedDelete = """(?is)WHEN\s+MATCHED\s+THEN\s+DELETE""".r
+    val MatchedAll    = """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+(?:ALL|\*)""".r
+    val MatchedSet    = """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+)""".r
+    val NotMatched    = """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+(?:ALL|\*)""".r
+    var matched: GraftMergeCommand.MatchedAction = GraftMergeCommand.MatchNone
+    var matchedSeen = false
+    var insertAll = false
+    clauses.foreach {
+      case MatchedDelete() =>
+        require(!matchedSeen, "GRAFT MERGE: multiple WHEN MATCHED clauses")
+        matchedSeen = true; matched = GraftMergeCommand.MatchDelete
+      case MatchedAll() =>
+        require(!matchedSeen, "GRAFT MERGE: multiple WHEN MATCHED clauses")
+        matchedSeen = true; matched = GraftMergeCommand.MatchAll
+      case MatchedSet(assigns) =>
+        require(!matchedSeen, "GRAFT MERGE: multiple WHEN MATCHED clauses")
+        matchedSeen = true
+        matched = GraftMergeCommand.MatchSet(parseAssignments(assigns, "MERGE"))
+      case NotMatched() => insertAll = true
+      case other => sys.error(s"GRAFT MERGE: unrecognized WHEN clause: '$other' — " +
+        "expected WHEN MATCHED THEN UPDATE ALL | UPDATE SET … | DELETE, " +
+        "or WHEN NOT MATCHED THEN INSERT ALL")
+    }
+    // no WHEN clause at all = the classic upsert; any clause = literal
+    if (clauses.isEmpty) { matched = GraftMergeCommand.MatchAll; insertAll = true }
+    GraftMergeCommand(root, source, isQuery, keys, matched, insertAll, mor)
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
@@ -69,6 +175,106 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
+}
+
+private[plans] object GraftSqlParser {
+  /** Index of the first top-level (outside single-quoted literals and
+    * parens) occurrence of `word` as a standalone keyword, or -1. */
+  def topLevelKeyword(s: String, word: String): Int = {
+    var depth = 0; var i = 0; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, word, 0, word.length) &&
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+              (i + word.length >= s.length || !isWordChar(s.charAt(i + word.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** Split at the first top-level `word`: (before, after-word). */
+  def splitAtKeyword(s: String, word: String): Option[(String, String)] = {
+    val at = topLevelKeyword(s, word)
+    if (at < 0) None else Some((s.substring(0, at), s.substring(at + word.length)))
+  }
+
+  /** Split on top-level commas (never inside parens or literals). */
+  def splitTopLevelCommas(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var i = 0; var inStr = false; var start = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case ','  => if (depth == 0) { out += s.substring(start, i); start = i + 1 }
+        case _    => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of the close paren matching the open paren at `open`, quote
+    * aware; -1 when unbalanced. */
+  def matchingParen(s: String, open: Int): Int = {
+    require(s.charAt(open) == '(', s"expected '(' at $open")
+    var depth = 0; var i = open; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1; if (depth == 0) return i
+        case _    => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** `c1 = expr1, c2 = expr2, …` → ordered (column, expression-text)
+    * pairs; expressions keep their raw SQL (evaluated by the command). */
+  def parseAssignments(s: String, op: String): Seq[(String, String)] =
+    splitTopLevelCommas(s).map { a =>
+      val eq = {
+        // first top-level '=' that is not part of <= >= != ==
+        var depth = 0; var i = 0; var inStr = false; var found = -1
+        while (i < a.length && found < 0) {
+          val c = a.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false }
+          else c match {
+            case '\'' => inStr = true
+            case '('  => depth += 1
+            case ')'  => depth -= 1
+            case '='  => if (depth == 0) found = i
+            case _    => ()
+          }
+          i += 1
+        }
+        found
+      }
+      require(eq > 0, s"GRAFT $op: malformed assignment '$a' — expected col = expr")
+      val name = a.substring(0, eq).trim
+      require(name.matches("""[A-Za-z_][A-Za-z0-9_]*"""),
+        s"GRAFT $op: assignment target must be a plain column name, got '$name'")
+      name -> a.substring(eq + 1).trim
+    }
 }
 
 private object GraftCommandOutput {
@@ -109,11 +315,106 @@ final case class GraftStatsCommand(root: String) extends LeafRunnableCommand {
     ManifestTable.statsOnly(spark, root).collect().toSeq
 }
 
-final case class GraftVacuumCommand(root: String, keep: Int) extends LeafRunnableCommand {
+/** Orphan deletion is OPT-IN (the ORPHANS keyword) and age-gated:
+  * a gen-/dv-/bloomidx- dir a concurrent writer wrote before its claim
+  * is indistinguishable from crash debris, so deleting unreferenced
+  * dirs unconditionally could destroy an in-flight commit's data. */
+final case class GraftVacuumCommand(root: String, keep: Int,
+                                    deleteOrphans: Boolean) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
     StructField("reclaimed_dirs", IntegerType, false))))
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(ManifestTable.vacuum(spark, root, keep = keep, deleteOrphans = true)))
+    Seq(Row(ManifestTable.vacuum(spark, root, keep = keep,
+      deleteOrphans = deleteOrphans)))
+}
+
+final case class GraftDeleteCommand(root: String, whereSql: String,
+                                    mor: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false), StructField("mode", StringType, false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pred = org.apache.spark.sql.functions.expr(whereSql)
+    val v = if (mor) ManifestTable.deleteMoR(spark, root, pred)
+            else ManifestTable.delete(spark, root, pred)
+    Seq(Row(v, if (mor) "merge-on-read" else "copy-on-write"))
+  }
+}
+
+final case class GraftUpdateCommand(root: String, assignments: Seq[(String, String)],
+                                    whereSql: Option[String],
+                                    mor: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false), StructField("mode", StringType, false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val set = assignments.map { case (c, e) => c -> expr(e) }.toMap
+    require(set.size == assignments.size,
+      s"GRAFT UPDATE: duplicate assignment targets in ${assignments.map(_._1)}")
+    val pred = whereSql.map(expr).getOrElse(lit(true))
+    val v = if (mor) ManifestTable.updateMoR(spark, root, pred, set)
+            else ManifestTable.update(spark, root, pred, set)
+    Seq(Row(v, if (mor) "merge-on-read" else "copy-on-write"))
+  }
+}
+
+object GraftMergeCommand {
+  /** WHEN MATCHED action, parser-side. [[MatchNone]] (a NOT-MATCHED-only
+    * merge) carries matched rows through unchanged. */
+  sealed trait MatchedAction
+  case object MatchAll extends MatchedAction
+  case object MatchDelete extends MatchedAction
+  case object MatchNone extends MatchedAction
+  final case class MatchSet(assignments: Seq[(String, String)]) extends MatchedAction
+}
+
+final case class GraftMergeCommand(root: String, source: String, sourceIsQuery: Boolean,
+                                   keys: Seq[String],
+                                   matched: GraftMergeCommand.MatchedAction,
+                                   insertAll: Boolean,
+                                   mor: Boolean) extends LeafRunnableCommand {
+  import GraftMergeCommand._
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false), StructField("mode", StringType, false))))
+
+  /** An UPDATE SET expression with the fixed MERGE aliases rewritten
+    * onto [[ManifestTable.merge]]'s join seam: `s.c` (source) becomes
+    * `_src_c`, `t.c` (old target) and bare names stay target columns.
+    * The rewrite walks the PARSED expression's unresolved attributes —
+    * an `s.` inside a string literal is untouched. */
+  private def setColumn(text: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val e = org.apache.spark.sql.graftshim.ColumnExpr.expression(
+      org.apache.spark.sql.functions.expr(text))
+    org.apache.spark.sql.graftshim.ColumnExpr.column(e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+          a.nameParts.head.equalsIgnoreCase("s") =>
+        UnresolvedAttribute(Seq("_src_" + a.nameParts(1)))
+      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+          a.nameParts.head.equalsIgnoreCase("t") =>
+        UnresolvedAttribute(Seq(a.nameParts(1)))
+    })
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = if (sourceIsQuery) spark.sql(source) else spark.table(source)
+    val whenMatched = matched match {
+      case MatchAll       => ManifestTable.MatchUpdateAll
+      case MatchDelete    => ManifestTable.MatchDelete
+      case MatchNone      => ManifestTable.MatchUpdate(Map.empty)
+      case MatchSet(asgn) =>
+        val set = asgn.map { case (c, e) => c -> setColumn(e) }.toMap
+        require(set.size == asgn.size,
+          s"GRAFT MERGE: duplicate assignment targets in ${asgn.map(_._1)}")
+        ManifestTable.MatchUpdate(set)
+    }
+    val v = if (mor)
+      ManifestTable.mergeMoR(spark, root, src, keys, whenMatched,
+        insertUnmatched = insertAll)
+    else
+      ManifestTable.merge(spark, root, src, keys, whenMatched,
+        insertUnmatched = insertAll)
+    Seq(Row(v, if (mor) "merge-on-read" else "copy-on-write"))
+  }
 }
 
 final case class GraftRestoreCommand(root: String, version: Long) extends LeafRunnableCommand {

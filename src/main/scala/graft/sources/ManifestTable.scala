@@ -229,9 +229,34 @@ object ManifestTable {
                                          tags: Map[String, String]) extends Manifest
   /** Columnar snapshot: the committed stub names an immutable parquet
     * sidecar under `_manifests/` holding the file list; `count` is the
-    * integrity check on read-back. */
+    * integrity check on read-back. `protocol` is the format level the
+    * SIDECAR needs (2 when any listed file carries a deletion vector) —
+    * recorded on the stub so a reader that cannot honor the dv column
+    * refuses before it can silently drop it. */
   private final case class SnapshotRef(version: Long, refDir: String, count: Long,
-                                       tags: Map[String, String]) extends Manifest
+                                       tags: Map[String, String],
+                                       protocol: Int = 1) extends Manifest
+
+  /** Default age a gen-/dv-/bloomidx-/ckpt- dir must reach before
+    * `vacuum(deleteOrphans = true)` will treat it as a crash orphan
+    * rather than a concurrent writer's in-flight pre-claim data. */
+  val DefaultOrphanGraceMs: Long = 20L * 60 * 1000
+
+  /** Highest manifest protocol this reader understands. Protocol 1 is
+    * the original format (implicit — no `protocol=` line); protocol 2
+    * is declared by any commit whose live file set carries a deletion
+    * vector, so a reader that would silently DROP the dv refs (and
+    * resurrect deleted rows) refuses the table loudly instead. */
+  val SupportedProtocol: Int = 2
+
+  /** The table requires a manifest protocol newer than this build
+    * understands — refusing is the contract: every softer degradation
+    * (skip the version, drop the unknown field) silently corrupts. */
+  final class UnsupportedProtocolException(root: String, version: Long, protocol: Int)
+    extends RuntimeException(
+      s"manifest table $root: v$version declares protocol $protocol but this " +
+        s"reader supports <= $SupportedProtocol — upgrade the library to read " +
+        "this table (refusing beats silently dropping fields it cannot parse)")
 
   /** Session conf: snapshots listing at least this many files are
     * written as parquet sidecars instead of inline text. */
@@ -315,6 +340,15 @@ object ManifestTable {
       } catch { case _: java.io.FileNotFoundException => return None }
     val lines = text.split('\n').toSeq
     if (!lines.contains("commit=ok")) return None // half-written → skip
+    // protocol gate BEFORE the defensive parse: a newer-format manifest
+    // must REFUSE (propagating error), never degrade to "absent" — the
+    // absent fallback would silently serve an older version, the exact
+    // resurrect-deleted-rows hazard the gate exists to close
+    val protocol = lines.find(_.startsWith("protocol="))
+      .flatMap(l => scala.util.Try(l.stripPrefix("protocol=").trim.toInt).toOption)
+      .getOrElse(1)
+    if (protocol > SupportedProtocol)
+      throw new UnsupportedProtocolException(root, version, protocol)
     // defensive parse: a sentinel-complete but garbled manifest (hand
     // edit, bitrot) reads as ABSENT with a loud warning — readers fall
     // back to the previous version instead of every table operation
@@ -347,7 +381,7 @@ object ManifestTable {
           .getOrElse(sys.error("snapshot-ref without checkpoint= line"))
         val count = lines.find(_.startsWith("count=")).map(_.stripPrefix("count=").toLong)
           .getOrElse(sys.error("snapshot-ref without count= line"))
-        Some(SnapshotRef(version, refDir, count, tags))
+        Some(SnapshotRef(version, refDir, count, tags, protocol))
       } else Some(FullManifest(version, files, tags))
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -425,6 +459,15 @@ object ManifestTable {
     try {
       val raw = spark.read
         .parquet(new Path(root, s"$ManifestDir/${ref.refDir}").toString)
+      // the stub declared deletion vectors in the sidecar: a dv-less
+      // read-back would silently resurrect deleted rows — refuse (absent
+      // + loud), exactly like the count-mismatch integrity check below
+      if (ref.protocol >= 2 && !raw.columns.contains("dv")) {
+        log.warn(s"manifest table $root: snapshot sidecar ${ref.refDir} declares " +
+          s"protocol ${ref.protocol} (deletion vectors) but has no dv column — " +
+          "treating as absent rather than dropping the dv refs")
+        return None
+      }
       // legacy sidecars may predate the `stats` and/or `dv` columns
       val withStats =
         if (raw.columns.contains("stats")) raw
@@ -608,6 +651,14 @@ object ManifestTable {
             if (f.stats.isEmpty) s"file=${f.relPath}\t${f.bytes}\n"
             else s"file=${f.relPath}\t${f.bytes}\t${encodeStats(f.stats)}\n"
         }
+        // declare the protocol a reader NEEDS, only when above the
+        // implicit baseline (protocol-1 manifests stay byte-stable)
+        val declared = m match {
+          case FullManifest(_, files, _)   => if (files.exists(_.dv.nonEmpty)) 2 else 1
+          case DeltaManifest(_, adds, _, _) => if (adds.exists(_.dv.nonEmpty)) 2 else 1
+          case r: SnapshotRef               => r.protocol
+        }
+        if (declared > 1) w.write(s"protocol=$declared\n")
         m match {
           case FullManifest(_, files, _) =>
             files.foreach(f => w.write(fileLine(f)))
@@ -615,10 +666,10 @@ object ManifestTable {
             w.write("kind=delta\n")
             adds.foreach(f => w.write(fileLine(f)))
             removes.foreach(r => w.write(s"remove=$r\n"))
-          case SnapshotRef(_, refDir, count, _) =>
+          case r: SnapshotRef =>
             w.write("kind=snapshot-ref\n")
-            w.write(s"checkpoint=$refDir\n")
-            w.write(s"count=$count\n")
+            w.write(s"checkpoint=${r.refDir}\n")
+            w.write(s"count=${r.count}\n")
         }
         m.tags.toSeq.sortBy(_._1).foreach { case (k, v) => w.write(s"tag=$k\t$v\n") }
         w.write("commit=ok")
@@ -690,7 +741,8 @@ object ManifestTable {
           f.dv.map(encodeDv).orNull))
         .toDF("relPath", "bytes", "stats", "dv")
         .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(p.toString)
-      (SnapshotRef(version, refDir, files.size, tags), Some(p))
+      val proto = if (files.exists(_.dv.nonEmpty)) 2 else 1
+      (SnapshotRef(version, refDir, files.size, tags, proto), Some(p))
     }
 
   /** Re-stamp a snapshot artifact with a new claim version (CAS retry
@@ -1006,25 +1058,34 @@ object ManifestTable {
     if (probes.isEmpty) return kept
     val idxPath = new Path(root, dir).toString
     import org.apache.spark.sql.Encoders
-    val rowEnc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
-    val excluded: Set[String] = probes.flatMap { case (c, values) =>
-      val longs = values.collect { case l: Long => l }.toArray
-      val strs = values.collect { case s: String => s }.toArray
-      spark.read.parquet(idxPath)
-        .filter(col("column") === c)
-        .select(col("relPath"), col("bloom"))
-        .as[(String, Array[Byte])](rowEnc)
-        .mapPartitions { it =>
-          it.flatMap { case (rel, bytes) =>
-            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(bytes))
-            val mightMatch = longs.exists(bf.mightContainLong) ||
-              strs.exists(bf.mightContainString)
-            if (mightMatch) None else Some(rel)
-          }
-        }(Encoders.STRING)
-        .collect()
-    }.toSet
+    // ONE pass over the index for ALL probed columns: the per-column
+    // value sets ship in a broadcast map and every (column, file) bloom
+    // row is tested against its own column's probes — N equality
+    // conjuncts cost one index scan + one job, not N of each.
+    val longProbes: Map[String, Array[Long]] =
+      probes.map { case (c, vs) => c -> vs.collect { case l: Long => l }.toArray }.toMap
+    val strProbes: Map[String, Array[String]] =
+      probes.map { case (c, vs) => c -> vs.collect { case s: String => s }.toArray }.toMap
+    val bcProbes = spark.sparkContext.broadcast((longProbes, strProbes))
+    val rowEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.BINARY)
+    val excluded: Set[String] = spark.read.parquet(idxPath)
+      .filter(col("column").isin(probes.map(_._1): _*))
+      .select(col("column"), col("relPath"), col("bloom"))
+      .as[(String, String, Array[Byte])](rowEnc)
+      .mapPartitions { it =>
+        val (lp, sp) = bcProbes.value
+        val noLongs = Array.empty[Long]
+        val noStrs = Array.empty[String]
+        it.flatMap { case (c, rel, bytes) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          val mightMatch = lp.getOrElse(c, noLongs).exists(bf.mightContainLong) ||
+            sp.getOrElse(c, noStrs).exists(bf.mightContainString)
+          if (mightMatch) None else Some(rel)
+        }
+      }(Encoders.STRING)
+      .collect()
+      .toSet
     if (excluded.isEmpty) kept
     else {
       val out = kept.filterNot(f => excluded.contains(f.relPath))
@@ -2233,21 +2294,28 @@ object ManifestTable {
     * removes rows the file-level change feed cannot announce — keyed
     * consumers that must propagate such removals should treat op="merge"
     * windows from delete-merges as re-bootstrap boundaries. */
-  def merge(spark: SparkSession, root: String, source: DataFrame,
-            keys: Seq[String], whenMatched: WhenMatched = MatchUpdateAll,
-            insertUnmatched: Boolean = true, maxKeys: Int = 100000,
-            graceMs: Long = 60000L): Long = {
-    require(keys.nonEmpty, "merge: need at least one key column")
+  /** Everything [[merge]] and [[mergeMoR]] validate and resolve before
+    * their (different) execution plans — ONE implementation so the two
+    * cannot drift: key existence, source-duplicate refusal, bounded
+    * key collection → conservative file pruning, partition-layout
+    * consistency, and the no-silent-coercion schema check. */
+  private final case class MergePrep(fs: FileSystem, st: State, target: DataFrame,
+                                     touched: Seq[FileEntry], partKeys: Seq[String],
+                                     srcN: DataFrame, overflow: Boolean)
+
+  private def prepareMerge(spark: SparkSession, root: String, source: DataFrame,
+                           keys: Seq[String], maxKeys: Int, opName: String): MergePrep = {
+    require(keys.nonEmpty, s"$opName: need at least one key column")
     val fs = fsOf(spark, root)
     val st = current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
     val target = readState(spark, root, st)
     require(keys.forall(target.columns.contains) && keys.forall(source.columns.contains),
-      s"merge: keys $keys must exist on both sides")
+      s"$opName: keys $keys must exist on both sides")
     val dup = source.groupBy(keys.map(col).toIndexedSeq: _*)
       .count().filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
-      s"merge: source has duplicate keys (e.g. ${dup.headOption}) — " +
+      s"$opName: source has duplicate keys (e.g. ${dup.headOption}) — " +
         "a target row must match at most one source row")
     // bounded source-key collection drives file pruning (readWhereJoin's
     // per-column-isin shape); overflow = whole-table merge
@@ -2261,17 +2329,13 @@ object ManifestTable {
     val touched =
       if (collected.length > maxKeys) st.files
       else if (keyVals.exists(_.isEmpty)) Seq.empty // no non-null tuple can match
-      else {
-        val perCol = keys.zip(keyVals).map { case (k, vs) =>
-          col(k).isin(vs.toIndexedSeq: _*)
-        }.reduce(_ && _)
-        DataSkipping.prune(st.files, perCol)
-      }
-    if (touched.isEmpty && !insertUnmatched) return st.version
+      else DataSkipping.prune(st.files, keys.zip(keyVals).map { case (k, vs) =>
+        col(k).isin(vs.toIndexedSeq: _*)
+      }.reduce(_ && _))
     val layouts = st.files.map(_.partitionPath.split('/').toSeq
       .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
     require(layouts.size <= 1,
-      s"merge: inconsistent partition layouts in $root: $layouts")
+      s"$opName: inconsistent partition layouts in $root: $layouts")
     val partKeys = layouts.headOption.getOrElse(Seq.empty)
     val srcN = normalizePartitionCols(source, partKeys)
     locally { // same schema discipline as upserts: no silent coercion
@@ -2279,8 +2343,18 @@ object ManifestTable {
       val drift = srcN.schema.filter(f => tT.get(f.name).exists(_ != f.dataType))
         .map(f => s"${f.name}: table=${tT(f.name).sql} batch=${f.dataType.sql}")
       require(drift.isEmpty,
-        s"merge: source column types differ from the table (${drift.mkString("; ")})")
+        s"$opName: source column types differ from the table (${drift.mkString("; ")})")
     }
+    MergePrep(fs, st, target, touched, partKeys, srcN, collected.length > maxKeys)
+  }
+
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+            keys: Seq[String], whenMatched: WhenMatched = MatchUpdateAll,
+            insertUnmatched: Boolean = true, maxKeys: Int = 100000,
+            graceMs: Long = 60000L): Long = {
+    val MergePrep(fs, st, target, touched, partKeys, srcN, overflow) =
+      prepareMerge(spark, root, source, keys, maxKeys, "merge")
+    if (touched.isEmpty && !insertUnmatched) return st.version
     val touchedDf = {
       val raw =
         if (touched.isEmpty) // no rewrite side, inserts may still exist
@@ -2300,8 +2374,7 @@ object ManifestTable {
     // planner picks the join strategy.
     val srcPrefixed0 = srcN.select(srcN.columns.toIndexedSeq.map(c =>
       col(c).as(s"_src_$c")) :+ lit(true).as("_src__matched"): _*)
-    val srcPrefixed =
-      if (collected.length <= maxKeys) broadcast(srcPrefixed0) else srcPrefixed0
+    val srcPrefixed = if (!overflow) broadcast(srcPrefixed0) else srcPrefixed0
     val joinCond = keys.map(k => col(k) === col(s"_src_$k")).reduce(_ && _)
     val joined = touchedDf.join(srcPrefixed, joinCond, "left")
     val matchedMarker = col("_src__matched").isNotNull
@@ -2372,41 +2445,9 @@ object ManifestTable {
                keys: Seq[String], whenMatched: WhenMatched = MatchUpdateAll,
                insertUnmatched: Boolean = true, maxKeys: Int = 100000,
                graceMs: Long = 60000L): Long = {
-    require(keys.nonEmpty, "mergeMoR: need at least one key column")
-    val fs = fsOf(spark, root)
-    val st = current(spark, root).getOrElse(
-      sys.error(s"manifest table $root has no committed version"))
-    val target = readState(spark, root, st)
-    require(keys.forall(target.columns.contains) && keys.forall(source.columns.contains),
-      s"mergeMoR: keys $keys must exist on both sides")
-    val dup = source.groupBy(keys.map(col).toIndexedSeq: _*)
-      .count().filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"mergeMoR: source has duplicate keys (e.g. ${dup.headOption}) — " +
-        "a target row must match at most one source row")
-    val collected = source.select(keys.map(col).toIndexedSeq: _*)
-      .distinct().limit(maxKeys + 1).collect()
-    val keyVals = keys.indices.map(i => collected.map(_.get(i)).filter(_ != null).distinct)
-    val touched =
-      if (collected.length > maxKeys) st.files
-      else if (keyVals.exists(_.isEmpty)) Seq.empty
-      else DataSkipping.prune(st.files, keys.zip(keyVals).map { case (k, vs) =>
-        col(k).isin(vs.toIndexedSeq: _*)
-      }.reduce(_ && _))
+    val MergePrep(fs, st, target, touched, partKeys, srcN, overflow) =
+      prepareMerge(spark, root, source, keys, maxKeys, "mergeMoR")
     if (touched.isEmpty && !insertUnmatched) return st.version
-    val layouts = st.files.map(_.partitionPath.split('/').toSeq
-      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
-    require(layouts.size <= 1,
-      s"mergeMoR: inconsistent partition layouts in $root: $layouts")
-    val partKeys = layouts.headOption.getOrElse(Seq.empty)
-    val srcN = normalizePartitionCols(source, partKeys)
-    locally {
-      val tT = target.schema.map(f => f.name -> f.dataType).toMap
-      val drift = srcN.schema.filter(f => tT.get(f.name).exists(_ != f.dataType))
-        .map(f => s"${f.name}: table=${tT(f.name).sql} batch=${f.dataType.sql}")
-      require(drift.isEmpty,
-        s"mergeMoR: source column types differ from the table (${drift.mkString("; ")})")
-    }
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val liveTouched = {
       val raw =
@@ -2420,8 +2461,7 @@ object ManifestTable {
     }
     val srcPrefixed0 = srcN.select(srcN.columns.toIndexedSeq.map(c =>
       col(c).as(s"_src_$c")): _*)
-    val srcPrefixed =
-      if (collected.length <= maxKeys) broadcast(srcPrefixed0) else srcPrefixed0
+    val srcPrefixed = if (!overflow) broadcast(srcPrefixed0) else srcPrefixed0
     val joinCond = keys.map(k => col(k) === col(s"_src_$k")).reduce(_ && _)
     // INNER join: merge-on-read only ever touches MATCHED rows — the
     // unmatched rows of a touched file are precisely what stays put
@@ -2453,15 +2493,50 @@ object ManifestTable {
             keys.map(k => srcN(k) === liveTouched(k)).reduce(_ && _), "left_anti")
             .select(targetCols.map(col): _*)
         }
-      val outRows = normalizePartitionCols(reemit.unionByName(inserts), partKeys)
-      enforceConstraints(outRows, st.tags, root, "merge result")
+      val reemitN = normalizePartitionCols(reemit, partKeys)
+      val insertsN = normalizePartitionCols(inserts, partKeys)
+      enforceConstraints(reemitN, st.tags, root, "merge result")
+      enforceConstraints(insertsN, st.tags, root, "merge result")
       val dvOpt =
         if (touched.isEmpty) None
         else writeDv(spark, root, touched,
           matched.select(col(DvRelCol).as("relPath"), col(DvPosCol).as("pos")))
-      val (entries, gen) =
-        if (outRows.isEmpty) (Seq.empty[FileEntry], None)
-        else { val (g, es) = writeGeneration(outRows, root, partKeys); (es, Some(g)) }
+      // re-emits and inserts land as SEPARATE generations so the tear
+      // check below gets an exact re-emit row count for free from the
+      // generation's parquet footers (one commit still — a manifest just
+      // lists file entries, it does not care how many dirs hold them)
+      val (reemitEntries, reemitGen) =
+        if (reemitN.isEmpty) (Seq.empty[FileEntry], None)
+        else { val (g, es) = writeGeneration(reemitN, root, partKeys); (es, Some(g)) }
+      val (insertEntries, insertGen) =
+        if (insertsN.isEmpty) (Seq.empty[FileEntry], None)
+        else { val (g, es) = writeGeneration(insertsN, root, partKeys); (es, Some(g)) }
+      val gens = reemitGen.toSeq ++ insertGen.toSeq
+      def abortAll(): Unit = {
+        gens.foreach(g => fs.delete(new Path(root, g), true))
+        dvOpt.foreach(d => fs.delete(new Path(root, d.dir), true))
+      }
+      // tear check — [[updateMoR]]'s hazard, identically: persist is
+      // best-effort, so under cache eviction a non-deterministic source
+      // re-evaluates between the DV-position pass and the re-emit pass;
+      // committing a re-emit that disagrees with the marked positions
+      // loses or duplicates rows. The re-emitted matched-row count must
+      // equal the newly-marked position count. Abort loudly (nothing
+      // committed) on any mismatch the footers can prove.
+      if (whenMatched != MatchDelete) {
+        val counted = reemitEntries.flatMap(fileRows)
+        val reemitRows =
+          if (counted.size == reemitEntries.size) Some(counted.sum) else None
+        val markedRows = dvOpt.map(_.marked).getOrElse(0L)
+        if (reemitRows.exists(_ != markedRows)) {
+          abortAll()
+          sys.error(s"mergeMoR on $root: re-emitted ${reemitRows.get} rows but " +
+            s"marked $markedRows positions — the matched set re-evaluated " +
+            "differently between passes (non-deterministic source under cache " +
+            "eviction). Nothing was committed.")
+        }
+      }
+      val entries = reemitEntries ++ insertEntries
       if (entries.isEmpty && dvOpt.isEmpty) return st.version // nothing to do
       val adds = entries ++ dvOpt.toSeq.flatMap(_.adds)
       val removes = dvOpt.toSeq.flatMap(_.removes)
@@ -2471,8 +2546,7 @@ object ManifestTable {
       val v = st.version + 1
       val manifest = DeltaManifest(v, adds, removes, st.tags + (OpTag -> "merge"))
       if (!claimOrRecover(fs, root, manifest, graceMs)) {
-        gen.foreach(g => fs.delete(new Path(root, g), true))
-        dvOpt.foreach(d => fs.delete(new Path(root, d.dir), true))
+        abortAll()
         throw new ConcurrentCommitException(root, v)
       }
       v
@@ -2632,14 +2706,30 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val dir = new Path(root, ManifestDir)
     if (!fs.exists(dir)) return None
-    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    // Walk ASCENDING with Delta's monotonicity adjustment: each version's
+    // effective time is the max mtime seen so far. Raw mtimes can be
+    // non-monotonic (clock skew, copied/restored logs) — a naive
+    // newest-first scan could then resolve a version that CONTAINS later
+    // commits' changes (v5 mtime 90, v4 mtime 200, query at 150 must not
+    // answer v5). Under adjusted times, versions at-or-before the instant
+    // form a prefix of the log, so the answer is always causally closed.
+    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".txt"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".txt").toLong).toOption)
-      .sorted(Ordering[Long].reverse)
-      .find { v =>
-        scala.util.Try(fs.getFileStatus(manifestPath(root, v)).getModificationTime)
-          .toOption.exists(_ <= epochMs) && readRaw(fs, root, v).nonEmpty
-      }
+      .sorted
+    var adjusted = Long.MinValue
+    var best: Option[Long] = None
+    versions.foreach { v =>
+      scala.util.Try(fs.getFileStatus(manifestPath(root, v)).getModificationTime)
+        .toOption.foreach { t =>
+          adjusted = math.max(adjusted, t)
+          // adjusted times only grow: once past the instant, every later
+          // version is too — but keep scanning is unnecessary, not wrong;
+          // the guard keeps the readRaw cost bounded by the answer prefix
+          if (adjusted <= epochMs && readRaw(fs, root, v).nonEmpty) best = Some(v)
+        }
+    }
+    best
   }
 
   /** `TIMESTAMP AS OF` read: [[readVersion]] at [[versionAtTime]]'s
@@ -2929,7 +3019,8 @@ object ManifestTable {
     * version always kept), drop the rest. Same chain-preserving
     * guarantees as [[vacuum]]. */
   def vacuumRetain(spark: SparkSession, root: String, retainMs: Long,
-                   deleteOrphans: Boolean = false): Int = {
+                   deleteOrphans: Boolean = false,
+                   orphanGraceMs: Long = DefaultOrphanGraceMs): Int = {
     require(retainMs >= 0, s"vacuumRetain: retainMs must be >= 0, got $retainMs")
     val fs = fsOf(spark, root)
     val dir = new Path(root, ManifestDir)
@@ -2944,12 +3035,14 @@ object ManifestTable {
     val recent = committed.count(v =>
       scala.util.Try(fs.getFileStatus(manifestPath(root, v)).getModificationTime)
         .toOption.exists(_ >= cutoff))
-    vacuum(spark, root, keep = math.max(1, recent), deleteOrphans)
+    vacuum(spark, root, keep = math.max(1, recent), deleteOrphans, orphanGraceMs)
   }
 
   def vacuum(spark: SparkSession, root: String, keep: Int = 2,
-             deleteOrphans: Boolean = false): Int = {
+             deleteOrphans: Boolean = false,
+             orphanGraceMs: Long = DefaultOrphanGraceMs): Int = {
     require(keep >= 1, s"vacuum: keep must be >= 1, got $keep")
+    require(orphanGraceMs >= 0, s"vacuum: orphanGraceMs must be >= 0, got $orphanGraceMs")
     val fs = fsOf(spark, root)
     val dir = new Path(root, ManifestDir)
     if (!fs.exists(dir)) return 0
@@ -3003,7 +3096,7 @@ object ManifestTable {
     dropped.foreach { m =>
       fs.delete(manifestPath(root, m.version), false)
       m match {
-        case SnapshotRef(_, refDir, _, _) =>
+        case SnapshotRef(_, refDir, _, _, _) =>
           // the dropped stub was the sidecar's only committed reference
           fs.delete(new Path(root, s"$ManifestDir/$refDir"), true)
         case _ => ()
@@ -3017,21 +3110,43 @@ object ManifestTable {
     val orphans: Set[String] =
       if (!deleteOrphans) Set.empty
       else {
+        // AGE GATE (Delta-style retention): a writer in flight writes its
+        // gen-/dv-/bloomidx-/ckpt- dir BEFORE its claim — to a concurrent
+        // vacuum that dir is indistinguishable from a crash orphan. Only
+        // dirs whose newest mtime predates `orphanGraceMs` are deleted,
+        // so an in-flight writer younger than the grace window can never
+        // lose its pre-claim data to this sweep. (A writer stalled PAST
+        // the grace window remains the documented residual — pick the
+        // window above the longest plausible write+commit.)
+        val cutoff = System.currentTimeMillis() - orphanGraceMs
+        def agedOut(p: Path): Boolean =
+          scala.util.Try {
+            val st0 = fs.getFileStatus(p)
+            // a dir's own mtime can predate its newest child (object
+            // stores, some local FS): take the max over direct children
+            val newest = (st0.getModificationTime +:
+              (if (st0.isDirectory)
+                 fs.listStatus(p).toSeq.map(_.getModificationTime)
+               else Seq.empty)).max
+            newest <= cutoff
+          }.getOrElse(false) // unreadable → assume in flight, keep
         val onDisk = fs.listStatus(new Path(root)).toSeq
           .map(_.getPath.getName)
           .filter(n => n.startsWith("gen-") || n.startsWith("dv-") ||
             n.startsWith("bloomidx-")).toSet
         val refd = liveGens ++ gens(droppedStates) // dropped's dead gens already handled
-        val genOrphans = (onDisk -- refd -- deadGens).tapEach { g =>
+        val genOrphans = (onDisk -- refd -- deadGens)
+          .filter(g => agedOut(new Path(root, g))).tapEach { g =>
           log.info(s"vacuum($root): deleting ORPHAN generation $g (no manifest references it)")
           fs.delete(new Path(root, g), true)
         }.toSet
         // sidecars from writers that crashed between sidecar write and
         // claim (or lost the claim before their cleanup ran)
-        val refdCkpts = raws.collect { case SnapshotRef(_, d, _, _) => d }.toSet
+        val refdCkpts = raws.collect { case SnapshotRef(_, d, _, _, _) => d }.toSet
         val ckptOrphans = fs.listStatus(new Path(root, ManifestDir)).toSeq
           .map(_.getPath.getName).filter(_.startsWith("ckpt-")).toSet
-          .diff(refdCkpts).tapEach { c =>
+          .diff(refdCkpts)
+          .filter(c => agedOut(new Path(root, s"$ManifestDir/$c"))).tapEach { c =>
             log.info(s"vacuum($root): deleting ORPHAN snapshot sidecar $c")
             fs.delete(new Path(root, s"$ManifestDir/$c"), true)
           }.toSet

@@ -105,7 +105,7 @@ class BloomIndexSpec extends SparkSpec {
     // compact commits a dv/bloom-preserving snapshot head; keep=1 drops
     // the versions still referencing dir1
     ManifestTable.compact(spark, root, targetFileMB = 64)
-    ManifestTable.vacuum(spark, root, keep = 1, deleteOrphans = true)
+    ManifestTable.vacuum(spark, root, keep = 1, deleteOrphans = true, orphanGraceMs = 0L)
     assert(!fs.exists(new Path(root, dir1)), "superseded index must be reclaimed")
     assert(fs.exists(new Path(root, dir2)), "live index must survive vacuum")
     assert(!fs.exists(new Path(root, "bloomidx-orphan0000")))

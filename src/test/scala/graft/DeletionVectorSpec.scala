@@ -285,7 +285,7 @@ class DeletionVectorSpec extends SparkSpec {
     // (versions 2,3 retained)... v1 is the snapshot floor, so everything
     // survives; force reclamation with keep=1 + an extra snapshot head
     ManifestTable.compact(spark, root, targetFileMB = 64) // v4 snapshot, dv-free
-    ManifestTable.vacuum(spark, root, keep = 1, deleteOrphans = true)
+    ManifestTable.vacuum(spark, root, keep = 1, deleteOrphans = true, orphanGraceMs = 0L)
     assert(!fs.exists(new Path(root, dv1)), "superseded dv must be reclaimed")
     assert(!fs.exists(new Path(root, dv2)), "materialized-away dv must be reclaimed")
     assert(!fs.exists(new Path(root, "dv-orphan000000")), "orphan dv must be reclaimed")

@@ -54,6 +54,99 @@ class GraftSqlSpec extends SparkSpec {
       Seq((1L, "a")))
   }
 
+  test("GRAFT DELETE FROM … WHERE — copy-on-write and MOR") {
+    val root = tmp() + "/del"
+    ManifestTable.write(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"), root)
+    val r = spark.sql(s"GRAFT DELETE FROM '$root' WHERE v > 25.0").collect().head
+    assert(r.getLong(0) == 2L && r.getString(1) == "copy-on-write")
+    assert(ManifestTable.read(spark, root).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+
+    val rootM = tmp() + "/delm"
+    ManifestTable.write(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+      .repartition(1), rootM)
+    val rm = spark.sql(s"GRAFT DELETE MOR FROM '$rootM' WHERE k = 2").collect().head
+    assert(rm.getString(1) == "merge-on-read")
+    assert(ManifestTable.read(spark, rootM).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    // the MOR path really wrote a deletion vector, not a rewrite
+    assert(ManifestTable.detail(spark, rootM).collect().head
+      .getAs[Long]("num_dv_files") == 1L)
+  }
+
+  test("GRAFT UPDATE … SET … [WHERE] — old-row semantics, optional WHERE") {
+    val root = tmp() + "/upd"
+    ManifestTable.write(Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("k", "v", "s"), root)
+    spark.sql(s"GRAFT UPDATE '$root' SET v = v * 2, s = concat(s, '!') WHERE k = 2")
+    assert(ManifestTable.read(spark, root).orderBy("k").as[(Long, Double, String)]
+      .collect().toSeq == Seq((1L, 10.0, "a"), (2L, 40.0, "b!")))
+    // no WHERE = whole table; MOR flavor
+    spark.sql(s"GRAFT UPDATE MOR '$root' SET v = v + 1")
+    assert(ManifestTable.read(spark, root).orderBy("k").as[(Long, Double, String)]
+      .collect().toSeq == Seq((1L, 11.0, "a"), (2L, 41.0, "b!")))
+  }
+
+  test("GRAFT MERGE INTO — default upsert, UPDATE SET with t/s aliases, DELETE") {
+    val root = tmp() + "/mrg"
+    ManifestTable.write(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root)
+    // default (no WHEN clause) = UPDATE ALL + INSERT ALL, subquery source
+    spark.sql(
+      s"GRAFT MERGE INTO '$root' USING (SELECT CAST(2 AS BIGINT) AS k, " +
+        "CAST(99.0 AS DOUBLE) AS v UNION ALL SELECT CAST(3 AS BIGINT) AS k, " +
+        "CAST(30.0 AS DOUBLE) AS v) ON (k)")
+    assert(ManifestTable.read(spark, root).orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+
+    // UPDATE SET with both aliases: t.v is the OLD value, s.v the source's
+    Seq((1L, 5.0), (4L, 40.0)).toDF("k", "v").createOrReplaceTempView("mrg_src")
+    spark.sql(
+      s"GRAFT MERGE INTO '$root' USING mrg_src ON (k) " +
+        "WHEN MATCHED THEN UPDATE SET v = t.v + s.v " +
+        "WHEN NOT MATCHED THEN INSERT ALL")
+    assert(ManifestTable.read(spark, root).orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 15.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)))
+
+    // WHEN MATCHED THEN DELETE without INSERT: only the matched key goes
+    spark.sql(
+      s"GRAFT MERGE MOR INTO '$root' USING (SELECT CAST(2 AS BIGINT) AS k, " +
+        "CAST(0.0 AS DOUBLE) AS v) ON (k) " +
+        "WHEN MATCHED THEN DELETE")
+    assert(ManifestTable.read(spark, root).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+
+    // NOT-MATCHED-only: matched rows carried through unchanged
+    spark.sql(
+      s"GRAFT MERGE INTO '$root' USING (SELECT CAST(1 AS BIGINT) AS k, " +
+        "CAST(77.0 AS DOUBLE) AS v UNION ALL SELECT CAST(9 AS BIGINT) AS k, " +
+        "CAST(90.0 AS DOUBLE) AS v) ON (k) WHEN NOT MATCHED THEN INSERT ALL")
+    assert(ManifestTable.read(spark, root).orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 15.0), (3L, 30.0), (4L, 40.0), (9L, 90.0)))
+  }
+
+  test("GRAFT VACUUM deletes orphans only with ORPHANS, and only aged ones") {
+    val root = tmp() + "/vac"
+    ManifestTable.write(Seq((1L, "a")).toDF("k", "s"), root)
+    // fabricate a crash orphan: a gen- dir no manifest references
+    val orphan = java.nio.file.Paths.get(root, "gen-orphan-test")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+
+    // without ORPHANS: never touched
+    spark.sql(s"GRAFT VACUUM '$root' KEEP 1").collect()
+    assert(java.nio.file.Files.exists(orphan))
+    // with ORPHANS but younger than the grace window: still kept
+    spark.sql(s"GRAFT VACUUM '$root' KEEP 1 ORPHANS").collect()
+    assert(java.nio.file.Files.exists(orphan),
+      "a fresh unreferenced dir may be a concurrent writer's in-flight data")
+    // age the dir (and its children) past the grace window → reclaimed
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 24L * 3600 * 1000)
+    java.nio.file.Files.setLastModifiedTime(orphan, old)
+    java.nio.file.Files.setLastModifiedTime(orphan.resolve("junk.parquet"), old)
+    val r = spark.sql(s"GRAFT VACUUM '$root' KEEP 1 ORPHANS").collect().head
+    assert(r.getInt(0) >= 1 && !java.nio.file.Files.exists(orphan))
+  }
+
   test("non-GRAFT SQL is untouched; a malformed GRAFT statement errors loudly") {
     assert(spark.sql("SELECT 1 + 1 AS two").as[Int].head() == 2)
     // a table named graft still parses through the delegate (the prefix

@@ -713,7 +713,7 @@ class ManifestTableSpec extends SparkSpec {
         .map(_.getPath.getName).filter(_.startsWith("ckpt-")).toSet
       // v4's sidecar survives; v1/v2's are gone; the orphan needs deleteOrphans
       assert(ckpts.size == 2 && ckpts.contains("ckpt-orphaned"), ckpts)
-      ManifestTable.vacuum(spark, root, keep = 2, deleteOrphans = true)
+      ManifestTable.vacuum(spark, root, keep = 2, deleteOrphans = true, orphanGraceMs = 0L)
       val after = fs.listStatus(new Path(root, "_manifests"))
         .map(_.getPath.getName).filter(_.startsWith("ckpt-")).toSet
       assert(after.size == 1 && !after.contains("ckpt-orphaned"), after)
@@ -787,7 +787,7 @@ class ManifestTableSpec extends SparkSpec {
     Seq((9, "z")).toDF("k", "s").write.parquet(root + "/gen-orphan")
     assert(ManifestTable.vacuum(spark, root, keep = 1) == 0) // default: untouched
     assert(fs.exists(new Path(root, "gen-orphan")))
-    assert(ManifestTable.vacuum(spark, root, keep = 1, deleteOrphans = true) == 1)
+    assert(ManifestTable.vacuum(spark, root, keep = 1, deleteOrphans = true, orphanGraceMs = 0L) == 1)
     assert(!fs.exists(new Path(root, "gen-orphan")))
     assert(ManifestTable.read(spark, root).count() == 1)
   }
@@ -1178,7 +1178,61 @@ class ManifestTableSpec extends SparkSpec {
 
     // vacuum after a restore keeps the resurrected generations live
     ManifestTable.restore(spark, root, 1L)
-    ManifestTable.vacuum(spark, root, keep = 1, deleteOrphans = true)
+    ManifestTable.vacuum(spark, root, keep = 1, deleteOrphans = true, orphanGraceMs = 0L)
     assert(content() == v1Rows)
+  }
+
+  test("protocol gate: a newer-protocol manifest refuses loudly, never falls back") {
+    val root = tmp() + "/proto"
+    ManifestTable.write(Seq((1, "a")).toDF("k", "s"), root) // v1
+    // hand-write a v2 manifest from a hypothetical future format: the
+    // reader must REFUSE the table — an absent-style fallback would
+    // silently serve v1 (stale reads are the resurrect hazard in
+    // time-travel form)
+    val p2 = java.nio.file.Paths.get(root, "_manifests", f"${2L}%020d.txt")
+    java.nio.file.Files.write(p2,
+      "version=2\nprotocol=99\nkind=delta\ncommit=ok".getBytes("UTF-8"))
+    val e = intercept[ManifestTable.UnsupportedProtocolException] {
+      ManifestTable.read(spark, root).collect()
+    }
+    assert(e.getMessage.contains("protocol 99"))
+  }
+
+  test("deletion-vector commits declare protocol=2 in the manifest text") {
+    val root = tmp() + "/proto2"
+    ManifestTable.write(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
+      .repartition(1), root)
+    val v = ManifestTable.deleteMoR(spark, root, org.apache.spark.sql.functions.col("k") === 2L)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifests", f"$v%020d.txt")), "UTF-8")
+    assert(text.contains("protocol=2"), s"dv commit should declare protocol=2:\n$text")
+    // and a plain write stays protocol-1 implicit (byte-stable format)
+    val text1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifests", f"${1L}%020d.txt")), "UTF-8")
+    assert(!text1.contains("protocol="))
+  }
+
+  test("versionAtTime is monotonic under non-monotonic commit mtimes") {
+    val root = tmp() + "/tt"
+    ManifestTable.write(Seq((1, "a")).toDF("k", "s"), root)                 // v1
+    ManifestTable.upsertDedup(spark, Seq((2, "b")).toDF("k", "s"), root,
+      keys = Seq("k"), order = "s")                                          // v2
+    ManifestTable.upsertDedup(spark, Seq((3, "c")).toDF("k", "s"), root,
+      keys = Seq("k"), order = "s")                                          // v3
+    def setMtime(v: Long, ms: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(root, "_manifests", f"$v%020d.txt"),
+        java.nio.file.attribute.FileTime.fromMillis(ms))
+    // clock skew / restored log: v3 carries an OLDER mtime than v2
+    setMtime(1, 1000L); setMtime(2, 300000L); setMtime(3, 2000L)
+    // at t=150000 a naive newest-first mtime scan would resolve v3 —
+    // which CONTAINS v2's changes (committed "later", at 300000).
+    // Delta-style adjusted (max-so-far) timestamps make v2 and v3 both
+    // effectively 300000, so only v1 is at-or-before the instant.
+    assert(ManifestTable.versionAtTime(spark, root, 150000L) == Some(1L))
+    // and after every commit: the head resolves
+    assert(ManifestTable.versionAtTime(spark, root, 300001L) == Some(3L))
+    // before every commit: none
+    assert(ManifestTable.versionAtTime(spark, root, 500L) == None)
   }
 }
