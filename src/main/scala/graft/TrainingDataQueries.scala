@@ -99,8 +99,11 @@ object TrainingDataQueries extends QueryPack {
       DedupSuite.simhashNearDupPairs(docs(s, d), "doc_id", col("text"),
         maxHamming = 5, portable = true)),
     "d_embed_neardup" -> ((s, d) =>
+      // exact all-pairs BASELINE, maxDocs-guarded (the operator refuses a
+      // corpus-scale universe); 20k admits the 10× scale-step table as a
+      // deliberate bounded experiment — d_embed_lsh is the scale path.
       Ann.cosineNearDupPairs(embs(s, d), "vec_id", "embedding",
-        threshold = 0.478)),
+        threshold = 0.478, maxDocs = 20000)),
     "d_embed_lsh" -> ((s, d) =>
       // the bucketed scale path for embedding near-dup; oracle replicates
       // the same buckets/probes, so the check is exact even though the
@@ -108,14 +111,21 @@ object TrainingDataQueries extends QueryPack {
       Ann.lshNearDupPairs(embs(s, d), "vec_id", "embedding",
         threshold = 0.478, numPlanes = 12, dim = 64, seed = 42L,
         probeHamming = 1)),
-    "d_semantic" -> ((s, d) =>
+    "d_semantic" -> ((s, d) => {
       // SemDeDup: within-centroid-cell cosine near-dup removal with
-      // 2-cell multi-probe (closes cell-boundary misses). Seed centroids
-      // (vec_id < 8) keep the oracle replicable; production uses
-      // Ann.trainCentroids k-means output.
-      Ann.semanticDedup(embs(s, d), "vec_id", "embedding",
-        embs(s, d).filter(col("vec_id") < 8).select(col("vec_id"), col("embedding")),
-        threshold = 0.43, probeCells = 2)),
+      // 2-cell multi-probe (closes cell-boundary misses). The cell count
+      // is ADAPTIVE — k ∝ n/targetCellSize, re-derived per run — so the
+      // within-cell pair stage stays linear as the corpus grows (a fixed
+      // k measured 9.0× at a 10× step, SCALE_SMOKE r12). Seed centroids
+      // (vec_id < k, deterministic) keep the oracle replicable — the
+      // oracle computes the same k from its own COUNT(*); production
+      // uses Ann.trainCentroids k-means output.
+      val e = embs(s, d)
+      val k = Ann.adaptiveCellCount(e.count())
+      Ann.semanticDedup(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < k).select(col("vec_id"), col("embedding")),
+        threshold = 0.43, probeCells = 2)
+    }),
     // similarity search ----------------------------------------------------
     "ann_topk" -> ((s, d) => {
       val e = embs(s, d)
@@ -344,7 +354,8 @@ object TrainingDataQueries extends QueryPack {
          |FROM ranked WHERE rn <= 5""".stripMargin,
     "d_semantic" ->
       s"""WITH v AS ($vSql),
-         |cent AS (SELECT vec_id AS cell_id, e FROM v WHERE vec_id < 8),
+         |cent AS (SELECT vec_id AS cell_id, e FROM v
+         |         WHERE vec_id < (SELECT GREATEST(8, CEIL(COUNT(*) / 128.0)) FROM v)),
          |asg AS (
          |  SELECT vec_id, e, cell_id, rn FROM (
          |    SELECT v.vec_id, v.e, cent.cell_id,

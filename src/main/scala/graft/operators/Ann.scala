@@ -441,6 +441,24 @@ object Ann {
     * planted pairs at 256 random cells, SCALE_SMOKE.md); `probeCells = 2`
     * closes most boundary misses for ~2x pair-stage cost. Precision is
     * exact at any setting. */
+  /** Cell count for a corpus of `n` vectors at `targetCellSize` expected
+    * occupancy — THE semantic-dedup scale knob. A FIXED k is the classic
+    * SemDeDup scale bug: cell density grows linearly with the corpus, so
+    * the within-cell pair stage grows quadratically (measured 9.0× at a
+    * 10× step with k frozen, SCALE_SMOKE r12). With k ∝ n/targetCellSize
+    * the pair stage is ~n·targetCellSize — linear; re-derive k per run
+    * from the live count. The assignment stage is n·k distance ops
+    * (= n²/targetCellSize): fine into the tens of millions of vectors on
+    * a cluster; beyond that, assign through a coarse-quantized two-level
+    * probe ([[ivfProbeIndex]]'s cell-partitioned layout) instead of one
+    * flat crossJoin. */
+  def adaptiveCellCount(n: Long, targetCellSize: Int = 128, floor: Int = 8): Int = {
+    require(targetCellSize > 0 && floor > 0,
+      s"adaptiveCellCount: targetCellSize/floor must be > 0, got $targetCellSize/$floor")
+    math.max(floor.toLong, (n + targetCellSize - 1) / targetCellSize)
+      .min(Int.MaxValue).toInt
+  }
+
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, threshold: Double,
                     probeCells: Int = 1): DataFrame = {
@@ -458,9 +476,28 @@ object Ann {
   }
 
   /** Brute-force near-duplicate pairs by cosine threshold (triangular
-    * self-join baseline; the LSH/IVF paths above are the scale variant). */
+    * self-join baseline).
+    *
+    * The small-universe precondition is ENFORCED, not just documented
+    * (`maxDocs`, one bounded count action — the same guard discipline as
+    * `DedupSuite.charNgramPairs`): the triangular self-join is n²/2
+    * full-width cosine evaluations with no pruning at all, so a
+    * corpus-scale call is quadratic by construction, not merely slow.
+    * Pointing this at a corpus is a misuse: the corpus-scale embedding
+    * near-dup path is [[lshNearDupPairs]] (bucketed, linear-ish) or
+    * [[semanticDedup]] (cell-partitioned). Raise `maxDocs` deliberately
+    * for a bounded experiment. */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double, maxDocs: Int = 10000): DataFrame = {
+    // bounded guard: the scan stops after maxDocs+1 rows, so the check
+    // costs O(maxDocs) even against a 100 TB corpus
+    val universe = vectors.limit(maxDocs + 1).count()
+    require(universe <= maxDocs,
+      s"cosineNearDupPairs: candidate universe has >$maxDocs vectors " +
+        s"(maxDocs=$maxDocs) — this exact all-pairs baseline is quadratic; " +
+        "use lshNearDupPairs (sign-LSH buckets) or semanticDedup (centroid " +
+        "cells) for corpus-scale near-dup detection, or raise maxDocs " +
+        "deliberately for a bounded experiment")
     val v = vectors.select(col(idCol).as("_id"), col(vecCol).as("_v"))
     v.toDF("id_a", "v_a")
       .join(v.toDF("id_b", "v_b"), col("id_a") < col("id_b"))

@@ -719,6 +719,41 @@ class OperatorsSpec extends SparkSpec {
     assert(probed == Seq((1L, 0L, 1), (2L, 1L, 0))) // boundary dup caught
   }
 
+  test("adaptiveCellCount scales k with the corpus; small corpora keep the classic config") {
+    // floor of 8 preserves the proven small-n behavior exactly …
+    assert(Ann.adaptiveCellCount(500) == 8)
+    assert(Ann.adaptiveCellCount(0) == 8)
+    // … and k ∝ n/targetCellSize beyond it (the SemDeDup scale fix:
+    // fixed k makes the within-cell pair stage quadratic in the corpus)
+    assert(Ann.adaptiveCellCount(2000) == 16)
+    assert(Ann.adaptiveCellCount(20000) == 157)
+    assert(Ann.adaptiveCellCount(20000, targetCellSize = 256) == 79)
+    // parity: at small n the adaptive config IS the old fixed-8 config
+    val e = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id", $"embedding")
+    val k = Ann.adaptiveCellCount(e.count())
+    assert(k == 8)
+    val adaptive = Ann.semanticDedup(e, "vec_id", "embedding",
+      e.filter($"vec_id" < k), threshold = 0.43, probeCells = 2)
+      .orderBy("vec_id").collect().toSeq
+    val classic = Ann.semanticDedup(e, "vec_id", "embedding",
+      e.filter($"vec_id" < 8), threshold = 0.43, probeCells = 2)
+      .orderBy("vec_id").collect().toSeq
+    assert(adaptive == classic)
+  }
+
+  test("cosineNearDupPairs refuses a universe beyond maxDocs, pointing at the scale paths") {
+    val e = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+    val err = intercept[IllegalArgumentException] {
+      Ann.cosineNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.9, maxDocs = 100).count()
+    }
+    assert(err.getMessage.contains("lshNearDupPairs"))
+    // a deliberately-raised bound admits the same call
+    assert(Ann.cosineNearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.9999, maxDocs = 1000).count() >= 0)
+  }
+
   test("trained PQ codebook beats the seed codebook on quantization error") {
     val e = graft.core.Tables.embeddings(spark, sf("sf0.001"))
     val seedCb = Ann.pqCodebook(
