@@ -256,9 +256,13 @@ object AggWindowQueries extends QueryPack {
     }),
     "k14_stats_agg" -> ((s, d) => {
       // K14 (beyond-reference): metadata-only aggregates — COUNT/MIN/MAX
-      // answered from the manifest's per-file footer stats without
-      // touching a data file (statsOnly is a driver-side metadata fold);
-      // the oracle recomputes the same aggregates relationally.
+      // answered from the manifest alone without touching a data file.
+      // The table is HIVE-PARTITIONED on o_orderpriority, so that
+      // column's count/bounds come from the partition directory values
+      // + per-file row counts (they have no parquet footer stats at
+      // all), n_rows comes from the dedicated rowCount fast path, and
+      // the rest from per-column footer stats. The oracle recomputes the
+      // same aggregates relationally.
       import s.implicits._
       import graft.sources.ManifestTable
       val root = java.nio.file.Files.createTempDirectory("graft-k14")
@@ -266,17 +270,21 @@ object AggWindowQueries extends QueryPack {
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice"), col("o_orderpriority")).repartition(8),
-        root)
+        root, partitionCols = Seq("o_orderpriority"))
       val stats = ManifestTable.statsOnly(s, root)
       val cust = stats.filter(col("column") === "o_custkey")
         .select("value_count", "null_count").collect().head
-      val (nRows, nullCust) = (cust.getLong(0), cust.getLong(1))
-      Seq((nRows, nRows - nullCust,
+      val prio = stats.filter(col("column") === "o_orderpriority")
+        .select("value_count", "null_count").collect().head
+      Seq((ManifestTable.rowCount(s, root).get,
+        cust.getLong(0) - cust.getLong(1),
+        prio.getLong(0) - prio.getLong(1),
         ManifestTable.statDouble(stats, "o_totalprice", "min").get,
         ManifestTable.statDouble(stats, "o_totalprice", "max").get,
         ManifestTable.statString(stats, "o_orderpriority", "min").get,
         ManifestTable.statString(stats, "o_orderpriority", "max").get))
-        .toDF("n_rows", "n_cust", "min_price", "max_price", "min_prio", "max_prio")
+        .toDF("n_rows", "n_cust", "n_prio", "min_price", "max_price",
+          "min_prio", "max_prio")
     }),
     "k15_delete" -> ((s, d) => {
       // K15 (beyond-reference): copy-on-write DELETE WHERE — only files
@@ -597,6 +605,7 @@ object AggWindowQueries extends QueryPack {
          |GROUP BY 1, 2""".stripMargin,
     "k14_stats_agg" ->
       """SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+        |       COUNT(o_orderpriority) AS n_prio,
         |       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
         |       MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio
         |FROM orders""".stripMargin,

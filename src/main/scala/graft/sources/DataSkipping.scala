@@ -49,10 +49,19 @@ object DataSkipping {
     * row reads). Columns drop out rather than degrade: unsupported
     * physical/logical types, missing or unusable chunk statistics,
     * NaN float bounds, non-ASCII string bounds. */
-  def footerStats(conf: Configuration, path: Path): Map[String, ColStats] = {
+  def footerStats(conf: Configuration, path: Path): Map[String, ColStats] =
+    footerInfo(conf, path)._1
+
+  /** [[footerStats]] plus the file's EXACT total row count (sum of the
+    * footer's per-block row counts — always present in valid parquet,
+    * unlike column statistics), from one footer open. The row count is
+    * the manifest's zero-scan COUNT(*) path and the deletion-vector
+    * full-file-delete proof. */
+  def footerInfo(conf: Configuration, path: Path): (Map[String, ColStats], Long) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
       // per column: bounds (kind/min/max — absent until a non-null chunk
       // lands, '_' once any chunk's bounds prove unusable) + null/value
       // totals. None = column fully unusable (dropped from the result).
@@ -93,7 +102,7 @@ object DataSkipping {
           // counts alone still answer IS NULL / IS NOT NULL and let
           // comparisons prune files with zero non-null values
           c -> ColStats('_', "", "", a.nulls, a.count)
-      }.toMap
+      }.toMap -> rowCount
     } finally reader.close()
   }
 

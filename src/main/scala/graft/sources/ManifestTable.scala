@@ -108,10 +108,17 @@ object ManifestTable {
     * metadata-level data skipping ([[readWhere]]), and an optional
     * deletion-vector reference ([[deleteMoR]]). A file with a `dv` has
     * SUPERSET stats: bounds/counts include deleted rows, so pruning
-    * stays conservative but [[statsOnly]] loses exactness. */
+    * stays conservative but [[statsOnly]] loses exactness. `rows` is
+    * the file's TOTAL (pre-DV) row count from its parquet footer, -1
+    * when unknown (legacy manifests): unlike column value counts it is
+    * always present at write time, so it answers COUNT(*) with zero
+    * data reads ([[rowCount]] — `rows - dv.count` is EXACT live rows
+    * even mid-MoR), counts hive-partition columns whose values never
+    * had footer stats, and proves a DV'd file fully deleted. */
   final case class FileEntry(relPath: String, bytes: Long,
                              stats: Map[String, ColStats] = Map.empty,
-                             dv: Option[DvRef] = None) {
+                             dv: Option[DvRef] = None,
+                             rows: Long = -1L) {
     /** Hive partition sub-path between the generation dir and the file
       * name ("" when unpartitioned). */
     def partitionPath: String = {
@@ -165,6 +172,34 @@ object ManifestTable {
     stats.toSeq.sortBy(_._1).map { case (c, s) =>
       s"${enc(c)}:${s.kind}:${enc(s.min)}:${enc(s.max)}:${s.nulls}:${s.count}"
     }.mkString(",")
+
+  /** A file entry's full stats field: the per-column specs plus, when
+    * known, a leading `#rows:<n>` pseudo-spec carrying the file's total
+    * row count. Riding INSIDE the stats field is deliberate format
+    * compatibility: pre-rows readers' decodeStats ignores unknown spec
+    * shapes ("stats are advisory"), so they drop the count harmlessly —
+    * no new tab field, no protocol bump (contrast dv, where dropping is
+    * data loss and IS gated). `#` cannot collide with a real column:
+    * column names are URL-encoded, so a literal `#rows` column encodes
+    * as `%23rows`. */
+  private[graft] def encodeFileStats(f: FileEntry): String = {
+    val base = encodeStats(f.stats)
+    if (f.rows < 0) base
+    else if (base.isEmpty) s"#rows:${f.rows}"
+    else s"#rows:${f.rows},$base"
+  }
+
+  /** Decode a stats field into (rows, per-column stats); rows is -1
+    * when the field predates the `#rows` pseudo-spec. */
+  private[graft] def decodeFileStats(s: String): (Long, Map[String, ColStats]) =
+    if (s == null || s.isEmpty) (-1L, Map.empty)
+    else {
+      val rows = s.split(',').collectFirst {
+        case spec if spec.startsWith("#rows:") =>
+          scala.util.Try(spec.stripPrefix("#rows:").toLong).getOrElse(-1L)
+      }.getOrElse(-1L)
+      (rows, decodeStats(s))
+    }
 
   /** DV wire format (4th tab field of a `file=` line, and the `dv`
     * sidecar column): `<url-encoded dir>:<count>`. Unlike stats, a
@@ -362,9 +397,12 @@ object ManifestTable {
         // DV'd file still parses as 4 fields.
         l.stripPrefix("file=").split('\t') match {
           case Array(p, b)    => FileEntry(p, b.toLong)
-          case Array(p, b, s) => FileEntry(p, b.toLong, decodeStats(s))
+          case Array(p, b, s) =>
+            val (rows, st) = decodeFileStats(s)
+            FileEntry(p, b.toLong, st, None, rows)
           case Array(p, b, s, dv) =>
-            FileEntry(p, b.toLong, decodeStats(s), decodeDv(dv))
+            val (rows, st) = decodeFileStats(s)
+            FileEntry(p, b.toLong, st, decodeDv(dv), rows)
           case other => sys.error(s"malformed file= line (${other.length} fields)")
         }
       }
@@ -482,10 +520,13 @@ object ManifestTable {
         log.warn(s"manifest table $root: snapshot sidecar ${ref.refDir} has " +
           s"${rows.length} rows, stub committed ${ref.count} — treating as absent")
         None
-      } else Some(rows.toSeq.map(r =>
-        FileEntry(r.getString(0), r.getLong(1),
-          if (r.isNullAt(2)) Map.empty else decodeStats(r.getString(2)),
-          if (r.isNullAt(3)) None else decodeDv(r.getString(3)))))
+      } else Some(rows.toSeq.map { r =>
+        val (nRows, st) =
+          if (r.isNullAt(2)) (-1L, Map.empty[String, ColStats])
+          else decodeFileStats(r.getString(2))
+        FileEntry(r.getString(0), r.getLong(1), st,
+          if (r.isNullAt(3)) None else decodeDv(r.getString(3)), nRows)
+      })
     } catch {
       case scala.util.control.NonFatal(e) =>
         log.warn(s"manifest table $root: snapshot sidecar ${ref.refDir} unreadable " +
@@ -646,10 +687,11 @@ object ManifestTable {
         w.write(s"version=$version\n")
         def fileLine(f: FileEntry): String = f.dv match {
           case Some(d) =>
-            s"file=${f.relPath}\t${f.bytes}\t${encodeStats(f.stats)}\t${encodeDv(d)}\n"
+            s"file=${f.relPath}\t${f.bytes}\t${encodeFileStats(f)}\t${encodeDv(d)}\n"
           case None =>
-            if (f.stats.isEmpty) s"file=${f.relPath}\t${f.bytes}\n"
-            else s"file=${f.relPath}\t${f.bytes}\t${encodeStats(f.stats)}\n"
+            val s = encodeFileStats(f)
+            if (s.isEmpty) s"file=${f.relPath}\t${f.bytes}\n"
+            else s"file=${f.relPath}\t${f.bytes}\t$s\n"
         }
         // declare the protocol a reader NEEDS, only when above the
         // implicit baseline (protocol-1 manifests stay byte-stable)
@@ -704,15 +746,15 @@ object ManifestTable {
       if (f.getPath.getName.endsWith(".parquet")) {
         val rel = f.getPath.toUri.getPath.stripPrefix(qualified.toUri.getPath)
           .stripPrefix("/")
-        val stats =
-          try DataSkipping.footerStats(fs.getConf, f.getPath)
+        val (stats, nRows) =
+          try DataSkipping.footerInfo(fs.getConf, f.getPath)
           catch {
             case scala.util.control.NonFatal(e) =>
               log.warn(s"manifest table $root: could not read footer stats for " +
                 s"$gen/$rel (${e.getClass.getSimpleName}) — file committed without stats")
-              Map.empty[String, ColStats]
+              (Map.empty[String, ColStats], -1L)
           }
-        entries += FileEntry(s"$gen/$rel", f.getLen, stats)
+        entries += FileEntry(s"$gen/$rel", f.getLen, stats, None, nRows)
       }
     }
     entries.result()
@@ -737,7 +779,7 @@ object ManifestTable {
       // one parquet file: the sidecar is driver-read back in one go and
       // object stores price requests, not bytes
       files.map(f => (f.relPath, f.bytes,
-          if (f.stats.isEmpty) null else encodeStats(f.stats),
+          { val s = encodeFileStats(f); if (s.isEmpty) null else s },
           f.dv.map(encodeDv).orNull))
         .toDF("relPath", "bytes", "stats", "dv")
         .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(p.toString)
@@ -1111,9 +1153,13 @@ object ManifestTable {
     *    strings, NaN floats) or when kinds disagree across files;
     *    all-null files legitimately contribute counts and no bounds.
     *
-    * Any LIVE deletion vector ([[deleteMoR]]) voids exactness table-wide
-    * — every stat reads NULL until [[materializeDeletes]] (or a rewrite)
-    * folds the DVs in.
+    * Any LIVE deletion vector ([[deleteMoR]]) voids exactness for DATA
+    * columns — their stats read NULL until [[materializeDeletes]] (or a
+    * rewrite) folds the DVs in (a deleted row may have owned the
+    * min/max, counts would overcount). Hive PARTITION columns stay
+    * exact through DVs: their value is a property of the file, so live
+    * counts are Σ(rows − dv.count) per file. For bare COUNT(*) use
+    * [[rowCount]], which is likewise DV-exact.
     *
     * `min`/`max` are the canonical stat encodings ([[ColStats]]): use
     * [[statDouble]]/[[statString]] for typed access. Hive partition
@@ -1152,16 +1198,33 @@ object ManifestTable {
         bounds.map(_._2).orNull, bounds.map(_._3).orNull)
     }
     val partCols = st.files.flatMap(_.partitionValues.keys).distinct.sorted
+    // partition columns are EXEMPT from the DV voiding above: their
+    // per-row value is a property of the FILE, so live counts are
+    // exactly Σ(rows - dv.count) — no deleted row can shift a
+    // partition value, only empty a file (and a file proven empty is
+    // dropped at DV-write time; unproven legacy files make the stat
+    // honest-NULL through the unknown-rows condition).
     val partRows = partCols.map { c =>
-      val everywhere = !anyDv && st.files.forall(_.partitionValues.contains(c))
-      val perFile = st.files.map(f => (f.partitionValues.get(c).flatten, fileRows(f)))
+      val everywhere = st.files.forall(_.partitionValues.contains(c))
+      val perFile = st.files.map(f => (f.partitionValues.get(c).flatten, fileLiveRows(f)))
       val counts =
         if (everywhere && perFile.forall(_._2.nonEmpty))
           Some((perFile.map(_._2.get).sum,
             perFile.collect { case (None, Some(n)) => n }.sum)) // null-partition rows
         else None
-      val vals = perFile.flatMap(_._1)
-      val bounds = if (everywhere && vals.nonEmpty) Some((vals.min, vals.max)) else None
+      // bounds: a DV'd file contributes its partition value only if it
+      // provably has live rows (a legacy DV'd file with unknown rows
+      // voids bounds — it could be silently empty); DV-less files are
+      // live by construction, counts or not (legacy posture preserved)
+      val dvProvable = st.files.forall(f => f.dv.isEmpty || fileLiveRows(f).nonEmpty)
+      val vals = st.files.collect {
+        case f if f.partitionValues.contains(c) &&
+          (f.dv.isEmpty || fileLiveRows(f).exists(_ > 0)) =>
+          f.partitionValues(c)
+      }.flatten
+      val bounds =
+        if (everywhere && dvProvable && vals.nonEmpty) Some((vals.min, vals.max))
+        else None
       org.apache.spark.sql.Row(c,
         counts.map(x => Long.box(x._1)).orNull, counts.map(x => Long.box(x._2)).orNull,
         bounds.map(_ => "s").orNull, bounds.map(_._1).orNull, bounds.map(_._2).orNull)
@@ -1178,12 +1241,32 @@ object ManifestTable {
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
-  /** A file's TOTAL row count (pre-DV) from any stats-bearing column's
-    * value count (parquet value counts include nulls, so every counted
-    * column counts the file's rows); None when no column carries counts
-    * (legacy manifests, footer-read failure). */
+  /** A file's TOTAL row count (pre-DV): the dedicated footer row count
+    * when present, else the legacy derivation from any stats-bearing
+    * column's value count (parquet value counts include nulls, so every
+    * counted column counts the file's rows); None when neither exists
+    * (legacy manifests with a footer-read failure). */
   private def fileRows(f: FileEntry): Option[Long] =
-    f.stats.values.collectFirst { case s if s.count >= 0 => s.count }
+    if (f.rows >= 0) Some(f.rows)
+    else f.stats.values.collectFirst { case s if s.count >= 0 => s.count }
+
+  /** A file's LIVE row count: total minus its deletion vector's marked
+    * positions — exact even mid-merge-on-read. */
+  private def fileLiveRows(f: FileEntry): Option[Long] =
+    fileRows(f).map(_ - f.dv.map(_.count).getOrElse(0L))
+
+  /** EXACT table row count answered from the manifest alone — zero data
+    * files touched (the lakehouse COUNT(*) fast path; at 100 TB this is
+    * a driver-side metadata fold vs a full scan). Unlike [[statsOnly]]
+    * it stays exact while deletion vectors are live (`rows - dv.count`
+    * is the file's live count by construction). None when any live file
+    * predates per-file row counts — honesty over approximation. */
+  def rowCount(spark: SparkSession, root: String): Option[Long] = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val perFile = st.files.map(fileLiveRows)
+    if (perFile.forall(_.nonEmpty)) Some(perFile.flatten.sum) else None
+  }
 
   private def ordCanon(kind: Char, a: String, b: String, min: Boolean): String =
     if (kind == 's') { if ((a <= b) == min) a else b }
@@ -2667,9 +2750,8 @@ object ManifestTable {
       st.files.flatMap(_.dv).map(_.count).sum,
       // live rows, metadata-only: per-file footer counts minus DV'd
       // positions; honest-NULL when any file lacks counts
-      (if (st.files.forall(f => fileRows(f).nonEmpty))
-        Long.box(st.files.flatMap(fileRows).sum -
-          st.files.flatMap(_.dv).map(_.count).sum)
+      (if (st.files.forall(f => fileLiveRows(f).nonEmpty))
+        Long.box(st.files.flatMap(fileLiveRows).sum)
       else null))
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val schema = StructType(Seq(

@@ -1235,4 +1235,57 @@ class ManifestTableSpec extends SparkSpec {
     // before every commit: none
     assert(ManifestTable.versionAtTime(spark, root, 500L) == None)
   }
+
+  test("per-file #rows: manifest carries counts, rowCount is DV-exact, legacy reads None") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp() + "/rows"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+      .repartition(1), root)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifests", f"${1L}%020d.txt")), "UTF-8")
+    assert(text.contains("#rows:3"), s"expected a #rows:3 pseudo-spec:\n$text")
+    assert(ManifestTable.rowCount(spark, root) == Some(3L))
+    // merge-on-read delete: COUNT(*) stays EXACT while the DV is live
+    // (rows - dv.count), even though data-column stats go honest-NULL
+    ManifestTable.deleteMoR(spark, root, col("k") === 2L)
+    assert(ManifestTable.rowCount(spark, root) == Some(2L))
+    assert(ManifestTable.detail(spark, root).collect().head
+      .getAs[java.lang.Long]("num_rows") == 2L)
+    // legacy manifest (2-field file= lines, no stats, no #rows): still
+    // parses, reads fine, and rowCount reports honest-None
+    val legacyRoot = tmp() + "/rows_legacy"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .repartition(1), legacyRoot)
+    val mp = java.nio.file.Paths.get(legacyRoot, "_manifests", f"${1L}%020d.txt")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      .split('\n').map { l =>
+        if (l.startsWith("file=")) l.split('\t').take(2).mkString("\t") else l
+      }.mkString("\n")
+    java.nio.file.Files.write(mp, stripped.getBytes("UTF-8"))
+    // drop the local-FS checksum sidecar the out-of-band edit invalidated
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      legacyRoot, "_manifests", f".${1L}%020d.txt.crc"))
+    assert(ManifestTable.read(spark, legacyRoot).count() == 2L)
+    assert(ManifestTable.rowCount(spark, legacyRoot) == None)
+  }
+
+  test("statsOnly partition columns stay exact through live deletion vectors") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp() + "/prows"
+    ManifestTable.write(
+      Seq((1L, 10.0, "x"), (2L, 20.0, "x"), (3L, 30.0, "y"), (4L, 40.0, "y"))
+        .toDF("k", "v", "p").repartition(1),
+      root, partitionCols = Seq("p"))
+    ManifestTable.deleteMoR(spark, root, col("k") === 3L)
+    val stats = ManifestTable.statsOnly(spark, root)
+    // data columns: DV voids exactness -> honest NULL
+    val vRow = stats.filter(col("column") === "v").collect().head
+    assert(vRow.isNullAt(vRow.fieldIndex("value_count")))
+    // partition column: live counts from dir values + per-file rows
+    val pRow = stats.filter(col("column") === "p").collect().head
+    assert(pRow.getLong(pRow.fieldIndex("value_count")) == 3L)
+    assert(pRow.getLong(pRow.fieldIndex("null_count")) == 0L)
+    assert(pRow.getString(pRow.fieldIndex("min")) == "x" &&
+      pRow.getString(pRow.fieldIndex("max")) == "y")
+  }
 }
