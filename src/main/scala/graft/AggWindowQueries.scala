@@ -422,6 +422,26 @@ object AggWindowQueries extends QueryPack {
         "WHEN NOT MATCHED THEN INSERT ALL")
       ManifestTable.read(s, root)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    }),
+    "k22_rename_read" -> ((s, d) => {
+      // K22 (beyond-reference): column rename WITHOUT rewrite (name
+      // mapping) — orders lands with o_totalprice, the column renames to
+      // `price` in one metadata-only commit, then a SQL UPDATE and a
+      // pruned read both speak the NEW name against the ORIGINAL,
+      // untouched files. The oracle replays the arithmetic relationally
+      // with the rename as a projection alias.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k22")
+        .toString + "/orders_ren"
+      ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+        root)
+      s.sql(s"GRAFT ALTER '$root' RENAME COLUMN o_totalprice TO price")
+      s.sql(s"GRAFT UPDATE '$root' SET price = price * 2.0 " +
+        "WHERE o_orderpriority = '1-URGENT'")
+      ManifestTable.readWhere(s, root, col("price") > 100000.0)
+        .select(col("o_orderkey"), col("price"), col("o_orderpriority"))
     })
   )
 
@@ -656,7 +676,16 @@ object AggWindowQueries extends QueryPack {
         |UNION ALL
         |SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, o_orderpriority
         |FROM orders
-        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 50000.0""".stripMargin
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 50000.0""".stripMargin,
+    "k22_rename_read" ->
+      """WITH renamed AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2.0
+        |         ELSE o_totalprice END AS price,
+        |    o_orderpriority
+        |  FROM orders)
+        |SELECT o_orderkey, price, o_orderpriority
+        |FROM renamed WHERE price > 100000.0""".stripMargin
   )
 }
 

@@ -30,6 +30,8 @@ import graft.sources.ManifestTable
   * the default is copy-on-write):
   *
   * {{{
+  *   GRAFT ALTER 'path' RENAME COLUMN a TO b   -- metadata-only (name mapping)
+  *   GRAFT ALTER 'path' DROP COLUMN a          -- metadata-only
   *   GRAFT DELETE [MOR] FROM 'path' WHERE <expr>
   *   GRAFT UPDATE [MOR] 'path' SET c = <expr> [, ...] [WHERE <expr>]
   *   GRAFT MERGE [MOR] INTO 'path' USING <view | (subquery)> ON (k1 [, k2 ...])
@@ -63,6 +65,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum  = """(?is)VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?(?:\s+(ORPHANS))?""".r
   private val Restore = """(?is)RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)""".r
   private val Compact = """(?is)COMPACT\s+'([^']+)'(?:\s+TARGET\s+(\d+))?""".r
+  private val Rename  =
+    """(?is)ALTER\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)""".r
+  private val DropCol = """(?is)ALTER\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)""".r
   private val Delete  = """(?is)DELETE\s+(?:(MOR)\s+)?FROM\s+'([^']+)'\s+WHERE\s+(.+)""".r
   private val Update  = """(?is)UPDATE\s+(?:(MOR)\s+)?'([^']+)'\s+SET\s+(.+)""".r
   private val Merge   = """(?is)MERGE\s+(?:(MOR)\s+)?INTO\s+'([^']+)'\s+USING\s+(.+)""".r
@@ -78,6 +83,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case Restore(p, v) => GraftRestoreCommand(p, v.toLong)
       case Compact(p, mb) =>
         GraftCompactCommand(p, Option(mb).map(_.toInt).getOrElse(512))
+      case Rename(p, from, to) => GraftRenameColumnCommand(p, from, to)
+      case DropCol(p, name)    => GraftDropColumnCommand(p, name)
       case Delete(mor, p, where) =>
         GraftDeleteCommand(p, where.trim, mor = mor != null)
       case Update(mor, p, rest) =>
@@ -91,7 +98,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case other => sys.error(
         s"GRAFT statement not recognized: '$other' — expected HISTORY | DETAIL | " +
           "STATS | VACUUM [KEEP n] [ORPHANS] | RESTORE … TO VERSION n | " +
-          "COMPACT [TARGET mb] | DELETE [MOR] FROM … WHERE … | " +
+          "COMPACT [TARGET mb] | ALTER … RENAME COLUMN a TO b | " +
+          "ALTER … DROP COLUMN a | DELETE [MOR] FROM … WHERE … | " +
           "UPDATE [MOR] … SET … [WHERE …] | MERGE [MOR] INTO … USING … ON (…) [WHEN …]")
     }
     case _ => delegate.parsePlan(sqlText)
@@ -326,6 +334,23 @@ final case class GraftVacuumCommand(root: String, keep: Int,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(ManifestTable.vacuum(spark, root, keep = keep,
       deleteOrphans = deleteOrphans)))
+}
+
+/** Metadata-only schema evolution (name mapping — zero files touched). */
+final case class GraftRenameColumnCommand(root: String, from: String,
+                                          to: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.renameColumn(spark, root, from, to)))
+}
+
+final case class GraftDropColumnCommand(root: String,
+                                        name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.dropColumn(spark, root, name)))
 }
 
 final case class GraftDeleteCommand(root: String, whereSql: String,

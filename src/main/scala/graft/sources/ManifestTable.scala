@@ -817,10 +817,22 @@ object ManifestTable {
     * scan itself. Scoped here rather than session-wide so the engine's
     * other outputs keep the session's own timestamp posture. */
   private def writeGeneration(df: DataFrame, root: String,
-                              partitionCols: Seq[String]): (String, Seq[FileEntry]) = {
+                              partitionCols: Seq[String],
+                              tags: Map[String, String] = Map.empty)
+      : (String, Seq[FileEntry]) = {
     val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
     val genPath = new Path(root, gen)
-    val micros = withMicrosTimestamps(df)
+    // logical → physical names: every generation of a table shares one
+    // physical schema, however many renames sit between them
+    val phys = physicalizeDf(df, tags)
+    // a new column spelling a DROPPED physical name would be silently
+    // re-dropped on read (old files still carry that name): refuse
+    val clash = phys.columns.toSet.intersect(dropSet(tags))
+    require(clash.isEmpty,
+      s"column(s) ${clash.toSeq.sorted.mkString(", ")} were DROPped from this " +
+        "table and old files still physically carry the name — re-introducing " +
+        "it is a rewrite (write()), not additive evolution")
+    val micros = withMicrosTimestamps(phys)
     val w = micros.write.mode(SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(genPath.toString)
@@ -883,8 +895,10 @@ object ManifestTable {
 
   private def readStateWhere(spark: SparkSession, root: String, st: State,
                              filter: org.apache.spark.sql.Column): DataFrame = {
-    val kept = bloomPrune(spark, root, st, filter,
-      DataSkipping.prune(st.files, filter))
+    // the pruners' stats and bloom entries are keyed by PHYSICAL names
+    val physFilter = physicalizeCol(filter, st.tags)
+    val kept = bloomPrune(spark, root, st, physFilter,
+      DataSkipping.prune(st.files, physFilter))
     // the number an operator tunes partitioning/clustering by — and the
     // tell-tale that a predicate shape isn't prunable (kept == total)
     log.info(s"manifest table $root v${st.version}: data skipping kept " +
@@ -996,10 +1010,13 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val st = current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
+    // the API takes LOGICAL names; the index keys by the PHYSICAL
+    // in-file names (probes arrive physicalized from readStateWhere)
+    val physCols = cols.map(physicalName(st.tags, _))
     val df = scanFiles(spark, root, st.files, withPositions = true)
     val schema = df.schema
     import org.apache.spark.sql.types._
-    val kinds: Array[Char] = cols.map { c =>
+    val kinds: Array[Char] = physCols.map { c =>
       schema.find(_.name == c).getOrElse(
         sys.error(s"buildBloomIndex: column $c not in table schema")).dataType match {
         case ByteType | ShortType | IntegerType | LongType => 'l'
@@ -1010,9 +1027,9 @@ object ManifestTable {
     }.toArray
     val rowsOf = st.files.map(f => f.relPath -> fileRows(f).getOrElse(1L << 20)).toMap
     val rowsB = spark.sparkContext.broadcast(rowsOf)
-    val colsArr = cols.toArray
+    val colsArr = physCols.toArray
     val fppLocal = fpp
-    val input = df.select((col(DvRelCol) +: cols.map(col)).toIndexedSeq: _*)
+    val input = df.select((col(DvRelCol) +: physCols.map(col)).toIndexedSeq: _*)
     import org.apache.spark.sql.Encoders
     val outEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.BINARY)
     val idx = input
@@ -1041,7 +1058,7 @@ object ManifestTable {
       .toDF("relPath", "column", "bloom")
     val dir = s"bloomidx-${java.util.UUID.randomUUID().toString.take(12)}"
     idx.write.mode(SaveMode.ErrorIfExists).parquet(new Path(root, dir).toString)
-    val colsSpec = cols.zip(kinds).map { case (c, k) => s"${enc(c)}:$k" }.mkString(",")
+    val colsSpec = physCols.zip(kinds).map { case (c, k) => s"${enc(c)}:$k" }.mkString(",")
     try commitMeta(spark, root, st,
       st.tags + (BloomIndexTag -> dir) + (BloomColsTag -> colsSpec), graceMs)
     catch {
@@ -1176,10 +1193,15 @@ object ManifestTable {
     // goes honest-NULL until materializeDeletes (or any rewrite) folds
     // the DVs in. Pruning is unaffected (supersets stay conservative).
     val anyDv = st.files.exists(_.dv.nonEmpty)
-    val cols = st.files.flatMap(_.stats.keys).distinct.sorted
-    val dataRows = cols.map { c =>
-      val everywhere = !anyDv && st.files.forall(_.stats.contains(c))
-      val entries = st.files.flatMap(_.stats.get(c))
+    // stats are keyed by PHYSICAL names: dropped columns vanish from the
+    // report, renamed columns report under their logical name
+    val ren = renameMap(st.tags); val dropped = dropSet(st.tags)
+    val cols = st.files.flatMap(_.stats.keys).distinct
+      .filterNot(dropped).sortBy(c => ren.getOrElse(c, c))
+    val dataRows = cols.map { c0 =>
+      val c = ren.getOrElse(c0, c0)
+      val everywhere = !anyDv && st.files.forall(_.stats.contains(c0))
+      val entries = st.files.flatMap(_.stats.get(c0))
       val counts =
         if (everywhere && entries.forall(e => e.count >= 0 && e.nulls >= 0))
           Some((entries.map(_.count).sum, entries.map(_.nulls).sum))
@@ -1361,12 +1383,14 @@ object ManifestTable {
   def readChanges(spark: SparkSession, root: String, fromVersion: Long,
                   toVersion: Long): DataFrame = {
     val files = changedFiles(spark, root, fromVersion, toVersion)
+    // tags AS OF toVersion: the window's rows read under the schema
+    // mapping that was live at its end, like any time-travel read
+    val st = resolveState(spark, root, toVersion).getOrElse(sys.error(
+      s"manifest table $root has no committed version $toVersion"))
     if (files.isEmpty) {
-      val st = resolveState(spark, root, toVersion).getOrElse(sys.error(
-        s"manifest table $root has no committed version $toVersion"))
       val schema = readState(spark, root, st).schema
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    } else readState(spark, root, State(toVersion, files))
+    } else readState(spark, root, State(toVersion, files, st.tags))
   }
 
   /** [[readChanges]] composed with metadata pruning ([[readWhere]]'s
@@ -1380,15 +1404,15 @@ object ManifestTable {
                        toVersion: Long,
                        filter: org.apache.spark.sql.Column): DataFrame = {
     val files = changedFiles(spark, root, fromVersion, toVersion)
-    val kept = DataSkipping.prune(files, filter)
+    val st = resolveState(spark, root, toVersion).getOrElse(sys.error(
+      s"manifest table $root has no committed version $toVersion"))
+    val kept = DataSkipping.prune(files, physicalizeCol(filter, st.tags))
     log.info(s"manifest table $root changes ($fromVersion, $toVersion]: data skipping " +
       s"kept ${kept.size}/${files.size} changed files for $filter")
     if (kept.isEmpty) {
-      val st = resolveState(spark, root, toVersion).getOrElse(sys.error(
-        s"manifest table $root has no committed version $toVersion"))
       val schema = readState(spark, root, st).schema
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    } else readState(spark, root, State(toVersion, kept)).filter(filter)
+    } else readState(spark, root, State(toVersion, kept, st.tags)).filter(filter)
   }
 
   /** Exactly-once incremental relay between two manifest tables: read
@@ -1447,6 +1471,156 @@ object ManifestTable {
     }
   }
 
+  // ---- logical schema mapping: rename/drop without rewrite ------------
+  //
+  // Iceberg/Delta name-mapping, manifest-tag edition: data files keep
+  // the PHYSICAL column names they were written with, forever; the
+  // manifest records physical→logical renames and a dropped-physical
+  // set, and every surface maps at its boundary — reads present logical
+  // names, generation writes translate back to physical so all files of
+  // a table share one physical schema, and the metadata pruners (whose
+  // stats are keyed by in-file names) see physicalized predicates. A
+  // rename or drop is therefore one metadata-only commit on a 100 TB
+  // table. Mappings are versioned with the tags they ride on: time
+  // travel to a pre-rename version shows pre-rename names.
+
+  /** Tag holding `enc(physical)>enc(logical)` comma-joined pairs. */
+  private[graft] val RenameTag = "schema.rename"
+  /** Tag holding `enc(physical)` comma-joined dropped columns. */
+  private[graft] val DropTag = "schema.drop"
+
+  private def renameMap(tags: Map[String, String]): Map[String, String] =
+    tags.get(RenameTag).map(_.split(',').toSeq.flatMap { p =>
+      p.split('>') match {
+        case Array(ph, lo) => Some(dec(ph) -> dec(lo))
+        case _             => None
+      }
+    }.toMap).getOrElse(Map.empty)
+
+  private def dropSet(tags: Map[String, String]): Set[String] =
+    tags.get(DropTag).map(_.split(',').toSeq.filter(_.nonEmpty).map(dec).toSet)
+      .getOrElse(Set.empty)
+
+  private def encodeRenames(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (p, l) => s"${enc(p)}>${enc(l)}" }.mkString(",")
+
+  /** Physical-name frame → the logical view: dropped columns vanish,
+    * renamed columns take their logical names, everything else (incl.
+    * the DV helper columns) passes through. Idempotent: rename targets
+    * are validated never to collide with any physical name. */
+  private def logicalize(df: DataFrame, tags: Map[String, String]): DataFrame = {
+    val ren = renameMap(tags); val dr = dropSet(tags)
+    if (ren.isEmpty && dr.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.collect {
+      case c if !dr.contains(c) => col(c).as(ren.getOrElse(c, c))
+    }: _*)
+  }
+
+  /** Logical frame → physical names for a generation write (inverse
+    * rename), so every data file of the table keeps ONE physical
+    * schema regardless of how many renames happened around it. */
+  private def physicalizeDf(df: DataFrame, tags: Map[String, String]): DataFrame = {
+    val inv = renameMap(tags).map(_.swap)
+    if (inv.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map(c =>
+      col(c).as(inv.getOrElse(c, c))): _*)
+  }
+
+  /** A predicate over LOGICAL names rewritten onto physical ones — what
+    * [[DataSkipping.prune]] and the bloom probes understand (their
+    * stats are keyed by in-file names). Only bare one-part attributes
+    * rewrite; a string literal that happens to spell a column name is
+    * untouched (the rewrite walks the parsed expression). */
+  private def physicalizeCol(predicate: org.apache.spark.sql.Column,
+                             tags: Map[String, String]): org.apache.spark.sql.Column = {
+    val inv = renameMap(tags).map(_.swap)
+    if (inv.isEmpty) predicate
+    else {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      val e = org.apache.spark.sql.graftshim.ColumnExpr.expression(predicate)
+      org.apache.spark.sql.graftshim.ColumnExpr.column(e.transform {
+        case a: UnresolvedAttribute
+          if a.nameParts.length == 1 && inv.contains(a.nameParts.head) =>
+          UnresolvedAttribute(Seq(inv(a.nameParts.head)))
+      })
+    }
+  }
+
+  private def physicalName(tags: Map[String, String], logical: String): String =
+    renameMap(tags).map(_.swap).getOrElse(logical, logical)
+
+  /** Shared validation for the schema-evolution commits. Returns the
+    * column's physical name. */
+  private def schemaEvoCheck(spark: SparkSession, root: String, st: State,
+                             name: String, op: String): String = {
+    val logicalCols = readState(spark, root, st).columns.toSeq
+    require(logicalCols.contains(name),
+      s"$op: no column '$name' in $root (columns: ${logicalCols.mkString(", ")})")
+    val phys = physicalName(st.tags, name)
+    val partCols = st.files.flatMap(_.partitionValues.keys).distinct
+    require(!partCols.contains(phys),
+      s"$op: '$name' is a hive partition column — its name is baked into every " +
+        "directory path; repartitioning is a rewrite, not metadata evolution")
+    val referencing = st.tags.collect {
+      case (k, v) if k.startsWith(ConstraintTagPrefix) &&
+        s"\\b${java.util.regex.Pattern.quote(name)}\\b".r.findFirstIn(v).nonEmpty =>
+        k.stripPrefix(ConstraintTagPrefix)
+    }
+    require(referencing.isEmpty,
+      s"$op: column '$name' is referenced by CHECK constraint(s) " +
+        s"${referencing.mkString(", ")} — drop the constraint first")
+    phys
+  }
+
+  /** Rename a column WITHOUT touching a single data file: one
+    * metadata-only commit (op "rename") records physical→logical, and
+    * every read presents the new name while old generations keep their
+    * bytes. Hive partition columns and constraint-referenced columns
+    * are refused. The new name must not collide with any live logical
+    * OR physical name (the latter keeps [[logicalize]] idempotent and
+    * un-ambiguous). */
+  def renameColumn(spark: SparkSession, root: String, from: String, to: String,
+                   graceMs: Long = 60000L): Long = {
+    require(to.nonEmpty && to != from, s"renameColumn: bad target '$to'")
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val phys = schemaEvoCheck(spark, root, st, from, "renameColumn")
+    val logicalCols = readState(spark, root, st).columns.toSeq
+    require(!logicalCols.contains(to),
+      s"renameColumn: column '$to' already exists in $root")
+    val physUniverse = logicalCols.map(physicalName(st.tags, _)).toSet ++
+      st.files.flatMap(_.stats.keys) ++ dropSet(st.tags)
+    require(to == phys || !physUniverse.contains(to),
+      s"renameColumn: '$to' collides with a physical column name in $root")
+    val ren0 = renameMap(st.tags) - phys
+    val ren = if (to == phys) ren0 else ren0 + (phys -> to) // back-rename heals
+    val newTags =
+      (if (ren.isEmpty) st.tags - RenameTag
+       else st.tags + (RenameTag -> encodeRenames(ren)))
+    commitMeta(spark, root, st, newTags, graceMs, op = "rename")
+  }
+
+  /** Drop a column WITHOUT rewriting: the physical column joins the
+    * dropped set, readers stop projecting it, [[statsOnly]] stops
+    * reporting it; the bytes remain in old generations until their next
+    * natural rewrite (compact/cluster/mutation) and new generations
+    * simply never carry it. Same refusals as [[renameColumn]], plus the
+    * last column cannot be dropped. */
+  def dropColumn(spark: SparkSession, root: String, name: String,
+                 graceMs: Long = 60000L): Long = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val phys = schemaEvoCheck(spark, root, st, name, "dropColumn")
+    require(readState(spark, root, st).columns.length > 1,
+      s"dropColumn: '$name' is the last column of $root")
+    val ren = renameMap(st.tags) - phys
+    val dr = dropSet(st.tags) + phys
+    val base = st.tags + (DropTag -> dr.toSeq.sorted.map(enc).mkString(","))
+    val newTags =
+      if (ren.isEmpty) base - RenameTag else base + (RenameTag -> encodeRenames(ren))
+    commitMeta(spark, root, st, newTags, graceMs, op = "drop-column")
+  }
+
   /** Helper column names for deletion-vector application — struck from
     * the result before it leaves [[readState]]. */
   private val DvRelCol = "__graft_dv_rel"
@@ -1455,7 +1629,8 @@ object ManifestTable {
   private def readState(spark: SparkSession, root: String, st: State): DataFrame = {
     require(st.files.nonEmpty, s"manifest table $root v${st.version} lists no files")
     val (dvd, clean) = st.files.partition(_.dv.nonEmpty)
-    if (dvd.isEmpty) scanFiles(spark, root, st.files, withPositions = false)
+    if (dvd.isEmpty)
+      logicalize(scanFiles(spark, root, st.files, withPositions = false), st.tags)
     else {
       // merge-on-read: scan the DV'd files WITH parquet row positions
       // (file path + `_metadata.row_index` — stable per immutable file)
@@ -1466,10 +1641,10 @@ object ManifestTable {
       // targeted-delete case adds a broadcast-hash anti — no shuffle of
       // the table; a table-sized delete falls back to a shuffled anti
       // join (and is better served by [[materializeDeletes]]).
-      val cleaned = scanLiveWithPositions(spark, root, dvd)
+      val cleaned = scanLiveWithPositions(spark, root, dvd, st.tags)
         .drop(DvRelCol, DvPosCol)
       if (clean.isEmpty) cleaned
-      else scanFiles(spark, root, clean, withPositions = false)
+      else logicalize(scanFiles(spark, root, clean, withPositions = false), st.tags)
         .unionByName(cleaned, allowMissingColumns = true)
     }
   }
@@ -1478,8 +1653,9 @@ object ManifestTable {
     * the result) and any deletion vectors anti-joined out — the live
     * rows, addressable by (file, position). */
   private def scanLiveWithPositions(spark: SparkSession, root: String,
-                                    files: Seq[FileEntry]): DataFrame = {
-    val scanned = scanFiles(spark, root, files, withPositions = true)
+                                    files: Seq[FileEntry],
+                                    tags: Map[String, String]): DataFrame = {
+    val scanned = logicalize(scanFiles(spark, root, files, withPositions = true), tags)
     val dvd = files.filter(_.dv.nonEmpty)
     if (dvd.isEmpty) scanned
     else {
@@ -1623,7 +1799,10 @@ object ManifestTable {
           // previous tags carry forward (e.g. the stream sink's last-applied
           // batch id — losing it would re-open the replay double-apply)
           prev.foreach(p => gate(p.tags)) // re-gate on a changed constraint set
-          val tags = prev.map(_.tags).getOrElse(Map.empty) + (OpTag -> "overwrite")
+          // a full overwrite replaces every data file: the incoming frame's
+          // names ARE the new physical schema, so rename/drop mappings die here
+          val tags = prev.map(_.tags).getOrElse(Map.empty) -
+            RenameTag - DropTag + (OpTag -> "overwrite")
           val manifest = restamp(proto, v) match {
             case f: FullManifest => f.copy(tags = tags)
             case r: SnapshotRef  => r.copy(tags = tags)
@@ -1830,7 +2009,7 @@ object ManifestTable {
             val existingTouched = existing.filter(pred)
             (Upsert.appendDedup(existingTouched, freshN, keys, col(order)), st.files)
           }
-        val (gen, entries) = writeGeneration(merged, root, partitionCols)
+        val (gen, entries) = writeGeneration(merged, root, partitionCols, st.tags)
         // the new generation's partition dirs ARE the touched set, spelled
         // exactly as the writer escapes them — carry forward only files
         // outside those partitions (string-match-safe: same writer
@@ -2019,11 +2198,11 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val st = current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
-    val touched = DataSkipping.prune(st.files, predicate)
+    val touched = DataSkipping.prune(st.files, physicalizeCol(predicate, st.tags))
     if (touched.isEmpty) return st.version // provably nothing to do
     // matching positions among LIVE rows only: existing DVs are applied
     // before the predicate, so already-deleted positions never re-count
-    val matches = scanLiveWithPositions(spark, root, touched)
+    val matches = scanLiveWithPositions(spark, root, touched, st.tags)
       .filter(coalesce(predicate, lit(false)))
       .select(col(DvRelCol).as("relPath"), col(DvPosCol).as("pos"))
     writeDv(spark, root, touched, matches) match {
@@ -2061,14 +2240,14 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val st = current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
-    val touched = DataSkipping.prune(st.files, predicate)
+    val touched = DataSkipping.prune(st.files, physicalizeCol(predicate, st.tags))
     if (touched.isEmpty) return st.version
     val layouts = touched.map(_.partitionPath.split('/').toSeq
       .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
     require(layouts.size <= 1,
       s"updateMoR: inconsistent partition layouts in $root: $layouts")
     val partKeys = layouts.headOption.getOrElse(Seq.empty)
-    val matched = scanLiveWithPositions(spark, root, touched)
+    val matched = scanLiveWithPositions(spark, root, touched, st.tags)
       .filter(coalesce(predicate, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -2083,7 +2262,7 @@ object ManifestTable {
             matched.select(dataCols.toIndexedSeq.map(c =>
               set.get(c).map(_.as(c)).getOrElse(col(c))): _*), partKeys)
           enforceConstraints(updated, st.tags, root, "updateMoR result")
-          val (gen, entries) = writeGeneration(updated, root, partKeys)
+          val (gen, entries) = writeGeneration(updated, root, partKeys, st.tags)
           // tear check, free from the new generation's footer counts:
           // the persisted matched set keeps the position pass and this
           // re-emit pass consistent, but persist is best-effort — under
@@ -2198,7 +2377,7 @@ object ManifestTable {
     val (entries, gen) =
       if (kept.isEmpty) (Seq.empty[FileEntry], None) // every row was deleted
       else {
-        val (g, es) = writeGeneration(kept, root, partKeys)
+        val (g, es) = writeGeneration(kept, root, partKeys, st.tags)
         (es, Some(g))
       }
     require(entries.nonEmpty || dvd.size < st.files.size,
@@ -2317,11 +2496,12 @@ object ManifestTable {
   /** Metadata-only commit: a delta with no file changes carrying the new
     * tag state (op "meta" — invisible to incremental readers). */
   private def commitMeta(spark: SparkSession, root: String, st: State,
-                         tags: Map[String, String], graceMs: Long): Long = {
+                         tags: Map[String, String], graceMs: Long,
+                         op: String = "meta"): Long = {
     val fs = fsOf(spark, root)
     val v = st.version + 1
     if (!claimOrRecover(fs, root,
-        DeltaManifest(v, Seq.empty, Seq.empty, tags + (OpTag -> "meta")), graceMs))
+        DeltaManifest(v, Seq.empty, Seq.empty, tags + (OpTag -> op)), graceMs))
       throw new ConcurrentCommitException(root, v)
     v
   }
@@ -2413,7 +2593,7 @@ object ManifestTable {
       if (collected.length > maxKeys) st.files
       else if (keyVals.exists(_.isEmpty)) Seq.empty // no non-null tuple can match
       else DataSkipping.prune(st.files, keys.zip(keyVals).map { case (k, vs) =>
-        col(k).isin(vs.toIndexedSeq: _*)
+        col(physicalName(st.tags, k)).isin(vs.toIndexedSeq: _*)
       }.reduce(_ && _))
     val layouts = st.files.map(_.partitionPath.split('/').toSeq
       .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
@@ -2496,7 +2676,7 @@ object ManifestTable {
     enforceConstraints(outRows, st.tags, root, "merge result")
     val (entries, gen) =
       if (outRows.isEmpty) (Seq.empty[FileEntry], None)
-      else { val (g, es) = writeGeneration(outRows, root, partKeys); (es, Some(g)) }
+      else { val (g, es) = writeGeneration(outRows, root, partKeys, st.tags); (es, Some(g)) }
     if (entries.isEmpty && touched.isEmpty) return st.version // nothing to do
     require(entries.nonEmpty || touched.size < st.files.size,
       s"merge would remove every live row of $root (MatchDelete over all " +
@@ -2538,7 +2718,7 @@ object ManifestTable {
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
             StructType(target.schema.fields.toSeq :+
               StructField(DvRelCol, StringType) :+ StructField(DvPosCol, LongType)))
-        else scanLiveWithPositions(spark, root, touched)
+        else scanLiveWithPositions(spark, root, touched, st.tags)
       target.schema.fields.filterNot(f => raw.columns.contains(f.name))
         .foldLeft(raw)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
     }
@@ -2590,10 +2770,10 @@ object ManifestTable {
       // lists file entries, it does not care how many dirs hold them)
       val (reemitEntries, reemitGen) =
         if (reemitN.isEmpty) (Seq.empty[FileEntry], None)
-        else { val (g, es) = writeGeneration(reemitN, root, partKeys); (es, Some(g)) }
+        else { val (g, es) = writeGeneration(reemitN, root, partKeys, st.tags); (es, Some(g)) }
       val (insertEntries, insertGen) =
         if (insertsN.isEmpty) (Seq.empty[FileEntry], None)
-        else { val (g, es) = writeGeneration(insertsN, root, partKeys); (es, Some(g)) }
+        else { val (g, es) = writeGeneration(insertsN, root, partKeys, st.tags); (es, Some(g)) }
       val gens = reemitGen.toSeq ++ insertGen.toSeq
       def abortAll(): Unit = {
         gens.foreach(g => fs.delete(new Path(root, g), true))
@@ -2646,7 +2826,7 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val st = current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
-    val touched = DataSkipping.prune(st.files, predicate)
+    val touched = DataSkipping.prune(st.files, physicalizeCol(predicate, st.tags))
     if (touched.isEmpty) return st.version // provably nothing to do
     val layouts = touched.map(_.partitionPath.split('/').toSeq
       .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
@@ -2665,7 +2845,7 @@ object ManifestTable {
     val (entries, gen) =
       if (kept.isEmpty) (Seq.empty[FileEntry], None)
       else {
-        val (g, es) = writeGeneration(kept, root, partKeys)
+        val (g, es) = writeGeneration(kept, root, partKeys, st.tags)
         (es, Some(g))
       }
     // a removes-everything commit would leave a file-less table that the
