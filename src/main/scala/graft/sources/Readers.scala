@@ -71,8 +71,10 @@ object Readers {
   * tests and the zero-egress environment use fixtures or scripted
   * transports. Mirrors the reference's own mock-mode precedent
   * (weather_ollama_dag.py:59-70). */
-trait Fetcher {
-  /** Fetch one logical page/payload; returns raw text (JSON/CSV body). */
+trait Fetcher extends Serializable {
+  /** Fetch one logical page/payload; returns raw text (JSON/CSV body).
+    * Serializable so fetchers ride executor-side closures
+    * ([[HttpSources.paginatedParallel]]'s distributed backfill). */
   def fetch(params: Map[String, String]): String
 }
 
@@ -103,5 +105,41 @@ object HttpSources {
       spark.read.schema(schema).json(Seq(fetcher.fetch(p)).toDS())
     }.toSeq
     dfs.reduceOption(_.unionByName(_)).getOrElse(spark.emptyDataFrame)
+  }
+
+  /** S7 at scale: the DISTRIBUTED backfill. [[paginated]] is faithful to
+    * the reference's driver while-loop — correct, but a month-long
+    * minute-granularity backfill is thousands of sequential round trips
+    * through one machine. When the page parameter list is enumerable up
+    * front (offset/date ranges — the reference's own shape), the pages
+    * parallelize over executors instead: each task fetches its slice of
+    * pages through the same [[Fetcher]] seam and emits raw payloads,
+    * which parse distributed exactly as before. Results are identical to
+    * [[paginated]] over the same pages (parity-spec'd).
+    *
+    * `maxConcurrency` bounds simultaneous fetch tasks — the politeness
+    * knob: on a 1000-executor cluster an unbounded fan-out against one
+    * API is a denial-of-service, not a backfill. Each task fetches its
+    * pages sequentially, so total in-flight requests ≤ maxConcurrency,
+    * and per-page retry/backoff stays inside the fetcher
+    * ([[HttpFetcher]]'s schedule) exactly as in the serial path.
+    *
+    * Lazy like every Spark source: each ACTION (and each extra pass a
+    * plan needs — a range sort's sampling, a multi-stage consumer)
+    * re-invokes the fetches. A backfill's natural shape is one pass
+    * straight into a sink (`ManifestTable.write` / parquet); persist
+    * the frame first if you must consume it repeatedly. */
+  def paginatedParallel(spark: SparkSession, fetcher: Fetcher, schema: StructType,
+                        pages: Seq[Map[String, String]],
+                        maxConcurrency: Int = 16): DataFrame = {
+    require(maxConcurrency >= 1,
+      s"paginatedParallel: maxConcurrency must be >= 1, got $maxConcurrency")
+    if (pages.isEmpty) return spark.emptyDataFrame
+    import org.apache.spark.sql.Encoders
+    val slices = math.min(maxConcurrency, pages.size)
+    val payloads = spark.createDataset(
+      spark.sparkContext.parallelize(pages, slices)
+        .map(fetcher.fetch))(Encoders.STRING)
+    spark.read.schema(schema).json(payloads)
   }
 }

@@ -75,6 +75,49 @@ class SourcesSpec extends SparkSpec {
     assert(paged.count() == 2)
   }
 
+  test("paginatedParallel: parity with the serial path; executor-side fetch e2e") {
+    // parity vs the serial driver loop over the same pages
+    val pages = (1 to 20).map(i => Map("key" -> s"p$i"))
+    val payloads = (1 to 20).map(i =>
+      s"p$i" -> s"""{"page":$i,"price":"${i * 1.5}"}""").toMap
+    val fetcher = new FixtureFetcher(payloads)
+    val schema = StructType(Seq(
+      StructField("page", IntegerType), StructField("price", StringType)))
+    val serial = HttpSources.paginated(spark, fetcher, schema, pages.iterator)
+      .orderBy("page").collect().toSeq
+    val parallel = HttpSources.paginatedParallel(spark, fetcher, schema, pages,
+      maxConcurrency = 4)
+      .orderBy("page").collect().toSeq
+    assert(parallel == serial && parallel.size == 20)
+
+    // wire-level e2e: a loopback HTTP server (zero egress), the real
+    // HttpFetcher, fetches executed in Spark tasks — the backfill shape
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/klines", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      val q = ex.getRequestURI.getRawQuery
+      val off = q.split('&').find(_.startsWith("offset=")).get.stripPrefix("offset=")
+      val body = s"""{"page":$off,"price":"$off.0"}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/klines"
+      val httpPages = (1 to 8).map(i => Map("url" -> base, "offset" -> i.toString))
+      // single action without a sort: a range-sort would add a sampling
+      // pass and re-invoke the fetches (standard lazy-source semantics —
+      // the scaladoc tells multi-pass consumers to persist or sink first)
+      val got = HttpSources.paginatedParallel(spark,
+        new graft.sources.HttpFetcher(), schema, httpPages, maxConcurrency = 4)
+        .select("page").as[Int].collect().toSeq.sorted
+      assert(got == (1 to 8).toSeq)
+      assert(hits.get() == 8)
+    } finally server.stop(0)
+  }
+
   test("partitioned write + partition-grained upsert rewrites only fresh keys") {
     val dir = tmp() + "/table"
     val day1 = Seq(("2026-01-01", "a", 1), ("2026-01-02", "b", 1)).toDF("date", "k", "v")
