@@ -31,15 +31,25 @@ object ScaleStep {
 
   private val Mult = 10
 
-  private def lower26(shift: Int): String =
-    ('a' to 'z').map(c => (((c - 'a') + shift) % 26 + 'a').toChar).mkString
-  private def upper26(shift: Int): String = lower26(shift).toUpperCase
+  /** Seeded letter PERMUTATION (not a Caesar shift): still a bijection —
+    * within-replica shingle/ngram/near-dup structure is preserved
+    * exactly — but unlike shifts it COMPOSES safely: stacking two decades
+    * (sf1 → sf10) applies permutation∘permutation, and with distinct
+    * seeds no two (inner, outer) replica pairs collapse to the same
+    * total mapping (Caesar shifts compose additively mod 26, so a
+    * 100-pair stack would hand the dedup suite ~4 exact copies of every
+    * document per shift class and quadratically inflate its buckets). */
+  private def permLower(seed: Int): String = {
+    val r = new scala.util.Random(0x9E3779B9L * (seed + 1))
+    r.shuffle(('a' to 'z').toList).mkString
+  }
 
-  /** Replicate `df` `Mult`× with per-replica transforms. */
+  /** Replicate `df` `Mult`× with per-replica transforms; `seedBase`
+    * makes replica seeds globally unique across stacked decades. */
   private def replicate(df: DataFrame, perReplica: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until Mult).map(i => perReplica(df, i)).reduce(_.unionByName(_))
 
-  def build(spark: SparkSession, src: String, out: String): Unit = {
+  def build(spark: SparkSession, src: String, out: String, seedBase: Int = 0): Unit = {
     def t(n: String) = spark.read.parquet(s"$src/$n.parquet")
     def write(df: DataFrame, n: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$n.parquet")
@@ -78,14 +88,18 @@ object ScaleStep {
       .withColumn("event_id", off("event_id", maxEvent, i))
       .withColumn("user_id", off("user_id", maxUser, i))
       .withColumn("ts", col("ts") + expr(s"make_interval(0,0,0,0,0,0,$i)"))), "events")
+    val abc = ('a' to 'z').mkString
     write(replicate(t("documents"), (d, i) => d
       .withColumn("doc_id", off("doc_id", maxDoc, i))
-      .withColumn("text",
-        translate(col("text"), lower26(0) + upper26(0), lower26(i) + upper26(i)))), "documents")
+      .withColumn("text", {
+        val p = permLower(seedBase * Mult + i)
+        translate(col("text"), abc + abc.toUpperCase, p + p.toUpperCase)
+      })), "documents")
     write(replicate(t("embeddings"), (d, i) => d
       .withColumn("vec_id", off("vec_id", maxVec, i))
       .withColumn("embedding", expr(
-        s"transform(embedding, (x, j) -> x * CAST(CASE WHEN pmod(hash(j, $i), 2) = 0 " +
+        s"transform(embedding, (x, j) -> x * CAST(CASE WHEN " +
+          s"pmod(hash(j, ${seedBase * Mult + i + 1}), 2) = 0 " +
           "THEN 1.0 ELSE -1.0 END AS FLOAT))"))), "embeddings")
   }
 
@@ -95,12 +109,29 @@ object ScaleStep {
     spark.sparkContext.setLogLevel("WARN")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    // second decade: set SPARK_GRAFT_SF10_DIR to stack another 10× on
+    // top of the sf1-equivalent (seedBase 1 keeps every composed text
+    // permutation / embedding sign-mask globally unique) and measure
+    // sf1 → sf10 ratios instead of sf0.1 → sf1.
+    val out10 = sys.env.get("SPARK_GRAFT_SF10_DIR")
 
     if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
       println(s"SCALE step: building ${Mult}x dataset at $out from $src")
       val t0 = System.nanoTime()
       build(spark, src, out)
       println(f"SCALE step: build took ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    out10.foreach { o =>
+      if (!new java.io.File(s"$o/lineitem.parquet").exists()) {
+        println(s"SCALE step: building ${Mult}x-of-${Mult}x dataset at $o from $out")
+        val t0 = System.nanoTime()
+        build(spark, out, o, seedBase = 1)
+        println(f"SCALE step: build took ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+    }
+    val (smallDir, bigDir) = out10 match {
+      case Some(o) => (out, o) // second decade: sf1 vs sf10
+      case None    => (src, out)
     }
 
     val names =
@@ -117,10 +148,10 @@ object ScaleStep {
       (System.nanoTime() - t0) / 1e9
     }
 
-    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"10x"}%8s ${"ratio"}%6s")
+    println(f"${"query"}%-22s ${"small"}%8s ${"10x"}%8s ${"ratio"}%6s")
     for (n <- names) {
-      val small = (1 to 2).map(_ => run(n, src)).min
-      val big = (1 to 2).map(_ => run(n, out)).min
+      val small = (1 to 2).map(_ => run(n, smallDir)).min
+      val big = (1 to 2).map(_ => run(n, bigDir)).min
       println(f"SCALE ratio: $n%-22s $small%8.2f $big%8.2f ${big / small}%6.1f")
     }
     spark.stop()

@@ -23,6 +23,9 @@ import graft.sources.ManifestTable
   *   GRAFT VACUUM 'path' [KEEP n] [ORPHANS] -- version-count retention
   *   GRAFT RESTORE 'path' TO VERSION n     -- auditable rollback
   *   GRAFT COMPACT 'path' [TARGET mb]      -- sized rewrite
+  *   GRAFT CLUSTER 'path' BY (c1, c2) [ZORDER] [TARGET mb] -- OPTIMIZE [ZORDER]
+  *   GRAFT BLOOM 'path' ON (c1, c2)        -- build the point-lookup index
+  *   GRAFT BLOOM DROP 'path'               -- retire it
   * }}}
   *
   * and full DML over manifest tables (Delta's SQL surface re-expressed;
@@ -65,6 +68,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum  = """(?is)VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?(?:\s+(ORPHANS))?""".r
   private val Restore = """(?is)RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)""".r
   private val Compact = """(?is)COMPACT\s+'([^']+)'(?:\s+TARGET\s+(\d+))?""".r
+  private val Cluster =
+    """(?is)CLUSTER\s+'([^']+)'\s+BY\s+\(([^)]+)\)(?:\s+(ZORDER))?(?:\s+TARGET\s+(\d+))?""".r
+  private val Bloom     = """(?is)BLOOM\s+'([^']+)'\s+ON\s+\(([^)]+)\)""".r
+  private val BloomDrop = """(?is)BLOOM\s+DROP\s+'([^']+)'""".r
   private val Rename  =
     """(?is)ALTER\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)""".r
   private val DropCol = """(?is)ALTER\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)""".r
@@ -83,6 +90,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case Restore(p, v) => GraftRestoreCommand(p, v.toLong)
       case Compact(p, mb) =>
         GraftCompactCommand(p, Option(mb).map(_.toInt).getOrElse(512))
+      case BloomDrop(p) => GraftBloomCommand(p, Nil, drop = true)
+      case Cluster(p, cols, z, mb) =>
+        GraftClusterCommand(p, cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+          zOrder = z != null, targetMB = Option(mb).map(_.toInt).getOrElse(512))
+      case Bloom(p, cols) =>
+        GraftBloomCommand(p, cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+          drop = false)
       case Rename(p, from, to) => GraftRenameColumnCommand(p, from, to)
       case DropCol(p, name)    => GraftDropColumnCommand(p, name)
       case Delete(mor, p, where) =>
@@ -334,6 +348,27 @@ final case class GraftVacuumCommand(root: String, keep: Int,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(ManifestTable.vacuum(spark, root, keep = keep,
       deleteOrphans = deleteOrphans)))
+}
+
+/** OPTIMIZE-class rewrite: linear or Z-ORDER clustering into sized files. */
+final case class GraftClusterCommand(root: String, cols: Seq[String], zOrder: Boolean,
+                                     targetMB: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.cluster(spark, root, cols,
+      targetFileMB = targetMB, zOrder = zOrder)))
+}
+
+/** Per-file bloom index build/drop (point-lookup file skipping). */
+final case class GraftBloomCommand(root: String, cols: Seq[String],
+                                   drop: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(
+      if (drop) ManifestTable.dropBloomIndex(spark, root)
+      else ManifestTable.buildBloomIndex(spark, root, cols)))
 }
 
 /** Metadata-only schema evolution (name mapping — zero files touched). */

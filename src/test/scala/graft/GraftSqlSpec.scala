@@ -147,6 +147,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getInt(0) >= 1 && !java.nio.file.Files.exists(orphan))
   }
 
+  test("GRAFT CLUSTER / BLOOM build and retire through SQL") {
+    val root = tmp() + "/opt"
+    ManifestTable.write((1L to 200L).map(i => (i, i * 2.0)).toDF("k", "v")
+      .repartition(4), root)
+    spark.sql(s"GRAFT CLUSTER '$root' BY (k, v) ZORDER TARGET 1").collect()
+    // by contract clustering never changes content
+    assert(ManifestTable.read(spark, root).count() == 200)
+    val v = spark.sql(s"GRAFT BLOOM '$root' ON (k)").collect().head.getLong(0)
+    assert(v == 3L)
+    assert(ManifestTable.readWhere(spark, root, col("k") === 42L)
+      .select("v").as[Double].head() == 84.0)
+    spark.sql(s"GRAFT BLOOM DROP '$root'").collect()
+    assert(ManifestTable.read(spark, root).count() == 200)
+  }
+
   test("non-GRAFT SQL is untouched; a malformed GRAFT statement errors loudly") {
     assert(spark.sql("SELECT 1 + 1 AS two").as[Int].head() == 2)
     // a table named graft still parses through the delegate (the prefix
