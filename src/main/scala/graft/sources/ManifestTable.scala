@@ -2142,7 +2142,8 @@ object ManifestTable {
     val keys = layouts.headOption.getOrElse(Seq.empty)
     val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
     val genPath = new Path(root, gen)
-    val micros = withMicrosTimestamps(df)
+    // readState is the LOGICAL view; rewrites must land physical names
+    val micros = withMicrosTimestamps(physicalizeDf(df, st.tags))
     Writers.sizedRewrite(micros.sparkSession, micros, bytes, keys, targetFileMB, genPath.toString)
     val entries = listGeneration(fs, root, gen)
     commitRewrite(spark, fs, root, st, gen, entries, graceMs)
@@ -2893,7 +2894,7 @@ object ManifestTable {
     val keys = layouts.headOption.getOrElse(Seq.empty)
     val df = readState(spark, root, st.copy(files = small))
     val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
-    val micros = withMicrosTimestamps(df)
+    val micros = withMicrosTimestamps(physicalizeDf(df, st.tags))
     Writers.sizedRewrite(micros.sparkSession, micros, small.map(_.bytes).sum,
       keys, targetFileMB, new Path(root, gen).toString)
     val entries = listGeneration(fs, root, gen)
@@ -3122,8 +3123,11 @@ object ManifestTable {
       if (zOrder && sortCols.size > 1)
         partKeys.map(col) :+ graft.plans.ZOrder.zkey(df, sortCols)
       else (partKeys ++ sortCols).map(col)
-    val clustered = withMicrosTimestamps(df).repartitionByRange(parts, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
+    // order by LOGICAL names, then project to physical for the write
+    // (a projection preserves within-partition order)
+    val clustered = withMicrosTimestamps(physicalizeDf(
+      df.repartitionByRange(parts, orderCols: _*)
+        .sortWithinPartitions(orderCols: _*), st.tags))
     val w = clustered.write.mode(SaveMode.ErrorIfExists)
     (if (partKeys.nonEmpty) w.partitionBy(partKeys: _*) else w)
       .parquet(genPath.toString)

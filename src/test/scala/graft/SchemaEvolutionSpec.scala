@@ -77,6 +77,23 @@ class SchemaEvolutionSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("rewrites after a rename (compact/cluster) keep one physical schema") {
+    val root = tmp() + "/t"
+    ManifestTable.write((1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .repartition(4), root)
+    ManifestTable.renameColumn(spark, root, "v", "price")
+    ManifestTable.compactSmallFiles(spark, root, smallFileMB = 64, targetFileMB = 64)
+    assert(ManifestTable.read(spark, root).columns.toSeq == Seq("k", "price"))
+    assert(ManifestTable.read(spark, root).agg(sum("price")).as[Double].head()
+      == (1 to 50).map(_ * 1.0).sum)
+    ManifestTable.cluster(spark, root, sortCols = Seq("price"), targetFileMB = 1)
+    assert(ManifestTable.read(spark, root).columns.toSeq == Seq("k", "price"))
+    assert(ManifestTable.read(spark, root).count() == 50)
+    ManifestTable.compact(spark, root, targetFileMB = 64)
+    assert(ManifestTable.read(spark, root).columns.toSeq == Seq("k", "price"))
+    assert(ManifestTable.read(spark, root).count() == 50)
+  }
+
   test("drop: column vanishes from reads and stats; re-adding it is refused") {
     val root = tmp() + "/t"
     ManifestTable.write(Seq((1L, 10.0, "x"), (2L, 20.0, "y")).toDF("k", "v", "s"), root)
