@@ -442,6 +442,32 @@ object AggWindowQueries extends QueryPack {
         "WHERE o_orderpriority = '1-URGENT'")
       ManifestTable.readWhere(s, root, col("price") > 100000.0)
         .select(col("o_orderkey"), col("price"), col("o_orderpriority"))
+    }),
+    "k23_change_feed" -> ((s, d) => {
+      // K23 (beyond-reference): row-level change data feed — the table
+      // opts in (GRAFT FEED ENABLE), a SQL DELETE and a SQL MERGE
+      // mutate it, and the feed (consumed through the graft-manifest
+      // relation's feedFrom option) replays every row-level change with
+      // _change_type/_commit_version. The oracle recomputes the same
+      // change rows relationally.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k23")
+        .toString + "/orders_cdf"
+      ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+        root)                                                     // v1
+      s.sql(s"GRAFT FEED '$root' ENABLE")                         // v2
+      s.sql(s"GRAFT DELETE FROM '$root' WHERE o_totalprice < 30000.0") // v3
+      t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"), col("o_orderpriority"))
+        .createOrReplaceTempView("k23_src")
+      s.sql(s"GRAFT MERGE INTO '$root' USING k23_src ON (o_orderkey)") // v4
+      s.read.format("graft-manifest").option("feedFrom", 2).load(root)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
     })
   )
 
@@ -685,7 +711,26 @@ object AggWindowQueries extends QueryPack {
         |    o_orderpriority
         |  FROM orders)
         |SELECT o_orderkey, price, o_orderpriority
-        |FROM renamed WHERE price > 100000.0""".stripMargin
+        |FROM renamed WHERE price > 100000.0""".stripMargin,
+    "k23_change_feed" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority,
+        |       'delete' AS change_type, CAST(3 AS BIGINT) AS commit_version
+        |FROM orders WHERE o_totalprice < 30000.0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderpriority,
+        |       'update_preimage', 4
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND NOT (o_totalprice < 30000.0)
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 1000.0, o_orderpriority,
+        |       'update_postimage', 4
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND NOT (o_totalprice < 30000.0)
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 1000.0, o_orderpriority,
+        |       'insert', 4
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 30000.0""".stripMargin
   )
 }
 

@@ -68,6 +68,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum  = """(?is)VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?(?:\s+(ORPHANS))?""".r
   private val Restore = """(?is)RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)""".r
   private val Compact = """(?is)COMPACT\s+'([^']+)'(?:\s+TARGET\s+(\d+))?""".r
+  private val Feed    = """(?is)FEED\s+'([^']+)'\s+(ENABLE|DISABLE)""".r
   private val Cluster =
     """(?is)CLUSTER\s+'([^']+)'\s+BY\s+\(([^)]+)\)(?:\s+(ZORDER))?(?:\s+TARGET\s+(\d+))?""".r
   private val Bloom     = """(?is)BLOOM\s+'([^']+)'\s+ON\s+\(([^)]+)\)""".r
@@ -90,6 +91,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case Restore(p, v) => GraftRestoreCommand(p, v.toLong)
       case Compact(p, mb) =>
         GraftCompactCommand(p, Option(mb).map(_.toInt).getOrElse(512))
+      case Feed(p, mode) => GraftFeedCommand(p, mode.equalsIgnoreCase("ENABLE"))
       case BloomDrop(p) => GraftBloomCommand(p, Nil, drop = true)
       case Cluster(p, cols, z, mb) =>
         GraftClusterCommand(p, cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
@@ -348,6 +350,17 @@ final case class GraftVacuumCommand(root: String, keep: Int,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(ManifestTable.vacuum(spark, root, keep = keep,
       deleteOrphans = deleteOrphans)))
+}
+
+/** Opt the table's row-level change feed in/out (metadata-only commit);
+  * consume the feed via `spark.read.format("graft-manifest")
+  * .option("feedFrom", v)` or `ManifestTable.readChangeFeed`. */
+final case class GraftFeedCommand(root: String,
+                                  enable: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.setChangeFeed(spark, root, enable)))
 }
 
 /** OPTIMIZE-class rewrite: linear or Z-ORDER clustering into sized files. */

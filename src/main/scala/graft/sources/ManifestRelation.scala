@@ -59,15 +59,26 @@ class ManifestTableProvider extends RelationProvider
     })
     val changesFrom = parameters.get("changesfrom").orElse(parameters.get("changesFrom"))
       .map(_.trim.toLong)
-    changesFrom match {
-      case Some(from) =>
+    val feedFrom = parameters.get("feedfrom").orElse(parameters.get("feedFrom"))
+      .map(_.trim.toLong)
+    require(changesFrom.isEmpty || feedFrom.isEmpty,
+      "graft-manifest: changesFrom and feedFrom are exclusive")
+    (changesFrom, feedFrom) match {
+      case (Some(from), _) =>
         require(version.isEmpty, "graft-manifest: changesFrom and versionAsOf/timestampAsOf are exclusive")
         val to = parameters.get("changesto").orElse(parameters.get("changesTo"))
           .map(_.trim.toLong)
           .orElse(ManifestTable.currentVersion(sqlContext.sparkSession, r))
           .getOrElse(sys.error(s"graft-manifest: $r has no committed version"))
         new ManifestChangesRelation(sqlContext, r, from, to)
-      case None => new ManifestRelation(sqlContext, r, version)
+      case (_, Some(from)) =>
+        require(version.isEmpty, "graft-manifest: feedFrom and versionAsOf/timestampAsOf are exclusive")
+        val to = parameters.get("feedto").orElse(parameters.get("feedTo"))
+          .map(_.trim.toLong)
+          .orElse(ManifestTable.currentVersion(sqlContext.sparkSession, r))
+          .getOrElse(sys.error(s"graft-manifest: $r has no committed version"))
+        new ManifestFeedRelation(sqlContext, r, from, to)
+      case _ => new ManifestRelation(sqlContext, r, version)
     }
   }
 
@@ -189,4 +200,24 @@ final class ManifestChangesRelation(val sqlContext: SQLContext, root: String,
 
   override def toString: String =
     s"ManifestChangesRelation[$root ($fromVersion, $toVersion]]"
+}
+
+/** Batch view of the row-level change feed — `option("feedFrom", v)`
+  * (exclusive) with optional `feedTo` (inclusive; default = head):
+  * [[ManifestTable.readChangeFeed]] as a relation, so a SQL CDC
+  * consumer can say "what changed since v, row by row, with
+  * `_change_type`" straight from `spark.read.format("graft-manifest")`. */
+final class ManifestFeedRelation(val sqlContext: SQLContext, root: String,
+                                 fromVersion: Long, toVersion: Long)
+    extends BaseRelation with TableScan {
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType =
+    ManifestTable.readChangeFeed(spark, root, fromVersion, toVersion).schema
+
+  override def buildScan(): RDD[Row] =
+    ManifestTable.readChangeFeed(spark, root, fromVersion, toVersion).rdd
+
+  override def toString: String =
+    s"ManifestFeedRelation[$root ($fromVersion, $toVersion]]"
 }

@@ -259,9 +259,14 @@ object ManifestTable {
   }
   private final case class FullManifest(version: Long, files: Seq[FileEntry],
                                         tags: Map[String, String]) extends Manifest
+  /** `cdf` names this commit's row-level change dataset (dir, rowCount)
+    * when the table's change feed is enabled — additive metadata: a
+    * reader that ignores it still reads the table correctly (unlike a
+    * dropped dv), so no protocol bump. */
   private final case class DeltaManifest(version: Long, adds: Seq[FileEntry],
                                          removes: Seq[String],
-                                         tags: Map[String, String]) extends Manifest
+                                         tags: Map[String, String],
+                                         cdf: Option[(String, Long)] = None) extends Manifest
   /** Columnar snapshot: the committed stub names an immutable parquet
     * sidecar under `_manifests/` holding the file list; `count` is the
     * integrity check on read-back. `protocol` is the format level the
@@ -413,7 +418,12 @@ object ManifestTable {
       }.toMap
       if (lines.contains("kind=delta")) {
         val removes = lines.filter(_.startsWith("remove=")).map(_.stripPrefix("remove="))
-        Some(DeltaManifest(version, files, removes, tags))
+        val cdf = lines.find(_.startsWith("cdf=")).map { l =>
+          val body = l.stripPrefix("cdf=")
+          val tab = body.indexOf('\t')
+          (dec(body.substring(0, tab)), body.substring(tab + 1).toLong)
+        }
+        Some(DeltaManifest(version, files, removes, tags, cdf))
       } else if (lines.contains("kind=snapshot-ref")) {
         val refDir = lines.find(_.startsWith("checkpoint=")).map(_.stripPrefix("checkpoint="))
           .getOrElse(sys.error("snapshot-ref without checkpoint= line"))
@@ -696,18 +706,19 @@ object ManifestTable {
         // declare the protocol a reader NEEDS, only when above the
         // implicit baseline (protocol-1 manifests stay byte-stable)
         val declared = m match {
-          case FullManifest(_, files, _)   => if (files.exists(_.dv.nonEmpty)) 2 else 1
-          case DeltaManifest(_, adds, _, _) => if (adds.exists(_.dv.nonEmpty)) 2 else 1
-          case r: SnapshotRef               => r.protocol
+          case FullManifest(_, files, _)       => if (files.exists(_.dv.nonEmpty)) 2 else 1
+          case DeltaManifest(_, adds, _, _, _) => if (adds.exists(_.dv.nonEmpty)) 2 else 1
+          case r: SnapshotRef                  => r.protocol
         }
         if (declared > 1) w.write(s"protocol=$declared\n")
         m match {
           case FullManifest(_, files, _) =>
             files.foreach(f => w.write(fileLine(f)))
-          case DeltaManifest(_, adds, removes, _) =>
+          case DeltaManifest(_, adds, removes, _, cdf) =>
             w.write("kind=delta\n")
             adds.foreach(f => w.write(fileLine(f)))
             removes.foreach(r => w.write(s"remove=$r\n"))
+            cdf.foreach { case (dir, n) => w.write(s"cdf=${enc(dir)}\t$n\n") }
           case r: SnapshotRef =>
             w.write("kind=snapshot-ref\n")
             w.write(s"checkpoint=${r.refDir}\n")
@@ -1621,6 +1632,111 @@ object ManifestTable {
     commitMeta(spark, root, st, newTags, graceMs, op = "drop-column")
   }
 
+  // ---- change data feed: row-level CDC, recorded at write time ---------
+  //
+  // Delta's CDF design re-expressed: when the table OPTS IN
+  // ([[setChangeFeed]]), every row-level mutator (delete/update/merge,
+  // copy-on-write AND merge-on-read) writes the rows it changed — with
+  // a `_change_type` of insert / delete / update_preimage /
+  // update_postimage — into an immutable `cdf-<uuid>` dataset committed
+  // atomically with the mutation (a `cdf=` line on the delta manifest).
+  // [[readChangeFeed]] then serves "(from, to]: what changed, row by
+  // row" without diffing snapshots: at 100 TB a CDC consumer reads the
+  // change files (sized by the mutation), never the table. Append-only
+  // commits need no change file — their adds ARE the inserts, derived
+  // for free; rewrites (compact/cluster/materialize) are data-identical
+  // and emit nothing. A keyed [[upsertDedup]] replaces whole partitions
+  // without materializing its row-level diff — such commits are
+  // REFUSED by readChangeFeed (loudly, with the readChanges fallback
+  // named) rather than approximated: CDC consumers use the DML surface.
+
+  private[graft] val CdfEnabledTag = "cdf.enabled"
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  private def cdfEnabled(tags: Map[String, String]): Boolean =
+    tags.get(CdfEnabledTag).contains("true")
+
+  /** Opt the table in/out of the change feed (metadata-only commit).
+    * Only mutations AFTER the enabling commit carry change records. */
+  def setChangeFeed(spark: SparkSession, root: String, enabled: Boolean,
+                    graceMs: Long = 60000L): Long = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val newTags =
+      if (enabled) st.tags + (CdfEnabledTag -> "true") else st.tags - CdfEnabledTag
+    if (newTags == st.tags) st.version
+    else commitMeta(spark, root, st, newTags, graceMs, op = "meta")
+  }
+
+  /** Write `changes` (LOGICAL columns + [[ChangeTypeCol]]) as a commit's
+    * change dataset — physical names in the file, like any generation.
+    * None when the feed is off or the mutation touched zero rows; the
+    * caller deletes the dir on a lost claim. The change frame is a
+    * second evaluation of the mutation's matched set: with a
+    * non-deterministic predicate it can disagree with the committed
+    * rewrite (the same caveat as the rewrite itself — the MoR paths'
+    * persisted matched sets narrow it, their tear checks bound it). */
+  private def writeCdf(spark: SparkSession, root: String,
+                       tags: Map[String, String],
+                       changes: DataFrame): Option[(String, Long)] = {
+    val dir = s"cdf-${java.util.UUID.randomUUID().toString.take(12)}"
+    val p = new Path(root, dir)
+    withMicrosTimestamps(physicalizeDf(changes, tags))
+      .write.mode(SaveMode.ErrorIfExists).parquet(p.toString)
+    val n = listGeneration(fsOf(spark, root), root, dir).flatMap(fileRows).sum
+    if (n == 0L) { fsOf(spark, root).delete(p, true); None }
+    else Some((dir, n))
+  }
+
+  /** The row-level changes committed in `(fromVersion, toVersion]`:
+    * the table's logical columns (as of each commit) plus
+    * [[ChangeTypeCol]] and [[CommitVersionCol]]. Commits are served
+    * from their change datasets (cost tracks the mutation); append-only
+    * commits derive inserts from their added files; rewrites and
+    * metadata commits contribute nothing. A commit that changed rows
+    * WITHOUT a change record (feed disabled at the time, or a
+    * partition-replacing upsert) refuses loudly — a silent gap would
+    * make every downstream CDC consumer wrong. */
+  def readChangeFeed(spark: SparkSession, root: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"readChangeFeed: need fromVersion <= toVersion, got ($fromVersion, $toVersion]")
+    val fs = fsOf(spark, root)
+    val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val m = readRaw(fs, root, v).getOrElse(sys.error(
+        s"manifest table $root has no committed version $v — the change window " +
+          s"($fromVersion, $toVersion] must lie within retained versions"))
+      val op = m.tags.getOrElse(OpTag, "")
+      m match {
+        case d: DeltaManifest if d.cdf.nonEmpty =>
+          val raw = spark.read.parquet(new Path(root, d.cdf.get._1).toString)
+          Some(logicalize(raw, d.tags).withColumn(CommitVersionCol, lit(v)))
+        case _ if Set("rewrite", "meta", "rename", "drop-column").contains(op) =>
+          None // data-identical or metadata-only
+        case d: DeltaManifest if d.removes.isEmpty =>
+          if (d.adds.isEmpty) None
+          else Some(logicalize(scanFiles(spark, root, d.adds, withPositions = false),
+              d.tags)
+            .withColumn(ChangeTypeCol, lit("insert"))
+            .withColumn(CommitVersionCol, lit(v)))
+        case _ => sys.error(
+          s"manifest table $root: v$v (op '$op') changed rows without a change " +
+            "record — enable setChangeFeed BEFORE mutating and mutate through " +
+            "delete/update/merge (a partition-replacing upsert or overwrite does " +
+            "not materialize row-level changes; consume readChanges for its adds)")
+      }
+    }
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
+      val st = resolveState(spark, root, toVersion).getOrElse(sys.error(
+        s"manifest table $root has no committed version $toVersion"))
+      val schema = readState(spark, root, st).schema
+        .add(ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false)
+        .add(CommitVersionCol, org.apache.spark.sql.types.LongType, nullable = false)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+  }
+
   /** Helper column names for deletion-vector application — struck from
     * the result before it leaves [[readState]]. */
   private val DvRelCol = "__graft_dv_rel"
@@ -2168,10 +2284,11 @@ object ManifestTable {
   def delete(spark: SparkSession, root: String,
              predicate: org.apache.spark.sql.Column,
              graceMs: Long = 60000L): Long =
-    rewriteMatching(spark, root, predicate, "delete", graceMs) { df =>
+    rewriteMatching(spark, root, predicate, "delete", graceMs)(
       // keep rows where the predicate is FALSE or NULL
-      df.filter(!coalesce(predicate, lit(false)))
-    }
+      df => df.filter(!coalesce(predicate, lit(false))),
+      df => df.filter(coalesce(predicate, lit(false)))
+        .withColumn(ChangeTypeCol, lit("delete")))
 
   /** MERGE-ON-READ delete (the Delta deletion-vector role): instead of
     * rewriting every touched file ([[delete]]'s copy-on-write), record
@@ -2203,8 +2320,9 @@ object ManifestTable {
     if (touched.isEmpty) return st.version // provably nothing to do
     // matching positions among LIVE rows only: existing DVs are applied
     // before the predicate, so already-deleted positions never re-count
-    val matches = scanLiveWithPositions(spark, root, touched, st.tags)
+    val matchedRows = scanLiveWithPositions(spark, root, touched, st.tags)
       .filter(coalesce(predicate, lit(false)))
+    val matches = matchedRows
       .select(col(DvRelCol).as("relPath"), col(DvPosCol).as("pos"))
     writeDv(spark, root, touched, matches) match {
       case None => st.version // predicate matched nothing
@@ -2216,10 +2334,15 @@ object ManifestTable {
             "is a rewrite: use write() with the replacement content")
         log.info(s"manifest table $root: deleteMoR marked ${dv.marked} rows " +
           s"across ${dv.removes.size} files for $predicate")
+        val cdf = if (cdfEnabled(st.tags))
+          writeCdf(spark, root, st.tags, matchedRows.drop(DvRelCol, DvPosCol)
+            .withColumn(ChangeTypeCol, lit("delete"))) else None
         val v = st.version + 1
-        val manifest = DeltaManifest(v, dv.adds, dv.removes, st.tags + (OpTag -> "delete"))
+        val manifest = DeltaManifest(v, dv.adds, dv.removes,
+          st.tags + (OpTag -> "delete"), cdf)
         if (!claimOrRecover(fs, root, manifest, graceMs)) {
           fs.delete(new Path(root, dv.dir), true)
+          cdf.foreach { case (d, _) => fs.delete(new Path(root, d), true) }
           throw new ConcurrentCommitException(root, v)
         }
         v
@@ -2282,12 +2405,21 @@ object ManifestTable {
                 "under cache eviction). Nothing was committed.")
             }
           }
+          // change feed from the PERSISTED matched set (the same frame
+          // both the DV and the re-emit derive from, tear-checked above)
+          val cdf = if (cdfEnabled(st.tags))
+            writeCdf(spark, root, st.tags,
+              matched.select(dataCols.toIndexedSeq.map(col): _*)
+                .withColumn(ChangeTypeCol, lit("update_preimage"))
+                .unionByName(updated.withColumn(ChangeTypeCol, lit("update_postimage"))))
+          else None
           val v = st.version + 1
           val manifest = DeltaManifest(v, entries ++ dv.adds, dv.removes,
-            st.tags + (OpTag -> "update"))
+            st.tags + (OpTag -> "update"), cdf)
           if (!claimOrRecover(fs, root, manifest, graceMs)) {
             fs.delete(new Path(root, gen), true)
             fs.delete(new Path(root, dv.dir), true)
+            cdf.foreach { case (d, _) => fs.delete(new Path(root, d), true) }
             throw new ConcurrentCommitException(root, v)
           }
           v
@@ -2405,17 +2537,25 @@ object ManifestTable {
              set: Map[String, org.apache.spark.sql.Column],
              graceMs: Long = 60000L): Long = {
     require(set.nonEmpty, "update: need at least one column -> expression")
-    rewriteMatching(spark, root, predicate, "update", graceMs) { df =>
-      val bad = set.keySet -- df.columns
-      require(bad.isEmpty, s"update: columns $bad not in table schema")
-      val cond = coalesce(predicate, lit(false))
-      df.select(df.columns.toIndexedSeq.map { c =>
-        set.get(c) match {
-          case Some(e) => when(cond, e).otherwise(col(c)).as(c)
-          case None    => col(c)
-        }
-      }: _*)
-    }
+    rewriteMatching(spark, root, predicate, "update", graceMs)(
+      { df =>
+        val bad = set.keySet -- df.columns
+        require(bad.isEmpty, s"update: columns $bad not in table schema")
+        val cond = coalesce(predicate, lit(false))
+        df.select(df.columns.toIndexedSeq.map { c =>
+          set.get(c) match {
+            case Some(e) => when(cond, e).otherwise(col(c)).as(c)
+            case None    => col(c)
+          }
+        }: _*)
+      },
+      { df =>
+        val matched = df.filter(coalesce(predicate, lit(false)))
+        matched.withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(matched.select(df.columns.toIndexedSeq.map(c =>
+              set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+            .withColumn(ChangeTypeCol, lit("update_postimage")))
+      })
   }
 
   /** Generic CAS retry loop for the copy-on-write mutators
@@ -2682,11 +2822,30 @@ object ManifestTable {
     require(entries.nonEmpty || touched.size < st.files.size,
       s"merge would remove every live row of $root (MatchDelete over all " +
         "files) — a full-table clear is a rewrite: use write()")
+    val cdf = if (!cdfEnabled(st.tags)) None else {
+      val matchedPre = joined.filter(matchedMarker).select(targetCols.map(col): _*)
+      val changed = whenMatched match {
+        case MatchDelete => matchedPre.withColumn(ChangeTypeCol, lit("delete"))
+        case MatchUpdateAll =>
+          matchedPre.withColumn(ChangeTypeCol, lit("update_preimage"))
+            .unionByName(joined.filter(matchedMarker)
+              .select(targetCols.map(c => col(s"_src_$c").as(c)): _*)
+              .withColumn(ChangeTypeCol, lit("update_postimage")))
+        case MatchUpdate(set) =>
+          matchedPre.withColumn(ChangeTypeCol, lit("update_preimage"))
+            .unionByName(joined.filter(matchedMarker)
+              .select(targetCols.map(c => set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+              .withColumn(ChangeTypeCol, lit("update_postimage")))
+      }
+      writeCdf(spark, root, st.tags,
+        changed.unionByName(inserts.withColumn(ChangeTypeCol, lit("insert"))))
+    }
     val v = st.version + 1
     val manifest = DeltaManifest(v, entries, touched.map(_.relPath),
-      st.tags + (OpTag -> "merge"))
+      st.tags + (OpTag -> "merge"), cdf)
     if (!claimOrRecover(fs, root, manifest, graceMs)) {
       gen.foreach(g => fs.delete(new Path(root, g), true))
+      cdf.foreach { case (d, _) => fs.delete(new Path(root, d), true) }
       throw new ConcurrentCommitException(root, v)
     }
     v
@@ -2807,10 +2966,22 @@ object ManifestTable {
       require(adds.nonEmpty || removes.size < st.files.size,
         s"mergeMoR would remove every live row of $root (MatchDelete over all " +
           "files) — a full-table clear is a rewrite: use write()")
+      // change feed from the PERSISTED matched set (tear-checked above)
+      val cdf = if (!cdfEnabled(st.tags)) None else {
+        val pre = matched.select(targetCols.map(col): _*)
+        val changed = whenMatched match {
+          case MatchDelete => pre.withColumn(ChangeTypeCol, lit("delete"))
+          case _ => pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+            .unionByName(reemitN.withColumn(ChangeTypeCol, lit("update_postimage")))
+        }
+        writeCdf(spark, root, st.tags,
+          changed.unionByName(insertsN.withColumn(ChangeTypeCol, lit("insert"))))
+      }
       val v = st.version + 1
-      val manifest = DeltaManifest(v, adds, removes, st.tags + (OpTag -> "merge"))
+      val manifest = DeltaManifest(v, adds, removes, st.tags + (OpTag -> "merge"), cdf)
       if (!claimOrRecover(fs, root, manifest, graceMs)) {
         abortAll()
+        cdf.foreach { case (d, _) => fs.delete(new Path(root, d), true) }
         throw new ConcurrentCommitException(root, v)
       }
       v
@@ -2823,7 +2994,8 @@ object ManifestTable {
   private def rewriteMatching(spark: SparkSession, root: String,
                               predicate: org.apache.spark.sql.Column,
                               opName: String, graceMs: Long)
-                             (transform: DataFrame => DataFrame): Long = {
+                             (transform: DataFrame => DataFrame,
+                              changes: DataFrame => DataFrame): Long = {
     val fs = fsOf(spark, root)
     val st = current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
@@ -2834,11 +3006,11 @@ object ManifestTable {
     require(layouts.size <= 1,
       s"$opName: inconsistent partition layouts in $root: $layouts")
     val partKeys = layouts.headOption.getOrElse(Seq.empty)
+    val touchedDf = readState(spark, root, st.copy(files = touched))
     // normalize partition values on the rewrite output: an update could
     // retype or respell a partition column out from under the string-
     // pinned carry-forward contract
-    val kept = normalizePartitionCols(
-      transform(readState(spark, root, st.copy(files = touched))), partKeys)
+    val kept = normalizePartitionCols(transform(touchedDf), partKeys)
     if (opName == "update") // delete cannot introduce violations
       enforceConstraints(kept, st.tags, root, "update result")
     // all rows of every touched file removed: commit removes only (an
@@ -2855,11 +3027,14 @@ object ManifestTable {
     require(entries.nonEmpty || touched.size < st.files.size,
       s"$opName would remove every live row of $root — a full-table clear " +
         "is a rewrite: use write() with the replacement content")
+    val cdf = if (cdfEnabled(st.tags))
+      writeCdf(spark, root, st.tags, changes(touchedDf)) else None
     val removes = touched.map(_.relPath)
     val v = st.version + 1
-    val manifest = DeltaManifest(v, entries, removes, st.tags + (OpTag -> opName))
+    val manifest = DeltaManifest(v, entries, removes, st.tags + (OpTag -> opName), cdf)
     if (!claimOrRecover(fs, root, manifest, graceMs)) {
       gen.foreach(g => fs.delete(new Path(root, g), true))
+      cdf.foreach { case (d, _) => fs.delete(new Path(root, d), true) }
       throw new ConcurrentCommitException(root, v)
     }
     v
@@ -3353,8 +3528,12 @@ object ManifestTable {
       sts.flatMap(st => st.files.flatMap(f =>
         f.relPath.takeWhile(_ != '/') +: f.dv.map(_.dir).toSeq) ++
         st.tags.get(BloomIndexTag)).toSet
-    val liveGens = gens(retainedStates)
-    val deadGens = gens(droppedStates) -- liveGens
+    // change-feed datasets are referenced by their DELTA manifest (not
+    // by resolved states): live with the manifest, dead with it
+    def cdfDirs(ms: Seq[Manifest]): Set[String] =
+      ms.collect { case d: DeltaManifest => d.cdf.map(_._1) }.flatten.toSet
+    val liveGens = gens(retainedStates) ++ cdfDirs(retained)
+    val deadGens = (gens(droppedStates) ++ cdfDirs(dropped)) -- liveGens
     deadGens.foreach { g =>
       log.info(s"vacuum($root): deleting unreferenced generation $g")
       fs.delete(new Path(root, g), true)
@@ -3399,8 +3578,9 @@ object ManifestTable {
         val onDisk = fs.listStatus(new Path(root)).toSeq
           .map(_.getPath.getName)
           .filter(n => n.startsWith("gen-") || n.startsWith("dv-") ||
-            n.startsWith("bloomidx-")).toSet
-        val refd = liveGens ++ gens(droppedStates) // dropped's dead gens already handled
+            n.startsWith("bloomidx-") || n.startsWith("cdf-")).toSet
+        // dropped's dead gens/cdf dirs already handled above
+        val refd = liveGens ++ gens(droppedStates) ++ cdfDirs(dropped)
         val genOrphans = (onDisk -- refd -- deadGens)
           .filter(g => agedOut(new Path(root, g))).tapEach { g =>
           log.info(s"vacuum($root): deleting ORPHAN generation $g (no manifest references it)")
