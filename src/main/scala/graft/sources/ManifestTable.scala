@@ -256,9 +256,13 @@ object ManifestTable {
   private sealed trait Manifest {
     def version: Long
     def tags: Map[String, String]
+    /** This commit's row-level change dataset (dir, rowCount), any kind
+      * of commit — a snapshotting upsert carries changes like a delta. */
+    def cdf: Option[(String, Long)]
   }
   private final case class FullManifest(version: Long, files: Seq[FileEntry],
-                                        tags: Map[String, String]) extends Manifest
+                                        tags: Map[String, String],
+                                        cdf: Option[(String, Long)] = None) extends Manifest
   /** `cdf` names this commit's row-level change dataset (dir, rowCount)
     * when the table's change feed is enabled — additive metadata: a
     * reader that ignores it still reads the table correctly (unlike a
@@ -275,7 +279,8 @@ object ManifestTable {
     * refuses before it can silently drop it. */
   private final case class SnapshotRef(version: Long, refDir: String, count: Long,
                                        tags: Map[String, String],
-                                       protocol: Int = 1) extends Manifest
+                                       protocol: Int = 1,
+                                       cdf: Option[(String, Long)] = None) extends Manifest
 
   /** Default age a gen-/dv-/bloomidx-/ckpt- dir must reach before
     * `vacuum(deleteOrphans = true)` will treat it as a crash orphan
@@ -416,21 +421,21 @@ object ManifestTable {
         val tab = body.indexOf('\t')
         body.substring(0, tab) -> body.substring(tab + 1)
       }.toMap
+      val cdf = lines.find(_.startsWith("cdf=")).map { l =>
+        val body = l.stripPrefix("cdf=")
+        val tab = body.indexOf('\t')
+        (dec(body.substring(0, tab)), body.substring(tab + 1).toLong)
+      }
       if (lines.contains("kind=delta")) {
         val removes = lines.filter(_.startsWith("remove=")).map(_.stripPrefix("remove="))
-        val cdf = lines.find(_.startsWith("cdf=")).map { l =>
-          val body = l.stripPrefix("cdf=")
-          val tab = body.indexOf('\t')
-          (dec(body.substring(0, tab)), body.substring(tab + 1).toLong)
-        }
         Some(DeltaManifest(version, files, removes, tags, cdf))
       } else if (lines.contains("kind=snapshot-ref")) {
         val refDir = lines.find(_.startsWith("checkpoint=")).map(_.stripPrefix("checkpoint="))
           .getOrElse(sys.error("snapshot-ref without checkpoint= line"))
         val count = lines.find(_.startsWith("count=")).map(_.stripPrefix("count=").toLong)
           .getOrElse(sys.error("snapshot-ref without count= line"))
-        Some(SnapshotRef(version, refDir, count, tags, protocol))
-      } else Some(FullManifest(version, files, tags))
+        Some(SnapshotRef(version, refDir, count, tags, protocol, cdf))
+      } else Some(FullManifest(version, files, tags, cdf))
     } catch {
       case scala.util.control.NonFatal(e) =>
         log.warn(s"manifest table $root: v$version has a sentinel but unparseable " +
@@ -706,24 +711,24 @@ object ManifestTable {
         // declare the protocol a reader NEEDS, only when above the
         // implicit baseline (protocol-1 manifests stay byte-stable)
         val declared = m match {
-          case FullManifest(_, files, _)       => if (files.exists(_.dv.nonEmpty)) 2 else 1
-          case DeltaManifest(_, adds, _, _, _) => if (adds.exists(_.dv.nonEmpty)) 2 else 1
-          case r: SnapshotRef                  => r.protocol
+          case f: FullManifest  => if (f.files.exists(_.dv.nonEmpty)) 2 else 1
+          case d: DeltaManifest => if (d.adds.exists(_.dv.nonEmpty)) 2 else 1
+          case r: SnapshotRef   => r.protocol
         }
         if (declared > 1) w.write(s"protocol=$declared\n")
         m match {
-          case FullManifest(_, files, _) =>
-            files.foreach(f => w.write(fileLine(f)))
-          case DeltaManifest(_, adds, removes, _, cdf) =>
+          case f: FullManifest =>
+            f.files.foreach(x => w.write(fileLine(x)))
+          case d: DeltaManifest =>
             w.write("kind=delta\n")
-            adds.foreach(f => w.write(fileLine(f)))
-            removes.foreach(r => w.write(s"remove=$r\n"))
-            cdf.foreach { case (dir, n) => w.write(s"cdf=${enc(dir)}\t$n\n") }
+            d.adds.foreach(x => w.write(fileLine(x)))
+            d.removes.foreach(r => w.write(s"remove=$r\n"))
           case r: SnapshotRef =>
             w.write("kind=snapshot-ref\n")
             w.write(s"checkpoint=${r.refDir}\n")
             w.write(s"count=${r.count}\n")
         }
+        m.cdf.foreach { case (dir, n) => w.write(s"cdf=${enc(dir)}\t$n\n") }
         m.tags.toSeq.sortBy(_._1).foreach { case (k, v) => w.write(s"tag=$k\t$v\n") }
         w.write("commit=ok")
         w.close()
@@ -780,9 +785,10 @@ object ManifestTable {
     * leaves an orphan dir for vacuum(deleteOrphans). */
   private def mkSnapshot(spark: SparkSession, root: String, version: Long,
                          files: Seq[FileEntry],
-                         tags: Map[String, String]): (Manifest, Option[Path]) =
+                         tags: Map[String, String],
+                         cdf: Option[(String, Long)] = None): (Manifest, Option[Path]) =
     if (files.size < columnarThreshold(spark))
-      (FullManifest(version, files, tags), None)
+      (FullManifest(version, files, tags, cdf), None)
     else {
       import spark.implicits._
       val refDir = s"ckpt-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -795,7 +801,7 @@ object ManifestTable {
         .toDF("relPath", "bytes", "stats", "dv")
         .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(p.toString)
       val proto = if (files.exists(_.dv.nonEmpty)) 2 else 1
-      (SnapshotRef(version, refDir, files.size, tags, proto), Some(p))
+      (SnapshotRef(version, refDir, files.size, tags, proto, cdf), Some(p))
     }
 
   /** Re-stamp a snapshot artifact with a new claim version (CAS retry
@@ -1642,13 +1648,15 @@ object ManifestTable {
   // atomically with the mutation (a `cdf=` line on the delta manifest).
   // [[readChangeFeed]] then serves "(from, to]: what changed, row by
   // row" without diffing snapshots: at 100 TB a CDC consumer reads the
-  // change files (sized by the mutation), never the table. Append-only
-  // commits need no change file — their adds ARE the inserts, derived
-  // for free; rewrites (compact/cluster/materialize) are data-identical
-  // and emit nothing. A keyed [[upsertDedup]] replaces whole partitions
-  // without materializing its row-level diff — such commits are
-  // REFUSED by readChangeFeed (loudly, with the readChanges fallback
-  // named) rather than approximated: CDC consumers use the DML surface.
+  // change files (sized by the mutation), never the table. Keyed
+  // upserts (incl. the exactly-once streaming sink) record an EXACT
+  // row-level diff of their touched slice, so sink → CDC chains
+  // compose. Append-only commits need no change file — their adds ARE
+  // the inserts, derived for free; rewrites (compact/cluster/
+  // materialize) are data-identical and emit nothing. A commit that
+  // changed rows while the feed was off (or a full write() overwrite)
+  // is REFUSED by readChangeFeed — loudly, with the readChanges
+  // fallback named — rather than approximated.
 
   private[graft] val CdfEnabledTag = "cdf.enabled"
   val ChangeTypeCol = "_change_type"
@@ -1709,9 +1717,9 @@ object ManifestTable {
           s"($fromVersion, $toVersion] must lie within retained versions"))
       val op = m.tags.getOrElse(OpTag, "")
       m match {
-        case d: DeltaManifest if d.cdf.nonEmpty =>
-          val raw = spark.read.parquet(new Path(root, d.cdf.get._1).toString)
-          Some(logicalize(raw, d.tags).withColumn(CommitVersionCol, lit(v)))
+        case _ if m.cdf.nonEmpty => // any commit kind can carry changes
+          val raw = spark.read.parquet(new Path(root, m.cdf.get._1).toString)
+          Some(logicalize(raw, m.tags).withColumn(CommitVersionCol, lit(v)))
         case _ if Set("rewrite", "meta", "rename", "drop-column").contains(op) =>
           None // data-identical or metadata-only
         case d: DeltaManifest if d.removes.isEmpty =>
@@ -1722,9 +1730,10 @@ object ManifestTable {
             .withColumn(CommitVersionCol, lit(v)))
         case _ => sys.error(
           s"manifest table $root: v$v (op '$op') changed rows without a change " +
-            "record — enable setChangeFeed BEFORE mutating and mutate through " +
-            "delete/update/merge (a partition-replacing upsert or overwrite does " +
-            "not materialize row-level changes; consume readChanges for its adds)")
+            "record — the feed was DISABLED when this commit landed (enable " +
+            "setChangeFeed before mutating; delete/update/merge/upsert all " +
+            "record), or it is a full overwrite (write()), whose row-level diff " +
+            "is never materialized; consume readChanges for adds-only")
       }
     }
     frames.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
@@ -2098,10 +2107,10 @@ object ManifestTable {
         // CHECK constraints gate the BATCH before any generation write —
         // carried rows already passed at their own commit time
         enforceConstraints(freshN, st.tags, root, "upsert batch")
-        val (merged, carried) =
+        val (merged, carried, existingSlice) =
           if (partitionCols.isEmpty)
             (Upsert.appendDedup(existing, freshN, keys, col(order)),
-              Seq.empty[FileEntry])
+              Seq.empty[FileEntry], existing)
           else {
             // touched partition VALUES collect to the driver (tiny — the
             // incoming batch's partitions) and prune as LITERAL
@@ -2123,9 +2132,49 @@ object ManifestTable {
               }.reduce(_ && _)
             }.reduce(_ || _)
             val existingTouched = existing.filter(pred)
-            (Upsert.appendDedup(existingTouched, freshN, keys, col(order)), st.files)
+            (Upsert.appendDedup(existingTouched, freshN, keys, col(order)),
+              st.files, existingTouched)
           }
         val (gen, entries) = writeGeneration(merged, root, partitionCols, st.tags)
+        // change feed for the keyed upsert: an EXACT row-level diff of
+        // the touched slice via EXCEPT ALL — rows that disappeared are
+        // pre-images (or dedup deletes when their key gained no
+        // successor), rows that appeared are post-images or inserts by
+        // key presence; a fresh row identical to the existing one
+        // cancels out and emits nothing. The new side of the diff is
+        // the WRITTEN generation read back, never the merge plan
+        // re-evaluated — a nondeterministic keep-last tie could
+        // otherwise pick a different winner on the second evaluation
+        // and desync the feed from the committed bytes. Exact under the
+        // optimistic rebase too: a rebase only proceeds when the
+        // touched partitions' file sets are untouched by the rival, so
+        // the diff this cdf recorded is still the diff that commits.
+        val cdf = if (!cdfEnabled(st.tags)) None else {
+          require(!merged.schema.exists(_.dataType
+              .isInstanceOf[org.apache.spark.sql.types.MapType]),
+            s"manifest table $root: the change feed cannot diff a keyed upsert " +
+              "over map-typed columns (EXCEPT ALL cannot compare maps) — disable " +
+              "the feed or mutate through merge()")
+          val written =
+            if (entries.isEmpty)
+              spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+                merged.schema)
+            else logicalize(scanFiles(spark, root, entries, withPositions = false), st.tags)
+          val removed = existingSlice.exceptAll(written)
+          val added = written.exceptAll(existingSlice)
+          val keyCols = keys.map(col).toIndexedSeq
+          val addKeys = added.select(keyCols: _*).distinct()
+          val remKeys = removed.select(keyCols: _*).distinct()
+          writeCdf(spark, root, st.tags,
+            removed.join(addKeys, keys, "left_semi")
+              .withColumn(ChangeTypeCol, lit("update_preimage"))
+            .unionByName(removed.join(addKeys, keys, "left_anti")
+              .withColumn(ChangeTypeCol, lit("delete")))
+            .unionByName(added.join(remKeys, keys, "left_semi")
+              .withColumn(ChangeTypeCol, lit("update_postimage")))
+            .unionByName(added.join(remKeys, keys, "left_anti")
+              .withColumn(ChangeTypeCol, lit("insert"))))
+        }
         // the new generation's partition dirs ARE the touched set, spelled
         // exactly as the writer escapes them — carry forward only files
         // outside those partitions (string-match-safe: same writer
@@ -2152,8 +2201,8 @@ object ManifestTable {
           }
         }
         val (manifest, sidecar) =
-          if (snapshotting) mkSnapshot(spark, root, v, keep ++ entries, newTags)
-          else (DeltaManifest(v, entries, removesAll, newTags), None)
+          if (snapshotting) mkSnapshot(spark, root, v, keep ++ entries, newTags, cdf)
+          else (DeltaManifest(v, entries, removesAll, newTags, cdf), None)
         if (claimOrRecover(fs, root, manifest, graceMs)) {
           if (snapshotting) writePointer(fs, root, v)
           v
@@ -2166,10 +2215,11 @@ object ManifestTable {
           val rebased =
             if (carried.nonEmpty)
               rebaseDeltaUpsert(spark, fs, root, st, newParts, entries,
-                removesAll, tags, graceMs)
+                removesAll, tags, graceMs, cdf)
             else None // unpartitioned upserts merge the FULL table: any rival invalidates
           rebased.getOrElse {
             fs.delete(new Path(root, gen), true)
+            cdf.foreach { case (d, _) => fs.delete(new Path(root, d), true) }
             throw new ConcurrentCommitException(root, v)
           }
         }
@@ -2204,7 +2254,8 @@ object ManifestTable {
                                 touchedParts: Set[String],
                                 entries: Seq[FileEntry], removes: Seq[String],
                                 userTags: Map[String, String],
-                                graceMs: Long): Option[Long] = {
+                                graceMs: Long,
+                                cdf: Option[(String, Long)] = None): Option[Long] = {
     var attempts = 0
     while (attempts < 5) {
       attempts += 1
@@ -2219,8 +2270,10 @@ object ManifestTable {
       val tagsOk = scala.util.Try(validateTags(userTags, st2.tags)).isSuccess
       if (!disjoint || !constraintsSame || !tagsOk) return None
       val v2 = st2.version + 1
+      // the cdf diff stays exact: disjointness proved the touched
+      // partitions' file sets untouched by the rival
       val m = DeltaManifest(v2, entries, removes,
-        st2.tags ++ userTags + (OpTag -> "upsert"))
+        st2.tags ++ userTags + (OpTag -> "upsert"), cdf)
       if (claimOrRecover(fs, root, m, graceMs)) {
         log.info(s"manifest table $root: lost claim at v${base.version + 1} " +
           s"rebased onto v${st2.version} (rival commits disjoint from " +
@@ -3531,7 +3584,7 @@ object ManifestTable {
     // change-feed datasets are referenced by their DELTA manifest (not
     // by resolved states): live with the manifest, dead with it
     def cdfDirs(ms: Seq[Manifest]): Set[String] =
-      ms.collect { case d: DeltaManifest => d.cdf.map(_._1) }.flatten.toSet
+      ms.flatMap(_.cdf.map(_._1)).toSet
     val liveGens = gens(retainedStates) ++ cdfDirs(retained)
     val deadGens = (gens(droppedStates) ++ cdfDirs(dropped)) -- liveGens
     deadGens.foreach { g =>
@@ -3541,7 +3594,8 @@ object ManifestTable {
     dropped.foreach { m =>
       fs.delete(manifestPath(root, m.version), false)
       m match {
-        case SnapshotRef(_, refDir, _, _, _) =>
+        case r: SnapshotRef =>
+          val refDir = r.refDir
           // the dropped stub was the sidecar's only committed reference
           fs.delete(new Path(root, s"$ManifestDir/$refDir"), true)
         case _ => ()
@@ -3588,7 +3642,7 @@ object ManifestTable {
         }.toSet
         // sidecars from writers that crashed between sidecar write and
         // claim (or lost the claim before their cleanup ran)
-        val refdCkpts = raws.collect { case SnapshotRef(_, d, _, _, _) => d }.toSet
+        val refdCkpts = raws.collect { case r: SnapshotRef => r.refDir }.toSet
         val ckptOrphans = fs.listStatus(new Path(root, ManifestDir)).toSeq
           .map(_.getPath.getName).filter(_.startsWith("ckpt-")).toSet
           .diff(refdCkpts)

@@ -75,6 +75,36 @@ class ChangeFeedSpec extends SparkSpec {
     assert(feed(root, 5L, 6L) == Seq((2L, 20.0, "delete", 6L)))
   }
 
+  test("keyed upserts record exact diffs: update pre+post, insert, no-op cancels") {
+    val root = tmp() + "/ups"
+    ManifestTable.write(Seq((1L, 10.0, "p1"), (2L, 20.0, "p1"), (3L, 30.0, "p2"))
+      .toDF("k", "v", "p").repartition(1), root,
+      partitionCols = Seq("p"))                                      // v1
+    ManifestTable.setChangeFeed(spark, root, enabled = true)         // v2
+    // batch: k=1 changes value (update), k=2 arrives IDENTICAL (no-op,
+    // nothing emitted), k=4 is new (insert); p2 untouched (carried)
+    ManifestTable.upsertDedup(spark,
+      Seq((1L, 11.0, "p1"), (2L, 20.0, "p1"), (4L, 40.0, "p1"))
+        .toDF("k", "v", "p"), root,
+      keys = Seq("k"), order = "v", partitionCols = Seq("p"))        // v3
+    val got = ManifestTable.readChangeFeed(spark, root, 2L, 3L)
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, Double, String, Long)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1L, 10.0, "update_preimage", 3L), (1L, 11.0, "update_postimage", 3L),
+      (4L, 40.0, "insert", 3L)).sorted)
+    // the exactly-once STREAMING path (idempotentUpsert = the sink's
+    // commit primitive) records its diff too — sink → CDC chains compose
+    ManifestTable.idempotentUpsert(spark,
+      Seq((4L, 44.0, "p1")).toDF("k", "v", "p"), root,
+      keys = Seq("k"), order = "v", appId = "job1", appVersion = 1L,
+      partitionCols = Seq("p"))                                      // v4
+    assert(ManifestTable.readChangeFeed(spark, root, 3L, 4L)
+      .select("k", "v", "_change_type").as[(Long, Double, String)]
+      .collect().toSeq.sorted == Seq(
+        (4L, 40.0, "update_preimage"), (4L, 44.0, "update_postimage")))
+  }
+
   test("a row-changing commit without a record refuses; empty windows are typed") {
     val root = tmp() + "/t"
     ManifestTable.write(Seq((1L, 10.0)).toDF("k", "v"), root)   // v1
