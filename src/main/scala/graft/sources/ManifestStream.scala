@@ -50,11 +50,22 @@ class ManifestChangesSourceProvider extends StreamSourceProvider with DataSource
     parameters.getOrElse("path",
       sys.error("graft-manifest-changes: 'path' option (manifest table root) is required"))
 
+  private def feedMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readchangefeed").orElse(parameters.get("readChangeFeed"))
+      .exists(_.trim.equalsIgnoreCase("true"))
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      ManifestTable.read(sqlContext.sparkSession, root(parameters)).schema))
+    (shortName(), schema.getOrElse {
+      val base = ManifestTable.read(sqlContext.sparkSession, root(parameters)).schema
+      if (!feedMode(parameters)) base
+      else base
+        .add(ManifestTable.ChangeTypeCol,
+          org.apache.spark.sql.types.StringType, nullable = false)
+        .add(ManifestTable.CommitVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false)
+    })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
@@ -71,13 +82,23 @@ class ManifestChangesSourceProvider extends StreamSourceProvider with DataSource
     val maxVersions = parameters.get("maxversionsperbatch").map(_.trim.toLong)
       .getOrElse(Long.MaxValue)
     require(maxVersions >= 1, "graft-manifest-changes: maxversionsperbatch must be >= 1")
-    new ManifestChangesSource(sqlContext, r, starting, maxVersions)
+    new ManifestChangesSource(sqlContext, r, starting, maxVersions, feedMode(parameters))
   }
 }
 
+/** `feed = true` switches batches from file-level change sets
+  * ([[ManifestTable.readChanges]]) to the ROW-LEVEL change feed
+  * ([[ManifestTable.readChangeFeed]]): each micro-batch carries
+  * `_change_type`/`_commit_version` rows, so a continuous CDC consumer
+  * (replicate deletes downstream, maintain an aggregate incrementally)
+  * subscribes with `option("readChangeFeed", "true")` — Delta's
+  * streaming-CDF surface. Same version offsets, admission control and
+  * AvailableNow semantics; replays are deterministic because change
+  * datasets are immutable. */
 final class ManifestChangesSource(sqlContext: SQLContext, root: String,
                                   startingVersion: Long,
-                                  maxVersionsPerBatch: Long = Long.MaxValue)
+                                  maxVersionsPerBatch: Long = Long.MaxValue,
+                                  feed: Boolean = false)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -115,7 +136,15 @@ final class ManifestChangesSource(sqlContext: SQLContext, root: String,
 
   /** Pinned at stream start; batches are projected onto it so upstream
     * additive evolution cannot silently widen a running stream. */
-  override val schema: StructType = ManifestTable.read(spark, root).schema
+  override val schema: StructType = {
+    val base = ManifestTable.read(spark, root).schema
+    if (!feed) base
+    else base
+      .add(ManifestTable.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false)
+      .add(ManifestTable.CommitVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false)
+  }
 
   /** Newest committed version — None until it passes `startingVersion`
     * (with "latest", the stream stays idle until the next commit). */
@@ -131,7 +160,9 @@ final class ManifestChangesSource(sqlContext: SQLContext, root: String,
     * the JSON form. */
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(version).getOrElse(startingVersion)
-    val changes = ManifestTable.readChanges(spark, root, from, version(end))
+    val changes =
+      if (feed) ManifestTable.readChangeFeed(spark, root, from, version(end))
+      else ManifestTable.readChanges(spark, root, from, version(end))
     // project onto the pinned schema: a column added upstream mid-stream
     // drops out; a column REMOVED upstream fails loudly here
     SessionIsolation.streamingFrame(
@@ -145,5 +176,6 @@ final class ManifestChangesSource(sqlContext: SQLContext, root: String,
 
   override def stop(): Unit = ()
 
-  override def toString: String = s"ManifestChangesSource[$root]"
+  override def toString: String =
+    s"ManifestChangesSource[$root${if (feed) ", feed" else ""}]"
 }

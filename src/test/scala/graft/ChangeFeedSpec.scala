@@ -122,6 +122,34 @@ class ChangeFeedSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("k", "v", "_change_type", "_commit_version"))
   }
 
+  test("streaming CDC: readChangeFeed=true serves row-level batches with AvailableNow") {
+    val root = tmp() + "/stream"
+    ManifestTable.write(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .repartition(1), root)                                     // v1
+    ManifestTable.setChangeFeed(spark, root, enabled = true)     // v2
+    ManifestTable.delete(spark, root, col("k") === 1L)           // v3
+    ManifestTable.update(spark, root, col("k") === 2L,
+      Map("v" -> lit(21.0)))                                     // v4
+
+    val q = spark.readStream
+      .format("graft-manifest-changes")
+      .option("path", root)
+      .option("readChangeFeed", "true")
+      .option("startingversion", "2") // post-enable history only
+      .load()
+      .writeStream.format("memory").queryName("cdc_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("cdc_sink")
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, Double, String, Long)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1L, 10.0, "delete", 3L),
+      (2L, 20.0, "update_preimage", 4L),
+      (2L, 21.0, "update_postimage", 4L)).sorted)
+  }
+
   test("vacuum retains referenced change datasets and reclaims dropped ones") {
     val root = tmp() + "/t"
     ManifestTable.write(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
