@@ -20,7 +20,8 @@ import graft.sources.ManifestTable
   *   GRAFT HISTORY 'path'                  -- DESCRIBE HISTORY
   *   GRAFT DETAIL 'path'                   -- DESCRIBE DETAIL
   *   GRAFT STATS 'path'                    -- metadata-only column stats
-  *   GRAFT VACUUM 'path' [KEEP n] [ORPHANS] -- version-count retention
+  *   GRAFT VACUUM 'path' [KEEP n | RETAIN n HOURS] [ORPHANS] -- retention
+  *   GRAFT MATERIALIZE 'path'              -- fold deletion vectors in
   *   GRAFT RESTORE 'path' TO VERSION n     -- auditable rollback
   *   GRAFT COMPACT 'path' [TARGET mb]      -- sized rewrite
   *   GRAFT CLUSTER 'path' BY (c1, c2) [ZORDER] [TARGET mb] -- OPTIMIZE [ZORDER]
@@ -65,7 +66,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val History = """(?is)HISTORY\s+'([^']+)'""".r
   private val Detail  = """(?is)DETAIL\s+'([^']+)'""".r
   private val Stats   = """(?is)STATS\s+'([^']+)'""".r
-  private val Vacuum  = """(?is)VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?(?:\s+(ORPHANS))?""".r
+  private val Vacuum  = """(?is)VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+(ORPHANS))?""".r
+  private val Material = """(?is)MATERIALIZE\s+'([^']+)'""".r
   private val Restore = """(?is)RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)""".r
   private val Compact = """(?is)COMPACT\s+'([^']+)'(?:\s+TARGET\s+(\d+))?""".r
   private val Feed    = """(?is)FEED\s+'([^']+)'\s+(ENABLE|DISABLE)""".r
@@ -85,9 +87,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case History(p) => GraftHistoryCommand(p)
       case Detail(p)  => GraftDetailCommand(p)
       case Stats(p)   => GraftStatsCommand(p)
-      case Vacuum(p, keep, orphans) =>
+      case Vacuum(p, keep, retainH, orphans) =>
+        require(keep == null || retainH == null,
+          "GRAFT VACUUM: KEEP n and RETAIN n HOURS are exclusive")
         GraftVacuumCommand(p, Option(keep).map(_.toInt).getOrElse(2),
+          retainHours = Option(retainH).map(_.toInt),
           deleteOrphans = orphans != null)
+      case Material(p) => GraftMaterializeCommand(p)
       case Restore(p, v) => GraftRestoreCommand(p, v.toLong)
       case Compact(p, mb) =>
         GraftCompactCommand(p, Option(mb).map(_.toInt).getOrElse(512))
@@ -344,12 +350,27 @@ final case class GraftStatsCommand(root: String) extends LeafRunnableCommand {
   * is indistinguishable from crash debris, so deleting unreferenced
   * dirs unconditionally could destroy an in-flight commit's data. */
 final case class GraftVacuumCommand(root: String, keep: Int,
+                                    retainHours: Option[Int],
                                     deleteOrphans: Boolean) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
     StructField("reclaimed_dirs", IntegerType, false))))
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(ManifestTable.vacuum(spark, root, keep = keep,
-      deleteOrphans = deleteOrphans)))
+    Seq(Row(retainHours match {
+      case Some(h) => ManifestTable.vacuumRetain(spark, root,
+        retainMs = h.toLong * 3600 * 1000, deleteOrphans = deleteOrphans)
+      case None => ManifestTable.vacuum(spark, root, keep = keep,
+        deleteOrphans = deleteOrphans)
+    }))
+}
+
+/** Fold live deletion vectors back into the data files (the
+  * OPTIMIZE-side of merge-on-read) — after a run of MOR DML this
+  * returns reads to plain scans and statsOnly to exactness. */
+final case class GraftMaterializeCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.materializeDeletes(spark, root)))
 }
 
 /** Opt the table's row-level change feed in/out (metadata-only commit);

@@ -162,6 +162,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() == 200)
   }
 
+  test("GRAFT MATERIALIZE folds deletion vectors; VACUUM RETAIN n HOURS parses") {
+    val root = tmp() + "/mat"
+    ManifestTable.write(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
+      .repartition(1), root)
+    spark.sql(s"GRAFT DELETE MOR FROM '$root' WHERE k = 2")
+    assert(ManifestTable.detail(spark, root).collect().head
+      .getAs[Long]("num_dv_files") == 1L)
+    spark.sql(s"GRAFT MATERIALIZE '$root'").collect()
+    assert(ManifestTable.detail(spark, root).collect().head
+      .getAs[Long]("num_dv_files") == 0L)
+    assert(ManifestTable.read(spark, root).select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L))
+    // RETAIN: everything committed within 24h stays
+    val r = spark.sql(s"GRAFT VACUUM '$root' RETAIN 24 HOURS").collect().head
+    assert(r.getInt(0) == 0)
+    assert(ManifestTable.history(spark, root).count() >= 3)
+  }
+
   test("non-GRAFT SQL is untouched; a malformed GRAFT statement errors loudly") {
     assert(spark.sql("SELECT 1 + 1 AS two").as[Int].head() == 2)
     // a table named graft still parses through the delegate (the prefix
