@@ -468,6 +468,32 @@ object AggWindowQueries extends QueryPack {
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
           col("_change_type").as("change_type"),
           col("_commit_version").as("commit_version"))
+    }),
+    "k24_sql_table" -> ((s, d) => {
+      // K24 (beyond-reference): manifest tables as first-class SQL
+      // relations — zero format() calls: the table grows by an
+      // `INSERT INTO graft.`path` SELECT … FROM graft.`path`` (an
+      // O(batch) append commit that carries every live file by
+      // reference), and the final read joins the current snapshot
+      // against a `FOR VERSION AS OF 1` time-traveled count, all via
+      // the injected resolution rule. The oracle replays the insert
+      // relationally with the pre-insert count as a scalar.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k24")
+        .toString + "/orders_sqlrel"
+      ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+        root)                                                     // v1
+      s.sql(s"INSERT INTO graft.`$root` " +
+        "SELECT o_orderkey + 10000000, o_totalprice + 5000.0, o_orderpriority " +
+        s"FROM graft.`$root` WHERE o_orderpriority = '1-URGENT'") // v2: append
+      s.sql(
+        s"""SELECT t.o_orderkey, t.o_totalprice, t.o_orderpriority, v1.base_rows
+           |FROM graft.`$root` t
+           |CROSS JOIN (SELECT count(*) AS base_rows
+           |            FROM graft.`$root` FOR VERSION AS OF 1) v1
+           |WHERE t.o_totalprice > 150000.0""".stripMargin)
     })
   )
 
@@ -730,7 +756,17 @@ object AggWindowQueries extends QueryPack {
         |SELECT o_orderkey, o_totalprice + 1000.0, o_orderpriority,
         |       'insert', 4
         |FROM orders
-        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 30000.0""".stripMargin
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 30000.0""".stripMargin,
+    "k24_sql_table" ->
+      """WITH grown AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice + 5000.0, o_orderpriority
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT g.o_orderkey, g.o_totalprice, g.o_orderpriority, v1.base_rows
+        |FROM grown g
+        |CROSS JOIN (SELECT count(*) AS base_rows FROM orders) v1
+        |WHERE g.o_totalprice > 150000.0""".stripMargin
   )
 }
 

@@ -168,6 +168,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // lakehouse maintenance grammar (GRAFT HISTORY/VACUUM/RESTORE/…):
     // a delegating parser — non-GRAFT statements reach Spark untouched
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // `graft.`/table/root`` as a first-class SQL relation (reads, time
+    // travel, INSERT INTO/OVERWRITE) — see GraftRelationResolution
+    e.injectResolutionRule(session => new GraftRelationResolution(session))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

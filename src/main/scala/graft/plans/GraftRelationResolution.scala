@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.TimestampType
+
+import graft.sources.{ManifestRelation, ManifestTable}
+
+/** Makes manifest tables first-class SQL relations — the Delta-style
+  * `format.`path`` surface, resolved by an injected analyzer rule
+  * instead of a catalog entry, so ANY statement the delegate parser
+  * produces can name a table by its root:
+  *
+  * {{{
+  * SELECT * FROM graft.`/data/orders` WHERE day = '2026-08-14'
+  * SELECT * FROM graft.`/data/orders` FOR VERSION AS OF 3
+  * SELECT * FROM graft.`/data/orders` FOR TIMESTAMP AS OF '2026-08-01 12:00:00'
+  * INSERT INTO graft.`/data/orders` SELECT ...      -- O(batch) append commit
+  * INSERT OVERWRITE graft.`/data/orders` SELECT ... -- full rewrite
+  * }}}
+  *
+  * The relation is the SAME [[ManifestRelation]] the read path uses, so
+  * SQL reads inherit its file pruning ([[ManifestTable.readWhere]]:
+  * partition values, footer min/max, bloom indexes, deletion vectors)
+  * and its column pruning — `WHERE day = …` on a 100 TB table plans
+  * from manifest metadata, not a listing. Inserts resolve through
+  * Spark's own `PreprocessTableInsertion` (column alignment, implicit
+  * casts, BY NAME) onto [[ManifestRelation.insert]].
+  *
+  * The namespace is claimed narrowly: exactly two name parts, the first
+  * `graft` (case-insensitive), the second containing a `/` — a real
+  * catalog table `graft.t` or a CTE named `graft` never matches. Time
+  * travel resolves the version EAGERLY at analysis (a literal is
+  * required, matching Spark's own time-travel contract) so the plan
+  * pins a snapshot, not a clock read. */
+class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def graftPath(parts: Seq[String]): Option[String] = parts match {
+    case Seq(ns, p) if ns.equalsIgnoreCase("graft") && p.contains("/") => Some(p)
+    case _ => None
+  }
+
+  private def relation(path: String, version: Option[Long]): LogicalRelation =
+    LogicalRelation(new ManifestRelation(spark.sqlContext, path, version),
+      isStreaming = false)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    // RelationTimeTravel is an unresolved LEAF (its relation is a field,
+    // not a child), so the bare-relation case below can never rewrite
+    // the inner node out from under this one.
+    // InsertIntoStatement holds its target as a FIELD (children = query
+    // only), so the bare-relation case never reaches it — rewrite the
+    // field explicitly once the query side is resolvable; Spark's own
+    // PreprocessTableInsertion then aligns/casts onto the
+    // InsertableRelation.
+    case i: InsertIntoStatement => i.table match {
+      case u: UnresolvedRelation if graftPath(u.multipartIdentifier).isDefined =>
+        i.copy(table = relation(graftPath(u.multipartIdentifier).get, None))
+      case _ => i
+    }
+    case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+        if graftPath(u.multipartIdentifier).isDefined && ts.forall(_.resolved) =>
+      val p = graftPath(u.multipartIdentifier).get
+      val v: Long = (ver, ts) match {
+        case (Some(s), _) =>
+          scala.util.Try(s.trim.toLong).getOrElse(
+            sys.error(s"graft time travel: VERSION AS OF takes a numeric " +
+              s"manifest version, got '$s'"))
+        case (_, Some(expr)) =>
+          val cast = Cast(expr, TimestampType,
+            Option(spark.sessionState.conf.sessionLocalTimeZone))
+          require(cast.foldable,
+            s"graft time travel: TIMESTAMP AS OF must be a literal, got $expr")
+          val micros = cast.eval(null)
+          require(micros != null,
+            s"graft time travel: TIMESTAMP AS OF evaluates to NULL: $expr")
+          val ms = micros.asInstanceOf[Long] / 1000L
+          ManifestTable.versionAtTime(spark, p, ms).getOrElse(
+            sys.error(s"graft time travel: $p has no commit at or before $expr"))
+        case _ =>
+          sys.error("graft time travel: VERSION AS OF or TIMESTAMP AS OF required")
+      }
+      relation(p, Some(v))
+    case u: UnresolvedRelation if graftPath(u.multipartIdentifier).isDefined =>
+      relation(graftPath(u.multipartIdentifier).get, None)
+  }
+}

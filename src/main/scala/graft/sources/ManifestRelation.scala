@@ -113,11 +113,25 @@ class ManifestTableProvider extends RelationProvider
   }
 }
 
-final class ManifestRelation(val sqlContext: SQLContext, root: String,
-                             version: Option[Long])
-    extends BaseRelation with PrunedFilteredScan {
+final class ManifestRelation(val sqlContext: SQLContext, val root: String,
+                             val version: Option[Long])
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark = sqlContext.sparkSession
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` (Spark routes both through
+    * `InsertIntoDataSourceCommand` after aligning + casting `data` to
+    * [[schema]]): INTO is [[ManifestTable.append]] — an O(batch)
+    * add-only delta commit, CAS-retried — and OVERWRITE is a full
+    * [[ManifestTable.write]] preserving the table's partition layout. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(version.isEmpty,
+      s"graft-manifest: cannot INSERT into a time-traveled snapshot of $root")
+    if (overwrite)
+      ManifestTable.write(data, root, ManifestTable.partitionLayout(spark, root))
+    else
+      ManifestTable.retryOnConflict()(ManifestTable.append(spark, data, root))
+  }
 
   private def snapshot: DataFrame = version match {
     case Some(v) => ManifestTable.readVersion(spark, root, v)

@@ -1970,6 +1970,88 @@ object ManifestTable {
       .maxOption.getOrElse(0L)
   }
 
+  /** The table's live hive partition layout (physical column names) from
+    * manifest metadata only — empty for unpartitioned tables. What a
+    * blind writer (INSERT OVERWRITE, [[append]]) must preserve so its
+    * generation partitions like every other. */
+  def partitionLayout(spark: SparkSession, root: String): Seq[String] = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val layouts = st.files.map(_.partitionPath.split('/').toSeq
+      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
+    require(layouts.size <= 1,
+      s"partitionLayout: inconsistent partition layouts in $root: $layouts")
+    layouts.headOption.getOrElse(Seq.empty)
+  }
+
+  /** Add-only commit — SQL `INSERT INTO` semantics: the batch lands as a
+    * fresh generation, every live file carries forward BY REFERENCE and
+    * nothing is read back, so the work is O(batch) at any table size
+    * (the 100 TB ingest shape: appending 2 GB writes 2 GB of parquet
+    * plus a delta manifest, never touching the other files). The batch
+    * must spell the table's exact LOGICAL columns — a blind append must
+    * not fork the schema; additive evolution is [[upsertDedup]]'s
+    * `mergeSchema`, a type change is a rewrite. CHECK constraints gate
+    * the batch; the change feed (when enabled) records every appended
+    * row as an "insert", derived from the WRITTEN generation so a
+    * non-deterministic source cannot desync feed from bytes. Commits a
+    * DELTA manifest (op "append", adds only) with the same CAS
+    * discipline as every mutator; every `checkpointInterval`-th version
+    * snapshots so resolution chains stay short. */
+  def append(spark: SparkSession, batch: DataFrame, root: String,
+             graceMs: Long = 60000L,
+             checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val fs = fsOf(spark, root)
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version — INSERT/append " +
+        "targets an existing table; create one with write()"))
+    val logical = readState(spark, root, st).schema
+    val expected = logical.fieldNames.toSeq
+    val got = batch.columns.toSeq
+    require(got.map(_.toLowerCase).sorted == expected.map(_.toLowerCase).sorted,
+      s"manifest table $root: append batch columns [${got.sorted.mkString(", ")}] " +
+        s"must match the table's [${expected.sorted.mkString(", ")}] — additive " +
+        "evolution is upsertDedup(mergeSchema = true), not a blind append")
+    val byLower = got.map(c => c.toLowerCase -> c).toMap
+    val aligned = batch.select(
+      expected.map(c => col(byLower(c.toLowerCase)).as(c)).toIndexedSeq: _*)
+    val eT = logical.map(f => f.name -> f.dataType).toMap
+    val drift = aligned.schema
+      .filter(f => eT.get(f.name).exists(_ != f.dataType))
+      .map(f => s"${f.name}: table=${eT(f.name).sql} batch=${f.dataType.sql}")
+    require(drift.isEmpty,
+      s"manifest table $root: batch column types differ from the table " +
+        s"(${drift.mkString("; ")}) — a type change is a rewrite (write()), " +
+        "not evolution")
+    enforceConstraints(aligned, st.tags, root, "append batch")
+    val partKeys = partitionLayout(spark, root)
+    val (gen, entries) = writeGeneration(
+      normalizePartitionCols(aligned, partKeys), root, partKeys, st.tags)
+    // feed rows come from the committed bytes, not a plan re-evaluation
+    val cdf = if (!cdfEnabled(st.tags)) None else {
+      val written =
+        if (entries.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            aligned.schema)
+        else logicalize(scanFiles(spark, root, entries, withPositions = false), st.tags)
+      writeCdf(spark, root, st.tags, written.withColumn(ChangeTypeCol, lit("insert")))
+    }
+    val v = st.version + 1
+    val newTags = st.tags + (OpTag -> "append")
+    val snapshotting = checkpointInterval <= 1 || v % checkpointInterval == 0
+    val (manifest, sidecar) =
+      if (snapshotting) mkSnapshot(spark, root, v, st.files ++ entries, newTags, cdf)
+      else (DeltaManifest(v, entries, Seq.empty, newTags, cdf), None)
+    if (!claimOrRecover(fs, root, manifest, graceMs)) {
+      fs.delete(new Path(root, gen), true)
+      sidecar.foreach(fs.delete(_, true))
+      cdf.foreach { case (d, _) => fs.delete(new Path(root, d), true) }
+      throw new ConcurrentCommitException(root, v)
+    }
+    if (snapshotting) writePointer(fs, root, v)
+    v
+  }
+
   /** Append-with-dedup upsert (K4 semantics) with carry-forward: only the
     * partitions touched by `fresh` are read, merged keep-last
     * ([[Upsert.appendDedup]]) and rewritten into a new generation; every
