@@ -30,9 +30,62 @@ import org.apache.spark.sql.types.StructType
   * (`buildScan` returns that plan's RDD), not a hand-rolled row reader.
   */
 class ManifestTableProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-manifest"
+
+  /** `df.writeStream.format("graft-manifest")` — the exactly-once sink
+    * as a registered format (the same watermark machinery as
+    * [[ManifestTable.streamUpsertSink]], without the foreachBatch
+    * boilerplate):
+    *
+    * {{{
+    * events.writeStream.format("graft-manifest")
+    *   .option("checkpointLocation", ckpt)
+    *   .option("keys", "id").option("order", "ts")    // keyed upsert…
+    *   .start(root)
+    * events.writeStream.format("graft-manifest")      // …or append-only
+    *   .option("checkpointLocation", ckpt)
+    *   .partitionBy("day")
+    *   .start(root)
+    * }}}
+    *
+    * With `keys` + `order` each micro-batch is a keyed keep-last upsert;
+    * without, an O(batch) add-only append (the event-log shape — a
+    * micro-batch writes its rows + a delta manifest, never touching the
+    * table's live files, at any table size). Either way the batch id
+    * commits atomically with the data under a per-sink watermark tag, so
+    * checkpoint replays are recognized and skipped: end-to-end
+    * exactly-once on top of foreachBatch-equivalent at-least-once
+    * delivery. `sinkId` defaults to the checkpoint location (stable
+    * across restarts of the same checkpoint — exactly the replay-window
+    * identity the watermark needs); set it explicitly when RE-CREATING a
+    * checkpoint so the fresh batch-0 stream is not mistaken for replays. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val r = root(parameters)
+    val keys = parameters.get("keys")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val order = parameters.get("order")
+    require(keys.isEmpty || order.nonEmpty,
+      "graft-manifest sink: .option(\"keys\", …) requires .option(\"order\", …)")
+    val partCols =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else parameters.get("partitioncols").orElse(parameters.get("partitionCols"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val sinkId = parameters.get("sinkid").orElse(parameters.get("sinkId"))
+      .orElse(parameters.get("checkpointlocation"))
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(sys.error("graft-manifest sink: set .option(\"sinkId\", …) " +
+        "or a checkpointLocation (the replay-watermark identity)"))
+    val autoCompactEvery = parameters.get("autocompactevery")
+      .orElse(parameters.get("autoCompactEvery")).map(_.trim.toInt).getOrElse(0)
+    new ManifestSink(r, keys, order, partCols, sinkId, autoCompactEvery)
+  }
 
   private def root(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
@@ -111,6 +164,39 @@ class ManifestTableProvider extends RelationProvider
     }
     new ManifestRelation(sqlContext, r, None)
   }
+}
+
+/** The V1 sink behind `writeStream.format("graft-manifest")` — see
+  * [[ManifestTableProvider.createSink]] for semantics. Single-writer
+  * per (table, sinkId): the streaming query serializes its own batches;
+  * a concurrent OTHER writer surfaces as ConcurrentCommitException and
+  * fails the query loudly rather than losing either side's commit. */
+final class ManifestSink(root: String, keys: Option[Seq[String]],
+                         order: Option[String], partitionCols: Seq[String],
+                         sinkId: String, autoCompactEvery: Int)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the incoming frame is flagged isStreaming — rebind the planned
+    // incremental execution as a batch frame (fixed lineage) so the
+    // upsert/append machinery can run ordinary actions over it
+    val batch = org.apache.spark.sql.graftshim.SessionIsolation.batchFrame(data)
+    val spark = batch.sparkSession
+    val applied = keys match {
+      case Some(k) => ManifestTable.commitStreamBatch(spark, batch, batchId,
+        root, k, order.get, partitionCols, sinkId)
+      case None => ManifestTable.commitStreamAppend(spark, batch, batchId,
+        root, partitionCols, sinkId)
+    }
+    // auto-OPTIMIZE cadence, best-effort (same contract as
+    // streamUpsertSink): a lost CAS race defers the small-file debt
+    if (applied && autoCompactEvery > 0 && batchId % autoCompactEvery == 0)
+      try ManifestTable.compactSmallFiles(spark, root)
+      catch { case _: ManifestTable.ConcurrentCommitException => () }
+  }
+
+  override def toString: String =
+    s"ManifestSink[$root${keys.map(k => s" keys=${k.mkString(",")}").getOrElse("")}]"
 }
 
 final class ManifestRelation(val sqlContext: SQLContext, val root: String,

@@ -2000,11 +2000,42 @@ object ManifestTable {
     * snapshots so resolution chains stay short. */
   def append(spark: SparkSession, batch: DataFrame, root: String,
              graceMs: Long = 60000L,
-             checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+             checkpointInterval: Int = DefaultCheckpointInterval,
+             tags: Map[String, String] = Map.empty,
+             partitionCols: Seq[String] = Nil): Long =
+    appendFrom(spark, batch, root, graceMs, checkpointInterval, tags,
+      partitionCols, current(spark, root))
+
+  /** [[append]] body against an already-read `prior` state — the
+    * streaming sink reuses its watermark read (one manifest-log listing
+    * per micro-batch). A `None` prior SEEDS the table at v1 with the
+    * batch's schema (the streaming-sink bootstrap; the direct
+    * INSERT-INTO path never reaches here with None — resolution fails
+    * first on a table that does not exist). */
+  private def appendFrom(spark: SparkSession, batch: DataFrame, root: String,
+                         graceMs: Long, checkpointInterval: Int,
+                         tags: Map[String, String],
+                         partitionCols: Seq[String],
+                         prior: Option[State]): Long = {
+    validateTags(tags, prior.map(_.tags).getOrElse(Map.empty))
     val fs = fsOf(spark, root)
-    val st = current(spark, root).getOrElse(
-      sys.error(s"manifest table $root has no committed version — INSERT/append " +
-        "targets an existing table; create one with write()"))
+    val st = prior.getOrElse {
+      // v1 re-seed guard, same as upsertFrom: None with committed
+      // versions in the log is a transient resolution failure
+      if (hasCommittedVersion(fs, root))
+        throw new ConcurrentCommitException(root, 1L)
+      val seeded = normalizePartitionCols(batch, partitionCols)
+      val (gen, entries) = writeGeneration(seeded, root, partitionCols)
+      val (m1, sidecar1) = mkSnapshot(spark, root, 1L, entries,
+        tags + (OpTag -> "append"))
+      if (!claimOrRecover(fs, root, m1, graceMs)) {
+        fs.delete(new Path(root, gen), true)
+        sidecar1.foreach(fs.delete(_, true))
+        throw new ConcurrentCommitException(root, 1L)
+      }
+      writePointer(fs, root, 1L)
+      return 1L
+    }
     val logical = readState(spark, root, st).schema
     val expected = logical.fieldNames.toSeq
     val got = batch.columns.toSeq
@@ -2024,7 +2055,16 @@ object ManifestTable {
         s"(${drift.mkString("; ")}) — a type change is a rewrite (write()), " +
         "not evolution")
     enforceConstraints(aligned, st.tags, root, "append batch")
-    val partKeys = partitionLayout(spark, root)
+    val partKeys = {
+      val layouts = st.files.map(_.partitionPath.split('/').toSeq
+        .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
+      require(layouts.size <= 1,
+        s"append: inconsistent partition layouts in $root: $layouts")
+      layouts.headOption.getOrElse(Seq.empty)
+    }
+    require(partitionCols.isEmpty || partitionCols == partKeys,
+      s"append: the table's layout is [${partKeys.mkString(", ")}]; a batch " +
+        s"cannot repartition it to [${partitionCols.mkString(", ")}]")
     val (gen, entries) = writeGeneration(
       normalizePartitionCols(aligned, partKeys), root, partKeys, st.tags)
     // feed rows come from the committed bytes, not a plan re-evaluation
@@ -2037,7 +2077,7 @@ object ManifestTable {
       writeCdf(spark, root, st.tags, written.withColumn(ChangeTypeCol, lit("insert")))
     }
     val v = st.version + 1
-    val newTags = st.tags + (OpTag -> "append")
+    val newTags = st.tags ++ tags + (OpTag -> "append")
     val snapshotting = checkpointInterval <= 1 || v % checkpointInterval == 0
     val (manifest, sidecar) =
       if (snapshotting) mkSnapshot(spark, root, v, st.files ++ entries, newTags, cdf)
@@ -3503,6 +3543,40 @@ object ManifestTable {
         graceMs = 60000L, tags = Map(tagKey -> batchId.toString),
         mergeSchema = false, prior = prior,
         checkpointInterval = checkpointInterval)
+      true
+    }
+  }
+
+  /** Apply one streaming micro-batch as an idempotent APPEND — the
+    * no-keys sibling of [[commitStreamBatch]] for append-only streams
+    * (event logs, CDC landings): same per-sink replay watermark, but the
+    * batch commits through [[append]]'s O(batch) add-only delta instead
+    * of a keyed merge — at any table size a micro-batch writes its own
+    * rows plus a delta manifest, never touching live files. The FIRST
+    * batch seeds the table (schema = the batch's). Returns true when
+    * applied, false on a recognized replay or an empty batch. */
+  private[graft] def commitStreamAppend(spark: SparkSession, batch: DataFrame,
+                                        batchId: Long, root: String,
+                                        partitionCols: Seq[String],
+                                        sinkId: String,
+                                        checkpointInterval: Int = DefaultCheckpointInterval): Boolean = {
+    require(sinkId.nonEmpty && !sinkId.exists(c => c == '\t' || c == '\n'),
+      s"sinkId must be a non-empty separator-free identifier, got '$sinkId'")
+    val tagKey = s"$StreamBatchTag.$sinkId"
+    val prior = current(spark, root)
+    val applied = prior.flatMap(_.tags.get(tagKey))
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+    if (applied.exists(_ >= batchId)) {
+      log.info(s"manifest stream sink $root [$sinkId]: batch $batchId already " +
+        s"applied (last=${applied.get}) — replay skipped")
+      false
+    } else if (batch.isEmpty) {
+      false
+    } else {
+      appendFrom(spark, batch, root, graceMs = 60000L,
+        checkpointInterval = checkpointInterval,
+        tags = Map(tagKey -> batchId.toString),
+        partitionCols = partitionCols, prior = prior)
       true
     }
   }

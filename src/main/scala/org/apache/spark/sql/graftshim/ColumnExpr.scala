@@ -53,4 +53,17 @@ object SessionIsolation {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse of [[streamingFrame]]: a V1 `Sink.addBatch`'s incoming
+    * frame is flagged `isStreaming = true`, so ordinary actions on it
+    * (counts, joins, writes) trip the unsupported-operations checker —
+    * re-wrap the ALREADY-PLANNED incremental execution as a batch frame
+    * (Delta's DeltaSink does exactly this). The lineage is pinned: the
+    * micro-batch's offsets were planned once, and every downstream
+    * action replays that fixed RDD, not a re-read of the source. */
+  def batchFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
