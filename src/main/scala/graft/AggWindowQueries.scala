@@ -494,6 +494,33 @@ object AggWindowQueries extends QueryPack {
            |CROSS JOIN (SELECT count(*) AS base_rows
            |            FROM graft.`$root` FOR VERSION AS OF 1) v1
            |WHERE t.o_totalprice > 150000.0""".stripMargin)
+    }),
+    "k25_merge_sync" -> ((s, d) => {
+      // K25 (beyond-reference): WHEN NOT MATCHED BY SOURCE — the Delta
+      // clause that lets one MERGE touch BOTH sides of the match: urgent
+      // orders (the source) fold their shifted price into the target,
+      // while every order the source does NOT name is price-negated in
+      // the same atomic commit. By-source semantics force a full-table
+      // pass (each row must prove it has no match), so this also pins
+      // the honest plan: one rewrite, no pruning pretense. The oracle
+      // replays both branches as one CASE.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k25")
+        .toString + "/orders_sync"
+      ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+        root)                                                     // v1
+      t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"), col("o_orderpriority"))
+        .createOrReplaceTempView("k25_src")
+      s.sql(s"GRAFT MERGE INTO '$root' USING k25_src ON (o_orderkey) " +
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + s.o_totalprice " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET " +
+        "o_totalprice = t.o_totalprice * -1.0")                   // v2
+      ManifestTable.read(s, root)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
     })
   )
 
@@ -766,7 +793,14 @@ object AggWindowQueries extends QueryPack {
         |SELECT g.o_orderkey, g.o_totalprice, g.o_orderpriority, v1.base_rows
         |FROM grown g
         |CROSS JOIN (SELECT count(*) AS base_rows FROM orders) v1
-        |WHERE g.o_totalprice > 150000.0""".stripMargin
+        |WHERE g.o_totalprice > 150000.0""".stripMargin,
+    "k25_merge_sync" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT'
+        |         THEN o_totalprice + (o_totalprice + 1000.0)
+        |       ELSE o_totalprice * -1.0 END AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders""".stripMargin
   )
 }
 

@@ -42,6 +42,7 @@ import graft.sources.ManifestTable
   *     [WHEN MATCHED THEN UPDATE ALL]
   *     [WHEN MATCHED THEN UPDATE SET c = <expr> [, ...]]
   *     [WHEN MATCHED THEN DELETE]
+  *     [WHEN NOT MATCHED BY SOURCE THEN DELETE | UPDATE SET c = <expr> [, ...]]
   *     [WHEN NOT MATCHED THEN INSERT ALL]
   * }}}
   *
@@ -168,9 +169,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val MatchedAll    = """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+(?:ALL|\*)""".r
     val MatchedSet    = """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+)""".r
     val NotMatched    = """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+(?:ALL|\*)""".r
+    val BySrcDelete   = """(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE""".r
+    val BySrcSet      = """(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+UPDATE\s+SET\s+(.+)""".r
     var matched: GraftMergeCommand.MatchedAction = GraftMergeCommand.MatchNone
     var matchedSeen = false
     var insertAll = false
+    var bySource: GraftMergeCommand.BySourceAction = GraftMergeCommand.BySourceNone
+    var bySourceSeen = false
     clauses.foreach {
       case MatchedDelete() =>
         require(!matchedSeen, "GRAFT MERGE: multiple WHEN MATCHED clauses")
@@ -183,13 +188,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         matchedSeen = true
         matched = GraftMergeCommand.MatchSet(parseAssignments(assigns, "MERGE"))
       case NotMatched() => insertAll = true
+      case BySrcDelete() =>
+        require(!bySourceSeen, "GRAFT MERGE: multiple WHEN NOT MATCHED BY SOURCE clauses")
+        bySourceSeen = true; bySource = GraftMergeCommand.BySourceDelete
+      case BySrcSet(assigns) =>
+        require(!bySourceSeen, "GRAFT MERGE: multiple WHEN NOT MATCHED BY SOURCE clauses")
+        bySourceSeen = true
+        bySource = GraftMergeCommand.BySourceSet(parseAssignments(assigns, "MERGE"))
       case other => sys.error(s"GRAFT MERGE: unrecognized WHEN clause: '$other' — " +
         "expected WHEN MATCHED THEN UPDATE ALL | UPDATE SET … | DELETE, " +
-        "or WHEN NOT MATCHED THEN INSERT ALL")
+        "WHEN NOT MATCHED THEN INSERT ALL, " +
+        "or WHEN NOT MATCHED BY SOURCE THEN DELETE | UPDATE SET …")
     }
     // no WHEN clause at all = the classic upsert; any clause = literal
     if (clauses.isEmpty) { matched = GraftMergeCommand.MatchAll; insertAll = true }
-    GraftMergeCommand(root, source, isQuery, keys, matched, insertAll, mor)
+    GraftMergeCommand(root, source, isQuery, keys, matched, insertAll, mor, bySource)
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
@@ -459,13 +472,23 @@ object GraftMergeCommand {
   case object MatchDelete extends MatchedAction
   case object MatchNone extends MatchedAction
   final case class MatchSet(assignments: Seq[(String, String)]) extends MatchedAction
+
+  /** WHEN NOT MATCHED BY SOURCE action, parser-side. Assignments may
+    * reference target columns only (`t.c` or bare) — there is no source
+    * row on this branch, so an `s.` reference is refused at planning. */
+  sealed trait BySourceAction
+  case object BySourceNone extends BySourceAction
+  case object BySourceDelete extends BySourceAction
+  final case class BySourceSet(assignments: Seq[(String, String)]) extends BySourceAction
 }
 
 final case class GraftMergeCommand(root: String, source: String, sourceIsQuery: Boolean,
                                    keys: Seq[String],
                                    matched: GraftMergeCommand.MatchedAction,
                                    insertAll: Boolean,
-                                   mor: Boolean) extends LeafRunnableCommand {
+                                   mor: Boolean,
+                                   bySource: GraftMergeCommand.BySourceAction =
+                                     GraftMergeCommand.BySourceNone) extends LeafRunnableCommand {
   import GraftMergeCommand._
   override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
     StructField("new_version", LongType, false), StructField("mode", StringType, false))))
@@ -489,6 +512,25 @@ final case class GraftMergeCommand(root: String, source: String, sourceIsQuery: 
     })
   }
 
+  /** [[setColumn]] restricted to the NOT-MATCHED-BY-SOURCE branch: there
+    * is no source row, so `s.c` is refused instead of resolving to the
+    * join seam's (all-NULL on this branch) `_src_` columns. */
+  private def bySourceColumn(text: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val e = org.apache.spark.sql.graftshim.ColumnExpr.expression(
+      org.apache.spark.sql.functions.expr(text))
+    org.apache.spark.sql.graftshim.ColumnExpr.column(e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+          a.nameParts.head.equalsIgnoreCase("s") =>
+        sys.error(s"GRAFT MERGE: NOT MATCHED BY SOURCE assignments cannot " +
+          s"reference the source (got ${a.nameParts.mkString(".")}) — " +
+          "no source row exists on that branch")
+      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+          a.nameParts.head.equalsIgnoreCase("t") =>
+        UnresolvedAttribute(Seq(a.nameParts(1)))
+    })
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val src = if (sourceIsQuery) spark.sql(source) else spark.table(source)
     val whenMatched = matched match {
@@ -501,12 +543,23 @@ final case class GraftMergeCommand(root: String, source: String, sourceIsQuery: 
           s"GRAFT MERGE: duplicate assignment targets in ${asgn.map(_._1)}")
         ManifestTable.MatchUpdate(set)
     }
+    val whenNotMatchedBySource = bySource match {
+      case BySourceNone   => None
+      case BySourceDelete => Some(ManifestTable.SourceMissDelete)
+      case BySourceSet(asgn) =>
+        val set = asgn.map { case (c, e) => c -> bySourceColumn(e) }.toMap
+        require(set.size == asgn.size,
+          s"GRAFT MERGE: duplicate assignment targets in ${asgn.map(_._1)}")
+        Some(ManifestTable.SourceMissUpdate(set))
+    }
     val v = if (mor)
       ManifestTable.mergeMoR(spark, root, src, keys, whenMatched,
-        insertUnmatched = insertAll)
+        insertUnmatched = insertAll,
+        notMatchedBySource = whenNotMatchedBySource)
     else
       ManifestTable.merge(spark, root, src, keys, whenMatched,
-        insertUnmatched = insertAll)
+        insertUnmatched = insertAll,
+        notMatchedBySource = whenNotMatchedBySource)
     Seq(Row(v, if (mor) "merge-on-read" else "copy-on-write"))
   }
 }

@@ -2850,6 +2850,24 @@ object ManifestTable {
   /** Drop the matched target row. */
   case object MatchDelete extends WhenMatched
 
+  /** WHEN NOT MATCHED BY SOURCE action for [[merge]] (the Delta clause):
+    * applies to TARGET rows that match no source row. By definition this
+    * inspects every live row — the source-key file pruning that makes a
+    * plain merge O(matched files) cannot apply, so a by-source merge is
+    * a full-table rewrite; that is inherent to the semantics, not a
+    * plan deficiency (Delta disables its file pruning identically).
+    * Expressions may reference target columns only — there is no source
+    * row on this branch. */
+  sealed trait WhenNotMatchedBySource
+  /** Drop target rows no source row matches (the "sync to source" shape:
+    * MatchUpdateAll + insertUnmatched + this = the target becomes an
+    * exact mirror of the source). */
+  case object SourceMissDelete extends WhenNotMatchedBySource
+  /** Set specific target columns on unmatched target rows (e.g. flag
+    * staleness: `Map("stale" -> lit(true))`). */
+  final case class SourceMissUpdate(set: Map[String, org.apache.spark.sql.Column])
+    extends WhenNotMatchedBySource
+
   /** MERGE INTO (the Delta `MERGE` role), copy-on-write: join `source`
     * against the target on equality of `keys` (standard SQL `ON t.k =
     * s.k` — NULL keys never match, so null-keyed source rows only ever
@@ -2930,9 +2948,21 @@ object ManifestTable {
   def merge(spark: SparkSession, root: String, source: DataFrame,
             keys: Seq[String], whenMatched: WhenMatched = MatchUpdateAll,
             insertUnmatched: Boolean = true, maxKeys: Int = 100000,
-            graceMs: Long = 60000L): Long = {
-    val MergePrep(fs, st, target, touched, partKeys, srcN, overflow) =
+            graceMs: Long = 60000L,
+            notMatchedBySource: Option[WhenNotMatchedBySource] = None): Long = {
+    val MergePrep(fs, st, target, touchedPruned, partKeys, srcN, overflow) =
       prepareMerge(spark, root, source, keys, maxKeys, "merge")
+    // a by-source action reaches target rows the source keys never name,
+    // so every live file is "touched" — the pruning path only applies to
+    // the plain merge (see WhenNotMatchedBySource)
+    val touched = if (notMatchedBySource.isDefined) st.files else touchedPruned
+    notMatchedBySource.foreach {
+      case SourceMissUpdate(set) =>
+        val bad = set.keySet -- target.columns
+        require(bad.isEmpty,
+          s"merge: NOT MATCHED BY SOURCE update columns $bad not in table schema")
+      case SourceMissDelete => ()
+    }
     if (touched.isEmpty && !insertUnmatched) return st.version
     val touchedDf = {
       val raw =
@@ -2958,20 +2988,31 @@ object ManifestTable {
     val joined = touchedDf.join(srcPrefixed, joinCond, "left")
     val matchedMarker = col("_src__matched").isNotNull
     val targetCols = target.columns.toIndexedSeq
-    val rewritten: DataFrame = whenMatched match {
-      case MatchDelete => joined.filter(!matchedMarker).select(targetCols.map(col): _*)
-      case MatchUpdateAll => joined.select(targetCols.map { c =>
-        when(matchedMarker, col(s"_src_$c")).otherwise(col(c)).as(c)
+    val rewritten: DataFrame = {
+      whenMatched match {
+        case MatchUpdate(set) =>
+          val bad = set.keySet -- targetCols
+          require(bad.isEmpty, s"merge: update columns $bad not in table schema")
+        case _ => ()
+      }
+      // one pass, two branches: a row keeps/transforms per its side of
+      // the marker; deletes filter first so both actions stay one select
+      val keepMatched = if (whenMatched == MatchDelete) lit(false) else lit(true)
+      val keepMiss =
+        if (notMatchedBySource.contains(SourceMissDelete)) lit(false) else lit(true)
+      val kept = joined.filter(when(matchedMarker, keepMatched).otherwise(keepMiss))
+      kept.select(targetCols.map { c =>
+        val onMatch: org.apache.spark.sql.Column = whenMatched match {
+          case MatchUpdateAll   => col(s"_src_$c")
+          case MatchUpdate(set) => set.getOrElse(c, col(c))
+          case MatchDelete      => col(c) // filtered out above
+        }
+        val onMiss: org.apache.spark.sql.Column = notMatchedBySource match {
+          case Some(SourceMissUpdate(set)) => set.getOrElse(c, col(c))
+          case _                           => col(c)
+        }
+        when(matchedMarker, onMatch).otherwise(onMiss).as(c)
       }: _*)
-      case MatchUpdate(set) =>
-        val bad = set.keySet -- targetCols
-        require(bad.isEmpty, s"merge: update columns $bad not in table schema")
-        joined.select(targetCols.map { c =>
-          set.get(c) match {
-            case Some(e) => when(matchedMarker, e).otherwise(col(c)).as(c)
-            case None    => col(c)
-          }
-        }: _*)
     }
     val inserts: DataFrame =
       if (!insertUnmatched)
@@ -3012,8 +3053,21 @@ object ManifestTable {
               .select(targetCols.map(c => set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
               .withColumn(ChangeTypeCol, lit("update_postimage")))
       }
+      val missedPre = joined.filter(col("_src__matched").isNull)
+        .select(targetCols.map(col): _*)
+      val missChanged = notMatchedBySource match {
+        case None => changed.limit(0) // schema-compatible empty
+        case Some(SourceMissDelete) =>
+          missedPre.withColumn(ChangeTypeCol, lit("delete"))
+        case Some(SourceMissUpdate(set)) =>
+          missedPre.withColumn(ChangeTypeCol, lit("update_preimage"))
+            .unionByName(joined.filter(col("_src__matched").isNull)
+              .select(targetCols.map(c => set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+              .withColumn(ChangeTypeCol, lit("update_postimage")))
+      }
       writeCdf(spark, root, st.tags,
-        changed.unionByName(inserts.withColumn(ChangeTypeCol, lit("insert"))))
+        changed.unionByName(missChanged)
+          .unionByName(inserts.withColumn(ChangeTypeCol, lit("insert"))))
     }
     val v = st.version + 1
     val manifest = DeltaManifest(v, entries, touched.map(_.relPath),
@@ -3042,7 +3096,16 @@ object ManifestTable {
   def mergeMoR(spark: SparkSession, root: String, source: DataFrame,
                keys: Seq[String], whenMatched: WhenMatched = MatchUpdateAll,
                insertUnmatched: Boolean = true, maxKeys: Int = 100000,
-               graceMs: Long = 60000L): Long = {
+               graceMs: Long = 60000L,
+               notMatchedBySource: Option[WhenNotMatchedBySource] = None): Long = {
+    // the MoR economics (mark the FEW matched positions, keep bystander
+    // bytes) invert under a by-source clause: it acts on every UNmatched
+    // row, so the DV would cover ~the whole table — strictly worse than
+    // the rewrite. Refuse loudly instead of quietly degrading.
+    require(notMatchedBySource.isEmpty,
+      "mergeMoR: WHEN NOT MATCHED BY SOURCE touches every live row by " +
+        "definition — merge-on-read cannot help there; use merge() " +
+        "(copy-on-write)")
     val MergePrep(fs, st, target, touched, partKeys, srcN, overflow) =
       prepareMerge(spark, root, source, keys, maxKeys, "mergeMoR")
     if (touched.isEmpty && !insertUnmatched) return st.version

@@ -54,6 +54,33 @@ class ChangeFeedSpec extends SparkSpec {
     assert(run(mor = true) == expected, "merge-on-read feed")
   }
 
+  test("a by-source merge records deletes/updates for the unmatched target rows") {
+    val root = tmp() + "/bysrc"
+    ManifestTable.write(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("k", "v").repartition(1), root)                             // v1
+    ManifestTable.setChangeFeed(spark, root, enabled = true)            // v2
+    // sync-to-source: k=2 updates, k=4 inserts, k=1/k=3 fall away
+    ManifestTable.merge(spark, root,
+      Seq((2L, 99.0), (4L, 40.0)).toDF("k", "v"), keys = Seq("k"),
+      notMatchedBySource = Some(ManifestTable.SourceMissDelete))        // v3
+    assert(feed(root, 2L, 3L) == Seq(
+      (1L, 10.0, "delete", 3L),
+      (2L, 20.0, "update_preimage", 3L), (2L, 99.0, "update_postimage", 3L),
+      (3L, 30.0, "delete", 3L),
+      (4L, 40.0, "insert", 3L)).sorted)
+    // flag-stale flavor
+    ManifestTable.merge(spark, root,
+      Seq((2L, 100.0)).toDF("k", "v"), keys = Seq("k"),
+      insertUnmatched = false,
+      notMatchedBySource = Some(ManifestTable.SourceMissUpdate(
+        Map("v" -> (col("v") * -1.0)))))                                // v4
+    assert(feed(root, 3L, 4L) == Seq(
+      (2L, 99.0, "update_preimage", 4L), (2L, 100.0, "update_postimage", 4L),
+      (4L, 40.0, "update_preimage", 4L), (4L, -40.0, "update_postimage", 4L)).sorted)
+    assert(ManifestTable.read(spark, root).orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((2L, 100.0), (4L, -40.0)))
+  }
+
   test("append-only commits derive inserts for free; rewrites emit nothing") {
     val root = tmp() + "/t"
     ManifestTable.write(Seq((1L, 10.0), (3L, 30.0)).toDF("k", "v")

@@ -123,6 +123,46 @@ class GraftSqlSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, 15.0), (3L, 30.0), (4L, 40.0), (9L, 90.0)))
   }
 
+  test("GRAFT MERGE — WHEN NOT MATCHED BY SOURCE deletes/flags unmatched target rows") {
+    // the "sync to source" shape: UPDATE ALL + INSERT ALL + BY SOURCE
+    // DELETE makes the target an exact mirror of the source
+    val root = tmp() + "/bysrc"
+    ManifestTable.write(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"), root)
+    spark.sql(
+      s"GRAFT MERGE INTO '$root' USING (SELECT CAST(2 AS BIGINT) AS k, " +
+        "CAST(99.0 AS DOUBLE) AS v UNION ALL SELECT CAST(4 AS BIGINT) AS k, " +
+        "CAST(40.0 AS DOUBLE) AS v) ON (k) " +
+        "WHEN MATCHED THEN UPDATE ALL " +
+        "WHEN NOT MATCHED THEN INSERT ALL " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(ManifestTable.read(spark, root).orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((2L, 99.0), (4L, 40.0)))
+
+    // UPDATE SET flavor: flag stale rows instead of deleting them; the
+    // expressions speak target columns only (t.c or bare)
+    spark.sql(
+      s"GRAFT MERGE INTO '$root' USING (SELECT CAST(2 AS BIGINT) AS k, " +
+        "CAST(100.0 AS DOUBLE) AS v) ON (k) " +
+        "WHEN MATCHED THEN UPDATE ALL " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v * -1.0")
+    assert(ManifestTable.read(spark, root).orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((2L, 100.0), (4L, -40.0)))
+
+    // an s. reference on the by-source branch is refused (no source row)
+    val e = intercept[Exception](spark.sql(
+      s"GRAFT MERGE INTO '$root' USING (SELECT CAST(2 AS BIGINT) AS k, " +
+        "CAST(0.0 AS DOUBLE) AS v) ON (k) " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v"))
+    assert(e.getMessage.contains("cannot reference the source"))
+
+    // MOR refuses by-source loudly (it would DV ~the whole table)
+    val e2 = intercept[Exception](spark.sql(
+      s"GRAFT MERGE MOR INTO '$root' USING (SELECT CAST(2 AS BIGINT) AS k, " +
+        "CAST(0.0 AS DOUBLE) AS v) ON (k) " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"))
+    assert(e2.getMessage.contains("copy-on-write"))
+  }
+
   test("GRAFT VACUUM deletes orphans only with ORPHANS, and only aged ones") {
     val root = tmp() + "/vac"
     ManifestTable.write(Seq((1L, "a")).toDF("k", "s"), root)
