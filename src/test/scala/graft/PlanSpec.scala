@@ -371,6 +371,28 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("SQL over graft.`path` pushes filters into the manifest relation") {
+    // the SQL surface must inherit the programmatic path's pruning: a
+    // WHERE over graft.`path` reaches ManifestRelation.buildScan as a
+    // pushed filter (file pruning from manifest metadata) AND survives
+    // as a post-scan Filter (the handled-filters contract re-applies it)
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("graft-planrel")
+      .toString + "/t"
+    ManifestTable.write(
+      spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice"), root)
+    val df = spark.sql(
+      s"SELECT o_orderkey FROM graft.`$root` WHERE o_custkey = 42")
+    val p = df.queryExecution.executedPlan.toString
+    // the relation advertises the pushed filter and the pruned columns
+    assert(p.contains("ManifestRelation"), p)
+    assert("PushedFilters: .*EqualTo\\(o_custkey,42\\)".r.findFirstIn(p).nonEmpty, p)
+    // column pruning: o_totalprice never leaves the scan
+    assert(!"ReadSchema.*o_totalprice".r.findFirstIn(p).nonEmpty, p)
+    assert(df.count() >= 0) // executes
+  }
+
   test("merge-on-read table read applies DVs as a BROADCAST anti join (no table shuffle)") {
     // k19 ends in a read of a DV-carrying manifest table: the deletion
     // vectors must anti-join via broadcast — a shuffled anti here would
