@@ -226,6 +226,23 @@ final class ManifestRelation(val sqlContext: SQLContext, val root: String,
 
   override val schema: StructType = snapshot.schema
 
+  /** Catalyst sizing from manifest metadata (live file bytes at the
+    * resolved version) instead of `BaseRelation`'s pessimistic
+    * `defaultSizeInBytes` (Long.Max-ish): without this a small manifest
+    * dimension joined through the SQL surface would NEVER auto-broadcast
+    * and every star join would sort-merge — the single biggest plan
+    * regression SQL users could hit vs the programmatic path. Parquet
+    * bytes are compressed, so this UNDERestimates the in-memory side the
+    * way Spark's own file relations do — the same broadcast-threshold
+    * calculus applies. */
+  override def sizeInBytes: Long = {
+    val st = version match {
+      case Some(v) => ManifestTable.stateAt(spark, root, v)
+      case None    => ManifestTable.current(spark, root)
+    }
+    st.map(_.files.map(_.bytes).sum).getOrElse(super.sizeInBytes)
+  }
+
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val pruned = filters.flatMap(ManifestRelationFilters.toColumn(_)).reduceOption(_ && _) match {

@@ -493,6 +493,13 @@ object ManifestTable {
     None
   }
 
+  /** The resolved state at a pinned version — metadata only (file list,
+    * tags), no data touched. The relation layer uses it for Catalyst
+    * sizing of time-traveled reads. */
+  private[sources] def stateAt(spark: SparkSession, root: String,
+                               version: Long): Option[State] =
+    resolveState(spark, root, version)
+
   private def resolveState(spark: SparkSession, root: String, version: Long): Option[State] = {
     val fs = fsOf(spark, root)
     readRaw(fs, root, version) match {

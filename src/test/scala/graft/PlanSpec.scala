@@ -393,6 +393,27 @@ class PlanSpec extends SparkSpec {
     assert(df.count() >= 0) // executes
   }
 
+  test("a small manifest dimension auto-broadcasts in SQL joins (manifest-metadata sizing)") {
+    // without the sizeInBytes override the relation reports
+    // defaultSizeInBytes (effectively infinite) and every star join
+    // against a graft.`path` dimension would sort-merge at any scale
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("graft-plansz")
+      .toString + "/dim"
+    ManifestTable.write(
+      spark.read.parquet(sf("sf0.001") + "/nation.parquet"), root)
+    spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .createOrReplaceTempView("plansz_cust")
+    val df = spark.sql(
+      s"""SELECT n.n_name, count(*) AS n
+         |FROM plansz_cust c JOIN graft.`$root` n
+         |  ON c.c_nationkey = n.n_nationkey
+         |GROUP BY n.n_name""".stripMargin)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("merge-on-read table read applies DVs as a BROADCAST anti join (no table shuffle)") {
     // k19 ends in a read of a DV-carrying manifest table: the deletion
     // vectors must anti-join via broadcast — a shuffled anti here would
