@@ -20,6 +20,7 @@ import graft.sources.ManifestTable
   *   GRAFT HISTORY 'path'                  -- DESCRIBE HISTORY
   *   GRAFT DETAIL 'path'                   -- DESCRIBE DETAIL
   *   GRAFT STATS 'path'                    -- metadata-only column stats
+  *   GRAFT CREATE [OR REPLACE] 'path' [PARTITIONED BY (c1, ...)] AS <query>
   *   GRAFT VACUUM 'path' [KEEP n | RETAIN n HOURS] [ORPHANS] -- retention
   *   GRAFT MATERIALIZE 'path'              -- fold deletion vectors in
   *   GRAFT RESTORE 'path' TO VERSION n     -- auditable rollback
@@ -82,10 +83,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Delete  = """(?is)DELETE\s+(?:(MOR)\s+)?FROM\s+'([^']+)'\s+WHERE\s+(.+)""".r
   private val Update  = """(?is)UPDATE\s+(?:(MOR)\s+)?'([^']+)'\s+SET\s+(.+)""".r
   private val Merge   = """(?is)MERGE\s+(?:(MOR)\s+)?INTO\s+'([^']+)'\s+USING\s+(.+)""".r
+  private val Create  =
+    """(?is)CREATE\s+(OR\s+REPLACE\s+)?'([^']+)'(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?\s+AS\s+(.+)""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Prefix(body) => body match {
       case History(p) => GraftHistoryCommand(p)
+      case Create(orReplace, p, parts, query) =>
+        GraftCreateTableCommand(p,
+          Option(parts).map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+            .getOrElse(Nil),
+          query.trim, replace = orReplace != null)
       case Detail(p)  => GraftDetailCommand(p)
       case Stats(p)   => GraftStatsCommand(p)
       case Vacuum(p, keep, retainH, orphans) =>
@@ -561,6 +569,28 @@ final case class GraftMergeCommand(root: String, source: String, sourceIsQuery: 
         insertUnmatched = insertAll,
         notMatchedBySource = whenNotMatchedBySource)
     Seq(Row(v, if (mor) "merge-on-read" else "copy-on-write"))
+  }
+}
+
+/** CTAS for manifest tables — `GRAFT CREATE [OR REPLACE] 'path'
+  * [PARTITIONED BY (c1, …)] AS <query>`: the SQL-only table bootstrap
+  * (with graft.`path` relations and the DML grammar, a user never needs
+  * Scala to run the full lifecycle). Plain CREATE refuses an existing
+  * table; OR REPLACE commits a full overwrite (history retained — the
+  * old versions stay time-travelable until vacuum). */
+final case class GraftCreateTableCommand(root: String, partitionCols: Seq[String],
+                                         querySql: String,
+                                         replace: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false), StructField("rows", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val exists = ManifestTable.currentVersion(spark, root).isDefined
+    require(!exists || replace,
+      s"GRAFT CREATE: manifest table $root already exists — use " +
+        "GRAFT CREATE OR REPLACE to overwrite it")
+    val df = spark.sql(querySql)
+    val v = ManifestTable.write(df, root, partitionCols)
+    Seq(Row(v, ManifestTable.rowCount(spark, root).getOrElse(-1L)))
   }
 }
 

@@ -220,6 +220,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(ManifestTable.history(spark, root).count() >= 3)
   }
 
+  test("GRAFT CREATE [OR REPLACE] … AS — the SQL-only lifecycle end to end") {
+    val root = tmp() + "/ctas"
+    val r = spark.sql(s"GRAFT CREATE '$root' PARTITIONED BY (g) AS " +
+      "SELECT id AS k, CAST(id % 2 AS STRING) AS g, CAST(id AS DOUBLE) AS v " +
+      "FROM range(10)").collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 10L)
+    assert(ManifestTable.partitionLayout(spark, root) == Seq("g"))
+    // plain CREATE refuses the existing table
+    val e = intercept[Exception](spark.sql(
+      s"GRAFT CREATE '$root' AS SELECT 1 AS one"))
+    assert(e.getMessage.contains("OR REPLACE"))
+    // ...and the whole lifecycle stays inside spark.sql
+    spark.sql(s"INSERT INTO graft.`$root` SELECT CAST(10 AS BIGINT), " +
+      "CAST(10.0 AS DOUBLE), '0'") // positional: (k, v, g) — g reads last
+    spark.sql(s"GRAFT DELETE FROM '$root' WHERE k < 3")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$root`").as[Long].head() == 8L)
+    spark.sql(s"GRAFT CREATE OR REPLACE '$root' AS SELECT 7 AS seven")
+    assert(spark.sql(s"SELECT seven FROM graft.`$root`").as[Int].head() == 7)
+    // the replaced generations stay time-travelable until vacuum
+    assert(ManifestTable.history(spark, root).count() >= 3)
+  }
+
   test("non-GRAFT SQL is untouched; a malformed GRAFT statement errors loudly") {
     assert(spark.sql("SELECT 1 + 1 AS two").as[Int].head() == 2)
     // a table named graft still parses through the delegate (the prefix
