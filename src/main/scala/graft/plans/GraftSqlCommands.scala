@@ -71,6 +71,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum  = """(?is)VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+(ORPHANS))?""".r
   private val Material = """(?is)MATERIALIZE\s+'([^']+)'""".r
   private val Restore = """(?is)RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)""".r
+  private val RestoreTs = """(?is)RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+'([^']+)'""".r
+  private val ConstraintAdd =
+    """(?is)CONSTRAINT\s+'([^']+)'\s+ADD\s+(\w+)\s+CHECK\s+\((.+)\)""".r
+  private val ConstraintDrop = """(?is)CONSTRAINT\s+'([^']+)'\s+DROP\s+(\w+)""".r
   private val Compact = """(?is)COMPACT\s+'([^']+)'(?:\s+TARGET\s+(\d+))?""".r
   private val Feed    = """(?is)FEED\s+'([^']+)'\s+(ENABLE|DISABLE)""".r
   private val Cluster =
@@ -104,6 +108,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           deleteOrphans = orphans != null)
       case Material(p) => GraftMaterializeCommand(p)
       case Restore(p, v) => GraftRestoreCommand(p, v.toLong)
+      case RestoreTs(p, ts) => GraftRestoreTimestampCommand(p, ts)
+      case ConstraintAdd(p, name, check) => GraftConstraintCommand(p, name, Some(check.trim))
+      case ConstraintDrop(p, name)      => GraftConstraintCommand(p, name, None)
       case Compact(p, mb) =>
         GraftCompactCommand(p, Option(mb).map(_.toInt).getOrElse(512))
       case Feed(p, mode) => GraftFeedCommand(p, mode.equalsIgnoreCase("ENABLE"))
@@ -599,6 +606,41 @@ final case class GraftRestoreCommand(root: String, version: Long) extends LeafRu
     StructField("restored_to", LongType, false), StructField("new_version", LongType, false))))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(version, ManifestTable.restore(spark, root, version)))
+}
+
+/** `GRAFT RESTORE 'path' TO TIMESTAMP '…'` — the operator-facing
+  * rollback knob ("put it back to how it was before Tuesday's deploy"):
+  * resolves the newest version committed at or before the instant
+  * (epoch millis, ISO timestamp, or bare date — same coercion as the
+  * read options) and restores it as an auditable new commit. */
+final case class GraftRestoreTimestampCommand(root: String,
+                                              tsRaw: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("restored_to", LongType, false), StructField("new_version", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = tsRaw.trim.replace('T', ' ')
+    val ms = scala.util.Try(t.toLong)
+      .orElse(scala.util.Try(java.sql.Timestamp.valueOf(t).getTime))
+      .getOrElse(java.sql.Date.valueOf(t).getTime)
+    val v = ManifestTable.versionAtTime(spark, root, ms).getOrElse(
+      sys.error(s"GRAFT RESTORE: $root has no commit at or before $tsRaw"))
+    Seq(Row(v, ManifestTable.restore(spark, root, v)))
+  }
+}
+
+/** `GRAFT CONSTRAINT 'path' ADD name CHECK (expr)` / `… DROP name` —
+  * CHECK constraints from SQL (the Delta ALTER TABLE ADD CONSTRAINT
+  * role): ADD validates the live table first and refuses a constraint
+  * existing rows violate; both commit metadata-only. */
+final case class GraftConstraintCommand(root: String, name: String,
+                                        check: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(check match {
+      case Some(expr) => ManifestTable.addConstraint(spark, root, name, expr)
+      case None       => ManifestTable.dropConstraint(spark, root, name)
+    }))
 }
 
 final case class GraftCompactCommand(root: String, targetMB: Int) extends LeafRunnableCommand {

@@ -306,6 +306,14 @@ final class ManifestChangesRelation(val sqlContext: SQLContext, root: String,
   override val schema: StructType =
     ManifestTable.readChanges(spark, root, fromVersion, toVersion).schema
 
+  /** Sized from the window's CHANGED bytes, not the table's — an
+    * incremental hop's window is usually a sliver of the table, and
+    * correct sizing is what lets the downstream join broadcast it. */
+  override def sizeInBytes: Long = {
+    val changed = ManifestTable.changedFiles(spark, root, fromVersion, toVersion)
+    if (changed.isEmpty) 0L else changed.map(_.bytes).sum
+  }
+
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val base = filters.flatMap(ManifestRelationFilters.toColumn(_)).reduceOption(_ && _) match {

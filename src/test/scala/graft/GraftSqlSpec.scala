@@ -220,6 +220,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(ManifestTable.history(spark, root).count() >= 3)
   }
 
+  test("GRAFT CONSTRAINT ADD/DROP and RESTORE TO TIMESTAMP run through SQL") {
+    val root = tmp() + "/cons"
+    ManifestTable.write(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root)  // v1
+    spark.sql(s"GRAFT CONSTRAINT '$root' ADD v_pos CHECK (v >= 0.0)")      // v2
+    assert(ManifestTable.constraints(spark, root) == Map("v_pos" -> "v >= 0.0"))
+    // enforcement reaches every committing path, including SQL inserts
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO graft.`$root` VALUES (3, -1.0)"))
+    assert(e.getMessage.contains("v_pos"))
+    // a constraint the live table violates is refused at ADD time
+    val e2 = intercept[Exception](spark.sql(
+      s"GRAFT CONSTRAINT '$root' ADD v_small CHECK (v < 15.0)"))
+    assert(e2.getMessage.contains("existing rows violate"))
+    spark.sql(s"GRAFT CONSTRAINT '$root' DROP v_pos")                      // v3
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (3, -1.0)")               // v4
+    assert(ManifestTable.read(spark, root).count() == 3)
+
+    // RESTORE TO TIMESTAMP: roll back to the pre-insert instant
+    val v3mtime = java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths
+      .get(root, "_manifests", "00000000000000000003.txt")).toMillis
+    val r = spark.sql(
+      s"GRAFT RESTORE '$root' TO TIMESTAMP '$v3mtime'").collect().head
+    assert(r.getLong(0) == 3L)
+    assert(ManifestTable.read(spark, root).count() == 2)
+  }
+
   test("GRAFT CREATE [OR REPLACE] … AS — the SQL-only lifecycle end to end") {
     val root = tmp() + "/ctas"
     val r = spark.sql(s"GRAFT CREATE '$root' PARTITIONED BY (g) AS " +

@@ -83,6 +83,23 @@ class ManifestRelationSpec extends SparkSpec {
       .option("changesFrom", 2).option("changesTo", 2).load(root).count() == 0)
   }
 
+  test("a changes window is sized from its CHANGED bytes and auto-broadcasts") {
+    // an incremental hop joins "what changed since v" against a big
+    // fact; without window-scoped sizing the relation reports the
+    // defaultSizeInBytes ceiling and the join sort-merges at any scale
+    val root = tmp() + "/t"
+    Seq((1L, "a")).toDF("id", "s").write.format("graft-manifest")
+      .mode("overwrite").save(root)
+    Seq((2L, "b")).toDF("id", "s").write.format("graft-manifest")
+      .mode("append").option("keys", "id").option("order", "id").save(root)
+    val win = spark.read.format("graft-manifest")
+      .option("changesFrom", 1).load(root)
+    val fact = spark.range(100000).withColumnRenamed("id", "id")
+    val p = fact.join(win, "id").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("CREATE TABLE ... USING graft-manifest: catalog tables over the lakehouse") {
     val root = tmp() + "/t"
     Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
