@@ -521,6 +521,31 @@ object AggWindowQueries extends QueryPack {
         "o_totalprice = t.o_totalprice * -1.0")                   // v2
       ManifestTable.read(s, root)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    }),
+    "k26_sql_window" -> ((s, d) => {
+      // K26 (beyond-reference): incremental windows as SQL relations —
+      // `graft_changes.`path@v`` is "rows added since v" and
+      // `graft_feed.`path@v`` the row-level CDF, both resolved by the
+      // injected rule, so a SQL-only consumer can build an incremental
+      // hop with zero format() calls. A SQL insert grows the table; the
+      // two windows must agree row-for-row on what changed. The oracle
+      // replays the insert relationally.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k26")
+        .toString + "/orders_win"
+      ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+        root)                                                     // v1
+      s.sql(s"GRAFT FEED '$root' ENABLE")                         // v2
+      s.sql(s"INSERT INTO graft.`$root` " +
+        "SELECT o_orderkey + 20000000, o_totalprice * 0.5, o_orderpriority " +
+        s"FROM graft.`$root` WHERE o_orderpriority = '5-LOW'")    // v3
+      s.sql(
+        s"""SELECT o_orderkey, c.o_totalprice, c.o_orderpriority, f.change_type
+           |FROM graft_changes.`$root@2` c
+           |JOIN (SELECT o_orderkey, _change_type AS change_type
+           |      FROM graft_feed.`$root@2`) f USING (o_orderkey)""".stripMargin)
     })
   )
 
@@ -800,7 +825,12 @@ object AggWindowQueries extends QueryPack {
         |         THEN o_totalprice + (o_totalprice + 1000.0)
         |       ELSE o_totalprice * -1.0 END AS o_totalprice,
         |  o_orderpriority
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "k26_sql_window" ->
+      """SELECT o_orderkey + 20000000 AS o_orderkey,
+        |  o_totalprice * 0.5 AS o_totalprice,
+        |  o_orderpriority, 'insert' AS change_type
+        |FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin
   )
 }
 

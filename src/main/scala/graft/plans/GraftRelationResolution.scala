@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.TimestampType
 
-import graft.sources.{ManifestRelation, ManifestTable}
+import graft.sources.{ManifestChangesRelation, ManifestFeedRelation, ManifestRelation, ManifestTable}
 
 /** Makes manifest tables first-class SQL relations — the Delta-style
   * `format.`path`` surface, resolved by an injected analyzer rule
@@ -21,6 +21,8 @@ import graft.sources.{ManifestRelation, ManifestTable}
   * SELECT * FROM graft.`/data/orders` FOR TIMESTAMP AS OF '2026-08-01 12:00:00'
   * INSERT INTO graft.`/data/orders` SELECT ...      -- O(batch) append commit
   * INSERT OVERWRITE graft.`/data/orders` SELECT ... -- full rewrite
+  * SELECT * FROM graft_changes.`/data/orders@3`     -- rows added in (3, head]
+  * SELECT * FROM graft_feed.`/data/orders@3:5`      -- CDF rows, (3, 5]
   * }}}
   *
   * The relation is the SAME [[ManifestRelation]] the read path uses, so
@@ -41,6 +43,32 @@ class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def graftPath(parts: Seq[String]): Option[String] = parts match {
     case Seq(ns, p) if ns.equalsIgnoreCase("graft") && p.contains("/") => Some(p)
+    case _ => None
+  }
+
+  /** `path@from` (exclusive, to = current) or `path@from:to` inside the
+    * backticks of the incremental namespaces. */
+  private val WindowSpec = """(.+)@(\d+)(?::(\d+))?""".r
+
+  /** Incremental windows as relations: `graft_changes.`/t@3`` = rows
+    * added in versions (3, current]; `graft_feed.`/t@3:5`` = the CDF's
+    * row-level changes with `_change_type`/`_commit_version`. The `to`
+    * bound defaults to the CURRENT version, resolved eagerly at
+    * analysis like time travel — the plan pins a window, not a clock
+    * read. Same relations as the `changesFrom`/`feedFrom` reader
+    * options, so SQL inherits their pushdown pruning and
+    * changed-bytes sizing. */
+  private def windowRelation(parts: Seq[String]): Option[LogicalRelation] = parts match {
+    case Seq(ns, WindowSpec(p, from, to)) if p.contains("/") &&
+        (ns.equalsIgnoreCase("graft_changes") || ns.equalsIgnoreCase("graft_feed")) =>
+      val toV = Option(to).map(_.toLong).orElse(
+        ManifestTable.currentVersion(spark, p)).getOrElse(
+        sys.error(s"$ns: $p has no committed version"))
+      val rel =
+        if (ns.equalsIgnoreCase("graft_changes"))
+          new ManifestChangesRelation(spark.sqlContext, p, from.toLong, toV)
+        else new ManifestFeedRelation(spark.sqlContext, p, from.toLong, toV)
+      Some(LogicalRelation(rel, isStreaming = false))
     case _ => None
   }
 
@@ -87,5 +115,7 @@ class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       relation(p, Some(v))
     case u: UnresolvedRelation if graftPath(u.multipartIdentifier).isDefined =>
       relation(graftPath(u.multipartIdentifier).get, None)
+    case u: UnresolvedRelation if windowRelation(u.multipartIdentifier).isDefined =>
+      windowRelation(u.multipartIdentifier).get
   }
 }

@@ -108,6 +108,27 @@ class GraftSqlRelationSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() == 4)
   }
 
+  test("graft_changes.`path@v` / graft_feed.`path@v` expose incremental windows in SQL") {
+    val root = tmp() + "/win"
+    ManifestTable.write(Seq((1L, "a")).toDF("k", "s"), root)          // v1
+    ManifestTable.setChangeFeed(spark, root, enabled = true)          // v2
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (2, 'b'), (3, 'c')") // v3
+
+    // rows added since v2 (exclusive), head default
+    assert(spark.sql(s"SELECT k FROM graft_changes.`$root@2` ORDER BY k")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+    // explicit bounded window (0, 1]
+    assert(spark.sql(s"SELECT k FROM graft_changes.`$root@0:1`")
+      .as[Long].collect().toSeq == Seq(1L))
+    // CDF rows carry _change_type; joins against live tables compose
+    assert(spark.sql(
+      s"""SELECT f.k FROM graft_feed.`$root@2` f JOIN graft.`$root` t USING (k)
+         |WHERE f.${ManifestTable.ChangeTypeCol} = 'insert' ORDER BY f.k"""
+        .stripMargin).as[Long].collect().toSeq == Seq(2L, 3L))
+    // a bare path in the window namespaces (no @from) is not claimed
+    intercept[Exception](spark.sql(s"SELECT * FROM graft_changes.`$root`").collect())
+  }
+
   test("append refuses schema drift; non-graft two-part names stay untouched") {
     val root = tmp() + "/drift"
     ManifestTable.write(Seq((1L, "a")).toDF("k", "s"), root)
