@@ -76,7 +76,7 @@ import graft.operators.Upsert
 object ManifestTable {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-  private val ManifestDir = "_manifests"
+  private[sources] val ManifestDir = "_manifests"
 
   /** Per-file, per-column statistics collected from the parquet footer
     * at write time. `kind` is 'n' (numeric — ints and floats,
@@ -240,7 +240,7 @@ object ManifestTable {
       s"manifest table $root: version $version was committed concurrently — " +
         "re-read the table and retry the mutation")
 
-  private def fsOf(spark: SparkSession, root: String): FileSystem =
+  private[sources] def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestPath(root: String, version: Long): Path =
@@ -629,6 +629,8 @@ object ManifestTable {
       require(!k.startsWith(BloomTagPrefix),
         s"manifest tag namespace '$BloomTagPrefix' is reserved — build the " +
           "point-lookup index via buildBloomIndex")
+      require(k != SchemaTag && k != LayoutTag,
+        s"manifest tag '$k' is reserved (createEmpty's schema record)")
       if (k.startsWith(StreamBatchTag)) {
         val n = scala.util.Try(v.toLong).getOrElse(
           throw new IllegalArgumentException(
@@ -1512,6 +1514,16 @@ object ManifestTable {
   private[graft] val RenameTag = "schema.rename"
   /** Tag holding `enc(physical)` comma-joined dropped columns. */
   private[graft] val DropTag = "schema.drop"
+  /** Tag holding the CREATE-time physical schema (StructType JSON) of a
+    * table seeded empty by [[createEmpty]] — the only state a zero-file
+    * table has. Data files remain the schema of record once they exist
+    * (additive evolution reads the union); the tag only serves the
+    * files-empty window. */
+  private[graft] val SchemaTag = "schema.create"
+  /** Tag holding the declared partition layout (comma-joined column
+    * names) of a table seeded empty — [[partitionLayout]] falls back to
+    * it while no data file exists to derive the layout from. */
+  private[graft] val LayoutTag = "schema.layout"
 
   private def renameMap(tags: Map[String, String]): Map[String, String] =
     tags.get(RenameTag).map(_.split(',').toSeq.flatMap { p =>
@@ -1759,7 +1771,17 @@ object ManifestTable {
   private val DvPosCol = "__graft_dv_pos"
 
   private def readState(spark: SparkSession, root: String, st: State): DataFrame = {
-    require(st.files.nonEmpty, s"manifest table $root v${st.version} lists no files")
+    if (st.files.isEmpty) {
+      // a createEmpty-seeded table (or one whose every row was deleted
+      // back to the empty seed): the recorded schema IS the state —
+      // rename/drop mappings committed since still apply via logicalize
+      val json = st.tags.getOrElse(SchemaTag,
+        sys.error(s"manifest table $root v${st.version} lists no files"))
+      val phys = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      return logicalize(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), phys), st.tags)
+    }
     val (dvd, clean) = st.files.partition(_.dv.nonEmpty)
     if (dvd.isEmpty)
       logicalize(scanFiles(spark, root, st.files, withPositions = false), st.tags)
@@ -1880,6 +1902,40 @@ object ManifestTable {
     * operator who has POSITIVELY determined the log is beyond repair can
     * pass `reseedUnresolvable = true` to accept the head-shadowing risk
     * and re-seed above the newest claimed slot. */
+  /** Seed a table at v1 with a SCHEMA and no data — SQL
+    * `CREATE TABLE` (no AS). The schema rides the manifest tags
+    * ([[SchemaTag]]) because a zero-file table has no parquet footer to
+    * derive it from; the declared partition layout rides [[LayoutTag]]
+    * for the same reason ([[partitionLayout]] falls back to it until a
+    * data file exists). Partition columns are pinned to STRING at birth
+    * — the same normalization every generation write applies — so the
+    * recorded schema is exactly what the table will read back. The
+    * commit is the ordinary v1 CAS claim: racing a concurrent creator
+    * (or an existing table) raises [[ConcurrentCommitException]]. */
+  def createEmpty(spark: SparkSession, root: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  partitionCols: Seq[String] = Nil,
+                  graceMs: Long = 60000L): Long = {
+    require(schema.nonEmpty, s"createEmpty: $root needs at least one column")
+    val missing = partitionCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"createEmpty: partition column(s) ${missing.mkString(", ")} not in the schema")
+    val pinned = org.apache.spark.sql.types.StructType(schema.map(f =>
+      if (partitionCols.contains(f.name))
+        f.copy(dataType = org.apache.spark.sql.types.StringType)
+      else f))
+    val fs = fsOf(spark, root)
+    if (hasCommittedVersion(fs, root))
+      throw new ConcurrentCommitException(root, 1L)
+    val tags = Map(SchemaTag -> pinned.json, OpTag -> "create") ++
+      (if (partitionCols.nonEmpty) Map(LayoutTag -> partitionCols.mkString(","))
+       else Map.empty)
+    if (!claimOrRecover(fs, root, FullManifest(1L, Seq.empty, tags, None), graceMs))
+      throw new ConcurrentCommitException(root, 1L)
+    writePointer(fs, root, 1L)
+    1L
+  }
+
   def write(df: DataFrame, root: String, partitionCols: Seq[String] = Nil,
             graceMs: Long = 60000L, maxAttempts: Int = 50,
             reseedUnresolvable: Boolean = false): Long = {
@@ -1981,14 +2037,21 @@ object ManifestTable {
     * manifest metadata only — empty for unpartitioned tables. What a
     * blind writer (INSERT OVERWRITE, [[append]]) must preserve so its
     * generation partitions like every other. */
-  def partitionLayout(spark: SparkSession, root: String): Seq[String] = {
-    val st = current(spark, root).getOrElse(
-      sys.error(s"manifest table $root has no committed version"))
+  def partitionLayout(spark: SparkSession, root: String): Seq[String] =
+    layoutOf(root, current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version")))
+
+  /** The table's partition layout at `st`: derived from the live files
+    * (the record once data exists), falling back to the [[LayoutTag]]
+    * declared by [[createEmpty]] while the table has none. */
+  private def layoutOf(root: String, st: State): Seq[String] = {
     val layouts = st.files.map(_.partitionPath.split('/').toSeq
       .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
     require(layouts.size <= 1,
       s"partitionLayout: inconsistent partition layouts in $root: $layouts")
-    layouts.headOption.getOrElse(Seq.empty)
+    layouts.headOption.getOrElse(
+      st.tags.get(LayoutTag).map(_.split(',').toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty))
   }
 
   /** Add-only commit — SQL `INSERT INTO` semantics: the batch lands as a
@@ -2062,13 +2125,7 @@ object ManifestTable {
         s"(${drift.mkString("; ")}) — a type change is a rewrite (write()), " +
         "not evolution")
     enforceConstraints(aligned, st.tags, root, "append batch")
-    val partKeys = {
-      val layouts = st.files.map(_.partitionPath.split('/').toSeq
-        .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
-      require(layouts.size <= 1,
-        s"append: inconsistent partition layouts in $root: $layouts")
-      layouts.headOption.getOrElse(Seq.empty)
-    }
+    val partKeys = layoutOf(root, st)
     require(partitionCols.isEmpty || partitionCols == partKeys,
       s"append: the table's layout is [${partKeys.mkString(", ")}]; a batch " +
         s"cannot repartition it to [${partitionCols.mkString(", ")}]")
@@ -2201,11 +2258,10 @@ object ManifestTable {
         // carry-forward filter miss (old files kept alongside a full
         // rewrite → silent duplicates): demand the same layout as the
         // live files before doing anything
-        val liveLayouts = st.files.map(_.partitionPath.split('/').toSeq
-          .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
-        require(liveLayouts == Seq(partitionCols.toSeq),
+        val liveLayout = layoutOf(root, st)
+        require(liveLayout == partitionCols.toSeq,
           s"manifest table $root: upsert partitionCols $partitionCols does not match " +
-            s"the live partition layout $liveLayouts — rewrite via write() to change layout")
+            s"the live partition layout $liveLayout — rewrite via write() to change layout")
         val existing = readState(spark, root, st)
         // schema drift is an ERROR unless evolution is asked for: with
         // the reader unioning allowMissingColumns, a typo'd column name
@@ -2936,11 +2992,7 @@ object ManifestTable {
       else DataSkipping.prune(st.files, keys.zip(keyVals).map { case (k, vs) =>
         col(physicalName(st.tags, k)).isin(vs.toIndexedSeq: _*)
       }.reduce(_ && _))
-    val layouts = st.files.map(_.partitionPath.split('/').toSeq
-      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
-    require(layouts.size <= 1,
-      s"$opName: inconsistent partition layouts in $root: $layouts")
-    val partKeys = layouts.headOption.getOrElse(Seq.empty)
+    val partKeys = layoutOf(root, st)
     val srcN = normalizePartitionCols(source, partKeys)
     locally { // same schema discipline as upserts: no silent coercion
       val tT = target.schema.map(f => f.name -> f.dataType).toMap
@@ -3339,7 +3391,9 @@ object ManifestTable {
       sys.error(s"manifest table $root has no committed version"))
     val layouts = st.files.map(_.partitionPath.split('/').toSeq
       .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
-    val partCols = layouts.headOption.getOrElse(Seq.empty)
+    val partCols = layouts.headOption.getOrElse(
+      st.tags.get(LayoutTag).map(_.split(',').toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty))
     val row = org.apache.spark.sql.Row(
       root, st.version, st.files.size.toLong, st.files.map(_.bytes).sum,
       st.files.map(_.relPath.takeWhile(_ != '/')).distinct.size.toLong,

@@ -1288,4 +1288,89 @@ class ManifestTableSpec extends SparkSpec {
     assert(pRow.getString(pRow.fieldIndex("min")) == "x" &&
       pRow.getString(pRow.fieldIndex("max")) == "y")
   }
+
+  test("createEmpty: schema-only seed reads empty, then appends normally") {
+    import org.apache.spark.sql.types._
+    val root = tmp() + "/t"
+    val v = ManifestTable.createEmpty(spark, root, StructType(Seq(
+      StructField("k", IntegerType), StructField("s", StringType))))
+    assert(v == 1L)
+    val empty = ManifestTable.read(spark, root)
+    assert(empty.columns.toSeq == Seq("k", "s") && empty.count() == 0)
+    // a second create races the existing v1 claim and must refuse
+    intercept[ManifestTable.ConcurrentCommitException] {
+      ManifestTable.createEmpty(spark, root, StructType(Seq(
+        StructField("other", LongType))))
+    }
+    // INSERT INTO semantics against the recorded schema
+    ManifestTable.retryOnConflict()(
+      ManifestTable.append(spark, Seq((1, "a"), (2, "b")).toDF("k", "s"), root))
+    assert(ManifestTable.read(spark, root).orderBy("k").as[(Int, String)]
+      .collect().toSeq == Seq((1, "a"), (2, "b")))
+    // and a mis-shaped batch still refuses against the recorded schema
+    val rootB = tmp() + "/b"
+    ManifestTable.createEmpty(spark, rootB, StructType(Seq(
+      StructField("k", IntegerType))))
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, Seq((1, "a")).toDF("k", "extra"), rootB)
+    }
+  }
+
+  test("createEmpty: declared partition layout sticks, pins to string, prunes") {
+    import org.apache.spark.sql.types._
+    val root = tmp() + "/t"
+    ManifestTable.createEmpty(spark, root, StructType(Seq(
+      StructField("day", DateType), StructField("k", LongType),
+      StructField("v", DoubleType))), partitionCols = Seq("day"))
+    // partition values live as STRING for the table's whole life: the
+    // recorded schema is pinned at birth so the first read == every read
+    assert(ManifestTable.read(spark, root).schema("day").dataType == StringType)
+    assert(ManifestTable.partitionLayout(spark, root) == Seq("day"))
+    // an append (no explicit partitionCols) lands HIVE-partitioned per
+    // the declared layout
+    ManifestTable.retryOnConflict()(ManifestTable.append(spark,
+      Seq(("2026-01-01", 1L, 1.0), ("2026-01-02", 2L, 2.0)).toDF("day", "k", "v"),
+      root))
+    val st = ManifestTable.current(spark, root).get
+    assert(st.files.nonEmpty &&
+      st.files.forall(_.partitionPath.startsWith("day=")))
+    assert(ManifestTable.partitionLayout(spark, root) == Seq("day"))
+    // keyed upserts (the streaming-sink shape) also respect the layout
+    ManifestTable.upsertWithRetry(spark,
+      Seq(("2026-01-01", 1L, 9.0)).toDF("day", "k", "v"), root,
+      Seq("k"), "v", Seq("day"))
+    assert(ManifestTable.read(spark, root).filter($"day" === "2026-01-01")
+      .orderBy("k").select("v").as[Double].collect().toSeq == Seq(9.0))
+    // and a layout-contradicting upsert still refuses
+    intercept[IllegalArgumentException] {
+      ManifestTable.upsertDedup(spark,
+        Seq(("2026-01-03", 3L, 3.0)).toDF("day", "k", "v"), root, Seq("k"), "v")
+    }
+  }
+
+  test("createEmpty: MERGE into an empty table inserts; rename applies to the seed schema") {
+    import org.apache.spark.sql.types._
+    val root = tmp() + "/t"
+    ManifestTable.createEmpty(spark, root, StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))))
+    ManifestTable.merge(spark, root, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"),
+      keys = Seq("k"))
+    assert(ManifestTable.read(spark, root).orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 10.0), (2L, 20.0)))
+
+    val root2 = tmp() + "/r"
+    ManifestTable.createEmpty(spark, root2, StructType(Seq(
+      StructField("old", LongType), StructField("v", DoubleType))))
+    ManifestTable.renameColumn(spark, root2, "old", "knew")
+    assert(ManifestTable.read(spark, root2).columns.toSeq == Seq("knew", "v"))
+    ManifestTable.retryOnConflict()(ManifestTable.append(spark,
+      Seq((5L, 5.0)).toDF("knew", "v"), root2))
+    assert(ManifestTable.read(spark, root2).orderBy("knew").as[(Long, Double)]
+      .collect().toSeq == Seq((5L, 5.0)))
+    // the schema tags are reserved from user tag traffic
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, Seq((6L, 6.0)).toDF("knew", "v"), root2,
+        tags = Map("schema.create" -> "{}"))
+    }
+  }
 }
