@@ -546,6 +546,38 @@ object AggWindowQueries extends QueryPack {
            |FROM graft_changes.`$root@2` c
            |JOIN (SELECT o_orderkey, _change_type AS change_type
            |      FROM graft_feed.`$root@2`) f USING (o_orderkey)""".stripMargin)
+    }),
+    "k27_catalog_sql" -> ((s, d) => {
+      // K27 (beyond-reference): the graft_lake TableCatalog — NAMED
+      // manifest tables through Spark's native SQL machinery, zero GRAFT
+      // grammar and zero format() calls: CREATE NAMESPACE + CREATE TABLE
+      // (schema-only seed, hive-partitioned), INSERT INTO (O(batch)
+      // append commit), DELETE FROM (copy-on-write via SupportsDelete),
+      // ALTER TABLE RENAME COLUMN (metadata-only name mapping), dynamic
+      // INSERT OVERWRITE (replaces ONLY the partition present in the
+      // query; every other partition carries forward by reference), and
+      // a VERSION AS OF time-traveled scalar. The oracle replays the
+      // lifecycle relationally.
+      val ns = "k27_" + java.util.UUID.randomUUID().toString.take(8)
+      val tbl = s"graft_lake.$ns.orders"
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+        s"o_orderpriority STRING) PARTITIONED BY (o_orderpriority)")  // v1
+      t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority")).createOrReplaceTempView("k27_src")
+      s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, " +
+        "o_orderpriority FROM k27_src")                               // v2
+      s.sql(s"DELETE FROM $tbl WHERE o_totalprice < 20000.0")         // v3
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN o_totalprice TO price")  // v4
+      s.sql(s"INSERT OVERWRITE $tbl SELECT o_orderkey, " +
+        "o_totalprice * 2.0, o_orderpriority FROM k27_src " +
+        "WHERE o_orderpriority = '1-URGENT'")                         // v5
+      s.sql(
+        s"""SELECT t.o_orderkey, t.price, t.o_orderpriority, v2.rows_v2
+           |FROM $tbl t
+           |CROSS JOIN (SELECT count(*) AS rows_v2
+           |            FROM $tbl VERSION AS OF 2) v2
+           |WHERE t.price > 100000.0""".stripMargin)
     })
   )
 
@@ -830,7 +862,22 @@ object AggWindowQueries extends QueryPack {
       """SELECT o_orderkey + 20000000 AS o_orderkey,
         |  o_totalprice * 0.5 AS o_totalprice,
         |  o_orderpriority, 'insert' AS change_type
-        |FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin
+        |FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
+    "k27_catalog_sql" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+        |survivors AS (
+        |  SELECT * FROM src WHERE NOT (o_totalprice < 20000.0)),
+        |final AS (
+        |  SELECT o_orderkey, o_totalprice AS price, o_orderpriority
+        |  FROM survivors WHERE o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2.0 AS price, o_orderpriority
+        |  FROM src WHERE o_orderpriority = '1-URGENT')
+        |SELECT f.o_orderkey, f.price, f.o_orderpriority, v2.rows_v2
+        |FROM final f
+        |CROSS JOIN (SELECT count(*) AS rows_v2 FROM src) v2
+        |WHERE f.price > 100000.0""".stripMargin
   )
 }
 

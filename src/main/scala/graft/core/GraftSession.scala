@@ -29,6 +29,10 @@ object GraftSession {
       // native expressions + the GRAFT maintenance SQL grammar in every
       // engine session (driver-owned sessions get tune() instead)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // the lakehouse tier as a NAMED catalog (Delta/Iceberg-shaped):
+      // CREATE/CTAS/INSERT/DELETE/ALTER/time-travel on
+      // graft_lake.<ns>.<table> through Spark's native SQL paths
+      .config("spark.sql.catalog.graft_lake", "graft.sources.v2.GraftCatalog")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

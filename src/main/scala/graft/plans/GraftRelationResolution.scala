@@ -1,14 +1,17 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Cast
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, OverwritePartitionsDynamic}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.TimestampType
 
 import graft.sources.{ManifestChangesRelation, ManifestFeedRelation, ManifestRelation, ManifestTable}
+import graft.sources.v2.GraftTable
 
 /** Makes manifest tables first-class SQL relations — the Delta-style
   * `format.`path`` surface, resolved by an injected analyzer rule
@@ -117,5 +120,39 @@ class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       relation(graftPath(u.multipartIdentifier).get, None)
     case u: UnresolvedRelation if windowRelation(u.multipartIdentifier).isDefined =>
       windowRelation(u.multipartIdentifier).get
+    // `INSERT OVERWRITE` on a graft_lake catalog table under Spark's
+    // DYNAMIC partition-overwrite mode: Spark's physical dynamic
+    // overwrite demands a native V2 BatchWrite (the V1 write bridge
+    // cannot carry it), so — Delta's move — rewrite the resolved plan
+    // onto a command that runs ManifestTable.replacePartitions: replaced
+    // partitions retire, untouched partitions carry forward by
+    // reference. Waits for outputResolved so Spark's own column
+    // alignment/casting (by name or position) has already happened.
+    case o: OverwritePartitionsDynamic
+        if o.query.resolved && o.outputResolved && (o.table match {
+          case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTable]
+          case _ => false
+        }) =>
+      val root = o.table.asInstanceOf[DataSourceV2Relation]
+        .table.asInstanceOf[GraftTable].root
+      GraftDynamicOverwriteCommand(root, o.query)
+  }
+}
+
+/** `INSERT OVERWRITE <graft_lake table>` under dynamic mode, as a
+  * driver-side command: evaluates the (already aligned) query and
+  * commits one partition-replacing delta — O(batch + retired entries)
+  * however large the table. */
+final case class GraftDynamicOverwriteCommand(root: String,
+                                              query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    ManifestTable.retryOnConflict()(
+      ManifestTable.replacePartitions(session,
+        org.apache.spark.sql.graftshim.SessionIsolation.planFrame(session, query),
+        root))
+    Seq.empty
   }
 }

@@ -889,6 +889,35 @@ object ManifestTable {
     readState(spark, root, current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version")))
 
+  /** The table's logical schema in its DECLARED column order. The scan
+    * order puts hive partition columns last (they come off directory
+    * names), so a catalog surface that promises "the order you declared"
+    * reorders by the recorded create/overwrite-time schema ([[SchemaTag]])
+    * with rename/drop mappings applied; columns added since (additive
+    * evolution) follow in scan order. Tables without a recorded schema
+    * (pre-createEmpty writes) keep the scan order. */
+  def logicalSchema(spark: SparkSession, root: String,
+                    version: Option[Long] = None)
+      : org.apache.spark.sql.types.StructType = {
+    val st = version.map(v => stateAt(spark, root, v))
+      .getOrElse(current(spark, root)).getOrElse(
+        sys.error(s"manifest table $root has no committed version" +
+          version.map(v => s" $v").getOrElse("")))
+    val snap = readState(spark, root, st).schema
+    st.tags.get(SchemaTag).map { json =>
+      val created = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val ren = renameMap(st.tags); val dr = dropSet(st.tags)
+      val declared = created.fieldNames.toSeq.collect {
+        case c if !dr.contains(c) => ren.getOrElse(c, c)
+      }
+      val byName = snap.fields.map(f => f.name -> f).toMap
+      val ordered = declared.flatMap(byName.get) ++
+        snap.fields.filterNot(f => declared.contains(f.name))
+      org.apache.spark.sql.types.StructType(ordered)
+    }.getOrElse(snap)
+  }
+
   /** Filter-aware read: semantically identical to `read(...).filter(filter)`
     * but files whose manifest METADATA (hive partition values + per-file
     * column min/max stats) proves they cannot match are never given to the
@@ -1989,8 +2018,14 @@ object ManifestTable {
           prev.foreach(p => gate(p.tags)) // re-gate on a changed constraint set
           // a full overwrite replaces every data file: the incoming frame's
           // names ARE the new physical schema, so rename/drop mappings die here
-          val tags = prev.map(_.tags).getOrElse(Map.empty) -
-            RenameTag - DropTag + (OpTag -> "overwrite")
+          // … and the schema record refreshes to the NEW frame (a stale
+          // create-time schema would mis-describe a later zero-file state)
+          val base = prev.map(_.tags).getOrElse(Map.empty) -
+            RenameTag - DropTag - LayoutTag + (OpTag -> "overwrite") +
+            (SchemaTag -> normalizePartitionCols(df, partitionCols).schema.json)
+          val tags =
+            if (partitionCols.isEmpty) base
+            else base + (LayoutTag -> partitionCols.mkString(","))
           val manifest = restamp(proto, v) match {
             case f: FullManifest => f.copy(tags = tags)
             case r: SnapshotRef  => r.copy(tags = tags)
@@ -2167,6 +2202,79 @@ object ManifestTable {
     * version commits a FULL snapshot instead and advances the
     * `_last_checkpoint` pointer. `checkpointInterval <= 1` forces a
     * snapshot every commit (the pre-checkpoint behavior). */
+  /** Dynamic-partition overwrite — SQL `INSERT OVERWRITE` under Spark's
+    * dynamic mode, and Delta's partition-scoped `replaceWhere` shape:
+    * every hive partition PRESENT in the batch is replaced wholesale,
+    * every other partition carries forward BY REFERENCE. Work is
+    * O(batch + retired manifest entries) at any table size — the right
+    * overwrite economics for a 100 TB table where a day's re-run should
+    * rewrite a day, not the table. On an unpartitioned table this
+    * degrades to a full [[write]] (exactly Spark's dynamic-mode
+    * semantics). Same schema/constraint discipline as [[append]]; CAS
+    * delta commit (op "overwrite"); with the change feed enabled the
+    * retired partitions' rows record as deletes and the batch as
+    * inserts, so CDC consumers never hit the partition-replace gap
+    * [[readChangeFeed]] refuses. */
+  def replacePartitions(spark: SparkSession, batch: DataFrame, root: String,
+                        graceMs: Long = 60000L,
+                        checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val partKeys = layoutOf(root, st)
+    if (partKeys.isEmpty)
+      return write(batch, root, Nil, graceMs)
+    val fs = fsOf(spark, root)
+    val logical = readState(spark, root, st).schema
+    val expected = logical.fieldNames.toSeq
+    val got = batch.columns.toSeq
+    require(got.map(_.toLowerCase).sorted == expected.map(_.toLowerCase).sorted,
+      s"manifest table $root: overwrite batch columns [${got.sorted.mkString(", ")}] " +
+        s"must match the table's [${expected.sorted.mkString(", ")}]")
+    val byLower = got.map(c => c.toLowerCase -> c).toMap
+    val aligned = batch.select(
+      expected.map(c => col(byLower(c.toLowerCase)).as(c)).toIndexedSeq: _*)
+    val eT = logical.map(f => f.name -> f.dataType).toMap
+    val normalized = normalizePartitionCols(aligned, partKeys)
+    val drift = normalized.schema
+      .filter(f => eT.get(f.name).exists(_ != f.dataType))
+      .map(f => s"${f.name}: table=${eT(f.name).sql} batch=${f.dataType.sql}")
+    require(drift.isEmpty,
+      s"manifest table $root: batch column types differ from the table " +
+        s"(${drift.mkString("; ")}) — a type change is a rewrite (write())")
+    enforceConstraints(normalized, st.tags, root, "partition-overwrite batch")
+    val (gen, entries) = writeGeneration(normalized, root, partKeys, st.tags)
+    val newParts = entries.map(_.partitionPath).toSet
+    val retired = st.files.filter(f => newParts.contains(f.partitionPath))
+    val cdf = if (!cdfEnabled(st.tags)) None else {
+      def emptyFrame = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), logical)
+      val removed =
+        if (retired.isEmpty) emptyFrame
+        else readState(spark, root, st.copy(files = retired)) // DV-exact
+      val written =
+        if (entries.isEmpty) emptyFrame
+        else logicalize(scanFiles(spark, root, entries, withPositions = false), st.tags)
+      writeCdf(spark, root, st.tags,
+        removed.withColumn(ChangeTypeCol, lit("delete"))
+          .unionByName(written.withColumn(ChangeTypeCol, lit("insert"))))
+    }
+    val keep = st.files.filterNot(f => newParts.contains(f.partitionPath))
+    val v = st.version + 1
+    val newTags = st.tags + (OpTag -> "overwrite")
+    val snapshotting = checkpointInterval <= 1 || v % checkpointInterval == 0
+    val (manifest, sidecar) =
+      if (snapshotting) mkSnapshot(spark, root, v, keep ++ entries, newTags, cdf)
+      else (DeltaManifest(v, entries, retired.map(_.relPath), newTags, cdf), None)
+    if (!claimOrRecover(fs, root, manifest, graceMs)) {
+      fs.delete(new Path(root, gen), true)
+      sidecar.foreach(fs.delete(_, true))
+      cdf.foreach { case (d, _) => fs.delete(new Path(root, d), true) }
+      throw new ConcurrentCommitException(root, v)
+    }
+    if (snapshotting) writePointer(fs, root, v)
+    v
+  }
+
   def upsertDedup(spark: SparkSession, fresh: DataFrame, root: String,
                   keys: Seq[String], order: String,
                   partitionCols: Seq[String] = Nil,

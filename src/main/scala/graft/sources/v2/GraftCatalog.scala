@@ -1,0 +1,239 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.ManifestTable
+
+/** Manifest tables as a Spark `TableCatalog` — the Delta/Iceberg-shaped
+  * front door. Registered by [[graft.core.GraftSession]] as
+  * `spark.sql.catalog.graft_lake`, it makes the lakehouse tier fully
+  * first-class in ANSI SQL, through Spark's OWN resolution/DDL/DML
+  * machinery rather than the injected GRAFT grammar:
+  *
+  * {{{
+  * CREATE NAMESPACE graft_lake.bronze;
+  * CREATE TABLE graft_lake.bronze.events (day STRING, id BIGINT, v DOUBLE)
+  *   PARTITIONED BY (day);                           -- schema-only seed
+  * CREATE TABLE graft_lake.bronze.top AS SELECT …;   -- CTAS
+  * INSERT INTO graft_lake.bronze.events SELECT …;    -- O(batch) append
+  * INSERT OVERWRITE graft_lake.bronze.events …;      -- truncate + write
+  * DELETE FROM graft_lake.bronze.events WHERE day < '2026-01-01';
+  * ALTER TABLE graft_lake.bronze.events RENAME COLUMN v TO score;
+  * SELECT * FROM graft_lake.bronze.events VERSION AS OF 3;
+  * SELECT * FROM graft_lake.bronze.events TIMESTAMP AS OF '2026-02-01';
+  * DROP TABLE graft_lake.bronze.events;
+  * }}}
+  *
+  * Identity is layout: `<warehouse>/<namespace…>/<name>` IS the manifest
+  * table root, a directory is a table iff it has a `_manifests` log, and
+  * any other directory is a namespace. No extra metastore exists to
+  * drift from the data — listing and existence checks are filesystem
+  * metadata operations, the same economics the manifest log itself is
+  * built on (object-store LIST + conditional PUT, no rename dependence).
+  * Time travel resolves versions in the catalog (`loadTable(ident,
+  * version/timestamp)`), so `VERSION AS OF`/`TIMESTAMP AS OF` SQL works
+  * natively; the per-table read/write/delete surfaces live on
+  * [[GraftTable]].
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+      .orElse(sys.env.get("SPARK_GRAFT_WAREHOUSE"))
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs: FileSystem =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def validPart(s: String): Boolean =
+    s.nonEmpty && !s.contains('/') && !s.contains('\\') && s != "." &&
+      s != ".." && !s.startsWith("_") && !s.startsWith(".")
+
+  private def nsPath(namespace: Array[String]): Path = {
+    namespace.foreach(p => require(validPart(p),
+      s"graft catalog: bad namespace segment '$p'"))
+    namespace.foldLeft(new Path(warehouse))((acc, p) => new Path(acc, p))
+  }
+
+  private def tablePath(ident: Identifier): Path = {
+    require(validPart(ident.name),
+      s"graft catalog: bad table name '${ident.name}'")
+    new Path(nsPath(ident.namespace), ident.name)
+  }
+
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, ManifestTable.ManifestDir))
+
+  // ---- tables ----------------------------------------------------------
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    new GraftTable(p.toString, fullName(ident), None)
+  }
+
+  /** `VERSION AS OF v` — the catalog resolves the pin so the table it
+    * returns is immutably versioned (writes refuse on it). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val v = scala.util.Try(version.trim.toLong).getOrElse(
+      sys.error(s"graft catalog: VERSION AS OF wants a numeric version, got '$version'"))
+    new GraftTable(p.toString, fullName(ident), Some(v))
+  }
+
+  /** `TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch;
+    * resolution uses the same monotonic-mtime walk as the rest of the
+    * engine ([[ManifestTable.versionAtTime]]). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val ms = Math.floorDiv(timestampMicros, 1000L)
+    val v = ManifestTable.versionAtTime(spark, p.toString, ms).getOrElse(
+      sys.error(s"graft catalog: ${fullName(ident)} has no commit at or before " +
+        s"epoch-ms $ms"))
+    new GraftTable(p.toString, fullName(ident), Some(v))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (namespace.nonEmpty && !fs.exists(dir))
+      throw new NoSuchNamespaceException(namespace)
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(isTableDir).map(p => Identifier.of(namespace, p.getName))
+      .sortBy(_.name).toArray
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(!properties.containsKey("location"),
+      "graft catalog: external LOCATION is not supported — path tables are " +
+        "the graft.`/path` relation surface; catalog tables live under the warehouse")
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"graft catalog: only identity PARTITIONED BY columns are supported, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    val p = tablePath(ident)
+    if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
+    try ManifestTable.createEmpty(spark, p.toString, schema, partCols)
+    catch { case _: ManifestTable.ConcurrentCommitException =>
+      throw new TableAlreadyExistsException(ident)
+    }
+    new GraftTable(p.toString, fullName(ident), None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val root = p.toString
+    changes.foreach {
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames.length == 1,
+          "graft catalog: RENAME COLUMN on nested fields is not supported")
+        ManifestTable.retryOnConflict()(
+          ManifestTable.renameColumn(spark, root, rc.fieldNames.head, rc.newName))
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames.length == 1,
+          "graft catalog: DROP COLUMN on nested fields is not supported")
+        ManifestTable.retryOnConflict()(
+          ManifestTable.dropColumn(spark, root, dc.fieldNames.head))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other — additive " +
+          "column evolution is a mergeSchema upsert; a type change is a rewrite")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    isTableDir(p) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    val to = tablePath(newIdent)
+    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent)
+    if (!fs.exists(to.getParent)) throw new NoSuchNamespaceException(newIdent.namespace)
+    require(fs.rename(from, to),
+      s"graft catalog: rename ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  // ---- namespaces ------------------------------------------------------
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace)
+    fs.exists(p) && !isTableDir(p)
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsPath(namespace)
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(p => validPart(p.getName) && !isTableDir(p))
+      .map(p => namespace :+ p.getName).sortBy(_.mkString(".")).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val p = nsPath(namespace)
+    if (fs.exists(p)) throw new NamespaceAlreadyExistsException(namespace)
+    require(fs.mkdirs(p), s"graft catalog: mkdirs $p failed")
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val p = nsPath(namespace)
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new NonEmptyNamespaceException(
+        namespace, s"namespace ${namespace.mkString(".")} is not empty", None)
+    fs.delete(p, true)
+  }
+}

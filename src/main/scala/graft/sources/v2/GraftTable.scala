@@ -1,0 +1,235 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{ManifestRelationFilters, ManifestTable}
+
+/** A graft-manifest table as a DataSource V2 [[Table]] — what
+  * [[GraftCatalog]] hands Spark's analyzer, so named manifest tables get
+  * Spark's NATIVE SQL paths: `SELECT`/`JOIN` (with pushdown + pruning),
+  * `INSERT INTO` (O(batch) append commit), `INSERT OVERWRITE`
+  * (truncate-and-write), `DELETE FROM … WHERE` (routed to the
+  * copy-on-write delete), and `VERSION AS OF` / `TIMESTAMP AS OF` time
+  * travel (the catalog resolves the pinned version before constructing
+  * this table).
+  *
+  * The batch read and write are V1 BRIDGES ([[V1Scan]]/[[V1Write]]), the
+  * same architecture Delta Lake ships: the V2 surface carries the catalog
+  * identity, capabilities, pushdown negotiation, and statistics, while
+  * the actual scan/commit delegates to the mature [[ManifestTable]] path
+  * — deletion vectors, rename/drop name mapping, bloom + min/max file
+  * skipping, and the CAS commit protocol all behave identically to the
+  * programmatic API, because they ARE the same code.
+  */
+final class GraftTable(val root: String, ident: String,
+                       pinnedVersion: Option[Long])
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = ident
+
+  // declared column order, not scan order (hive partition columns read
+  // back LAST off directory names — a positional INSERT would misalign)
+  override lazy val schema: StructType =
+    ManifestTable.logicalSchema(spark, root, pinnedVersion)
+
+  override def partitioning(): Array[Transform] =
+    ManifestTable.partitionLayout(spark, root)
+      .map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("location", root)
+    m.put("provider", "graft-manifest")
+    pinnedVersion.foreach(v => m.put("versionAsOf", v.toString))
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, pinnedVersion, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"graft catalog: cannot write to the time-traveled snapshot $ident")
+    new GraftWriteBuilder(root)
+  }
+
+  /** `DELETE FROM t WHERE …` — only predicates whose V1 filters convert
+    * EXACTLY route to [[ManifestTable.delete]] (a weaker-than conversion
+    * would delete MORE rows than the predicate names, the opposite of
+    * the read path where weaker pruning is always safe); anything else
+    * is refused via [[canDeleteWhere]] so Spark reports the unsupported
+    * condition instead of a silent over-delete. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinnedVersion.isEmpty &&
+      filters.forall(f => ManifestRelationFilters.toColumn(f, exact = true).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinnedVersion.isEmpty,
+      s"graft catalog: cannot DELETE from the time-traveled snapshot $ident")
+    val cond = filters.toSeq
+      .map(f => ManifestRelationFilters.toColumn(f, exact = true).getOrElse(
+        sys.error(s"graft catalog: unsupported DELETE condition $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    ManifestTable.retryOnConflict()(ManifestTable.delete(spark, root, cond))
+  }
+
+  override def toString: String =
+    s"GraftTable[$ident${pinnedVersion.map(v => s"@v$v").getOrElse("")}]"
+}
+
+/** Pushdown negotiation for the catalog read path: convertible filters
+  * prune manifest FILES from metadata (min/max stats, partition values,
+  * bloom indexes) before any scan; every filter is also returned as
+  * post-scan (the conversion may be weaker-than — Spark's re-filter
+  * restores exactness, the same contract as the V1 relation). Column
+  * pruning lands as a projection on the delegated read, which Spark's
+  * parquet scan turns into a footer-level column skip. */
+final class GraftScanBuilder(root: String, version: Option[Long],
+                             fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => ManifestRelationFilters.toColumn(f).isDefined)
+    filters // all re-evaluated above the scan: pushdown only prunes files
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // an empty required schema (COUNT(*)) still needs SOME column for
+    // the row-count contract — the V1 bridge handles it with an empty
+    // projection, which Spark counts correctly
+    required = requiredSchema
+
+  override def build(): Scan = new GraftV1Scan(root, version, pushed, required)
+}
+
+final class GraftV1Scan(root: String, version: Option[Long],
+                        pushed: Array[Filter], required: StructType)
+    extends V1Scan with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftV1BridgeRelation(context, root, version, pushed, required)
+      .asInstanceOf[T]
+
+  /** Catalyst sizing from manifest metadata — live bytes and (when the
+    * manifest carries per-file row counts and no DV makes them inexact)
+    * the exact row count, so dimension tables loaded through the catalog
+    * auto-broadcast exactly like the path-relation surface. */
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val st = version match {
+      case Some(v) => ManifestTable.stateAt(spark, root, v)
+      case None    => ManifestTable.current(spark, root)
+    }
+    val bytes = st.map(_.files.map(_.bytes).sum)
+    val rows = if (version.isDefined) None
+               else ManifestTable.rowCount(spark, root)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        bytes.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty)
+      override def numRows(): util.OptionalLong =
+        rows.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty)
+    }
+  }
+
+  override def description(): String =
+    s"graft-manifest $root${version.map(v => s"@v$v").getOrElse("")} " +
+      s"[pushed: ${pushed.mkString(", ")}]"
+}
+
+/** The V1 leg of the read bridge: schema is the PRUNED projection and
+  * `buildScan` routes pushed filters through [[ManifestTable.readWhere]]
+  * (metadata file pruning) before projecting the required columns. */
+final class GraftV1BridgeRelation(val sqlContext: SQLContext, root: String,
+                                  version: Option[Long],
+                                  pushed: Array[Filter], required: StructType)
+    extends BaseRelation with TableScan {
+
+  private def spark = sqlContext.sparkSession
+
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val base = pushed.toSeq.flatMap(ManifestRelationFilters.toColumn(_))
+      .reduceOption(_ && _) match {
+      case Some(f) => version match {
+        case Some(v) => ManifestTable.readVersionWhere(spark, root, v, f)
+        case None    => ManifestTable.readWhere(spark, root, f)
+      }
+      case None => version match {
+        case Some(v) => ManifestTable.readVersion(spark, root, v)
+        case None    => ManifestTable.read(spark, root)
+      }
+    }
+    base.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
+  }
+}
+
+/** The write leg: `INSERT INTO` appends (an O(batch) delta commit at any
+  * table size); `INSERT OVERWRITE` under Spark's STATIC mode truncates
+  * and rewrites, under DYNAMIC mode (the engine default) replaces only
+  * the partitions present in the query's output — carrying every other
+  * partition forward by reference ([[ManifestTable.replacePartitions]]),
+  * the overwrite economics a 100 TB table needs. Spark aligns and casts
+  * the query's output to the table schema before this runs (no
+  * ACCEPT_ANY_SCHEMA), so the manifest-side schema check is a final
+  * guard, not the UX. */
+final class GraftWriteBuilder(root: String)
+    extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+
+  private var mode: String = "append"
+
+  override def truncate(): WriteBuilder = { mode = "truncate"; this }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = "dynamic"; this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ignored: Boolean): Unit = {
+          val spark = data.sparkSession
+          mode match {
+            case "truncate" =>
+              ManifestTable.write(data, root,
+                ManifestTable.partitionLayout(spark, root))
+            case "dynamic" =>
+              ManifestTable.retryOnConflict()(
+                ManifestTable.replacePartitions(spark, data, root))
+            case _ =>
+              ManifestTable.retryOnConflict()(
+                ManifestTable.append(spark, data, root))
+          }
+        }
+      }
+  }
+}

@@ -40,6 +40,13 @@ object SessionIsolation {
     classic.Dataset.ofRows(to.asInstanceOf[classic.SparkSession],
       df.asInstanceOf[classic.Dataset[_]].queryExecution.logical)
 
+  /** An already-analyzed logical plan as a DataFrame (RunnableCommand
+    * bodies hold their query as a plan field, not a child). */
+  def planFrame(session: SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+
   /** `df` re-wrapped with `isStreaming = true` so a V1 streaming
     * `Source.getBatch` can hand the engine a plan built with the normal
     * batch reader (MicroBatchExecution asserts the flag). This is the

@@ -1,0 +1,178 @@
+package graft
+
+import java.util.UUID
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** The graft_lake TableCatalog: named manifest tables through Spark's
+  * NATIVE SQL machinery (no GRAFT grammar involved) — DDL, DML, time
+  * travel, metadata-statistics-driven broadcasting. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ns(): String = "ns_" + UUID.randomUUID().toString.take(8)
+
+  test("CREATE TABLE / INSERT INTO / SELECT round-trips with layout intact") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.events (day STRING, id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (day)")
+    assert(spark.sql(s"SHOW TABLES IN graft_lake.$n").collect()
+      .map(_.getString(1)).toSeq == Seq("events"))
+    assert(spark.table(s"graft_lake.$n.events").count() == 0)
+    spark.sql(s"INSERT INTO graft_lake.$n.events VALUES " +
+      "('2026-01-01', 1, 1.5), ('2026-01-02', 2, 2.5), ('2026-01-02', 3, 3.5)")
+    val got = spark.sql(
+      s"SELECT id, v FROM graft_lake.$n.events WHERE day = '2026-01-02' ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 2.5), (3L, 3.5)))
+    // the insert landed HIVE-partitioned per the declared layout
+    val warehouseRoot = spark.sessionState.catalogManager.catalog("graft_lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(n), "events"))
+      .properties().get("location")
+    val st = ManifestTable.current(spark, warehouseRoot).get
+    assert(st.files.nonEmpty && st.files.forall(_.partitionPath.startsWith("day=")))
+    spark.sql(s"DROP TABLE graft_lake.$n.events")
+    assert(spark.sql(s"SHOW TABLES IN graft_lake.$n").collect().isEmpty)
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("CTAS, DELETE FROM, INSERT OVERWRITE, and time travel") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v").createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t AS SELECT * FROM ctas_src")
+    assert(spark.table(s"graft_lake.$n.t").count() == 3)
+
+    spark.sql(s"DELETE FROM graft_lake.$n.t WHERE k = 2")
+    assert(spark.sql(s"SELECT k FROM graft_lake.$n.t ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 3L))
+
+    // VERSION AS OF: v1 is the CTAS seed (empty schema-only), v2 the
+    // CTAS insert, v3 the delete
+    assert(spark.sql(s"SELECT * FROM graft_lake.$n.t VERSION AS OF 1").count() == 0)
+    assert(spark.sql(s"SELECT * FROM graft_lake.$n.t VERSION AS OF 2").count() == 3)
+
+    // TIMESTAMP AS OF "now" resolves the current head
+    val now = new java.sql.Timestamp(System.currentTimeMillis() + 2000L)
+    assert(spark.sql(
+      s"SELECT * FROM graft_lake.$n.t TIMESTAMP AS OF '$now'").count() == 2)
+
+    spark.sql(s"INSERT OVERWRITE graft_lake.$n.t VALUES (9, 'z', 90.0)")
+    assert(spark.sql(s"SELECT k, s, v FROM graft_lake.$n.t")
+      .as[(Long, String, Double)].collect().toSeq == Seq((9L, "z", 90.0)))
+
+    // a DELETE whose condition cannot convert EXACTLY to source filters
+    // must refuse loudly, never over-delete
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft_lake.$n.t WHERE length(s) > 0")
+    }
+    assert(spark.table(s"graft_lake.$n.t").count() == 1)
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN ride the no-rewrite name mapping") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    Seq((1L, 1.0, "x"), (2L, 2.0, "y")).toDF("k", "v", "s")
+      .createOrReplaceTempView("alter_src")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t AS SELECT * FROM alter_src")
+    val filesBefore = {
+      val loc = spark.sql(s"SELECT 1").sparkSession.sessionState.catalogManager
+        .catalog("graft_lake")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(n), "t"))
+        .properties().get("location")
+      (loc, ManifestTable.current(spark, loc).get.files.map(_.relPath).toSet)
+    }
+    spark.sql(s"ALTER TABLE graft_lake.$n.t RENAME COLUMN v TO score")
+    spark.sql(s"ALTER TABLE graft_lake.$n.t DROP COLUMN s")
+    assert(spark.table(s"graft_lake.$n.t").columns.toSeq == Seq("k", "score"))
+    assert(spark.sql(s"SELECT score FROM graft_lake.$n.t WHERE k = 2")
+      .as[Double].collect().toSeq == Seq(2.0))
+    // metadata-only: the data files did not move
+    val after = ManifestTable.current(spark, filesBefore._1).get.files.map(_.relPath).toSet
+    assert(after == filesBefore._2)
+    // and inserts speak the LOGICAL schema
+    spark.sql(s"INSERT INTO graft_lake.$n.t VALUES (3, 3.0)")
+    assert(spark.sql(s"SELECT score FROM graft_lake.$n.t WHERE k = 3")
+      .as[Double].collect().toSeq == Seq(3.0))
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("catalog tables auto-broadcast from manifest statistics") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    Seq((1L, "us"), (2L, "de"), (3L, "jp")).toDF("id", "cc")
+      .createOrReplaceTempView("dim_src")
+    spark.sql(s"CREATE TABLE graft_lake.$n.dim AS SELECT * FROM dim_src")
+    val big = spark.range(100000).select($"id" % 3 + 1 as "id", $"id" as "x")
+    val joined = big.join(spark.table(s"graft_lake.$n.dim"), "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the 3-row catalog dim to broadcast, got:\n$plan")
+    assert(joined.count() == 100000)
+    // pushdown reaches the manifest scan: a day-filter prunes files
+    spark.sql(s"DROP TABLE graft_lake.$n.dim")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("file pruning works through the catalog read path") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.p (day STRING, v BIGINT) PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO graft_lake.$n.p VALUES ('2026-01-01', 1), ('2026-01-02', 2)")
+    val q = spark.sql(s"SELECT v FROM graft_lake.$n.p WHERE day = '2026-01-02'")
+    assert(q.as[Long].collect().toSeq == Seq(2L))
+    // the filter was negotiated into the scan (it prunes manifest FILES
+    // before Spark's parquet reader ever runs) and the projection is
+    // column-pruned to exactly the selected + filtered columns
+    val leaf = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PushedFilters") && leaf.contains("day"),
+      s"expected the day filter pushed into the catalog scan, got:\n$leaf")
+    // and the delegated manifest read applies the same pruning the
+    // programmatic path does: the 01-01 file never reaches the scan
+    val loc = spark.sessionState.catalogManager.catalog("graft_lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(n), "p"))
+      .properties().get("location")
+    val pruned = ManifestTable.readWhere(spark, loc, col("day") === "2026-01-02")
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("day=2026-01-02")))
+    spark.sql(s"DROP TABLE graft_lake.$n.p")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("INSERT OVERWRITE replaces only the partitions present in the query") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.d (day STRING, v BIGINT) PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO graft_lake.$n.d VALUES " +
+      "('2026-01-01', 1), ('2026-01-01', 2), ('2026-01-02', 3)")
+    val loc = spark.sessionState.catalogManager.catalog("graft_lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(n), "d"))
+      .properties().get("location")
+    val before = ManifestTable.current(spark, loc).get.files
+      .filter(_.partitionPath == "day=2026-01-02")
+    assert(before.nonEmpty)
+    // dynamic mode (the session default): only day=2026-01-01 is replaced
+    spark.sql(s"INSERT OVERWRITE graft_lake.$n.d VALUES ('2026-01-01', 9)")
+    assert(spark.sql(s"SELECT day, v FROM graft_lake.$n.d ORDER BY day, v")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("2026-01-01", 9L), ("2026-01-02", 3L)))
+    // the untouched partition's files carried forward BY REFERENCE
+    val after = ManifestTable.current(spark, loc).get.files
+      .filter(_.partitionPath == "day=2026-01-02")
+    assert(after == before)
+    spark.sql(s"DROP TABLE graft_lake.$n.d")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+}
