@@ -171,6 +171,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // `graft.`/table/root`` as a first-class SQL relation (reads, time
     // travel, INSERT INTO/OVERWRITE) — see GraftRelationResolution
     e.injectResolutionRule(session => new GraftRelationResolution(session))
+    // native ANSI UPDATE/DELETE/MERGE INTO on graft_lake catalog tables
+    e.injectResolutionRule(session => new GraftRowLevelSql(session))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

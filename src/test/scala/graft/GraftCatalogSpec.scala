@@ -175,4 +175,56 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
 
+  test("native ANSI UPDATE / complex DELETE / MERGE INTO on catalog tables") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    Seq((1L, "aa", 10.0), (2L, "bb", 20.0), (3L, "cc", 30.0), (4L, "dd", 40.0))
+      .toDF("k", "s", "v").createOrReplaceTempView("dml_seed")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t AS SELECT * FROM dml_seed")
+
+    // UPDATE: expression over the old row, arbitrary predicate
+    spark.sql(s"UPDATE graft_lake.$n.t SET v = v * 10 WHERE k <= 2")
+    assert(spark.sql(s"SELECT v FROM graft_lake.$n.t ORDER BY k")
+      .as[Double].collect().toSeq == Seq(100.0, 200.0, 30.0, 40.0))
+
+    // DELETE with a predicate NO source filter can express — the rewrite
+    // path takes the whole expression, not just convertible conjuncts
+    spark.sql(s"DELETE FROM graft_lake.$n.t WHERE upper(s) = 'DD'")
+    assert(spark.sql(s"SELECT k FROM graft_lake.$n.t ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+
+    // MERGE with a differently-named source key, arithmetic over both
+    // sides, and a BY SOURCE branch
+    Seq((2L, 5.0), (9L, 90.0)).toDF("kk", "w").createOrReplaceTempView("dml_src")
+    spark.sql(
+      s"""MERGE INTO graft_lake.$n.t t USING dml_src s ON t.k = s.kk
+         |WHEN MATCHED THEN UPDATE SET v = t.v + s.w
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v * -1.0""".stripMargin)
+    assert(spark.sql(s"SELECT k, v FROM graft_lake.$n.t ORDER BY k")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, -100.0), (2L, 205.0), (3L, -30.0)))
+
+    // MERGE with INSERT * (full-schema source) and MATCHED DELETE
+    Seq((2L, "zz", 0.0), (9L, "ii", 90.0)).toDF("k", "s", "v")
+      .createOrReplaceTempView("dml_src2")
+    spark.sql(
+      s"""MERGE INTO graft_lake.$n.t t USING dml_src2 s ON t.k = s.k
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT k, v FROM graft_lake.$n.t ORDER BY k")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, -100.0), (3L, -30.0), (9L, 90.0)))
+
+    // unsupported shapes refuse loudly instead of narrowing silently
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO graft_lake.$n.t t USING dml_src2 s ON t.k > s.k " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft_lake.$n.t WHERE v > " +
+        "(SELECT avg(v) FROM dml_src2)")
+    }
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
 }
