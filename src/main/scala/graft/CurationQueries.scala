@@ -71,6 +71,15 @@ object CurationQueries extends QueryPack {
         col("doc_id"), col("lang"), col("n_tokens"), budget = 5000L)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
     }),
+    "s_shuffle" -> ((s, d) =>
+      // deterministic epoch shuffle for export: shard + in-shard position
+      // depend only on (seed, doc_id) — re-runs, different partitionings
+      // and resumed exports agree row-for-row; a new seed is a fresh
+      // independent permutation.
+      Sampling.deterministicShuffle(
+        docs(s, d).select(col("doc_id"), col("lang")), col("doc_id"),
+        seed = 42L, nShards = 8)
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos"))),
     "s_pack_sequences" -> ((s, d) =>
       // batch assembly: pack docs head-to-tail into 2048-token training
       // sequences, 8 independent shards (no global-order funnel).
@@ -107,6 +116,14 @@ object CurationQueries extends QueryPack {
     "CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "s_shuffle" ->
+      """WITH hashed AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(h % 8 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |FROM hashed""".stripMargin,
     "s_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE $sampleBucketSql <

@@ -43,6 +43,33 @@ object Sampling {
     df.filter(bucket(key, Denom).cast("double") < rate * Denom)
   }
 
+  /** Deterministic global shuffle + shard assignment — the "randomize
+    * document order once, then stream shards" step of a training-data
+    * export. Content-addressed like everything here: shard and position
+    * depend only on (seed, key), so re-runs, different partitionings and
+    * resumed exports agree row-for-row, and a different `seed` yields an
+    * independent permutation (fresh epoch order). `shard` is the 60-bit
+    * md5-prefix hash of `seed:key` mod `nShards`; `pos` is the hash's
+    * rank inside its shard (key tiebreak, so equal-hash rows still order
+    * deterministically).
+    *
+    * Scale shape: ONE shuffle (the window's partitionBy shard) and a
+    * within-shard sort — no global ordering bottleneck; shards write in
+    * parallel, each internally a fixed random permutation. Keep
+    * nShards ≫ executor count so shard skew is noise. */
+  def deterministicShuffle(df: DataFrame, key: Column, seed: Long,
+                           nShards: Int): DataFrame = {
+    require(nShards > 0, s"deterministicShuffle: nShards must be > 0, got $nShards")
+    val hC = s"_shuffle_h_${java.util.UUID.randomUUID().toString.take(8)}"
+    val h = TextFunctions.md5Hash60(
+      concat_ws(":", lit(seed.toString), key.cast("string")))
+    val keyed = df.withColumn(hC, h)
+      .withColumn("shard", (col(hC) % nShards).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(hC), key)
+    keyed.withColumn("pos", (row_number().over(w) - 1).cast("long")).drop(hC)
+  }
+
   /** Fill a per-stratum TOKEN budget with a deterministic sample: rows are
     * ordered by their content-addressed hash (a fixed random permutation)
     * inside each stratum and taken while the running token total stays

@@ -170,4 +170,26 @@ class SamplingSpec extends SparkSpec {
       Sampling.sourceMix(got, $"id", $"source", Map.empty, 1.0)
     }
   }
+
+  test("deterministicShuffle: a fixed permutation, invariant to partitioning") {
+    val df = spark.range(1000).toDF("id")
+    val a = Sampling.deterministicShuffle(df, $"id", seed = 7L, nShards = 4)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    // per shard: positions are dense 0..n-1 (a real permutation, no gaps)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (0L until rows.size).toSeq)
+    }
+    assert(a.map(_._2).forall(s => s >= 0 && s < 4))
+    // re-run under a different partitioning agrees row-for-row
+    val b = Sampling.deterministicShuffle(df.repartition(13), $"id", 7L, 4)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    assert(a == b)
+    // a different seed is an (almost surely) different permutation
+    val c = Sampling.deterministicShuffle(df, $"id", seed = 8L, nShards = 4)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    assert(a != c)
+    // and the hash helper column never leaks into the output
+    assert(!Sampling.deterministicShuffle(df, $"id", 7L, 4)
+      .columns.exists(_.startsWith("_shuffle_h_")))
+  }
 }
