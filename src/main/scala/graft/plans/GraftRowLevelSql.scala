@@ -147,18 +147,72 @@ private[plans] object RowLevelTranslate {
 
     def unconditional(cond: Option[Expression], what: String): Unit =
       require(cond.isEmpty,
-        s"graft catalog MERGE: conditional $what clauses (WHEN … AND <cond>) " +
-          "are not supported — fold the condition into the source query")
+        s"graft catalog MERGE: a conditional $what clause (WHEN … AND <cond>) " +
+          "is not supported here — fold the condition into the source query")
 
-    // WHEN MATCHED → the single whenMatched action
+    def assignKey(asg: Assignment): String = asg.key match {
+      case a: AttributeReference => a.name
+      case other => sys.error(
+        s"graft catalog MERGE: only top-level columns can be assigned, got $other")
+    }
+
+    /** Ordered UPDATE clauses (conditions allowed, first match wins)
+      * folded into ONE per-column cascade — `when(c1, v1).when(c2, v2)
+      * .otherwise(old)` — which the manifest merge's single MatchUpdate
+      * evaluates row-by-row: pure translation, the Delta multi-clause
+      * semantics with no engine change. A clause that does not assign a
+      * column leaves it at the OLD value on its branch (per-row
+      * first-match-wins, not per-column). */
+    def updateCascade(clauses: Seq[(Option[Expression], Seq[Assignment])],
+                      branch: String, allowSource: Boolean)
+        : Map[String, Column] = {
+      val translated = clauses.map { case (cond, asgs) =>
+        (cond.map(mergeColumn(_, sourceAttrs, branch, allowSource)),
+          asgs.map(a => assignKey(a) ->
+            mergeColumn(a.value, sourceAttrs, branch, allowSource)).toMap)
+      }
+      translated.dropRight(1).foreach { case (c, _) => require(c.isDefined,
+        s"graft catalog MERGE: only the LAST $branch clause may be " +
+          "unconditional (an earlier one would shadow the rest)") }
+      val cols = translated.flatMap(_._2.keys).distinct
+      cols.map { c =>
+        c -> translated.foldRight(org.apache.spark.sql.functions.col(c)) {
+          case ((cond, set), acc) =>
+            val branchValue = set.getOrElse(c, org.apache.spark.sql.functions.col(c))
+            cond match {
+              case Some(cc) => org.apache.spark.sql.functions
+                .when(cc, branchValue).otherwise(acc)
+              case None => branchValue
+            }
+        }
+      }.toMap
+    }
+
+    def asUpdateClause(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction)
+        : Option[(Option[Expression], Seq[Assignment])] = a match {
+      case u: UpdateAction => Some((u.condition, u.assignments))
+      case u: UpdateStarAction =>
+        // star = assign every target column from its same-named source
+        // attribute (resolution guarantees they exist once aligned; if
+        // we see the star un-expanded, synthesize the assignments)
+        val byName = m.sourceTable.output.map(x => x.name -> x).toMap
+        Some((u.condition, m.targetTable.output.map { t =>
+          val s = byName.getOrElse(t.name, sys.error(
+            s"graft catalog MERGE: UPDATE SET * needs source column '${t.name}'"))
+          Assignment(t, s)
+        }))
+      case _ => None
+    }
+
+    // WHEN MATCHED → one action; several (conditional) UPDATE clauses
+    // fold into a first-match-wins cascade
     val whenMatched: ManifestTable.WhenMatched = m.matchedActions match {
       case Seq() => ManifestTable.MatchUpdate(Map.empty)
-      case Seq(u: UpdateStarAction) =>
-        unconditional(u.condition, "MATCHED"); ManifestTable.MatchUpdateAll
+      case Seq(u: UpdateStarAction) if u.condition.isEmpty =>
+        ManifestTable.MatchUpdateAll
       case Seq(d: DeleteAction) =>
         unconditional(d.condition, "MATCHED"); ManifestTable.MatchDelete
-      case Seq(u: UpdateAction) =>
-        unconditional(u.condition, "MATCHED")
+      case Seq(u: UpdateAction) if u.condition.isEmpty =>
         // an aligned UPDATE SET * arrives as a full column list of bare
         // source references — collapse it to the wholesale replace
         val wholesale = u.assignments.nonEmpty && u.assignments.forall {
@@ -167,17 +221,15 @@ private[plans] object RowLevelTranslate {
           case _ => false
         } && u.assignments.size == m.targetTable.output.size
         if (wholesale) ManifestTable.MatchUpdateAll
-        else ManifestTable.MatchUpdate(u.assignments.map { asg =>
-          val key = asg.key match {
-            case a: AttributeReference => a.name
-            case other => sys.error(
-              s"graft catalog MERGE: only top-level columns can be assigned, got $other")
-          }
-          key -> mergeColumn(asg.value, sourceAttrs, "MATCHED", allowSource = true)
-        }.toMap)
+        else ManifestTable.MatchUpdate(updateCascade(
+          Seq((None, u.assignments)), "MATCHED", allowSource = true))
+      case updates if updates.forall(asUpdateClause(_).isDefined) =>
+        ManifestTable.MatchUpdate(updateCascade(
+          updates.map(asUpdateClause(_).get), "MATCHED", allowSource = true))
       case other => sys.error(
-        s"graft catalog MERGE: exactly one unconditional WHEN MATCHED clause " +
-          s"is supported, got ${other.size}")
+        "graft catalog MERGE: WHEN MATCHED supports one DELETE (unconditional) " +
+          s"or any number of UPDATE clauses (first match wins), got $other — " +
+          "a conditional DELETE needs the GRAFT grammar or a delete+merge pair")
     }
 
     // WHEN NOT MATCHED → insert the source row wholesale, or nothing
@@ -199,27 +251,21 @@ private[plans] object RowLevelTranslate {
         s"graft catalog MERGE: at most one WHEN NOT MATCHED clause, got ${other.size}")
     }
 
-    // WHEN NOT MATCHED BY SOURCE → delete or target-only update
+    // WHEN NOT MATCHED BY SOURCE → unconditional delete, or (conditional)
+    // target-only UPDATE clauses folded like the matched branch
     val bySource: Option[ManifestTable.WhenNotMatchedBySource] =
       m.notMatchedBySourceActions match {
         case Seq() => None
         case Seq(d: DeleteAction) =>
           unconditional(d.condition, "NOT MATCHED BY SOURCE")
           Some(ManifestTable.SourceMissDelete)
-        case Seq(u: UpdateAction) =>
-          unconditional(u.condition, "NOT MATCHED BY SOURCE")
-          Some(ManifestTable.SourceMissUpdate(u.assignments.map { asg =>
-            val key = asg.key match {
-              case a: AttributeReference => a.name
-              case other => sys.error(
-                s"graft catalog MERGE: only top-level columns can be assigned, got $other")
-            }
-            key -> mergeColumn(asg.value, sourceAttrs,
-              "NOT MATCHED BY SOURCE", allowSource = false)
-          }.toMap))
+        case updates if updates.forall(_.isInstanceOf[UpdateAction]) =>
+          Some(ManifestTable.SourceMissUpdate(updateCascade(
+            updates.map { case u: UpdateAction => (u.condition, u.assignments) },
+            "NOT MATCHED BY SOURCE", allowSource = false)))
         case other => sys.error(
-          s"graft catalog MERGE: at most one WHEN NOT MATCHED BY SOURCE " +
-            s"clause, got ${other.size}")
+          "graft catalog MERGE: WHEN NOT MATCHED BY SOURCE supports one " +
+            s"unconditional DELETE or UPDATE clauses (first match wins), got $other")
       }
 
     GraftSqlMergeCommand(t.root, m.sourceTable, keys, whenMatched,

@@ -1338,9 +1338,17 @@ object ManifestTable {
     * it stays exact while deletion vectors are live (`rows - dv.count`
     * is the file's live count by construction). None when any live file
     * predates per-file row counts — honesty over approximation. */
-  def rowCount(spark: SparkSession, root: String): Option[Long] = {
-    val st = current(spark, root).getOrElse(
+  def rowCount(spark: SparkSession, root: String): Option[Long] =
+    current(spark, root).map(stateRowCount).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
+
+  /** [[rowCount]] at a pinned version — the zero-scan COUNT(*) for
+    * time-traveled reads. None when the version is unresolvable or any
+    * of its files predates per-file row counts. */
+  def rowCountAt(spark: SparkSession, root: String, version: Long): Option[Long] =
+    stateAt(spark, root, version).flatMap(stateRowCount)
+
+  private def stateRowCount(st: State): Option[Long] = {
     val perFile = st.files.map(fileLiveRows)
     if (perFile.forall(_.nonEmpty)) Some(perFile.flatten.sum) else None
   }

@@ -8,7 +8,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -107,10 +108,11 @@ final class GraftTable(val root: String, ident: String,
 final class GraftScanBuilder(root: String, version: Option[Long],
                              fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var metadataCount: Option[Long] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => ManifestRelationFilters.toColumn(f).isDefined)
@@ -125,7 +127,59 @@ final class GraftScanBuilder(root: String, version: Option[Long],
     // projection, which Spark counts correctly
     required = requiredSchema
 
-  override def build(): Scan = new GraftV1Scan(root, version, pushed, required)
+  /** Metadata-only `COUNT(*)`: an unfiltered, ungrouped count answers
+    * from the manifest's per-file row counts (DV-exact) — zero data
+    * files touched, the 100 TB count in one driver-side metadata fold.
+    * Spark only offers the aggregate when no post-scan filter remains
+    * (ours always remain, so any WHERE disables this automatically);
+    * legacy manifests without per-file counts simply decline. */
+  private def pushableCount(agg: Aggregation): Option[Long] = {
+    val shape = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (!shape) None
+    else {
+      val spark = SparkSession.active
+      version match {
+        case Some(v) => ManifestTable.rowCountAt(spark, root, v)
+        case None    => ManifestTable.rowCount(spark, root)
+      }
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    pushableCount(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    metadataCount = pushableCount(agg)
+    metadataCount.isDefined
+  }
+
+  override def build(): Scan = metadataCount match {
+    case Some(n) => new GraftCountScan(root, version, n)
+    case None    => new GraftV1Scan(root, version, pushed, required)
+  }
+}
+
+/** The pushed-COUNT(*) scan: one row, no files. */
+final class GraftCountScan(root: String, version: Option[Long], n: Long)
+    extends V1Scan {
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("COUNT(*)",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftCountRelation(context, readSchema(), n).asInstanceOf[T]
+  override def description(): String =
+    s"graft-manifest metadata-count $root${version.map(v => s"@v$v").getOrElse("")}"
+}
+
+final class GraftCountRelation(val sqlContext: SQLContext,
+                               override val schema: StructType, n: Long)
+    extends BaseRelation with TableScan {
+  override def buildScan(): RDD[Row] =
+    sqlContext.sparkContext.parallelize(Seq(Row(n)), 1)
+  override def toString: String = s"GraftMetadataCount[$n]"
 }
 
 final class GraftV1Scan(root: String, version: Option[Long],

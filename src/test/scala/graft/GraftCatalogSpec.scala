@@ -227,4 +227,64 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE graft_lake.$n.t")
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
+
+  test("COUNT(*) answers from manifest metadata, zero files scanned") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    Seq.tabulate(100)(i => (i.toLong, s"s$i")).toDF("k", "s")
+      .createOrReplaceTempView("cnt_src")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t AS SELECT * FROM cnt_src")
+    val q = spark.sql(s"SELECT count(*) AS c FROM graft_lake.$n.t")
+    assert(q.as[Long].head() == 100L)
+    // the plan's leaf is the metadata-count relation — no parquet scan
+    val leaf = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("GraftMetadataCount"),
+      s"expected a metadata-only count, got:\n$leaf")
+    // stays exact through DML, and time travel counts the PINNED version
+    spark.sql(s"DELETE FROM graft_lake.$n.t WHERE k < 10")
+    assert(spark.table(s"graft_lake.$n.t").count() == 90L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_lake.$n.t VERSION AS OF 2")
+      .as[Long].head() == 100L)
+    // a WHERE clause disables the shortcut (filters must see rows)
+    val filtered = spark.sql(
+      s"SELECT count(*) AS c FROM graft_lake.$n.t WHERE k >= 50")
+    assert(filtered.as[Long].head() == 50L)
+    assert(!filtered.queryExecution.executedPlan.collectLeaves().head
+      .toString.contains("GraftMetadataCount"))
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("MERGE conditional UPDATE clauses cascade first-match-wins") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    Seq((1L, "keep", 10.0), (2L, "keep", 20.0), (3L, "keep", 30.0),
+      (4L, "stale", 40.0)).toDF("k", "tag", "v")
+      .createOrReplaceTempView("cm_seed")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t AS SELECT * FROM cm_seed")
+    Seq((1L, 100.0), (2L, 1.0), (3L, 50.0)).toDF("k", "w")
+      .createOrReplaceTempView("cm_src")
+    // clause 1 fires for k=1 (w>=100 → replace v, retag), clause 2 for
+    // k=2 and k=3 is matched by neither → row untouched; k=4 unmatched
+    // by source → conditional by-source update only fires on v >= 40
+    spark.sql(
+      s"""MERGE INTO graft_lake.$n.t t USING cm_src s ON t.k = s.k
+         |WHEN MATCHED AND s.w >= 100.0 THEN UPDATE SET v = s.w, tag = 'big'
+         |WHEN MATCHED AND s.w <= 1.0 THEN UPDATE SET v = t.v + s.w
+         |WHEN NOT MATCHED BY SOURCE AND t.v >= 40.0 THEN UPDATE SET tag = 'old'
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT k, tag, v FROM graft_lake.$n.t ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "big", 100.0), (2L, "keep", 21.0), (3L, "keep", 30.0),
+        (4L, "old", 40.0)))
+    // an unconditional clause may only come last
+    intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft_lake.$n.t t USING cm_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.w
+           |WHEN MATCHED AND s.w < 0 THEN UPDATE SET v = 0.0""".stripMargin)
+    }
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
 }
