@@ -60,79 +60,114 @@ import graft.sources.ManifestTable
   * Commands run on the driver against the manifest log (metadata ops)
   * or launch the usual distributed rewrite jobs (compact, DML) — the
   * SQL layer adds no execution machinery of its own.
+  *
+  * Everywhere a quoted `'path'` appears, a bare CATALOG table identifier
+  * (`graft_lake.ns.table`) is also accepted — resolved through the
+  * registered [[graft.sources.v2.GraftCatalog]], so named tables get the
+  * whole maintenance + MoR-DML surface without spelling their location:
+  * `GRAFT COMPACT graft_lake.bronze.events`,
+  * `GRAFT DELETE MOR FROM graft_lake.bronze.events WHERE day < '2025-01-01'`.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   private val Prefix = """(?is)^\s*GRAFT\s+(.*?)\s*;?\s*$""".r
-  private val History = """(?is)HISTORY\s+'([^']+)'""".r
-  private val Detail  = """(?is)DETAIL\s+'([^']+)'""".r
-  private val Stats   = """(?is)STATS\s+'([^']+)'""".r
-  private val Vacuum  = """(?is)VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+(ORPHANS))?""".r
-  private val Material = """(?is)MATERIALIZE\s+'([^']+)'""".r
-  private val Restore = """(?is)RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)""".r
-  private val RestoreTs = """(?is)RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+'([^']+)'""".r
+  // every table position takes a quoted PATH ('/t') or a bare CATALOG
+  // identifier (graft_lake.ns.t) — res() resolves either to the root
+  private val P = """('[^']+'|[A-Za-z_][\w.]+)"""
+  private val History = s"""(?is)HISTORY\\s+$P""".r
+  private val Detail  = s"""(?is)DETAIL\\s+$P""".r
+  private val Stats   = s"""(?is)STATS\\s+$P""".r
+  private val Vacuum  = s"""(?is)VACUUM\\s+$P(?:\\s+KEEP\\s+(\\d+))?(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(?:\\s+(ORPHANS))?""".r
+  private val Material = s"""(?is)MATERIALIZE\\s+$P""".r
+  private val Restore = s"""(?is)RESTORE\\s+$P\\s+TO\\s+VERSION\\s+(\\d+)""".r
+  private val RestoreTs = s"""(?is)RESTORE\\s+$P\\s+TO\\s+TIMESTAMP\\s+'([^']+)'""".r
   private val ConstraintAdd =
-    """(?is)CONSTRAINT\s+'([^']+)'\s+ADD\s+(\w+)\s+CHECK\s+\((.+)\)""".r
-  private val ConstraintDrop = """(?is)CONSTRAINT\s+'([^']+)'\s+DROP\s+(\w+)""".r
-  private val Compact = """(?is)COMPACT\s+'([^']+)'(?:\s+TARGET\s+(\d+))?""".r
-  private val Feed    = """(?is)FEED\s+'([^']+)'\s+(ENABLE|DISABLE)""".r
+    s"""(?is)CONSTRAINT\\s+$P\\s+ADD\\s+(\\w+)\\s+CHECK\\s+\\((.+)\\)""".r
+  private val ConstraintDrop = s"""(?is)CONSTRAINT\\s+$P\\s+DROP\\s+(\\w+)""".r
+  private val Compact = s"""(?is)COMPACT\\s+$P(?:\\s+TARGET\\s+(\\d+))?""".r
+  private val Feed    = s"""(?is)FEED\\s+$P\\s+(ENABLE|DISABLE)""".r
   private val Cluster =
-    """(?is)CLUSTER\s+'([^']+)'\s+BY\s+\(([^)]+)\)(?:\s+(ZORDER))?(?:\s+TARGET\s+(\d+))?""".r
-  private val Bloom     = """(?is)BLOOM\s+'([^']+)'\s+ON\s+\(([^)]+)\)""".r
-  private val BloomDrop = """(?is)BLOOM\s+DROP\s+'([^']+)'""".r
+    s"""(?is)CLUSTER\\s+$P\\s+BY\\s+\\(([^)]+)\\)(?:\\s+(ZORDER))?(?:\\s+TARGET\\s+(\\d+))?""".r
+  private val Bloom     = s"""(?is)BLOOM\\s+$P\\s+ON\\s+\\(([^)]+)\\)""".r
+  private val BloomDrop = s"""(?is)BLOOM\\s+DROP\\s+$P""".r
   private val Rename  =
-    """(?is)ALTER\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)""".r
-  private val DropCol = """(?is)ALTER\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)""".r
-  private val Delete  = """(?is)DELETE\s+(?:(MOR)\s+)?FROM\s+'([^']+)'\s+WHERE\s+(.+)""".r
-  private val Update  = """(?is)UPDATE\s+(?:(MOR)\s+)?'([^']+)'\s+SET\s+(.+)""".r
-  private val Merge   = """(?is)MERGE\s+(?:(MOR)\s+)?INTO\s+'([^']+)'\s+USING\s+(.+)""".r
+    s"""(?is)ALTER\\s+$P\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)""".r
+  private val DropCol = s"""(?is)ALTER\\s+$P\\s+DROP\\s+COLUMN\\s+(\\w+)""".r
+  private val Delete  = s"""(?is)DELETE\\s+(?:(MOR)\\s+)?FROM\\s+$P\\s+WHERE\\s+(.+)""".r
+  private val Update  = s"""(?is)UPDATE\\s+(?:(MOR)\\s+)?$P\\s+SET\\s+(.+)""".r
+  private val Merge   = s"""(?is)MERGE\\s+(?:(MOR)\\s+)?INTO\\s+$P\\s+USING\\s+(.+)""".r
   private val Create  =
-    """(?is)CREATE\s+(OR\s+REPLACE\s+)?'([^']+)'(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?\s+AS\s+(.+)""".r
+    s"""(?is)CREATE\\s+(OR\\s+REPLACE\\s+)?$P(?:\\s+PARTITIONED\\s+BY\\s+\\(([^)]+)\\))?\\s+AS\\s+(.+)""".r
+
+  /** A table position → manifest root: strip quotes from a path literal,
+    * or resolve `catalog.ns….name` through a registered [[graft.sources.v2.GraftCatalog]].
+    * `mustExist = false` (CREATE) resolves the location without demanding
+    * the table already be there. */
+  private def res(p: String, mustExist: Boolean = true): String =
+    if (p.startsWith("'")) p.stripPrefix("'").stripSuffix("'")
+    else {
+      val parts = p.split('.').toSeq.filter(_.nonEmpty)
+      require(parts.length >= 2,
+        s"GRAFT: '$p' — table paths are quoted ('/path'); a bare identifier " +
+          "must name a catalog table (catalog.namespace….table)")
+      val spark = SparkSession.active
+      val cat =
+        try spark.sessionState.catalogManager.catalog(parts.head)
+        catch { case scala.util.control.NonFatal(e) =>
+          sys.error(s"GRAFT: cannot load catalog '${parts.head}' for '$p': ${e.getMessage}")
+        }
+      cat match {
+        case g: graft.sources.v2.GraftCatalog => g.tableRootFor(parts.tail, mustExist)
+        case other => sys.error(
+          s"GRAFT: catalog '${parts.head}' is not a graft catalog " +
+            s"(${other.getClass.getName}) — GRAFT maintenance only drives manifest tables")
+      }
+    }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Prefix(body) => body match {
-      case History(p) => GraftHistoryCommand(p)
+      case History(p) => GraftHistoryCommand(res(p))
       case Create(orReplace, p, parts, query) =>
-        GraftCreateTableCommand(p,
+        GraftCreateTableCommand(res(p, mustExist = false),
           Option(parts).map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
             .getOrElse(Nil),
           query.trim, replace = orReplace != null)
-      case Detail(p)  => GraftDetailCommand(p)
-      case Stats(p)   => GraftStatsCommand(p)
+      case Detail(p)  => GraftDetailCommand(res(p))
+      case Stats(p)   => GraftStatsCommand(res(p))
       case Vacuum(p, keep, retainH, orphans) =>
         require(keep == null || retainH == null,
           "GRAFT VACUUM: KEEP n and RETAIN n HOURS are exclusive")
-        GraftVacuumCommand(p, Option(keep).map(_.toInt).getOrElse(2),
+        GraftVacuumCommand(res(p), Option(keep).map(_.toInt).getOrElse(2),
           retainHours = Option(retainH).map(_.toInt),
           deleteOrphans = orphans != null)
-      case Material(p) => GraftMaterializeCommand(p)
-      case Restore(p, v) => GraftRestoreCommand(p, v.toLong)
-      case RestoreTs(p, ts) => GraftRestoreTimestampCommand(p, ts)
-      case ConstraintAdd(p, name, check) => GraftConstraintCommand(p, name, Some(check.trim))
-      case ConstraintDrop(p, name)      => GraftConstraintCommand(p, name, None)
+      case Material(p) => GraftMaterializeCommand(res(p))
+      case Restore(p, v) => GraftRestoreCommand(res(p), v.toLong)
+      case RestoreTs(p, ts) => GraftRestoreTimestampCommand(res(p), ts)
+      case ConstraintAdd(p, name, check) => GraftConstraintCommand(res(p), name, Some(check.trim))
+      case ConstraintDrop(p, name)      => GraftConstraintCommand(res(p), name, None)
       case Compact(p, mb) =>
-        GraftCompactCommand(p, Option(mb).map(_.toInt).getOrElse(512))
-      case Feed(p, mode) => GraftFeedCommand(p, mode.equalsIgnoreCase("ENABLE"))
-      case BloomDrop(p) => GraftBloomCommand(p, Nil, drop = true)
+        GraftCompactCommand(res(p), Option(mb).map(_.toInt).getOrElse(512))
+      case Feed(p, mode) => GraftFeedCommand(res(p), mode.equalsIgnoreCase("ENABLE"))
+      case BloomDrop(p) => GraftBloomCommand(res(p), Nil, drop = true)
       case Cluster(p, cols, z, mb) =>
-        GraftClusterCommand(p, cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+        GraftClusterCommand(res(p), cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
           zOrder = z != null, targetMB = Option(mb).map(_.toInt).getOrElse(512))
       case Bloom(p, cols) =>
-        GraftBloomCommand(p, cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+        GraftBloomCommand(res(p), cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
           drop = false)
-      case Rename(p, from, to) => GraftRenameColumnCommand(p, from, to)
-      case DropCol(p, name)    => GraftDropColumnCommand(p, name)
+      case Rename(p, from, to) => GraftRenameColumnCommand(res(p), from, to)
+      case DropCol(p, name)    => GraftDropColumnCommand(res(p), name)
       case Delete(mor, p, where) =>
-        GraftDeleteCommand(p, where.trim, mor = mor != null)
+        GraftDeleteCommand(res(p), where.trim, mor = mor != null)
       case Update(mor, p, rest) =>
         val (setPart, wherePart) = splitAtKeyword(rest, "WHERE") match {
           case Some((s, w)) => (s, Some(w.trim))
           case None         => (rest, None)
         }
-        GraftUpdateCommand(p, parseAssignments(setPart, "UPDATE"), wherePart,
+        GraftUpdateCommand(res(p), parseAssignments(setPart, "UPDATE"), wherePart,
           mor = mor != null)
-      case Merge(mor, p, rest) => parseMerge(p, rest.trim, mor = mor != null)
+      case Merge(mor, p, rest) => parseMerge(res(p), rest.trim, mor = mor != null)
       case other => sys.error(
         s"GRAFT statement not recognized: '$other' — expected HISTORY | DETAIL | " +
           "STATS | VACUUM [KEEP n] [ORPHANS] | RESTORE … TO VERSION n | " +

@@ -85,6 +85,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def isTableDir(p: Path): Boolean =
     fs.exists(new Path(p, ManifestTable.ManifestDir))
 
+  /** The manifest root a `ns….name` identifier resolves to — the GRAFT
+    * maintenance grammar uses this to accept catalog table NAMES
+    * anywhere it takes a table path. By default demands the table exist
+    * (a maintenance command on a typo must not invent a directory);
+    * `mustExist = false` serves CREATE-shaped statements. */
+  def tableRootFor(parts: Seq[String], mustExist: Boolean = true): String = {
+    require(parts.nonEmpty, s"graft catalog $catalogName: empty table identifier")
+    val ident = Identifier.of(parts.dropRight(1).toArray, parts.last)
+    val p = tablePath(ident)
+    if (mustExist && !isTableDir(p)) throw new NoSuchTableException(ident)
+    p.toString
+  }
+
   // ---- tables ----------------------------------------------------------
 
   override def tableExists(ident: Identifier): Boolean =

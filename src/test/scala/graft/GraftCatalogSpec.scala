@@ -255,6 +255,28 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
 
+  test("GRAFT maintenance grammar accepts catalog table names") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    Seq.tabulate(50)(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("gm_src")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t AS SELECT * FROM gm_src")
+    // merge-on-read DML by NAME: the deletion-vector plan, no path spelled
+    spark.sql(s"GRAFT DELETE MOR FROM graft_lake.$n.t WHERE k < 10")
+    assert(spark.table(s"graft_lake.$n.t").count() == 40L)
+    spark.sql(s"GRAFT MATERIALIZE graft_lake.$n.t")
+    spark.sql(s"GRAFT COMPACT graft_lake.$n.t")
+    assert(spark.sql(s"GRAFT HISTORY graft_lake.$n.t").count() >= 4)
+    assert(spark.sql(s"GRAFT DETAIL graft_lake.$n.t")
+      .select("num_files").as[Long].head() >= 1L)
+    // a typo'd name refuses instead of inventing a directory
+    intercept[Exception] { spark.sql(s"GRAFT COMPACT graft_lake.$n.nope") }
+    // and a non-graft catalog refuses with a clear error
+    intercept[Exception] { spark.sql("GRAFT COMPACT spark_catalog.default.x") }
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
   test("MERGE conditional UPDATE clauses cascade first-match-wins") {
     val n = ns()
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")
