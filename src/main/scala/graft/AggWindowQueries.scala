@@ -578,6 +578,34 @@ object AggWindowQueries extends QueryPack {
            |CROSS JOIN (SELECT count(*) AS rows_v2
            |            FROM $tbl VERSION AS OF 2) v2
            |WHERE t.price > 100000.0""".stripMargin)
+    }),
+    "k28_dynamic_overwrite" -> ((s, d) => {
+      // K28 (beyond-reference): dynamic partition overwrite through the
+      // catalog — INSERT OVERWRITE under Spark's dynamic mode replaces
+      // EXACTLY the partitions present in the query (the analyzer
+      // rewrite onto ManifestTable.replacePartitions); every other
+      // partition carries forward BY REFERENCE, which the time-traveled
+      // pre-overwrite count in the output also pins. The oracle replays
+      // partition replacement relationally.
+      val ns = "k28_" + java.util.UUID.randomUUID().toString.take(8)
+      val tbl = s"graft_lake.$ns.orders"
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+        s"o_orderpriority STRING) PARTITIONED BY (o_orderpriority)")    // v1
+      t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority")).createOrReplaceTempView("k28_src")
+      s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, " +
+        "o_orderpriority FROM k28_src")                                 // v2
+      // replaces ONLY the 2-HIGH and 4-NOT SPECIFIED partitions
+      s.sql(s"INSERT OVERWRITE $tbl SELECT o_orderkey + 30000000, " +
+        "o_totalprice * 0.25, o_orderpriority FROM k28_src " +
+        "WHERE o_orderpriority IN ('2-HIGH', '4-NOT SPECIFIED')")       // v3
+      s.sql(
+        s"""SELECT t.o_orderkey, t.o_totalprice, t.o_orderpriority, pre.rows_pre
+           |FROM $tbl t
+           |CROSS JOIN (SELECT count(*) AS rows_pre
+           |            FROM $tbl VERSION AS OF 2) pre
+           |WHERE t.o_totalprice > 90000.0""".stripMargin)
     })
   )
 
@@ -877,7 +905,21 @@ object AggWindowQueries extends QueryPack {
         |SELECT f.o_orderkey, f.price, f.o_orderpriority, v2.rows_v2
         |FROM final f
         |CROSS JOIN (SELECT count(*) AS rows_v2 FROM src) v2
-        |WHERE f.price > 100000.0""".stripMargin
+        |WHERE f.price > 100000.0""".stripMargin,
+    "k28_dynamic_overwrite" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+        |final AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM src
+        |  WHERE o_orderpriority NOT IN ('2-HIGH', '4-NOT SPECIFIED')
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_totalprice * 0.25, o_orderpriority
+        |  FROM src
+        |  WHERE o_orderpriority IN ('2-HIGH', '4-NOT SPECIFIED'))
+        |SELECT f.o_orderkey, f.o_totalprice, f.o_orderpriority, pre.rows_pre
+        |FROM final f
+        |CROSS JOIN (SELECT count(*) AS rows_pre FROM src) pre
+        |WHERE f.o_totalprice > 90000.0""".stripMargin
   )
 }
 

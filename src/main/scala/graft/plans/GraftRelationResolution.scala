@@ -2,12 +2,14 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.Cast
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, OverwritePartitionsDynamic}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, OverwritePartitionsDynamic, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
 import org.apache.spark.sql.types.TimestampType
 
 import graft.sources.{ManifestChangesRelation, ManifestFeedRelation, ManifestRelation, ManifestTable}
@@ -128,6 +130,33 @@ class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     // partitions retire, untouched partitions carry forward by
     // reference. Waits for outputResolved so Spark's own column
     // alignment/casting (by name or position) has already happened.
+    // `spark.readStream.table("graft_lake.ns.t")` — the V2 catalog table
+    // carries no MicroBatchStream (a DSv2 partition reader would have to
+    // re-implement parquet decoding by hand; see ManifestStream's design
+    // note), so rewrite the streaming relation onto the V1 incremental
+    // source the format-based API uses. Reader options (startingversion,
+    // maxversionsperbatch) pass through; the source's scan-order output
+    // re-aliases onto the catalog node's attribute ids so downstream
+    // resolution is undisturbed.
+    case s: StreamingRelationV2 if s.table.isInstanceOf[GraftTable] =>
+      val t = s.table.asInstanceOf[GraftTable]
+      import scala.jdk.CollectionConverters._
+      val user = s.extraOptions.asScala.toMap
+      require(!user.keys.exists(_.equalsIgnoreCase("readChangeFeed")),
+        "graft catalog: streaming CDC by table name is not supported — use " +
+          "spark.readStream.format(\"graft-manifest-changes\")" +
+          ".option(\"readChangeFeed\", true).option(\"path\", …) (the feed " +
+          "adds _change_type/_commit_version columns the catalog schema lacks)")
+      val ds = DataSource(spark, className = "graft-manifest-changes",
+        options = user + ("path" -> t.root))
+      val rel = StreamingRelation(ds)
+      val byName = rel.output.map(a => a.name -> a).toMap
+      Project(s.output.map { a =>
+        val src = byName.getOrElse(a.name, sys.error(
+          s"graft catalog streaming: source lacks column '${a.name}'"))
+        Alias(src, a.name)(exprId = a.exprId)
+      }, rel)
+
     case o: OverwritePartitionsDynamic
         if o.query.resolved && o.outputResolved && (o.table match {
           case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTable]

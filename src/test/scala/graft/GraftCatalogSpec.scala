@@ -255,6 +255,37 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
 
+  test("readStream.table streams a catalog table incrementally") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft_lake.$n.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    val ck = java.nio.file.Files.createTempDirectory("graft-cat-ck").toString
+    def drain(): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.table(s"graft_lake.$n.t")
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("k").collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000L); assert(!q.isActive)
+      scala.jdk.CollectionConverters.CollectionHasAsScala(got).asScala.toSeq.sorted
+    }
+    assert(drain() == Seq(1L, 2L, 3L))
+    spark.sql(s"INSERT INTO graft_lake.$n.t VALUES (4, 4.0), (5, 5.0)")
+    // resumed checkpoint: only the new commit's rows arrive
+    assert(drain() == Seq(4L, 5L))
+    // CDC by name refuses with a pointer at the format-based API
+    intercept[Exception] {
+      spark.readStream.option("readChangeFeed", "true")
+        .table(s"graft_lake.$n.t").writeStream
+        .format("noop").start()
+    }
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
   test("GRAFT maintenance grammar accepts catalog table names") {
     val n = ns()
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")
