@@ -37,6 +37,7 @@ import graft.sources.ManifestTable
   * {{{
   *   GRAFT ALTER 'path' RENAME COLUMN a TO b   -- metadata-only (name mapping)
   *   GRAFT ALTER 'path' DROP COLUMN a          -- metadata-only
+  *   GRAFT ALTER 'path' ADD COLUMN a TYPE      -- metadata-only (NULL-padded)
   *   GRAFT DELETE [MOR] FROM 'path' WHERE <expr>
   *   GRAFT UPDATE [MOR] 'path' SET c = <expr> [, ...] [WHERE <expr>]
   *   GRAFT MERGE [MOR] INTO 'path' USING <view | (subquery)> ON (k1 [, k2 ...])
@@ -94,6 +95,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Rename  =
     s"""(?is)ALTER\\s+$P\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)""".r
   private val DropCol = s"""(?is)ALTER\\s+$P\\s+DROP\\s+COLUMN\\s+(\\w+)""".r
+  private val AddCol =
+    s"""(?is)ALTER\\s+$P\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+([\\w()\\s,]+?)\\s*""".r
   private val Delete  = s"""(?is)DELETE\\s+(?:(MOR)\\s+)?FROM\\s+$P\\s+WHERE\\s+(.+)""".r
   private val Update  = s"""(?is)UPDATE\\s+(?:(MOR)\\s+)?$P\\s+SET\\s+(.+)""".r
   private val Merge   = s"""(?is)MERGE\\s+(?:(MOR)\\s+)?INTO\\s+$P\\s+USING\\s+(.+)""".r
@@ -158,6 +161,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           drop = false)
       case Rename(p, from, to) => GraftRenameColumnCommand(res(p), from, to)
       case DropCol(p, name)    => GraftDropColumnCommand(res(p), name)
+      case AddCol(p, name, tpe) => GraftAddColumnCommand(res(p), name, tpe.trim)
       case Delete(mor, p, where) =>
         GraftDeleteCommand(res(p), where.trim, mor = mor != null)
       case Update(mor, p, rest) =>
@@ -172,7 +176,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s"GRAFT statement not recognized: '$other' — expected HISTORY | DETAIL | " +
           "STATS | VACUUM [KEEP n] [ORPHANS] | RESTORE … TO VERSION n | " +
           "COMPACT [TARGET mb] | ALTER … RENAME COLUMN a TO b | " +
-          "ALTER … DROP COLUMN a | DELETE [MOR] FROM … WHERE … | " +
+          "ALTER … DROP COLUMN a | ALTER … ADD COLUMN a TYPE | " +
+          "DELETE [MOR] FROM … WHERE … | " +
           "UPDATE [MOR] … SET … [WHERE …] | MERGE [MOR] INTO … USING … ON (…) [WHEN …]")
     }
     case _ => delegate.parsePlan(sqlText)
@@ -483,6 +488,18 @@ final case class GraftDropColumnCommand(root: String,
     StructField("new_version", LongType, false))))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(ManifestTable.dropColumn(spark, root, name)))
+}
+
+/** Metadata-only ADD COLUMN: the declared schema widens, reads pad the
+  * column as typed NULLs, the next write carries it. The type is parsed
+  * with Spark's own DDL grammar (`DOUBLE`, `DECIMAL(10,2)`, …). */
+final case class GraftAddColumnCommand(root: String, name: String,
+                                       typeDdl: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.addColumn(spark, root, name,
+      org.apache.spark.sql.types.DataType.fromDDL(typeDdl))))
 }
 
 final case class GraftDeleteCommand(root: String, whereSql: String,

@@ -1694,6 +1694,72 @@ object ManifestTable {
     commitMeta(spark, root, st, newTags, graceMs, op = "drop-column")
   }
 
+  /** Add a nullable column WITHOUT touching a single data file: one
+    * metadata-only commit (op "add-column") widens the declared schema
+    * ([[SchemaTag]]); every read pads the column as typed NULLs until a
+    * generation actually carries it ([[padDeclared]]), and the next
+    * write simply includes it — the standard lakehouse ADD COLUMN
+    * contract. Tables predating [[createEmpty]] (no recorded schema) get
+    * one synthesized from the current snapshot first, so the commit is
+    * self-contained. The new name must not collide with any live logical
+    * OR physical name (same rule as [[renameColumn]] — keeps
+    * [[logicalize]] unambiguous), and only non-nested, nullable columns
+    * are supported (NOT NULL over existing rows would be instantly
+    * violated; a DEFAULT is a rewrite). */
+  def addColumn(spark: SparkSession, root: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType,
+                graceMs: Long = 60000L): Long = {
+    require(name.nonEmpty && !name.contains('.'),
+      s"addColumn: bad column name '$name' (nested fields are not supported)")
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val logicalCols = readState(spark, root, st).columns.toSeq
+    require(!logicalCols.contains(name),
+      s"addColumn: column '$name' already exists in $root")
+    val physUniverse = logicalCols.map(physicalName(st.tags, _)).toSet ++
+      st.files.flatMap(_.stats.keys) ++ dropSet(st.tags)
+    require(!physUniverse.contains(name),
+      s"addColumn: '$name' collides with a physical column name in $root")
+    val declared = st.tags.get(SchemaTag)
+      .map(json => org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse {
+        // pre-createEmpty table: pin the current scan order, physically
+        // named, as the declared base before appending
+        val ren = renameMap(st.tags)
+        val inv = ren.map(_.swap)
+        org.apache.spark.sql.types.StructType(
+          readState(spark, root, st).schema.fields.map(f =>
+            f.copy(name = inv.getOrElse(f.name, f.name))))
+      }
+    val widened = declared.add(name, dataType, nullable = true)
+    commitMeta(spark, root, st,
+      st.tags + (SchemaTag -> widened.json), graceMs, op = "add-column")
+  }
+
+  /** Declared-but-unwritten columns padded as typed NULLs: after
+    * [[addColumn]], a column can exist in the declared schema
+    * ([[SchemaTag]]) while no generation carries it yet — the scan union
+    * alone would silently omit it. Padding at the single read choke
+    * point keeps every surface (reads, filters on the new column, the
+    * write paths' drift checks, INSERT alignment) consistent without
+    * per-surface special cases. No-op (same frame, no projection) when
+    * every declared column is present — the overwhelmingly common case. */
+  private def padDeclared(df: DataFrame, tags: Map[String, String]): DataFrame =
+    tags.get(SchemaTag).map { json =>
+      val declared = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val ren = renameMap(tags); val dr = dropSet(tags)
+      val have = df.columns.toSet
+      val missing = declared.fields.toSeq
+        .filterNot(f => dr.contains(f.name))
+        .map(f => (ren.getOrElse(f.name, f.name), f.dataType))
+        .filterNot { case (l, _) => have.contains(l) }
+      missing.foldLeft(df) { case (acc, (l, t)) =>
+        acc.withColumn(l, lit(null).cast(t))
+      }
+    }.getOrElse(df)
+
   // ---- change data feed: row-level CDC, recorded at write time ---------
   //
   // Delta's CDF design re-expressed: when the table OPTS IN
@@ -1776,7 +1842,8 @@ object ManifestTable {
         case _ if m.cdf.nonEmpty => // any commit kind can carry changes
           val raw = spark.read.parquet(new Path(root, m.cdf.get._1).toString)
           Some(logicalize(raw, m.tags).withColumn(CommitVersionCol, lit(v)))
-        case _ if Set("rewrite", "meta", "rename", "drop-column").contains(op) =>
+        case _ if Set("rewrite", "meta", "rename", "drop-column",
+                      "add-column").contains(op) =>
           None // data-identical or metadata-only
         case d: DeltaManifest if d.removes.isEmpty =>
           if (d.adds.isEmpty) None
@@ -1820,7 +1887,7 @@ object ManifestTable {
         new java.util.ArrayList[org.apache.spark.sql.Row](), phys), st.tags)
     }
     val (dvd, clean) = st.files.partition(_.dv.nonEmpty)
-    if (dvd.isEmpty)
+    val out = if (dvd.isEmpty)
       logicalize(scanFiles(spark, root, st.files, withPositions = false), st.tags)
     else {
       // merge-on-read: scan the DV'd files WITH parquet row positions
@@ -1838,6 +1905,7 @@ object ManifestTable {
       else logicalize(scanFiles(spark, root, clean, withPositions = false), st.tags)
         .unionByName(cleaned, allowMissingColumns = true)
     }
+    padDeclared(out, st.tags)
   }
 
   /** Scan `files` with row positions ([[DvRelCol]]/[[DvPosCol]] kept in

@@ -177,6 +177,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "graft catalog: DROP COLUMN on nested fields is not supported")
         ManifestTable.retryOnConflict()(
           ManifestTable.dropColumn(spark, root, dc.fieldNames.head))
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames.length == 1,
+          "graft catalog: ADD COLUMN on nested fields is not supported")
+        require(ac.isNullable,
+          "graft catalog: ADD COLUMN NOT NULL is not supported — existing rows " +
+            "would instantly violate it; add nullable, backfill, then constrain")
+        require(ac.position == null,
+          "graft catalog: ADD COLUMN FIRST/AFTER is not supported — new columns " +
+            "append to the declared order (renames/reads are by name)")
+        ManifestTable.retryOnConflict()(
+          ManifestTable.addColumn(spark, root, ac.fieldNames.head, ac.dataType))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — additive " +
           "column evolution is a mergeSchema upsert; a type change is a rewrite")

@@ -286,6 +286,37 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only, NULL-padded, writable, refusals") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft_lake.$n.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql(s"ALTER TABLE graft_lake.$n.t ADD COLUMN tag STRING")
+    // declared order: the new column appends; old rows read typed NULL
+    assert(spark.table(s"graft_lake.$n.t").columns.toSeq == Seq("k", "v", "tag"))
+    assert(spark.sql(s"SELECT count(*) FROM graft_lake.$n.t WHERE tag IS NULL")
+      .head().getLong(0) == 2L)
+    // positional INSERT aligns against the widened declared schema
+    spark.sql(s"INSERT INTO graft_lake.$n.t VALUES (3, 3.0, 'x')")
+    // native UPDATE backfills the added column
+    spark.sql(s"UPDATE graft_lake.$n.t SET tag = 'old' WHERE tag IS NULL")
+    assert(spark.sql(s"SELECT k, tag FROM graft_lake.$n.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "old"), (2L, "old"), (3L, "x")))
+    // time travel predates the column
+    assert(spark.sql(s"SELECT * FROM graft_lake.$n.t VERSION AS OF 2")
+      .columns.toSeq == Seq("k", "v"))
+    // NOT NULL / positioned adds refuse loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_lake.$n.t ADD COLUMN m BIGINT NOT NULL")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_lake.$n.t ADD COLUMN m BIGINT FIRST")
+    }
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
   test("GRAFT maintenance grammar accepts catalog table names") {
     val n = ns()
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")

@@ -171,4 +171,77 @@ class SchemaEvolutionSpec extends SparkSpec {
     spark.sql(s"GRAFT ALTER '$root' DROP COLUMN s").collect()
     assert(ManifestTable.read(spark, root).columns.toSeq == Seq("k", "price"))
   }
+
+  test("add: metadata-only, reads pad typed NULLs, the next write carries it") {
+    val root = tmp() + "/t"
+    ManifestTable.write(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root)
+    val gensBefore = genDirs(root)
+    val v = ManifestTable.addColumn(spark, root, "tag",
+      org.apache.spark.sql.types.StringType)
+    assert(v == 2L)
+    assert(genDirs(root) == gensBefore, "add must not write any data file")
+
+    // the column is declared → present, typed, all-NULL over old files
+    val df = ManifestTable.read(spark, root)
+    assert(df.columns.toSeq == Seq("k", "v", "tag"))
+    assert(df.schema("tag").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.filter(col("tag").isNull).count() == 2)
+    // filters on the new column work through the pruned read path too
+    assert(ManifestTable.readWhere(spark, root, col("tag") === "x").count() == 0)
+    assert(ManifestTable.readWhere(spark, root,
+      col("tag").isNull && col("v") > 15.0).select("k").as[Long]
+      .collect().toSeq == Seq(2L))
+    // time travel: v1 predates the column
+    assert(ManifestTable.readVersion(spark, root, 1L).columns.toSeq == Seq("k", "v"))
+
+    // the next append carries it; old rows keep reading NULL
+    ManifestTable.retryOnConflict()(ManifestTable.append(spark,
+      Seq((3L, 30.0, "new")).toDF("k", "v", "tag"), root))
+    assert(ManifestTable.read(spark, root).orderBy("k")
+      .select("tag").as[Option[String]].collect().toSeq ==
+      Seq(None, None, Some("new")))
+    // and a row-level UPDATE backfills it in place
+    ManifestTable.update(spark, root, col("k") === 1L,
+      Map("tag" -> lit("backfilled")))
+    assert(ManifestTable.read(spark, root).orderBy("k")
+      .select("tag").as[Option[String]].collect().toSeq ==
+      Seq(Some("backfilled"), None, Some("new")))
+    // history marks the metadata commit
+    assert(ManifestTable.history(spark, root)
+      .filter(col("version") === 2).select("op").as[String].head() == "add-column")
+  }
+
+  test("add: refusals (duplicate, physical collision, nested) and evolution chains") {
+    val root = tmp() + "/t"
+    ManifestTable.write(Seq((1L, 10.0)).toDF("k", "v"), root)
+    intercept[IllegalArgumentException] {
+      ManifestTable.addColumn(spark, root, "k", org.apache.spark.sql.types.LongType)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.addColumn(spark, root, "a.b", org.apache.spark.sql.types.LongType)
+    }
+    // after v → price, re-adding 'v' would shadow the physical name
+    ManifestTable.renameColumn(spark, root, "v", "price")
+    intercept[IllegalArgumentException] {
+      ManifestTable.addColumn(spark, root, "v", org.apache.spark.sql.types.DoubleType)
+    }
+    // add → rename → drop chains like any declared column
+    ManifestTable.addColumn(spark, root, "tag",
+      org.apache.spark.sql.types.StringType)
+    ManifestTable.renameColumn(spark, root, "tag", "label")
+    assert(ManifestTable.read(spark, root).columns.toSeq ==
+      Seq("k", "price", "label"))
+    ManifestTable.dropColumn(spark, root, "label")
+    assert(ManifestTable.read(spark, root).columns.toSeq == Seq("k", "price"))
+  }
+
+  test("GRAFT ALTER SQL: ADD COLUMN with a DDL type through the injected parser") {
+    val root = tmp() + "/t"
+    ManifestTable.write(Seq((1L, 10.0)).toDF("k", "v"), root)
+    spark.sql(s"GRAFT ALTER '$root' ADD COLUMN w DECIMAL(10,2)").collect()
+    val df = ManifestTable.read(spark, root)
+    assert(df.columns.toSeq == Seq("k", "v", "w"))
+    assert(df.schema("w").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+  }
 }
