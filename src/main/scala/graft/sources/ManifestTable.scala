@@ -2020,8 +2020,10 @@ object ManifestTable {
   def createEmpty(spark: SparkSession, root: String,
                   schema: org.apache.spark.sql.types.StructType,
                   partitionCols: Seq[String] = Nil,
-                  graceMs: Long = 60000L): Long = {
+                  graceMs: Long = 60000L,
+                  tags: Map[String, String] = Map.empty): Long = {
     require(schema.nonEmpty, s"createEmpty: $root needs at least one column")
+    validateTags(tags, Map.empty)
     val missing = partitionCols.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"createEmpty: partition column(s) ${missing.mkString(", ")} not in the schema")
@@ -2032,10 +2034,10 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     if (hasCommittedVersion(fs, root))
       throw new ConcurrentCommitException(root, 1L)
-    val tags = Map(SchemaTag -> pinned.json, OpTag -> "create") ++
+    val allTags = tags ++ Map(SchemaTag -> pinned.json, OpTag -> "create") ++
       (if (partitionCols.nonEmpty) Map(LayoutTag -> partitionCols.mkString(","))
        else Map.empty)
-    if (!claimOrRecover(fs, root, FullManifest(1L, Seq.empty, tags, None), graceMs))
+    if (!claimOrRecover(fs, root, FullManifest(1L, Seq.empty, allTags, None), graceMs))
       throw new ConcurrentCommitException(root, 1L)
     writePointer(fs, root, 1L)
     1L
@@ -2711,6 +2713,82 @@ object ManifestTable {
       df => df.filter(!coalesce(predicate, lit(false))),
       df => df.filter(coalesce(predicate, lit(false)))
         .withColumn(ChangeTypeCol, lit("delete")))
+
+  /** SQL `ALTER TABLE … SET/UNSET TBLPROPERTIES`: user properties ride
+    * the manifest tag map (one metadata commit), the same channel the
+    * engine's own durable switches use — `cdf.enabled` set here IS
+    * enabling the change feed, exactly like Delta's
+    * `delta.enableChangeDataFeed` property. Reserved engine state
+    * (schema record, name mapping, constraints, bloom registry, stream
+    * watermarks) refuses loudly in both directions: a property surface
+    * must not be a backdoor that corrupts the table. */
+  def setTableProperties(spark: SparkSession, root: String,
+                         set: Map[String, String],
+                         unset: Seq[String] = Nil,
+                         graceMs: Long = 60000L): Long = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val guarded = Seq(SchemaTag, LayoutTag, RenameTag, DropTag)
+    (set.keys ++ unset).foreach { k =>
+      require(!guarded.contains(k),
+        s"table property '$k' is reserved engine state (schema record / name " +
+          "mapping) — evolve the schema via addColumn/renameColumn/dropColumn")
+      require(!k.startsWith(StreamBatchTag),
+        s"table property '$k' is a reserved stream watermark — written only by " +
+          "the exactly-once sink machinery")
+    }
+    unset.foreach { k =>
+      require(!k.startsWith(ConstraintTagPrefix),
+        s"table property '$k' is a constraint — drop it via dropConstraint")
+      require(!k.startsWith(BloomTagPrefix),
+        s"table property '$k' is the bloom index registry — dropBloomIndex")
+    }
+    validateTags(set, st.tags) // refuses constraint./bloom. SETs + separators
+    val newTags = (st.tags ++ set) -- unset
+    if (newTags == st.tags) st.version
+    else commitMeta(spark, root, st, newTags, graceMs, op = "meta")
+  }
+
+  /** SQL `TRUNCATE TABLE`: retire every live file in ONE O(metadata)
+    * delta commit — no data file read or written (change feed off).
+    * The declared schema and partition layout survive into the
+    * file-less state (recorded first when the table predates
+    * [[createEmpty]]), so reads, appends, and upserts keep working
+    * against the empty table. With the feed ON every live row records
+    * as a delete — a full scan, the price of an exact feed (Delta's
+    * unqualified DELETE pays the same). History and time travel keep
+    * every pre-truncate version readable until vacuumed. */
+  def truncate(spark: SparkSession, root: String, graceMs: Long = 60000L): Long = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    if (st.files.isEmpty) return st.version // already empty
+    val fs = fsOf(spark, root)
+    val withSchema = st.tags.get(SchemaTag) match {
+      case Some(_) => st.tags
+      case None =>
+        val inv = renameMap(st.tags).map(_.swap)
+        val phys = org.apache.spark.sql.types.StructType(
+          readState(spark, root, st).schema.fields.map(f =>
+            f.copy(name = inv.getOrElse(f.name, f.name))))
+        st.tags + (SchemaTag -> phys.json)
+    }
+    val layout = layoutOf(root, st)
+    val ensured =
+      if (layout.nonEmpty) withSchema + (LayoutTag -> layout.mkString(","))
+      else withSchema
+    val cdf = if (!cdfEnabled(st.tags)) None else
+      writeCdf(spark, root, st.tags,
+        readState(spark, root, st).withColumn(ChangeTypeCol, lit("delete")))
+    val v = st.version + 1
+    val manifest = DeltaManifest(v, Seq.empty, st.files.map(_.relPath),
+      ensured + (OpTag -> "truncate"), cdf)
+    if (!claimOrRecover(fs, root, manifest, graceMs)) {
+      cdf.foreach { case (d, _) => fs.delete(new Path(root, d), true) }
+      throw new ConcurrentCommitException(root, v)
+    }
+    log.info(s"manifest table $root: truncate retired ${st.files.size} files at v$v")
+    v
+  }
 
   /** MERGE-ON-READ delete (the Delta deletion-vector role): instead of
     * rewriting every touched file ([[delete]]'s copy-on-write), record

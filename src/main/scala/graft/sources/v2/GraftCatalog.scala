@@ -155,7 +155,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val p = tablePath(ident)
     if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
-    try ManifestTable.createEmpty(spark, p.toString, schema, partCols)
+    // TBLPROPERTIES from CREATE TABLE persist as manifest tags; Spark's
+    // own bookkeeping entries (provider/owner/…) are identity, not state
+    val userProps = properties.asScala.toMap --
+      Seq("provider", "location", "owner", "external", "comment",
+          "option.path", "transient_lastDdlTime")
+    try ManifestTable.createEmpty(spark, p.toString, schema, partCols,
+      tags = userProps)
     catch { case _: ManifestTable.ConcurrentCommitException =>
       throw new TableAlreadyExistsException(ident)
     }
@@ -166,7 +172,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = tablePath(ident)
     if (!isTableDir(p)) throw new NoSuchTableException(ident)
     val root = p.toString
+    val sets = scala.collection.mutable.LinkedHashMap[String, String]()
+    val unsets = scala.collection.mutable.ListBuffer[String]()
     changes.foreach {
+      case sp: TableChange.SetProperty => sets(sp.property) = sp.value
+      case rp: TableChange.RemoveProperty => unsets += rp.property
       case rc: TableChange.RenameColumn =>
         require(rc.fieldNames.length == 1,
           "graft catalog: RENAME COLUMN on nested fields is not supported")
@@ -192,6 +202,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft catalog: unsupported ALTER TABLE change $other — additive " +
           "column evolution is a mergeSchema upsert; a type change is a rewrite")
     }
+    if (sets.nonEmpty || unsets.nonEmpty)
+      ManifestTable.retryOnConflict()(ManifestTable.setTableProperties(
+        spark, root, sets.toMap, unsets.toList))
     loadTable(ident)
   }
 

@@ -52,8 +52,17 @@ final class GraftTable(val root: String, ident: String,
     ManifestTable.partitionLayout(spark, root)
       .map(Expressions.identity).toArray
 
+  /** Catalog-visible properties (`SHOW TBLPROPERTIES`, DESCRIBE): the
+    * live manifest tags — user properties set via SET TBLPROPERTIES,
+    * `cdf.enabled`, constraints, the bloom registry — minus the bulky
+    * schema record and the per-commit op marker, plus the fixed
+    * location/provider identity. */
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
+    val hidden = Set("schema.create", "graft.op")
+    ManifestTable.current(spark, root).foreach(_.tags
+      .filterNot { case (k, _) => hidden.contains(k) }
+      .foreach { case (k, v) => m.put(k, v) })
     m.put("location", root)
     m.put("provider", "graft-manifest")
     pinnedVersion.foreach(v => m.put("versionAsOf", v.toString))
@@ -92,6 +101,17 @@ final class GraftTable(val root: String, ident: String,
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     ManifestTable.retryOnConflict()(ManifestTable.delete(spark, root, cond))
+  }
+
+  /** SQL `TRUNCATE TABLE t` — one O(metadata) commit retiring every
+    * live file ([[ManifestTable.truncate]]), NOT a row-level delete:
+    * the default SupportsDelete route would rewrite-scan the table to
+    * drop everything. Schema/layout survive; history stays readable. */
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty,
+      s"graft catalog: cannot TRUNCATE the time-traveled snapshot $ident")
+    ManifestTable.retryOnConflict()(ManifestTable.truncate(spark, root))
+    true
   }
 
   override def toString: String =

@@ -14,6 +14,14 @@ class GraftCatalogSpec extends SparkSpec {
 
   private def ns(): String = "ns_" + UUID.randomUUID().toString.take(8)
 
+  /** The manifest root behind a catalog table (SHOW TBLPROPERTIES hides
+    * Spark-reserved keys like location, so go through the catalog). */
+  private def rootOf(n: String, table: String): String =
+    spark.sessionState.catalogManager.catalog("graft_lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(n), table))
+      .properties().get("location")
+
   test("CREATE TABLE / INSERT INTO / SELECT round-trips with layout intact") {
     val n = ns()
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")
@@ -314,6 +322,83 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE graft_lake.$n.t ADD COLUMN m BIGINT FIRST")
     }
     spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("TRUNCATE TABLE: O(metadata) clear; schema, layout, and history survive") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t (day STRING, k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO graft_lake.$n.t VALUES " +
+      "('2026-01-01', 1, 1.0), ('2026-01-02', 2, 2.0)")
+    val root = new java.io.File(rootOf(n, "t"))
+    val gensBefore = root.listFiles().map(_.getName).count(_.startsWith("gen-"))
+    spark.sql(s"TRUNCATE TABLE graft_lake.$n.t")
+    // no data file was written or read — one metadata commit
+    assert(root.listFiles().map(_.getName).count(_.startsWith("gen-")) == gensBefore)
+    assert(spark.table(s"graft_lake.$n.t").count() == 0)
+    // schema and declared layout survive into the file-less state
+    assert(spark.table(s"graft_lake.$n.t").columns.toSeq == Seq("day", "k", "v"))
+    spark.sql(s"INSERT INTO graft_lake.$n.t VALUES ('2026-01-03', 3, 3.0)")
+    assert(spark.sql(s"SELECT k FROM graft_lake.$n.t").head().getLong(0) == 3L)
+    // pre-truncate versions stay readable (time travel)
+    assert(spark.sql(s"SELECT count(*) FROM graft_lake.$n.t VERSION AS OF 2")
+      .head().getLong(0) == 2L)
+    // history marks the metadata commit
+    assert(spark.sql(s"GRAFT HISTORY graft_lake.$n.t").collect()
+      .exists(r => r.getLong(0) == 3L &&
+        r.getString(r.fieldIndex("op")) == "truncate"))
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("TBLPROPERTIES: create-time + SET/UNSET, SHOW, cdf.enabled routes the feed") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('team' = 'datainfra')")
+    def props(): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES graft_lake.$n.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("team").contains("datainfra"))
+    // SET adds; the cdf.enabled property IS the change-feed switch
+    spark.sql(s"ALTER TABLE graft_lake.$n.t SET TBLPROPERTIES " +
+      "('tier' = 'bronze', 'cdf.enabled' = 'true')")
+    assert(props().get("tier").contains("bronze"))
+    spark.sql(s"INSERT INTO graft_lake.$n.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql(s"UPDATE graft_lake.$n.t SET v = 9.0 WHERE k = 1")
+    val feed = ManifestTable.readChangeFeed(spark, rootOf(n, "t"), 3L, 4L)
+    assert(feed.filter(col("_change_type") === "update_postimage").count() == 1)
+    // UNSET removes; reserved engine state refuses in both directions
+    spark.sql(s"ALTER TABLE graft_lake.$n.t UNSET TBLPROPERTIES ('team')")
+    assert(!props().contains("team"))
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_lake.$n.t SET TBLPROPERTIES " +
+        "('schema.rename' = 'a>b')")
+    }
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("CREATE OR REPLACE TABLE swaps schema and contents") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t AS SELECT 1L AS k, 1.0 AS v")
+    // Spark routes a plain TableCatalog through the drop-then-create
+    // path (REPLACE is atomic only on a StagingTableCatalog — a
+    // concurrent reader can observe the gap; the manifest log restarts
+    // at v1, so history does NOT span the replacement)
+    spark.sql(s"CREATE OR REPLACE TABLE graft_lake.$n.t AS " +
+      "SELECT 2L AS k, 'x' AS s")
+    val r = spark.table(s"graft_lake.$n.t").collect()
+    assert(r.length == 1 && r.head.getLong(0) == 2L && r.head.getString(1) == "x")
+    assert(spark.table(s"graft_lake.$n.t").columns.toSeq == Seq("k", "s"))
+    // replacing a non-existent table creates it (OR REPLACE is optional)
+    spark.sql(s"CREATE OR REPLACE TABLE graft_lake.$n.u AS SELECT 7L AS k")
+    assert(spark.table(s"graft_lake.$n.u").head().getLong(0) == 7L)
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP TABLE graft_lake.$n.u")
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
 
