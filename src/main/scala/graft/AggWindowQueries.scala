@@ -606,6 +606,38 @@ object AggWindowQueries extends QueryPack {
            |CROSS JOIN (SELECT count(*) AS rows_pre
            |            FROM $tbl VERSION AS OF 2) pre
            |WHERE t.o_totalprice > 90000.0""".stripMargin)
+    }),
+    "k29_schema_evolution" -> ((s, d) => {
+      // K29 (beyond-reference): metadata-only schema evolution through
+      // native catalog SQL — ALTER TABLE ADD COLUMN widens the declared
+      // schema in one commit (zero files touched), reads pad the column
+      // as typed NULLs, two native UPDATEs backfill it (the second
+      // predicated ON the added column), and a later INSERT carries it.
+      // A second table pins TRUNCATE: its post-truncate COUNT(*) (a
+      // zero-scan metadata answer) rides along as a column. The oracle
+      // replays the evolution relationally.
+      val ns = "k29_" + java.util.UUID.randomUUID().toString.take(8)
+      val tbl = s"graft_lake.$ns.orders"
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE)") // v1
+      t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("k29_src")
+      s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice " +
+        "FROM k29_src WHERE o_orderkey % 7 = 0")                           // v2
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN band STRING")                    // v3
+      s.sql(s"UPDATE $tbl SET band = 'high' WHERE o_totalprice > 150000.0") // v4
+      s.sql(s"UPDATE $tbl SET band = 'low' WHERE band IS NULL")            // v5
+      s.sql(s"INSERT INTO $tbl SELECT o_orderkey + 50000000, " +
+        "o_totalprice * 0.5, 'new' FROM k29_src WHERE o_orderkey % 11 = 0") // v6
+      val u = s"graft_lake.$ns.scratch"
+      s.sql(s"CREATE TABLE $u AS SELECT o_orderkey FROM k29_src " +
+        "WHERE o_orderkey % 3 = 0")
+      s.sql(s"TRUNCATE TABLE $u")
+      s.sql(
+        s"""SELECT t.o_orderkey, t.o_totalprice, t.band, u.rows_trunc
+           |FROM $tbl t
+           |CROSS JOIN (SELECT count(*) AS rows_trunc FROM $u) u
+           |WHERE t.o_totalprice > 100000.0""".stripMargin)
     })
   )
 
@@ -919,7 +951,20 @@ object AggWindowQueries extends QueryPack {
         |SELECT f.o_orderkey, f.o_totalprice, f.o_orderpriority, pre.rows_pre
         |FROM final f
         |CROSS JOIN (SELECT count(*) AS rows_pre FROM src) pre
-        |WHERE f.o_totalprice > 90000.0""".stripMargin
+        |WHERE f.o_totalprice > 90000.0""".stripMargin,
+    "k29_schema_evolution" ->
+      """WITH src AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |final AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |         CASE WHEN o_totalprice > 150000.0 THEN 'high' ELSE 'low' END AS band
+        |  FROM src WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_totalprice * 0.5, 'new'
+        |  FROM src WHERE o_orderkey % 11 = 0)
+        |SELECT f.o_orderkey, f.o_totalprice, f.band,
+        |       CAST(0 AS BIGINT) AS rows_trunc
+        |FROM final f
+        |WHERE f.o_totalprice > 100000.0""".stripMargin
   )
 }
 

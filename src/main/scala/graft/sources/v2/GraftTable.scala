@@ -6,7 +6,8 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsPartitionManagement, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
@@ -37,7 +38,8 @@ import graft.sources.{ManifestRelationFilters, ManifestTable}
   */
 final class GraftTable(val root: String, ident: String,
                        pinnedVersion: Option[Long])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsPartitionManagement {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -102,6 +104,79 @@ final class GraftTable(val root: String, ident: String,
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     ManifestTable.retryOnConflict()(ManifestTable.delete(spark, root, cond))
   }
+
+  // ---- SHOW PARTITIONS: pure manifest-metadata, no file touched ------
+
+  /** Partition columns are pinned to STRING for the table's whole life
+    * (values round-trip through directory names — see the scanFiles
+    * type-inference note), so the partition schema is STRING columns in
+    * declared layout order. */
+  override def partitionSchema(): StructType =
+    StructType(ManifestTable.partitionLayout(spark, root).map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)))
+
+  /** `SHOW PARTITIONS t [PARTITION (col=val, …)]` — the distinct live
+    * partition tuples, read from the manifest's per-file partition
+    * values: one driver-side metadata fold, zero files listed or
+    * scanned, at any table size. `names`/`ident` carry the optional
+    * PARTITION() prefix filter. */
+  override def listPartitionIdentifiers(names: Array[String],
+                                        ident: InternalRow): Array[InternalRow] = {
+    val layout = partitionSchema().fieldNames.toSeq
+    require(names.length == ident.numFields,
+      s"graft catalog: partition filter names ${names.length} != values ${ident.numFields}")
+    val wanted: Map[String, Option[String]] = names.zipWithIndex.map {
+      case (n, i) => n -> (if (ident.isNullAt(i)) None
+                           else Some(ident.getString(i)))
+    }.toMap
+    val st = pinnedVersion.map(v => ManifestTable.stateAt(spark, root, v))
+      .getOrElse(ManifestTable.current(spark, root))
+    val tuples = st.toSeq.flatMap(_.files)
+      .map(f => layout.map(c => f.partitionValues.get(c).flatten))
+      .distinct
+      .filter(t => wanted.forall { case (n, v) =>
+        val i = layout.indexOf(n); i >= 0 && t(i) == v })
+      .sortBy(_.map(_.getOrElse("")).mkString("/"))
+    tuples.map(t => InternalRow.fromSeq(t.map(v =>
+      v.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull))).toArray
+  }
+
+  /** Per-partition metadata (DESCRIBE-style): live file count and bytes
+    * from the manifest — again zero scans. */
+  override def loadPartitionMetadata(ident: InternalRow)
+      : util.Map[String, String] = {
+    val layout = partitionSchema().fieldNames.toSeq
+    val key = layout.indices.map(i =>
+      if (ident.isNullAt(i)) None else Some(ident.getString(i)))
+    val files = ManifestTable.current(spark, root).toSeq.flatMap(_.files)
+      .filter(f => layout.zipWithIndex.forall { case (c, i) =>
+        f.partitionValues.get(c).flatten == key(i) })
+    val m = new util.HashMap[String, String]()
+    m.put("files", files.size.toString)
+    m.put("bytes", files.map(_.bytes).sum.toString)
+    m
+  }
+
+  /** Partitions are DATA in this engine, not metadata entries: they
+    * materialize when rows land and retire when rows leave. The hive
+    * DDL verbs point at the operations that own those semantics. */
+  override def createPartition(ident: InternalRow,
+                               properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: partitions materialize when data lands — INSERT INTO " +
+        "the partition instead of ALTER TABLE ADD PARTITION")
+
+  override def dropPartition(ident: InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      "graft catalog: DELETE FROM t WHERE <partition column> = … (O(matched " +
+        "files), CDF-recorded) instead of ALTER TABLE DROP PARTITION")
+
+  override def replacePartitionMetadata(ident: InternalRow,
+                                        properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: partition-level properties are not supported — dynamic " +
+        "INSERT OVERWRITE replaces a partition's data")
 
   /** SQL `TRUNCATE TABLE t` — one O(metadata) commit retiring every
     * live file ([[ManifestTable.truncate]]), NOT a row-level delete:

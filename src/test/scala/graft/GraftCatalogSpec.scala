@@ -402,6 +402,38 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
 
+  test("SHOW PARTITIONS answers from manifest metadata, with prefix filters") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t (day STRING, region STRING, " +
+      "v DOUBLE) PARTITIONED BY (day, region)")
+    spark.sql(s"INSERT INTO graft_lake.$n.t VALUES " +
+      "('2026-01-01', 'eu', 1.0), ('2026-01-01', 'us', 2.0), " +
+      "('2026-01-02', 'eu', 3.0)")
+    assert(spark.sql(s"SHOW PARTITIONS graft_lake.$n.t").collect()
+      .map(_.getString(0)).toSeq ==
+      Seq("day=2026-01-01/region=eu", "day=2026-01-01/region=us",
+          "day=2026-01-02/region=eu"))
+    // PARTITION() prefix filter
+    assert(spark.sql(
+      s"SHOW PARTITIONS graft_lake.$n.t PARTITION (day='2026-01-01')")
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("day=2026-01-01/region=eu", "day=2026-01-01/region=us"))
+    // a delete retires a partition's rows; dropping the last file of a
+    // partition drops it from the listing (live files only)
+    spark.sql(s"DELETE FROM graft_lake.$n.t WHERE day = '2026-01-02'")
+    assert(spark.sql(s"SHOW PARTITIONS graft_lake.$n.t").collect()
+      .map(_.getString(0)).toSeq ==
+      Seq("day=2026-01-01/region=eu", "day=2026-01-01/region=us"))
+    // hive partition DDL points at the operations that own the semantics
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_lake.$n.t " +
+        "ADD PARTITION (day='2026-02-01', region='ap')")
+    }
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
   test("GRAFT maintenance grammar accepts catalog table names") {
     val n = ns()
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")
