@@ -107,26 +107,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * or resolve `catalog.ns….name` through a registered [[graft.sources.v2.GraftCatalog]].
     * `mustExist = false` (CREATE) resolves the location without demanding
     * the table already be there. */
+  /** A quoted 'path' verbatim, or a bare catalog.ns….table name through
+    * the shared resolver (one validation path with the formats' `table`
+    * option — they must never drift apart). */
   private def res(p: String, mustExist: Boolean = true): String =
     if (p.startsWith("'")) p.stripPrefix("'").stripSuffix("'")
-    else {
-      val parts = p.split('.').toSeq.filter(_.nonEmpty)
-      require(parts.length >= 2,
-        s"GRAFT: '$p' — table paths are quoted ('/path'); a bare identifier " +
-          "must name a catalog table (catalog.namespace….table)")
-      val spark = SparkSession.active
-      val cat =
-        try spark.sessionState.catalogManager.catalog(parts.head)
-        catch { case scala.util.control.NonFatal(e) =>
-          sys.error(s"GRAFT: cannot load catalog '${parts.head}' for '$p': ${e.getMessage}")
-        }
-      cat match {
-        case g: graft.sources.v2.GraftCatalog => g.tableRootFor(parts.tail, mustExist)
-        case other => sys.error(
-          s"GRAFT: catalog '${parts.head}' is not a graft catalog " +
-            s"(${other.getClass.getName}) — GRAFT maintenance only drives manifest tables")
-      }
-    }
+    else graft.sources.v2.GraftCatalog.resolveName(p, mustExist)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Prefix(body) => body match {

@@ -87,9 +87,22 @@ class ManifestTableProvider extends RelationProvider
     new ManifestSink(r, keys, order, partCols, sinkId, autoCompactEvery)
   }
 
-  private def root(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
-      sys.error("graft-manifest: 'path' (table root) is required — use .load(root)/.save(root)"))
+  /** The table root: a `path` (`.load(root)`/`.save(root)`), or a
+    * catalog NAME via `.option("table", "graft_lake.ns.t")` — resolved
+    * through the session's graft catalog, so format-based reads, batch
+    * writes, and the exactly-once streaming sink all address named
+    * tables (the name must exist: a typo must not invent a directory). */
+  private def root(parameters: Map[String, String]): String = {
+    val table = parameters.get("table")
+    parameters.get("path") match {
+      case Some(p) =>
+        require(table.isEmpty, "graft-manifest: 'path' and 'table' are exclusive")
+        p
+      case None => table.map(graft.sources.v2.GraftCatalog.resolveName(_))
+        .getOrElse(sys.error("graft-manifest: 'path' (use .load(root)/" +
+          ".save(root)/.start(root)) or .option(\"table\", \"catalog.ns.t\") is required"))
+    }
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

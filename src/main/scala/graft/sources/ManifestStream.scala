@@ -46,9 +46,17 @@ import org.apache.spark.sql.types.StructType
 class ManifestChangesSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-manifest-changes"
 
-  private def root(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
-      sys.error("graft-manifest-changes: 'path' option (manifest table root) is required"))
+  private def root(parameters: Map[String, String]): String = {
+    val table = parameters.get("table")
+    parameters.get("path") match {
+      case Some(p) =>
+        require(table.isEmpty, "graft-manifest-changes: 'path' and 'table' are exclusive")
+        p
+      case None => table.map(graft.sources.v2.GraftCatalog.resolveName(_))
+        .getOrElse(sys.error("graft-manifest-changes: 'path' (manifest table " +
+          "root) or .option(\"table\", \"catalog.ns.t\") is required"))
+    }
+  }
 
   private def feedMode(parameters: Map[String, String]): Boolean =
     parameters.get("readchangefeed").orElse(parameters.get("readChangeFeed"))

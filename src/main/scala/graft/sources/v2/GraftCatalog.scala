@@ -46,6 +46,32 @@ import graft.sources.ManifestTable
   * natively; the per-table read/write/delete surfaces live on
   * [[GraftTable]].
   */
+object GraftCatalog {
+  /** Resolve `catalog.ns….table` to its manifest root through the
+    * session's registered catalogs — the shared seam that lets every
+    * path-taking surface (GRAFT grammar, the `graft-manifest` formats'
+    * `table` option) also accept a NAME. Demands the table exist: a
+    * typo'd name must refuse, not invent a directory beside the real
+    * table. */
+  def resolveName(name: String, mustExist: Boolean = true): String = {
+    val parts = name.split('.').toSeq.filter(_.nonEmpty)
+    require(parts.length >= 2,
+      s"graft: '$name' must be a catalog table name (catalog.namespace….table)")
+    val spark = SparkSession.active
+    val cat =
+      try spark.sessionState.catalogManager.catalog(parts.head)
+      catch { case scala.util.control.NonFatal(e) =>
+        sys.error(s"graft: cannot load catalog '${parts.head}' for '$name': ${e.getMessage}")
+      }
+    cat match {
+      case g: GraftCatalog => g.tableRootFor(parts.tail, mustExist)
+      case other => sys.error(
+        s"graft: catalog '${parts.head}' is not a graft catalog " +
+          s"(${other.getClass.getName})")
+    }
+  }
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _

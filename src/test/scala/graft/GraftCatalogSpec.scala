@@ -434,6 +434,43 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
 
+  test("format surfaces address catalog tables by name via option(table)") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft_lake.$n.t VALUES (1, 1.0), (2, 2.0)")
+    // batch read by name (incl. time travel options)
+    assert(spark.read.format("graft-manifest")
+      .option("table", s"graft_lake.$n.t").load().count() == 2)
+    assert(spark.read.format("graft-manifest")
+      .option("table", s"graft_lake.$n.t").option("versionAsOf", 1)
+      .load().count() == 0)
+    // exactly-once streaming sink by name
+    val ck = java.nio.file.Files.createTempDirectory("graft-sink-name").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sink-src")
+      .toString + "/in"
+    Seq((3L, 3.0), (4L, 4.0)).toDF("k", "v").write.json(srcDir)
+    val q = spark.readStream.schema("k BIGINT, v DOUBLE").json(srcDir)
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", ck)
+      .option("table", s"graft_lake.$n.t")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000L); assert(!q.isActive)
+    assert(spark.table(s"graft_lake.$n.t").count() == 4)
+    // a typo'd name refuses instead of inventing a directory
+    intercept[Exception] {
+      spark.read.format("graft-manifest")
+        .option("table", s"graft_lake.$n.nope").load().count()
+    }
+    // path and table are exclusive
+    intercept[Exception] {
+      spark.read.format("graft-manifest")
+        .option("table", s"graft_lake.$n.t").load("/tmp/somewhere").count()
+    }
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
   test("GRAFT maintenance grammar accepts catalog table names") {
     val n = ns()
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")
