@@ -73,7 +73,8 @@ final class GraftTable(val root: String, ident: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, pinnedVersion, schema)
@@ -81,7 +82,7 @@ final class GraftTable(val root: String, ident: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"graft catalog: cannot write to the time-traveled snapshot $ident")
-    new GraftWriteBuilder(root)
+    new GraftWriteBuilder(root, info)
   }
 
   /** `DELETE FROM t WHERE …` — only predicates whose V1 filters convert
@@ -351,7 +352,7 @@ final class GraftV1BridgeRelation(val sqlContext: SQLContext, root: String,
   * the query's output to the table schema before this runs (no
   * ACCEPT_ANY_SCHEMA), so the manifest-side schema check is a final
   * guard, not the UX. */
-final class GraftWriteBuilder(root: String)
+final class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
 
   private var mode: String = "append"
@@ -363,6 +364,19 @@ final class GraftWriteBuilder(root: String)
   }
 
   override def build(): Write = new V1Write {
+    /** `writeStream.toTable` — Append (and keyed-upsert via options);
+      * Complete arrives here as a truncate()d builder and is refused
+      * (a per-epoch table replace has no replay watermark — use
+      * foreachBatch + ManifestTable.write). */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(mode == "append",
+        s"graft streaming write to $root: only Append output mode (or keyed " +
+          "upsert via .option(\"keys\", …)) is supported — Complete mode " +
+          "replaces the table every epoch with no replay identity; use " +
+          "foreachBatch with ManifestTable.write instead")
+      new GraftStreamingWrite(root, info)
+    }
+
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ignored: Boolean): Unit = {

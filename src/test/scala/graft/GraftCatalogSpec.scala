@@ -525,4 +525,87 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE graft_lake.$n.t")
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
+
+  test("writeStream.toTable: exactly-once append, keyed upsert, refusals") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t (k BIGINT, v DOUBLE)")
+    val ck = java.nio.file.Files.createTempDirectory("graft-tt-ck").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-tt-src")
+      .toString + "/in"
+    def run(): Unit = {
+      val q = spark.readStream.schema("k BIGINT, v DOUBLE").json(srcDir)
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft_lake.$n.t")
+      q.awaitTermination(60000L); assert(!q.isActive)
+    }
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").write.json(srcDir)
+    run()
+    assert(spark.table(s"graft_lake.$n.t").count() == 2)
+    // restart on the SAME checkpoint with no new data: replay-safe
+    run()
+    assert(spark.table(s"graft_lake.$n.t").count() == 2)
+    // new files on the same checkpoint: only the delta lands
+    Seq((3L, 3.0)).toDF("k", "v").write.mode("append").json(srcDir)
+    run()
+    assert(spark.sql(s"SELECT k FROM graft_lake.$n.t ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    // rows staged by executors, adopted by the commit: no stray staging
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(rootOf(n, "t"), "_staging")) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(rootOf(n, "t"), "_staging"))
+        .forall(d => fs.listStatus(d.getPath).isEmpty))
+
+    // keyed upsert via options — the format sink's contract, by name
+    spark.sql(s"CREATE TABLE graft_lake.$n.u (k BIGINT, ts BIGINT, v DOUBLE)")
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-tt-ck2").toString
+    val src2 = java.nio.file.Files.createTempDirectory("graft-tt-src2")
+      .toString + "/in"
+    Seq((1L, 10L, 1.0), (1L, 20L, 1.5), (2L, 10L, 2.0))
+      .toDF("k", "ts", "v").write.json(src2)
+    val q2 = spark.readStream.schema("k BIGINT, ts BIGINT, v DOUBLE").json(src2)
+      .writeStream.option("checkpointLocation", ck2)
+      .option("keys", "k").option("order", "ts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"graft_lake.$n.u")
+    q2.awaitTermination(60000L); assert(!q2.isActive)
+    assert(spark.sql(s"SELECT k, v FROM graft_lake.$n.u ORDER BY k")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 1.5), (2L, 2.0)))
+
+    // partitioned table: the epoch lands hive-partitioned per the layout
+    spark.sql(s"CREATE TABLE graft_lake.$n.p (day STRING, k BIGINT) " +
+      "PARTITIONED BY (day)")
+    val ck3 = java.nio.file.Files.createTempDirectory("graft-tt-ck3").toString
+    val src3 = java.nio.file.Files.createTempDirectory("graft-tt-src3")
+      .toString + "/in"
+    Seq(("2026-01-01", 1L), ("2026-01-02", 2L)).toDF("day", "k").write.json(src3)
+    val q3 = spark.readStream.schema("day STRING, k BIGINT").json(src3)
+      .writeStream.option("checkpointLocation", ck3)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"graft_lake.$n.p")
+    q3.awaitTermination(60000L); assert(!q3.isActive)
+    assert(spark.sql(
+      s"SELECT k FROM graft_lake.$n.p WHERE day = '2026-01-02'")
+      .as[Long].collect().toSeq == Seq(2L))
+
+    // Complete mode refuses with a pointer at foreachBatch (the refusal
+    // surfaces on the stream thread, so await the query's failure)
+    val q4 = spark.readStream.schema("k BIGINT, v DOUBLE").json(srcDir)
+      .groupBy($"k").count().select($"k", $"count".cast("double").as("v"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-tt-ck4").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"graft_lake.$n.t")
+    val err = intercept[Exception] { q4.awaitTermination() }
+    assert(err.toString.contains("foreachBatch") ||
+      Option(err.getCause).exists(_.toString.contains("foreachBatch")))
+
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP TABLE graft_lake.$n.u")
+    spark.sql(s"DROP TABLE graft_lake.$n.p")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
 }
