@@ -638,6 +638,42 @@ object AggWindowQueries extends QueryPack {
            |FROM $tbl t
            |CROSS JOIN (SELECT count(*) AS rows_trunc FROM $u) u
            |WHERE t.o_totalprice > 100000.0""".stripMargin)
+    }),
+    "k30_stream_write" -> ((s, d) => {
+      // K30 (beyond-reference): the DSv2 streaming write —
+      // writeStream.toTable with keyed-upsert options. Two AvailableNow
+      // passes on ONE checkpoint: the first streams the base rows in,
+      // the second (after more source files land) must apply ONLY the
+      // new files and upsert them over the base by (key, order) — the
+      // exactly-once replay watermark and the keep-max-order merge are
+      // both on the board. Rows stage on executors (parquet codec),
+      // never the driver. The oracle replays the upsert relationally.
+      val ns = "k30_" + java.util.UUID.randomUUID().toString.take(8)
+      val tbl = s"graft_lake.$ns.t"
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, v DOUBLE, seq BIGINT)")
+      val src = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val srcDir = java.nio.file.Files.createTempDirectory("k30-src")
+        .toString + "/in"
+      val ck = java.nio.file.Files.createTempDirectory("k30-ck").toString
+      src.select(col("o_orderkey"), col("o_totalprice").as("v"),
+        lit(1L).as("seq")).write.parquet(srcDir)
+      def drain(): Unit = {
+        val q = s.readStream.schema("o_orderkey BIGINT, v DOUBLE, seq BIGINT")
+          .parquet(srcDir)
+          .writeStream.option("checkpointLocation", ck)
+          .option("keys", "o_orderkey").option("order", "seq")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(tbl)
+        q.awaitTermination()
+      }
+      drain()
+      src.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2.0).as("v"),
+          lit(2L).as("seq")).write.mode("append").parquet(srcDir)
+      drain()
+      s.sql(s"SELECT o_orderkey, v, seq FROM $tbl WHERE v > 50000.0")
     })
   )
 
@@ -964,7 +1000,17 @@ object AggWindowQueries extends QueryPack {
         |SELECT f.o_orderkey, f.o_totalprice, f.band,
         |       CAST(0 AS BIGINT) AS rows_trunc
         |FROM final f
-        |WHERE f.o_totalprice > 100000.0""".stripMargin
+        |WHERE f.o_totalprice > 100000.0""".stripMargin,
+    "k30_stream_write" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 0),
+        |final AS (
+        |  SELECT o_orderkey, o_totalprice AS v, CAST(1 AS BIGINT) AS seq
+        |  FROM src WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2.0, CAST(2 AS BIGINT) FROM src
+        |  WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderkey, v, seq FROM final WHERE v > 50000.0""".stripMargin
   )
 }
 

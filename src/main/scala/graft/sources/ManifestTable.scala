@@ -4192,7 +4192,23 @@ object ManifestTable {
             log.info(s"vacuum($root): deleting ORPHAN snapshot sidecar $c")
             fs.delete(new Path(root, s"$ManifestDir/$c"), true)
           }.toSet
-        genOrphans ++ ckptOrphans
+        // streaming-write staging (v2.GraftStreamingWrite): epoch dirs
+        // self-heal on checkpoint restart (the replayed epoch's commit
+        // deletes its dir), so anything still here past the grace
+        // window is from a query that crashed and never came back
+        val stagingOrphans = {
+          val sdir = new Path(root, "_staging")
+          if (!fs.exists(sdir)) Set.empty[String]
+          else fs.listStatus(sdir).toSeq.flatMap { sink =>
+            fs.listStatus(sink.getPath).toSeq
+              .filter(e => agedOut(e.getPath)).map { e =>
+                log.info(s"vacuum($root): deleting ORPHAN stream staging ${e.getPath}")
+                fs.delete(e.getPath, true)
+                s"_staging/${sink.getPath.getName}/${e.getPath.getName}"
+              }
+          }.toSet
+        }
+        genOrphans ++ ckptOrphans ++ stagingOrphans
       }
     deadGens.size + orphans.size
   }

@@ -185,6 +185,18 @@ class GraftSqlSpec extends SparkSpec {
     java.nio.file.Files.setLastModifiedTime(orphan.resolve("junk.parquet"), old)
     val r = spark.sql(s"GRAFT VACUUM '$root' KEEP 1 ORPHANS").collect().head
     assert(r.getInt(0) >= 1 && !java.nio.file.Files.exists(orphan))
+
+    // abandoned streaming-write staging: same opt-in, same age gate
+    val epoch = java.nio.file.Paths.get(root, "_staging", "sink-dead", "epoch-7")
+    java.nio.file.Files.createDirectories(epoch)
+    java.nio.file.Files.write(epoch.resolve("part.parquet"), Array[Byte](1))
+    spark.sql(s"GRAFT VACUUM '$root' KEEP 1 ORPHANS").collect()
+    assert(java.nio.file.Files.exists(epoch),
+      "a fresh epoch dir may belong to a live in-flight micro-batch")
+    java.nio.file.Files.setLastModifiedTime(epoch, old)
+    java.nio.file.Files.setLastModifiedTime(epoch.resolve("part.parquet"), old)
+    spark.sql(s"GRAFT VACUUM '$root' KEEP 1 ORPHANS").collect()
+    assert(!java.nio.file.Files.exists(epoch))
   }
 
   test("GRAFT CLUSTER / BLOOM build and retire through SQL") {
