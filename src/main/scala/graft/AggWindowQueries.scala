@@ -674,6 +674,33 @@ object AggWindowQueries extends QueryPack {
           lit(2L).as("seq")).write.mode("append").parquet(srcDir)
       drain()
       s.sql(s"SELECT o_orderkey, v, seq FROM $tbl WHERE v > 50000.0")
+    }),
+    "k31_clone" -> ((s, d) => {
+      // K31 (beyond-reference): zero-copy shallow CLONE — one metadata
+      // commit references the source's files (a 100 TB clone costs a
+      // manifest write, not a copy), then BOTH sides mutate
+      // independently: the clone takes a CoW delete plus a
+      // merge-on-read UPDATE whose deletion vector addresses files that
+      // physically live under the SOURCE root (the cross-root position
+      // plumbing is the thing under test); the source takes its own
+      // delete. The oracle replays both lineages relationally.
+      import graft.sources.ManifestTable
+      val base = java.nio.file.Files.createTempDirectory("graft-k31").toString
+      val src = base + "/orders_src"; val dst = base + "/orders_clone"
+      ManifestTable.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+        src)
+      s.sql(s"GRAFT CLONE '$src' TO '$dst'")
+      s.sql(s"GRAFT DELETE FROM '$dst' WHERE o_totalprice < 50000.0")
+      s.sql(s"GRAFT UPDATE MOR '$dst' SET o_totalprice = o_totalprice * 2.0 " +
+        "WHERE o_orderpriority = '1-URGENT'")
+      s.sql(s"GRAFT DELETE FROM '$src' WHERE o_totalprice >= 200000.0")
+      s.sql(
+        s"""SELECT o_orderkey, o_totalprice, 'src' AS side FROM graft.`$src`
+           |UNION ALL
+           |SELECT o_orderkey, o_totalprice, 'clone' AS side FROM graft.`$dst`
+           |""".stripMargin)
     })
   )
 
@@ -1010,7 +1037,16 @@ object AggWindowQueries extends QueryPack {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice * 2.0, CAST(2 AS BIGINT) FROM src
         |  WHERE o_orderkey % 3 = 0)
-        |SELECT o_orderkey, v, seq FROM final WHERE v > 50000.0""".stripMargin
+        |SELECT o_orderkey, v, seq FROM final WHERE v > 50000.0""".stripMargin,
+    "k31_clone" ->
+      """SELECT o_orderkey, o_totalprice, 'src' AS side
+        |FROM orders WHERE NOT (o_totalprice >= 200000.0)
+        |UNION ALL
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  'clone' AS side
+        |FROM orders WHERE NOT (o_totalprice < 50000.0)""".stripMargin
   )
 }
 

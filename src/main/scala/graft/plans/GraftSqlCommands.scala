@@ -21,6 +21,7 @@ import graft.sources.ManifestTable
   *   GRAFT DETAIL 'path'                   -- DESCRIBE DETAIL
   *   GRAFT STATS 'path'                    -- metadata-only column stats
   *   GRAFT CREATE [OR REPLACE] 'path' [PARTITIONED BY (c1, ...)] AS <query>
+  *   GRAFT CLONE 'src' TO 'dst' [VERSION AS OF n] [DEEP] -- zero-copy clone
   *   GRAFT VACUUM 'path' [KEEP n | RETAIN n HOURS] [ORPHANS] -- retention
   *   GRAFT MATERIALIZE 'path'              -- fold deletion vectors in
   *   GRAFT RESTORE 'path' TO VERSION n     -- auditable rollback
@@ -102,6 +103,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Merge   = s"""(?is)MERGE\\s+(?:(MOR)\\s+)?INTO\\s+$P\\s+USING\\s+(.+)""".r
   private val Create  =
     s"""(?is)CREATE\\s+(OR\\s+REPLACE\\s+)?$P(?:\\s+PARTITIONED\\s+BY\\s+\\(([^)]+)\\))?\\s+AS\\s+(.+)""".r
+  private val Clone   =
+    s"""(?is)CLONE\\s+$P\\s+TO\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?(?:\\s+(DEEP))?""".r
 
   /** A table position → manifest root: strip quotes from a path literal,
     * or resolve `catalog.ns….name` through a registered [[graft.sources.v2.GraftCatalog]].
@@ -130,6 +133,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftVacuumCommand(res(p), Option(keep).map(_.toInt).getOrElse(2),
           retainHours = Option(retainH).map(_.toInt),
           deleteOrphans = orphans != null)
+      case Clone(src, dst, v, deep) =>
+        GraftCloneCommand(res(src), res(dst, mustExist = false),
+          Option(v).map(_.toLong), deep = deep != null)
       case Material(p) => GraftMaterializeCommand(res(p))
       case Restore(p, v) => GraftRestoreCommand(res(p), v.toLong)
       case RestoreTs(p, ts) => GraftRestoreTimestampCommand(res(p), ts)
@@ -636,6 +642,28 @@ final case class GraftCreateTableCommand(root: String, partitionCols: Seq[String
     val df = spark.sql(querySql)
     val v = ManifestTable.write(df, root, partitionCols)
     Seq(Row(v, ManifestTable.rowCount(spark, root).getOrElse(-1L)))
+  }
+}
+
+/** `GRAFT CLONE 'src' TO 'dst' [VERSION AS OF n] [DEEP]` — zero-copy
+  * table clone (Delta's CLONE role). Shallow (default) commits ONE
+  * manifest referencing the source's files: a 100 TB clone costs a
+  * metadata write. DEEP physically copies. Either side mutates
+  * independently afterwards; `GRAFT COMPACT` on a shallow clone
+  * localizes its data (severing the source dependency before a source
+  * vacuum could break it). */
+final case class GraftCloneCommand(srcRoot: String, dstRoot: String,
+                                   version: Option[Long],
+                                   deep: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false),
+    StructField("mode", StringType, false),
+    StructField("files_referenced", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = ManifestTable.cloneTable(spark, srcRoot, dstRoot, version, deep)
+    val files = ManifestTable.detail(spark, dstRoot)
+      .select("num_files").collect().head.getLong(0)
+    Seq(Row(v, if (deep) "deep" else "shallow", files))
   }
 }
 

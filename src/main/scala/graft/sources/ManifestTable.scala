@@ -631,6 +631,9 @@ object ManifestTable {
           "point-lookup index via buildBloomIndex")
       require(k != SchemaTag && k != LayoutTag,
         s"manifest tag '$k' is reserved (createEmpty's schema record)")
+      require(k != CloneSourcesTag,
+        s"manifest tag '$k' is reserved (shallow-clone source chain, " +
+          "written only by cloneTable)")
       if (k.startsWith(StreamBatchTag)) {
         val n = scala.util.Try(v.toLong).getOrElse(
           throw new IllegalArgumentException(
@@ -1068,7 +1071,7 @@ object ManifestTable {
     // the API takes LOGICAL names; the index keys by the PHYSICAL
     // in-file names (probes arrive physicalized from readStateWhere)
     val physCols = cols.map(physicalName(st.tags, _))
-    val df = scanFiles(spark, root, st.files, withPositions = true)
+    val df = scanFiles(spark, root, st.files, withPositions = true, st.tags)
     val schema = df.schema
     import org.apache.spark.sql.types._
     val kinds: Array[Char] = physCols.map { c =>
@@ -1170,7 +1173,10 @@ object ManifestTable {
         }
       }
     if (probes.isEmpty) return kept
-    val idxPath = new Path(root, dir).toString
+    // a shallow clone inherits the source's bloom index tag; the index
+    // dataset resolves like any other inherited top-level dir
+    val idxPath = new Path(
+      dirBase(spark, root, cloneSources(st.tags), dir), dir).toString
     import org.apache.spark.sql.Encoders
     // ONE pass over the index for ALL probed columns: the per-column
     // value sets ship in a broadcast map and every (column, file) bloom
@@ -1562,6 +1568,42 @@ object ManifestTable {
     * it while no data file exists to derive the layout from. */
   private[graft] val LayoutTag = "schema.layout"
 
+  /** Tag holding the shallow-clone source chain: ';'-joined URL-encoded
+    * QUALIFIED roots, nearest parent first. A referenced top-level dir
+    * (generation / deletion-vector / bloom-index dataset) that does not
+    * exist under this table's own root resolves against the chain in
+    * order ([[dirBase]]). Written only by [[cloneTable]]; every local
+    * rewrite (compact / CoW delete / update / upsert) progressively
+    * localizes the data, and a full [[compact]] localizes all of it. */
+  private[graft] val CloneSourcesTag = "clone.sources"
+
+  private[graft] def cloneSources(tags: Map[String, String]): Seq[String] =
+    tags.get(CloneSourcesTag).toSeq
+      .flatMap(_.split(';').toSeq.filter(_.nonEmpty)).map(dec)
+
+  /** Resolved (root, dir) → base root. Positive resolutions are stable:
+    * generation/dv/index dir names are UUID-suffixed and immutable, so a
+    * dir never MOVES between roots — it only gets deleted (a stale cache
+    * entry then fails at read time with the FS's own error). Bounded by
+    * distinct dirs actually read through clones. */
+  private val dirBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** The root under which top-level `dir` lives: this table's own root
+    * when present locally (always true for non-clones — checked first,
+    * and only when a clone chain exists, so ordinary tables never pay an
+    * existence RPC), else the first clone source that has it. */
+  private def dirBase(spark: SparkSession, root: String,
+                      sources: Seq[String], dir: String): String =
+    if (sources.isEmpty) root
+    else dirBaseCache.computeIfAbsent((root, dir), _ =>
+      (root +: sources).find(r => fsOf(spark, r).exists(new Path(r, dir)))
+        .getOrElse(sys.error(
+          s"manifest table $root: referenced dir '$dir' exists neither " +
+            s"locally nor in any clone source (${sources.mkString(", ")}) — " +
+            "was the source table vacuumed after the shallow clone? " +
+            "(compact the clone right after cloning to localize it)")))
+
   private def renameMap(tags: Map[String, String]): Map[String, String] =
     tags.get(RenameTag).map(_.split(',').toSeq.flatMap { p =>
       p.split('>') match {
@@ -1847,7 +1889,7 @@ object ManifestTable {
           None // data-identical or metadata-only
         case d: DeltaManifest if d.removes.isEmpty =>
           if (d.adds.isEmpty) None
-          else Some(logicalize(scanFiles(spark, root, d.adds, withPositions = false),
+          else Some(logicalize(scanFiles(spark, root, d.adds, withPositions = false, d.tags),
               d.tags)
             .withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(CommitVersionCol, lit(v)))
@@ -1888,7 +1930,7 @@ object ManifestTable {
     }
     val (dvd, clean) = st.files.partition(_.dv.nonEmpty)
     val out = if (dvd.isEmpty)
-      logicalize(scanFiles(spark, root, st.files, withPositions = false), st.tags)
+      logicalize(scanFiles(spark, root, st.files, withPositions = false, st.tags), st.tags)
     else {
       // merge-on-read: scan the DV'd files WITH parquet row positions
       // (file path + `_metadata.row_index` — stable per immutable file)
@@ -1902,7 +1944,7 @@ object ManifestTable {
       val cleaned = scanLiveWithPositions(spark, root, dvd, st.tags)
         .drop(DvRelCol, DvPosCol)
       if (clean.isEmpty) cleaned
-      else logicalize(scanFiles(spark, root, clean, withPositions = false), st.tags)
+      else logicalize(scanFiles(spark, root, clean, withPositions = false, st.tags), st.tags)
         .unionByName(cleaned, allowMissingColumns = true)
     }
     padDeclared(out, st.tags)
@@ -1914,11 +1956,11 @@ object ManifestTable {
   private def scanLiveWithPositions(spark: SparkSession, root: String,
                                     files: Seq[FileEntry],
                                     tags: Map[String, String]): DataFrame = {
-    val scanned = logicalize(scanFiles(spark, root, files, withPositions = true), tags)
+    val scanned = logicalize(scanFiles(spark, root, files, withPositions = true, tags), tags)
     val dvd = files.filter(_.dv.nonEmpty)
     if (dvd.isEmpty) scanned
     else {
-      val dvDf = loadDvs(spark, root, dvd)
+      val dvDf = loadDvs(spark, root, dvd, tags)
       val totalDv = dvd.flatMap(_.dv).map(_.count).sum
       val dvSide = if (totalDv <= 10000000L) broadcast(dvDf) else dvDf
       scanned.join(dvSide, Seq(DvRelCol, DvPosCol), "left_anti")
@@ -1932,12 +1974,15 @@ object ManifestTable {
     * rewritten since can never mis-apply — rel paths are UUID-unique and
     * a repointing dataset carries its predecessor's positions. */
   private def loadDvs(spark: SparkSession, root: String,
-                      dvd: Seq[FileEntry]): DataFrame =
+                      dvd: Seq[FileEntry],
+                      tags: Map[String, String]): DataFrame = {
+    val sources = cloneSources(tags)
     dvd.groupBy(_.dv.get.dir).toSeq.sortBy(_._1).map { case (dir, fs) =>
-      spark.read.parquet(new Path(root, dir).toString)
+      spark.read.parquet(new Path(dirBase(spark, root, sources, dir), dir).toString)
         .filter(col("relPath").isin(fs.map(_.relPath): _*))
         .select(col("relPath").as(DvRelCol), col("pos").as(DvPosCol))
     }.reduce(_.unionByName(_))
+  }
 
   /** Scan `files` grouped per generation (basePath = the gen dir, so
     * hive partition columns survive), unioned by name with additive
@@ -1946,7 +1991,9 @@ object ManifestTable {
     * derived per scan (metadata columns do not survive a union). */
   private def scanFiles(spark: SparkSession, root: String,
                         files: Seq[FileEntry],
-                        withPositions: Boolean): DataFrame = {
+                        withPositions: Boolean,
+                        tags: Map[String, String]): DataFrame = {
+    val sources = cloneSources(tags)
     // partition columns are pinned to STRING (no type inference): the
     // carry-forward filter and compaction both assume a partition value
     // re-spells identically when rewritten ("same writer produced both
@@ -1960,7 +2007,6 @@ object ManifestTable {
     // each other mid-plan. Non-manifest reads on OTHER threads can still
     // observe the toggled conf for the lock's duration — driver-side
     // planning only, milliseconds.
-    val qualRoot = fsOf(spark, root).makeQualified(new Path(root)).toString
     inferenceLock.synchronized {
       val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
       val prev = spark.conf.getOption(key)
@@ -1968,17 +2014,25 @@ object ManifestTable {
         spark.conf.set(key, "false")
         files.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
           .map { case (gen, fs) =>
+            // a shallow clone's inherited generations live under a
+            // SOURCE root; everything written since lives locally —
+            // resolve per generation (no-op for ordinary tables)
+            val base = dirBase(spark, root, sources, gen)
             val df = spark.read
-              .option("basePath", new Path(root, gen).toString)
-              .parquet(fs.map(f => new Path(root, f.relPath).toString): _*)
+              .option("basePath", new Path(base, gen).toString)
+              .parquet(fs.map(f => new Path(base, f.relPath).toString): _*)
             if (!withPositions) df
-            else df.select(col("*"),
+            else {
               // file_path is the reader's fully-qualified URI; the
               // manifest speaks root-relative paths — strip the
-              // qualified root prefix + '/' (substring is 1-based)
-              expr(s"substring(_metadata.file_path, ${qualRoot.length + 2})")
-                .as(DvRelCol),
-              col("_metadata.row_index").as(DvPosCol))
+              // qualified BASE root prefix + '/' (substring is 1-based),
+              // so a clone's inherited files keep their manifest paths
+              val qualBase = fsOf(spark, base).makeQualified(new Path(base)).toString
+              df.select(col("*"),
+                expr(s"substring(_metadata.file_path, ${qualBase.length + 2})")
+                  .as(DvRelCol),
+                col("_metadata.row_index").as(DvPosCol))
+            }
           }
           .reduce(_.unionByName(_, allowMissingColumns = true))
       } finally prev match {
@@ -2041,6 +2095,77 @@ object ManifestTable {
       throw new ConcurrentCommitException(root, 1L)
     writePointer(fs, root, 1L)
     1L
+  }
+
+  /** Clone `srcRoot` (optionally a historical `version`) into the new
+    * table `dstRoot`.
+    *
+    * Shallow (default, the Delta `SHALLOW CLONE` role): ONE metadata
+    * commit of any size — the clone's v1 snapshot references the
+    * source's live files (generation, deletion-vector, and bloom-index
+    * dirs resolve against [[CloneSourcesTag]] when absent locally), so
+    * cloning a 100 TB table costs a manifest write, not a copy. The
+    * clone is immediately a fully independent table: mutations commit
+    * locally (CoW rewrites and [[compact]] progressively LOCALIZE the
+    * data), mutating either side never changes the other, and the
+    * clone's VACUUM can only ever delete under its own root. The one
+    * shared-fate caveat (same as Delta's): vacuuming the SOURCE below
+    * the cloned snapshot breaks the clone's inherited files — compact
+    * the clone to sever the dependency. Clone chains compose (cloning
+    * a clone appends to the source chain). The clone starts its own
+    * history at v1: the source's history, change feed, and stream-sink
+    * replay watermarks do not carry over.
+    *
+    * Deep: a physical copy — reads the (time-traveled) state and
+    * [[write]]s it to `dstRoot` with the source's partition layout.
+    *
+    * Returns the clone's committed version (always 1). */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+                 version: Option[Long] = None, deep: Boolean = false,
+                 graceMs: Long = 60000L): Long = {
+    val srcSt = version match {
+      case Some(v) => stateAt(spark, srcRoot, v).getOrElse(
+        sys.error(s"cloneTable: $srcRoot has no resolvable version $v"))
+      case None => current(spark, srcRoot).getOrElse(
+        sys.error(s"cloneTable: manifest table $srcRoot has no committed version"))
+    }
+    val qualSrc = fsOf(spark, srcRoot).makeQualified(new Path(srcRoot)).toString
+    val qualDst = fsOf(spark, dstRoot).makeQualified(new Path(dstRoot)).toString
+    require(qualSrc != qualDst, s"cloneTable: cannot clone $srcRoot onto itself")
+    if (deep) {
+      val df = version.map(readVersion(spark, srcRoot, _))
+        .getOrElse(read(spark, srcRoot))
+      // write() takes the frame's (logical) column names; the physical
+      // layout maps through any renames, dropped columns fall away
+      val ren = renameMap(srcSt.tags); val dr = dropSet(srcSt.tags)
+      val logicalLayout = layoutOf(srcRoot, srcSt)
+        .filterNot(dr.contains).map(p => ren.getOrElse(p, p))
+      return write(df, dstRoot, logicalLayout, graceMs)
+    }
+    val fs = fsOf(spark, dstRoot)
+    if (hasCommittedVersion(fs, dstRoot))
+      throw new ConcurrentCommitException(dstRoot, 1L)
+    // the chain: this source first, then ITS sources (cloning a clone) —
+    // inherited dirs may live anywhere along it
+    val chain = (qualSrc +: cloneSources(srcSt.tags)).distinct
+    // stream-sink replay watermarks stay behind (they gate the SOURCE's
+    // ingest checkpoints, not the clone's); everything else — schema
+    // record, name mapping, constraints, properties, cdf switch, bloom
+    // registry — describes the data and carries over
+    val tags = srcSt.tags.filterNot(_._1.startsWith(StreamBatchTag)) -
+      CloneSourcesTag +
+      (CloneSourcesTag -> chain.map(enc).mkString(";")) + (OpTag -> "clone")
+    val (manifest, sidecar) = mkSnapshot(spark, dstRoot, 1L, srcSt.files, tags)
+    var committed = false
+    try {
+      if (!claimOrRecover(fs, dstRoot, manifest, graceMs))
+        throw new ConcurrentCommitException(dstRoot, 1L)
+      committed = true
+      writePointer(fs, dstRoot, 1L)
+      log.info(s"cloneTable: $dstRoot v1 shallow-clones $srcRoot " +
+        s"v${srcSt.version} (${srcSt.files.size} files by reference)")
+      1L
+    } finally if (!committed) sidecar.foreach(p => fs.delete(p, true))
   }
 
   def write(df: DataFrame, root: String, partitionCols: Seq[String] = Nil,
@@ -2250,7 +2375,7 @@ object ManifestTable {
         if (entries.isEmpty)
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
             aligned.schema)
-        else logicalize(scanFiles(spark, root, entries, withPositions = false), st.tags)
+        else logicalize(scanFiles(spark, root, entries, withPositions = false, st.tags), st.tags)
       writeCdf(spark, root, st.tags, written.withColumn(ChangeTypeCol, lit("insert")))
     }
     val v = st.version + 1
@@ -2331,7 +2456,7 @@ object ManifestTable {
         else readState(spark, root, st.copy(files = retired)) // DV-exact
       val written =
         if (entries.isEmpty) emptyFrame
-        else logicalize(scanFiles(spark, root, entries, withPositions = false), st.tags)
+        else logicalize(scanFiles(spark, root, entries, withPositions = false, st.tags), st.tags)
       writeCdf(spark, root, st.tags,
         removed.withColumn(ChangeTypeCol, lit("delete"))
           .unionByName(written.withColumn(ChangeTypeCol, lit("insert"))))
@@ -2530,7 +2655,7 @@ object ManifestTable {
             if (entries.isEmpty)
               spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
                 merged.schema)
-            else logicalize(scanFiles(spark, root, entries, withPositions = false), st.tags)
+            else logicalize(scanFiles(spark, root, entries, withPositions = false, st.tags), st.tags)
           val removed = existingSlice.exceptAll(written)
           val added = written.exceptAll(existingSlice)
           val keyCols = keys.map(col).toIndexedSeq
@@ -2728,7 +2853,7 @@ object ManifestTable {
                          graceMs: Long = 60000L): Long = {
     val st = current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
-    val guarded = Seq(SchemaTag, LayoutTag, RenameTag, DropTag)
+    val guarded = Seq(SchemaTag, LayoutTag, RenameTag, DropTag, CloneSourcesTag)
     (set.keys ++ unset).foreach { k =>
       require(!guarded.contains(k),
         s"table property '$k' is reserved engine state (schema record / name " +
@@ -2824,7 +2949,7 @@ object ManifestTable {
       .filter(coalesce(predicate, lit(false)))
     val matches = matchedRows
       .select(col(DvRelCol).as("relPath"), col(DvPosCol).as("pos"))
-    writeDv(spark, root, touched, matches) match {
+    writeDv(spark, root, touched, matches, st.tags) match {
       case None => st.version // predicate matched nothing
       case Some(dv) =>
         // all rows of every live file deleted → file-less table
@@ -2879,7 +3004,8 @@ object ManifestTable {
       val bad = set.keySet -- dataCols
       require(bad.isEmpty, s"updateMoR: columns $bad not in table schema")
       writeDv(spark, root, touched,
-          matched.select(col(DvRelCol).as("relPath"), col(DvPosCol).as("pos"))) match {
+          matched.select(col(DvRelCol).as("relPath"), col(DvPosCol).as("pos")),
+          st.tags) match {
         case None => st.version // predicate matched nothing
         case Some(dv) =>
           val updated = normalizePartitionCols(
@@ -2948,12 +3074,13 @@ object ManifestTable {
     * number. */
   private def writeDv(spark: SparkSession, root: String,
                       touched: Seq[FileEntry],
-                      positions: DataFrame): Option[DvCommit] = {
+                      positions: DataFrame,
+                      tags: Map[String, String]): Option[DvCommit] = {
     val fs = fsOf(spark, root)
     val priors = touched.filter(_.dv.nonEmpty)
     val allRows =
       if (priors.isEmpty) positions
-      else positions.unionByName(loadDvs(spark, root, priors)
+      else positions.unionByName(loadDvs(spark, root, priors, tags)
         .select(col(DvRelCol).as("relPath"), col(DvPosCol).as("pos")))
     val dvDir = s"dv-${java.util.UUID.randomUUID().toString.take(12)}"
     val dvPath = new Path(root, dvDir)
@@ -3482,7 +3609,8 @@ object ManifestTable {
       val dvOpt =
         if (touched.isEmpty) None
         else writeDv(spark, root, touched,
-          matched.select(col(DvRelCol).as("relPath"), col(DvPosCol).as("pos")))
+          matched.select(col(DvRelCol).as("relPath"), col(DvPosCol).as("pos")),
+          st.tags)
       // re-emits and inserts land as SEPARATE generations so the tear
       // check below gets an exact re-emit row count for free from the
       // generation's parquet footers (one commit still — a manifest just
