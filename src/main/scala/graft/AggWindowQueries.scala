@@ -701,6 +701,28 @@ object AggWindowQueries extends QueryPack {
            |UNION ALL
            |SELECT o_orderkey, o_totalprice, 'clone' AS side FROM graft.`$dst`
            |""".stripMargin)
+    }),
+    "k32_optimize" -> ((s, d) => {
+      // K32 (beyond-reference): incremental OPTIMIZE — orders lands as
+      // four small-file commits (the steady-state small-file problem),
+      // a merge-on-read UPDATE leaves deletion vectors behind, then
+      // GRAFT OPTIMIZE bin-packs the small files AND folds the DVs in
+      // one delta commit; the read must be byte-identical to the
+      // relational replay, proving the rewrite conserved every row
+      // (the commit carries an exact row-conservation guard).
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k32")
+        .toString + "/orders_opt"
+      val src = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      ManifestTable.write(src.filter(col("o_orderkey") % 4 === 0), root)
+      (1 to 3).foreach { i =>
+        ManifestTable.append(s, src.filter(col("o_orderkey") % 4 === i), root)
+      }
+      s.sql(s"GRAFT UPDATE MOR '$root' SET o_totalprice = o_totalprice * 1.1 " +
+        "WHERE o_orderpriority = '2-HIGH'")
+      s.sql(s"GRAFT OPTIMIZE '$root' TARGET 64")
+      s.sql(s"SELECT o_orderkey, o_totalprice, o_orderpriority FROM graft.`$root`")
     })
   )
 
@@ -1046,7 +1068,13 @@ object AggWindowQueries extends QueryPack {
         |  CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2.0
         |       ELSE o_totalprice END AS o_totalprice,
         |  'clone' AS side
-        |FROM orders WHERE NOT (o_totalprice < 50000.0)""".stripMargin
+        |FROM orders WHERE NOT (o_totalprice < 50000.0)""".stripMargin,
+    "k32_optimize" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice * 1.1
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders""".stripMargin
   )
 }
 

@@ -25,7 +25,10 @@ import graft.sources.ManifestTable
   *   GRAFT VACUUM 'path' [KEEP n | RETAIN n HOURS] [ORPHANS] -- retention
   *   GRAFT MATERIALIZE 'path'              -- fold deletion vectors in
   *   GRAFT RESTORE 'path' TO VERSION n     -- auditable rollback
-  *   GRAFT COMPACT 'path' [TARGET mb]      -- sized rewrite
+  *   GRAFT COMPACT 'path' [TARGET mb]      -- full sized rewrite
+  *   GRAFT OPTIMIZE 'path' [TARGET mb] [WHERE <partition predicate>]
+  *                                         -- incremental bin-pack (small
+  *                                            files + DV folds only)
   *   GRAFT CLUSTER 'path' BY (c1, c2) [ZORDER] [TARGET mb] -- OPTIMIZE [ZORDER]
   *   GRAFT BLOOM 'path' ON (c1, c2)        -- build the point-lookup index
   *   GRAFT BLOOM DROP 'path'               -- retire it
@@ -88,6 +91,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     s"""(?is)CONSTRAINT\\s+$P\\s+ADD\\s+(\\w+)\\s+CHECK\\s+\\((.+)\\)""".r
   private val ConstraintDrop = s"""(?is)CONSTRAINT\\s+$P\\s+DROP\\s+(\\w+)""".r
   private val Compact = s"""(?is)COMPACT\\s+$P(?:\\s+TARGET\\s+(\\d+))?""".r
+  private val Optimize =
+    s"""(?is)OPTIMIZE\\s+$P(?:\\s+TARGET\\s+(\\d+))?(?:\\s+WHERE\\s+(.+))?""".r
   private val Feed    = s"""(?is)FEED\\s+$P\\s+(ENABLE|DISABLE)""".r
   private val Cluster =
     s"""(?is)CLUSTER\\s+$P\\s+BY\\s+\\(([^)]+)\\)(?:\\s+(ZORDER))?(?:\\s+TARGET\\s+(\\d+))?""".r
@@ -143,6 +148,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case ConstraintDrop(p, name)      => GraftConstraintCommand(res(p), name, None)
       case Compact(p, mb) =>
         GraftCompactCommand(res(p), Option(mb).map(_.toInt).getOrElse(512))
+      case Optimize(p, mb, where) =>
+        GraftOptimizeCommand(res(p), Option(mb).map(_.toInt).getOrElse(512),
+          Option(where).map(_.trim))
       case Feed(p, mode) => GraftFeedCommand(res(p), mode.equalsIgnoreCase("ENABLE"))
       case BloomDrop(p) => GraftBloomCommand(res(p), Nil, drop = true)
       case Cluster(p, cols, z, mb) =>
@@ -714,4 +722,20 @@ final case class GraftCompactCommand(root: String, targetMB: Int) extends LeafRu
     StructField("new_version", LongType, false))))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(ManifestTable.compact(spark, root, targetFileMB = targetMB)))
+}
+
+/** `GRAFT OPTIMIZE 'path' [TARGET mb] [WHERE <partition predicate>]` —
+  * the steady-state maintenance op: bin-packs SMALL files and folds
+  * deletion vectors in the scoped partitions, carries everything
+  * already compacted by reference (a delta commit, O(small files) —
+  * contrast GRAFT COMPACT, the deliberate full rewrite). An unchanged
+  * version in the result means there was nothing worth packing. */
+final case class GraftOptimizeCommand(root: String, targetMB: Int,
+                                      whereSql: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.optimize(spark, root,
+      predicate = whereSql.map(org.apache.spark.sql.functions.expr),
+      targetFileMB = targetMB)))
 }

@@ -3955,6 +3955,98 @@ object ManifestTable {
     * Sort is per-output-file (`sortWithinPartitions`), not global — no
     * single-reducer funnel at any table size; skew in the sort key is
     * absorbed by the range partitioner's sampling. */
+  /** Incremental OPTIMIZE (the Delta `OPTIMIZE [WHERE]` role): bin-pack
+    * the SMALL files — and fold live deletion vectors — into
+    * ~`targetFileMB` files, leaving already-compacted files untouched
+    * and carried by reference. Optionally scoped by a PARTITION-column
+    * `predicate` (data columns refuse loudly: scoping must be exact,
+    * never "conservatively more"). This is the steady-state maintenance
+    * op at 100 TB — cost is O(small files in scope), the commit is a
+    * DELTA manifest, and a repeat run is a version-unchanged no-op —
+    * where [[compact]] is the deliberate full rewrite (every file, FULL
+    * snapshot; also what localizes a shallow clone wholesale).
+    *
+    * Eligibility: bytes < target/2 (Delta's half-target bin-packing
+    * rule) or a live DV (folding it returns reads to plain scans and
+    * statsOnly to exactness). A partition with one small DV-less file
+    * is skipped — rewriting it alone gains nothing. The commit is
+    * guarded by an exact row-conservation check (footer rows of the new
+    * files vs the manifest's live-row counts) — a torn rewrite aborts
+    * loudly and deletes its generation, it never commits. Op "rewrite"
+    * = data-identical: incremental/CDC readers skip it. */
+  def optimize(spark: SparkSession, root: String,
+               predicate: Option[org.apache.spark.sql.Column] = None,
+               targetFileMB: Int = 512, graceMs: Long = 60000L): Long = {
+    require(targetFileMB > 0, s"optimize: targetFileMB must be > 0, got $targetFileMB")
+    val fs = fsOf(spark, root)
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val scoped = predicate match {
+      case None => st.files
+      case Some(p) =>
+        val phys = physicalizeCol(p, st.tags)
+        val partCols = layoutOf(root, st).toSet
+        val refs = org.apache.spark.sql.graftshim.ColumnExpr.expression(phys)
+          .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name }
+        val bad = refs.filterNot(partCols.contains)
+        require(bad.isEmpty,
+          s"optimize: WHERE may reference partition columns only " +
+            s"(${partCols.toSeq.sorted.mkString(", ")}); got ${bad.mkString(", ")} — " +
+            "scoping must select exact partitions, use compact() for a full rewrite")
+        DataSkipping.prune(st.files, phys)
+    }
+    val targetBytes = targetFileMB * 1024L * 1024L
+    val eligible = scoped
+      .filter(f => f.bytes < targetBytes / 2 || f.dv.nonEmpty)
+      .groupBy(_.partitionPath).valuesIterator
+      .filter(fs0 => fs0.size >= 2 || fs0.exists(_.dv.nonEmpty))
+      .flatten.toSeq
+    if (eligible.isEmpty) return st.version // nothing worth packing
+    val layouts = eligible.map(_.partitionPath.split('/').toSeq
+      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
+    require(layouts.size <= 1,
+      s"optimize: inconsistent partition layouts in $root: $layouts")
+    val partKeys = layouts.headOption.getOrElse(Seq.empty)
+    // the eligible slice through the full read path: DVs fold in,
+    // rename/drop mappings and declared-NULL padding apply — the new
+    // files carry the same physical schema any generation write does
+    val df = readState(spark, root, st.copy(files = eligible))
+    val liveBytes = eligible.map(_.bytes).sum
+    val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
+    val genPath = new Path(root, gen)
+    val micros = withMicrosTimestamps(physicalizeDf(df, st.tags))
+    Writers.sizedRewrite(micros.sparkSession, micros, liveBytes, partKeys,
+      targetFileMB, genPath.toString)
+    val entries = listGeneration(fs, root, gen)
+    // row conservation: a rewrite that lost or duplicated rows must
+    // never commit (the updateMoR/mergeMoR tear posture)
+    val expected = eligible.map(fileLiveRows)
+    if (expected.forall(_.isDefined) && entries.forall(_.rows >= 0)) {
+      val want = expected.flatten.sum; val got = entries.map(_.rows).sum
+      if (want != got) {
+        fs.delete(genPath, true)
+        sys.error(s"optimize($root): rewrite produced $got rows where the " +
+          s"manifest records $want live rows — torn read (non-deterministic " +
+          "source or concurrent mutation); aborting without committing")
+      }
+    }
+    require(entries.nonEmpty || eligible.size < st.files.size,
+      s"optimize would remove every live row of $root — a full-table clear " +
+        "is a rewrite: use write() with the replacement content")
+    val v = st.version + 1
+    val manifest = DeltaManifest(v, entries, eligible.map(_.relPath),
+      st.tags + (OpTag -> "rewrite"), None)
+    if (!claimOrRecover(fs, root, manifest, graceMs)) {
+      fs.delete(genPath, true)
+      throw new ConcurrentCommitException(root, v)
+    }
+    log.info(s"optimize($root): packed ${eligible.size} files " +
+      s"(${liveBytes} bytes) into ${entries.size}; " +
+      s"${st.files.size - eligible.size} carried by reference")
+    v
+  }
+
   def cluster(spark: SparkSession, root: String, sortCols: Seq[String],
               targetFileMB: Int = 512, graceMs: Long = 60000L,
               zOrder: Boolean = false): Long = {
