@@ -22,7 +22,7 @@ import graft.sources.ManifestTable
   *   GRAFT STATS 'path'                    -- metadata-only column stats
   *   GRAFT CREATE [OR REPLACE] 'path' [PARTITIONED BY (c1, ...)] AS <query>
   *   GRAFT CLONE 'src' TO 'dst' [VERSION AS OF n] [DEEP] -- zero-copy clone
-  *   GRAFT VACUUM 'path' [KEEP n | RETAIN n HOURS] [ORPHANS] -- retention
+  *   GRAFT VACUUM 'path' [KEEP n | RETAIN n HOURS] [ORPHANS] [DRY RUN]
   *   GRAFT MATERIALIZE 'path'              -- fold deletion vectors in
   *   GRAFT RESTORE 'path' TO VERSION n     -- auditable rollback
   *   GRAFT COMPACT 'path' [TARGET mb]      -- full sized rewrite
@@ -83,7 +83,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val History = s"""(?is)HISTORY\\s+$P""".r
   private val Detail  = s"""(?is)DETAIL\\s+$P""".r
   private val Stats   = s"""(?is)STATS\\s+$P""".r
-  private val Vacuum  = s"""(?is)VACUUM\\s+$P(?:\\s+KEEP\\s+(\\d+))?(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(?:\\s+(ORPHANS))?""".r
+  private val Vacuum  = s"""(?is)VACUUM\\s+$P(?:\\s+KEEP\\s+(\\d+))?(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(?:\\s+(ORPHANS))?(?:\\s+(DRY\\s+RUN))?""".r
   private val Material = s"""(?is)MATERIALIZE\\s+$P""".r
   private val Restore = s"""(?is)RESTORE\\s+$P\\s+TO\\s+VERSION\\s+(\\d+)""".r
   private val RestoreTs = s"""(?is)RESTORE\\s+$P\\s+TO\\s+TIMESTAMP\\s+'([^']+)'""".r
@@ -132,12 +132,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           query.trim, replace = orReplace != null)
       case Detail(p)  => GraftDetailCommand(res(p))
       case Stats(p)   => GraftStatsCommand(res(p))
-      case Vacuum(p, keep, retainH, orphans) =>
+      case Vacuum(p, keep, retainH, orphans, dry) =>
         require(keep == null || retainH == null,
           "GRAFT VACUUM: KEEP n and RETAIN n HOURS are exclusive")
         GraftVacuumCommand(res(p), Option(keep).map(_.toInt).getOrElse(2),
           retainHours = Option(retainH).map(_.toInt),
-          deleteOrphans = orphans != null)
+          deleteOrphans = orphans != null, dryRun = dry != null)
       case Clone(src, dst, v, deep) =>
         GraftCloneCommand(res(src), res(dst, mustExist = false),
           Option(v).map(_.toLong), deep = deep != null)
@@ -399,7 +399,8 @@ final case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
     StructField("constraints", StringType, false),
     StructField("num_dv_files", LongType, false),
     StructField("num_deleted_rows", LongType, false),
-    StructField("num_rows", LongType, true))))
+    StructField("num_rows", LongType, true),
+    StructField("clone_sources", StringType, false))))
   override def run(spark: SparkSession): Seq[Row] =
     ManifestTable.detail(spark, root).collect().toSeq
 }
@@ -419,15 +420,17 @@ final case class GraftStatsCommand(root: String) extends LeafRunnableCommand {
   * dirs unconditionally could destroy an in-flight commit's data. */
 final case class GraftVacuumCommand(root: String, keep: Int,
                                     retainHours: Option[Int],
-                                    deleteOrphans: Boolean) extends LeafRunnableCommand {
+                                    deleteOrphans: Boolean,
+                                    dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
     StructField("reclaimed_dirs", IntegerType, false))))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(retainHours match {
       case Some(h) => ManifestTable.vacuumRetain(spark, root,
-        retainMs = h.toLong * 3600 * 1000, deleteOrphans = deleteOrphans)
+        retainMs = h.toLong * 3600 * 1000, deleteOrphans = deleteOrphans,
+        dryRun = dryRun)
       case None => ManifestTable.vacuum(spark, root, keep = keep,
-        deleteOrphans = deleteOrphans)
+        deleteOrphans = deleteOrphans, dryRun = dryRun)
     }))
 }
 

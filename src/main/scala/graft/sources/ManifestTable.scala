@@ -3797,7 +3797,10 @@ object ManifestTable {
       // positions; honest-NULL when any file lacks counts
       (if (st.files.forall(f => fileLiveRows(f).nonEmpty))
         Long.box(st.files.flatMap(fileLiveRows).sum)
-      else null))
+      else null),
+      // shallow-clone provenance: the source chain inherited dirs may
+      // still resolve against ("" once fully localized or never cloned)
+      cloneSources(st.tags).mkString(";"))
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val schema = StructType(Seq(
       StructField("location", StringType, false),
@@ -3810,7 +3813,8 @@ object ManifestTable {
       StructField("constraints", StringType, false),
       StructField("num_dv_files", LongType, false),
       StructField("num_deleted_rows", LongType, false),
-      StructField("num_rows", LongType, true)))
+      StructField("num_rows", LongType, true),
+      StructField("clone_sources", StringType, false)))
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(Seq(row)).asJava), schema)
   }
@@ -4276,7 +4280,8 @@ object ManifestTable {
     * guarantees as [[vacuum]]. */
   def vacuumRetain(spark: SparkSession, root: String, retainMs: Long,
                    deleteOrphans: Boolean = false,
-                   orphanGraceMs: Long = DefaultOrphanGraceMs): Int = {
+                   orphanGraceMs: Long = DefaultOrphanGraceMs,
+                   dryRun: Boolean = false): Int = {
     require(retainMs >= 0, s"vacuumRetain: retainMs must be >= 0, got $retainMs")
     val fs = fsOf(spark, root)
     val dir = new Path(root, ManifestDir)
@@ -4291,12 +4296,14 @@ object ManifestTable {
     val recent = committed.count(v =>
       scala.util.Try(fs.getFileStatus(manifestPath(root, v)).getModificationTime)
         .toOption.exists(_ >= cutoff))
-    vacuum(spark, root, keep = math.max(1, recent), deleteOrphans, orphanGraceMs)
+    vacuum(spark, root, keep = math.max(1, recent), deleteOrphans, orphanGraceMs,
+      dryRun)
   }
 
   def vacuum(spark: SparkSession, root: String, keep: Int = 2,
              deleteOrphans: Boolean = false,
-             orphanGraceMs: Long = DefaultOrphanGraceMs): Int = {
+             orphanGraceMs: Long = DefaultOrphanGraceMs,
+             dryRun: Boolean = false): Int = {
     require(keep >= 1, s"vacuum: keep must be >= 1, got $keep")
     require(orphanGraceMs >= 0, s"vacuum: orphanGraceMs must be >= 0, got $orphanGraceMs")
     val fs = fsOf(spark, root)
@@ -4349,25 +4356,30 @@ object ManifestTable {
       ms.flatMap(_.cdf.map(_._1)).toSet
     val liveGens = gens(retainedStates) ++ cdfDirs(retained)
     val deadGens = (gens(droppedStates) ++ cdfDirs(dropped)) -- liveGens
+    // DRY RUN: resolve and count exactly what a real run would reclaim,
+    // delete and heal NOTHING — the operator-safety preview
     deadGens.foreach { g =>
-      log.info(s"vacuum($root): deleting unreferenced generation $g")
-      fs.delete(new Path(root, g), true)
+      log.info(s"vacuum($root): ${if (dryRun) "DRY RUN would delete" else "deleting"} " +
+        s"unreferenced generation $g")
+      if (!dryRun) fs.delete(new Path(root, g), true)
     }
-    dropped.foreach { m =>
-      fs.delete(manifestPath(root, m.version), false)
-      m match {
-        case r: SnapshotRef =>
-          val refDir = r.refDir
-          // the dropped stub was the sidecar's only committed reference
-          fs.delete(new Path(root, s"$ManifestDir/$refDir"), true)
-        case _ => ()
+    if (!dryRun) {
+      dropped.foreach { m =>
+        fs.delete(manifestPath(root, m.version), false)
+        m match {
+          case r: SnapshotRef =>
+            val refDir = r.refDir
+            // the dropped stub was the sidecar's only committed reference
+            fs.delete(new Path(root, s"$ManifestDir/$refDir"), true)
+          case _ => ()
+        }
       }
+      // heal a pointer that named a dropped snapshot (readers would fall
+      // back to listing forever otherwise)
+      if (readPointer(fs, root).exists(_ < floor))
+        retained.collect { case m if isSnapshot(m) => m.version }.maxOption
+          .foreach(writePointer(fs, root, _))
     }
-    // heal a pointer that named a dropped snapshot (readers would fall
-    // back to listing forever otherwise)
-    if (readPointer(fs, root).exists(_ < floor))
-      retained.collect { case m if isSnapshot(m) => m.version }.maxOption
-        .foreach(writePointer(fs, root, _))
     val orphans: Set[String] =
       if (!deleteOrphans) Set.empty
       else {
@@ -4399,8 +4411,9 @@ object ManifestTable {
         val refd = liveGens ++ gens(droppedStates) ++ cdfDirs(dropped)
         val genOrphans = (onDisk -- refd -- deadGens)
           .filter(g => agedOut(new Path(root, g))).tapEach { g =>
-          log.info(s"vacuum($root): deleting ORPHAN generation $g (no manifest references it)")
-          fs.delete(new Path(root, g), true)
+          log.info(s"vacuum($root): ${if (dryRun) "DRY RUN would delete" else "deleting"} " +
+            s"ORPHAN generation $g (no manifest references it)")
+          if (!dryRun) fs.delete(new Path(root, g), true)
         }.toSet
         // sidecars from writers that crashed between sidecar write and
         // claim (or lost the claim before their cleanup ran)
@@ -4409,8 +4422,9 @@ object ManifestTable {
           .map(_.getPath.getName).filter(_.startsWith("ckpt-")).toSet
           .diff(refdCkpts)
           .filter(c => agedOut(new Path(root, s"$ManifestDir/$c"))).tapEach { c =>
-            log.info(s"vacuum($root): deleting ORPHAN snapshot sidecar $c")
-            fs.delete(new Path(root, s"$ManifestDir/$c"), true)
+            log.info(s"vacuum($root): ${if (dryRun) "DRY RUN would delete" else "deleting"} " +
+              s"ORPHAN snapshot sidecar $c")
+            if (!dryRun) fs.delete(new Path(root, s"$ManifestDir/$c"), true)
           }.toSet
         // streaming-write staging (v2.GraftStreamingWrite): epoch dirs
         // self-heal on checkpoint restart (the replayed epoch's commit
@@ -4422,8 +4436,9 @@ object ManifestTable {
           else fs.listStatus(sdir).toSeq.flatMap { sink =>
             fs.listStatus(sink.getPath).toSeq
               .filter(e => agedOut(e.getPath)).map { e =>
-                log.info(s"vacuum($root): deleting ORPHAN stream staging ${e.getPath}")
-                fs.delete(e.getPath, true)
+                log.info(s"vacuum($root): ${if (dryRun) "DRY RUN would delete" else "deleting"} " +
+                  s"ORPHAN stream staging ${e.getPath}")
+                if (!dryRun) fs.delete(e.getPath, true)
                 s"_staging/${sink.getPath.getName}/${e.getPath.getName}"
               }
           }.toSet

@@ -36,6 +36,11 @@ class CloneSpec extends SparkSpec {
     // the file ENTRIES are the source's, byte for byte
     assert(ManifestTable.current(spark, dst).get.files.toSet ==
       ManifestTable.current(spark, src).get.files.toSet)
+    // DESCRIBE DETAIL surfaces the provenance
+    val d = ManifestTable.detail(spark, dst).collect().head
+    assert(d.getAs[String]("clone_sources").contains(src))
+    assert(ManifestTable.detail(spark, src).collect().head
+      .getAs[String]("clone_sources").isEmpty)
   }
 
   test("clone and source mutate independently") {

@@ -183,8 +183,11 @@ class GraftSqlSpec extends SparkSpec {
       System.currentTimeMillis() - 24L * 3600 * 1000)
     java.nio.file.Files.setLastModifiedTime(orphan, old)
     java.nio.file.Files.setLastModifiedTime(orphan.resolve("junk.parquet"), old)
+    // DRY RUN counts exactly what the real run would reclaim, deletes nothing
+    val dry = spark.sql(s"GRAFT VACUUM '$root' KEEP 1 ORPHANS DRY RUN").collect().head
+    assert(dry.getInt(0) >= 1 && java.nio.file.Files.exists(orphan))
     val r = spark.sql(s"GRAFT VACUUM '$root' KEEP 1 ORPHANS").collect().head
-    assert(r.getInt(0) >= 1 && !java.nio.file.Files.exists(orphan))
+    assert(r.getInt(0) == dry.getInt(0) && !java.nio.file.Files.exists(orphan))
 
     // abandoned streaming-write staging: same opt-in, same age gate
     val epoch = java.nio.file.Paths.get(root, "_staging", "sink-dead", "epoch-7")
