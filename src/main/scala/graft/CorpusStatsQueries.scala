@@ -48,7 +48,11 @@ object CorpusStatsQueries extends QueryPack {
       // exactly-200 PPS sample by document length, 8 hash-shards.
       Sampling.systematicWeightedSample(docs(s, d), col("doc_id"),
         col("n_chars"), n = 200, shards = 8)
-        .select(col("doc_id"), col("n_chars"), col("n_picks")))
+        .select(col("doc_id"), col("n_chars"), col("n_picks"))),
+    "t_bigram_lm" -> ((s, d) =>
+      // the perplexity-filter step: per-doc smoothed bigram LM score +
+      // novelty ratio against a model trained on the corpus itself
+      CorpusStats.bigramLmQuality(docs(s, d), "doc_id", col("text")))
   )
 
   private val toksSql =
@@ -157,6 +161,30 @@ object CorpusStatsQueries extends QueryPack {
          |       - FLOOR(CAST(cum - w AS DOUBLE) / (CAST(tot AS DOUBLE) / 25.0) - 0.5)
          |      AS BIGINT) AS n_picks
          |  FROM c)
-         |SELECT doc_id, n_chars, n_picks FROM p WHERE n_picks > 0""".stripMargin
+         |SELECT doc_id, n_chars, n_picks FROM p WHERE n_picks > 0""".stripMargin,
+    // mirrors CorpusStats.bigramLmQuality term by term: add-half
+    // smoothing over the corpus-constant denominator keeps Σ(2c₂+1)
+    // an exact integer; the division chain is spelled with the same
+    // left-associative parenthesization Spark evaluates
+    "t_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+         |      FROM t),
+         |c2 AS (SELECT bigram, COUNT(*) AS c2 FROM g GROUP BY 1),
+         |consts AS (
+         |  SELECT (SELECT COUNT(DISTINCT token)
+         |          FROM (SELECT unnest(toks) AS token FROM t)) AS vsize,
+         |         (SELECT COUNT(*) FROM g) AS n2),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    SUM(c2.c2 * 2 + 1) AS sum_num,
+         |    SUM(CASE WHEN c2.c2 = 1 THEN 1 ELSE 0 END) AS n_unique
+         |  FROM g JOIN c2 USING (bigram) GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |  (CAST(sum_num AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+         |    / CAST(n2 * 2 + vsize * vsize AS DOUBLE) AS lm_score,
+         |  CAST(n_unique AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS novelty_ratio
+         |FROM agg CROSS JOIN consts""".stripMargin
   )
 }

@@ -133,4 +133,52 @@ object CorpusStats {
       .withColumn("type_token_ratio",
         col("distinct_tokens").cast("double") / col("total_tokens").cast("double"))
   }
+
+  /** CCNet-style language-model quality proxy: score every document by
+    * the average smoothed corpus frequency of its word bigrams — junk
+    * (lorem-ipsum noise, character soup, boilerplate mashups) scores
+    * low against a model trained on the corpus itself, the classic
+    * perplexity-filter step of a crawl-curation pipeline. Emits
+    * (doc_id, n_bigrams, lm_score, novelty_ratio) for every document
+    * with at least one bigram; `novelty_ratio` is the fraction of the
+    * document's bigram occurrences unseen anywhere else (corpus count
+    * 1) — high novelty + low lm_score is the junk quadrant, high
+    * lm_score + low novelty the boilerplate quadrant.
+    *
+    * Numerics are RATIONAL-exact (the bm25 `rational` posture): with
+    * add-half smoothing over a corpus-CONSTANT denominator, the
+    * per-document sum Σ(2·c₂+1) stays an exact integer and the score is
+    * one pinned left-associative division chain — bit-reproducible
+    * across engines, no decimal-rounding seam (a per-history
+    * conditional model would force order-sensitive float sums).
+    *
+    * Scale posture: the model IS an aggregate of the data — bigram
+    * counts are one map-side-combined groupBy; the score join probes
+    * ONE model row per distinct bigram, so zipfian-hot bigrams skew the
+    * probe side only (AQE skew-split territory, no hot reducer on the
+    * build side); the per-doc aggregate is a second combine-friendly
+    * groupBy. Two shuffles total, both linear in corpus size. */
+  def bigramLmQuality(docs: DataFrame, id: String, text: Column): DataFrame = {
+    val s = docs.sparkSession
+    val db = docs.select(col(id).as("doc_id"),
+      explode(TextNative.chunks(s, text, 2, 1)).as("bigram"))
+    val model = db.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val uni = docs.select(explode(TextNative.tokens(s, text)).as("token"))
+    val consts = uni.agg(countDistinct(col("token")).as("vsize"))
+      .crossJoin(db.agg(count(lit(1)).as("n2")))
+    db.join(model, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c2") * lit(2L) + lit(1L)).as("sum_num"),
+        sum(when(col("c2") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("n_bigrams"),
+        // (Σ(2c₂+1) / n) / (2N₂ + V²): parenthesization is the
+        // cross-engine contract — the oracle spells the same chain
+        ((col("sum_num").cast("double") / col("n_bigrams").cast("double")) /
+          (col("n2") * lit(2L) + col("vsize") * col("vsize")).cast("double"))
+          .as("lm_score"),
+        (col("n_unique").cast("double") / col("n_bigrams").cast("double"))
+          .as("novelty_ratio"))
+  }
 }

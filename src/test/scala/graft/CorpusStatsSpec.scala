@@ -24,6 +24,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.toSet == Set(("on the", 2L, 2L), ("sat on", 2L, 2L), ("the cat", 2L, 2L)))
   }
 
+  test("bigramLmQuality: hand-computed smoothed scores and novelty on a fixture") {
+    // corpus: doc1 "a b a b", doc2 "a b c". bigrams: doc1 [a b, b a, a b],
+    // doc2 [a b, b c]. counts: c2("a b")=4? no — within-doc only:
+    // doc1 contributes (a b),(b a),(a b); doc2 (a b),(b c).
+    // c2: "a b"->3, "b a"->1, "b c"->1. V=3 (a,b,c), N2=5.
+    // denom = 2*5 + 9 = 19.
+    // doc1: n=3, sum_num = (2*3+1)+(2*1+1)+(2*3+1) = 7+3+7 = 17,
+    //       n_unique = 1 ("b a"); score = (17/3)/19.
+    // doc2: n=2, sum_num = 7 + 3 = 10, n_unique = 1 ("b c");
+    //       score = (10/2)/19.
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = CorpusStats.bigramLmQuality(d, "doc_id", col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, (17.0 / 3.0) / 19.0, 1.0 / 3.0),
+      (2L, 2L, (10.0 / 2.0) / 19.0, 1.0 / 2.0)))
+    // junk ranks below fluent text on a corpus with repeated phrasing
+    val corpus = (1 to 8).map(i => (i.toLong, "the quick brown fox jumps")) :+
+      (9L, "zq xv qqj kpw zzv")
+    val scored = CorpusStats.bigramLmQuality(
+      corpus.toDF("doc_id", "text"), "doc_id", col("text"))
+      .orderBy(col("lm_score").asc).select("doc_id").as[Long].collect()
+    assert(scored.head == 9L, "the junk doc must score lowest")
+  }
+
   test("topNgrams occurrence count keeps within-doc duplicates") {
     val d = Seq((1L, "a b a b")).toDF("doc_id", "text")
     val got = CorpusStats.topNgrams(d, "doc_id", col("text"), n = 2, k = 1)
