@@ -424,4 +424,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("bigram LM: map-side partials, hash join on the bigram key, pruned scans") {
+    val p = plan("t_bigram_lm")
+    // per-doc sums combine map-side before the doc_id shuffle
+    assert(p.contains("partial_sum"), p)
+    // the model probe is a HASH join keyed on the bigram (broadcast at
+    // this SF, sort-merge at scale) — never a nested loop over data
+    assert(p.contains("BroadcastHashJoin [bigram") ||
+      p.contains("SortMergeJoin [bigram"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // scans read only (doc_id, text) of the 5 document columns
+    assert(!p.contains("n_chars"), p.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n"))
+  }
 }
