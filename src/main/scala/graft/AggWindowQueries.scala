@@ -723,6 +723,38 @@ object AggWindowQueries extends QueryPack {
         "WHERE o_orderpriority = '2-HIGH'")
       s.sql(s"GRAFT OPTIMIZE '$root' TARGET 64")
       s.sql(s"SELECT o_orderkey, o_totalprice, o_orderpriority FROM graft.`$root`")
+    }),
+    "k33_generated" -> ((s, d) => {
+      // K33 (beyond-reference): generated partition columns — the table
+      // is PARTITIONED BY days(ts) (Iceberg hidden-partitioning
+      // semantics, Delta generated-column mechanics): the seed write,
+      // an append that never mentions ts_day, and a dynamic overwrite
+      // of exactly one derived day all land in the right partitions
+      // because every write boundary derives the column. The oracle
+      // replays the lineages relationally with strftime.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k33")
+        .toString + "/events_days"
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      ManifestTable.write(ev.filter(col("event_id") % 2 === 0), root,
+        partitionCols = Seq("days(ts)"))
+      // append derives ts_day; no layout spelled
+      ManifestTable.append(s, ev.filter(col("event_id") % 2 === 1), root)
+      // dynamic overwrite of the single busiest day: replace its rows
+      // with per-type rollup markers (value = day total for the type)
+      val day = ManifestTable.read(s, root).groupBy(col("ts_day"))
+        .count().orderBy(col("count").desc, col("ts_day").asc)
+        .limit(1).collect().head.getString(0)
+      val rolled = ManifestTable.read(s, root)
+        .filter(col("ts_day") === day)
+        .groupBy(col("event_type"))
+        .agg(graft.OracleMath.dsum(col("value"), 4, 2).as("value"),
+          min(col("event_id")).as("event_id"), min(col("ts")).as("ts"))
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      ManifestTable.replacePartitions(s, rolled, root)
+      ManifestTable.read(s, root)
+        .select(col("event_id"), col("ts_day"), col("event_type"), col("value"))
     })
   )
 
@@ -1074,7 +1106,27 @@ object AggWindowQueries extends QueryPack {
         |  CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice * 1.1
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderpriority
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "k33_generated" ->
+      """WITH ev AS (
+        |  SELECT event_id, ts, event_type, value,
+        |         strftime(ts, '%Y-%m-%d') AS ts_day
+        |  FROM events),
+        |busy AS (
+        |  SELECT ts_day FROM ev GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, ts_day ASC LIMIT 1),
+        |keep AS (
+        |  SELECT event_id, ts_day, event_type, value FROM ev
+        |  WHERE ts_day <> (SELECT ts_day FROM busy)),
+        |roll AS (
+        |  SELECT MIN(event_id) AS event_id,
+        |         strftime(MIN(ts), '%Y-%m-%d') AS ts_day, event_type,
+        |         CAST(ROUND(SUM(CAST(value AS DECIMAL(27,4))), 2) AS DOUBLE) AS value
+        |  FROM ev WHERE ts_day = (SELECT ts_day FROM busy)
+        |  GROUP BY event_type)
+        |SELECT event_id, ts_day, event_type, value FROM keep
+        |UNION ALL
+        |SELECT event_id, ts_day, event_type, value FROM roll""".stripMargin
   )
 }
 

@@ -20,7 +20,8 @@ import graft.sources.ManifestTable
   *   GRAFT HISTORY 'path'                  -- DESCRIBE HISTORY
   *   GRAFT DETAIL 'path'                   -- DESCRIBE DETAIL
   *   GRAFT STATS 'path'                    -- metadata-only column stats
-  *   GRAFT CREATE [OR REPLACE] 'path' [PARTITIONED BY (c1, ...)] AS <query>
+  *   GRAFT CREATE [OR REPLACE] 'path' [PARTITIONED BY (c1 | days(ts) |
+  *     months(ts) | hours(ts) | bucket(n, c) | truncate(n, c), ...)] AS <query>
   *   GRAFT CLONE 'src' TO 'dst' [VERSION AS OF n] [DEEP] -- zero-copy clone
   *   GRAFT VACUUM 'path' [KEEP n | RETAIN n HOURS] [ORPHANS] [DRY RUN]
   *   GRAFT MATERIALIZE 'path'              -- fold deletion vectors in
@@ -107,7 +108,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Update  = s"""(?is)UPDATE\\s+(?:(MOR)\\s+)?$P\\s+SET\\s+(.+)""".r
   private val Merge   = s"""(?is)MERGE\\s+(?:(MOR)\\s+)?INTO\\s+$P\\s+USING\\s+(.+)""".r
   private val Create  =
-    s"""(?is)CREATE\\s+(OR\\s+REPLACE\\s+)?$P(?:\\s+PARTITIONED\\s+BY\\s+\\(([^)]+)\\))?\\s+AS\\s+(.+)""".r
+    s"""(?is)CREATE\\s+(OR\\s+REPLACE\\s+)?$P(?:\\s+PARTITIONED\\s+BY\\s+\\(((?:[^()]|\\([^()]*\\))*)\\))?\\s+AS\\s+(.+)""".r
   private val Clone   =
     s"""(?is)CLONE\\s+$P\\s+TO\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?(?:\\s+(DEEP))?""".r
 
@@ -126,9 +127,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Prefix(body) => body match {
       case History(p) => GraftHistoryCommand(res(p))
       case Create(orReplace, p, parts, query) =>
+        // top-level comma split: bucket(16, k) carries a comma inside
         GraftCreateTableCommand(res(p, mustExist = false),
-          Option(parts).map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-            .getOrElse(Nil),
+          Option(parts).map(splitTopLevelCommas).getOrElse(Nil),
           query.trim, replace = orReplace != null)
       case Detail(p)  => GraftDetailCommand(res(p))
       case Stats(p)   => GraftStatsCommand(res(p))

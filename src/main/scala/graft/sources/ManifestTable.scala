@@ -634,6 +634,9 @@ object ManifestTable {
       require(k != CloneSourcesTag,
         s"manifest tag '$k' is reserved (shallow-clone source chain, " +
           "written only by cloneTable)")
+      require(k != GeneratedTag,
+        s"manifest tag '$k' is reserved (generated-column definitions — " +
+          "declare transforms via PARTITIONED BY at create time)")
       if (k.startsWith(StreamBatchTag)) {
         val n = scala.util.Try(v.toLong).getOrElse(
           throw new IllegalArgumentException(
@@ -1568,6 +1571,84 @@ object ManifestTable {
     * it while no data file exists to derive the layout from. */
   private[graft] val LayoutTag = "schema.layout"
 
+  /** Tag holding generated-partition-column definitions: comma-joined
+    * `enc(name):enc(exprSql)` pairs. A generated column is a REAL
+    * string column derived from a transform of a source column
+    * (`days(ts)` → `ts_day` = date_format) — the Delta generated-column
+    * take on Iceberg's hidden partitioning: the table partitions on a
+    * time/bucket granularity the source column implies, and every write
+    * boundary derives the column automatically when a batch omits it
+    * ([[applyGenerated]]), so appends/upserts/merges never need to
+    * spell the layout. Being a real column keeps every mutator, the
+    * carry-forward contract, SHOW PARTITIONS, and dynamic overwrite
+    * working unchanged. */
+  private[graft] val GeneratedTag = "layout.generated"
+
+  private[graft] def generatedSpecs(tags: Map[String, String]): Seq[(String, String)] =
+    tags.get(GeneratedTag).toSeq.flatMap(_.split(',').toSeq.filter(_.nonEmpty))
+      .flatMap { p =>
+        p.split(':') match {
+          case Array(n, e) => Some(dec(n) -> dec(e))
+          case _           => None
+        }
+      }
+
+  private def encodeGenerated(specs: Seq[(String, String)]): String =
+    specs.map { case (n, e) => s"${enc(n)}:${enc(e)}" }.mkString(",")
+
+  /** One PARTITIONED BY entry → (column name, optional defining SQL).
+    * Identity entries pass through; transform entries derive:
+    * `days(c)`/`months(c)`/`hours(c)` (time granularities on a
+    * timestamp/date column), `bucket(n, c)` (hash buckets for
+    * co-location), `truncate(n, c)` (string prefix). Derived names are
+    * `<col>_day|_month|_hour|_bucket|_trunc`. */
+  private[graft] def parsePartitionSpec(spec: String): (String, Option[String]) = {
+    val Time = """(?i)(days|months|hours)\s*\(\s*(\w+)\s*\)""".r
+    val Bucket = """(?i)bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+    val Trunc = """(?i)truncate\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+    spec.trim match {
+      case Time(kind, c) => kind.toLowerCase match {
+        case "days"   => (s"${c}_day", Some(s"date_format(`$c`, 'yyyy-MM-dd')"))
+        case "months" => (s"${c}_month", Some(s"date_format(`$c`, 'yyyy-MM')"))
+        case _        => (s"${c}_hour", Some(s"date_format(`$c`, 'yyyy-MM-dd-HH')"))
+      }
+      case Bucket(n, c) =>
+        (s"${c}_bucket", Some(s"pmod(hash(`$c`), $n)"))
+      case Trunc(n, c) =>
+        (s"${c}_trunc", Some(s"substring(`$c`, 1, $n)"))
+      case plain =>
+        require(plain.matches("""[A-Za-z_][\w]*"""),
+          s"partition spec '$spec' is neither a column name nor a supported " +
+            "transform (days|months|hours(col), bucket(n, col), truncate(n, col))")
+        (plain, None)
+    }
+  }
+
+  /** Derive every generated column a batch omits (or provides as NULL —
+    * the Delta generated-column contract, so a positional INSERT can
+    * pass NULL and still land in the right partition); verify (cheaply,
+    * a limit-1 job) any NON-null values the batch supplies — a value
+    * that disagrees with the defining expression would silently corrupt
+    * the partition layout, so it refuses instead. */
+  private def applyGenerated(df: DataFrame, tags: Map[String, String],
+                             root: String, context: String): DataFrame =
+    generatedSpecs(tags).foldLeft(df) { case (d, (name, sql)) =>
+      val defined = expr(sql).cast("string")
+      if (!d.columns.exists(_.equalsIgnoreCase(name)))
+        d.withColumn(name, defined)
+      else {
+        val bad = d.filter(col(name).isNotNull &&
+            !(col(name).cast("string") <=> defined))
+          .limit(1).collect()
+        require(bad.isEmpty,
+          s"manifest table $root: $context supplies generated column '$name' " +
+            s"with values that disagree with its definition ($sql), e.g. " +
+            s"${bad.headOption.getOrElse("")} — omit the column (or pass " +
+            "NULL) and let the engine derive it")
+        d.withColumn(name, coalesce(col(name).cast("string"), defined))
+      }
+    }
+
   /** Tag holding the shallow-clone source chain: ';'-joined URL-encoded
     * QUALIFIED roots, nearest parent first. A referenced top-level dir
     * (generation / deletion-vector / bloom-index dataset) that does not
@@ -1684,6 +1765,15 @@ object ManifestTable {
     require(referencing.isEmpty,
       s"$op: column '$name' is referenced by CHECK constraint(s) " +
         s"${referencing.mkString(", ")} — drop the constraint first")
+    // a generated partition column's defining expression names its
+    // source physically: renaming/dropping the source would break every
+    // later write boundary's derivation
+    val generating = generatedSpecs(st.tags)
+      .collect { case (g, e) if e.contains(s"`$phys`") => g }
+    require(generating.isEmpty,
+      s"$op: column '$name' is the source of generated partition column(s) " +
+        s"${generating.mkString(", ")} — the layout derives from it; " +
+        "repartitioning is a rewrite, not metadata evolution")
     phys
   }
 
@@ -2078,19 +2168,40 @@ object ManifestTable {
                   tags: Map[String, String] = Map.empty): Long = {
     require(schema.nonEmpty, s"createEmpty: $root needs at least one column")
     validateTags(tags, Map.empty)
-    val missing = partitionCols.filterNot(schema.fieldNames.contains)
+    // transform entries (days(ts), bucket(16, k)) declare GENERATED
+    // partition columns: the derived column joins the declared schema
+    // (string) and its definition rides GeneratedTag so every write
+    // boundary derives it when a batch omits it
+    val parsedParts = partitionCols.map(parsePartitionSpec)
+    val physParts = parsedParts.map(_._1)
+    val genSpecs = parsedParts.collect { case (n, Some(e)) => (n, e) }
+    genSpecs.foreach { case (n, e) =>
+      val srcRefs = schema.fieldNames.filter(f => e.contains(s"`$f`"))
+      require(srcRefs.nonEmpty,
+        s"createEmpty: generated column $n's source is not in the schema ($e)")
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"createEmpty: generated column $n collides with a declared column")
+    }
+    val missing = physParts.filterNot(c =>
+      schema.fieldNames.contains(c) || genSpecs.exists(_._1 == c))
     require(missing.isEmpty,
       s"createEmpty: partition column(s) ${missing.mkString(", ")} not in the schema")
-    val pinned = org.apache.spark.sql.types.StructType(schema.map(f =>
-      if (partitionCols.contains(f.name))
+    val widened = org.apache.spark.sql.types.StructType(
+      schema.fields.toSeq ++ genSpecs.map { case (n, _) =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType, nullable = true) })
+    val pinned = org.apache.spark.sql.types.StructType(widened.map(f =>
+      if (physParts.contains(f.name))
         f.copy(dataType = org.apache.spark.sql.types.StringType)
       else f))
     val fs = fsOf(spark, root)
     if (hasCommittedVersion(fs, root))
       throw new ConcurrentCommitException(root, 1L)
     val allTags = tags ++ Map(SchemaTag -> pinned.json, OpTag -> "create") ++
-      (if (partitionCols.nonEmpty) Map(LayoutTag -> partitionCols.mkString(","))
-       else Map.empty)
+      (if (physParts.nonEmpty) Map(LayoutTag -> physParts.mkString(","))
+       else Map.empty) ++
+      (if (genSpecs.isEmpty) Map.empty
+       else Map(GeneratedTag -> encodeGenerated(genSpecs)))
     if (!claimOrRecover(fs, root, FullManifest(1L, Seq.empty, allTags, None), graceMs))
       throw new ConcurrentCommitException(root, 1L)
     writePointer(fs, root, 1L)
@@ -2172,6 +2283,16 @@ object ManifestTable {
             graceMs: Long = 60000L, maxAttempts: Int = 50,
             reseedUnresolvable: Boolean = false): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    // PARTITIONED BY entries may be transforms (days(ts), bucket(16, k)):
+    // the derived generated column materializes here and its definition
+    // rides GeneratedTag so every later write boundary re-derives it
+    val parsedParts = partitionCols.map(parsePartitionSpec)
+    val physParts = parsedParts.map(_._1)
+    val genSpecs = parsedParts.collect { case (n, Some(e)) => (n, e) }
+    val dfG = genSpecs.foldLeft(df) { case (d, (n, e)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(n))) d
+      else d.withColumn(n, expr(e).cast("string"))
+    }
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
     // constraint gate against the table's CURRENT declarations; the
@@ -2185,13 +2306,13 @@ object ManifestTable {
     def gate(tags: Map[String, String]): Unit = {
       val cs = tags.filter(_._1.startsWith(ConstraintTagPrefix))
       if (!enforcedAgainst.contains(cs)) {
-        enforceConstraints(df, cs, root, "overwrite batch")
+        enforceConstraints(dfG, cs, root, "overwrite batch")
         enforcedAgainst = Some(cs)
       }
     }
     current(spark, root).foreach(prior => gate(prior.tags))
     val (gen, entries) =
-      writeGeneration(normalizePartitionCols(df, partitionCols), root, partitionCols)
+      writeGeneration(normalizePartitionCols(dfG, physParts), root, physParts)
     val (proto, sidecar) = mkSnapshot(spark, root, 1L, entries, Map.empty)
     var committed = false
     try {
@@ -2224,11 +2345,12 @@ object ManifestTable {
           // … and the schema record refreshes to the NEW frame (a stale
           // create-time schema would mis-describe a later zero-file state)
           val base = prev.map(_.tags).getOrElse(Map.empty) -
-            RenameTag - DropTag - LayoutTag + (OpTag -> "overwrite") +
-            (SchemaTag -> normalizePartitionCols(df, partitionCols).schema.json)
-          val tags =
-            if (partitionCols.isEmpty) base
-            else base + (LayoutTag -> partitionCols.mkString(","))
+            RenameTag - DropTag - LayoutTag - GeneratedTag + (OpTag -> "overwrite") +
+            (SchemaTag -> normalizePartitionCols(dfG, physParts).schema.json)
+          val tags = (if (physParts.isEmpty) base
+                      else base + (LayoutTag -> physParts.mkString(","))) ++
+            (if (genSpecs.isEmpty) Map.empty
+             else Map(GeneratedTag -> encodeGenerated(genSpecs)))
           val manifest = restamp(proto, v) match {
             case f: FullManifest => f.copy(tags = tags)
             case r: SnapshotRef  => r.copy(tags = tags)
@@ -2346,13 +2468,16 @@ object ManifestTable {
     }
     val logical = readState(spark, root, st).schema
     val expected = logical.fieldNames.toSeq
-    val got = batch.columns.toSeq
+    // generated partition columns derive here when the batch omits them
+    // (the point of declaring them: appends never spell the layout)
+    val batchG = applyGenerated(batch, st.tags, root, "append batch")
+    val got = batchG.columns.toSeq
     require(got.map(_.toLowerCase).sorted == expected.map(_.toLowerCase).sorted,
       s"manifest table $root: append batch columns [${got.sorted.mkString(", ")}] " +
         s"must match the table's [${expected.sorted.mkString(", ")}] — additive " +
         "evolution is upsertDedup(mergeSchema = true), not a blind append")
     val byLower = got.map(c => c.toLowerCase -> c).toMap
-    val aligned = batch.select(
+    val aligned = batchG.select(
       expected.map(c => col(byLower(c.toLowerCase)).as(c)).toIndexedSeq: _*)
     val eT = logical.map(f => f.name -> f.dataType).toMap
     val drift = aligned.schema
@@ -2429,12 +2554,15 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val logical = readState(spark, root, st).schema
     val expected = logical.fieldNames.toSeq
-    val got = batch.columns.toSeq
+    // dynamic overwrite on a generated layout: a batch of raw rows
+    // derives its day/bucket column here and replaces those partitions
+    val batchG = applyGenerated(batch, st.tags, root, "overwrite batch")
+    val got = batchG.columns.toSeq
     require(got.map(_.toLowerCase).sorted == expected.map(_.toLowerCase).sorted,
       s"manifest table $root: overwrite batch columns [${got.sorted.mkString(", ")}] " +
         s"must match the table's [${expected.sorted.mkString(", ")}]")
     val byLower = got.map(c => c.toLowerCase -> c).toMap
-    val aligned = batch.select(
+    val aligned = batchG.select(
       expected.map(c => col(byLower(c.toLowerCase)).as(c)).toIndexedSeq: _*)
     val eT = logical.map(f => f.name -> f.dataType).toMap
     val normalized = normalizePartitionCols(aligned, partKeys)
@@ -2545,7 +2673,9 @@ object ManifestTable {
     // string partition columns from the first commit on (see
     // normalizePartitionCols): the dtype check below then compares the
     // batch against the table's own string read-back consistently
-    val freshN = normalizePartitionCols(fresh, partitionCols)
+    val freshG = prior.map(p => applyGenerated(fresh, p.tags, root, "upsert batch"))
+      .getOrElse(fresh)
+    val freshN = normalizePartitionCols(freshG, partitionCols)
     prior match {
       case None =>
         // v1 re-seed guard (mirror of write()'s): a None prior with
@@ -2853,7 +2983,8 @@ object ManifestTable {
                          graceMs: Long = 60000L): Long = {
     val st = current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
-    val guarded = Seq(SchemaTag, LayoutTag, RenameTag, DropTag, CloneSourcesTag)
+    val guarded = Seq(SchemaTag, LayoutTag, RenameTag, DropTag, CloneSourcesTag,
+      GeneratedTag)
     (set.keys ++ unset).foreach { k =>
       require(!guarded.contains(k),
         s"table property '$k' is reserved engine state (schema record / name " +
@@ -3382,7 +3513,10 @@ object ManifestTable {
         col(physicalName(st.tags, k)).isin(vs.toIndexedSeq: _*)
       }.reduce(_ && _))
     val partKeys = layoutOf(root, st)
-    val srcN = normalizePartitionCols(source, partKeys)
+    // a generated layout derives on the source side too: inserts land in
+    // their day/bucket partition without the caller spelling it
+    val srcN = normalizePartitionCols(
+      applyGenerated(source, st.tags, root, s"$opName source"), partKeys)
     locally { // same schema discipline as upserts: no silent coercion
       val tT = target.schema.map(f => f.name -> f.dataType).toMap
       val drift = srcN.schema.filter(f => tT.get(f.name).exists(_ != f.dataType))

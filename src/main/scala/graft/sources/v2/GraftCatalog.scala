@@ -174,10 +174,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(!properties.containsKey("location"),
       "graft catalog: external LOCATION is not supported — path tables are " +
         "the graft.`/path` relation surface; catalog tables live under the warehouse")
+    // identity columns pass through; Spark's native transform syntax
+    // (PARTITIONED BY (days(ts)), bucket(16, k), …) maps onto the
+    // manifest's generated-partition-column specs — the engine derives
+    // the day/bucket column at every write boundary
     val partCols = partitions.toSeq.map { t =>
-      require(t.name == "identity" && t.references.length == 1,
-        s"graft catalog: only identity PARTITIONED BY columns are supported, got $t")
-      t.references.head.fieldNames.mkString(".")
+      def ref = {
+        require(t.references.length == 1 && t.references.head.fieldNames.length == 1,
+          s"graft catalog: PARTITIONED BY transform must reference one " +
+            s"top-level column, got $t")
+        t.references.head.fieldNames.head
+      }
+      t.name match {
+        case "identity"                   => ref
+        case "days" | "months" | "hours"  => s"${t.name}($ref)"
+        case "bucket" =>
+          val n = t.arguments.collectFirst {
+            case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              lit.value.toString
+          }.getOrElse(sys.error(s"graft catalog: bucket transform needs a " +
+            s"literal bucket count, got $t"))
+          s"bucket($n, $ref)"
+        case other => sys.error(
+          s"graft catalog: unsupported PARTITIONED BY transform '$other' — " +
+            "supported: identity columns, days/months/hours(col), bucket(n, col)")
+      }
     }
     val p = tablePath(ident)
     if (isTableDir(p)) throw new TableAlreadyExistsException(ident)

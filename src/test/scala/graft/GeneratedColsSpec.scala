@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** Generated partition columns (the Delta-generated-column take on
+  * Iceberg hidden partitioning): PARTITIONED BY (days(ts) | bucket(n, c)
+  * | …) declares a derived string column whose definition rides the
+  * manifest; every write boundary derives it when a batch omits it. */
+class GeneratedColsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-gen").toString
+
+  private def events = Seq(
+    (1L, Timestamp.valueOf("2026-01-01 10:00:00"), 10.0),
+    (2L, Timestamp.valueOf("2026-01-01 23:30:00"), 20.0),
+    (3L, Timestamp.valueOf("2026-01-02 08:00:00"), 30.0)
+  ).toDF("id", "ts", "v")
+
+  test("write PARTITIONED BY days(ts) derives ts_day; appends derive it too") {
+    val root = tmp() + "/t"
+    ManifestTable.write(events, root, partitionCols = Seq("days(ts)"))
+    assert(ManifestTable.partitionLayout(spark, root) == Seq("ts_day"))
+    val st = ManifestTable.current(spark, root).get
+    assert(st.files.flatMap(_.partitionValues.get("ts_day")).flatten.toSet ==
+      Set("2026-01-01", "2026-01-02"))
+    // append a batch WITHOUT the derived column: the boundary derives it
+    ManifestTable.append(spark,
+      Seq((4L, Timestamp.valueOf("2026-01-03 12:00:00"), 40.0))
+        .toDF("id", "ts", "v"), root)
+    val got = ManifestTable.read(spark, root)
+      .select("id", "ts_day").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "2026-01-01"), (2L, "2026-01-01"),
+      (3L, "2026-01-02"), (4L, "2026-01-03")))
+  }
+
+  test("user-supplied generated values: NULL derives, disagreement refuses") {
+    val root = tmp() + "/t"
+    ManifestTable.write(events, root, partitionCols = Seq("days(ts)"))
+    // NULL means "derive for me" (the positional-INSERT contract)
+    ManifestTable.append(spark,
+      Seq((5L, Timestamp.valueOf("2026-01-04 01:00:00"), 50.0))
+        .toDF("id", "ts", "v")
+        .withColumn("ts_day", lit(null).cast("string")), root)
+    assert(ManifestTable.read(spark, root).filter(col("id") === 5L)
+      .select("ts_day").as[String].head() == "2026-01-04")
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark,
+        Seq((6L, Timestamp.valueOf("2026-01-05 01:00:00"), 60.0))
+          .toDF("id", "ts", "v").withColumn("ts_day", lit("1999-01-01")), root)
+    }
+    assert(e.getMessage.contains("disagree"), e.getMessage)
+  }
+
+  test("upsert on a generated layout carries untouched days by reference") {
+    val root = tmp() + "/t"
+    ManifestTable.write(events, root, partitionCols = Seq("days(ts)"))
+    val before = ManifestTable.current(spark, root).get
+    val day2 = before.files.filter(_.partitionPath == "ts_day=2026-01-02")
+    assert(day2.nonEmpty)
+    // fresh batch touches only 2026-01-01 — no ts_day column supplied
+    ManifestTable.upsertDedup(spark,
+      Seq((2L, Timestamp.valueOf("2026-01-01 23:30:00"), 99.0))
+        .toDF("id", "ts", "v"),
+      root, keys = Seq("id"), order = "v", partitionCols = Seq("ts_day"))
+    val after = ManifestTable.current(spark, root).get
+    assert(day2.forall(after.files.contains),
+      "untouched day must carry by reference")
+    assert(ManifestTable.read(spark, root).filter(col("id") === 2L)
+      .select("v").as[Double].head() == 99.0)
+  }
+
+  test("dynamic overwrite replaces exactly the derived partitions in the batch") {
+    val root = tmp() + "/t"
+    ManifestTable.write(events, root, partitionCols = Seq("days(ts)"))
+    ManifestTable.replacePartitions(spark,
+      Seq((9L, Timestamp.valueOf("2026-01-01 00:00:00"), 90.0))
+        .toDF("id", "ts", "v"), root)
+    val got = ManifestTable.read(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == Seq(3L, 9L), s"day 01 replaced, day 02 untouched: $got")
+  }
+
+  test("bucket(4, id) co-locates keys; merge inserts derive the bucket") {
+    val root = tmp() + "/t"
+    ManifestTable.write(events, root, partitionCols = Seq("bucket(4, id)"))
+    assert(ManifestTable.partitionLayout(spark, root) == Seq("id_bucket"))
+    ManifestTable.merge(spark, root,
+      Seq((7L, Timestamp.valueOf("2026-01-07 00:00:00"), 70.0))
+        .toDF("id", "ts", "v"),
+      keys = Seq("id"))
+    val got = ManifestTable.read(spark, root)
+    assert(got.count() == 4)
+    // the derived bucket equals the defining expression everywhere
+    assert(got.filter(col("id_bucket") =!=
+      expr("cast(pmod(hash(`id`), 4) as string)")).count() == 0)
+  }
+
+  test("rename/drop of the source column refuses; generated col is a partition col") {
+    val root = tmp() + "/t"
+    ManifestTable.write(events, root, partitionCols = Seq("days(ts)"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "ts", "event_time")
+    }
+    assert(e.getMessage.contains("generated"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropColumn(spark, root, "ts")
+    }
+    intercept[IllegalArgumentException] { // partition col guard
+      ManifestTable.renameColumn(spark, root, "ts_day", "day")
+    }
+    intercept[IllegalArgumentException] { // reserved tag guard
+      ManifestTable.setTableProperties(spark, root,
+        Map("layout.generated" -> "x:y"))
+    }
+  }
+
+  test("catalog CREATE TABLE PARTITIONED BY (days(ts)) + INSERT derive end to end") {
+    val ns = "gen_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.sql(s"CREATE NAMESPACE graft_lake.$ns")
+    spark.sql(s"CREATE TABLE graft_lake.$ns.ev (id BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    // positional INSERT passes NULL for the generated column; the write
+    // boundary derives the real value
+    spark.sql(s"INSERT INTO graft_lake.$ns.ev " +
+      "SELECT 1L, TIMESTAMP'2026-02-01 12:00:00', 1.5, NULL")
+    val got = spark.sql(s"SELECT id, ts_day FROM graft_lake.$ns.ev")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "2026-02-01")))
+    // bucket transform through the catalog too
+    spark.sql(s"CREATE TABLE graft_lake.$ns.kv (k BIGINT, s STRING) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO graft_lake.$ns.kv SELECT 42L, 'x', NULL")
+    assert(spark.sql(s"SELECT count(*) FROM graft_lake.$ns.kv")
+      .collect().head.getLong(0) == 1L)
+  }
+
+  test("GRAFT CREATE ... PARTITIONED BY (days(...)) via SQL; clone carries the layout") {
+    val base = tmp()
+    val root = base + "/t"
+    events.createOrReplaceTempView("gen_ev_src")
+    spark.sql(s"GRAFT CREATE '$root' PARTITIONED BY (days(ts)) AS " +
+      "SELECT * FROM gen_ev_src")
+    assert(ManifestTable.partitionLayout(spark, root) == Seq("ts_day"))
+    // a shallow clone inherits the generated definition: appends to the
+    // clone derive too
+    val dst = base + "/c"
+    spark.sql(s"GRAFT CLONE '$root' TO '$dst'")
+    ManifestTable.append(spark,
+      Seq((8L, Timestamp.valueOf("2026-01-08 00:00:00"), 80.0))
+        .toDF("id", "ts", "v"), dst)
+    assert(ManifestTable.read(spark, dst).filter(col("id") === 8L)
+      .select("ts_day").as[String].head() == "2026-01-08")
+  }
+}
