@@ -737,8 +737,13 @@ object AggWindowQueries extends QueryPack {
         .toString + "/events_days"
       val ev = t(s, d, "events")
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      ManifestTable.write(ev.filter(col("event_id") % 2 === 0), root,
-        partitionCols = Seq("days(ts)"))
+      // optimized writes: each batch REBALANCE-shuffles by the derived
+      // day, so a T-task batch lands ~one file per day, not T × days
+      // splinters — file counts stay O(partitions), not O(input tasks)
+      ManifestTable.createEmpty(s, root, ev.schema,
+        partitionCols = Seq("days(ts)"),
+        tags = Map(ManifestTable.OptimizedWriteProp -> "true"))
+      ManifestTable.append(s, ev.filter(col("event_id") % 2 === 0), root)
       // append derives ts_day; no layout spelled
       ManifestTable.append(s, ev.filter(col("event_id") % 2 === 1), root)
       // dynamic overwrite of the single busiest day: replace its rows

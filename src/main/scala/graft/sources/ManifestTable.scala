@@ -848,15 +848,33 @@ object ManifestTable {
     * skipping — and INT96 also defeats parquet predicate pushdown on the
     * scan itself. Scoped here rather than session-wide so the engine's
     * other outputs keep the session's own timestamp posture. */
+  /** Table property enabling OPTIMIZED WRITES (the Delta
+    * `autoOptimize.optimizeWrite` role): every partitioned generation
+    * write first REBALANCE-shuffles by the partition columns, so a
+    * batch arriving in T input tasks lands ~one advisory-sized file per
+    * partition instead of T × P task-splinters — the small-file problem
+    * fixed at the source rather than by after-the-fact OPTIMIZE runs.
+    * The AQE rebalance splits skewed partition values and coalesces
+    * tiny ones (a plain repartition-by-key would funnel a hot day into
+    * one task). Opt-in via TBLPROPERTIES / create-time tags — the extra
+    * shuffle is the wrong trade for pre-shaped or unpartitioned
+    * batches. */
+  private[graft] val OptimizedWriteProp = "write.optimized"
+
   private def writeGeneration(df: DataFrame, root: String,
                               partitionCols: Seq[String],
                               tags: Map[String, String] = Map.empty)
       : (String, Seq[FileEntry]) = {
     val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
     val genPath = new Path(root, gen)
+    val shaped =
+      if (partitionCols.nonEmpty &&
+          tags.get(OptimizedWriteProp).exists(_.equalsIgnoreCase("true")))
+        df.hint("rebalance", partitionCols.map(col): _*)
+      else df
     // logical → physical names: every generation of a table shares one
     // physical schema, however many renames sit between them
-    val phys = physicalizeDf(df, tags)
+    val phys = physicalizeDf(shaped, tags)
     // a new column spelling a DROPPED physical name would be silently
     // re-dropped on read (old files still carry that name): refuse
     val clash = phys.columns.toSet.intersect(dropSet(tags))

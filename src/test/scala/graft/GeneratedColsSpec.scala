@@ -102,6 +102,28 @@ class GeneratedColsSpec extends SparkSpec {
       expr("cast(pmod(hash(`id`), 4) as string)")).count() == 0)
   }
 
+  test("optimized writes: a many-task batch lands one file per partition") {
+    val root = tmp() + "/t"
+    // 64 rows over 2 days arriving in 8 input tasks: an unshaped write
+    // splinters into up to 8 x 2 files, the optimized write lands 2
+    val wide = (1 to 64).map(i =>
+        (i.toLong, Timestamp.valueOf(s"2026-01-0${1 + i % 2} 10:00:00"), i.toDouble))
+      .toDF("id", "ts", "v").repartition(8)
+    ManifestTable.createEmpty(spark, root, events.schema,
+      partitionCols = Seq("days(ts)"),
+      tags = Map(ManifestTable.OptimizedWriteProp -> "true"))
+    ManifestTable.append(spark, wide, root)
+    val files = ManifestTable.current(spark, root).get.files
+    assert(files.size == 2, s"expected one file per day, got ${files.size}")
+    assert(ManifestTable.read(spark, root).count() == 64)
+    // without the property the same batch splinters
+    val root2 = tmp() + "/u"
+    ManifestTable.createEmpty(spark, root2, events.schema,
+      partitionCols = Seq("days(ts)"))
+    ManifestTable.append(spark, wide, root2)
+    assert(ManifestTable.current(spark, root2).get.files.size > 8)
+  }
+
   test("rename/drop of the source column refuses; generated col is a partition col") {
     val root = tmp() + "/t"
     ManifestTable.write(events, root, partitionCols = Seq("days(ts)"))
