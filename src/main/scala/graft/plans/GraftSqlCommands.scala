@@ -385,7 +385,8 @@ final case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
     StructField("version", LongType, false), StructField("op", StringType, true),
     StructField("kind", StringType, false), StructField("files_listed", LongType, false),
-    StructField("removes", LongType, true), StructField("commit_time", TimestampType, false))))
+    StructField("removes", LongType, true), StructField("commit_time", TimestampType, false),
+    StructField("rows_added", LongType, true))))
   override def run(spark: SparkSession): Seq[Row] =
     ManifestTable.history(spark, root).collect().toSeq
 }

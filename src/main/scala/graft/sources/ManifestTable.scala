@@ -4032,16 +4032,23 @@ object ManifestTable {
         .sorted(Ordering[Long].reverse)
     val rows = versions.flatMap { v =>
       readRaw(fs, root, v).map { m =>
-        val (kind, adds, removes) = m match {
-          case f: FullManifest  => ("snapshot", f.files.size.toLong, -1L)
-          case r: SnapshotRef   => ("snapshot-ref", r.count, -1L)
-          case d: DeltaManifest => ("delta", d.adds.size.toLong, d.removes.size.toLong)
+        val (kind, adds, removes, addEntries) = m match {
+          case f: FullManifest  => ("snapshot", f.files.size.toLong, -1L, f.files)
+          case r: SnapshotRef   => ("snapshot-ref", r.count, -1L, Seq.empty[FileEntry])
+          case d: DeltaManifest => ("delta", d.adds.size.toLong, d.removes.size.toLong, d.adds)
         }
+        // operation metrics from the listed entries' footer row counts
+        // (honest-NULL when any entry predates per-file rows, or for a
+        // snapshot-ref whose entries live in the columnar sidecar —
+        // metrics here stay a driver-side fold, never a sidecar read)
+        val rowsAdded: Any =
+          if (kind == "snapshot-ref" || addEntries.exists(_.rows < 0)) null
+          else Long.box(addEntries.map(_.rows).sum)
         val ts = scala.util.Try(
           fs.getFileStatus(manifestPath(root, v)).getModificationTime).getOrElse(0L)
         org.apache.spark.sql.Row(v, m.tags.getOrElse(OpTag, null), kind, adds,
           if (removes < 0) null else Long.box(removes),
-          new java.sql.Timestamp(ts))
+          new java.sql.Timestamp(ts), rowsAdded)
       }
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -4050,7 +4057,8 @@ object ManifestTable {
       org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType, false),
       org.apache.spark.sql.types.StructField("files_listed", org.apache.spark.sql.types.LongType, false),
       org.apache.spark.sql.types.StructField("removes", org.apache.spark.sql.types.LongType, true),
-      org.apache.spark.sql.types.StructField("commit_time", org.apache.spark.sql.types.TimestampType, false)))
+      org.apache.spark.sql.types.StructField("commit_time", org.apache.spark.sql.types.TimestampType, false),
+      org.apache.spark.sql.types.StructField("rows_added", org.apache.spark.sql.types.LongType, true)))
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }

@@ -526,6 +526,40 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
 
+  test("medallion composition: readStream.table -> transform -> toTable, exactly-once") {
+    // the bronze -> silver hop as ONE continuous pipeline: the catalog
+    // CDC source feeds the catalog streaming sink through a transform,
+    // each drain moves only the new bronze commits, and a restart on
+    // the same checkpoint replays nothing
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.bronze (k BIGINT, v DOUBLE)")
+    spark.sql(s"CREATE TABLE graft_lake.$n.silver (k BIGINT, doubled DOUBLE)")
+    val ck = java.nio.file.Files.createTempDirectory("graft-med-ck").toString
+    def hop(): Unit = {
+      val q = spark.readStream.table(s"graft_lake.$n.bronze")
+        .select(col("k"), (col("v") * 2.0).as("doubled"))
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft_lake.$n.silver")
+      q.awaitTermination(60000L); assert(!q.isActive)
+    }
+    spark.sql(s"INSERT INTO graft_lake.$n.bronze VALUES (1, 1.0), (2, 2.0)")
+    hop()
+    assert(spark.sql(s"SELECT k, doubled FROM graft_lake.$n.silver ORDER BY k")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 2.0), (2L, 4.0)))
+    hop() // same checkpoint, no new bronze commits: replay-safe no-op
+    assert(spark.table(s"graft_lake.$n.silver").count() == 2)
+    spark.sql(s"INSERT INTO graft_lake.$n.bronze VALUES (3, 3.0)")
+    hop() // only the delta flows
+    assert(spark.sql(s"SELECT k, doubled FROM graft_lake.$n.silver ORDER BY k")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)))
+    spark.sql(s"DROP TABLE graft_lake.$n.bronze")
+    spark.sql(s"DROP TABLE graft_lake.$n.silver")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
   test("writeStream.toTable: exactly-once append, keyed upsert, refusals") {
     val n = ns()
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")

@@ -24,6 +24,9 @@ class GraftSqlSpec extends SparkSpec {
     val hist = spark.sql(s"GRAFT HISTORY '$root'")
     assert(hist.select("version").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
     assert(hist.filter(col("version") === 2).select("op").as[String].head() == "upsert")
+    // operation metrics from per-file footer counts: v1 wrote 2 rows
+    assert(hist.filter(col("version") === 1).select("rows_added")
+      .as[Long].head() == 2L)
 
     val detail = spark.sql(s"GRAFT DETAIL '$root'").collect().head
     assert(detail.getString(detail.fieldIndex("location")) == root)
