@@ -168,6 +168,25 @@ class CloneSpec extends SparkSpec {
     }
   }
 
+  test("CLONE and OPTIMIZE accept catalog names end to end") {
+    val ns = "cl_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.sql(s"CREATE NAMESPACE graft_lake.$ns")
+    spark.sql(s"CREATE TABLE graft_lake.$ns.a AS SELECT id AS k, id * 1.5 AS v " +
+      "FROM range(100)")
+    val r = spark.sql(s"GRAFT CLONE graft_lake.$ns.a TO graft_lake.$ns.b")
+      .collect().head
+    assert(r.getString(1) == "shallow")
+    assert(spark.table(s"graft_lake.$ns.b").count() == 100)
+    // mutate the named clone; the named source is untouched
+    spark.sql(s"DELETE FROM graft_lake.$ns.b WHERE k < 50")
+    assert(spark.table(s"graft_lake.$ns.b").count() == 50)
+    assert(spark.table(s"graft_lake.$ns.a").count() == 100)
+    spark.sql(s"GRAFT OPTIMIZE graft_lake.$ns.b TARGET 64").collect()
+    assert(spark.table(s"graft_lake.$ns.b").count() == 50)
+    Seq("b", "a").foreach(t => spark.sql(s"DROP TABLE graft_lake.$ns.$t"))
+    spark.sql(s"DROP NAMESPACE graft_lake.$ns")
+  }
+
   test("GRAFT CLONE SQL end to end; refuses cloning onto itself / onto an existing table") {
     val src = tmp() + "/src"; val dst = tmp() + "/dst"
     seed(src)
