@@ -2261,6 +2261,12 @@ object ManifestTable {
     val qualSrc = fsOf(spark, srcRoot).makeQualified(new Path(srcRoot)).toString
     val qualDst = fsOf(spark, dstRoot).makeQualified(new Path(dstRoot)).toString
     require(qualSrc != qualDst, s"cloneTable: cannot clone $srcRoot onto itself")
+    val fs = fsOf(spark, dstRoot)
+    // BOTH modes refuse an existing destination — write() is a
+    // full-overwrite API, so without this gate a mistyped DEEP
+    // destination would silently replace a live table's content
+    if (hasCommittedVersion(fs, dstRoot))
+      throw new ConcurrentCommitException(dstRoot, 1L)
     if (deep) {
       val df = version.map(readVersion(spark, srcRoot, _))
         .getOrElse(read(spark, srcRoot))
@@ -2269,11 +2275,32 @@ object ManifestTable {
       val ren = renameMap(srcSt.tags); val dr = dropSet(srcSt.tags)
       val logicalLayout = layoutOf(srcRoot, srcSt)
         .filterNot(dr.contains).map(p => ren.getOrElse(p, p))
-      return write(df, dstRoot, logicalLayout, graceMs)
+      val v = write(df, dstRoot, logicalLayout, graceMs)
+      // deep clones carry the data-DESCRIBING metadata shallow clones
+      // do (constraints, cdf switch, generated definitions, user
+      // properties) — rename/drop mappings are rightly gone (write()
+      // baked them into the physical names), so generated definitions
+      // re-spell their source references in the baked names
+      val carried = srcSt.tags.filterNot { case (k, _) =>
+        k.startsWith(StreamBatchTag) || k == CloneSourcesTag || k == OpTag ||
+          k == SchemaTag || k == LayoutTag || k == RenameTag || k == DropTag ||
+          k.startsWith(BloomTagPrefix) // index dirs were not copied
+      }.map {
+        case (k, vSpec) if k == GeneratedTag =>
+          val ren2 = renameMap(srcSt.tags)
+          k -> encodeGenerated(generatedSpecs(srcSt.tags).map { case (n, e) =>
+            n -> ren2.foldLeft(e) { case (acc, (ph, lo)) =>
+              acc.replace(s"`$ph`", s"`$lo`") }
+          })
+        case kv => kv
+      }
+      if (carried.isEmpty) return v
+      val dstSt = current(spark, dstRoot).getOrElse(
+        sys.error(s"cloneTable: deep clone of $srcRoot committed v$v at " +
+          s"$dstRoot but the state does not resolve"))
+      return commitMeta(spark, dstRoot, dstSt, dstSt.tags ++ carried, graceMs,
+        op = "clone")
     }
-    val fs = fsOf(spark, dstRoot)
-    if (hasCommittedVersion(fs, dstRoot))
-      throw new ConcurrentCommitException(dstRoot, 1L)
     // the chain: this source first, then ITS sources (cloning a clone) —
     // inherited dirs may live anywhere along it
     val chain = (qualSrc +: cloneSources(srcSt.tags)).distinct
@@ -2307,10 +2334,13 @@ object ManifestTable {
     val parsedParts = partitionCols.map(parsePartitionSpec)
     val physParts = parsedParts.map(_._1)
     val genSpecs = parsedParts.collect { case (n, Some(e)) => (n, e) }
-    val dfG = genSpecs.foldLeft(df) { case (d, (n, e)) =>
-      if (d.columns.exists(_.equalsIgnoreCase(n))) d
-      else d.withColumn(n, expr(e).cast("string"))
-    }
+    // the same derive/verify/coalesce contract as every other write
+    // boundary: a CTAS frame that SUPPLIES disagreeing values for a
+    // generated column must refuse, not seed a corrupt layout
+    val dfG =
+      if (genSpecs.isEmpty) df
+      else applyGenerated(df,
+        Map(GeneratedTag -> encodeGenerated(genSpecs)), root, "overwrite batch")
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
     // constraint gate against the table's CURRENT declarations; the
@@ -2328,9 +2358,14 @@ object ManifestTable {
         enforcedAgainst = Some(cs)
       }
     }
-    current(spark, root).foreach(prior => gate(prior.tags))
+    val priorTags = current(spark, root).map(_.tags)
+    priorTags.foreach(gate)
     val (gen, entries) =
-      writeGeneration(normalizePartitionCols(dfG, physParts), root, physParts)
+      writeGeneration(normalizePartitionCols(dfG, physParts), root, physParts,
+        // ONLY the optimized-write switch carries into an overwrite's
+        // generation write: the full prior tag map would physicalize
+        // the NEW frame under the OLD (dying) rename mappings
+        priorTags.getOrElse(Map.empty).filter(_._1 == OptimizedWriteProp))
     val (proto, sidecar) = mkSnapshot(spark, root, 1L, entries, Map.empty)
     var committed = false
     try {
@@ -4042,8 +4077,15 @@ object ManifestTable {
         // snapshot-ref whose entries live in the columnar sidecar —
         // metrics here stay a driver-side fold, never a sidecar read)
         val rowsAdded: Any =
-          if (kind == "snapshot-ref" || addEntries.exists(_.rows < 0)) null
-          else Long.box(addEntries.map(_.rows).sum)
+          if (addEntries.exists(_.rows < 0)) null
+          else kind match {
+            case "delta" => Long.box(addEntries.map(_.rows).sum)
+            // a snapshot LISTS carried files alongside new ones: the sum
+            // would report the whole table as "added" — only v1 (where
+            // every listed file is new) is honest without diffing v-1
+            case "snapshot" if v == 1L => Long.box(addEntries.map(_.rows).sum)
+            case _ => null
+          }
         val ts = scala.util.Try(
           fs.getFileStatus(manifestPath(root, v)).getModificationTime).getOrElse(0L)
         org.apache.spark.sql.Row(v, m.tags.getOrElse(OpTag, null), kind, adds,
@@ -4276,6 +4318,12 @@ object ManifestTable {
   }
 
   private val StreamBatchTag = "stream_batch"
+
+  /** Root-relative dir where the DSv2 streaming write stages epoch
+    * files pre-commit — ONE constant shared by the writer
+    * ([[graft.sources.v2.GraftStreamingWrite]]) and vacuum's orphan
+    * sweep, so a rename cannot silently decouple them. */
+  private[graft] val StreamStagingDir = "_staging"
 
   /** Apply one streaming micro-batch idempotently: the batch commits as
     * an upsert tagged `stream_batch.<sinkId> = batchId`; a REPLAYED
@@ -4591,7 +4639,7 @@ object ManifestTable {
         // deletes its dir), so anything still here past the grace
         // window is from a query that crashed and never came back
         val stagingOrphans = {
-          val sdir = new Path(root, "_staging")
+          val sdir = new Path(root, StreamStagingDir)
           if (!fs.exists(sdir)) Set.empty[String]
           else fs.listStatus(sdir).toSeq.flatMap { sink =>
             fs.listStatus(sink.getPath).toSeq
@@ -4599,7 +4647,7 @@ object ManifestTable {
                 log.info(s"vacuum($root): ${if (dryRun) "DRY RUN would delete" else "deleting"} " +
                   s"ORPHAN stream staging ${e.getPath}")
                 if (!dryRun) fs.delete(e.getPath, true)
-                s"_staging/${sink.getPath.getName}/${e.getPath.getName}"
+                s"$StreamStagingDir/${sink.getPath.getName}/${e.getPath.getName}"
               }
           }.toSet
         }

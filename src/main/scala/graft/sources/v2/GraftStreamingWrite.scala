@@ -73,7 +73,7 @@ final class GraftStreamingWrite(root: String, info: LogicalWriteInfo)
   // "_"-prefixed so no generation/maintenance machinery ever lists it;
   // scoped by the replay identity so concurrent queries into the same
   // table at the same epoch number cannot collide.
-  private val stagingBase = new Path(new Path(root, "_staging"),
+  private val stagingBase = new Path(new Path(root, graft.sources.ManifestTable.StreamStagingDir),
     s"sink-${java.util.UUID.nameUUIDFromBytes(
       sinkId.getBytes("UTF-8")).toString.take(12)}")
 

@@ -139,7 +139,16 @@ class CloneSpec extends SparkSpec {
   test("deep clone copies physically — independent of the source from birth") {
     val src = tmp() + "/src"; val dst = tmp() + "/dst"
     seed(src)
+    // a deep clone carries data-describing metadata like a shallow one
+    ManifestTable.addConstraint(spark, src, "pos_v", "v > 0")
     ManifestTable.cloneTable(spark, src, dst, deep = true)
+    intercept[IllegalArgumentException] { // the constraint came along
+      ManifestTable.append(spark,
+        Seq(("2026-01-09", 11L, -1.0)).toDF("date", "key", "v"), dst)
+    }
+    intercept[Exception] { // DEEP refuses an existing destination too
+      ManifestTable.cloneTable(spark, src, dst, deep = true)
+    }
     val srcDir = new java.io.File(src)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

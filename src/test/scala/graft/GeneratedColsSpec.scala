@@ -102,6 +102,24 @@ class GeneratedColsSpec extends SparkSpec {
       expr("cast(pmod(hash(`id`), 4) as string)")).count() == 0)
   }
 
+  test("CTAS/write supplying disagreeing generated values refuses; deep clone keeps the definition") {
+    val root = tmp() + "/t"
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.write(events.withColumn("ts_day", lit("1999-01-01")),
+        root, partitionCols = Seq("days(ts)"))
+    }
+    assert(e.getMessage.contains("disagree"), e.getMessage)
+    ManifestTable.write(events, root, partitionCols = Seq("days(ts)"))
+    val deep = tmp() + "/deep"
+    ManifestTable.cloneTable(spark, root, deep, deep = true)
+    // the generated definition survived: an append without ts_day derives
+    ManifestTable.append(spark,
+      Seq((9L, Timestamp.valueOf("2026-01-09 00:00:00"), 9.0))
+        .toDF("id", "ts", "v"), deep)
+    assert(ManifestTable.read(spark, deep).filter(col("id") === 9L)
+      .select("ts_day").as[String].head() == "2026-01-09")
+  }
+
   test("optimized writes: a many-task batch lands one file per partition") {
     val root = tmp() + "/t"
     // 64 rows over 2 days arriving in 8 input tasks: an unshaped write
@@ -116,6 +134,10 @@ class GeneratedColsSpec extends SparkSpec {
     val files = ManifestTable.current(spark, root).get.files
     assert(files.size == 2, s"expected one file per day, got ${files.size}")
     assert(ManifestTable.read(spark, root).count() == 64)
+    // a full overwrite honors the property too (the write mode that
+    // touches the most data must not be the one that splinters)
+    ManifestTable.write(wide, root, partitionCols = Seq("days(ts)"))
+    assert(ManifestTable.current(spark, root).get.files.size == 2)
     // without the property the same batch splinters
     val root2 = tmp() + "/u"
     ManifestTable.createEmpty(spark, root2, events.schema,

@@ -24,9 +24,13 @@ class GraftSqlSpec extends SparkSpec {
     val hist = spark.sql(s"GRAFT HISTORY '$root'")
     assert(hist.select("version").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
     assert(hist.filter(col("version") === 2).select("op").as[String].head() == "upsert")
-    // operation metrics from per-file footer counts: v1 wrote 2 rows
+    // operation metrics from per-file footer counts: v1 wrote 2 rows;
+    // the upsert's FULL snapshot lists carried files too, so its
+    // rows_added is honest-NULL rather than the whole table's count
     assert(hist.filter(col("version") === 1).select("rows_added")
       .as[Long].head() == 2L)
+    assert(hist.filter(col("version") === 2 && col("kind") === "snapshot")
+      .collect().forall(_.isNullAt(6)))
 
     val detail = spark.sql(s"GRAFT DETAIL '$root'").collect().head
     assert(detail.getString(detail.fieldIndex("location")) == root)
