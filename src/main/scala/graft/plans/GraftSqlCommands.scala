@@ -27,9 +27,12 @@ import graft.sources.ManifestTable
   *   GRAFT MATERIALIZE 'path'              -- fold deletion vectors in
   *   GRAFT RESTORE 'path' TO VERSION n     -- auditable rollback
   *   GRAFT COMPACT 'path' [TARGET mb]      -- full sized rewrite
-  *   GRAFT OPTIMIZE 'path' [TARGET mb] [WHERE <partition predicate>]
+  *   GRAFT OPTIMIZE 'path' [TARGET mb] [ZORDER BY (c1, c2)]
+  *                         [WHERE <partition predicate>]
   *                                         -- incremental bin-pack (small
-  *                                            files + DV folds only)
+  *                                            files + DV folds only); with
+  *                                            ZORDER BY, CLUSTER the scope
+  *                                            (every scoped file rewrites)
   *   GRAFT CLUSTER 'path' BY (c1, c2) [ZORDER] [TARGET mb] -- OPTIMIZE [ZORDER]
   *   GRAFT BLOOM 'path' ON (c1, c2)        -- build the point-lookup index
   *   GRAFT BLOOM DROP 'path'               -- retire it
@@ -93,7 +96,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val ConstraintDrop = s"""(?is)CONSTRAINT\\s+$P\\s+DROP\\s+(\\w+)""".r
   private val Compact = s"""(?is)COMPACT\\s+$P(?:\\s+TARGET\\s+(\\d+))?""".r
   private val Optimize =
-    s"""(?is)OPTIMIZE\\s+$P(?:\\s+TARGET\\s+(\\d+))?(?:\\s+WHERE\\s+(.+))?""".r
+    s"""(?is)OPTIMIZE\\s+$P(?:\\s+TARGET\\s+(\\d+))?(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?(?:\\s+WHERE\\s+(.+))?""".r
   private val Feed    = s"""(?is)FEED\\s+$P\\s+(ENABLE|DISABLE)""".r
   private val Cluster =
     s"""(?is)CLUSTER\\s+$P\\s+BY\\s+\\(([^)]+)\\)(?:\\s+(ZORDER))?(?:\\s+TARGET\\s+(\\d+))?""".r
@@ -149,9 +152,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case ConstraintDrop(p, name)      => GraftConstraintCommand(res(p), name, None)
       case Compact(p, mb) =>
         GraftCompactCommand(res(p), Option(mb).map(_.toInt).getOrElse(512))
-      case Optimize(p, mb, where) =>
+      case Optimize(p, mb, zcols, where) =>
         GraftOptimizeCommand(res(p), Option(mb).map(_.toInt).getOrElse(512),
-          Option(where).map(_.trim))
+          Option(where).map(_.trim),
+          Option(zcols).map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+            .getOrElse(Nil))
       case Feed(p, mode) => GraftFeedCommand(res(p), mode.equalsIgnoreCase("ENABLE"))
       case BloomDrop(p) => GraftBloomCommand(res(p), Nil, drop = true)
       case Cluster(p, cols, z, mb) =>
@@ -736,11 +741,12 @@ final case class GraftCompactCommand(root: String, targetMB: Int) extends LeafRu
   * contrast GRAFT COMPACT, the deliberate full rewrite). An unchanged
   * version in the result means there was nothing worth packing. */
 final case class GraftOptimizeCommand(root: String, targetMB: Int,
-                                      whereSql: Option[String]) extends LeafRunnableCommand {
+                                      whereSql: Option[String],
+                                      zOrderBy: Seq[String] = Nil) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
     StructField("new_version", LongType, false))))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(ManifestTable.optimize(spark, root,
       predicate = whereSql.map(org.apache.spark.sql.functions.expr),
-      targetFileMB = targetMB)))
+      targetFileMB = targetMB, zOrderBy = zOrderBy)))
 }

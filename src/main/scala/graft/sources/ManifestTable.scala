@@ -4182,7 +4182,8 @@ object ManifestTable {
     * = data-identical: incremental/CDC readers skip it. */
   def optimize(spark: SparkSession, root: String,
                predicate: Option[org.apache.spark.sql.Column] = None,
-               targetFileMB: Int = 512, graceMs: Long = 60000L): Long = {
+               targetFileMB: Int = 512, graceMs: Long = 60000L,
+               zOrderBy: Seq[String] = Nil): Long = {
     require(targetFileMB > 0, s"optimize: targetFileMB must be > 0, got $targetFileMB")
     val fs = fsOf(spark, root)
     val st = current(spark, root).getOrElse(
@@ -4203,11 +4204,18 @@ object ManifestTable {
         DataSkipping.prune(st.files, phys)
     }
     val targetBytes = targetFileMB * 1024L * 1024L
-    val eligible = scoped
-      .filter(f => f.bytes < targetBytes / 2 || f.dv.nonEmpty)
-      .groupBy(_.partitionPath).valuesIterator
-      .filter(fs0 => fs0.size >= 2 || fs0.exists(_.dv.nonEmpty))
-      .flatten.toSeq
+    // ZORDER BY changes the contract from bin-packing to CLUSTERING the
+    // scope (Delta's OPTIMIZE ... ZORDER BY): clustering only the small
+    // files would interleave sorted and unsorted data, so EVERY scoped
+    // file rewrites — which is exactly why the partition scope exists
+    // (cluster yesterday's partition nightly, never the 100 TB table)
+    val eligible =
+      if (zOrderBy.nonEmpty) scoped
+      else scoped
+        .filter(f => f.bytes < targetBytes / 2 || f.dv.nonEmpty)
+        .groupBy(_.partitionPath).valuesIterator
+        .filter(fs0 => fs0.size >= 2 || fs0.exists(_.dv.nonEmpty))
+        .flatten.toSeq
     if (eligible.isEmpty) return st.version // nothing worth packing
     val layouts = eligible.map(_.partitionPath.split('/').toSeq
       .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
@@ -4221,9 +4229,29 @@ object ManifestTable {
     val liveBytes = eligible.map(_.bytes).sum
     val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
     val genPath = new Path(root, gen)
-    val micros = withMicrosTimestamps(physicalizeDf(df, st.tags))
-    Writers.sizedRewrite(micros.sparkSession, micros, liveBytes, partKeys,
-      targetFileMB, genPath.toString)
+    if (zOrderBy.nonEmpty) {
+      require(zOrderBy.forall(df.columns.contains),
+        s"optimize: ZORDER BY ${zOrderBy.filterNot(df.columns.contains)} " +
+          "not in table schema")
+      // same clustering shape as the full-table cluster(): range
+      // partition on (partition cols ++ Morton key) so partition dirs
+      // stay contiguous per task, then sort within
+      val parts = math.max(1L, (liveBytes + targetBytes - 1) / targetBytes).toInt
+      val orderCols: Seq[org.apache.spark.sql.Column] =
+        if (zOrderBy.size > 1)
+          partKeys.map(col) :+ graft.plans.ZOrder.zkey(df, zOrderBy)
+        else (partKeys ++ zOrderBy).map(col)
+      val clustered = withMicrosTimestamps(physicalizeDf(
+        df.repartitionByRange(parts, orderCols: _*)
+          .sortWithinPartitions(orderCols: _*), st.tags))
+      val w = clustered.write.mode(SaveMode.ErrorIfExists)
+      (if (partKeys.nonEmpty) w.partitionBy(partKeys: _*) else w)
+        .parquet(genPath.toString)
+    } else {
+      val micros = withMicrosTimestamps(physicalizeDf(df, st.tags))
+      Writers.sizedRewrite(micros.sparkSession, micros, liveBytes, partKeys,
+        targetFileMB, genPath.toString)
+    }
     val entries = listGeneration(fs, root, gen)
     // row conservation: a rewrite that lost or duplicated rows must
     // never commit (the updateMoR/mergeMoR tear posture)

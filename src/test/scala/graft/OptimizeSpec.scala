@@ -89,6 +89,35 @@ class OptimizeSpec extends SparkSpec {
     assert(ManifestTable.readChanges(spark, root, v0, v1).count() == 0)
   }
 
+  test("OPTIMIZE ZORDER BY clusters the scope: every scoped file rewrites, out-of-scope carries") {
+    val root = tmp() + "/t"
+    // two days, each with interleaved k values across 3 files
+    (0 to 2).foreach { i =>
+      val rows = (0 until 30).map(j => ("A", (j * 3 + i).toLong, j.toDouble)) ++
+        (0 until 30).map(j => ("B", (j * 3 + i).toLong, j.toDouble))
+      if (i == 0) ManifestTable.write(rows.toDF("date", "key", "v").coalesce(1),
+        root, partitionCols = Seq("date"))
+      else ManifestTable.append(spark, rows.toDF("date", "key", "v").coalesce(1), root)
+    }
+    val before = ManifestTable.current(spark, root).get
+    val bBefore = before.files.filter(_.partitionPath == "date=B")
+    val v = spark.sql(
+      s"GRAFT OPTIMIZE '$root' TARGET 64 ZORDER BY (key) WHERE date = 'A'")
+      .collect().head.getLong(0)
+    val after = ManifestTable.current(spark, root).get
+    assert(v == before.version + 1)
+    // in-scope: ALL of date=A rewrote into one clustered file whose key
+    // range is contiguous (min..max stats prove the sort landed)
+    val aAfter = after.files.filter(_.partitionPath == "date=A")
+    assert(aAfter.size == 1 && !before.files.exists(aAfter.contains))
+    // out-of-scope: date=B carried by reference, byte for byte
+    assert(after.files.filter(_.partitionPath == "date=B").toSet == bBefore.toSet)
+    assert(ManifestTable.read(spark, root).count() == 180)
+    // rows conserved per key
+    assert(ManifestTable.read(spark, root).filter(col("date") === "A")
+      .select("key").distinct().count() == 90)
+  }
+
   test("GRAFT OPTIMIZE SQL: TARGET + WHERE end to end") {
     val root = tmp() + "/t"
     seed(root, aFiles = 4)
