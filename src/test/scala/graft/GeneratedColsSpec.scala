@@ -185,6 +185,33 @@ class GeneratedColsSpec extends SparkSpec {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("writeStream.toTable into a generated layout derives the partition column") {
+    val ns = "gens_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.sql(s"CREATE NAMESPACE graft_lake.$ns")
+    spark.sql(s"CREATE TABLE graft_lake.$ns.ev (id BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    val ck = java.nio.file.Files.createTempDirectory("graft-genstream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-genstream-src")
+      .toString + "/in"
+    Seq((1L, Timestamp.valueOf("2026-03-01 08:00:00"), 1.0),
+        (2L, Timestamp.valueOf("2026-03-02 08:00:00"), 2.0))
+      .toDF("id", "ts", "v").write.json(srcDir)
+    // the stream passes NULL for the generated column (the positional
+    // contract); the epoch commit derives the real day
+    val q = spark.readStream.schema("id BIGINT, ts TIMESTAMP, v DOUBLE")
+      .json(srcDir)
+      .select(col("id"), col("ts"), col("v"), lit(null).cast("string").as("ts_day"))
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"graft_lake.$ns.ev")
+    q.awaitTermination(60000L); assert(!q.isActive)
+    assert(spark.sql(s"SELECT id, ts_day FROM graft_lake.$ns.ev ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "2026-03-01"), (2L, "2026-03-02")))
+    spark.sql(s"DROP TABLE graft_lake.$ns.ev")
+    spark.sql(s"DROP NAMESPACE graft_lake.$ns")
+  }
+
   test("GRAFT CREATE ... PARTITIONED BY (days(...)) via SQL; clone carries the layout") {
     val base = tmp()
     val root = base + "/t"
