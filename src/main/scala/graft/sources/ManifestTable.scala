@@ -2569,7 +2569,58 @@ object ManifestTable {
       throw new ConcurrentCommitException(root, v)
     }
     if (snapshotting) writePointer(fs, root, v)
+    maybeAutoCompact(spark, root, st.tags, entries)
     v
+  }
+
+  /** Table property enabling AUTO-COMPACT (the Delta
+    * `autoOptimize.autoCompact` role): after an append commits, the
+    * partitions it touched are checked for small-file buildup and a
+    * scoped [[optimize]] runs when any reaches
+    * [[AutoCompactMinFiles]] — the backstop behind optimized writes
+    * for streaming sinks and drip appends, so a table never needs a
+    * human to notice it splintering. Best-effort by contract: the
+    * append has already committed, so a lost compaction race (or any
+    * failure) only logs — data is never at risk, the next append
+    * retries the check. */
+  private[graft] val AutoCompactProp = "write.autoCompact"
+  private[graft] val AutoCompactMinFiles = 8
+
+  private def maybeAutoCompact(spark: SparkSession, root: String,
+                               tags: Map[String, String],
+                               entries: Seq[FileEntry]): Unit = {
+    if (!tags.get(AutoCompactProp).exists(_.equalsIgnoreCase("true"))) return
+    try {
+      val st = current(spark, root).getOrElse(return)
+      val touched = entries.map(_.partitionPath).distinct.toSet
+      val targetBytes = 128L * 1024 * 1024
+      val crowded = st.files
+        .filter(f => touched.contains(f.partitionPath))
+        .filter(f => f.bytes < targetBytes / 2 || f.dv.nonEmpty)
+        .groupBy(_.partitionPath).filter(_._2.size >= AutoCompactMinFiles)
+        .keySet
+      if (crowded.isEmpty) return
+      val partKeys = layoutOf(root, st)
+      val predicate =
+        if (partKeys.isEmpty) None
+        else {
+          // per-key isin conjunction: a conservative SUPERSET of the
+          // crowded partitions for multi-key layouts — packing a few
+          // extra partitions early is harmless
+          val byKey = crowded.toSeq.map(p => p.split('/').toSeq.filter(_.nonEmpty)
+            .map { seg => seg.takeWhile(_ != '=') ->
+              unescapePathName(seg.dropWhile(_ != '=').drop(1)) }.toMap)
+          Some(partKeys.map(k =>
+            col(k).isin(byKey.flatMap(_.get(k)).distinct: _*)).reduce(_ && _))
+        }
+      log.info(s"autoCompact($root): packing ${crowded.size} crowded partition(s)")
+      optimize(spark, root, predicate, targetFileMB = 128)
+      ()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"autoCompact($root): skipped (${e.getMessage}) — " +
+          "the append itself is committed; the next append re-checks")
+    }
   }
 
   /** Append-with-dedup upsert (K4 semantics) with carry-forward: only the

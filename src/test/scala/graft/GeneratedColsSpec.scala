@@ -146,6 +146,34 @@ class GeneratedColsSpec extends SparkSpec {
     assert(ManifestTable.current(spark, root2).get.files.size > 8)
   }
 
+  test("auto-compact: drip appends self-pack once a partition crowds") {
+    val root = tmp() + "/t"
+    ManifestTable.createEmpty(spark, root, events.schema,
+      partitionCols = Seq("days(ts)"),
+      tags = Map(ManifestTable.AutoCompactProp -> "true"))
+    // 8 one-row appends into the SAME day: the 8th crosses the
+    // threshold and a scoped optimize packs the partition inline
+    (1 to 8).foreach { i =>
+      ManifestTable.append(spark,
+        Seq((i.toLong, Timestamp.valueOf("2026-01-01 10:00:00"), i.toDouble))
+          .toDF("id", "ts", "v"), root)
+    }
+    val st = ManifestTable.current(spark, root).get
+    assert(st.files.size == 1, s"expected the crowded day packed, got ${st.files.size}")
+    assert(st.tags.get("graft.op").contains("rewrite"))
+    assert(ManifestTable.read(spark, root).count() == 8)
+    // the control without the property splinters
+    val root2 = tmp() + "/u"
+    ManifestTable.createEmpty(spark, root2, events.schema,
+      partitionCols = Seq("days(ts)"))
+    (1 to 8).foreach { i =>
+      ManifestTable.append(spark,
+        Seq((i.toLong, Timestamp.valueOf("2026-01-01 10:00:00"), i.toDouble))
+          .toDF("id", "ts", "v"), root2)
+    }
+    assert(ManifestTable.current(spark, root2).get.files.size == 8)
+  }
+
   test("rename/drop of the source column refuses; generated col is a partition col") {
     val root = tmp() + "/t"
     ManifestTable.write(events, root, partitionCols = Seq("days(ts)"))
