@@ -25,6 +25,7 @@ import graft.sources.ManifestTable
   *   GRAFT CLONE 'src' TO 'dst' [VERSION AS OF n] [DEEP] -- zero-copy clone
   *   GRAFT VACUUM 'path' [KEEP n | RETAIN n HOURS] [ORPHANS] [DRY RUN]
   *   GRAFT MATERIALIZE 'path'              -- fold deletion vectors in
+  *   GRAFT FSCK 'path' [REPAIR]            -- manifest integrity check
   *   GRAFT RESTORE 'path' TO VERSION n     -- auditable rollback
   *   GRAFT COMPACT 'path' [TARGET mb]      -- full sized rewrite
   *   GRAFT OPTIMIZE 'path' [TARGET mb] [ZORDER BY (c1, c2)]
@@ -89,6 +90,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Stats   = s"""(?is)STATS\\s+$P""".r
   private val Vacuum  = s"""(?is)VACUUM\\s+$P(?:\\s+KEEP\\s+(\\d+))?(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(?:\\s+(ORPHANS))?(?:\\s+(DRY\\s+RUN))?""".r
   private val Material = s"""(?is)MATERIALIZE\\s+$P""".r
+  private val Fsck    = s"""(?is)FSCK\\s+$P(?:\\s+(REPAIR))?""".r
   private val Restore = s"""(?is)RESTORE\\s+$P\\s+TO\\s+VERSION\\s+(\\d+)""".r
   private val RestoreTs = s"""(?is)RESTORE\\s+$P\\s+TO\\s+TIMESTAMP\\s+'([^']+)'""".r
   private val ConstraintAdd =
@@ -145,6 +147,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case Clone(src, dst, v, deep) =>
         GraftCloneCommand(res(src), res(dst, mustExist = false),
           Option(v).map(_.toLong), deep = deep != null)
+      case Fsck(p, rep) => GraftFsckCommand(res(p), repair = rep != null)
       case Material(p) => GraftMaterializeCommand(res(p))
       case Restore(p, v) => GraftRestoreCommand(res(p), v.toLong)
       case RestoreTs(p, ts) => GraftRestoreTimestampCommand(res(p), ts)
@@ -439,6 +442,22 @@ final case class GraftVacuumCommand(root: String, keep: Int,
       case None => ManifestTable.vacuum(spark, root, keep = keep,
         deleteOrphans = deleteOrphans, dryRun = dryRun)
     }))
+}
+
+/** `GRAFT FSCK 'path' [REPAIR]` — manifest integrity check: one row per
+  * problem (missing file, size mismatch, missing deletion-vector
+  * dataset), resolved through clone sources like any read; REPAIR drops
+  * unreadable references in one auditable commit (size mismatches are
+  * reported, never auto-dropped). Empty result = healthy. */
+final case class GraftFsckCommand(root: String,
+                                  repair: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("relPath", StringType, true), StructField("dir", StringType, true),
+    StructField("problem", StringType, true),
+    StructField("expected_bytes", LongType, false),
+    StructField("actual_bytes", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    ManifestTable.fsck(spark, root, repair).collect().toSeq
 }
 
 /** Fold live deletion vectors back into the data files (the

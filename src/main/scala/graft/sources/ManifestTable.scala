@@ -4565,6 +4565,76 @@ object ManifestTable {
     * the manifest file's mtime — best-effort wall clock, floor of one
     * version always kept), drop the rest. Same chain-preserving
     * guarantees as [[vacuum]]. */
+  /** Manifest integrity check (the fsck role): verify every live file
+    * reference against the filesystem — existence and recorded size —
+    * resolving through the clone source chain like any read. One
+    * `listStatus` per generation/DV dir (never a per-file RPC), driver
+    * side. Returns one row per PROBLEM (relPath, dir, problem,
+    * expected_bytes, actual_bytes) — empty means healthy. With
+    * `repair = true`, missing-file entries (and files whose deletion
+    * vector dataset is gone) are dropped from the manifest in one
+    * auditable delta commit (op "fsck-repair") — data already lost
+    * stops failing every scan; size MISMATCHES are never auto-repaired
+    * (the bytes are there, losing the reference would be the damage). */
+  def fsck(spark: SparkSession, root: String,
+           repair: Boolean = false, graceMs: Long = 60000L): DataFrame = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val sources = cloneSources(st.tags)
+    val dirs = (st.files.map(_.relPath.takeWhile(_ != '/')) ++
+      st.files.flatMap(_.dv.map(_.dir))).distinct
+    val listed: Map[String, Map[String, Long]] = dirs.map { d =>
+      d -> (try {
+        val base = dirBase(spark, root, sources, d)
+        val fs = fsOf(spark, base)
+        // recursive: hive-partitioned generations nest k=v dirs
+        val it = fs.listFiles(new Path(base, d), true)
+        val m = scala.collection.mutable.Map[String, Long]()
+        val qualBase = fs.makeQualified(new Path(base)).toString
+        while (it.hasNext) {
+          val f = it.next()
+          m += f.getPath.toString.stripPrefix(qualBase + "/") -> f.getLen
+        }
+        m.toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] })
+    }.toMap
+    val problems = st.files.flatMap { f =>
+      val gen = f.relPath.takeWhile(_ != '/')
+      val fileProblem = listed(gen).get(f.relPath) match {
+        case None => Some((f.relPath, gen, "missing", f.bytes, -1L))
+        case Some(len) if len != f.bytes =>
+          Some((f.relPath, gen, "size-mismatch", f.bytes, len))
+        case _ => None
+      }
+      val dvProblem = f.dv.flatMap { d =>
+        if (listed(d.dir).nonEmpty) None
+        else Some((f.relPath, d.dir, "dv-missing", d.count, -1L))
+      }
+      fileProblem.toSeq ++ dvProblem.toSeq
+    }
+    if (repair) {
+      val dead = problems.collect {
+        case (rel, _, p, _, _) if p == "missing" || p == "dv-missing" => rel
+      }.toSet
+      if (dead.nonEmpty) {
+        require(dead.size < st.files.size,
+          s"fsck: EVERY live file of $root is missing — refusing to repair " +
+            "into an unreadable zero-file table; restore from a backup or " +
+            "an earlier version")
+        val fs = fsOf(spark, root)
+        val v = st.version + 1
+        val manifest = DeltaManifest(v, Seq.empty, dead.toSeq.sorted,
+          st.tags + (OpTag -> "fsck-repair"), None)
+        if (!claimOrRecover(fs, root, manifest, graceMs))
+          throw new ConcurrentCommitException(root, v)
+        log.warn(s"fsck($root): v$v dropped ${dead.size} unreadable file " +
+          "reference(s) — the data they named is GONE")
+      }
+    }
+    import spark.implicits._
+    problems.toDF("relPath", "dir", "problem", "expected_bytes", "actual_bytes")
+  }
+
   def vacuumRetain(spark: SparkSession, root: String, retainMs: Long,
                    deleteOrphans: Boolean = false,
                    orphanGraceMs: Long = DefaultOrphanGraceMs,

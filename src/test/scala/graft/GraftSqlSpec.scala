@@ -209,6 +209,35 @@ class GraftSqlSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(epoch))
   }
 
+  test("GRAFT FSCK reports missing files and size drift; REPAIR drops dead refs") {
+    val root = tmp() + "/fsck"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .repartition(2), root)
+    assert(spark.sql(s"GRAFT FSCK '$root'").count() == 0) // healthy
+    // destroy one data file behind the manifest's back
+    val st = ManifestTable.current(spark, root).get
+    val victim = st.files.maxBy(_.rows) // a file that actually holds rows
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, victim.relPath))
+    val report = spark.sql(s"GRAFT FSCK '$root'").collect()
+    assert(report.length == 1 && report.head.getString(2) == "missing")
+    assert(report.head.getString(0) == victim.relPath)
+    // repair: the dead reference drops in one auditable commit and the
+    // table reads again (minus the lost rows)
+    spark.sql(s"GRAFT FSCK '$root' REPAIR").collect()
+    assert(ManifestTable.current(spark, root).get.version == st.version + 1)
+    assert(ManifestTable.read(spark, root).count() == 2L - victim.rows)
+    assert(spark.sql(s"GRAFT FSCK '$root'").count() == 0)
+    // size drift reports but never auto-drops
+    val st2 = ManifestTable.current(spark, root).get
+    val f2 = st2.files.head
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, f2.relPath),
+      Array[Byte](1, 2, 3), java.nio.file.StandardOpenOption.APPEND)
+    val drift = spark.sql(s"GRAFT FSCK '$root' REPAIR").collect()
+    assert(drift.length == 1 && drift.head.getString(2) == "size-mismatch")
+    assert(ManifestTable.current(spark, root).get.version == st2.version,
+      "size mismatches must never auto-repair")
+  }
+
   test("GRAFT CLUSTER / BLOOM build and retire through SQL") {
     val root = tmp() + "/opt"
     ManifestTable.write((1L to 200L).map(i => (i, i * 2.0)).toDF("k", "v")
