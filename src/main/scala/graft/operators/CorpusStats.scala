@@ -162,14 +162,22 @@ object CorpusStats {
     val s = docs.sparkSession
     val db = docs.select(col(id).as("doc_id"),
       explode(TextNative.chunks(s, text, 2, 1)).as("bigram"))
-    val model = db.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    // collapse to (doc, bigram, tf) FIRST: repeated phrasing inside a
+    // document ("the the the…", boilerplate) folds map-side before any
+    // wide exchange, so the model build, the model probe, and the
+    // per-doc aggregate all move tf-weighted rows, not raw occurrences
+    // — the occurrence count rides along arithmetically (a bigram with
+    // corpus count 1 necessarily has tf 1 in its only document)
+    val tf = db.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("c2"))
     val uni = docs.select(explode(TextNative.tokens(s, text)).as("token"))
     val consts = uni.agg(countDistinct(col("token")).as("vsize"))
-      .crossJoin(db.agg(count(lit(1)).as("n2")))
-    db.join(model, "bigram")
+      .crossJoin(tf.agg(sum(col("tf")).as("n2")))
+    tf.join(model, "bigram")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("c2") * lit(2L) + lit(1L)).as("sum_num"),
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * (col("c2") * lit(2L) + lit(1L))).as("sum_num"),
         sum(when(col("c2") === 1L, 1L).otherwise(0L)).as("n_unique"))
       .crossJoin(broadcast(consts))
       .select(col("doc_id"), col("n_bigrams"),
