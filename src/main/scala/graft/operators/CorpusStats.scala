@@ -158,7 +158,16 @@ object CorpusStats {
     * probe side only (AQE skew-split territory, no hot reducer on the
     * build side); the per-doc aggregate is a second combine-friendly
     * groupBy. Two shuffles total, both linear in corpus size. */
-  def bigramLmQuality(docs: DataFrame, id: String, text: Column): DataFrame = {
+  /** `minCount` is the 100 TB knob: bigrams below the floor drop from
+    * the MODEL and score as unseen (numerator 1, the same add-half
+    * smoothing) — a zipf corpus's model shrinks by orders of magnitude
+    * at floor 2-5, small enough to broadcast at any corpus scale (the
+    * CCNet posture: the LM is trained on a bounded reference, scored
+    * against the unbounded crawl). The default 1 keeps every bigram —
+    * bit-identical to the exact model. */
+  def bigramLmQuality(docs: DataFrame, id: String, text: Column,
+                      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"bigramLmQuality: minCount must be >= 1, got $minCount")
     val s = docs.sparkSession
     val db = docs.select(col(id).as("doc_id"),
       explode(TextNative.chunks(s, text, 2, 1)).as("bigram"))
@@ -171,14 +180,19 @@ object CorpusStats {
     val tf = db.groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("tf"))
     val model = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("c2"))
+      .filter(col("c2") >= minCount)
     val uni = docs.select(explode(TextNative.tokens(s, text)).as("token"))
     val consts = uni.agg(countDistinct(col("token")).as("vsize"))
       .crossJoin(tf.agg(sum(col("tf")).as("n2")))
-    tf.join(model, "bigram")
+    // LEFT join: a below-floor bigram scores as unseen (c2 = 0). At the
+    // default floor every bigram is in the model, so this is the inner
+    // join bit for bit.
+    val c2 = coalesce(col("c2"), lit(0L))
+    tf.join(model, Seq("bigram"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_bigrams"),
-        sum(col("tf") * (col("c2") * lit(2L) + lit(1L))).as("sum_num"),
-        sum(when(col("c2") === 1L, 1L).otherwise(0L)).as("n_unique"))
+        sum(col("tf") * (c2 * lit(2L) + lit(1L))).as("sum_num"),
+        sum(when(c2 <= 1L, col("tf")).otherwise(0L)).as("n_unique"))
       .crossJoin(broadcast(consts))
       .select(col("doc_id"), col("n_bigrams"),
         // (Σ(2c₂+1) / n) / (2N₂ + V²): parenthesization is the

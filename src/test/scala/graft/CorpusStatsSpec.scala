@@ -48,6 +48,17 @@ class CorpusStatsSpec extends SparkSpec {
       corpus.toDF("doc_id", "text"), "doc_id", col("text"))
       .orderBy(col("lm_score").asc).select("doc_id").as[Long].collect()
     assert(scored.head == 9L, "the junk doc must score lowest")
+    // the 100 TB knob: a frequency floor drops tail bigrams from the
+    // MODEL; they score as unseen (numerator 1). Corpus "a b a b"/"a b c":
+    // floor 2 keeps only "a b" (c2=3). doc1: sum = 7+1+7 = 15 (b a unseen),
+    // novelty counts the unseen occurrence. denom unchanged (19).
+    val floored = CorpusStats.bigramLmQuality(
+      Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", col("text"), minCount = 2L)
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(floored == Seq(
+      (1L, 3L, (15.0 / 3.0) / 19.0, 1.0 / 3.0),
+      (2L, 2L, (8.0 / 2.0) / 19.0, 1.0 / 2.0)))
   }
 
   test("topNgrams occurrence count keeps within-doc duplicates") {
