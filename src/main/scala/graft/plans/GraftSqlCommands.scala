@@ -26,6 +26,7 @@ import graft.sources.ManifestTable
   *   GRAFT VACUUM 'path' [KEEP n | RETAIN n HOURS] [ORPHANS] [DRY RUN]
   *   GRAFT MATERIALIZE 'path'              -- fold deletion vectors in
   *   GRAFT FSCK 'path' [REPAIR]            -- manifest integrity check
+  *   GRAFT PROPERTIES 'path'               -- SHOW TBLPROPERTIES for paths
   *   GRAFT RESTORE 'path' TO VERSION n     -- auditable rollback
   *   GRAFT COMPACT 'path' [TARGET mb]      -- full sized rewrite
   *   GRAFT OPTIMIZE 'path' [TARGET mb] [ZORDER BY (c1, c2)]
@@ -91,6 +92,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum  = s"""(?is)VACUUM\\s+$P(?:\\s+KEEP\\s+(\\d+))?(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(?:\\s+(ORPHANS))?(?:\\s+(DRY\\s+RUN))?""".r
   private val Material = s"""(?is)MATERIALIZE\\s+$P""".r
   private val Fsck    = s"""(?is)FSCK\\s+$P(?:\\s+(REPAIR))?""".r
+  private val Props   = s"""(?is)PROPERTIES\\s+$P""".r
   private val Restore = s"""(?is)RESTORE\\s+$P\\s+TO\\s+VERSION\\s+(\\d+)""".r
   private val RestoreTs = s"""(?is)RESTORE\\s+$P\\s+TO\\s+TIMESTAMP\\s+'([^']+)'""".r
   private val ConstraintAdd =
@@ -148,6 +150,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftCloneCommand(res(src), res(dst, mustExist = false),
           Option(v).map(_.toLong), deep = deep != null)
       case Fsck(p, rep) => GraftFsckCommand(res(p), repair = rep != null)
+      case Props(p) => GraftPropertiesCommand(res(p))
       case Material(p) => GraftMaterializeCommand(res(p))
       case Restore(p, v) => GraftRestoreCommand(res(p), v.toLong)
       case RestoreTs(p, ts) => GraftRestoreTimestampCommand(res(p), ts)
@@ -458,6 +461,24 @@ final case class GraftFsckCommand(root: String,
     StructField("actual_bytes", LongType, false))))
   override def run(spark: SparkSession): Seq[Row] =
     ManifestTable.fsck(spark, root, repair).collect().toSeq
+}
+
+/** `GRAFT PROPERTIES 'path'` — SHOW TBLPROPERTIES for path tables:
+  * the live manifest tags (user properties, cdf.enabled, the
+  * write.optimized/write.autoCompact switches, constraints, bloom
+  * registry, clone provenance) minus the bulky schema record and the
+  * per-commit op marker — the same view the catalog's native SHOW
+  * TBLPROPERTIES gives named tables. */
+final case class GraftPropertiesCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("key", StringType, false), StructField("value", StringType, true))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val hidden = Set("schema.create", "graft.op")
+    ManifestTable.currentVersion(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    (ManifestTable.tableProperties(spark, root) -- hidden).toSeq.sorted
+      .map { case (k, v) => Row(k, v) }
+  }
 }
 
 /** Fold live deletion vectors back into the data files (the

@@ -3081,6 +3081,12 @@ object ManifestTable {
     * (schema record, name mapping, constraints, bloom registry, stream
     * watermarks) refuses loudly in both directions: a property surface
     * must not be a backdoor that corrupts the table. */
+  /** The table's live tag map (SHOW TBLPROPERTIES raw material): user
+    * properties and the engine's durable switches alike — callers
+    * filter what they surface. */
+  def tableProperties(spark: SparkSession, root: String): Map[String, String] =
+    current(spark, root).map(_.tags).getOrElse(Map.empty)
+
   def setTableProperties(spark: SparkSession, root: String,
                          set: Map[String, String],
                          unset: Seq[String] = Nil,

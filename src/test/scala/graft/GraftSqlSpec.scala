@@ -39,6 +39,15 @@ class GraftSqlSpec extends SparkSpec {
     val stats = spark.sql(s"GRAFT STATS '$root'")
     assert(stats.filter(col("column") === "k").select("value_count")
       .as[Long].head() == 3L)
+
+    // SHOW TBLPROPERTIES for path tables: user props + durable switches
+    ManifestTable.setTableProperties(spark, root,
+      Map("owner.team" -> "curation", "write.autoCompact" -> "true"))
+    val props = spark.sql(s"GRAFT PROPERTIES '$root'")
+      .as[(String, String)].collect().toMap
+    assert(props("owner.team") == "curation" &&
+      props("write.autoCompact") == "true")
+    assert(!props.contains("schema.create") && !props.contains("graft.op"))
   }
 
   test("GRAFT RESTORE / COMPACT / VACUUM mutate through SQL") {
