@@ -52,7 +52,14 @@ object CorpusStatsQueries extends QueryPack {
     "t_bigram_lm" -> ((s, d) =>
       // the perplexity-filter step: per-doc smoothed bigram LM score +
       // novelty ratio against a model trained on the corpus itself
-      CorpusStats.bigramLmQuality(docs(s, d), "doc_id", col("text")))
+      CorpusStats.bigramLmQuality(docs(s, d), "doc_id", col("text"))),
+    "t_lm_floor" -> ((s, d) =>
+      // the 100 TB posture: the model keeps only bigrams with corpus
+      // count >= 3 (zipf head — orders of magnitude smaller, broadcast
+      // at any scale); below-floor bigrams score as unseen under the
+      // same smoothing
+      CorpusStats.bigramLmQuality(docs(s, d), "doc_id", col("text"),
+        minCount = 3L))
   )
 
   private val toksSql =
@@ -181,6 +188,31 @@ object CorpusStatsQueries extends QueryPack {
          |    SUM(c2.c2 * 2 + 1) AS sum_num,
          |    SUM(CASE WHEN c2.c2 = 1 THEN 1 ELSE 0 END) AS n_unique
          |  FROM g JOIN c2 USING (bigram) GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |  (CAST(sum_num AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+         |    / CAST(n2 * 2 + vsize * vsize AS DOUBLE) AS lm_score,
+         |  CAST(n_unique AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS novelty_ratio
+         |FROM agg CROSS JOIN consts""".stripMargin,
+    // the floored model: LEFT join against the c2 >= 3 head, unseen
+    // bigrams take numerator 1 (coalesce(c2, 0) * 2 + 1); novelty counts
+    // occurrences with effective count <= 1. tf-grained like the engine.
+    "t_lm_floor" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+         |      FROM t),
+         |tf AS (SELECT doc_id, bigram, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+         |c2 AS (SELECT bigram, SUM(tf) AS c2 FROM tf GROUP BY 1 HAVING SUM(tf) >= 3),
+         |consts AS (
+         |  SELECT (SELECT COUNT(DISTINCT token)
+         |          FROM (SELECT unnest(toks) AS token FROM t)) AS vsize,
+         |         (SELECT COUNT(*) FROM g) AS n2),
+         |agg AS (
+         |  -- CAST: DuckDB SUM(int) is HUGEINT, Spark's is BIGINT
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         |    SUM(tf * (COALESCE(c2.c2, 0) * 2 + 1)) AS sum_num,
+         |    SUM(CASE WHEN COALESCE(c2.c2, 0) <= 1 THEN tf ELSE 0 END) AS n_unique
+         |  FROM tf LEFT JOIN c2 USING (bigram) GROUP BY 1)
          |SELECT doc_id, n_bigrams,
          |  (CAST(sum_num AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
          |    / CAST(n2 * 2 + vsize * vsize AS DOUBLE) AS lm_score,
