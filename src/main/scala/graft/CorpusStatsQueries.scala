@@ -51,8 +51,11 @@ object CorpusStatsQueries extends QueryPack {
         .select(col("doc_id"), col("n_chars"), col("n_picks"))),
     "t_bigram_lm" -> ((s, d) =>
       // the perplexity-filter step: per-doc smoothed bigram LM score +
-      // novelty ratio against a model trained on the corpus itself
-      CorpusStats.bigramLmQuality(docs(s, d), "doc_id", col("text"))),
+      // novelty ratio against a model trained on the corpus itself —
+      // pinned on the EXPLICIT exact mode (minCount = 1, every bigram in
+      // the model); the engine default is the scale-safe floored model
+      CorpusStats.bigramLmQuality(docs(s, d), "doc_id", col("text"),
+        minCount = 1L)),
     "t_lm_floor" -> ((s, d) =>
       // the 100 TB posture: the model keeps only bigrams with corpus
       // count >= 3 (zipf head — orders of magnitude smaller, broadcast

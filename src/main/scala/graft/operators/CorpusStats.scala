@@ -163,10 +163,14 @@ object CorpusStats {
     * smoothing) — a zipf corpus's model shrinks by orders of magnitude
     * at floor 2-5, small enough to broadcast at any corpus scale (the
     * CCNet posture: the LM is trained on a bounded reference, scored
-    * against the unbounded crawl). The default 1 keeps every bigram —
-    * bit-identical to the exact model. */
+    * against the unbounded crawl). The DEFAULT is the floored model
+    * (floor 3): the unfloored exact model's probe join crosses
+    * broadcast → sort-merge as the corpus grows (measured 3.4× per 10×
+    * decade, SCALE_SMOKE r13) — a caller who wants bit-exact every-
+    * bigram scoring opts in with `minCount = 1`, accepting the SMJ
+    * growth path knowingly rather than by default. */
   def bigramLmQuality(docs: DataFrame, id: String, text: Column,
-                      minCount: Long = 1L): DataFrame = {
+                      minCount: Long = 3L): DataFrame = {
     require(minCount >= 1, s"bigramLmQuality: minCount must be >= 1, got $minCount")
     val s = docs.sparkSession
     val db = docs.select(col(id).as("doc_id"),

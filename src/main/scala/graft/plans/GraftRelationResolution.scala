@@ -111,7 +111,11 @@ class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           val micros = cast.eval(null)
           require(micros != null,
             s"graft time travel: TIMESTAMP AS OF evaluates to NULL: $expr")
-          val ms = micros.asInstanceOf[Long] / 1000L
+          // floorDiv, not truncating division: pre-1970 micros round
+          // toward zero under `/`, so this surface and GraftCatalog's
+          // loadTable (which floorDivs) could resolve DIFFERENT versions
+          // for the same instant
+          val ms = Math.floorDiv(micros.asInstanceOf[Long], 1000L)
           ManifestTable.versionAtTime(spark, p, ms).getOrElse(
             sys.error(s"graft time travel: $p has no commit at or before $expr"))
         case _ =>

@@ -311,9 +311,20 @@ final case class GraftSqlMergeCommand(root: String, source: LogicalPlan,
   override def run(session: SparkSession): Seq[Row] = {
     var src = SessionIsolation.planFrame(session, source)
     // the manifest merge joins on SHARED key names: alias source keys
-    // onto the target spelling where they differ
+    // onto the target spelling where they differ. A source that ALREADY
+    // carries a column spelled like the target key (MERGE ON t.k =
+    // s.other_k with the source also holding k) would yield duplicate
+    // column names and an opaque ambiguity failure deep in the merge
+    // plan — refuse up front with the actionable shape instead.
     keys.foreach { case (tName, sName) =>
-      if (tName != sName) src = src.withColumnRenamed(sName, tName)
+      if (tName != sName) {
+        require(!src.columns.exists(_.equalsIgnoreCase(tName)),
+          s"MERGE INTO: the ON clause maps source column '$sName' onto " +
+            s"target key '$tName', but the source already has a column " +
+            s"named '$tName' — alias or drop it in the source query so " +
+            "the key mapping is unambiguous")
+        src = src.withColumnRenamed(sName, tName)
+      }
     }
     ManifestTable.retryOnConflict()(
       ManifestTable.merge(session, root, src, keys.map(_._1),

@@ -637,6 +637,9 @@ object ManifestTable {
       require(k != GeneratedTag,
         s"manifest tag '$k' is reserved (generated-column definitions — " +
           "declare transforms via PARTITIONED BY at create time)")
+      require(k != CdfEnabledTag ||
+          v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+        s"manifest tag '$CdfEnabledTag' must be 'true' or 'false', got '$v'")
       if (k.startsWith(StreamBatchTag)) {
         val n = scala.util.Try(v.toLong).getOrElse(
           throw new IllegalArgumentException(
@@ -1934,8 +1937,11 @@ object ManifestTable {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  // case-insensitive: SET TBLPROPERTIES ('cdf.enabled'='TRUE') must turn
+  // the feed ON, not commit a property that displays as set while
+  // mutations silently skip their change records
   private def cdfEnabled(tags: Map[String, String]): Boolean =
-    tags.get(CdfEnabledTag).contains("true")
+    tags.get(CdfEnabledTag).exists(_.equalsIgnoreCase("true"))
 
   /** Opt the table in/out of the change feed (metadata-only commit).
     * Only mutations AFTER the enabling commit carry change records. */
@@ -4124,19 +4130,25 @@ object ManifestTable {
         .sorted(Ordering[Long].reverse)
     val rows = versions.flatMap { v =>
       readRaw(fs, root, v).map { m =>
-        val (kind, adds, removes, addEntries) = m match {
-          case f: FullManifest  => ("snapshot", f.files.size.toLong, -1L, f.files)
-          case r: SnapshotRef   => ("snapshot-ref", r.count, -1L, Seq.empty[FileEntry])
-          case d: DeltaManifest => ("delta", d.adds.size.toLong, d.removes.size.toLong, d.adds)
+        val (kind, adds, removes, addEntries, removedPaths) = m match {
+          case f: FullManifest  => ("snapshot", f.files.size.toLong, -1L, f.files, Set.empty[String])
+          case r: SnapshotRef   => ("snapshot-ref", r.count, -1L, Seq.empty[FileEntry], Set.empty[String])
+          case d: DeltaManifest => ("delta", d.adds.size.toLong, d.removes.size.toLong, d.adds, d.removes.toSet)
         }
         // operation metrics from the listed entries' footer row counts
         // (honest-NULL when any entry predates per-file rows, or for a
         // snapshot-ref whose entries live in the columnar sidecar —
-        // metrics here stay a driver-side fold, never a sidecar read)
+        // metrics here stay a driver-side fold, never a sidecar read).
+        // A MoR delete/merge delta re-ADDS the files it repointed onto a
+        // new deletion vector (same relPath in adds and removes); their
+        // `rows` is the file's full pre-DV count, not new data — counting
+        // them would report a 10-row MoR delete as ~1M rows_added, so DV
+        // repoints are excluded from the sum.
+        val newEntries = addEntries.filterNot(a => removedPaths.contains(a.relPath))
         val rowsAdded: Any =
-          if (addEntries.exists(_.rows < 0)) null
+          if (newEntries.exists(_.rows < 0)) null
           else kind match {
-            case "delta" => Long.box(addEntries.map(_.rows).sum)
+            case "delta" => Long.box(newEntries.map(_.rows).sum)
             // a snapshot LISTS carried files alongside new ones: the sum
             // would report the whole table as "added" — only v1 (where
             // every listed file is new) is honest without diffing v-1
@@ -4589,7 +4601,12 @@ object ManifestTable {
     val sources = cloneSources(st.tags)
     val dirs = (st.files.map(_.relPath.takeWhile(_ != '/')) ++
       st.files.flatMap(_.dv.map(_.dir))).distinct
-    val listed: Map[String, Map[String, Long]] = dirs.map { d =>
+    // None = the dir could not be LISTED (transient FS/permission error —
+    // says nothing about the files inside); Some(empty) = the dir was
+    // positively confirmed absent (every file in it is missing). Only the
+    // latter may feed auto-repair: dropping references because a listing
+    // RPC failed would permanently lose intact data.
+    val listed: Map[String, Option[Map[String, Long]]] = dirs.map { d =>
       d -> (try {
         val base = dirBase(spark, root, sources, d)
         val fs = fsOf(spark, base)
@@ -4601,24 +4618,41 @@ object ManifestTable {
           val f = it.next()
           m += f.getPath.toString.stripPrefix(qualBase + "/") -> f.getLen
         }
-        m.toMap
-      } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] })
+        Some(m.toMap)
+      } catch {
+        case _: java.io.FileNotFoundException => Some(Map.empty[String, Long])
+        case scala.util.control.NonFatal(_)   => None
+      })
     }.toMap
-    val problems = st.files.flatMap { f =>
-      val gen = f.relPath.takeWhile(_ != '/')
-      val fileProblem = listed(gen).get(f.relPath) match {
-        case None => Some((f.relPath, gen, "missing", f.bytes, -1L))
-        case Some(len) if len != f.bytes =>
-          Some((f.relPath, gen, "size-mismatch", f.bytes, len))
-        case _ => None
+    val unlistable = dirs.filter(listed(_).isEmpty).sorted
+    val problems = unlistable.map(d => ("", d, "unlistable", -1L, -1L)) ++
+      st.files.flatMap { f =>
+        val gen = f.relPath.takeWhile(_ != '/')
+        val fileProblem = listed(gen).flatMap { m =>
+          m.get(f.relPath) match {
+            case None => Some((f.relPath, gen, "missing", f.bytes, -1L))
+            case Some(len) if len != f.bytes =>
+              Some((f.relPath, gen, "size-mismatch", f.bytes, len))
+            case _ => None
+          }
+        }
+        val dvProblem = f.dv.flatMap { d =>
+          listed(d.dir) match {
+            case Some(m) if m.isEmpty => Some((f.relPath, d.dir, "dv-missing", d.count, -1L))
+            case _                    => None
+          }
+        }
+        fileProblem.toSeq ++ dvProblem.toSeq
       }
-      val dvProblem = f.dv.flatMap { d =>
-        if (listed(d.dir).nonEmpty) None
-        else Some((f.relPath, d.dir, "dv-missing", d.count, -1L))
-      }
-      fileProblem.toSeq ++ dvProblem.toSeq
-    }
     if (repair) {
+      // a repair run must not race a flaky filesystem: with any dir
+      // unlistable, "missing" verdicts elsewhere this pass are suspect
+      // too (the same outage may have produced them) — fail the run and
+      // let the operator retry when listing succeeds
+      require(unlistable.isEmpty,
+        s"fsck($root): cannot auto-repair — dir(s) ${unlistable.mkString(", ")} " +
+          "failed to LIST (transient FS error, not confirmed absence); " +
+          "re-run repair when the filesystem answers")
       val dead = problems.collect {
         case (rel, _, p, _, _) if p == "missing" || p == "dv-missing" => rel
       }.toSet

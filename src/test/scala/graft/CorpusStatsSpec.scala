@@ -35,7 +35,7 @@ class CorpusStatsSpec extends SparkSpec {
     // doc2: n=2, sum_num = 7 + 3 = 10, n_unique = 1 ("b c");
     //       score = (10/2)/19.
     val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
-    val got = CorpusStats.bigramLmQuality(d, "doc_id", col("text"))
+    val got = CorpusStats.bigramLmQuality(d, "doc_id", col("text"), minCount = 1L)
       .orderBy("doc_id")
       .as[(Long, Long, Double, Double)].collect().toSeq
     assert(got == Seq(
@@ -45,7 +45,7 @@ class CorpusStatsSpec extends SparkSpec {
     val corpus = (1 to 8).map(i => (i.toLong, "the quick brown fox jumps")) :+
       (9L, "zq xv qqj kpw zzv")
     val scored = CorpusStats.bigramLmQuality(
-      corpus.toDF("doc_id", "text"), "doc_id", col("text"))
+      corpus.toDF("doc_id", "text"), "doc_id", col("text"), minCount = 1L)
       .orderBy(col("lm_score").asc).select("doc_id").as[Long].collect()
     assert(scored.head == 9L, "the junk doc must score lowest")
     // the 100 TB knob: a frequency floor drops tail bigrams from the
@@ -59,6 +59,16 @@ class CorpusStatsSpec extends SparkSpec {
     assert(floored == Seq(
       (1L, 3L, (15.0 / 3.0) / 19.0, 1.0 / 3.0),
       (2L, 2L, (8.0 / 2.0) / 19.0, 1.0 / 2.0)))
+    // the DEFAULT is the scale-safe floored model (floor 3), not the
+    // exact model: on this corpus floor 3 keeps only "a b" (c2=3) —
+    // identical to floor 2 above — so calling with no minCount must
+    // match the floored fixture, not the exact one
+    val defaulted = CorpusStats.bigramLmQuality(
+      Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", col("text"))
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(defaulted == floored,
+      "bigramLmQuality must default to the floored (broadcastable) model")
   }
 
   test("topNgrams occurrence count keeps within-doc duplicates") {
