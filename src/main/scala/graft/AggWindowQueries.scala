@@ -760,6 +760,38 @@ object AggWindowQueries extends QueryPack {
       ManifestTable.replacePartitions(s, rolled, root)
       ManifestTable.read(s, root)
         .select(col("event_id"), col("ts_day"), col("event_type"), col("value"))
+    }),
+    "k34_bucket_join" -> ((s, d) => {
+      // K34 (beyond-reference): storage-partitioned join — two catalog
+      // tables created PARTITIONED BY (bucket(8, key)) report
+      // KeyGroupedPartitioning from their DSv2 scans, so the fact-fact
+      // join below runs with ZERO Exchange on either side (the plan pin
+      // lives in BucketedJoinSpec; HERE the oracle pins that the
+      // shuffle-free plan returns exactly the shuffled answer). Bucket
+      // equality is implied by key equality — same murmur3, same count
+      // — so it never appears in the oracle's join.
+      val ns = "k34_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE graft_lake.$ns.o (o_orderkey BIGINT, " +
+        "o_orderpriority STRING) PARTITIONED BY (bucket(8, o_orderkey))")
+      s.sql(s"CREATE TABLE graft_lake.$ns.l (l_orderkey BIGINT, " +
+        "l_extendedprice DOUBLE) PARTITIONED BY (bucket(8, l_orderkey))")
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .createOrReplaceTempView("k34_o")
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+        .createOrReplaceTempView("k34_l")
+      // the generated bucket column derives at the write boundary
+      s.sql(s"INSERT INTO graft_lake.$ns.o " +
+        "SELECT o_orderkey, o_orderpriority, NULL FROM k34_o")
+      s.sql(s"INSERT INTO graft_lake.$ns.l " +
+        "SELECT l_orderkey, l_extendedprice, NULL FROM k34_l")
+      s.sql(
+        s"""SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           |  ${OracleMath.dsumSql("l.l_extendedprice", 4, 2)} AS revenue
+           |FROM graft_lake.$ns.o o JOIN graft_lake.$ns.l l
+           |  ON o.o_orderkey = l.l_orderkey
+           |  AND o.o_orderkey_bucket = l.l_orderkey_bucket
+           |GROUP BY o.o_orderpriority""".stripMargin)
     })
   )
 
@@ -1131,7 +1163,12 @@ object AggWindowQueries extends QueryPack {
         |  GROUP BY event_type)
         |SELECT event_id, ts_day, event_type, value FROM keep
         |UNION ALL
-        |SELECT event_id, ts_day, event_type, value FROM roll""".stripMargin
+        |SELECT event_id, ts_day, event_type, value FROM roll""".stripMargin,
+    "k34_bucket_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  ${OracleMath.dsumSql("l_extendedprice", 4, 2)} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY 1""".stripMargin
   )
 }
 

@@ -37,6 +37,18 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // storage-partitioned joins: co-bucketed graft_lake tables report
+      // KeyGroupedPartitioning from their scans; with V2 bucketing on,
+      // Spark aligns the reported partitions (padding missing bucket
+      // values on either side) instead of shuffling both — the
+      // zero-Exchange fact-fact join at 100 TB
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // the co-bucketed join clusters on (key, key_bucket) while the
+      // scan partitions on key_bucket alone — subset co-partitioning is
+      // always correct for equi-joins (equal keys share a partition);
+      // requiring ALL cluster keys would force the shuffle back
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")

@@ -975,12 +975,25 @@ object ManifestTable {
         s"manifest table $root has no committed version $version (vacuumed or never committed)")),
       filter)
 
-  private def readStateWhere(spark: SparkSession, root: String, st: State,
-                             filter: org.apache.spark.sql.Column): DataFrame = {
+  /** The metadata file-pruning pass on its own: the files of `st` that
+    * survive partition-value + min/max-stat + bloom-index skipping for
+    * `filter` (conservative — a file is only dropped when the metadata
+    * PROVES it cannot match). Shared by the DataFrame read path below
+    * and the DSv2 bucketed Batch scan, which needs the surviving FILE
+    * LIST rather than a frame. */
+  private[sources] def pruneLiveFiles(spark: SparkSession, root: String,
+                                      st: State,
+                                      filter: org.apache.spark.sql.Column)
+      : Seq[FileEntry] = {
     // the pruners' stats and bloom entries are keyed by PHYSICAL names
     val physFilter = physicalizeCol(filter, st.tags)
-    val kept = bloomPrune(spark, root, st, physFilter,
+    bloomPrune(spark, root, st, physFilter,
       DataSkipping.prune(st.files, physFilter))
+  }
+
+  private def readStateWhere(spark: SparkSession, root: String, st: State,
+                             filter: org.apache.spark.sql.Column): DataFrame = {
+    val kept = pruneLiveFiles(spark, root, st, filter)
     // the number an operator tunes partitioning/clustering by — and the
     // tell-tale that a predicate shape isn't prunable (kept == total)
     log.info(s"manifest table $root v${st.version}: data skipping kept " +
@@ -1616,6 +1629,20 @@ object ManifestTable {
 
   private def encodeGenerated(specs: Seq[(String, String)]): String =
     specs.map { case (n, e) => s"${enc(n)}:${enc(e)}" }.mkString(",")
+
+  /** The table's generated BUCKET layout, when one exists:
+    * (bucket column name, source column, bucket count). The defining
+    * SQL is the engine's own `pmod(hash(c), n)` — Spark murmur3, the
+    * same hash Spark's HashPartitioning uses — which is what makes a
+    * co-bucketed storage-partitioned join semantically sound: equal
+    * source keys land in equal buckets on every table sharing (c, n). */
+  private[graft] def bucketLayout(tags: Map[String, String])
+      : Option[(String, String, Int)] = {
+    val B = """pmod\(hash\(`(\w+)`\), (\d+)\)""".r
+    generatedSpecs(tags).collectFirst {
+      case (name, B(src, n)) => (name, src, n.toInt)
+    }
+  }
 
   /** One PARTITIONED BY entry → (column name, optional defining SQL).
     * Identity entries pass through; transform entries derive:

@@ -253,7 +253,12 @@ final class GraftScanBuilder(root: String, version: Option[Long],
 
   override def build(): Scan = metadataCount match {
     case Some(n) => new GraftCountScan(root, version, n)
-    case None    => new GraftV1Scan(root, version, pushed, required)
+    case None =>
+      // bucket-laid-out tables get the real DSv2 Batch scan reporting
+      // KeyGroupedPartitioning (zero-Exchange co-bucketed joins); any
+      // state it can't serve exactly falls back to the V1 bridge
+      GraftBucketedScan.tryBuild(root, version, pushed, required, fullSchema)
+        .getOrElse(new GraftV1Scan(root, version, pushed, required))
   }
 }
 

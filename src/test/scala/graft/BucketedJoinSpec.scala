@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** Storage-partitioned (co-bucketed) joins: two catalog tables created
+  * PARTITIONED BY (bucket(n, k)) report KeyGroupedPartitioning from
+  * their DSv2 scans, so a join carrying the bucket column equality runs
+  * with ZERO Exchange — at 100 TB the fact-fact shuffle this removes is
+  * the single largest cost in the engine. Also pins the fallback: any
+  * table state the bucketed scan can't serve exactly (deletion vectors,
+  * renames, clones) silently reverts to the mature V1 bridge, trading
+  * the optimization for unchanged semantics. */
+class BucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConf[A](kv: (String, String)*)(body: => A): A = {
+    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def mkTables(ns: String, buckets: Int): Unit = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lake.$ns")
+    spark.sql(s"CREATE TABLE graft_lake.$ns.a (k BIGINT, v DOUBLE) " +
+      s"PARTITIONED BY (bucket($buckets, k))")
+    spark.sql(s"CREATE TABLE graft_lake.$ns.b (k BIGINT, w DOUBLE) " +
+      s"PARTITIONED BY (bucket($buckets, k))")
+    // the generated k_bucket derives at the write boundary (NULL → the
+    // defining expression), so INSERT never spells the layout
+    spark.sql(s"INSERT INTO graft_lake.$ns.a " +
+      "SELECT id AS k, CAST(id AS DOUBLE) * 1.5 AS v, NULL FROM range(0, 500)")
+    // b covers only part of the key space: some buckets are thinner or
+    // missing on one side — pushPartValues alignment territory
+    spark.sql(s"INSERT INTO graft_lake.$ns.b " +
+      "SELECT id * 3 AS k, CAST(id AS DOUBLE) AS w, NULL FROM range(0, 150)")
+  }
+
+  private def dropTables(ns: String): Unit = {
+    spark.sql(s"DROP TABLE graft_lake.$ns.a")
+    spark.sql(s"DROP TABLE graft_lake.$ns.b")
+    spark.sql(s"DROP NAMESPACE graft_lake.$ns")
+  }
+
+  private val joinSql =
+    (ns: String) => s"""SELECT a.k, a.v, b.w
+                       |FROM graft_lake.$ns.a a JOIN graft_lake.$ns.b b
+                       |  ON a.k = b.k AND a.k_bucket = b.k_bucket""".stripMargin
+
+  test("co-bucketed tables join with ZERO Exchange and match the shuffled result") {
+    mkTables("spj", buckets = 8)
+    try withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                 "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(joinSql("spj"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("BatchScan"), s"expected the DSv2 bucketed scan:\n$p")
+      val got = df.as[(Long, Double, Double)].collect().toSeq.sorted
+      // the same query through the V1 bridge (bucketed scan disabled):
+      // identical rows, shuffled plan — the optimization changes the
+      // plan, never the answer
+      val (ref, refPlan) = withConf(GraftBucketedScanConf -> "false") {
+        val r = spark.sql(joinSql("spj"))
+        (r.as[(Long, Double, Double)].collect().toSeq.sorted,
+          r.queryExecution.executedPlan.toString)
+      }
+      assert(refPlan.contains("Exchange"),
+        s"the fallback path should shuffle (sanity):\n$refPlan")
+      assert(got == ref)
+      assert(got.size == 150 && got.head == ((0L, 0.0, 0.0)))
+    } finally dropTables("spj")
+  }
+
+  test("aggregation over the bucket key reuses the reported partitioning") {
+    mkTables("spjagg", buckets = 4)
+    try withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // per-bucket aggregate: grouping on the partition key needs no
+      // exchange either — the scan's KeyGroupedPartitioning satisfies
+      // the aggregate's distribution
+      val agg = spark.sql("SELECT k_bucket, count(*) AS n, sum(v) AS sv " +
+        "FROM graft_lake.spjagg.a GROUP BY k_bucket")
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"group-by on the bucket column must not shuffle:\n$p")
+      assert(agg.as[(String, Long, Double)].collect().map(_._2).sum == 500L)
+    } finally dropTables("spjagg")
+  }
+
+  test("deletion vectors / renames fall back to the V1 bridge, same answer") {
+    mkTables("spjfall", buckets = 4)
+    try {
+      // the catalog's default warehouse layout: <tmpdir>/graft_warehouse/<ns>/<table>
+      val rootA = sys.props("java.io.tmpdir").stripSuffix("/") +
+        "/graft_warehouse/spjfall/a"
+      // MoR delete plants a deletion vector: the bucketed scan must
+      // refuse (it reads raw file bytes; resurrecting deleted rows is
+      // the failure mode) and the V1 bridge must serve the read
+      ManifestTable.deleteMoR(spark, rootA, col("k") === 3L)
+      val df = spark.sql("SELECT k, v FROM graft_lake.spjfall.a WHERE k < 6 ORDER BY k")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BatchScan"), s"DV'd table must fall back:\n$p")
+      assert(df.as[(Long, Double)].collect().toSeq ==
+        Seq((0L, 0.0), (1L, 1.5), (2L, 3.0), (4L, 6.0), (5L, 7.5)))
+    } finally dropTables("spjfall")
+  }
+
+  private val GraftBucketedScanConf = graft.sources.v2.GraftBucketedScan.EnabledKey
+}
