@@ -792,6 +792,33 @@ object AggWindowQueries extends QueryPack {
            |  ON o.o_orderkey = l.l_orderkey
            |  AND o.o_orderkey_bucket = l.l_orderkey_bucket
            |GROUP BY o.o_orderpriority""".stripMargin)
+    }),
+    "k36_cdf_by_name" -> ((s, d) => {
+      // K36 (beyond-reference): the Delta-shaped BATCH CDF surface by
+      // catalog NAME — spark.read.option("readChangeFeed", true)
+      // .option("startingVersion", n).table("graft_lake.ns.t") with an
+      // INCLUSIVE version window, resolved through the same analyzer
+      // rule family as the path/format feed surfaces so the three
+      // spellings cannot drift. The oracle replays the row-level
+      // lifecycle (insert → update pre/post images → post-update
+      // deletes) relationally.
+      val ns = "k36_" + java.util.UUID.randomUUID().toString.take(8)
+      val tbl = s"graft_lake.$ns.o"
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+        "o_orderpriority STRING)")                                          // v1
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('cdf.enabled'='true')")   // v2
+      t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority")).createOrReplaceTempView("k36_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM k36_src")                      // v3
+      s.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice + 1000.0 " +
+        "WHERE o_orderpriority = '1-URGENT'")                               // v4
+      s.sql(s"DELETE FROM $tbl WHERE o_totalprice < 30000.0")               // v5
+      s.read.option("readChangeFeed", "true").option("startingVersion", "3")
+        .table(tbl)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
     })
   )
 
@@ -1168,7 +1195,25 @@ object AggWindowQueries extends QueryPack {
       s"""SELECT o_orderpriority, COUNT(*) AS n_items,
          |  ${OracleMath.dsumSql("l_extendedprice", 4, 2)} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+    "k36_cdf_by_name" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       'insert' AS change_type, CAST(3 AS BIGINT) AS commit_version
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'update_preimage', 4
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 1000.0, 'update_postimage', 4
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey,
+        |       CASE WHEN o_orderpriority = '1-URGENT'
+        |            THEN o_totalprice + 1000.0 ELSE o_totalprice END,
+        |       'delete', 5
+        |FROM orders
+        |WHERE CASE WHEN o_orderpriority = '1-URGENT'
+        |           THEN o_totalprice + 1000.0 ELSE o_totalprice END < 30000.0""".stripMargin
   )
 }
 

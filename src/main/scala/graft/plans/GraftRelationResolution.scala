@@ -77,6 +77,17 @@ class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  private def optBool(o: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+                      key: String): Boolean =
+    o.containsKey(key.toLowerCase) && o.get(key.toLowerCase).trim
+      .equalsIgnoreCase("true")
+
+  private def optLong(o: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+                      key: String): Option[Long] =
+    Option(o.get(key.toLowerCase)).map(v => scala.util.Try(v.trim.toLong)
+      .getOrElse(sys.error(s"graft catalog: option '$key' must be a " +
+        s"version number, got '$v'")))
+
   private def relation(path: String, version: Option[Long]): LogicalRelation =
     LogicalRelation(new ManifestRelation(spark.sqlContext, path, version),
       isStreaming = false)
@@ -126,6 +137,47 @@ class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       relation(graftPath(u.multipartIdentifier).get, None)
     case u: UnresolvedRelation if windowRelation(u.multipartIdentifier).isDefined =>
       windowRelation(u.multipartIdentifier).get
+
+    // `spark.read.option("readChangeFeed", true).table("graft_lake.ns.t")`
+    // — the Delta-shaped BATCH CDF surface by catalog name. Version
+    // bounds are INCLUSIVE Delta-style: [startingVersion,
+    // endingVersion (default: head)]. The feed's two extra columns
+    // cannot ride the catalog table's schema, so the relation is
+    // rewritten onto the same V1 feed relation the format/path surfaces
+    // use: catalog attributes re-alias by name (ids preserved for
+    // downstream resolution), the feed columns join with fresh ids.
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
+        optBool(r.options, "readChangeFeed") =>
+      val t = r.table.asInstanceOf[GraftTable]
+      require(!r.options.containsKey("versionasof") &&
+          !r.options.containsKey("timestampasof"),
+        "graft catalog CDF: readChangeFeed and versionAsOf/timestampAsOf " +
+          "are exclusive (the feed IS a version window)")
+      val from = optLong(r.options, "startingVersion").getOrElse(sys.error(
+        "graft catalog CDF: .option(\"startingVersion\", n) is required " +
+          "(inclusive — changes OF version n are the window's first rows)"))
+      val to = optLong(r.options, "endingVersion")
+        .orElse(ManifestTable.currentVersion(spark, t.root)).getOrElse(
+          sys.error(s"graft catalog CDF: ${t.root} has no committed version"))
+      val rel = LogicalRelation(
+        new ManifestFeedRelation(spark.sqlContext, t.root, from - 1, to),
+        isStreaming = false)
+      val byName = rel.output.map(a => a.name -> a).toMap
+      val kept = r.output.map { a =>
+        val src = byName.getOrElse(a.name, sys.error(
+          s"graft catalog CDF: the feed window lacks column '${a.name}' " +
+            "(added after the window? read the snapshot instead)"))
+        Alias(src, a.name)(exprId = a.exprId)
+      }
+      val feedCols = rel.output.filter(a =>
+        a.name == ManifestTable.ChangeTypeCol ||
+          a.name == ManifestTable.CommitVersionCol)
+      Project(kept ++ feedCols, rel)
+
+    // NOTE: `.option("versionAsOf"/"timestampAsOf", …).table(name)`
+    // needs no rule here — Spark 4 consumes those reader options
+    // natively (TimeTravelSpec.fromOptions) and resolves the pinned
+    // version through GraftCatalog.loadTable(ident, version/timestamp).
     // `INSERT OVERWRITE` on a graft_lake catalog table under Spark's
     // DYNAMIC partition-overwrite mode: Spark's physical dynamic
     // overwrite demands a native V2 BatchWrite (the V1 write bridge
@@ -142,24 +194,33 @@ class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     // maxversionsperbatch) pass through; the source's scan-order output
     // re-aliases onto the catalog node's attribute ids so downstream
     // resolution is undisturbed.
+    // With `.option("readChangeFeed", true)` the source runs in feed
+    // mode — each micro-batch carries the row-level CDF. The feed's two
+    // extra columns cannot ride the catalog node's schema, so they join
+    // the projection with fresh ids (downstream references resolve
+    // against them by name).
     case s: StreamingRelationV2 if s.table.isInstanceOf[GraftTable] =>
       val t = s.table.asInstanceOf[GraftTable]
       import scala.jdk.CollectionConverters._
       val user = s.extraOptions.asScala.toMap
-      require(!user.keys.exists(_.equalsIgnoreCase("readChangeFeed")),
-        "graft catalog: streaming CDC by table name is not supported — use " +
-          "spark.readStream.format(\"graft-manifest-changes\")" +
-          ".option(\"readChangeFeed\", true).option(\"path\", …) (the feed " +
-          "adds _change_type/_commit_version columns the catalog schema lacks)")
+      val feed = user.exists { case (k, v) =>
+        k.equalsIgnoreCase("readChangeFeed") && v.trim.equalsIgnoreCase("true")
+      }
       val ds = DataSource(spark, className = "graft-manifest-changes",
         options = user + ("path" -> t.root))
       val rel = StreamingRelation(ds)
       val byName = rel.output.map(a => a.name -> a).toMap
-      Project(s.output.map { a =>
+      val kept = s.output.map { a =>
         val src = byName.getOrElse(a.name, sys.error(
           s"graft catalog streaming: source lacks column '${a.name}'"))
         Alias(src, a.name)(exprId = a.exprId)
-      }, rel)
+      }
+      val feedCols =
+        if (!feed) Nil
+        else rel.output.filter(a =>
+          a.name == ManifestTable.ChangeTypeCol ||
+            a.name == ManifestTable.CommitVersionCol)
+      Project(kept ++ feedCols, rel)
 
     case o: OverwritePartitionsDynamic
         if o.query.resolved && o.outputResolved && (o.table match {

@@ -2028,6 +2028,8 @@ object ManifestTable {
         case _ if Set("rewrite", "meta", "rename", "drop-column",
                       "add-column").contains(op) =>
           None // data-identical or metadata-only
+        case f: FullManifest if f.files.isEmpty =>
+          None // schema-only seed (CREATE TABLE): zero rows changed
         case d: DeltaManifest if d.removes.isEmpty =>
           if (d.adds.isEmpty) None
           else Some(logicalize(scanFiles(spark, root, d.adds, withPositions = false, d.tags),

@@ -284,12 +284,24 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO graft_lake.$n.t VALUES (4, 4.0), (5, 5.0)")
     // resumed checkpoint: only the new commit's rows arrive
     assert(drain() == Seq(4L, 5L))
-    // CDC by name refuses with a pointer at the format-based API
-    intercept[Exception] {
-      spark.readStream.option("readChangeFeed", "true")
-        .table(s"graft_lake.$n.t").writeStream
-        .format("noop").start()
-    }
+    // streaming CDC by name: feed mode appends the CDF columns (the
+    // catalog schema lacks them — they join the projection with fresh
+    // ids); append-only commits derive their inserts for free
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-cat-ck2").toString
+    val feed = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q2 = spark.readStream.option("readChangeFeed", "true")
+      .table(s"graft_lake.$n.t")
+      .writeStream.option("checkpointLocation", ck2)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k", "_change_type", "_commit_version").collect()
+          .foreach(r => feed.add((r.getLong(0), r.getString(1), r.getLong(2)))); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000L); assert(!q2.isActive)
+    val rows = scala.jdk.CollectionConverters.CollectionHasAsScala(feed)
+      .asScala.toSeq.sorted
+    assert(rows == Seq((1L, "insert", 2L), (2L, "insert", 2L),
+      (3L, "insert", 2L), (4L, "insert", 3L), (5L, "insert", 3L)), rows)
     spark.sql(s"DROP TABLE graft_lake.$n.t")
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
