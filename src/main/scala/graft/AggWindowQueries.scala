@@ -761,6 +761,31 @@ object AggWindowQueries extends QueryPack {
       ManifestTable.read(s, root)
         .select(col("event_id"), col("ts_day"), col("event_type"), col("value"))
     }),
+    "k35_spec_evolution" -> ((s, d) => {
+      // K35 (beyond-reference): partition-spec EVOLUTION — the table is
+      // born PARTITIONED BY days(ts), half the rows land under that
+      // era, one metadata commit evolves the spec to (months(ts),
+      // event_type), and the other half lands under the new layout.
+      // The mixed-era read must repair BOTH generated columns on every
+      // row: era-1 rows predate ts_month (read-time derivation from the
+      // defining expression), era-2 rows carry ts_day as a data column
+      // derived at their write boundary. The oracle computes both
+      // transforms relationally for all rows — era-blind.
+      import graft.sources.ManifestTable
+      val root = java.nio.file.Files.createTempDirectory("graft-k35")
+        .toString + "/events_evo"
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      ManifestTable.createEmpty(s, root, ev.schema,
+        partitionCols = Seq("days(ts)"))                                // v1
+      ManifestTable.append(s, ev.filter(col("event_id") % 2 === 0), root) // era 1
+      ManifestTable.evolvePartitionSpec(s, root,
+        Seq("months(ts)", "event_type"))                                // v3
+      ManifestTable.append(s, ev.filter(col("event_id") % 2 === 1), root) // era 2
+      ManifestTable.readWhere(s, root, col("event_id") % 7 === 0)
+        .select(col("event_id"), col("ts_day"), col("ts_month"),
+          col("event_type"), col("value"))
+    }),
     "k34_bucket_join" -> ((s, d) => {
       // K34 (beyond-reference): storage-partitioned join — two catalog
       // tables created PARTITIONED BY (bucket(8, key)) report
@@ -1196,6 +1221,10 @@ object AggWindowQueries extends QueryPack {
          |  ${OracleMath.dsumSql("l_extendedprice", 4, 2)} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY 1""".stripMargin,
+    "k35_spec_evolution" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS ts_day,
+        |       strftime(ts, '%Y-%m') AS ts_month, event_type, value
+        |FROM events WHERE event_id % 7 = 0""".stripMargin,
     "k36_cdf_by_name" ->
       """SELECT o_orderkey, o_totalprice,
         |       'insert' AS change_type, CAST(3 AS BIGINT) AS commit_version

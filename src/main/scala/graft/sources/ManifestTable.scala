@@ -637,6 +637,9 @@ object ManifestTable {
       require(k != GeneratedTag,
         s"manifest tag '$k' is reserved (generated-column definitions — " +
           "declare transforms via PARTITIONED BY at create time)")
+      require(k != EvolvedTag,
+        s"manifest tag '$k' is reserved (partition-spec evolution marker — " +
+          "written only by evolvePartitionSpec)")
       require(k != CdfEnabledTag ||
           v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
         s"manifest tag '$CdfEnabledTag' must be 'true' or 'false', got '$v'")
@@ -1630,6 +1633,104 @@ object ManifestTable {
   private def encodeGenerated(specs: Seq[(String, String)]): String =
     specs.map { case (n, e) => s"${enc(n)}:${enc(e)}" }.mkString(",")
 
+  /** Tag marking that [[evolvePartitionSpec]] has run at least once: the
+    * layout of record is [[LayoutTag]] (files may carry older eras'
+    * dir layouts), and reads repair generated columns that predate
+    * their era ([[deriveEvolvedGenerated]]). Absent on ordinary tables,
+    * whose single-layout invariant stays strictly enforced. */
+  private[graft] val EvolvedTag = "layout.evolved"
+
+  /** Iceberg-style partition-spec EVOLUTION as one metadata commit: the
+    * table's layout of record becomes `partitionCols` (identity columns
+    * and/or `days|months|hours(c)` / `bucket(n, c)` / `truncate(n, c)`
+    * transforms); files already written stay exactly where they are and
+    * remain readable under their recorded era, new writes land under
+    * the new layout. Generated-column DEFINITIONS are append-only
+    * across eras: an old transform's column keeps its definition (new
+    * writes still derive it — as a data column with footer stats, so
+    * filters on it keep pruning), a new transform's column is derived
+    * at every write boundary AND repaired at read time for old-era rows
+    * (coalesce with the defining expression — exact, because the value
+    * IS a function of its source column). Redefining an existing
+    * generated column refuses: that is a rewrite, not evolution.
+    *
+    * What mixed eras cost until an OPTIMIZE/compact physicalizes the
+    * current spec: dynamic partition overwrite refuses (replacing a
+    * new-era partition cannot see old-era rows that logically belong to
+    * it), and file skipping on the NEW column prunes only new-era files
+    * (old ones lack its dirs and stats — conservative, never wrong). A
+    * full [[compact]] rewrites every file under the current spec and
+    * retires the mixed state. */
+  def evolvePartitionSpec(spark: SparkSession, root: String,
+                          partitionCols: Seq[String],
+                          graceMs: Long = 60000L): Long = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val parsed = partitionCols.map(parsePartitionSpec)
+    val newLayout = parsed.map(_._1)
+    require(newLayout.distinct.size == newLayout.size,
+      s"evolvePartitionSpec: duplicate partition columns in $partitionCols")
+    val newGen = parsed.collect { case (n, Some(e)) => (n, e) }
+    val oldGen = generatedSpecs(st.tags)
+    newGen.foreach { case (n, e) =>
+      oldGen.find(_._1.equalsIgnoreCase(n)).foreach { case (_, oe) =>
+        require(oe == e,
+          s"evolvePartitionSpec: generated column '$n' is already defined " +
+            s"as $oe — changing a definition is a rewrite, not evolution")
+      }
+    }
+    val schema = readState(spark, root, st).schema
+    parsed.foreach {
+      case (n, None) =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+          s"evolvePartitionSpec: identity partition column '$n' is not in " +
+            s"the schema of $root")
+      case (n, Some(e)) =>
+        require(schema.fieldNames.exists(f => e.contains(s"`$f`")),
+          s"evolvePartitionSpec: generated column $n's source is not in " +
+            s"the schema ($e)")
+        require(oldGen.exists(_._1.equalsIgnoreCase(n)) ||
+            !schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+          s"evolvePartitionSpec: column '$n' already exists in $root — a " +
+            "transform may not shadow a data column")
+    }
+    val merged = oldGen ++ newGen.filterNot(g =>
+      oldGen.exists(_._1.equalsIgnoreCase(g._1)))
+    val newTags = st.tags +
+      (LayoutTag -> newLayout.mkString(",")) + (EvolvedTag -> "true") ++
+      (if (merged.nonEmpty) Map(GeneratedTag -> encodeGenerated(merged))
+       else Map.empty)
+    commitMeta(spark, root, st, newTags, graceMs, op = "evolve-spec")
+  }
+
+  /** Post-evolution read repair: every generated column reads its TRUE
+    * value on every row — dir/data values where an era recorded them,
+    * the defining expression where it predates the column. Exact by the
+    * write-boundary verification (a recorded value always equals its
+    * definition), and the identity (skipped) on non-evolved tables. */
+  private def deriveEvolvedGenerated(df: DataFrame,
+                                     tags: Map[String, String]): DataFrame =
+    if (!tags.contains(EvolvedTag)) df
+    else generatedSpecs(tags).foldLeft(df) { case (d, (n, sql)) =>
+      val defined = expr(sql).cast("string")
+      if (!d.columns.exists(_.equalsIgnoreCase(n))) d.withColumn(n, defined)
+      else d.withColumn(n, coalesce(col(n).cast("string"), defined))
+    }
+
+  /** The layout a REWRITE (compact/optimize) must land: post-evolution
+    * the spec of record (physicalizing old eras is the point), else the
+    * files' single recorded layout. */
+  private def rewriteLayout(root: String, st: State,
+                            files: Seq[FileEntry]): Seq[String] =
+    if (st.tags.contains(EvolvedTag)) layoutOf(root, st)
+    else {
+      val layouts = files.map(_.partitionPath.split('/').toSeq
+        .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
+      require(layouts.size <= 1,
+        s"rewrite: inconsistent partition layouts in $root: $layouts")
+      layouts.headOption.getOrElse(Seq.empty)
+    }
+
   /** The table's generated BUCKET layout, when one exists:
     * (bucket column name, source column, bucket count). The defining
     * SQL is the engine's own `pmod(hash(c), n)` — Spark murmur3, the
@@ -2026,7 +2127,7 @@ object ManifestTable {
           val raw = spark.read.parquet(new Path(root, m.cdf.get._1).toString)
           Some(logicalize(raw, m.tags).withColumn(CommitVersionCol, lit(v)))
         case _ if Set("rewrite", "meta", "rename", "drop-column",
-                      "add-column").contains(op) =>
+                      "add-column", "evolve-spec").contains(op) =>
           None // data-identical or metadata-only
         case f: FullManifest if f.files.isEmpty =>
           None // schema-only seed (CREATE TABLE): zero rows changed
@@ -2068,8 +2169,9 @@ object ManifestTable {
         sys.error(s"manifest table $root v${st.version} lists no files"))
       val phys = org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-      return logicalize(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), phys), st.tags)
+      return deriveEvolvedGenerated(logicalize(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), phys), st.tags),
+        st.tags)
     }
     val (dvd, clean) = st.files.partition(_.dv.nonEmpty)
     val out = if (dvd.isEmpty)
@@ -2090,7 +2192,7 @@ object ManifestTable {
       else logicalize(scanFiles(spark, root, clean, withPositions = false, st.tags), st.tags)
         .unionByName(cleaned, allowMissingColumns = true)
     }
-    padDeclared(out, st.tags)
+    deriveEvolvedGenerated(padDeclared(out, st.tags), st.tags)
   }
 
   /** Scan `files` with row positions ([[DvRelCol]]/[[DvPosCol]] kept in
@@ -2493,6 +2595,12 @@ object ManifestTable {
     * (the record once data exists), falling back to the [[LayoutTag]]
     * declared by [[createEmpty]] while the table has none. */
   private def layoutOf(root: String, st: State): Seq[String] = {
+    // after spec evolution the TAG is the layout of record and files
+    // legitimately carry older eras' layouts; otherwise the single-
+    // layout invariant is enforced as a corruption tripwire
+    if (st.tags.contains(EvolvedTag))
+      return st.tags.get(LayoutTag).map(_.split(',').toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
     val layouts = st.files.map(_.partitionPath.split('/').toSeq
       .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
     require(layouts.size <= 1,
@@ -2690,6 +2798,19 @@ object ManifestTable {
     val partKeys = layoutOf(root, st)
     if (partKeys.isEmpty)
       return write(batch, root, Nil, graceMs)
+    // mixed partition-spec eras: a partition replaced under the CURRENT
+    // spec cannot see old-era rows that logically belong to it — the
+    // overwrite would silently keep them next to the replacement.
+    // Refuse until a compact()/OPTIMIZE physicalizes the current spec.
+    if (st.tags.contains(EvolvedTag)) {
+      val mixed = st.files.exists(f => f.partitionPath.split('/').toSeq
+        .filter(_.nonEmpty).map(_.takeWhile(_ != '=')) != partKeys)
+      require(!mixed,
+        s"manifest table $root: dynamic partition overwrite with MIXED " +
+          "partition-spec eras would silently retain old-era rows of " +
+          "replaced partitions — run compact() (or OPTIMIZE) to " +
+          "physicalize the current spec first")
+    }
     val fs = fsOf(spark, root)
     val logical = readState(spark, root, st).schema
     val expected = logical.fieldNames.toSeq
@@ -3067,13 +3188,10 @@ object ManifestTable {
       sys.error(s"manifest table $root has no committed version"))
     val df = readState(spark, root, st)
     val bytes = st.files.map(_.bytes).sum
-    // partition keys recovered from the live files' k=v sub-paths (one
-    // consistent layout demanded, like Writers.scanParquetDir)
-    val layouts = st.files.map(_.partitionPath.split('/').toSeq
-      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
-    require(layouts.size <= 1,
-      s"compact: inconsistent partition layouts in $root: $layouts")
-    val keys = layouts.headOption.getOrElse(Seq.empty)
+    // partition keys: the files' single recorded layout — or, post
+    // spec-evolution, the CURRENT spec of record (a full compact is
+    // exactly how mixed eras physicalize onto one layout)
+    val keys = rewriteLayout(root, st, st.files)
     val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
     val genPath = new Path(root, gen)
     // readState is the LOGICAL view; rewrites must land physical names
@@ -3129,7 +3247,7 @@ object ManifestTable {
     val st = current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
     val guarded = Seq(SchemaTag, LayoutTag, RenameTag, DropTag, CloneSourcesTag,
-      GeneratedTag)
+      GeneratedTag, EvolvedTag)
     (set.keys ++ unset).foreach { k =>
       require(!guarded.contains(k),
         s"table property '$k' is reserved engine state (schema record / name " +
@@ -4028,11 +4146,7 @@ object ManifestTable {
     val smallBytes = smallFileMB * 1024L * 1024L
     val (small, big) = st.files.partition(_.bytes < smallBytes)
     if (small.sizeIs < minFiles) return st.version
-    val layouts = small.map(_.partitionPath.split('/').toSeq
-      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
-    require(layouts.size <= 1,
-      s"compactSmallFiles: inconsistent partition layouts in $root: $layouts")
-    val keys = layouts.headOption.getOrElse(Seq.empty)
+    val keys = rewriteLayout(root, st, small)
     val df = readState(spark, root, st.copy(files = small))
     val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
     val micros = withMicrosTimestamps(physicalizeDf(df, st.tags))
@@ -4060,9 +4174,11 @@ object ManifestTable {
       sys.error(s"manifest table $root has no committed version"))
     val layouts = st.files.map(_.partitionPath.split('/').toSeq
       .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
-    val partCols = layouts.headOption.getOrElse(
-      st.tags.get(LayoutTag).map(_.split(',').toSeq.filter(_.nonEmpty))
-        .getOrElse(Seq.empty))
+    val partCols =
+      if (st.tags.contains(EvolvedTag)) layoutOf(root, st)
+      else layouts.headOption.getOrElse(
+        st.tags.get(LayoutTag).map(_.split(',').toSeq.filter(_.nonEmpty))
+          .getOrElse(Seq.empty))
     val row = org.apache.spark.sql.Row(
       root, st.version, st.files.size.toLong, st.files.map(_.bytes).sum,
       st.files.map(_.relPath.takeWhile(_ != '/')).distinct.size.toLong,
@@ -4315,11 +4431,9 @@ object ManifestTable {
         .filter(fs0 => fs0.size >= 2 || fs0.exists(_.dv.nonEmpty))
         .flatten.toSeq
     if (eligible.isEmpty) return st.version // nothing worth packing
-    val layouts = eligible.map(_.partitionPath.split('/').toSeq
-      .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
-    require(layouts.size <= 1,
-      s"optimize: inconsistent partition layouts in $root: $layouts")
-    val partKeys = layouts.headOption.getOrElse(Seq.empty)
+    // post spec-evolution the rewrite lands the CURRENT spec — an
+    // incremental OPTIMIZE physicalizes exactly the partitions it packs
+    val partKeys = rewriteLayout(root, st, eligible)
     // the eligible slice through the full read path: DVs fold in,
     // rename/drop mappings and declared-NULL padding apply — the new
     // files carry the same physical schema any generation write does
