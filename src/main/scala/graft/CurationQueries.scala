@@ -85,6 +85,25 @@ object CurationQueries extends QueryPack {
       // sequences, 8 independent shards (no global-order funnel).
       Curation.packSequences(docs(s, d), "doc_id", col("text"),
         seqLen = 2048, shards = 8)),
+    "t_bpe" -> ((s, d) => {
+      // deterministic BPE (public Sennrich algorithm): encode every
+      // document under the PINNED merge table in one native pass; the
+      // oracle replays the same merges with nested replace() over the
+      // paren-wrapped representation — bit-identical token streams by
+      // construction. (Corpus training is Bpe.train, spec-gated.)
+      val enc = graft.plans.TextNative.bpeEncode(s, col("text"),
+        graft.functions.Bpe.PinnedMerges)
+      docs(s, d).select(col("doc_id"), enc.as("_enc"))
+        .select(col("doc_id"),
+          size(col("_enc")).cast("long").as("n_bpe_tokens"),
+          array_join(slice(col("_enc"), 1, 5), " ").as("head_tokens"))
+    }),
+    "s_pack_bpe" -> ((s, d) =>
+      // token-EXACT packing: the same head-to-tail sequence assembly,
+      // budgeted in learned BPE tokens instead of whitespace words.
+      Curation.packSequences(docs(s, d), "doc_id", col("text"),
+        seqLen = 512, shards = 8,
+        bpeMerges = graft.functions.Bpe.PinnedMerges)),
     "c_hash_split" -> ((s, d) =>
       docs(s, d)
         .withColumn("split", Curation.hashSplit(col("doc_id")))
@@ -95,6 +114,11 @@ object CurationQueries extends QueryPack {
 
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+  // the PINNED merge table's DuckDB replay over a lambda word `w` —
+  // generated from the same Seq the Spark encoder uses, so the two
+  // sides cannot drift
+  private val bpeEncSql =
+    graft.functions.Bpe.replaySql("w", graft.functions.Bpe.PinnedMerges)
   private val sh3Sql =
     "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
       "for i in range(1, len(toks) - 1)])"
@@ -218,6 +242,34 @@ object CurationQueries extends QueryPack {
          |SELECT doc_id, shard, n_tokens,
          |  CAST(FLOOR((cum - n_tokens) / CAST(2048 AS DOUBLE)) AS BIGINT) AS seq_id,
          |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+         |FROM c""".stripMargin,
+    "t_bpe" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |e AS (SELECT doc_id, list_transform(toks, w -> $bpeEncSql) AS encs FROM t)
+         |SELECT doc_id,
+         |  CAST(coalesce(list_sum(list_transform(encs,
+         |    s -> len(string_split(substr(s, 2, len(s)-2), ')(')))), 0) AS BIGINT)
+         |    AS n_bpe_tokens,
+         |  array_to_string(list_slice(flatten(list_transform(encs,
+         |    s -> string_split(substr(s, 2, len(s)-2), ')('))), 1, 5), ' ')
+         |    AS head_tokens
+         |FROM e""".stripMargin,
+    "s_pack_bpe" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |e AS (SELECT doc_id, list_transform(toks, w -> $bpeEncSql) AS encs FROM t0),
+         |t AS (SELECT doc_id, doc_id % 8 AS shard,
+         |  CAST(coalesce(list_sum(list_transform(encs,
+         |    s -> len(string_split(substr(s, 2, len(s)-2), ')(')))), 0) AS BIGINT)
+         |    AS n_tokens
+         |  FROM e),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(FLOOR((cum - n_tokens) / CAST(512 AS DOUBLE)) AS BIGINT) AS seq_id,
+         |  CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
          |FROM c""".stripMargin,
     "c_hash_split" ->
       s"""SELECT CASE WHEN $bucketSql < 90 THEN 'train'

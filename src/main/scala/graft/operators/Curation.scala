@@ -137,8 +137,16 @@ object Curation {
     *
     * Output: (doc_id, shard, n_tokens, seq_id, seq_offset). */
   def packSequences(docs: DataFrame, id: String, text: Column,
-                    seqLen: Int = 2048, shards: Int = 8): DataFrame = {
+                    seqLen: Int = 2048, shards: Int = 8,
+                    bpeMerges: Seq[(String, String)] = Nil): DataFrame = {
     val s = docs.sparkSession
+    // token-EXACT mode: with a learned BPE merge table the budget is
+    // counted in the tokens the trainer will actually see, not
+    // whitespace words — the table rides the plan as a literal, so the
+    // counting pass stays one codegen'd projection either way
+    val tokCount =
+      if (bpeMerges.isEmpty) size(TextNative.tokens(s, text))
+      else size(TextNative.bpeEncode(s, text, bpeMerges))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -146,7 +154,7 @@ object Curation {
     docs
       .select(col(id).as("doc_id"),
         pmod(col(id), lit(shards.toLong)).as("shard"),
-        size(TextNative.tokens(s, text)).cast("long").as("n_tokens"))
+        tokCount.cast("long").as("n_tokens"))
       .withColumn("_cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         floor((col("_cum") - col("n_tokens")) / lit(seqLen.toDouble))

@@ -122,6 +122,22 @@ object TextNative {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_norm_text", exprs => NormalizeText(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_encode",
+      exprs => BpeEncode(exprs(0),
+        exprs(1).eval().asInstanceOf[UTF8String].toString),
+      "built-in")
+  }
+
+  /** BPE token array for a document under a learned merge table — one
+    * native pass (tokenize + greedy merges); see [[BpeEncode]] for the
+    * cross-engine representation contract. */
+  def bpeEncode(spark: SparkSession, text: Column,
+                merges: Seq[(String, String)]): Column = {
+    register(spark)
+    call_function("graft_bpe_encode", text,
+      org.apache.spark.sql.functions.lit(
+        merges.map { case (a, b) => s"$a $b" }.mkString(",")))
   }
 
   /** Ordered word tokens (duplicates kept) — native twin of
@@ -548,5 +564,75 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Byte-pair encoding of a document as ONE native pass: tokenize (the
+  * [[TextNative.tokenize]] parity semantics), then greedily apply a
+  * FIXED merge table to each word in learned-rank order. The
+  * representation contract is the cross-engine one: a word is its
+  * characters each wrapped in parens — `hello` → `(h)(e)(l)(l)(o)` —
+  * and applying merge (a, b) is a plain left-to-right non-overlapping
+  * string replace of `(a)(b)` with `(ab)`, which is exactly Sennrich's
+  * one-pass pair merge (wrapping makes adjacent matches share no
+  * characters, so `a b a b` merges twice in one pass) AND exactly what
+  * the DuckDB oracle replays with nested `replace(...)` calls —
+  * bit-identical token streams by construction.
+  *
+  * `spec` is the learned table as "a b,c d,…" (symbols are [a-z0-9]+
+  * runs and their concatenations — never contain space or comma). */
+case class BpeEncode(child: Expression, spec: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_encode expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  @transient private lazy val rules: Array[(String, String)] =
+    spec.split(',').filter(_.nonEmpty).map { m =>
+      m.split(' ') match {
+        case Array(a, b) => (s"($a)($b)", s"($a$b)")
+        case _ => throw new IllegalArgumentException(
+          s"graft_bpe_encode: malformed merge '$m' (want 'left right')")
+      }
+    }
+
+  @transient private lazy val unwrap = java.util.regex.Pattern.compile("\\)\\(")
+
+  def compute(s: UTF8String): ArrayData = {
+    val words = TextNative.tokenize(s)
+    val out = new java.util.ArrayList[UTF8String]()
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi).toString
+      val sb = new java.lang.StringBuilder(w.length * 3)
+      var i = 0
+      while (i < w.length) { sb.append('(').append(w.charAt(i)).append(')'); i += 1 }
+      var enc = sb.toString
+      var r = 0
+      while (r < rules.length) {
+        val rule = rules(r)
+        if (enc.contains(rule._1)) enc = enc.replace(rule._1, rule._2)
+        r += 1
+      }
+      val toks = unwrap.split(enc.substring(1, enc.length - 1))
+      var t = 0
+      while (t < toks.length) { out.add(UTF8String.fromString(toks(t))); t += 1 }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray(new Array[UTF8String](out.size()))
+      .asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
     copy(child = newChild)
 }
