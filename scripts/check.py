@@ -7,7 +7,7 @@ Reads each <verifyOutDir>/<name>/ parquet (Spark output), runs the
 corresponding oracle_sql.json entry in DuckDB against the sfDir parquet
 tables, sorts columns by name and rows by all columns, and compares values.
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 import pandas as pd
 
@@ -44,6 +44,7 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    oracle_secs = {}
     for name in sorted(oracles):
         if not os.path.isdir(os.path.join(out_dir, name)):
             print(f"FAIL {name}: query produced no output dir"); n_fail += 1
@@ -62,7 +63,9 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: rows-only query returned 0 rows"); n_fail += 1
             continue
         try:
+            t0 = time.monotonic()
             exp = con.execute(oracles[name]).df()
+            oracle_secs[name] = round(time.monotonic() - t0, 3)
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
         g, e = norm(got), norm(exp)
@@ -80,6 +83,12 @@ def main(sf_dir, out_dir):
             print(f"PASS {name}: {len(g)} rows"); n_pass += 1
         except AssertionError as ex:
             print(f"FAIL {name}: value mismatch\n{str(ex)[:500]}"); n_fail += 1
+    # per-query DuckDB wall times (execute + df materialization): the
+    # engine-vs-engine baseline raw material — BASELINE_QUERIES.json is
+    # built from this instead of re-running the multi-hour oracles
+    with open(os.path.join(out_dir, "oracle_seconds.json"), "w") as f:
+        json.dump({"sf_dir": sf_dir, "oracle_seconds": oracle_secs}, f,
+                  indent=1, sort_keys=True)
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 

@@ -28,9 +28,29 @@ object Bench {
   /** Every driver-checkable query, timed in stable (sorted) order. */
   def headline: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
+  /** 1/5/15-minute load averages, or empty when unreadable — recorded
+    * BEFORE and AFTER the run so "measured on an idle host" is evidence
+    * in the artifact, not a label (host-load inflation was adjudicated
+    * in rounds 9/10/12/13; a uniform multiplier across unrelated tiny
+    * queries is its signature). */
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(' ').take(3).mkString(",")
+    catch { case scala.util.control.NonFatal(_) => "" }
+
+  /** True when a DuckDB oracle sweep (scripts/check.py) is running on
+    * this host — its phases spike load to 18+ and invalidate timings. */
+  private def sweepRunning(): Boolean =
+    try {
+      import scala.sys.process._
+      Seq("pgrep", "-f", "scripts/check.py").!(ProcessLogger(_ => ())) == 0
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadBefore = loadavg()
+    val sweepAtStart = sweepRunning()
     val spark = graft.core.GraftSession
       .builder("graft-bench", s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
@@ -62,7 +82,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+    val loadAfter = loadavg()
+    val sweep = sweepAtStart || sweepRunning()
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","oracle_sweep_running":$sweep}"""
     println(line)
     // also persist the record to a file: the driver captures stdout via a
     // bounded tail, and a long per-query map has been truncated there once

@@ -49,6 +49,13 @@ object GraftSession {
       // always correct for equi-joins (equal keys share a partition);
       // requiring ALL cluster keys would force the shuffle back
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // cost-based optimization: graft_lake scans report per-column
+      // min/max/null statistics folded from manifest footer stats —
+      // ALWAYS fresh (they travel with every commit), so CBO's classic
+      // failure mode (stale ANALYZE tables) cannot happen; the
+      // optimizer gets plan-time filter selectivity instead of waiting
+      // for AQE to observe runtime sizes
+      .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")

@@ -1,0 +1,99 @@
+package graft.sources.v2
+
+import java.util
+import java.util.{Optional, OptionalLong}
+
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+import org.apache.spark.sql.types._
+
+import graft.sources.ManifestTable
+
+/** Per-COLUMN statistics for the Catalyst optimizer, folded from the
+  * manifest's per-file footer stats — min/max, null counts and exact
+  * row counts the write path already records. With CBO enabled this is
+  * what lets the optimizer decide a join strategy AT PLAN TIME from
+  * always-fresh metadata (the classic CBO failure mode — stale ANALYZE
+  * tables — cannot happen here: the stats travel with every commit),
+  * instead of waiting for AQE to observe runtime sizes mid-query.
+  *
+  * Emission is honest-or-silent: a column reports bounds only when
+  * EVERY live file carries same-kind stats for it (so the fold covers
+  * the whole table; a DV'd file's superset bounds stay valid as
+  * ESTIMATES), null counts only when every file recorded them, and
+  * nothing at all under rename/drop mappings (file stats are keyed by
+  * physical names) — the optimizer treats absence as unknown, which is
+  * exactly right. */
+object GraftColumnStats {
+
+  def forFiles(files: Seq[ManifestTable.FileEntry],
+               tags: Map[String, String],
+               schema: StructType): util.Map[NamedReference, ColumnStatistics] = {
+    val m = new util.HashMap[NamedReference, ColumnStatistics]()
+    if (files.isEmpty ||
+        tags.contains(ManifestTable.RenameTag) ||
+        tags.contains(ManifestTable.DropTag)) return m
+    schema.fields.foreach { f =>
+      val per = files.map(_.stats.get(f.name))
+      if (per.forall(_.isDefined)) {
+        val ss = per.map(_.get)
+        val kinds = ss.map(_.kind).distinct
+        if (kinds.size == 1) {
+          val kind = kinds.head
+          val nulls =
+            if (ss.forall(_.nulls >= 0)) OptionalLong.of(ss.map(_.nulls).sum)
+            else OptionalLong.empty()
+          // the estimator requires an NDV to use min/max at all; the
+          // manifest records value counts, not distinct counts, so
+          // report the UPPER BOUND (every value distinct). Range
+          // selectivity doesn't use it; equality selectivity (1/ndv)
+          // under-estimates matches — the conservative direction for
+          // a broadcast decision is a question of which side errs,
+          // and an upper-bound ndv errs toward keeping plans as they
+          // were (smaller estimated equality matches, same range
+          // estimates) rather than inventing selectivity that isn't
+          // there.
+          val ndv =
+            if (ss.forall(_.count >= 0)) OptionalLong.of(ss.map(_.count).sum)
+            else OptionalLong.empty()
+          val (mn, mx) =
+            if (kind == 's') (Optional.empty[Object](), Optional.empty[Object]())
+            else {
+              // numeric kinds canonicalize as decimal strings ('d' epoch
+              // days, 't' epoch micros, 'n' plain) — fold exactly
+              val mins = ss.map(s => BigDecimal(s.min))
+              val maxs = ss.map(s => BigDecimal(s.max))
+              (toCatalyst(kind, f.dataType, mins.min),
+                toCatalyst(kind, f.dataType, maxs.max))
+            }
+          if (mn.isPresent || mx.isPresent || nulls.isPresent)
+            m.put(Expressions.column(f.name), new ColumnStatistics {
+              override def min(): Optional[Object] = mn
+              override def max(): Optional[Object] = mx
+              override def nullCount(): OptionalLong = nulls
+              override def distinctCount(): OptionalLong = ndv
+            })
+        }
+      }
+    }
+    m
+  }
+
+  /** A folded bound in the CATALYST-internal representation the
+    * estimator expects for the column's type — or absent on any
+    * kind/type disagreement (never guess). */
+  private def toCatalyst(kind: Char, dt: DataType,
+                         v: BigDecimal): Optional[Object] = (kind, dt) match {
+    case ('n', LongType)      => Optional.of(Long.box(v.toLong))
+    case ('n', IntegerType)   => Optional.of(Int.box(v.toInt))
+    case ('n', ShortType)     => Optional.of(Short.box(v.toShort))
+    case ('n', ByteType)      => Optional.of(Byte.box(v.toByte))
+    case ('n', DoubleType)    => Optional.of(Double.box(v.toDouble))
+    case ('n', FloatType)     => Optional.of(Float.box(v.toFloat))
+    case ('n', d: DecimalType) =>
+      Optional.of(Decimal(v, d.precision, d.scale))
+    case ('d', DateType)      => Optional.of(Int.box(v.toInt))
+    case ('t', TimestampType) => Optional.of(Long.box(v.toLong))
+    case _                    => Optional.empty()
+  }
+}

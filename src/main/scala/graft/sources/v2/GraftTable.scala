@@ -254,10 +254,11 @@ final class GraftScanBuilder(root: String, version: Option[Long],
   override def build(): Scan = metadataCount match {
     case Some(n) => new GraftCountScan(root, version, n)
     case None =>
-      // bucket-laid-out tables get the real DSv2 Batch scan reporting
-      // KeyGroupedPartitioning (zero-Exchange co-bucketed joins); any
-      // state it can't serve exactly falls back to the V1 bridge
-      GraftBucketedScan.tryBuild(root, version, pushed, required, fullSchema)
+      // eligible tables get the real DSv2 Batch scan (native parquet
+      // reads, column statistics to CBO, KeyGroupedPartitioning on
+      // bucket layouts for zero-Exchange co-bucketed joins); any state
+      // it can't serve exactly falls back to this V1 bridge
+      GraftBatchScan.tryBuild(root, version, pushed, required, fullSchema)
         .getOrElse(new GraftV1Scan(root, version, pushed, required))
   }
 }
@@ -294,10 +295,13 @@ final class GraftV1Scan(root: String, version: Option[Long],
     new GraftV1BridgeRelation(context, root, version, pushed, required)
       .asInstanceOf[T]
 
-  /** Catalyst sizing from manifest metadata — live bytes and (when the
+  /** Catalyst sizing from manifest metadata — live bytes, (when the
     * manifest carries per-file row counts and no DV makes them inexact)
-    * the exact row count, so dimension tables loaded through the catalog
-    * auto-broadcast exactly like the path-relation surface. */
+    * the exact row count, and PER-COLUMN min/max/null statistics folded
+    * from the footer stats every commit records — so dimension tables
+    * loaded through the catalog auto-broadcast like the path-relation
+    * surface, and with CBO on the optimizer estimates filter
+    * selectivity from always-fresh metadata at plan time. */
   override def estimateStatistics(): Statistics = {
     val spark = SparkSession.active
     val st = version match {
@@ -307,11 +311,17 @@ final class GraftV1Scan(root: String, version: Option[Long],
     val bytes = st.map(_.files.map(_.bytes).sum)
     val rows = if (version.isDefined) None
                else ManifestTable.rowCount(spark, root)
+    val cols = st.map(s =>
+        GraftColumnStats.forFiles(s.files, s.tags, required))
+      .getOrElse(new util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]())
     new Statistics {
       override def sizeInBytes(): util.OptionalLong =
         bytes.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty)
       override def numRows(): util.OptionalLong =
         rows.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty)
+      override def columnStats(): util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
     }
   }
 

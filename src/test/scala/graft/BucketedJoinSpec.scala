@@ -109,5 +109,5 @@ class BucketedJoinSpec extends SparkSpec {
     } finally dropTables("spjfall")
   }
 
-  private val GraftBucketedScanConf = graft.sources.v2.GraftBucketedScan.EnabledKey
+  private val GraftBucketedScanConf = graft.sources.v2.GraftBatchScan.EnabledKey
 }
