@@ -318,7 +318,11 @@ final case class GraftSqlMergeCommand(root: String, source: LogicalPlan,
     // plan — refuse up front with the actionable shape instead.
     keys.foreach { case (tName, sName) =>
       if (tName != sName) {
-        require(!src.columns.exists(_.equalsIgnoreCase(tName)),
+        // the mapped column itself may differ from the target spelling
+        // only by case — that rename is unambiguous; refuse only a
+        // genuinely DISTINCT pre-existing column with the target name
+        require(!src.columns.exists(c =>
+            c.equalsIgnoreCase(tName) && !c.equalsIgnoreCase(sName)),
           s"MERGE INTO: the ON clause maps source column '$sName' onto " +
             s"target key '$tName', but the source already has a column " +
             s"named '$tName' — alias or drop it in the source query so " +

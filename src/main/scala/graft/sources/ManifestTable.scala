@@ -2591,6 +2591,13 @@ object ManifestTable {
     layoutOf(root, current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version")))
 
+  /** [[partitionLayout]] for an explicit state — what a PINNED
+    * (time-travel) scan must use: the current layout may have evolved
+    * since, and classifying columns by the wrong era's layout would
+    * silently read NULLs. */
+  private[graft] def layoutAt(root: String, st: State): Seq[String] =
+    layoutOf(root, st)
+
   /** The table's partition layout at `st`: derived from the live files
     * (the record once data exists), falling back to the [[LayoutTag]]
     * declared by [[createEmpty]] while the table has none. */

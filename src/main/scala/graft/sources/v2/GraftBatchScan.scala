@@ -86,7 +86,10 @@ object GraftBatchScan {
       case None    => st.files
     }
 
-    val partCols = ManifestTable.partitionLayout(spark, root)
+    // the layout OF THE PINNED STATE, never the current one: a
+    // time-travel read of a pre-evolution version must classify
+    // data-vs-partition columns by its own era
+    val partCols = ManifestTable.layoutAt(root, st)
     val partSet = partCols.toSet
     // hive partition columns come off directory names, not file bytes:
     // the reader takes them as per-file constants, so required splits
@@ -157,16 +160,20 @@ final class GraftBatchScan(root: String, version: Option[Long],
   }
 
   override def planInputPartitions(): Array[InputPartition] = bucketCol match {
-    case Some(bc) =>
-      // one UNSPLIT partition per live bucket value: the key-grouped
-      // contract (splitting a bucket would emit duplicate keys)
+    // key-grouped ONLY when the partitioning is actually reported
+    // (bucket column projected — the join shape): one UNSPLIT partition
+    // per live bucket value, since splitting a bucket would emit
+    // duplicate keys. A scan that doesn't carry the bucket column gets
+    // the bin-packed splits below — key-grouping would cap parallelism
+    // at the bucket count for no optimizer benefit.
+    case Some(bc) if requiredPart.fieldNames.contains(bc) =>
       val byBucket = files.groupBy(_.partitionValues(bc).get)
       buckets.map { b =>
         val pfs = byBucket(b).sortBy(_.relPath)
           .map(f => asPartitionedFiles(f, Long.MaxValue).head)
         GraftBucketPartition(b, pfs.toArray): InputPartition
       }.toArray
-    case None =>
+    case _ =>
       // Spark's own split sizing + bin-packing (maxPartitionBytes /
       // openCostInBytes / target parallelism) over row-group splits
       val s = spark

@@ -43,21 +43,13 @@ object GraftColumnStats {
           val nulls =
             if (ss.forall(_.nulls >= 0)) OptionalLong.of(ss.map(_.nulls).sum)
             else OptionalLong.empty()
-          // the estimator requires an NDV to use min/max at all; the
-          // manifest records value counts, not distinct counts, so
-          // report the UPPER BOUND (every value distinct). Range
-          // selectivity doesn't use it; equality selectivity (1/ndv)
-          // under-estimates matches — the conservative direction for
-          // a broadcast decision is a question of which side errs,
-          // and an upper-bound ndv errs toward keeping plans as they
-          // were (smaller estimated equality matches, same range
-          // estimates) rather than inventing selectivity that isn't
-          // there.
-          val ndv =
-            if (ss.forall(_.count >= 0)) OptionalLong.of(ss.map(_.count).sum)
-            else OptionalLong.empty()
+          // only the ordered-numeric kinds carry parseable bounds —
+          // 's' (string) bounds are unused by the estimator, and '_'
+          // (all-null / unsupported type / NaN) records EMPTY bounds
+          // that must never reach BigDecimal
           val (mn, mx) =
-            if (kind == 's') (Optional.empty[Object](), Optional.empty[Object]())
+            if (kind != 'n' && kind != 'd' && kind != 't')
+              (Optional.empty[Object](), Optional.empty[Object]())
             else {
               // numeric kinds canonicalize as decimal strings ('d' epoch
               // days, 't' epoch micros, 'n' plain) — fold exactly
@@ -66,6 +58,31 @@ object GraftColumnStats {
               (toCatalyst(kind, f.dataType, mins.min),
                 toCatalyst(kind, f.dataType, maxs.max))
             }
+          // the estimator requires an NDV to use min/max at all; the
+          // manifest records value counts, not distinct counts. The
+          // honest bound is two-sided: at most the NON-null value
+          // count, and for integral/date kinds at most the value-range
+          // width (max - min + 1) — the latter is what keeps a
+          // low-cardinality coded column from reporting a huge ndv and
+          // collapsing equality selectivity toward zero (the
+          // wrongly-broadcast-a-big-side failure mode).
+          val nonNull =
+            if (ss.forall(s => s.count >= 0 && s.nulls >= 0))
+              Some(math.max(0L, ss.map(_.count).sum - ss.map(_.nulls).sum))
+            else None
+          val rangeWidth = (kind, f.dataType) match {
+            case ('n', LongType | IntegerType | ShortType | ByteType) |
+                 ('d', DateType) =>
+              scala.util.Try(
+                (ss.map(s => BigDecimal(s.max)).max -
+                  ss.map(s => BigDecimal(s.min)).min + 1).toLong).toOption
+            case _ => None
+          }
+          val ndv = (nonNull, rangeWidth) match {
+            case (Some(c), Some(w)) => OptionalLong.of(math.max(1L, math.min(c, w)))
+            case (Some(c), None)    => OptionalLong.of(math.max(1L, c))
+            case _                  => OptionalLong.empty()
+          }
           if (mn.isPresent || mx.isPresent || nulls.isPresent)
             m.put(Expressions.column(f.name), new ColumnStatistics {
               override def min(): Optional[Object] = mn

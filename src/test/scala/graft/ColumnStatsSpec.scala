@@ -63,4 +63,23 @@ class ColumnStatsSpec extends SparkSpec {
       spark.sql(s"DROP NAMESPACE graft_lake.$n")
     }
   }
+
+  test("bounds-free stat kinds (boolean, all-null) never crash planning") {
+    val n = "cstat_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    // a boolean column records '_'-kind stats (no usable bounds) and an
+    // all-null column records counts only — both must fold to
+    // bounds-free ColumnStatistics, not a BigDecimal("") crash at plan
+    // time
+    spark.sql(s"CREATE TABLE graft_lake.$n.b (k BIGINT, flag BOOLEAN, dead STRING)")
+    spark.sql(s"INSERT INTO graft_lake.$n.b " +
+      "SELECT id, id % 2 = 0, CAST(NULL AS STRING) FROM range(0, 100)")
+    val got = spark.sql(s"SELECT count(*) FROM graft_lake.$n.b WHERE flag")
+      .as[Long].head()
+    assert(got == 50L)
+    assert(spark.sql(s"SELECT k FROM graft_lake.$n.b WHERE k = 7")
+      .as[Long].collect().toSeq == Seq(7L))
+    spark.sql(s"DROP TABLE graft_lake.$n.b")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
 }

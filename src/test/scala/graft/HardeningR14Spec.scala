@@ -121,6 +121,17 @@ class HardeningR14Spec extends SparkSpec {
     assert(e.getMessage.contains("already has a column named 'k'"),
       s"expected the collision refusal, got: ${e.getMessage}")
     spark.sql(s"DROP TABLE graft_lake.$n.t")
+    // a CASE-ONLY spelling difference between the mapped source column
+    // and the target key is an unambiguous rename, not a collision
+    spark.sql(s"CREATE TABLE graft_lake.$n.c (eventId BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft_lake.$n.c VALUES (1, 1.0), (2, 2.0)")
+    Seq((2L, 9.0)).toDF("eventid", "v").createOrReplaceTempView("r14_ci")
+    spark.sql(s"""MERGE INTO graft_lake.$n.c t USING r14_ci s
+                 |ON t.eventId = s.eventid
+                 |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(spark.sql(s"SELECT v FROM graft_lake.$n.c ORDER BY eventId")
+      .as[Double].collect().toSeq == Seq(1.0, 9.0))
+    spark.sql(s"DROP TABLE graft_lake.$n.c")
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
 }

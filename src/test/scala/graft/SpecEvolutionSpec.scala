@@ -123,4 +123,30 @@ class SpecEvolutionSpec extends SparkSpec {
     val v2 = ManifestTable.readVersion(spark, root, 2L)
     assert(v2.columns.contains("ts_day") && !v2.columns.contains("ts_month"))
   }
+
+  test("catalog time travel to a pre-evolution version uses that era's layout") {
+    val n = "evo_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t (id BIGINT, cat STRING, v DOUBLE) " +
+      "PARTITIONED BY (cat)")                                              // v1
+    spark.sql(s"INSERT INTO graft_lake.$n.t VALUES (1, 'a', 10.0), (2, 'b', 20.0)") // v2
+    val loc = spark.sessionState.catalogManager.catalog("graft_lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(n), "t"))
+      .properties().get("location")
+    ManifestTable.evolvePartitionSpec(spark, loc, Seq("bucket(4, id)"))    // v3
+    spark.sql(s"INSERT INTO graft_lake.$n.t (id, cat, v) VALUES (3, 'c', 30.0)") // v4
+    // the pinned v2 state predates evolution: its scan must classify
+    // `cat` as that ERA's partition column (dir values), not by the
+    // current bucket layout — the wrong era would read NULLs
+    val got = spark.sql(s"SELECT id, cat, v FROM graft_lake.$n.t VERSION AS OF 2 ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b", 20.0)), got)
+    // and the head reads all eras with repair
+    assert(spark.sql(s"SELECT id, cat FROM graft_lake.$n.t ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
 }
