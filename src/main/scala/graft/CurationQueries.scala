@@ -104,6 +104,18 @@ object CurationQueries extends QueryPack {
       Curation.packSequences(docs(s, d), "doc_id", col("text"),
         seqLen = 512, shards = 8,
         bpeMerges = graft.functions.Bpe.PinnedMerges)),
+    "s_budget_bpe" -> ((s, d) => {
+      // token-EXACT budget fill: the content-addressed per-language
+      // sample, budgeted in learned BPE tokens (the count column is
+      // just size(graft_bpe_encode(...)) — the operator is counting-
+      // scheme agnostic by design).
+      val toks = size(graft.plans.TextNative.bpeEncode(s, col("text"),
+        graft.functions.Bpe.PinnedMerges)).cast("long")
+      Sampling.tokenBudgetSample(
+        docs(s, d).select(col("doc_id"), col("lang"), toks.as("n_tokens")),
+        col("doc_id"), col("lang"), col("n_tokens"), budget = 8000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+    }),
     "c_hash_split" -> ((s, d) =>
       docs(s, d)
         .withColumn("split", Curation.hashSplit(col("doc_id")))
@@ -254,6 +266,22 @@ object CurationQueries extends QueryPack {
          |    s -> string_split(substr(s, 2, len(s)-2), ')('))), 1, 5), ' ')
          |    AS head_tokens
          |FROM e""".stripMargin,
+    "s_budget_bpe" ->
+      s"""WITH t0 AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |e AS (SELECT doc_id, lang, list_transform(toks, w -> $bpeEncSql) AS encs FROM t0),
+         |t AS (SELECT doc_id, lang,
+         |  CAST(coalesce(list_sum(list_transform(encs,
+         |    s -> len(string_split(substr(s, 2, len(s)-2), ')(')))), 0) AS BIGINT)
+         |    AS n_tokens,
+         |  md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM e),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 8000""".stripMargin,
     "s_pack_bpe" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |e AS (SELECT doc_id, list_transform(toks, w -> $bpeEncSql) AS encs FROM t0),

@@ -102,6 +102,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Optimize =
     s"""(?is)OPTIMIZE\\s+$P(?:\\s+TARGET\\s+(\\d+))?(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?(?:\\s+WHERE\\s+(.+))?""".r
   private val Feed    = s"""(?is)FEED\\s+$P\\s+(ENABLE|DISABLE)""".r
+  private val Evolve  =
+    s"""(?is)EVOLVE\\s+$P\\s+PARTITIONED\\s+BY\\s+\\(((?:[^()]|\\([^()]*\\))*)\\)""".r
   private val Cluster =
     s"""(?is)CLUSTER\\s+$P\\s+BY\\s+\\(([^)]+)\\)(?:\\s+(ZORDER))?(?:\\s+TARGET\\s+(\\d+))?""".r
   private val Bloom     = s"""(?is)BLOOM\\s+$P\\s+ON\\s+\\(([^)]+)\\)""".r
@@ -164,6 +166,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(zcols).map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
             .getOrElse(Nil))
       case Feed(p, mode) => GraftFeedCommand(res(p), mode.equalsIgnoreCase("ENABLE"))
+      case Evolve(p, specs) =>
+        // split on top-level commas only: transforms carry their own
+        // parens — bucket(8, k) is ONE spec
+        GraftEvolveCommand(res(p), splitTopLevelCommas(specs))
       case BloomDrop(p) => GraftBloomCommand(res(p), Nil, drop = true)
       case Cluster(p, cols, z, mb) =>
         GraftClusterCommand(res(p), cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
@@ -500,6 +506,18 @@ final case class GraftFeedCommand(root: String,
     StructField("new_version", LongType, false))))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(ManifestTable.setChangeFeed(spark, root, enable)))
+}
+
+/** Partition-spec evolution as SQL:
+  * `GRAFT EVOLVE '<root>' PARTITIONED BY (months(ts), bucket(8, k))` —
+  * one metadata commit; see [[ManifestTable.evolvePartitionSpec]]. */
+final case class GraftEvolveCommand(root: String,
+                                    specs: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.retryOnConflict()(
+      ManifestTable.evolvePartitionSpec(spark, root, specs))))
 }
 
 /** OPTIMIZE-class rewrite: linear or Z-ORDER clustering into sized files. */

@@ -124,6 +124,17 @@ class SpecEvolutionSpec extends SparkSpec {
     assert(v2.columns.contains("ts_day") && !v2.columns.contains("ts_month"))
   }
 
+  test("GRAFT EVOLVE SQL verb commits the spec change") {
+    val root = tmp() + "/t"
+    mkEvolved(root)
+    val v = spark.sql(s"GRAFT EVOLVE '$root' PARTITIONED BY (bucket(4, id), cat)")
+      .collect().head.getLong(0)
+    assert(v == 5L)
+    assert(ManifestTable.partitionLayout(spark, root) == Seq("id_bucket", "cat"))
+    // mixed-era read still whole and repaired
+    assert(ManifestTable.read(spark, root).count() == 4L)
+  }
+
   test("catalog time travel to a pre-evolution version uses that era's layout") {
     val n = "evo_" + java.util.UUID.randomUUID().toString.take(8)
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")
