@@ -114,24 +114,28 @@ object ScaleStep {
     // permutation / embedding sign-mask globally unique) and measure
     // sf1 → sf10 ratios instead of sf0.1 → sf1.
     val out10 = sys.env.get("SPARK_GRAFT_SF10_DIR")
+    // third decade: sf10 → sf100-equivalent (~15 GB); seedBase 2 keeps
+    // every composed permutation / sign-mask unique across all three
+    // stacked decades
+    val out100 = sys.env.get("SPARK_GRAFT_SF100_DIR")
+    require(out100.isEmpty || out10.nonEmpty,
+      "SPARK_GRAFT_SF100_DIR needs SPARK_GRAFT_SF10_DIR (decades stack)")
 
-    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
-      println(s"SCALE step: building ${Mult}x dataset at $out from $src")
-      val t0 = System.nanoTime()
-      build(spark, src, out)
-      println(f"SCALE step: build took ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
-    out10.foreach { o =>
-      if (!new java.io.File(s"$o/lineitem.parquet").exists()) {
-        println(s"SCALE step: building ${Mult}x-of-${Mult}x dataset at $o from $out")
+    def ensure(from: String, to: String, seedBase: Int, label: String): Unit =
+      if (!new java.io.File(s"$to/lineitem.parquet").exists()) {
+        println(s"SCALE step: building $label dataset at $to from $from")
         val t0 = System.nanoTime()
-        build(spark, out, o, seedBase = 1)
+        build(spark, from, to, seedBase)
         println(f"SCALE step: build took ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
-    }
-    val (smallDir, bigDir) = out10 match {
-      case Some(o) => (out, o) // second decade: sf1 vs sf10
-      case None    => (src, out)
+
+    ensure(src, out, 0, s"${Mult}x")
+    out10.foreach(ensure(out, _, 1, s"${Mult}x-of-${Mult}x"))
+    out100.foreach(o => ensure(out10.get, o, 2, s"${Mult}^3"))
+    val (smallDir, bigDir) = (out10, out100) match {
+      case (Some(o10), Some(o100)) => (o10, o100) // third decade: sf10 vs sf100
+      case (Some(o10), None)       => (out, o10)  // second decade: sf1 vs sf10
+      case _                       => (src, out)
     }
 
     val names =
