@@ -2352,7 +2352,19 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     if (hasCommittedVersion(fs, root))
       throw new ConcurrentCommitException(root, 1L)
-    val allTags = tags ++ Map(SchemaTag -> pinned.json, OpTag -> "create") ++
+    // a bucket layout defaults to OPTIMIZED WRITES (caller may still
+    // set 'write.optimized' = 'false'): hash buckets spread EVERY
+    // batch across ALL n bucket dirs, so a T-task ingest would land
+    // T × n file splinters per commit — and the storage-partitioned
+    // join reads each bucket as ONE unsplit partition, so splinter
+    // debt directly serializes the join's open/seek costs
+    val bucketDefault =
+      if (bucketLayout(Map(GeneratedTag -> encodeGenerated(genSpecs))).isDefined &&
+          !tags.contains(OptimizedWriteProp))
+        Map(OptimizedWriteProp -> "true")
+      else Map.empty[String, String]
+    val allTags = tags ++ bucketDefault ++
+      Map(SchemaTag -> pinned.json, OpTag -> "create") ++
       (if (physParts.nonEmpty) Map(LayoutTag -> physParts.mkString(","))
        else Map.empty) ++
       (if (genSpecs.isEmpty) Map.empty

@@ -91,6 +91,20 @@ class BucketedJoinSpec extends SparkSpec {
     } finally dropTables("spjagg")
   }
 
+  test("bucket layouts default to optimized writes: O(buckets) files per commit") {
+    mkTables("spjow", buckets = 4)
+    try {
+      val root = sys.props("java.io.tmpdir").stripSuffix("/") +
+        "/graft_warehouse/spjow/a"
+      val st = graft.sources.ManifestTable.current(spark, root).get
+      assert(st.tags.get("write.optimized").contains("true"),
+        s"bucket layout should default write.optimized, tags: ${st.tags}")
+      // the 500-row multi-task INSERT landed ~one file per live bucket,
+      // not tasks × buckets splinters
+      assert(st.files.size <= 8, s"expected O(buckets) files, got ${st.files.size}")
+    } finally dropTables("spjow")
+  }
+
   test("deletion vectors / renames fall back to the V1 bridge, same answer") {
     mkTables("spjfall", buckets = 4)
     try {
