@@ -2982,6 +2982,21 @@ object ManifestTable {
         require(liveLayout == partitionCols.toSeq,
           s"manifest table $root: upsert partitionCols $partitionCols does not match " +
             s"the live partition layout $liveLayout — rewrite via write() to change layout")
+        // mixed partition-spec eras: the carry-forward retires files by
+        // PARTITION PATH, but an old-era file never spells the current
+        // layout in its dirs — its rows would be pulled into the merged
+        // generation (the read repairs generated columns) while the file
+        // itself survives, silently duplicating every touched old-era
+        // row. Refuse until a compact()/OPTIMIZE physicalizes the spec.
+        if (partitionCols.nonEmpty && st.tags.contains(EvolvedTag)) {
+          val mixed = st.files.exists(f => f.partitionPath.split('/').toSeq
+            .filter(_.nonEmpty).map(_.takeWhile(_ != '=')) != partitionCols.toSeq)
+          require(!mixed,
+            s"manifest table $root: partitioned upsert across MIXED " +
+              "partition-spec eras would duplicate old-era rows of touched " +
+              "partitions — run compact() (or OPTIMIZE) to physicalize the " +
+              "current spec first")
+        }
         val existing = readState(spark, root, st)
         // schema drift is an ERROR unless evolution is asked for: with
         // the reader unioning allowMissingColumns, a typo'd column name

@@ -124,6 +124,29 @@ class SpecEvolutionSpec extends SparkSpec {
     assert(v2.columns.contains("ts_day") && !v2.columns.contains("ts_month"))
   }
 
+  test("partitioned upsert refuses on mixed eras (carry-forward is path-based)") {
+    val root = tmp() + "/t"
+    mkEvolved(root)
+    // the batch touches (2026-02, a) — old-era rows of that logical
+    // partition live in ts_day-era files the path-based carry-forward
+    // cannot retire; an unguarded upsert would duplicate them
+    val batch = Seq(
+      (3L, java.sql.Timestamp.valueOf("2026-02-07 12:00:00"), "a", 99.0))
+      .toDF("id", "ts", "cat", "v")
+    val e = intercept[Exception] {
+      ManifestTable.upsertWithRetry(spark, batch, root, Seq("id"), "v",
+        Seq("ts_month", "cat"))
+    }
+    assert(e.getMessage.contains("MIXED"), e.getMessage)
+    // physicalize, then the same upsert lands exactly once
+    ManifestTable.compact(spark, root)
+    ManifestTable.upsertWithRetry(spark, batch, root, Seq("id"), "v",
+      Seq("ts_month", "cat"))
+    assert(ManifestTable.read(spark, root)
+      .select("id", "v").as[(Long, Double)].collect().toSeq.sorted ==
+      Seq((1L, 10.0), (2L, 20.0), (3L, 99.0), (4L, 40.0)))
+  }
+
   test("GRAFT EVOLVE SQL verb commits the spec change") {
     val root = tmp() + "/t"
     mkEvolved(root)
