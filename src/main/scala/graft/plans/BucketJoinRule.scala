@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sources.ManifestTable
+import graft.sources.v2.GraftTable
+
+/** Makes storage-partitioned joins fire on the NATURAL join shape: a
+  * user joining two co-bucketed graft_lake tables writes
+  * `ON a.k = b.k` — this rule injects the implied
+  * `a.k_bucket = b.k_bucket` conjunct (both columns are
+  * `pmod(hash(key), n)` of their side's key with the same n, so equal
+  * keys provably imply equal buckets; the write boundary verifies every
+  * stored value equals its definition). With the conjunct present the
+  * scans' KeyGroupedPartitioning satisfies the join's distribution and
+  * the Exchange on both sides disappears — without it the user would
+  * have to know the generated column's name and spell the equality by
+  * hand.
+  *
+  * Conservative by construction: only fires on equi-conjuncts between
+  * two attribute references whose legs are Project/Filter chains over
+  * graft_lake relations with matching bucket(n, src) layouts; legs that
+  * pruned the bucket column get it re-added through their Projects and
+  * the ORIGINAL join output is restored by a wrapping Project, so the
+  * plan above never sees a new column. Adding an implied-true conjunct
+  * never changes join semantics (inner or outer: the extra equality
+  * holds exactly on the rows the original keys matched; NULL keys never
+  * matched before and still don't). Idempotent: a pair whose bucket
+  * equality is already present is skipped. */
+class GraftBucketJoinConjunct(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  private val EnabledKey = "spark.graft.autoBucketJoin.enabled"
+
+  /** The leg's underlying graft table, when the leg is a transparent
+    * Project/Filter chain over one. */
+  private def legTable(plan: LogicalPlan): Option[GraftTable] = plan match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable => Some(t)
+      case _ => None
+    }
+    case p: Project => legTable(p.child)
+    case f: Filter => legTable(f.child)
+    case _ => None
+  }
+
+  /** (bucket column name, source column name, bucket count) of the
+    * table's CURRENT layout — one driver-side manifest-pointer read at
+    * plan time (the same cost class as the scan's own statistics). */
+  private def bucketOf(t: GraftTable): Option[(String, String, Int)] =
+    scala.util.Try(ManifestTable.current(spark, t.root)
+      .flatMap(st => ManifestTable.bucketLayout(st.tags))).toOption.flatten
+
+  /** The leg rebuilt so `attr` (a column of its underlying relation) is
+    * visible at the top: Filters are transparent, Projects re-add it. */
+  private def expose(plan: LogicalPlan, attr: Attribute): LogicalPlan = plan match {
+    case p: Project =>
+      if (p.outputSet.contains(attr)) p
+      else p.copy(projectList = p.projectList :+ attr,
+        child = expose(p.child, attr))
+    case f: Filter => f.copy(child = expose(f.child, attr))
+    case other => other // the relation itself: attr already in output
+  }
+
+  private def relationAttr(plan: LogicalPlan, name: String): Option[Attribute] =
+    plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        r.output.find(_.name.equalsIgnoreCase(name))
+    }.flatten
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.get(EnabledKey, "true").toBoolean) return plan
+    plan.transformUp {
+      case j @ Join(left, right, _, Some(cond), _)
+          if legTable(left).isDefined && legTable(right).isDefined =>
+        val (lt, rt) = (legTable(left).get, legTable(right).get)
+        (bucketOf(lt), bucketOf(rt)) match {
+          case (Some((lbName, lSrc, ln)), Some((rbName, rSrc, rn))) if ln == rn =>
+            val conjuncts = splitConjunctivePredicates(cond)
+            // the key equality this rule keys on: left source column =
+            // right source column (either orientation)
+            val keyed = conjuncts.exists {
+              case EqualTo(a: AttributeReference, b: AttributeReference) =>
+                (left.outputSet.contains(a) && right.outputSet.contains(b) &&
+                  a.name.equalsIgnoreCase(lSrc) && b.name.equalsIgnoreCase(rSrc)) ||
+                (left.outputSet.contains(b) && right.outputSet.contains(a) &&
+                  b.name.equalsIgnoreCase(lSrc) && a.name.equalsIgnoreCase(rSrc))
+              case _ => false
+            }
+            val already = conjuncts.exists {
+              case EqualTo(a: AttributeReference, b: AttributeReference) =>
+                Set(a.name.toLowerCase, b.name.toLowerCase) ==
+                  Set(lbName.toLowerCase, rbName.toLowerCase)
+              case _ => false
+            }
+            (keyed && !already,
+              relationAttr(left, lbName), relationAttr(right, rbName)) match {
+              case (true, Some(lb), Some(rb)) =>
+                val originalOutput: Seq[Attribute] = j.output
+                val newJoin = j.copy(
+                  left = expose(left, lb), right = expose(right, rb),
+                  condition = Some(And(cond, EqualTo(lb, rb))))
+                if (newJoin.output == originalOutput) newJoin
+                else Project(originalOutput, newJoin)
+              case _ => j
+            }
+          case _ => j
+        }
+    }
+  }
+}

@@ -173,6 +173,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectResolutionRule(session => new GraftRelationResolution(session))
     // native ANSI UPDATE/DELETE/MERGE INTO on graft_lake catalog tables
     e.injectResolutionRule(session => new GraftRowLevelSql(session))
+    // co-bucketed joins fire on the NATURAL shape (ON a.k = b.k): the
+    // implied bucket-equality conjunct is injected at optimization so
+    // the scans' KeyGroupedPartitioning satisfies the join distribution
+    e.injectOptimizerRule(session => new GraftBucketJoinConjunct(session))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -91,6 +91,34 @@ class BucketedJoinSpec extends SparkSpec {
     } finally dropTables("spjagg")
   }
 
+  test("the NATURAL join shape (ON a.k = b.k) gets the conjunct injected: zero Exchange") {
+    mkTables("spjnat", buckets = 8)
+    try withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                 "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      // no bucket column spelled anywhere — the optimizer rule injects
+      // the implied equality and SPJ fires
+      val df = spark.sql(
+        s"""SELECT a.k, a.v, b.w FROM graft_lake.spjnat.a a
+           |JOIN graft_lake.spjnat.b b ON a.k = b.k""".stripMargin)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"natural-shape co-bucketed join must not shuffle:\n$p")
+      val got = df.as[(Long, Double, Double)].collect().toSeq.sorted
+      assert(got.size == 150 && got.head == ((0L, 0.0, 0.0)))
+      // the injected conjunct must not leak into the join's output
+      assert(df.columns.toSeq == Seq("k", "v", "w"))
+      // disabled, the same query shuffles (and still agrees)
+      val ref = withConf("spark.graft.autoBucketJoin.enabled" -> "false") {
+        val r = spark.sql(
+          s"""SELECT a.k, a.v, b.w FROM graft_lake.spjnat.a a
+             |JOIN graft_lake.spjnat.b b ON a.k = b.k""".stripMargin)
+        assert(r.queryExecution.executedPlan.toString.contains("Exchange"))
+        r.as[(Long, Double, Double)].collect().toSeq.sorted
+      }
+      assert(got == ref)
+    } finally dropTables("spjnat")
+  }
+
   test("bucket layouts default to optimized writes: O(buckets) files per commit") {
     mkTables("spjow", buckets = 4)
     try {
