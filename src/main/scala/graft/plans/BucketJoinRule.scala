@@ -84,7 +84,13 @@ class GraftBucketJoinConjunct(spark: SparkSession) extends Rule[LogicalPlan]
             // the key equality this rule keys on: left source column =
             // right source column (either orientation)
             val keyed = conjuncts.exists {
-              case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              // same-type attributes ONLY: murmur3 of an INT differs
+              // from the same value hashed as BIGINT, so cross-type key
+              // equality does NOT imply bucket equality (the analyzer
+              // inserts Casts for mismatched types, which this match
+              // already rejects — the type check makes it explicit)
+              case EqualTo(a: AttributeReference, b: AttributeReference)
+                  if a.dataType == b.dataType =>
                 (left.outputSet.contains(a) && right.outputSet.contains(b) &&
                   a.name.equalsIgnoreCase(lSrc) && b.name.equalsIgnoreCase(rSrc)) ||
                 (left.outputSet.contains(b) && right.outputSet.contains(a) &&
