@@ -108,14 +108,46 @@ object GraftBatchScan {
 
 final class GraftBatchScan(root: String, version: Option[Long],
                            bucketCol: Option[String],
-                           files: IndexedSeq[ManifestTable.FileEntry],
+                           initialFiles: IndexedSeq[ManifestTable.FileEntry],
                            dataSchema: StructType,
                            requiredData: StructType,
                            requiredPart: StructType,
                            dataFilters: IndexedSeq[Filter],
                            pushed: IndexedSeq[Filter])
     extends Scan with Batch
-    with SupportsReportPartitioning with SupportsReportStatistics {
+    with SupportsReportPartitioning with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** The live file set — re-pruned by [[filter]] when a runtime filter
+    * (dynamic partition pruning: the build side's key set arriving at
+    * execution) lands before planInputPartitions. */
+  @volatile private var files: IndexedSeq[ManifestTable.FileEntry] = initialFiles
+
+  /** Runtime filters may target any scanned column: partition columns
+    * prune by dir values, data columns by footer min/max + bloom — the
+    * SAME conservative metadata pass as planning-time pushdown, so a
+    * star-schema fact scan drops whole files for the dim keys that
+    * survived the build side. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    readSchema().fieldNames.map(Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    // the key-grouped (storage-partitioned join) shape must keep its
+    // reported partition values stable — skip file-level re-pruning
+    // there (Spark re-applies the filters above the scan regardless)
+    if (bucketCol.exists(bc => requiredPart.fieldNames.contains(bc))) return
+    val cond = filters.toSeq.flatMap(ManifestRelationFilters.toColumn(_))
+      .reduceOption(_ && _)
+    cond.foreach { c =>
+      val st = (version match {
+        case Some(v) => ManifestTable.stateAt(spark, root, v)
+        case None    => ManifestTable.current(spark, root)
+      }).getOrElse(return)
+      val kept = ManifestTable.pruneLiveFiles(spark, root,
+        st.copy(files = files), c)
+      files = kept.toIndexedSeq
+    }
+  }
 
   private def spark: SparkSession = SparkSession.active
 

@@ -133,6 +133,34 @@ class BucketedJoinSpec extends SparkSpec {
     } finally dropTables("spjow")
   }
 
+  test("runtime filters (DPP) re-prune fact files through the batch scan") {
+    val ns0 = "spjdpp"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lake.$ns0")
+    spark.sql(s"CREATE TABLE graft_lake.$ns0.fact (day STRING, v BIGINT) " +
+      "PARTITIONED BY (day)")
+    spark.sql(s"CREATE TABLE graft_lake.$ns0.dim (day STRING, flag BIGINT)")
+    spark.sql(s"INSERT INTO graft_lake.$ns0.fact " +
+      "SELECT concat('2026-01-0', CAST(1 + id % 5 AS STRING)), id FROM range(0, 500)")
+    spark.sql(s"INSERT INTO graft_lake.$ns0.dim VALUES " +
+      "('2026-01-01', 1), ('2026-01-02', 0), ('2026-01-03', 0), " +
+      "('2026-01-04', 0), ('2026-01-05', 0)")
+    try {
+      val df = spark.sql(
+        s"""SELECT sum(f.v) AS sv FROM graft_lake.$ns0.fact f
+           |JOIN graft_lake.$ns0.dim d ON f.day = d.day
+           |WHERE d.flag = 1""".stripMargin)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("RuntimeFilters: [dynamicpruning"),
+        s"expected a dynamic-pruning runtime filter on the fact scan:\n$p")
+      // sum over day 2026-01-01 = ids with id % 5 == 0: 0+5+...+495
+      assert(df.as[Long].head() == (0L until 500L by 5).sum)
+    } finally {
+      spark.sql(s"DROP TABLE graft_lake.$ns0.fact")
+      spark.sql(s"DROP TABLE graft_lake.$ns0.dim")
+      spark.sql(s"DROP NAMESPACE graft_lake.$ns0")
+    }
+  }
+
   test("deletion vectors / renames fall back to the V1 bridge, same answer") {
     mkTables("spjfall", buckets = 4)
     try {
