@@ -109,8 +109,8 @@ object CurationQueries extends QueryPack {
       // sample, budgeted in learned BPE tokens (the count column is
       // just size(graft_bpe_encode(...)) — the operator is counting-
       // scheme agnostic by design).
-      val toks = size(graft.plans.TextNative.bpeEncode(s, col("text"),
-        graft.functions.Bpe.PinnedMerges)).cast("long")
+      val toks = graft.plans.TextNative.bpeCount(s, col("text"),
+        graft.functions.Bpe.PinnedMerges)
       Sampling.tokenBudgetSample(
         docs(s, d).select(col("doc_id"), col("lang"), toks.as("n_tokens")),
         col("doc_id"), col("lang"), col("n_tokens"), budget = 8000L)

@@ -146,7 +146,7 @@ object Curation {
     // counting pass stays one codegen'd projection either way
     val tokCount =
       if (bpeMerges.isEmpty) size(TextNative.tokens(s, text))
-      else size(TextNative.bpeEncode(s, text, bpeMerges))
+      else TextNative.bpeCount(s, text, bpeMerges)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -127,6 +127,22 @@ object TextNative {
       exprs => BpeEncode(exprs(0),
         exprs(1).eval().asInstanceOf[UTF8String].toString),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_count",
+      exprs => BpeCount(exprs(0),
+        exprs(1).eval().asInstanceOf[UTF8String].toString),
+      "built-in")
+  }
+
+  /** BPE token COUNT — the budget-counting hot path: identical
+    * semantics to `size(bpeEncode(...))` without materializing the
+    * token array (pinned equal in BpeSpec). */
+  def bpeCount(spark: SparkSession, text: Column,
+               merges: Seq[(String, String)]): Column = {
+    register(spark)
+    call_function("graft_bpe_count", text,
+      org.apache.spark.sql.functions.lit(
+        merges.map { case (a, b) => s"$a $b" }.mkString(",")))
   }
 
   /** BPE token array for a document under a learned merge table — one
@@ -634,5 +650,65 @@ case class BpeEncode(child: Expression, spec: String) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+/** BPE token COUNT of a document — the budget-counting hot path fused:
+  * same tokenize + merge semantics as [[BpeEncode]], but the per-word
+  * token count is read off the encoded representation (separator count
+  * + 1) without materializing any token string or array. One long per
+  * document inside whole-stage codegen. */
+case class BpeCount(child: Expression, spec: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_count expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_bpe_count"
+
+  @transient private lazy val rules: Array[(String, String)] =
+    spec.split(',').filter(_.nonEmpty).map { m =>
+      m.split(' ') match {
+        case Array(a, b) => (s"($a)($b)", s"($a$b)")
+        case _ => throw new IllegalArgumentException(
+          s"graft_bpe_count: malformed merge '$m' (want 'left right')")
+      }
+    }
+
+  def compute(s: UTF8String): Long = {
+    val words = TextNative.tokenize(s)
+    var total = 0L
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi).toString
+      val sb = new java.lang.StringBuilder(w.length * 3)
+      var i = 0
+      while (i < w.length) { sb.append('(').append(w.charAt(i)).append(')'); i += 1 }
+      var enc = sb.toString
+      var r = 0
+      while (r < rules.length) {
+        val rule = rules(r)
+        if (enc.contains(rule._1)) enc = enc.replace(rule._1, rule._2)
+        r += 1
+      }
+      // tokens = ")(" separators + 1
+      var seps = 0L
+      var j = enc.indexOf(")(")
+      while (j >= 0) { seps += 1; j = enc.indexOf(")(", j + 1) }
+      total += seps + 1
+      wi += 1
+    }
+    total
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCount", this, classOf[BpeCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCount =
     copy(child = newChild)
 }

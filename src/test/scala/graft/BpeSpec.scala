@@ -67,6 +67,16 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.PinnedMerges.head._1.nonEmpty)
   }
 
+  test("bpeCount is the fused twin of size(bpeEncode) on real documents") {
+    val docs = graft.core.Tables.documents(spark, sf()).limit(300)
+    val bad = docs.select(
+        size(TextNative.bpeEncode(spark, col("text"), Bpe.PinnedMerges))
+          .cast("long").as("a"),
+        TextNative.bpeCount(spark, col("text"), Bpe.PinnedMerges).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad == 0L, "graft_bpe_count must equal size(graft_bpe_encode)")
+  }
+
   test("packSequences token-exact mode counts BPE tokens") {
     val d = Seq((0L, "the the the"), (8L, "corpus corpus")).toDF("doc_id", "text")
     val counts = graft.operators.Curation
