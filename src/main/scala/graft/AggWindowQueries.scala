@@ -788,7 +788,7 @@ object AggWindowQueries extends QueryPack {
     }),
     "k34_bucket_join" -> ((s, d) => {
       // K34 (beyond-reference): storage-partitioned join — two catalog
-      // tables created PARTITIONED BY (bucket(8, key)) report
+      // tables created PARTITIONED BY (bucket(32, key)) report
       // KeyGroupedPartitioning from their DSv2 scans, so the fact-fact
       // join below runs with ZERO Exchange on either side (the plan pin
       // lives in BucketedJoinSpec; HERE the oracle pins that the
@@ -798,9 +798,9 @@ object AggWindowQueries extends QueryPack {
       val ns = "k34_" + java.util.UUID.randomUUID().toString.take(8)
       s.sql(s"CREATE NAMESPACE graft_lake.$ns")
       s.sql(s"CREATE TABLE graft_lake.$ns.o (o_orderkey BIGINT, " +
-        "o_orderpriority STRING) PARTITIONED BY (bucket(8, o_orderkey))")
+        "o_orderpriority STRING) PARTITIONED BY (bucket(32, o_orderkey))")
       s.sql(s"CREATE TABLE graft_lake.$ns.l (l_orderkey BIGINT, " +
-        "l_extendedprice DOUBLE) PARTITIONED BY (bucket(8, l_orderkey))")
+        "l_extendedprice DOUBLE) PARTITIONED BY (bucket(32, l_orderkey))")
       t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
         .createOrReplaceTempView("k34_o")
       t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))

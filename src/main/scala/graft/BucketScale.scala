@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftSession, Tables}
+
+/** Scale evidence for the storage-partitioned join: at a given SF dir,
+  * build co-bucketed orders/lineitem catalog tables with N buckets and
+  * time the SPJ join (zero Exchange, parallelism = N) against the same
+  * join through the V1 bridge (both sides shuffled across all cores).
+  * The point the table makes: the BUCKET COUNT is the parallelism knob
+  * — at 10× data an 8-bucket join pays ~the data growth per task, a
+  * 32-bucket layout restores task-level parallelism, and at cluster
+  * scale you pick N ≈ core count (the Iceberg/Hive bucketing contract).
+  *
+  * Run: SPARK_GRAFT_SF_DIR=… sbt "runMain graft.BucketScale 8 32"
+  */
+object BucketScale {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("graft-bucket-scale",
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val ns = args.headOption.map(_ => args.toSeq).getOrElse(Seq("8", "32"))
+
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    println(f"${"buckets"}%8s ${"setup_s"}%8s ${"spj_s"}%8s ${"shuffled_s"}%11s")
+    ns.map(_.toInt).foreach { n =>
+      val nsName = s"bscale_${n}_${java.util.UUID.randomUUID().toString.take(6)}"
+      spark.sql(s"CREATE NAMESPACE graft_lake.$nsName")
+      val (_, setup) = time {
+        spark.sql(s"CREATE TABLE graft_lake.$nsName.o (o_orderkey BIGINT, " +
+          s"o_orderpriority STRING) PARTITIONED BY (bucket($n, o_orderkey))")
+        spark.sql(s"CREATE TABLE graft_lake.$nsName.l (l_orderkey BIGINT, " +
+          s"l_extendedprice DOUBLE) PARTITIONED BY (bucket($n, l_orderkey))")
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+          .createOrReplaceTempView("bscale_o")
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"))
+          .createOrReplaceTempView("bscale_l")
+        spark.sql(s"INSERT INTO graft_lake.$nsName.o " +
+          "SELECT o_orderkey, o_orderpriority, NULL FROM bscale_o")
+        spark.sql(s"INSERT INTO graft_lake.$nsName.l " +
+          "SELECT l_orderkey, l_extendedprice, NULL FROM bscale_l")
+      }
+      val q =
+        s"""SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           |  ${OracleMath.dsumSql("l.l_extendedprice", 4, 2)} AS revenue
+           |FROM graft_lake.$nsName.o o JOIN graft_lake.$nsName.l l
+           |  ON o.o_orderkey = l.l_orderkey
+           |GROUP BY o.o_orderpriority""".stripMargin
+      def run(): Double =
+        (1 to 2).map { _ =>
+          val (_, t) = time(spark.sql(q).write.mode("overwrite")
+            .format("noop").save())
+          t
+        }.min
+      val spj = run()
+      spark.conf.set(graft.sources.v2.GraftBatchScan.EnabledKey, "false")
+      val shuffled = run()
+      spark.conf.unset(graft.sources.v2.GraftBatchScan.EnabledKey)
+      println(f"BUCKET scale: $n%8d $setup%8.2f $spj%8.2f $shuffled%11.2f")
+    }
+    spark.stop()
+  }
+}

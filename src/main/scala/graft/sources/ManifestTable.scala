@@ -2352,15 +2352,15 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     if (hasCommittedVersion(fs, root))
       throw new ConcurrentCommitException(root, 1L)
-    // a bucket layout defaults to OPTIMIZED WRITES (caller may still
-    // set 'write.optimized' = 'false'): hash buckets spread EVERY
-    // batch across ALL n bucket dirs, so a T-task ingest would land
-    // T × n file splinters per commit — and the storage-partitioned
-    // join reads each bucket as ONE unsplit partition, so splinter
-    // debt directly serializes the join's open/seek costs
+    // a GENERATED layout defaults to OPTIMIZED WRITES (caller may still
+    // set 'write.optimized' = 'false'): a derived day/bucket/truncate
+    // column spreads EVERY batch across MANY dirs, so a T-task ingest
+    // would land T × P file splinters per commit — the k33/k35 decade
+    // measurements both traced their superlinear ratios to exactly this
+    // — and the storage-partitioned join reads each bucket as ONE
+    // unsplit partition, so splinter debt directly serializes it
     val bucketDefault =
-      if (bucketLayout(Map(GeneratedTag -> encodeGenerated(genSpecs))).isDefined &&
-          !tags.contains(OptimizedWriteProp))
+      if (genSpecs.nonEmpty && !tags.contains(OptimizedWriteProp))
         Map(OptimizedWriteProp -> "true")
       else Map.empty[String, String]
     val allTags = tags ++ bucketDefault ++

@@ -138,12 +138,22 @@ class GeneratedColsSpec extends SparkSpec {
     // touches the most data must not be the one that splinters)
     ManifestTable.write(wide, root, partitionCols = Seq("days(ts)"))
     assert(ManifestTable.current(spark, root).get.files.size == 2)
-    // without the property the same batch splinters
+    // generated layouts DEFAULT to optimized writes (the k33/k35 decade
+    // ratios both traced to splinters) — the unshaped behavior needs an
+    // explicit opt-out now
     val root2 = tmp() + "/u"
     ManifestTable.createEmpty(spark, root2, events.schema,
       partitionCols = Seq("days(ts)"))
     ManifestTable.append(spark, wide, root2)
-    assert(ManifestTable.current(spark, root2).get.files.size > 8)
+    assert(ManifestTable.current(spark, root2).get.files.size == 2,
+      "a generated layout must default to optimized writes")
+    val root3 = tmp() + "/v"
+    ManifestTable.createEmpty(spark, root3, events.schema,
+      partitionCols = Seq("days(ts)"),
+      tags = Map(ManifestTable.OptimizedWriteProp -> "false"))
+    ManifestTable.append(spark, wide, root3)
+    assert(ManifestTable.current(spark, root3).get.files.size > 8,
+      "explicit opt-out restores unshaped writes")
   }
 
   test("auto-compact: drip appends self-pack once a partition crowds") {
