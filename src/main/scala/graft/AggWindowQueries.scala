@@ -810,13 +810,23 @@ object AggWindowQueries extends QueryPack {
         "SELECT o_orderkey, o_orderpriority, NULL FROM k34_o")
       s.sql(s"INSERT INTO graft_lake.$ns.l " +
         "SELECT l_orderkey, l_extendedprice, NULL FROM k34_l")
-      s.sql(
+      val joined = s.sql(
         s"""SELECT o.o_orderpriority, COUNT(*) AS n_items,
            |  ${OracleMath.dsumSql("l.l_extendedprice", 4, 2)} AS revenue
            |FROM graft_lake.$ns.o o JOIN graft_lake.$ns.l l
            |  ON o.o_orderkey = l.l_orderkey
            |  AND o.o_orderkey_bucket = l.l_orderkey_bucket
            |GROUP BY o.o_orderpriority""".stripMargin)
+      // the result is a handful of priority-level rows; materialize it
+      // and DROP the (data-scale) temp tables before returning — a
+      // repeated run at sf100-equivalent would otherwise accumulate
+      // tens of GB of warehouse dirs per repetition
+      val rows = joined.collect()
+      val schema = joined.schema
+      s.sql(s"DROP TABLE graft_lake.$ns.o")
+      s.sql(s"DROP TABLE graft_lake.$ns.l")
+      s.sql(s"DROP NAMESPACE graft_lake.$ns")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }),
     "k36_cdf_by_name" -> ((s, d) => {
       // K36 (beyond-reference): the Delta-shaped BATCH CDF surface by

@@ -65,6 +65,10 @@ object BucketScale {
       val shuffled = run()
       spark.conf.unset(graft.sources.v2.GraftBatchScan.EnabledKey)
       println(f"BUCKET scale: $n%8d $setup%8.2f $spj%8.2f $shuffled%11.2f")
+      // data-scale temp tables: drop before the next config
+      spark.sql(s"DROP TABLE graft_lake.$nsName.o")
+      spark.sql(s"DROP TABLE graft_lake.$nsName.l")
+      spark.sql(s"DROP NAMESPACE graft_lake.$nsName")
     }
     spark.stop()
   }
