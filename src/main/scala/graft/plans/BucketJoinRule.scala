@@ -49,11 +49,12 @@ class GraftBucketJoinConjunct(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   /** (bucket column name, source column name, bucket count) of the
-    * table's CURRENT layout — one driver-side manifest-pointer read at
-    * plan time (the same cost class as the scan's own statistics). */
+    * table's layout — cached ON the table instance
+    * ([[GraftTable.bucketLayoutInfo]]), so a multi-join query costs
+    * zero extra manifest reads per fixed-point iteration and the
+    * layout snapshot is the one the table itself was loaded with. */
   private def bucketOf(t: GraftTable): Option[(String, String, Int)] =
-    scala.util.Try(ManifestTable.current(spark, t.root)
-      .flatMap(st => ManifestTable.bucketLayout(st.tags))).toOption.flatten
+    t.bucketLayoutInfo
 
   /** The leg rebuilt so `attr` (a column of its underlying relation) is
     * visible at the top: Filters are transparent, Projects re-add it. */
@@ -82,19 +83,28 @@ class GraftBucketJoinConjunct(spark: SparkSession) extends Rule[LogicalPlan]
           case (Some((lbName, lSrc, ln)), Some((rbName, rSrc, rn))) if ln == rn =>
             val conjuncts = splitConjunctivePredicates(cond)
             // the key equality this rule keys on: left source column =
-            // right source column (either orientation)
-            val keyed = conjuncts.exists {
-              // same-type attributes ONLY: murmur3 of an INT differs
-              // from the same value hashed as BIGINT, so cross-type key
-              // equality does NOT imply bucket equality (the analyzer
-              // inserts Casts for mismatched types, which this match
-              // already rejects — the type check makes it explicit)
-              case EqualTo(a: AttributeReference, b: AttributeReference)
-                  if a.dataType == b.dataType =>
-                (left.outputSet.contains(a) && right.outputSet.contains(b) &&
-                  a.name.equalsIgnoreCase(lSrc) && b.name.equalsIgnoreCase(rSrc)) ||
-                (left.outputSet.contains(b) && right.outputSet.contains(a) &&
-                  b.name.equalsIgnoreCase(lSrc) && a.name.equalsIgnoreCase(rSrc))
+            // right source column (either orientation). Matching is by
+            // ATTRIBUTE IDENTITY (exprId) against the relation's OWN
+            // source-column attribute, never by name: a leg like
+            // `SELECT other_col AS k FROM bucketed_t` exposes an
+            // attribute NAMED like the source key whose values the
+            // stored bucket column did not hash — injecting the bucket
+            // equality there would silently drop matching rows. A
+            // pass-through Project keeps the relation attribute's
+            // exprId, so the legitimate shapes still match; an Alias
+            // mints a fresh exprId and is rejected by construction.
+            // Same-type is implied (both sides ARE the stored source
+            // columns, same layout (src, n)); the analyzer would wrap a
+            // cross-type comparison in Casts that break the
+            // AttributeReference pattern anyway.
+            val (lKey, rKey) = (relationAttr(left, lSrc), relationAttr(right, rSrc))
+            val keyed = (lKey, rKey) match {
+              case (Some(lk), Some(rk)) => conjuncts.exists {
+                case EqualTo(a: AttributeReference, b: AttributeReference) =>
+                  (a.semanticEquals(lk) && b.semanticEquals(rk)) ||
+                  (a.semanticEquals(rk) && b.semanticEquals(lk))
+                case _ => false
+              }
               case _ => false
             }
             val already = conjuncts.exists {

@@ -96,6 +96,16 @@ object GraftBatchScan {
     // into (data columns read from parquet, partition columns appended)
     val requiredData = StructType(required.fields.filterNot(f => partSet(f.name)))
     val requiredPart = StructType(required.fields.filter(f => partSet(f.name)))
+    // partition values are appended as per-file CONSTANTS decoded from
+    // directory-name strings ([[partitionValuesRow]] emits UTF8String),
+    // so the declared type of every projected layout column must BE
+    // string. The engine pins them to string at every boundary
+    // (createEmpty pins the recorded schema; normalizePartitionCols
+    // casts every generation write), so this guard is defensive: a
+    // schema that somehow carries a non-string layout column falls back
+    // to the V1 bridge instead of a reader-side ClassCastException.
+    if (!requiredPart.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.StringType)) return None
     val dataSchema = StructType(fullSchema.fields.filterNot(f => partSet(f.name)))
     // only data-column filters go to parquet row-group pushdown;
     // partition-column predicates already pruned files above

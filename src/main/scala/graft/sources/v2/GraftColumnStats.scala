@@ -33,6 +33,11 @@ object GraftColumnStats {
     if (files.isEmpty ||
         tags.contains(ManifestTable.RenameTag) ||
         tags.contains(ManifestTable.DropTag)) return m
+    // footer stats count PRE-deletion-vector rows: min/max stay valid
+    // as superset ESTIMATES, but a null count over deleted rows can
+    // EXCEED the DV-exact live row count and hand FilterEstimation an
+    // out-of-range null fraction — omit it when any file carries a DV
+    val anyDv = files.exists(_.dv.nonEmpty)
     schema.fields.foreach { f =>
       val per = files.map(_.stats.get(f.name))
       if (per.forall(_.isDefined)) {
@@ -41,7 +46,8 @@ object GraftColumnStats {
         if (kinds.size == 1) {
           val kind = kinds.head
           val nulls =
-            if (ss.forall(_.nulls >= 0)) OptionalLong.of(ss.map(_.nulls).sum)
+            if (!anyDv && ss.forall(_.nulls >= 0))
+              OptionalLong.of(ss.map(_.nulls).sum)
             else OptionalLong.empty()
           // only the ordered-numeric kinds carry parseable bounds —
           // 's' (string) bounds are unused by the estimator, and '_'
@@ -73,9 +79,13 @@ object GraftColumnStats {
           val rangeWidth = (kind, f.dataType) match {
             case ('n', LongType | IntegerType | ShortType | ByteType) |
                  ('d', DateType) =>
-              scala.util.Try(
-                (ss.map(s => BigDecimal(s.max)).max -
-                  ss.map(s => BigDecimal(s.min)).min + 1).toLong).toOption
+              // BigDecimal.toLong TRUNCATES mod 2^64 (never throws), so
+              // a near-full-Long range (hash-valued ids) must be
+              // detected explicitly — a wrapped width would clamp ndv
+              // to garbage and collapse join selectivity estimates
+              val w = ss.map(s => BigDecimal(s.max)).max -
+                ss.map(s => BigDecimal(s.min)).min + 1
+              if (w.isValidLong) Some(w.toLong) else None
             case _ => None
           }
           val ndv = (nonNull, rangeWidth) match {

@@ -54,6 +54,23 @@ final class GraftTable(val root: String, ident: String,
     ManifestTable.partitionLayout(spark, root)
       .map(Expressions.identity).toArray
 
+  /** The table's bucket layout — (bucket column, source column, bucket
+    * count) — resolved ONCE per table instance so optimizer rules (the
+    * auto bucket-join conjunct) never re-read the manifest on every
+    * fixed-point iteration. Caching is sound because a bucket
+    * definition can never change under a live table:
+    * `evolvePartitionSpec` refuses redefining a generated column, so
+    * the layout this instance saw at load is the layout every
+    * same-era scan plans against. Pinned (time-traveled) instances
+    * resolve the layout of their own era. */
+  lazy val bucketLayoutInfo: Option[(String, String, Int)] =
+    scala.util.Try {
+      (pinnedVersion match {
+        case Some(v) => ManifestTable.stateAt(spark, root, v)
+        case None    => ManifestTable.current(spark, root)
+      }).flatMap(st => ManifestTable.bucketLayout(st.tags))
+    }.toOption.flatten
+
   /** Catalog-visible properties (`SHOW TBLPROPERTIES`, DESCRIBE): the
     * live manifest tags — user properties set via SET TBLPROPERTIES,
     * `cdf.enabled`, constraints, the bloom registry — minus the bulky

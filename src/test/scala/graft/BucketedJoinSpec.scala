@@ -119,6 +119,35 @@ class BucketedJoinSpec extends SparkSpec {
     } finally dropTables("spjnat")
   }
 
+  test("an ALIASED join key (other column renamed to the source name) must NOT inject") {
+    mkTables("spjalias", buckets = 8)
+    try withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                 "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      // the left leg's `k` is NOT the stored source column — it is
+      // floor(v) renamed to k. The stored k_bucket hashed the REAL k,
+      // so injecting `a.k_bucket = b.k_bucket` here would silently drop
+      // rows where hash(floor(v)) lands in a different bucket than
+      // hash(k). The rule must match join keys by attribute IDENTITY
+      // (exprId against the relation's own source column), not name.
+      val q =
+        s"""SELECT x.k, b.w FROM
+           |  (SELECT CAST(v AS BIGINT) AS k FROM graft_lake.spjalias.a) x
+           |JOIN graft_lake.spjalias.b b ON x.k = b.k""".stripMargin
+      val got = spark.sql(q).as[(Long, Double)].collect().toSeq.sorted
+      val ref = withConf("spark.graft.autoBucketJoin.enabled" -> "false") {
+        spark.sql(q).as[(Long, Double)].collect().toSeq.sorted
+      }
+      assert(got == ref, "aliased-key join must agree with the rule disabled")
+      assert(got.nonEmpty)
+      // sanity: the legitimate pass-through Project shape still injects
+      val nat = spark.sql(
+        s"""SELECT x.k, b.w FROM (SELECT k FROM graft_lake.spjalias.a) x
+           |JOIN graft_lake.spjalias.b b ON x.k = b.k""".stripMargin)
+      assert(!nat.queryExecution.executedPlan.toString.contains("Exchange"),
+        "pass-through projection must still get the conjunct injected")
+    } finally dropTables("spjalias")
+  }
+
   test("bucket layouts default to optimized writes: O(buckets) files per commit") {
     mkTables("spjow", buckets = 4)
     try {
