@@ -828,6 +828,48 @@ object AggWindowQueries extends QueryPack {
       s.sql(s"DROP NAMESPACE graft_lake.$ns")
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }),
+    "k37_dv_bucket_join" -> ((s, d) => {
+      // K37 (beyond-reference): the k34 storage-partitioned join under
+      // MERGE-ON-READ deletes. Deletion vectors planted on BOTH legs
+      // keep the NATIVE batch scan — DVs only REMOVE rows, so the
+      // KeyGroupedPartitioning stays valid, the join still runs with
+      // zero Exchange (plan pin: BucketedJoinSpec "deletion vectors
+      // stay NATIVE"), and the reader applies each file's positions
+      // inline. The oracle replays both deletes relationally as
+      // join-side filters.
+      val ns = "k37_" + java.util.UUID.randomUUID().toString.take(8)
+      val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE graft_lake.$ns.o (o_orderkey BIGINT, " +
+        "o_orderpriority STRING) PARTITIONED BY (bucket(16, o_orderkey))")
+      s.sql(s"CREATE TABLE graft_lake.$ns.l (l_orderkey BIGINT, " +
+        "l_extendedprice DOUBLE) PARTITIONED BY (bucket(16, l_orderkey))")
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .createOrReplaceTempView("k37_o")
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+        .createOrReplaceTempView("k37_l")
+      s.sql(s"INSERT INTO graft_lake.$ns.o " +
+        "SELECT o_orderkey, o_orderpriority, NULL FROM k37_o")
+      s.sql(s"INSERT INTO graft_lake.$ns.l " +
+        "SELECT l_orderkey, l_extendedprice, NULL FROM k37_l")
+      graft.sources.ManifestTable.deleteMoR(s, s"$wh/$ns/o",
+        col("o_orderkey") % 7 === 2)
+      graft.sources.ManifestTable.deleteMoR(s, s"$wh/$ns/l",
+        col("l_orderkey") % 10 === 3)
+      val joined = s.sql(
+        s"""SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           |  ${OracleMath.dsumSql("l.l_extendedprice", 4, 2)} AS revenue
+           |FROM graft_lake.$ns.o o JOIN graft_lake.$ns.l l
+           |  ON o.o_orderkey = l.l_orderkey
+           |  AND o.o_orderkey_bucket = l.l_orderkey_bucket
+           |GROUP BY o.o_orderpriority""".stripMargin)
+      val rows = joined.collect()
+      val schema = joined.schema
+      s.sql(s"DROP TABLE graft_lake.$ns.o")
+      s.sql(s"DROP TABLE graft_lake.$ns.l")
+      s.sql(s"DROP NAMESPACE graft_lake.$ns")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }),
     "k36_cdf_by_name" -> ((s, d) => {
       // K36 (beyond-reference): the Delta-shaped BATCH CDF surface by
       // catalog NAME — spark.read.option("readChangeFeed", true)
@@ -1230,6 +1272,12 @@ object AggWindowQueries extends QueryPack {
       s"""SELECT o_orderpriority, COUNT(*) AS n_items,
          |  ${OracleMath.dsumSql("l_extendedprice", 4, 2)} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY 1""".stripMargin,
+    "k37_dv_bucket_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  ${OracleMath.dsumSql("l_extendedprice", 4, 2)} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey % 7 <> 2 AND l_orderkey % 10 <> 3
          |GROUP BY 1""".stripMargin,
     "k35_spec_evolution" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d') AS ts_day,

@@ -2229,6 +2229,26 @@ object ManifestTable {
     }.reduce(_.unionByName(_))
   }
 
+  /** Driver-side deletion-vector positions per live file, for readers
+    * that apply DVs INLINE (the native DSv2 batch scan ships each input
+    * partition its own files' positions, so a bucketed MoR-deleted
+    * table keeps its KeyGroupedPartitioning instead of paying a
+    * logical-plan anti-join). Sorted per file for binary-search
+    * application. The materialized size is the manifest-known total DV
+    * cardinality — CALLERS MUST CAP on that count before asking (the
+    * native scan refuses above its inline bound and the distributed
+    * anti-join path serves the read instead). */
+  private[graft] def dvPositionsByFile(spark: SparkSession, root: String,
+                                       files: Seq[FileEntry],
+                                       tags: Map[String, String])
+      : Map[String, Array[Long]] = {
+    val dvd = files.filter(_.dv.nonEmpty)
+    if (dvd.isEmpty) Map.empty
+    else loadDvs(spark, root, dvd, tags).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (p, ps) => p -> ps.map(_._2).sorted }
+  }
+
   /** Scan `files` grouped per generation (basePath = the gen dir, so
     * hive partition columns survive), unioned by name with additive
     * schema evolution. `withPositions` appends the table-root-relative

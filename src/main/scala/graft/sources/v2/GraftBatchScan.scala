@@ -38,9 +38,14 @@ import graft.sources.{ManifestRelationFilters, ManifestTable}
   *
   * The scan stays on the MATURE read semantics where it can't prove
   * them unnecessary: [[GraftBatchScan.tryBuild]] only fires when the
-  * live state has no deletion vectors, no rename/drop name mapping and
-  * no clone-source chain — anything else falls back to the V1 bridge
-  * (correct, just optimizer-opaque). File skipping is identical to the
+  * live state has no rename/drop name mapping, no clone-source chain
+  * and no evolved partition spec — those fall back to the V1 bridge
+  * (correct, just optimizer-opaque). Deletion vectors stay NATIVE up to
+  * a bounded total cardinality: DVs only remove rows, so the reported
+  * partitioning, superset column bounds and DPP all stay valid, and the
+  * reader applies each file's positions inline (a bucketed fact table
+  * under MoR deletes — the normal production state — keeps its
+  * zero-Exchange joins). File skipping is identical to the
   * bridge: the SAME metadata pass ([[ManifestTable.pruneLiveFiles]])
   * prunes files before any scan, and pushed filters are re-applied by
   * Spark above the scan, so results never depend on pruning quality.
@@ -56,6 +61,18 @@ object GraftBatchScan {
   /** Conf gate (default on): lets an operator force the V1 bridge. */
   val EnabledKey = "spark.graft.batchScan.enabled"
 
+  /** Ceiling on the TOTAL deletion-vector cardinality (manifest-known,
+    * no scan) the native path will apply inline. Below it, each input
+    * partition ships its own files' sorted positions and the reader
+    * binary-searches them out — a bucketed 100 TB fact table under
+    * targeted MoR deletes (the NORMAL production state) keeps SPJ,
+    * column stats and DPP. Above it (a table-sized delete), the V1
+    * bridge's distributed anti-join is the right shape anyway, and
+    * [[graft.sources.ManifestTable.materializeDeletes]] the right
+    * maintenance. */
+  val MaxInlineDvRowsKey = "spark.graft.batchScan.maxInlineDvRows"
+  val MaxInlineDvRowsDefault = 10000000L
+
   /** A [[GraftBatchScan]] when the table qualifies, else None. */
   def tryBuild(root: String, version: Option[Long], pushed: Array[Filter],
                required: StructType, fullSchema: StructType): Option[Scan] = {
@@ -65,7 +82,13 @@ object GraftBatchScan {
       case Some(v) => ManifestTable.stateAt(spark, root, v)
       case None    => ManifestTable.current(spark, root)
     }).getOrElse(return None)
-    val simple = st.files.nonEmpty && st.files.forall(_.dv.isEmpty) &&
+    // deletion vectors only REMOVE rows, so every optimizer-visible
+    // property survives them (partitioning, superset min/max bounds,
+    // DPP) — they are applied inline by the reader up to the bound
+    val totalDv = st.files.flatMap(_.dv).map(_.count).sum
+    val dvOk = totalDv <= spark.conf.get(MaxInlineDvRowsKey,
+      MaxInlineDvRowsDefault.toString).toLong
+    val simple = st.files.nonEmpty && dvOk &&
       !st.tags.contains(ManifestTable.RenameTag) &&
       !st.tags.contains(ManifestTable.DropTag) &&
       !st.tags.contains(ManifestTable.CloneSourcesTag) &&
@@ -112,7 +135,7 @@ object GraftBatchScan {
     val dataFilters = pushed.filter(_.references.forall(r => !partSet(r)))
     Some(new GraftBatchScan(root, version, bucketCol, kept.toIndexedSeq,
       dataSchema, requiredData, requiredPart, dataFilters.toIndexedSeq,
-      pushed.toIndexedSeq))
+      pushed.toIndexedSeq, st.tags))
   }
 }
 
@@ -123,7 +146,8 @@ final class GraftBatchScan(root: String, version: Option[Long],
                            requiredData: StructType,
                            requiredPart: StructType,
                            dataFilters: IndexedSeq[Filter],
-                           pushed: IndexedSeq[Filter])
+                           pushed: IndexedSeq[Filter],
+                           tags: Map[String, String])
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -189,11 +213,29 @@ final class GraftBatchScan(root: String, version: Option[Long],
     new GenericInternalRow(pv)
   }
 
+  /** Deletion-vector positions per live file (relPath-keyed, sorted),
+    * loaded ONCE per execution on the driver — tryBuild capped the
+    * total cardinality, so this is metadata-class I/O. Each input
+    * partition ships only ITS OWN files' positions. */
+  private lazy val dvPos: Map[String, Array[Long]] =
+    ManifestTable.dvPositionsByFile(spark, root, files, tags)
+
+  private def dvOf(f: ManifestTable.FileEntry): Array[Long] =
+    if (f.dv.isEmpty) Array.emptyLongArray
+    else dvPos.getOrElse(f.relPath, Array.emptyLongArray)
+
   private def asPartitionedFiles(f: ManifestTable.FileEntry,
                                  splitBytes: Long): Seq[PartitionedFile] = {
     val path = SparkPath.fromPathString(new Path(root, f.relPath).toString)
     val pv = partitionValuesRow(f)
-    if (f.bytes <= splitBytes)
+    // a DV'd file is NEVER split: its deleted positions are file-wide
+    // row indexes, and the reader recovers them by counting rows off a
+    // whole-file, pushdown-free read (see createReaderFactory) — a
+    // split's base row index is unknowable without footer reads. DV'd
+    // files are OPTIMIZE/materializeDeletes candidates anyway, so the
+    // lost split parallelism is the maintenance debt, not a tax on
+    // healthy tables.
+    if (f.bytes <= splitBytes || f.dv.nonEmpty)
       Seq(PartitionedFile(pv, path, 0L, f.bytes, Array.empty, 0L, f.bytes, Map.empty))
     else
       (0L until f.bytes by splitBytes).map(off =>
@@ -211,9 +253,10 @@ final class GraftBatchScan(root: String, version: Option[Long],
     case Some(bc) if requiredPart.fieldNames.contains(bc) =>
       val byBucket = files.groupBy(_.partitionValues(bc).get)
       buckets.map { b =>
-        val pfs = byBucket(b).sortBy(_.relPath)
-          .map(f => asPartitionedFiles(f, Long.MaxValue).head)
-        GraftBucketPartition(b, pfs.toArray): InputPartition
+        val ordered = byBucket(b).sortBy(_.relPath)
+        val pfs = ordered.map(f => asPartitionedFiles(f, Long.MaxValue).head)
+        GraftBucketPartition(b, pfs.toArray,
+          ordered.map(dvOf).toArray): InputPartition
       }.toArray
     case _ =>
       // Spark's own split sizing + bin-packing (maxPartitionBytes /
@@ -222,10 +265,15 @@ final class GraftBatchScan(root: String, version: Option[Long],
       val splitBytes = FilePartition.maxSplitBytes(s,
         files.map(_.bytes).sum +
           files.size * s.sessionState.conf.filesOpenCostInBytes)
-      val pfs = files.sortBy(f => (-f.bytes, f.relPath))
-        .flatMap(asPartitionedFiles(_, splitBytes))
-      FilePartition.getFilePartitions(s, pfs, splitBytes)
-        .map(fp => GraftFileGroupPartition(fp.files): InputPartition).toArray
+      val withDv = files.sortBy(f => (-f.bytes, f.relPath))
+        .flatMap(f => asPartitionedFiles(f, splitBytes).map(pf => (pf, dvOf(f))))
+      val dvByPath: Map[(String, Long), Array[Long]] =
+        withDv.map { case (pf, dv) =>
+          (pf.filePath.toString, pf.start) -> dv }.toMap
+      FilePartition.getFilePartitions(s, withDv.map(_._1), splitBytes)
+        .map(fp => GraftFileGroupPartition(fp.files,
+          fp.files.map(pf => dvByPath((pf.filePath.toString, pf.start))))
+          : InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -242,14 +290,34 @@ final class GraftBatchScan(root: String, version: Option[Long],
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> columnar.toString),
       s.sessionState.newHadoopConf())
-    new GraftBatchReaderFactory(readFunc, columnar)
+    // DV'd files read through a SECOND reader with NO row-group
+    // pushdown and whole-file (unsplit) inputs, so rows stream in exact
+    // parquet order and their ordinal IS the `_metadata.row_index`
+    // identity the DV records — the reader counts rows and
+    // binary-searches deleted positions out inline. Pushdown is an
+    // optimization only (Spark re-applies every filter above the scan),
+    // so dropping it for the DV'd slice trades row-group skipping for
+    // positional exactness on exactly the files that carry deletes.
+    // Partitions with no DV'd file keep the columnar fast path.
+    val dvFunc =
+      if (files.forall(_.dv.isEmpty)) None
+      else Some(new ParquetFileFormat().buildReaderWithPartitionValues(
+        s, dataSchema, requiredPart, requiredData, Seq.empty,
+        Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        s.sessionState.newHadoopConf()))
+    new GraftBatchReaderFactory(readFunc, columnar, dvFunc)
   }
 
   override def estimateStatistics(): Statistics = {
     val bytes = files.map(_.bytes).sum
-    val rows = if (files.forall(_.rows >= 0)) Some(files.map(_.rows).sum) else None
+    // EXACT live rows under deletion vectors: Σ(rows − dv.count)
+    val rows = if (files.forall(_.rows >= 0))
+      Some(files.map(f => f.rows - f.dv.map(_.count).getOrElse(0L)).sum)
+    else None
     // per-column stats over the PRUNED file set (eligibility already
-    // excluded renames/DVs, so the fold is direct)
+    // excluded renames; forFiles itself degrades honestly under DVs —
+    // min/max stay superset estimates, null counts are omitted)
     val cols = GraftColumnStats.forFiles(files, Map.empty, requiredData)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -271,54 +339,90 @@ final class GraftBatchScan(root: String, version: Option[Long],
       s"PushedFilters: [${pushed.mkString(", ")}]"
 }
 
-/** A partition that knows its parquet splits. */
+/** A partition that knows its parquet splits, plus each split's
+  * deletion-vector positions (file-wide sorted row indexes; empty array
+  * = no DV — aligned with `files` by index). */
 sealed trait GraftScanPartition extends InputPartition {
   def files: Array[PartitionedFile]
+  def dvs: Array[Array[Long]]
 }
 
 /** One live bucket: its string value (the partition KEY Spark groups
   * by) and every parquet file holding its rows. */
 final case class GraftBucketPartition(bucket: String,
-                                      files: Array[PartitionedFile])
+                                      files: Array[PartitionedFile],
+                                      dvs: Array[Array[Long]])
     extends GraftScanPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(bucket)))
 }
 
 /** A bin-packed group of parquet splits (the non-bucketed shape). */
-final case class GraftFileGroupPartition(files: Array[PartitionedFile])
+final case class GraftFileGroupPartition(files: Array[PartitionedFile],
+                                         dvs: Array[Array[Long]])
     extends GraftScanPartition
 
 /** Ships Spark's own parquet reader function to executors; rows stream
   * split-by-split. The vectorized path hands back ColumnarBatches —
   * when the schema supports it we pass them through COLUMNAR (Spark
   * plans ColumnarToRow above, same as FileSourceScanExec); otherwise
-  * the row-based reader unwraps per-row. */
+  * the row-based reader unwraps per-row. Partitions carrying deletion
+  * vectors take `dvFunc` — a pushdown-free, whole-file row reader whose
+  * streaming order makes each row's ordinal its parquet row index —
+  * and binary-search deleted positions out. */
 final class GraftBatchReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
-    columnar: Boolean) extends PartitionReaderFactory {
+    columnar: Boolean,
+    dvFunc: Option[PartitionedFile => Iterator[InternalRow]])
+    extends PartitionReaderFactory {
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && partition.asInstanceOf[GraftScanPartition].dvs.forall(_.isEmpty)
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val files = partition.asInstanceOf[GraftScanPartition].files
-    new PartitionReader[InternalRow] {
+  private def flattenRows(it: Iterator[InternalRow]): Iterator[InternalRow] =
+    it.asInstanceOf[Iterator[Object]].flatMap {
       // the function's iterator may carry ColumnarBatch disguised as
       // InternalRow (FileScanRDD's contract) — flatten defensively
-      private val it: Iterator[Object] =
-        files.iterator.flatMap(f =>
-          readFunc(f).asInstanceOf[Iterator[Object]]).flatMap {
-          case b: ColumnarBatch => scala.jdk.CollectionConverters
-            .IteratorHasAsScala(b.rowIterator()).asScala
-          case r => Iterator.single(r)
-        }
+      case b: ColumnarBatch => scala.jdk.CollectionConverters
+        .IteratorHasAsScala(b.rowIterator()).asScala
+      case r => Iterator.single(r)
+    }.asInstanceOf[Iterator[InternalRow]]
+
+  private def asRowReader(it: Iterator[InternalRow]): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
-        row = it.next().asInstanceOf[InternalRow]; true
+        row = it.next(); true
       }
       override def get(): InternalRow = row
       override def close(): Unit = ()
+    }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val gp = partition.asInstanceOf[GraftScanPartition]
+    if (gp.dvs.forall(_.isEmpty))
+      asRowReader(gp.files.iterator.flatMap(f => flattenRows(readFunc(f))))
+    else {
+      val read = dvFunc.getOrElse(sys.error(
+        "graft batch scan: partition carries deletion vectors but the " +
+          "factory was built without a DV reader"))
+      val rows = gp.files.iterator.zip(gp.dvs.iterator).flatMap {
+        case (f, dv) if dv.isEmpty =>
+          // clean files in a mixed partition still avoid pushdown (one
+          // reader shape per partition keeps the contract simple) —
+          // Spark's re-filter above the scan restores exactness
+          flattenRows(read(f))
+        case (f, dv) =>
+          // the file was planned UNSPLIT with NO pushed row-group
+          // filters, so the stream ordinal is the parquet row index
+          var idx = -1L
+          flattenRows(read(f)).filter { _ =>
+            idx += 1L
+            java.util.Arrays.binarySearch(dv, idx) < 0
+          }
+      }
+      asRowReader(rows)
     }
   }
 

@@ -190,22 +190,72 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
-  test("deletion vectors / renames fall back to the V1 bridge, same answer") {
+  test("deletion vectors stay NATIVE: SPJ keeps zero Exchange under MoR deletes") {
+    mkTables("spjdv", buckets = 8)
+    try withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                 "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val rootA = sys.props("java.io.tmpdir").stripSuffix("/") +
+        "/graft_warehouse/spjdv/a"
+      // MoR delete plants a deletion vector on the LEFT side. DVs only
+      // REMOVE rows, so KeyGroupedPartitioning stays valid — the native
+      // scan applies positions inline and the co-bucketed join keeps
+      // its zero-Exchange plan (a 100 TB fact table under targeted
+      // deletes is the NORMAL state; it must not lose the optimizer
+      // tier until the next OPTIMIZE)
+      ManifestTable.deleteMoR(spark, rootA, col("k") % 10L === 3L)
+      val df = spark.sql(joinSql("spjdv"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BatchScan"), s"DV'd table must stay native:\n$p")
+      assert(!p.contains("Exchange"),
+        s"DV'd co-bucketed join must still not shuffle:\n$p")
+      val got = df.as[(Long, Double, Double)].collect().toSeq.sorted
+      val ref = withConf(GraftBucketedScanConf -> "false") {
+        spark.sql(joinSql("spjdv")).as[(Long, Double, Double)].collect().toSeq.sorted
+      }
+      assert(got == ref, "inline DV application must match the V1 anti-join")
+      // b.k = 3i (i<150) matched a.k 0..499; deleting a.k % 10 == 3
+      // removes the k ≡ 3 (mod 10) multiples of 3
+      assert(got.nonEmpty && got.size < 150 &&
+        !got.exists { case (k, _, _) => k % 10L == 3L })
+      // a plain filtered read over the DV'd table is also native + right
+      val sel = spark.sql("SELECT k, v FROM graft_lake.spjdv.a WHERE k < 6 ORDER BY k")
+      assert(sel.queryExecution.executedPlan.toString.contains("BatchScan"))
+      assert(sel.as[(Long, Double)].collect().toSeq ==
+        Seq((0L, 0.0), (1L, 1.5), (2L, 3.0), (4L, 6.0), (5L, 7.5)))
+    } finally dropTables("spjdv")
+  }
+
+  test("a table-sized DV (above the inline bound) falls back to the V1 anti-join") {
     mkTables("spjfall", buckets = 4)
     try {
-      // the catalog's default warehouse layout: <tmpdir>/graft_warehouse/<ns>/<table>
       val rootA = sys.props("java.io.tmpdir").stripSuffix("/") +
         "/graft_warehouse/spjfall/a"
-      // MoR delete plants a deletion vector: the bucketed scan must
-      // refuse (it reads raw file bytes; resurrecting deleted rows is
-      // the failure mode) and the V1 bridge must serve the read
       ManifestTable.deleteMoR(spark, rootA, col("k") === 3L)
-      val df = spark.sql("SELECT k, v FROM graft_lake.spjfall.a WHERE k < 6 ORDER BY k")
-      val p = df.queryExecution.executedPlan.toString
-      assert(!p.contains("BatchScan"), s"DV'd table must fall back:\n$p")
-      assert(df.as[(Long, Double)].collect().toSeq ==
-        Seq((0L, 0.0), (1L, 1.5), (2L, 3.0), (4L, 6.0), (5L, 7.5)))
+      // shrink the inline bound below this DV's cardinality (1 row):
+      // the distributed anti-join is the right shape for deletes that
+      // approach the table's own size
+      withConf(graft.sources.v2.GraftBatchScan.MaxInlineDvRowsKey -> "0") {
+        val df = spark.sql("SELECT k, v FROM graft_lake.spjfall.a WHERE k < 6 ORDER BY k")
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BatchScan"), s"over-bound DV table must fall back:\n$p")
+        assert(df.as[(Long, Double)].collect().toSeq ==
+          Seq((0L, 0.0), (1L, 1.5), (2L, 3.0), (4L, 6.0), (5L, 7.5)))
+      }
     } finally dropTables("spjfall")
+  }
+
+  test("renames still fall back to the V1 bridge, same answer") {
+    mkTables("spjren", buckets = 4)
+    try {
+      val rootA = sys.props("java.io.tmpdir").stripSuffix("/") +
+        "/graft_warehouse/spjren/a"
+      ManifestTable.renameColumn(spark, rootA, "v", "val")
+      val df = spark.sql("SELECT k, val FROM graft_lake.spjren.a WHERE k < 3 ORDER BY k")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BatchScan"), s"renamed table must fall back:\n$p")
+      assert(df.as[(Long, Double)].collect().toSeq ==
+        Seq((0L, 0.0), (1L, 1.5), (2L, 3.0)))
+    } finally dropTables("spjren")
   }
 
   private val GraftBucketedScanConf = graft.sources.v2.GraftBatchScan.EnabledKey
