@@ -896,6 +896,47 @@ object AggWindowQueries extends QueryPack {
         .select(col("o_orderkey"), col("o_totalprice"),
           col("_change_type").as("change_type"),
           col("_commit_version").as("commit_version"))
+    }),
+    "k38_agg_pushdown" -> ((s, d) => {
+      // K38 (beyond-reference): DSv2 AGGREGATE pushdown through the
+      // catalog — k14's metadata-only aggregates, now negotiated by
+      // Spark itself (SupportsPushDownAggregates). Phase 1: grouped
+      // MIN/MAX/COUNT over the hive-partitioned table answer COMPLETE
+      // from the manifest's per-file footer stats + directory values
+      // (zero data files read — AggPushdownSpec pins the plan).
+      // Phase 2: a MoR delete plants deletion vectors on ONE
+      // partition's files, and the global aggregate degrades to
+      // PARTIAL pushdown — only the DV'd files are re-read and folded,
+      // every clean file stays metadata. The oracle recomputes both
+      // phases relationally.
+      val ns = "k38_" + java.util.UUID.randomUUID().toString.take(8)
+      val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE graft_lake.$ns.o (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_orderdate TIMESTAMP, o_orderpriority STRING) " +
+        "PARTITIONED BY (o_orderpriority)")
+      t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+        .createOrReplaceTempView("k38_src")
+      s.sql(s"INSERT INTO graft_lake.$ns.o SELECT * FROM k38_src")
+      val grouped = s.sql(
+        s"""SELECT o_orderpriority, COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+           |  MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+           |  MAX(o_orderdate) AS mx_date
+           |FROM graft_lake.$ns.o GROUP BY o_orderpriority""".stripMargin)
+      val groupedRows = grouped.collect()
+      graft.sources.ManifestTable.deleteMoR(s, s"$wh/$ns/o",
+        col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 13 === 5)
+      val after = s.sql(
+        s"""SELECT MAX(o_orderkey) AS mx_after, COUNT(*) AS n_after
+           |FROM graft_lake.$ns.o""".stripMargin)
+      val out = s.createDataFrame(java.util.Arrays.asList(groupedRows: _*),
+        grouped.schema).crossJoin(after)
+      val rows = out.collect()
+      val schema = out.schema
+      s.sql(s"DROP TABLE graft_lake.$ns.o")
+      s.sql(s"DROP NAMESPACE graft_lake.$ns")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     })
   )
 
@@ -1300,7 +1341,18 @@ object AggWindowQueries extends QueryPack {
         |       'delete', 5
         |FROM orders
         |WHERE CASE WHEN o_orderpriority = '1-URGENT'
-        |           THEN o_totalprice + 1000.0 ELSE o_totalprice END < 30000.0""".stripMargin
+        |           THEN o_totalprice + 1000.0 ELSE o_totalprice END < 30000.0""".stripMargin,
+    "k38_agg_pushdown" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+        |         MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+        |         MAX(o_orderdate) AS mx_date
+        |  FROM orders GROUP BY 1),
+        |a AS (
+        |  SELECT MAX(o_orderkey) AS mx_after, COUNT(*) AS n_after
+        |  FROM orders
+        |  WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 5))
+        |SELECT g.*, a.* FROM g CROSS JOIN a""".stripMargin
   )
 }
 

@@ -225,7 +225,7 @@ final class GraftScanBuilder(root: String, version: Option[Long],
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
-  private var metadataCount: Option[Long] = None
+  private var plannedAgg: Option[GraftAggScan.Planned] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => ManifestRelationFilters.toColumn(f).isDefined)
@@ -240,36 +240,26 @@ final class GraftScanBuilder(root: String, version: Option[Long],
     // projection, which Spark counts correctly
     required = requiredSchema
 
-  /** Metadata-only `COUNT(*)`: an unfiltered, ungrouped count answers
-    * from the manifest's per-file row counts (DV-exact) — zero data
-    * files touched, the 100 TB count in one driver-side metadata fold.
-    * Spark only offers the aggregate when no post-scan filter remains
-    * (ours always remain, so any WHERE disables this automatically);
-    * legacy manifests without per-file counts simply decline. */
-  private def pushableCount(agg: Aggregation): Option[Long] = {
-    val shape = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[CountStar]
-    if (!shape) None
-    else {
-      val spark = SparkSession.active
-      version match {
-        case Some(v) => ManifestTable.rowCountAt(spark, root, v)
-        case None    => ManifestTable.rowCount(spark, root)
-      }
-    }
-  }
+  /** Metadata aggregate pushdown ([[GraftAggScan.plan]]): MIN/MAX/COUNT,
+    * optionally grouped by partition-layout columns, answered from the
+    * manifest's per-file footer stats — zero (complete) or only the
+    * stat-less/DV'd remainder (partial) data files read. Spark only
+    * offers an Aggregation when no post-scan filter remains; ours always
+    * remain, so any WHERE disables this automatically. */
+  private def planAgg(agg: Aggregation): Option[GraftAggScan.Planned] =
+    if (pushed.nonEmpty) None
+    else GraftAggScan.plan(root, version, fullSchema, agg)
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    pushableCount(agg).isDefined
+    planAgg(agg).exists(_.complete)
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    metadataCount = pushableCount(agg)
-    metadataCount.isDefined
+    plannedAgg = planAgg(agg)
+    plannedAgg.isDefined
   }
 
-  override def build(): Scan = metadataCount match {
-    case Some(n) => new GraftCountScan(root, version, n)
+  override def build(): Scan = plannedAgg match {
+    case Some(p) => new GraftAggScan(p)
     case None =>
       // eligible tables get the real DSv2 Batch scan (native parquet
       // reads, column statistics to CBO, KeyGroupedPartitioning on
@@ -278,27 +268,6 @@ final class GraftScanBuilder(root: String, version: Option[Long],
       GraftBatchScan.tryBuild(root, version, pushed, required, fullSchema)
         .getOrElse(new GraftV1Scan(root, version, pushed, required))
   }
-}
-
-/** The pushed-COUNT(*) scan: one row, no files. */
-final class GraftCountScan(root: String, version: Option[Long], n: Long)
-    extends V1Scan {
-  override def readSchema(): StructType = StructType(Seq(
-    org.apache.spark.sql.types.StructField("COUNT(*)",
-      org.apache.spark.sql.types.LongType, nullable = false)))
-  override def toV1TableScan[T <: BaseRelation with TableScan](
-      context: SQLContext): T =
-    new GraftCountRelation(context, readSchema(), n).asInstanceOf[T]
-  override def description(): String =
-    s"graft-manifest metadata-count $root${version.map(v => s"@v$v").getOrElse("")}"
-}
-
-final class GraftCountRelation(val sqlContext: SQLContext,
-                               override val schema: StructType, n: Long)
-    extends BaseRelation with TableScan {
-  override def buildScan(): RDD[Row] =
-    sqlContext.sparkContext.parallelize(Seq(Row(n)), 1)
-  override def toString: String = s"GraftMetadataCount[$n]"
 }
 
 final class GraftV1Scan(root: String, version: Option[Long],

@@ -1,0 +1,168 @@
+package graft
+
+import java.util.UUID
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** DSv2 aggregate pushdown on graft_lake catalog tables: MIN / MAX /
+  * COUNT answered from the manifest's per-file footer stats — ZERO data
+  * files read when every file is answerable ("complete"), only the
+  * stat-less/DV'd remainder read when not ("partial"). Every pinned
+  * plan is paired with a value check against the same query computed
+  * with pushdown disabled. */
+class AggPushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ns(): String = "agg_" + UUID.randomUUID().toString.take(8)
+
+  private def leafOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+
+  /** Rows of `sql`, with aggregate pushdown ON, and the plan leaf. */
+  private def run(sql: String): (Seq[org.apache.spark.sql.Row], String) = {
+    val df = spark.sql(sql)
+    (df.collect().toSeq, leafOf(df))
+  }
+
+  /** The same rows computed through the normal scan (pushdown off). */
+  private def oracle(sql: String): Seq[org.apache.spark.sql.Row] = {
+    spark.conf.set("spark.graft.aggPushdown.enabled", "false")
+    try spark.sql(sql).collect().toSeq
+    finally spark.conf.unset("spark.graft.aggPushdown.enabled")
+  }
+
+  test("MIN/MAX/COUNT answer complete from metadata — zero files read") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t (k BIGINT, d DATE, ts TIMESTAMP, " +
+      "s STRING, x DOUBLE)")
+    Seq.tabulate(500)(i => (i.toLong, java.sql.Date.valueOf("2026-01-01").toLocalDate
+        .plusDays(i % 90).toString, s"2026-02-0${1 + i % 9} 12:0${i % 6}:00",
+        if (i % 7 == 0) null else s"s$i", i * 1.5))
+      .toDF("k", "d", "ts", "s", "x")
+      .select(col("k"), col("d").cast("date"), col("ts").cast("timestamp"),
+        col("s"), col("x"))
+      .repartition(4).createOrReplaceTempView("agg_src")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t2 AS SELECT * FROM agg_src")
+    val q = s"SELECT max(ts) AS mx_ts, min(ts) AS mn_ts, min(k) AS mn_k, " +
+      s"max(d) AS mx_d, count(s) AS n_s, count(*) AS n FROM graft_lake.$n.t2"
+    val (rows, leaf) = run(q)
+    assert(leaf.contains("agg-pushdown") && leaf.contains("complete"),
+      s"expected complete metadata aggregate, got:\n$leaf")
+    assert(rows == oracle(q))
+    // a WHERE clause disables pushdown (filters must see rows)
+    val (rowsW, leafW) = run(
+      s"SELECT max(k) AS mx FROM graft_lake.$n.t2 WHERE k < 100")
+    assert(!leafW.contains("agg-pushdown"))
+    assert(rowsW.head.getLong(0) == 99L)
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP TABLE graft_lake.$n.t2")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("GROUP BY a partition column answers complete from directory values") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.p (k BIGINT, x BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    Seq.tabulate(300)(i => (i.toLong, i.toLong * 3,
+        if (i % 11 == 0) null else s"c${i % 3}"))
+      .toDF("k", "x", "cat").createOrReplaceTempView("agg_psrc")
+    spark.sql(s"INSERT INTO graft_lake.$n.p SELECT * FROM agg_psrc")
+    val q = s"SELECT cat, count(*) AS cnt, count(cat) AS n_cat, " +
+      s"min(k) AS mn, max(x) AS mx FROM graft_lake.$n.p GROUP BY cat"
+    val (rows, leaf) = run(q)
+    assert(leaf.contains("agg-pushdown") && leaf.contains("complete"),
+      s"expected complete grouped metadata aggregate, got:\n$leaf")
+    val sortKey = (r: org.apache.spark.sql.Row) => Option(r.getString(0)).getOrElse("")
+    assert(rows.sortBy(sortKey) == oracle(q).sortBy(sortKey))
+    // null-partition rows: count(cat) excludes them, count(*) keeps them
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) > 0L && nullRow.getLong(2) == 0L)
+    spark.sql(s"DROP TABLE graft_lake.$n.p")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("deletion vectors degrade to PARTIAL pushdown: only DV'd files re-read") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    Seq.tabulate(400)(i => (i.toLong, if (i % 5 == 0) null else s"v$i"))
+      .toDF("k", "v").repartition(4).createOrReplaceTempView("agg_dsrc")
+    spark.sql(s"CREATE TABLE graft_lake.$n.d AS SELECT * FROM agg_dsrc")
+    val root = spark.sessionState.catalogManager.catalog("graft_lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(n), "d"))
+      .properties().get("location")
+    // a targeted MoR delete: the max row (k=399) dies, so a stats-only
+    // answer would be WRONG — the partial fold must re-read DV'd files
+    ManifestTable.deleteMoR(spark, root, col("k") >= 390 || col("k") % 97 === 3)
+    val q = s"SELECT max(k) AS mx, min(k) AS mn, count(v) AS nv, " +
+      s"count(*) AS n FROM graft_lake.$n.d"
+    val (rows, leaf) = run(q)
+    assert(leaf.contains("agg-pushdown") && leaf.contains("partial"),
+      s"expected partial pushdown under deletion vectors, got:\n$leaf")
+    assert(rows == oracle(q))
+    assert(rows.head.getLong(0) == 389L) // the deleted max is gone
+    spark.sql(s"DROP TABLE graft_lake.$n.d")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("unservable shapes decline: float/double and string MIN/MAX, renamed tables") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    Seq.tabulate(50)(i => (i.toLong, i * 1.5, s"s$i")).toDF("k", "x", "s")
+      .createOrReplaceTempView("agg_usrc")
+    spark.sql(s"CREATE TABLE graft_lake.$n.u AS SELECT * FROM agg_usrc")
+    // double MIN/MAX: NaN ordering makes writer stats untrustworthy
+    val (rx, lx) = run(s"SELECT max(x) AS mx FROM graft_lake.$n.u")
+    assert(!lx.contains("agg-pushdown"), s"double max must not push:\n$lx")
+    assert(rx.head.getDouble(0) == 49 * 1.5)
+    // string MIN/MAX: binary bounds may be writer-truncated
+    val (rs, ls) = run(s"SELECT min(s) AS mn FROM graft_lake.$n.u")
+    assert(!ls.contains("agg-pushdown"), s"string min must not push:\n$ls")
+    assert(rs.head.getString(0) == "s0")
+    // COUNT(*) still pushes on the same table
+    val (_, lc) = run(s"SELECT count(*) AS n FROM graft_lake.$n.u")
+    assert(lc.contains("agg-pushdown"))
+    // a renamed column unmoors physical stat keys — decline everything
+    spark.sql(s"ALTER TABLE graft_lake.$n.u RENAME COLUMN k TO kk")
+    val (rr, lr) = run(s"SELECT max(kk) AS mx, count(*) AS n FROM graft_lake.$n.u")
+    assert(!lr.contains("agg-pushdown"), s"renamed table must not push:\n$lr")
+    assert(rr.head.getLong(0) == 49L && rr.head.getLong(1) == 50L)
+    spark.sql(s"DROP TABLE graft_lake.$n.u")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("empty table answers (count = 0, min/max = null) complete") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.e (k BIGINT, v STRING)")
+    val q = s"SELECT count(*) AS n, count(v) AS nv, max(k) AS mx " +
+      s"FROM graft_lake.$n.e"
+    val (rows, leaf) = run(q)
+    assert(leaf.contains("agg-pushdown") && leaf.contains("complete"),
+      s"empty table should answer from metadata, got:\n$leaf")
+    assert(rows.head.getLong(0) == 0L && rows.head.getLong(1) == 0L &&
+      rows.head.isNullAt(2))
+    spark.sql(s"DROP TABLE graft_lake.$n.e")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("time travel aggregates the PINNED version's metadata") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.v (k BIGINT)")
+    spark.sql(s"INSERT INTO graft_lake.$n.v SELECT id FROM range(0, 100)")
+    spark.sql(s"INSERT INTO graft_lake.$n.v SELECT id FROM range(100, 150)")
+    val q = s"SELECT max(k) AS mx, count(*) AS n " +
+      s"FROM graft_lake.$n.v VERSION AS OF 2"
+    val (rows, leaf) = run(q)
+    assert(leaf.contains("agg-pushdown") && leaf.contains("complete"))
+    assert(rows.head.getLong(0) == 99L && rows.head.getLong(1) == 100L)
+    spark.sql(s"DROP TABLE graft_lake.$n.v")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+}

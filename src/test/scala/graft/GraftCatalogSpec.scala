@@ -246,7 +246,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(q.as[Long].head() == 100L)
     // the plan's leaf is the metadata-count relation — no parquet scan
     val leaf = q.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(leaf.contains("GraftMetadataCount"),
+    assert(leaf.contains("agg-pushdown") && leaf.contains("complete"),
       s"expected a metadata-only count, got:\n$leaf")
     // stays exact through DML, and time travel counts the PINNED version
     spark.sql(s"DELETE FROM graft_lake.$n.t WHERE k < 10")
@@ -258,7 +258,7 @@ class GraftCatalogSpec extends SparkSpec {
       s"SELECT count(*) AS c FROM graft_lake.$n.t WHERE k >= 50")
     assert(filtered.as[Long].head() == 50L)
     assert(!filtered.queryExecution.executedPlan.collectLeaves().head
-      .toString.contains("GraftMetadataCount"))
+      .toString.contains("agg-pushdown"))
     spark.sql(s"DROP TABLE graft_lake.$n.t")
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
