@@ -245,18 +245,27 @@ final class GraftBatchScan(root: String, version: Option[Long],
 
   override def planInputPartitions(): Array[InputPartition] = bucketCol match {
     // key-grouped ONLY when the partitioning is actually reported
-    // (bucket column projected — the join shape): one UNSPLIT partition
-    // per live bucket value, since splitting a bucket would emit
-    // duplicate keys. A scan that doesn't carry the bucket column gets
-    // the bin-packed splits below — key-grouping would cap parallelism
-    // at the bucket count for no optimizer benefit.
+    // (bucket column projected — the join shape): one partition per
+    // (bucket value, FILE), whole files only (splitting inside a file
+    // group is fine — every row still carries the key — but row-group
+    // splits would break the DV ordinal contract). Spark's key-grouping
+    // owns the rest: by default same-key partitions COALESCE into one
+    // task per live bucket (the classic SPJ shape), and with
+    // spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+    // .enabled the join's LARGER side keeps its per-file partitions
+    // while the smaller side's groups are replicated — a hot bucket
+    // becomes as many tasks as it has files instead of one straggler
+    // serializing the stage (AQE skew-split can't help here: there is
+    // no Exchange to split). A scan that doesn't carry the bucket
+    // column gets the bin-packed splits below — key-grouping would cap
+    // parallelism at the bucket count for no optimizer benefit.
     case Some(bc) if requiredPart.fieldNames.contains(bc) =>
       val byBucket = files.groupBy(_.partitionValues(bc).get)
-      buckets.map { b =>
-        val ordered = byBucket(b).sortBy(_.relPath)
-        val pfs = ordered.map(f => asPartitionedFiles(f, Long.MaxValue).head)
-        GraftBucketPartition(b, pfs.toArray,
-          ordered.map(dvOf).toArray): InputPartition
+      buckets.flatMap { b =>
+        byBucket(b).sortBy(_.relPath).map(f =>
+          GraftBucketPartition(b,
+            Array(asPartitionedFiles(f, Long.MaxValue).head),
+            Array(dvOf(f))): InputPartition)
       }.toArray
     case _ =>
       // Spark's own split sizing + bin-packing (maxPartitionBytes /

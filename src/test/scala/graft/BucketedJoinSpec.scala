@@ -244,6 +244,59 @@ class BucketedJoinSpec extends SparkSpec {
     } finally dropTables("spjfall")
   }
 
+  test("partially-clustered distribution splits a hot bucket across its files") {
+    val ns0 = "spjskew"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lake.$ns0")
+    spark.sql(s"CREATE TABLE graft_lake.$ns0.a (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE graft_lake.$ns0.b (k BIGINT, w DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // three commits → three files per live bucket on the fact side,
+    // with ~40% of rows planted on one hot key (all in ONE bucket)
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graft_lake.$ns0.a " +
+        s"SELECT CASE WHEN id % 5 < 2 THEN 42 ELSE id END AS k, " +
+        s"CAST(id AS DOUBLE) AS v, NULL FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    }
+    spark.sql(s"INSERT INTO graft_lake.$ns0.b " +
+      "SELECT id AS k, CAST(id AS DOUBLE) AS w, NULL FROM range(0, 3000)")
+    try withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                 "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val q = joinSql(ns0)
+      // default posture: same-key partitions COALESCE — one task per
+      // live bucket, zero Exchange (the classic SPJ shape)
+      val base = spark.sql(q)
+      assert(!base.queryExecution.executedPlan.toString.contains("Exchange"))
+      val baseRows = base.as[(Long, Double, Double)].collect().toSeq.sorted
+      assert(base.rdd.getNumPartitions == 4,
+        s"grouped SPJ should run one task per live bucket, " +
+          s"got ${base.rdd.getNumPartitions}")
+      // skew posture: Spark keeps the larger side's PER-FILE partitions
+      // (our scan plans one per (bucket, file)) and replicates the
+      // smaller side's groups — the hot bucket becomes as many tasks as
+      // it has files instead of one straggler, still with zero Exchange
+      val split = withConf(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true") {
+        val df = spark.sql(q)
+        assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+          "partially-clustered SPJ must stay shuffle-free")
+        assert(df.rdd.getNumPartitions > 4,
+          s"expected per-file tasks under partially-clustered " +
+            s"distribution, got ${df.rdd.getNumPartitions}")
+        df.as[(Long, Double, Double)].collect().toSeq.sorted
+      }
+      assert(split == baseRows,
+        "partially-clustered execution must return the grouped answer")
+      // 40% of each insert's 1000 ids plant k=42 (+ the real id=42 row)
+      assert(baseRows.count(_._1 == 42L) == 1201,
+        "the planted hot key carries ~40% of the fact rows")
+    } finally {
+      spark.sql(s"DROP TABLE graft_lake.$ns0.a")
+      spark.sql(s"DROP TABLE graft_lake.$ns0.b")
+      spark.sql(s"DROP NAMESPACE graft_lake.$ns0")
+    }
+  }
+
   test("renames still fall back to the V1 bridge, same answer") {
     mkTables("spjren", buckets = 4)
     try {
