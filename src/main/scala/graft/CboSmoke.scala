@@ -1,7 +1,11 @@
 package graft
-object DbgCbo {
+/** A/B timing smoke for the CBO session posture: the headline query
+  * subset 5×-min-timed with cost-based optimization on vs off — the
+  * measurement harness class (ScaleSmoke/PruneSmoke family), not a
+  * production surface. */
+object CboSmoke {
   def main(args: Array[String]): Unit = {
-    val spark = graft.core.GraftSession.builder("dbg-cbo", "local[32]", 32).getOrCreate()
+    val spark = graft.core.GraftSession.builder("cbo-smoke", "local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     val qs = Seq("q3_shipping", "q4_priority", "q8_market_share", "f3_eq_filter",

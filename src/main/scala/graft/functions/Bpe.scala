@@ -118,7 +118,22 @@ object Bpe {
     * nested `replace` calls — the exact cross-engine contract of
     * [[graft.plans.BpeEncode]]. `wordExpr` must be a SQL expression
     * yielding one lowercase [a-z0-9]+ word. */
+  /** Oracle-replay-only bound: each merge nests one `replace(...)`, and
+    * DuckDB's parser caps expression depth at max_expression_depth
+    * (default 1000). The ENGINE has no such bound — [[encode]] carries
+    * any table size as one spec string — so a production-vocab table
+    * (10k–50k merges) simply cannot be replayed as a single SQL
+    * expression; refuse loudly instead of emitting SQL that fails
+    * downstream with a parser error pointing nowhere. */
+  val MaxReplayMerges = 500
+
   def replaySql(wordExpr: String, merges: Seq[(String, String)]): String = {
+    require(merges.size <= MaxReplayMerges,
+      s"Bpe.replaySql: ${merges.size} merges exceed the $MaxReplayMerges " +
+        "nested-replace bound (DuckDB max_expression_depth is 1000 by " +
+        "default) — the SQL replay is an oracle-construction device for " +
+        "small pinned tables; the engine itself (Bpe.encode / " +
+        "graft_bpe_encode) carries production vocab sizes natively")
     val wrapped =
       s"'(' || array_to_string([$wordExpr[i] for i in range(1, len($wordExpr)+1)], ')(') || ')'"
     merges.foldLeft(wrapped) { case (acc, (a, b)) =>

@@ -21,6 +21,20 @@ import graft.sources.v2.GraftTable
   * have to know the generated column's name and spell the equality by
   * hand.
   *
+  * EQUAL bucket counts only, by contract. `h mod 16 = (h mod 32) mod 16`
+  * would make 16-vs-32 layouts co-partitionable in principle, but this
+  * engine's bucket is a STORED generated string column reported through
+  * `Expressions.identity` — Spark compares the reported partition VALUES
+  * for compatibility, and "17" (mod 32) never equals "1" (mod 16).
+  * Spark's cross-count storage-partitioned join exists only for
+  * catalog-registered `ReducibleFunction` bucket transforms (the
+  * Iceberg shape), where the planner itself can reduce the finer
+  * partitioning onto the coarser one; a stored identity column cannot
+  * ride that surface. Mismatched counts therefore keep the shuffled
+  * plan (correct, just not co-partitioned) — BucketedJoinSpec pins the
+  * refusal. Re-bucket one side (`evolvePartitionSpec` refuses redefining
+  * a generated column, so that means a rewrite) to co-locate them.
+  *
   * Conservative by construction: only fires on equi-conjuncts between
   * two attribute references whose legs are Project/Filter chains over
   * graft_lake relations with matching bucket(n, src) layouts; legs that

@@ -583,6 +583,56 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared merge-table machinery for [[BpeEncode]]/[[BpeCount]] — parse
+  * once per expression instance, apply per word. Production merge
+  * tables run 10k–50k rules, so the per-word scan carries a 64-bit
+  * character-set prefilter: a rule `(a)(b)` can only match a word whose
+  * characters are a superset of the rule's, and merging never ADDS
+  * characters (merged symbols are concatenations), so one mask AND
+  * skips the vast majority of rules without touching the string. The
+  * applied semantics are bit-identical to the unfiltered scan
+  * (BpeSpec pins a 10k-rule table against its live-rule subset). */
+private[plans] object BpeRules {
+  def parse(spec: String, fn: String): Array[(String, String)] =
+    spec.split(',').filter(_.nonEmpty).map { m =>
+      m.split(' ') match {
+        case Array(a, b) => (s"($a)($b)", s"($a$b)")
+        case _ => throw new IllegalArgumentException(
+          s"$fn: malformed merge '$m' (want 'left right')")
+      }
+    }
+
+  private def charMask(s: String): Long = {
+    var m = 0L
+    var i = 0
+    while (i < s.length) { m |= 1L << (s.charAt(i) % 64); i += 1 }
+    m
+  }
+
+  def masks(rules: Array[(String, String)]): Array[Long] =
+    rules.map { case (from, _) => charMask(from) }
+
+  /** One word in the cross-engine paren representation with every
+    * matching merge applied in learned-rank order. */
+  def encodeWord(w: String, rules: Array[(String, String)],
+                 masks: Array[Long]): String = {
+    val sb = new java.lang.StringBuilder(w.length * 3)
+    var i = 0
+    while (i < w.length) { sb.append('(').append(w.charAt(i)).append(')'); i += 1 }
+    var enc = sb.toString
+    val wm = charMask(enc)
+    var r = 0
+    while (r < rules.length) {
+      if ((masks(r) & ~wm) == 0L) {
+        val rule = rules(r)
+        if (enc.contains(rule._1)) enc = enc.replace(rule._1, rule._2)
+      }
+      r += 1
+    }
+    enc
+  }
+}
+
 /** Byte-pair encoding of a document as ONE native pass: tokenize (the
   * [[TextNative.tokenize]] parity semantics), then greedily apply a
   * FIXED merge table to each word in learned-rank order. The
@@ -607,13 +657,9 @@ case class BpeEncode(child: Expression, spec: String) extends UnaryExpression {
   override def prettyName: String = "graft_bpe_encode"
 
   @transient private lazy val rules: Array[(String, String)] =
-    spec.split(',').filter(_.nonEmpty).map { m =>
-      m.split(' ') match {
-        case Array(a, b) => (s"($a)($b)", s"($a$b)")
-        case _ => throw new IllegalArgumentException(
-          s"graft_bpe_encode: malformed merge '$m' (want 'left right')")
-      }
-    }
+    BpeRules.parse(spec, prettyName)
+
+  @transient private lazy val masks: Array[Long] = BpeRules.masks(rules)
 
   @transient private lazy val unwrap = java.util.regex.Pattern.compile("\\)\\(")
 
@@ -622,17 +668,7 @@ case class BpeEncode(child: Expression, spec: String) extends UnaryExpression {
     val out = new java.util.ArrayList[UTF8String]()
     var wi = 0
     while (wi < words.length) {
-      val w = words(wi).toString
-      val sb = new java.lang.StringBuilder(w.length * 3)
-      var i = 0
-      while (i < w.length) { sb.append('(').append(w.charAt(i)).append(')'); i += 1 }
-      var enc = sb.toString
-      var r = 0
-      while (r < rules.length) {
-        val rule = rules(r)
-        if (enc.contains(rule._1)) enc = enc.replace(rule._1, rule._2)
-        r += 1
-      }
+      val enc = BpeRules.encodeWord(words(wi).toString, rules, masks)
       val toks = unwrap.split(enc.substring(1, enc.length - 1))
       var t = 0
       while (t < toks.length) { out.add(UTF8String.fromString(toks(t))); t += 1 }
@@ -668,30 +704,16 @@ case class BpeCount(child: Expression, spec: String) extends UnaryExpression {
   override def prettyName: String = "graft_bpe_count"
 
   @transient private lazy val rules: Array[(String, String)] =
-    spec.split(',').filter(_.nonEmpty).map { m =>
-      m.split(' ') match {
-        case Array(a, b) => (s"($a)($b)", s"($a$b)")
-        case _ => throw new IllegalArgumentException(
-          s"graft_bpe_count: malformed merge '$m' (want 'left right')")
-      }
-    }
+    BpeRules.parse(spec, prettyName)
+
+  @transient private lazy val masks: Array[Long] = BpeRules.masks(rules)
 
   def compute(s: UTF8String): Long = {
     val words = TextNative.tokenize(s)
     var total = 0L
     var wi = 0
     while (wi < words.length) {
-      val w = words(wi).toString
-      val sb = new java.lang.StringBuilder(w.length * 3)
-      var i = 0
-      while (i < w.length) { sb.append('(').append(w.charAt(i)).append(')'); i += 1 }
-      var enc = sb.toString
-      var r = 0
-      while (r < rules.length) {
-        val rule = rules(r)
-        if (enc.contains(rule._1)) enc = enc.replace(rule._1, rule._2)
-        r += 1
-      }
+      val enc = BpeRules.encodeWord(words(wi).toString, rules, masks)
       // tokens = ")(" separators + 1
       var seps = 0L
       var j = enc.indexOf(")(")

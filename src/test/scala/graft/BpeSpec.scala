@@ -92,4 +92,42 @@ class BpeSpec extends SparkSpec {
     // is observably token-exact
     assert(direct(0L) == 3L, s"'the' must fuse to one token, got $direct")
   }
+
+  test("production vocab size: 10k merges apply through codegen, same tokens") {
+    // the pinned live merges up front, then inert filler to production
+    // scale — symbols drawn outside the corpus alphabet frequency so
+    // they never match, which makes the 10k-table output provably equal
+    // to the live-subset output (and exercises the char-mask prefilter
+    // + the 10k-rule spec literal through whole-stage codegen)
+    val filler = (0 until 10000 - Bpe.PinnedMerges.size).map(i =>
+      (s"zq${i % 97}", s"xj${i / 97}"))
+    val big = Bpe.PinnedMerges ++ filler
+    assert(big.size == 10000)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "training data pipelines filter and join the document corpus"),
+      (3L, "fast joins and fast filters keep the cluster busy"))
+      .toDF("doc_id", "text")
+    val both = docs.select(
+      TextNative.bpeEncode(spark, col("text"), big).as("big"),
+      TextNative.bpeEncode(spark, col("text"), Bpe.PinnedMerges).as("small"),
+      TextNative.bpeCount(spark, col("text"), big).as("nbig"),
+      size(col("big")).cast("long").as("sbig"))
+    // no codegen fallback blow-up: the merge table rides ONE referenced
+    // spec string, not a nested expression chain — the plan compiles
+    // and runs at 10k rules
+    val rows = both.collect()
+    assert(rows.forall(r => r.getSeq[String](0) == r.getSeq[String](1)),
+      "inert filler rules must not change the token stream")
+    assert(rows.forall(r => r.getLong(2) == r.getLong(3)),
+      "fused count must match size(encode) at 10k rules")
+    // the SQL replay is an oracle device with a DOCUMENTED bound —
+    // production tables refuse loudly instead of emitting SQL DuckDB's
+    // max_expression_depth (1000) would reject with a parser error
+    val e = intercept[IllegalArgumentException] {
+      Bpe.replaySql("word", big)
+    }
+    assert(e.getMessage.contains("nested-replace bound"))
+    assert(Bpe.replaySql("word", Bpe.PinnedMerges).nonEmpty)
+  }
 }

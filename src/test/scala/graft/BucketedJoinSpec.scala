@@ -297,6 +297,44 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("MISMATCHED bucket counts refuse co-partitioning: shuffled, same answer") {
+    // the equal-n contract (BucketJoinRule scaladoc): 16-vs-32 layouts
+    // are arithmetically reducible, but this engine's bucket is a
+    // STORED identity column — Spark compares reported partition VALUES
+    // and "17" (mod 32) is not "1" (mod 16); the cross-count SPJ
+    // surface (ReducibleFunction transforms) is not expressible here.
+    // The rule must NOT inject, the join shuffles, the answer matches.
+    val ns0 = "spjmix"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lake.$ns0")
+    spark.sql(s"CREATE TABLE graft_lake.$ns0.a (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(16, k))")
+    spark.sql(s"CREATE TABLE graft_lake.$ns0.b (k BIGINT, w DOUBLE) " +
+      "PARTITIONED BY (bucket(32, k))")
+    spark.sql(s"INSERT INTO graft_lake.$ns0.a " +
+      "SELECT id AS k, CAST(id AS DOUBLE) * 1.5 AS v, NULL FROM range(0, 500)")
+    spark.sql(s"INSERT INTO graft_lake.$ns0.b " +
+      "SELECT id * 3 AS k, CAST(id AS DOUBLE) AS w, NULL FROM range(0, 150)")
+    try withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                 "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        s"""SELECT a.k, a.v, b.w FROM graft_lake.$ns0.a a
+           |JOIN graft_lake.$ns0.b b ON a.k = b.k""".stripMargin)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Exchange"),
+        s"mismatched bucket counts must shuffle (no false co-partitioning):\n$p")
+      // an injected conjunct would surface as a k_bucket#id attribute
+      // in the join keys (the scan DESCRIPTION naming its layout is fine)
+      assert(!p.contains("k_bucket#"),
+        s"the bucket conjunct must not be injected across counts:\n$p")
+      val got = df.as[(Long, Double, Double)].collect().toSeq.sorted
+      assert(got.size == 150 && got.head == ((0L, 0.0, 0.0)))
+    } finally {
+      spark.sql(s"DROP TABLE graft_lake.$ns0.a")
+      spark.sql(s"DROP TABLE graft_lake.$ns0.b")
+      spark.sql(s"DROP NAMESPACE graft_lake.$ns0")
+    }
+  }
+
   test("renames still fall back to the V1 bridge, same answer") {
     mkTables("spjren", buckets = 4)
     try {
