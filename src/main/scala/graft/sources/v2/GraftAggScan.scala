@@ -119,20 +119,38 @@ object GraftAggScan {
       case _ => None
     }
 
-  /** Parse + per-file answerability analysis. None = don't push. */
+  /** Parse + per-file answerability analysis. None = don't push.
+    * `pushed` is the scan's exactly-consumed partition predicates (the
+    * builder only offers aggregation when NO residual filter remains,
+    * so every entry here is row-exact at file granularity) — the fold
+    * runs over the pruned live set. */
   def plan(root: String, version: Option[Long], schema: StructType,
+           pushed: Array[org.apache.spark.sql.sources.Filter],
            agg: Aggregation): Option[Planned] = {
     val spark = SparkSession.active
     if (!spark.conf.get(EnabledKey, "true").toBoolean) return None
-    val st = (version match {
+    val st0 = (version match {
       case Some(v) => ManifestTable.stateAt(spark, root, v)
       case None    => ManifestTable.current(spark, root)
     }).getOrElse(return None)
     // physical-name stats and era-uniform layouts only
-    if (st.tags.contains(ManifestTable.RenameTag) ||
-        st.tags.contains(ManifestTable.DropTag) ||
-        st.tags.contains(ManifestTable.CloneSourcesTag) ||
-        st.tags.contains(ManifestTable.EvolvedTag)) return None
+    if (st0.tags.contains(ManifestTable.RenameTag) ||
+        st0.tags.contains(ManifestTable.DropTag) ||
+        st0.tags.contains(ManifestTable.CloneSourcesTag) ||
+        st0.tags.contains(ManifestTable.EvolvedTag)) return None
+
+    // the exactly-pushed WHERE: row-exact at file granularity, so the
+    // fold over the kept files IS the filtered aggregate. EVERY pushed
+    // filter must convert exactly — a dropped conjunct would fold
+    // unfiltered rows into the answer.
+    val conds = pushed.toSeq.map(f =>
+      graft.sources.ManifestRelationFilters.toColumn(f, exact = true))
+    if (conds.exists(_.isEmpty)) return None
+    val st = conds.flatten.reduceOption(_ && _) match {
+      case Some(c) => st0.copy(files =
+        ManifestTable.pruneLiveFiles(spark, root, st0, c).toIndexedSeq)
+      case None => st0
+    }
 
     val layout = ManifestTable.layoutAt(root, st).toIndexedSeq
     val layoutSet = layout.toSet

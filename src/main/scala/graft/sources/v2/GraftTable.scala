@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountS
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -224,12 +224,67 @@ final class GraftScanBuilder(root: String, version: Option[Long],
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
+  private var residual: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var plannedAgg: Option[GraftAggScan.Planned] = None
 
+  /** Partition-layout columns on which file-level pruning is ROW-exact:
+    * identity partitions give every row of a file the directory's value,
+    * so a string-literal predicate decided per-file never over-keeps.
+    * Empty (nothing fully pushable) under evolved specs (mixed-era
+    * layouts), rename/drop mappings, clone chains, or any live file
+    * missing the column — the conservative states where pruning can
+    * only be advisory. */
+  private lazy val exactLayout: Set[String] = {
+    val spark = SparkSession.active
+    (version match {
+      case Some(v) => ManifestTable.stateAt(spark, root, v)
+      case None    => ManifestTable.current(spark, root)
+    }) match {
+      case Some(st) if !st.tags.contains(ManifestTable.RenameTag) &&
+          !st.tags.contains(ManifestTable.DropTag) &&
+          !st.tags.contains(ManifestTable.CloneSourcesTag) &&
+          !st.tags.contains(ManifestTable.EvolvedTag) =>
+        ManifestTable.layoutAt(root, st)
+          .filter(c => st.files.forall(_.partitionValues.contains(c)))
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      case _ => Set.empty
+    }
+  }
+
+  /** A filter this scan applies EXACTLY via partition pruning — the
+    * shapes whose per-file decision ([[graft.sources.DataSkipping]]'s
+    * partition-value compare) is total on string values: string-literal
+    * comparisons, string IN sets, null tests, ASCII prefix. Numeric
+    * literals stay residual (an unparseable directory value degrades
+    * the compare to a conservative keep). */
+  private def exactPartitionFilter(f: Filter): Boolean = {
+    def ex(a: String) = exactLayout(a.toLowerCase(java.util.Locale.ROOT))
+    f match {
+      case EqualTo(a, v: String)            => ex(a) && v != null
+      case EqualNullSafe(a, v)              => ex(a) && (v == null || v.isInstanceOf[String])
+      case GreaterThan(a, v: String)        => ex(a) && v != null
+      case GreaterThanOrEqual(a, v: String) => ex(a) && v != null
+      case LessThan(a, v: String)           => ex(a) && v != null
+      case LessThanOrEqual(a, v: String)    => ex(a) && v != null
+      case In(a, vs) if vs.nonEmpty =>
+        ex(a) && vs.forall(v => v != null && v.isInstanceOf[String])
+      case IsNull(a)                        => ex(a)
+      case IsNotNull(a)                     => ex(a)
+      case StringStartsWith(a, v)           =>
+        ex(a) && v != null && v.forall(_ < 128)
+      case _ => false
+    }
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => ManifestRelationFilters.toColumn(f).isDefined)
-    filters // all re-evaluated above the scan: pushdown only prunes files
+    // string-literal partition predicates are consumed ENTIRELY by the
+    // exact file prune (no post-scan re-filter, and aggregates stay
+    // pushable under such a WHERE); everything else is advisory
+    // pruning + Spark's re-filter above the scan
+    residual = filters.filterNot(exactPartitionFilter)
+    residual
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -244,11 +299,14 @@ final class GraftScanBuilder(root: String, version: Option[Long],
     * optionally grouped by partition-layout columns, answered from the
     * manifest's per-file footer stats — zero (complete) or only the
     * stat-less/DV'd remainder (partial) data files read. Spark only
-    * offers an Aggregation when no post-scan filter remains; ours always
-    * remain, so any WHERE disables this automatically. */
+    * offers an Aggregation when NO post-scan filter remains — i.e. bare,
+    * or under a WHERE made purely of exactly-pushed partition predicates
+    * ([[exactPartitionFilter]]), whose row-exact file prune the agg
+    * planner applies before folding: `count(*) WHERE day = …` is a
+    * metadata read at any table size. */
   private def planAgg(agg: Aggregation): Option[GraftAggScan.Planned] =
-    if (pushed.nonEmpty) None
-    else GraftAggScan.plan(root, version, fullSchema, agg)
+    if (residual.nonEmpty) None
+    else GraftAggScan.plan(root, version, fullSchema, pushed, agg)
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     planAgg(agg).exists(_.complete)

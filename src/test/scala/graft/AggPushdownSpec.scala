@@ -151,6 +151,75 @@ class AggPushdownSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
 
+  test("a WHERE of exact partition predicates keeps aggregates metadata-only") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.f (k BIGINT, x BIGINT, day STRING, " +
+      "cat STRING) PARTITIONED BY (day, cat)")
+    Seq.tabulate(400)(i => (i.toLong, i.toLong * 7,
+        s"2026-01-0${1 + i % 3}", if (i % 13 == 0) null else s"c${i % 2}"))
+      .toDF("k", "x", "day", "cat").createOrReplaceTempView("agg_fsrc")
+    spark.sql(s"INSERT INTO graft_lake.$n.f SELECT * FROM agg_fsrc")
+    // the filtered 100 TB count: the string-equality partition predicate
+    // is consumed ENTIRELY by the exact file prune, so Spark still
+    // offers the aggregate and it answers from metadata — zero files
+    for (q <- Seq(
+      s"SELECT count(*) AS n, min(k) AS mn, max(x) AS mx " +
+        s"FROM graft_lake.$n.f WHERE day = '2026-01-02'",
+      s"SELECT count(*) AS n, min(k) AS mn, max(x) AS mx " +
+        s"FROM graft_lake.$n.f WHERE day IN ('2026-01-01', '2026-01-03') " +
+        s"AND cat = 'c1'",
+      s"SELECT count(*) AS n, min(k) AS mn, max(x) AS mx " +
+        s"FROM graft_lake.$n.f WHERE cat IS NULL",
+      s"SELECT count(*) AS n, min(k) AS mn, max(x) AS mx " +
+        s"FROM graft_lake.$n.f WHERE day LIKE '2026%' AND cat IS NOT NULL",
+      // grouped + filtered, still metadata
+      s"SELECT day, count(*) AS n FROM graft_lake.$n.f " +
+        s"WHERE cat = 'c0' GROUP BY day")) {
+      val (rows, leaf) = run(q)
+      assert(leaf.contains("agg-pushdown") && leaf.contains("complete"),
+        s"filtered aggregate should stay metadata-only for [$q], got:\n$leaf")
+      assert(rows.toSet == oracle(q).toSet, s"value mismatch for [$q]")
+    }
+    // a data-column predicate keeps the normal scan (rows must be seen)
+    val (rowsD, leafD) = run(
+      s"SELECT count(*) AS n FROM graft_lake.$n.f WHERE x > 70")
+    assert(!leafD.contains("agg-pushdown"))
+    assert(rowsD == oracle(s"SELECT count(*) AS n FROM graft_lake.$n.f WHERE x > 70"))
+    // an empty partition selection answers (0, null, null)
+    val (rowsE, leafE) = run(s"SELECT count(*) AS n, max(k) AS mx " +
+      s"FROM graft_lake.$n.f WHERE day = '1999-12-31'")
+    assert(leafE.contains("agg-pushdown"))
+    assert(rowsE.head.getLong(0) == 0L && rowsE.head.isNullAt(1))
+    spark.sql(s"DROP TABLE graft_lake.$n.f")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("exactly-consumed partition predicates drop the post-scan Filter") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.s (k BIGINT, day STRING) " +
+      "PARTITIONED BY (day)")
+    Seq.tabulate(300)(i => (i.toLong, s"2026-02-0${1 + i % 4}"))
+      .toDF("k", "day").createOrReplaceTempView("agg_ssrc")
+    spark.sql(s"INSERT INTO graft_lake.$n.s SELECT * FROM agg_ssrc")
+    val q = spark.sql(s"SELECT k, day FROM graft_lake.$n.s WHERE day = '2026-02-03'")
+    val plan = q.queryExecution.executedPlan.toString
+    // the day-equality is fully consumed by the exact file prune: no
+    // Filter node survives above the scan
+    assert(!plan.contains("Filter ("),
+      s"exact partition predicate must not re-filter rows:\n$plan")
+    assert(q.collect().forall(_.getString(1) == "2026-02-03"))
+    assert(q.count() == 75)
+    // mixed predicates: only the data-column half survives as a Filter
+    val m = spark.sql(
+      s"SELECT k FROM graft_lake.$n.s WHERE day = '2026-02-03' AND k < 50")
+    assert(m.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 50L).filter(i => 1 + i % 4 == 3))
+    spark.sql(s"DROP TABLE graft_lake.$n.s")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
   test("time travel aggregates the PINNED version's metadata") {
     val n = ns()
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")
