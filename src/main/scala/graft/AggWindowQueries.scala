@@ -937,6 +937,37 @@ object AggWindowQueries extends QueryPack {
       s.sql(s"DROP TABLE graft_lake.$ns.o")
       s.sql(s"DROP NAMESPACE graft_lake.$ns")
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }),
+    "k39_topn_pruned" -> ((s, d) => {
+      // K39 (beyond-reference): TopN + LIMIT pushdown through the
+      // catalog scan. The table is CLUSTERED on the sort key, so
+      // `ORDER BY o_orderkey DESC LIMIT 50` prunes to the files whose
+      // stats range can reach the top-50 (the cutoff-bound proof in
+      // GraftBatchScan.topNFiles — AggPushdownSpec pins the plan and
+      // the opened-file bound); a bare LIMIT plans only a row-covering
+      // file prefix. Both keep Spark's own TopN/Limit above the scan,
+      // so the pruning is an I/O bound, never a semantics change — the
+      // oracle recomputes both relationally.
+      val ns = "k39_" + java.util.UUID.randomUUID().toString.take(8)
+      val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE graft_lake.$ns.o (o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE)")
+      t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("k39_src")
+      s.sql(s"INSERT INTO graft_lake.$ns.o SELECT * FROM k39_src")
+      graft.sources.ManifestTable.cluster(s, s"$wh/$ns/o",
+        sortCols = Seq("o_orderkey"), targetFileMB = 1)
+      val top = s.sql(s"SELECT o_orderkey, o_totalprice " +
+        s"FROM graft_lake.$ns.o ORDER BY o_orderkey DESC LIMIT 50")
+      val limited = s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n_limited " +
+        s"FROM (SELECT * FROM graft_lake.$ns.o LIMIT 100)")
+      val out = top.crossJoin(limited)
+      val rows = out.collect()
+      val schema = out.schema
+      s.sql(s"DROP TABLE graft_lake.$ns.o")
+      s.sql(s"DROP NAMESPACE graft_lake.$ns")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     })
   )
 
@@ -1352,7 +1383,10 @@ object AggWindowQueries extends QueryPack {
         |  SELECT MAX(o_orderkey) AS mx_after, COUNT(*) AS n_after
         |  FROM orders
         |  WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 5))
-        |SELECT g.*, a.* FROM g CROSS JOIN a""".stripMargin
+        |SELECT g.*, a.* FROM g CROSS JOIN a""".stripMargin,
+    "k39_topn_pruned" ->
+      """SELECT o_orderkey, o_totalprice, CAST(100 AS BIGINT) AS n_limited
+        |FROM orders ORDER BY o_orderkey DESC LIMIT 50""".stripMargin
   )
 }
 

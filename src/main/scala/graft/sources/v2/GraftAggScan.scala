@@ -98,7 +98,7 @@ object GraftAggScan {
                                        partCols: Seq[String],
                                        fullSchema: StructType)
 
-  private def expectedKind(dt: DataType): Option[Char] = dt match {
+  private[v2] def expectedKind(dt: DataType): Option[Char] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some('n')
     case DateType                                      => Some('d')
     case TimestampType | TimestampNTZType              => Some('t')

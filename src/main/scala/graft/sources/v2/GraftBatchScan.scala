@@ -75,7 +75,9 @@ object GraftBatchScan {
 
   /** A [[GraftBatchScan]] when the table qualifies, else None. */
   def tryBuild(root: String, version: Option[Long], pushed: Array[Filter],
-               required: StructType, fullSchema: StructType): Option[Scan] = {
+               required: StructType, fullSchema: StructType,
+               limit: Option[Int] = None,
+               topN: Option[(String, Boolean, Int)] = None): Option[Scan] = {
     val spark = SparkSession.active
     if (!spark.conf.get(EnabledKey, "true").toBoolean) return None
     val st = (version match {
@@ -133,9 +135,65 @@ object GraftBatchScan {
     // only data-column filters go to parquet row-group pushdown;
     // partition-column predicates already pruned files above
     val dataFilters = pushed.filter(_.references.forall(r => !partSet(r)))
+    // the TopN sort key's expected stats kind, resolved once (None
+    // disables the pruning — the scan stays correct, just unbounded)
+    val topNKind = topN.flatMap { case (c, _, _) =>
+      fullSchema.fields.find(_.name == c)
+        .flatMap(f => GraftAggScan.expectedKind(f.dataType))
+        .filterNot(_ => partSet(c)) // layout cols have no footer stats
+    }
     Some(new GraftBatchScan(root, version, bucketCol, kept.toIndexedSeq,
       dataSchema, requiredData, requiredPart, dataFilters.toIndexedSeq,
-      pushed.toIndexedSeq, st.tags))
+      pushed.toIndexedSeq, st.tags, limit,
+      topN.zip(topNKind).map { case ((c, asc, n), k) => (c, asc, n, k) }))
+  }
+
+  /** Files that can hold a row of the true top-n under `ORDER BY col
+    * [ASC|DESC] LIMIT n` (SQL-default null ordering), from per-file
+    * stats. Soundness: X is the tightest file bound for which the
+    * prefix PROVES ≥ n live rows order at-or-before X (ascending:
+    * every live row of a file — nulls first included — orders ≤ its
+    * max; descending: only guaranteed-live NON-null rows count, since
+    * nulls order last). A file is dropped only when ALL its rows
+    * provably order strictly beyond X (ascending: min > X and zero
+    * nulls; descending: max < X — its nulls were never candidates
+    * because the prefix proved n non-null rows ahead of them). Any
+    * file without usable same-kind bounds disables pruning (keep all):
+    * its rows might belong to the top and its counts can't prove
+    * coverage. */
+  private[v2] def topNFiles(files: IndexedSeq[ManifestTable.FileEntry],
+                            col: String, asc: Boolean, n: Int,
+                            kind: Char): IndexedSeq[ManifestTable.FileEntry] = {
+    final case class B(f: ManifestTable.FileEntry, min: BigDecimal,
+                       max: BigDecimal, live: Long, nonNullLive: Long,
+                       nulls: Long)
+    val bounds = files.map { f =>
+      val cs = f.stats.get(col).getOrElse(return files)
+      if (cs.kind != kind || f.rows < 0 || cs.nulls < 0 || cs.count < 0)
+        return files
+      val dv = f.dv.map(_.count).getOrElse(0L)
+      B(f, BigDecimal(cs.min), BigDecimal(cs.max), f.rows - dv,
+        math.max(0L, cs.count - cs.nulls - dv), cs.nulls)
+    }
+    if (asc) {
+      var covered = 0L
+      var x: BigDecimal = null
+      val it = bounds.sortBy(_.max).iterator
+      while (covered < n && it.hasNext) {
+        val b = it.next(); covered += b.live; x = b.max
+      }
+      if (covered < n) files // the whole table is the top-n
+      else bounds.filter(b => b.min <= x || b.nulls > 0).map(_.f)
+    } else {
+      var covered = 0L
+      var x: BigDecimal = null
+      val it = bounds.sortBy(-_.min).iterator
+      while (covered < n && it.hasNext) {
+        val b = it.next(); covered += b.nonNullLive; x = b.min
+      }
+      if (covered < n) files
+      else bounds.filter(b => b.max >= x).map(_.f)
+    }
   }
 }
 
@@ -147,7 +205,9 @@ final class GraftBatchScan(root: String, version: Option[Long],
                            requiredPart: StructType,
                            dataFilters: IndexedSeq[Filter],
                            pushed: IndexedSeq[Filter],
-                           tags: Map[String, String])
+                           tags: Map[String, String],
+                           limit: Option[Int] = None,
+                           topN: Option[(String, Boolean, Int, Char)] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -268,13 +328,35 @@ final class GraftBatchScan(root: String, version: Option[Long],
             Array(dvOf(f))): InputPartition)
       }.toArray
     case _ =>
+      // a pushed TopN prunes to the files that can hold a top-n row
+      // (stats cutoff proof — GraftBatchScan.topNFiles); a pushed plain
+      // LIMIT caps the files opened: take a prefix whose cumulative
+      // live rows cover it (Spark's retained TopN/Limit above takes the
+      // actual n — both are I/O bounds only). Limit truncation needs
+      // every file's row count to PROVE coverage; legacy unknown-count
+      // files keep the full list.
+      val ranked = topN match {
+        case Some((c, asc, n, kind)) =>
+          GraftBatchScan.topNFiles(files, c, asc, n, kind)
+        case None => files
+      }
+      val bounded = limit match {
+        case Some(n) if topN.isEmpty && ranked.forall(_.rows >= 0) =>
+          var need = n.toLong
+          ranked.sortBy(f => (-f.rows, f.relPath)).takeWhile { f =>
+            val take = need > 0
+            need -= (f.rows - f.dv.map(_.count).getOrElse(0L))
+            take
+          }
+        case _ => ranked
+      }
       // Spark's own split sizing + bin-packing (maxPartitionBytes /
       // openCostInBytes / target parallelism) over row-group splits
       val s = spark
       val splitBytes = FilePartition.maxSplitBytes(s,
-        files.map(_.bytes).sum +
-          files.size * s.sessionState.conf.filesOpenCostInBytes)
-      val withDv = files.sortBy(f => (-f.bytes, f.relPath))
+        bounded.map(_.bytes).sum +
+          bounded.size * s.sessionState.conf.filesOpenCostInBytes)
+      val withDv = bounded.sortBy(f => (-f.bytes, f.relPath))
         .flatMap(f => asPartitionedFiles(f, splitBytes).map(pf => (pf, dvOf(f))))
       val dvByPath: Map[(String, Long), Array[Long]] =
         withDv.map { case (pf, dv) =>
@@ -344,7 +426,10 @@ final class GraftBatchScan(root: String, version: Option[Long],
   override def description(): String =
     s"graft-manifest native $root" +
       s"${version.map(v => s"@v$v").getOrElse("")}" +
-      s"${bucketCol.map(bc => s" bucketed($bc, ${buckets.size})").getOrElse("")} " +
+      s"${bucketCol.map(bc => s" bucketed($bc, ${buckets.size})").getOrElse("")}" +
+      s"${limit.map(n => s" limit($n)").getOrElse("")}" +
+      s"${topN.map { case (c, asc, n, _) =>
+        s" topn($c ${if (asc) "asc" else "desc"}, $n)" }.getOrElse("")} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 }
 

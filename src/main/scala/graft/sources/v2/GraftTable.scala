@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsPartitionManagement, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith, TableScan}
@@ -221,7 +221,8 @@ final class GraftTable(val root: String, ident: String,
 final class GraftScanBuilder(root: String, version: Option[Long],
                              fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var residual: Array[Filter] = Array.empty
@@ -316,6 +317,53 @@ final class GraftScanBuilder(root: String, version: Option[Long],
     plannedAgg.isDefined
   }
 
+  /** LIMIT pushdown as an I/O bound: the manifest knows every file's
+    * live row count, so a `LIMIT n` scan plans only a PREFIX of the
+    * (already filter-pruned) file list whose cumulative rows cover n —
+    * `SELECT * FROM t LIMIT 10` on a 100 TB table opens one file. Spark
+    * only offers the limit when no residual filter remains (bare scans,
+    * projections, or exactly-consumed partition predicates), and
+    * [[isPartiallyPushed]] keeps Spark's own Limit above the scan, so
+    * the truncation carries zero exactness burden — any n rows satisfy
+    * LIMIT semantics. */
+  private var limit: Option[Int] = None
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TopN (ORDER BY c LIMIT n) as FILE pruning from manifest stats: the
+    * smallest provable cutoff X with ≥ n live rows ordered at-or-before
+    * X makes every file strictly beyond X skippable — on a table
+    * clustered by the sort column, "latest n by ts" opens a handful of
+    * files at any size. Single integral-kind sort key, SQL-default null
+    * ordering only; Spark's retained TopN re-sorts above the scan
+    * ([[isPartiallyPushed]]), so pruning here is an I/O bound with the
+    * containment proof in [[GraftBatchScan.topNFiles]]. */
+  private var topN: Option[(String, Boolean, Int)] = None
+
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    orders match {
+      case Array(o) =>
+        val colName = o.expression() match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames.length == 1 => r.fieldNames.head
+          case _ => return false
+        }
+        val field = fullSchema.fields.find(_.name == colName).getOrElse(return false)
+        if (GraftAggScan.expectedKind(field.dataType).isEmpty) return false
+        val asc = o.direction() == SortDirection.ASCENDING
+        val defaultNulls =
+          if (asc) NullOrdering.NULLS_FIRST else NullOrdering.NULLS_LAST
+        if (o.nullOrdering() != defaultNulls) return false
+        topN = Some((colName, asc, n))
+        true
+      case _ => false
+    }
+  }
+
   override def build(): Scan = plannedAgg match {
     case Some(p) => new GraftAggScan(p)
     case None =>
@@ -323,7 +371,8 @@ final class GraftScanBuilder(root: String, version: Option[Long],
       // reads, column statistics to CBO, KeyGroupedPartitioning on
       // bucket layouts for zero-Exchange co-bucketed joins); any state
       // it can't serve exactly falls back to this V1 bridge
-      GraftBatchScan.tryBuild(root, version, pushed, required, fullSchema)
+      GraftBatchScan.tryBuild(root, version, pushed, required, fullSchema,
+          limit, topN)
         .getOrElse(new GraftV1Scan(root, version, pushed, required))
   }
 }

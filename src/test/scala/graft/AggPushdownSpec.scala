@@ -220,6 +220,86 @@ class AggPushdownSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
 
+  test("LIMIT pushdown bounds the files opened from manifest row counts") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.l (k BIGINT, day STRING) " +
+      "PARTITIONED BY (day)")
+    // four commits → four files of 100 known rows each
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft_lake.$n.l " +
+        s"SELECT id, '2026-03-0${i + 1}' FROM range(${i * 100}, ${i * 100 + 100})"))
+    val q = spark.sql(s"SELECT k, day FROM graft_lake.$n.l LIMIT 150")
+    val rows = q.collect()
+    assert(rows.length == 150)
+    val plan = q.queryExecution.executedPlan
+    val leaf = plan.collectLeaves().map(_.toString).mkString("\n")
+    assert(leaf.contains("limit(150)"),
+      s"expected the pushed limit on the native scan:\n$leaf")
+    // the scan planned a two-file prefix (2 x 100 rows covers 150): the
+    // source emits at most 200 rows no matter what the executor reads
+    val scanRows = plan.collectLeaves().flatMap(_.metrics.get("numOutputRows"))
+      .map(_.value).sum
+    assert(scanRows <= 200,
+      s"limit must bound the opened files (got $scanRows source rows)")
+    // composed with an exactly-consumed partition predicate: still
+    // pushed, still correct
+    val f = spark.sql(s"SELECT k FROM graft_lake.$n.l " +
+      s"WHERE day = '2026-03-03' LIMIT 5")
+    assert(f.collect().forall(r => r.getLong(0) >= 200 && r.getLong(0) < 300))
+    assert(f.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString.contains("limit(5)"))
+    spark.sql(s"DROP TABLE graft_lake.$n.l")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("TopN pushdown prunes to the files that can hold a top-n row") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t (k BIGINT, v STRING)")
+    // four commits of contiguous k ranges → clustered-by-construction
+    // files with disjoint [min, max]; the FIRST range also carries nulls
+    spark.sql(s"INSERT INTO graft_lake.$n.t " +
+      "SELECT CASE WHEN id % 10 = 7 THEN NULL ELSE id END, concat('v', id) " +
+      "FROM range(0, 100)")
+    (1 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft_lake.$n.t " +
+        s"SELECT id, concat('v', id) FROM range(${i * 100}, ${i * 100 + 100})"))
+    // DESC: only the top file's range can reach the top-5
+    val d = spark.sql(s"SELECT k, v FROM graft_lake.$n.t ORDER BY k DESC LIMIT 5")
+    val rows = d.collect()
+    assert(rows.map(_.getLong(0)).toSeq == (395L to 399L).reverse)
+    val plan = d.queryExecution.executedPlan
+    assert(plan.collectLeaves().map(_.toString).mkString.contains("topn(k desc, 5)"),
+      s"expected the pushed TopN on the scan:\n${plan.toString}")
+    val scanRows = plan.collectLeaves().flatMap(_.metrics.get("numOutputRows"))
+      .map(_.value).sum
+    assert(scanRows <= 100,
+      s"top-5 desc should open only the top file (got $scanRows source rows)")
+    // ASC with NULLS FIRST (the default): nulls order first, so the
+    // null-bearing file must be kept and the answer is the null rows
+    val a = spark.sql(s"SELECT k FROM graft_lake.$n.t ORDER BY k LIMIT 12")
+    val ka = a.collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(ka.count(_ == -1L) == 10 && ka.filter(_ >= 0).sorted == Seq(0L, 1L))
+    // value parity with the scan disabled (V1 path, no pruning)
+    val ref = withConf(graft.sources.v2.GraftBatchScan.EnabledKey -> "false") {
+      spark.sql(s"SELECT k, v FROM graft_lake.$n.t ORDER BY k DESC LIMIT 5")
+        .collect().toSeq
+    }
+    assert(rows.toSeq == ref)
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  private def withConf[A](kv: (String, String)*)(body: => A): A = {
+    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("time travel aggregates the PINNED version's metadata") {
     val n = ns()
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")
