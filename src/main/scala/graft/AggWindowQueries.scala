@@ -968,6 +968,36 @@ object AggWindowQueries extends QueryPack {
       s.sql(s"DROP TABLE graft_lake.$ns.o")
       s.sql(s"DROP NAMESPACE graft_lake.$ns")
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }),
+    "k40_replace_where" -> ((s, d) => {
+      // K40 (beyond-reference): atomic REPLACE WHERE — static-mode
+      // `INSERT OVERWRITE … PARTITION (…)` lands as ONE
+      // ManifestTable.replaceWhere commit: the named partition's rows
+      // out, the batch in, every other file carried by REFERENCE
+      // (ReplaceWhereSpec pins the by-reference economics, the
+      // outside-region refusal and the delete+insert change feed). The
+      // oracle recomputes the final table relationally.
+      val ns = "k40_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE graft_lake.$ns.o (o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE, o_orderpriority STRING) " +
+        "PARTITIONED BY (o_orderpriority)")
+      t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority")).createOrReplaceTempView("k40_src")
+      s.sql(s"INSERT INTO graft_lake.$ns.o SELECT * FROM k40_src")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      try s.sql(s"INSERT OVERWRITE graft_lake.$ns.o " +
+        "PARTITION (o_orderpriority='1-URGENT') " +
+        "SELECT o_orderkey, o_totalprice + 1000.0 FROM k40_src " +
+        "WHERE o_orderpriority = '1-URGENT'")
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val out = s.table(s"graft_lake.$ns.o")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val rows = out.collect()
+      val schema = out.schema
+      s.sql(s"DROP TABLE graft_lake.$ns.o")
+      s.sql(s"DROP NAMESPACE graft_lake.$ns")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     })
   )
 
@@ -1386,7 +1416,13 @@ object AggWindowQueries extends QueryPack {
         |SELECT g.*, a.* FROM g CROSS JOIN a""".stripMargin,
     "k39_topn_pruned" ->
       """SELECT o_orderkey, o_totalprice, CAST(100 AS BIGINT) AS n_limited
-        |FROM orders ORDER BY o_orderkey DESC LIMIT 50""".stripMargin
+        |FROM orders ORDER BY o_orderkey DESC LIMIT 50""".stripMargin,
+    "k40_replace_where" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT'
+        |       THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders""".stripMargin
   )
 }
 

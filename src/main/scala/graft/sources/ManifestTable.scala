@@ -2663,6 +2663,39 @@ object ManifestTable {
     * DELTA manifest (op "append", adds only) with the same CAS
     * discipline as every mutator; every `checkpointInterval`-th version
     * snapshots so resolution chains stay short. */
+  /** A batch aligned to the table's LOGICAL schema exactly as
+    * [[append]] accepts one: generated layout columns derive when the
+    * batch omits them, names align case-insensitively into declared
+    * order, type drift refuses, and CHECK constraints gate the rows.
+    * Shared by the append and [[replaceWhere]] write shapes. */
+  private def alignToTable(batch: DataFrame, root: String, st: State,
+                           what: String): DataFrame = {
+    val spark = batch.sparkSession
+    val logical = readState(spark, root, st).schema
+    val expected = logical.fieldNames.toSeq
+    // generated partition columns derive here when the batch omits them
+    // (the point of declaring them: writers never spell the layout)
+    val batchG = applyGenerated(batch, st.tags, root, what)
+    val got = batchG.columns.toSeq
+    require(got.map(_.toLowerCase).sorted == expected.map(_.toLowerCase).sorted,
+      s"manifest table $root: $what columns [${got.sorted.mkString(", ")}] " +
+        s"must match the table's [${expected.sorted.mkString(", ")}] — additive " +
+        "evolution is upsertDedup(mergeSchema = true), not a blind append")
+    val byLower = got.map(c => c.toLowerCase -> c).toMap
+    val aligned = batchG.select(
+      expected.map(c => col(byLower(c.toLowerCase)).as(c)).toIndexedSeq: _*)
+    val eT = logical.map(f => f.name -> f.dataType).toMap
+    val drift = aligned.schema
+      .filter(f => eT.get(f.name).exists(_ != f.dataType))
+      .map(f => s"${f.name}: table=${eT(f.name).sql} batch=${f.dataType.sql}")
+    require(drift.isEmpty,
+      s"manifest table $root: batch column types differ from the table " +
+        s"(${drift.mkString("; ")}) — a type change is a rewrite (write()), " +
+        "not evolution")
+    enforceConstraints(aligned, st.tags, root, what)
+    aligned
+  }
+
   def append(spark: SparkSession, batch: DataFrame, root: String,
              graceMs: Long = 60000L,
              checkpointInterval: Int = DefaultCheckpointInterval,
@@ -2701,28 +2734,7 @@ object ManifestTable {
       writePointer(fs, root, 1L)
       return 1L
     }
-    val logical = readState(spark, root, st).schema
-    val expected = logical.fieldNames.toSeq
-    // generated partition columns derive here when the batch omits them
-    // (the point of declaring them: appends never spell the layout)
-    val batchG = applyGenerated(batch, st.tags, root, "append batch")
-    val got = batchG.columns.toSeq
-    require(got.map(_.toLowerCase).sorted == expected.map(_.toLowerCase).sorted,
-      s"manifest table $root: append batch columns [${got.sorted.mkString(", ")}] " +
-        s"must match the table's [${expected.sorted.mkString(", ")}] — additive " +
-        "evolution is upsertDedup(mergeSchema = true), not a blind append")
-    val byLower = got.map(c => c.toLowerCase -> c).toMap
-    val aligned = batchG.select(
-      expected.map(c => col(byLower(c.toLowerCase)).as(c)).toIndexedSeq: _*)
-    val eT = logical.map(f => f.name -> f.dataType).toMap
-    val drift = aligned.schema
-      .filter(f => eT.get(f.name).exists(_ != f.dataType))
-      .map(f => s"${f.name}: table=${eT(f.name).sql} batch=${f.dataType.sql}")
-    require(drift.isEmpty,
-      s"manifest table $root: batch column types differ from the table " +
-        s"(${drift.mkString("; ")}) — a type change is a rewrite (write()), " +
-        "not evolution")
-    enforceConstraints(aligned, st.tags, root, "append batch")
+    val aligned = alignToTable(batch, root, st, "append batch")
     val partKeys = layoutOf(root, st)
     require(partitionCols.isEmpty || partitionCols == partKeys,
       s"append: the table's layout is [${partKeys.mkString(", ")}]; a batch " +
@@ -3279,6 +3291,90 @@ object ManifestTable {
       df => df.filter(!coalesce(predicate, lit(false))),
       df => df.filter(coalesce(predicate, lit(false)))
         .withColumn(ChangeTypeCol, lit("delete")))
+
+  /** Atomic REPLACE WHERE — the Delta `replaceWhere` / SQL static
+    * `INSERT OVERWRITE … PARTITION (…)` semantics: ONE commit removes
+    * every row matching `predicate` and lands `batch` in its place, so
+    * readers see either the old region or the new one, never the gap a
+    * delete-then-append pair would expose. Every batch row must satisfy
+    * the predicate (writing outside the replaced region is the classic
+    * silent-corruption footgun — Delta enforces the same by default).
+    * Cost tracks the REGION, not the table: files the predicate
+    * provably misses carry forward by reference; touched files rewrite
+    * their non-matching rows ([[delete]] economics) and the batch lands
+    * as its own generation. With the change feed on, matched rows
+    * record as deletes and the batch as inserts — the inserts derived
+    * from the WRITTEN generation, same nondeterminism guard as
+    * [[append]]. */
+  def replaceWhere(spark: SparkSession, batch: DataFrame, root: String,
+                   predicate: org.apache.spark.sql.Column,
+                   graceMs: Long = 60000L): Long = {
+    val fs = fsOf(spark, root)
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val aligned = alignToTable(batch, root, st, "replaceWhere batch")
+    val outside = aligned.filter(!coalesce(predicate, lit(false)))
+    require(outside.isEmpty,
+      s"replaceWhere on $root: the batch contains rows that do NOT satisfy " +
+        s"the replace predicate — they would silently land outside the " +
+        "replaced region; widen the predicate or filter the batch")
+    val touched = DataSkipping.prune(st.files, physicalizeCol(predicate, st.tags))
+    // non-matching rows of the touched files survive the replace
+    val (keptEntries, keptGen) =
+      if (touched.isEmpty) (Seq.empty[FileEntry], None)
+      else {
+        val partKeys = rewriteLayout(root, st, touched)
+        val touchedDf = readState(spark, root, st.copy(files = touched))
+        val kept = normalizePartitionCols(
+          touchedDf.filter(!coalesce(predicate, lit(false))), partKeys)
+        if (kept.isEmpty) (Seq.empty[FileEntry], None)
+        else {
+          val (g, es) = writeGeneration(kept, root, partKeys, st.tags)
+          (es, Some(g))
+        }
+      }
+    val layout = layoutOf(root, st)
+    val (batchEntries, batchGen) =
+      if (aligned.isEmpty) (Seq.empty[FileEntry], None)
+      else {
+        val (g, es) = writeGeneration(
+          normalizePartitionCols(aligned, layout), root, layout, st.tags)
+        (es, Some(g))
+      }
+    val entries = keptEntries ++ batchEntries
+    require(entries.nonEmpty || touched.size < st.files.size,
+      s"replaceWhere would leave $root without a single live file — a " +
+        "full-table clear-and-replace is a rewrite: use write()")
+    val cdf = if (!cdfEnabled(st.tags)) None else {
+      val touchedDf =
+        if (touched.isEmpty) None
+        else Some(readState(spark, root, st.copy(files = touched)))
+      val deletes = touchedDf.map(_
+        .filter(coalesce(predicate, lit(false)))
+        .withColumn(ChangeTypeCol, lit("delete")))
+      val inserts =
+        if (batchEntries.isEmpty) None
+        else Some(logicalize(
+          scanFiles(spark, root, batchEntries, withPositions = false, st.tags),
+          st.tags).withColumn(ChangeTypeCol, lit("insert")))
+      (deletes, inserts) match {
+        case (Some(d), Some(i)) => writeCdf(spark, root, st.tags, d.unionByName(i))
+        case (Some(d), None)    => writeCdf(spark, root, st.tags, d)
+        case (None, Some(i))    => writeCdf(spark, root, st.tags, i)
+        case (None, None)       => None
+      }
+    }
+    val v = st.version + 1
+    val manifest = DeltaManifest(v, entries, touched.map(_.relPath),
+      st.tags + (OpTag -> "replace-where"), cdf)
+    if (!claimOrRecover(fs, root, manifest, graceMs)) {
+      keptGen.foreach(g => fs.delete(new Path(root, g), true))
+      batchGen.foreach(g => fs.delete(new Path(root, g), true))
+      cdf.foreach { case (d, _) => fs.delete(new Path(root, d), true) }
+      throw new ConcurrentCommitException(root, v)
+    }
+    v
+  }
 
   /** SQL `ALTER TABLE … SET/UNSET TBLPROPERTIES`: user properties ride
     * the manifest tag map (one metadata commit), the same channel the

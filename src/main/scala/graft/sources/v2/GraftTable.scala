@@ -91,7 +91,7 @@ final class GraftTable(val root: String, ident: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, pinnedVersion, schema)
@@ -461,14 +461,40 @@ final class GraftV1BridgeRelation(val sqlContext: SQLContext, root: String,
   * ACCEPT_ANY_SCHEMA), so the manifest-side schema check is a final
   * guard, not the UX. */
 final class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+    extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var mode: String = "append"
+  private var overwriteCond: Option[org.apache.spark.sql.Column] = None
 
   override def truncate(): WriteBuilder = { mode = "truncate"; this }
 
   override def overwriteDynamicPartitions(): WriteBuilder = {
     mode = "dynamic"; this
+  }
+
+  /** STATIC-mode `INSERT OVERWRITE … PARTITION (…)` / `writeTo(t)
+    * .overwrite(cond)` — an atomic replace of exactly the rows the
+    * condition names ([[ManifestTable.replaceWhere]]). Only conditions
+    * whose V1 filters convert EXACTLY are accepted ([[canOverwrite]]
+    * refuses the rest at analysis time): a weaker-than conversion
+    * would clear MORE rows than the condition names, the write-side
+    * analog of the DELETE contract. AlwaysTrue (a bare static INSERT
+    * OVERWRITE) is the truncate-and-write path. */
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(f => f.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue] ||
+      ManifestRelationFilters.toColumn(f, exact = true).isDefined)
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val real = filters.filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (real.isEmpty) { mode = "truncate"; return this }
+    val cond = real.toSeq
+      .map(f => ManifestRelationFilters.toColumn(f, exact = true).getOrElse(
+        sys.error(s"graft catalog: unsupported OVERWRITE condition $f")))
+      .reduce(_ && _)
+    overwriteCond = Some(cond)
+    mode = "replaceWhere"
+    this
   }
 
   override def build(): Write = new V1Write {
@@ -496,6 +522,9 @@ final class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
             case "dynamic" =>
               ManifestTable.retryOnConflict()(
                 ManifestTable.replacePartitions(spark, data, root))
+            case "replaceWhere" =>
+              ManifestTable.retryOnConflict()(
+                ManifestTable.replaceWhere(spark, data, root, overwriteCond.get))
             case _ =>
               ManifestTable.retryOnConflict()(
                 ManifestTable.append(spark, data, root))
