@@ -199,8 +199,7 @@ object AggWindowQueries extends QueryPack {
       // o_totalprice min/max stats prune files BEFORE the scan. The
       // oracle sees only the final relational result, which pruning (by
       // contract, spec'd in DataSkippingSpec) can never change.
-      val root = java.nio.file.Files.createTempDirectory("graft-k11")
-        .toString + "/orders_lake"
+      val root = graft.core.TempDirs.create("graft-k11") + "/orders_lake"
       graft.sources.ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice"), col("o_orderpriority")),
@@ -219,8 +218,7 @@ object AggWindowQueries extends QueryPack {
       // oracle recomputes relationally. A compact() in between proves
       // rewrites contribute nothing to the window.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k12")
-        .toString + "/orders_inc"
+      val root = graft.core.TempDirs.create("graft-k12") + "/orders_inc"
       val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"),
         year(col("o_orderdate")).cast("string").as("o_year"))
@@ -241,8 +239,7 @@ object AggWindowQueries extends QueryPack {
       // set before the scan; the semi-join inside readWhereJoin keeps
       // the result identical to the relational plan the oracle runs.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k13")
-        .toString + "/orders_fact"
+      val root = graft.core.TempDirs.create("graft-k13") + "/orders_fact"
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
         root)
@@ -265,8 +262,7 @@ object AggWindowQueries extends QueryPack {
       // same aggregates relationally.
       import s.implicits._
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k14")
-        .toString + "/orders_stats"
+      val root = graft.core.TempDirs.create("graft-k14") + "/orders_stats"
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice"), col("o_orderpriority")).repartition(8),
@@ -292,8 +288,7 @@ object AggWindowQueries extends QueryPack {
       // so the predicate prunes to one partition's files); the oracle
       // recomputes the surviving rows relationally.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k15")
-        .toString + "/orders_del"
+      val root = graft.core.TempDirs.create("graft-k15") + "/orders_del"
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderpriority")),
@@ -307,8 +302,7 @@ object AggWindowQueries extends QueryPack {
       // K16 (beyond-reference): copy-on-write UPDATE ... SET evaluated
       // against the OLD row; non-matching rows byte-identical.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k16")
-        .toString + "/orders_upd"
+      val root = graft.core.TempDirs.create("graft-k16") + "/orders_upd"
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderpriority")),
@@ -324,8 +318,7 @@ object AggWindowQueries extends QueryPack {
       // OLD target and source values (the _src_ seam), unmatched source
       // rows insert. The oracle replays the same arithmetic with CASE.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k17")
-        .toString + "/orders_merge"
+      val root = graft.core.TempDirs.create("graft-k17") + "/orders_merge"
       val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
         year(col("o_orderdate")).cast("long").as("o_year"))
       ManifestTable.write(orders.filter(col("o_year") <= 1996), root)
@@ -344,8 +337,7 @@ object AggWindowQueries extends QueryPack {
       // by contract (DataSkippingSpec) pruning never changes results, so
       // the oracle is the plain relational filter.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k18")
-        .toString + "/orders_z"
+      val root = graft.core.TempDirs.create("graft-k18") + "/orders_z"
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .repartition(8),
@@ -363,8 +355,7 @@ object AggWindowQueries extends QueryPack {
       // sidecars instead of rewriting files; every read anti-joins the
       // positions out, so the oracle sees plain relational semantics.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k19")
-        .toString + "/orders_mor"
+      val root = graft.core.TempDirs.create("graft-k19") + "/orders_mor"
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderpriority")).repartition(6),
@@ -383,8 +374,7 @@ object AggWindowQueries extends QueryPack {
       // By contract pruning never changes results, so the oracle is the
       // plain IN filter.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k20")
-        .toString + "/orders_bloom"
+      val root = graft.core.TempDirs.create("graft-k20") + "/orders_bloom"
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice")).repartition(8, col("o_orderkey")),
@@ -404,8 +394,7 @@ object AggWindowQueries extends QueryPack {
       // order with a shifted price: survivors of the DELETE match (2×
       // price + 1000), deleted ones re-insert (price + 1000).
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k21")
-        .toString + "/orders_sqldml"
+      val root = graft.core.TempDirs.create("graft-k21") + "/orders_sqldml"
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderpriority")),
@@ -431,8 +420,7 @@ object AggWindowQueries extends QueryPack {
       // untouched files. The oracle replays the arithmetic relationally
       // with the rename as a projection alias.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k22")
-        .toString + "/orders_ren"
+      val root = graft.core.TempDirs.create("graft-k22") + "/orders_ren"
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderpriority")),
@@ -451,8 +439,7 @@ object AggWindowQueries extends QueryPack {
       // _change_type/_commit_version. The oracle recomputes the same
       // change rows relationally.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k23")
-        .toString + "/orders_cdf"
+      val root = graft.core.TempDirs.create("graft-k23") + "/orders_cdf"
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderpriority")),
@@ -479,8 +466,7 @@ object AggWindowQueries extends QueryPack {
       // the injected resolution rule. The oracle replays the insert
       // relationally with the pre-insert count as a scalar.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k24")
-        .toString + "/orders_sqlrel"
+      val root = graft.core.TempDirs.create("graft-k24") + "/orders_sqlrel"
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderpriority")),
@@ -505,8 +491,7 @@ object AggWindowQueries extends QueryPack {
       // the honest plan: one rewrite, no pruning pretense. The oracle
       // replays both branches as one CASE.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k25")
-        .toString + "/orders_sync"
+      val root = graft.core.TempDirs.create("graft-k25") + "/orders_sync"
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderpriority")),
@@ -531,8 +516,7 @@ object AggWindowQueries extends QueryPack {
       // two windows must agree row-for-row on what changed. The oracle
       // replays the insert relationally.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k26")
-        .toString + "/orders_win"
+      val root = graft.core.TempDirs.create("graft-k26") + "/orders_win"
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderpriority")),
@@ -654,9 +638,8 @@ object AggWindowQueries extends QueryPack {
       s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, v DOUBLE, seq BIGINT)")
       val src = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
         .select(col("o_orderkey"), col("o_totalprice"))
-      val srcDir = java.nio.file.Files.createTempDirectory("k30-src")
-        .toString + "/in"
-      val ck = java.nio.file.Files.createTempDirectory("k30-ck").toString
+      val srcDir = graft.core.TempDirs.create("k30-src") + "/in"
+      val ck = graft.core.TempDirs.create("k30-ck")
       src.select(col("o_orderkey"), col("o_totalprice").as("v"),
         lit(1L).as("seq")).write.parquet(srcDir)
       def drain(): Unit = {
@@ -685,7 +668,7 @@ object AggWindowQueries extends QueryPack {
       // plumbing is the thing under test); the source takes its own
       // delete. The oracle replays both lineages relationally.
       import graft.sources.ManifestTable
-      val base = java.nio.file.Files.createTempDirectory("graft-k31").toString
+      val base = graft.core.TempDirs.create("graft-k31")
       val src = base + "/orders_src"; val dst = base + "/orders_clone"
       ManifestTable.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
@@ -711,8 +694,7 @@ object AggWindowQueries extends QueryPack {
       // relational replay, proving the rewrite conserved every row
       // (the commit carries an exact row-conservation guard).
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k32")
-        .toString + "/orders_opt"
+      val root = graft.core.TempDirs.create("graft-k32") + "/orders_opt"
       val src = t(s, d, "orders").select(col("o_orderkey"),
         col("o_totalprice"), col("o_orderpriority"))
       ManifestTable.write(src.filter(col("o_orderkey") % 4 === 0), root)
@@ -733,8 +715,7 @@ object AggWindowQueries extends QueryPack {
       // because every write boundary derives the column. The oracle
       // replays the lineages relationally with strftime.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k33")
-        .toString + "/events_days"
+      val root = graft.core.TempDirs.create("graft-k33") + "/events_days"
       val ev = t(s, d, "events")
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       // optimized writes: each batch REBALANCE-shuffles by the derived
@@ -772,8 +753,7 @@ object AggWindowQueries extends QueryPack {
       // derived at their write boundary. The oracle computes both
       // transforms relationally for all rows — era-blind.
       import graft.sources.ManifestTable
-      val root = java.nio.file.Files.createTempDirectory("graft-k35")
-        .toString + "/events_evo"
+      val root = graft.core.TempDirs.create("graft-k35") + "/events_evo"
       val ev = t(s, d, "events")
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       ManifestTable.createEmpty(s, root, ev.schema,

@@ -22,7 +22,7 @@ object CloneScale {
     val big = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
 
     def buildAndTime(src: String, label: String): Unit = {
-      val base = java.nio.file.Files.createTempDirectory("clone-scale").toString
+      val base = graft.core.TempDirs.create("clone-scale")
       val root = s"$base/orders"
       ManifestTable.write(
         spark.read.parquet(s"$src/orders.parquet").repartition(32), root)

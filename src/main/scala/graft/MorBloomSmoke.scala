@@ -31,7 +31,7 @@ object MorBloomSmoke {
 
     // 1 — merge-on-read delete economics at 2M and 20M rows (10×)
     for (n <- Seq(2L << 20, 20L << 20)) {
-      val base = java.nio.file.Files.createTempDirectory("mor-smoke").toString
+      val base = graft.core.TempDirs.create("mor-smoke")
       val df = spark.range(n).select(col("id"),
         md5(col("id").cast("string")).as("pad"),
         (col("id") % 997).cast("double").as("v"))
@@ -64,7 +64,7 @@ object MorBloomSmoke {
 
     // 2 — bloom index point lookups at 64 and 640 files (10×)
     for (nFiles <- Seq(64, 640)) {
-      val root = java.nio.file.Files.createTempDirectory("bloom-smoke").toString + "/t"
+      val root = graft.core.TempDirs.create("bloom-smoke") + "/t"
       val n = nFiles * 100000L
       val df = spark.range(n).select(col("id"),
         md5(col("id").cast("string")).as("pad"))

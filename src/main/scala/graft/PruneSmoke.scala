@@ -27,7 +27,7 @@ object PruneSmoke {
     }
 
     for (nParts <- Seq(100, 1000)) {
-      val root = java.nio.file.Files.createTempDirectory("prune-smoke").toString + "/t"
+      val root = graft.core.TempDirs.create("prune-smoke") + "/t"
       val rowsPerPart = 1000
       val df = spark.range(nParts.toLong * rowsPerPart)
         .select(format_string("d%04d", col("id") % nParts).as("day"),
@@ -50,7 +50,7 @@ object PruneSmoke {
     // clustered axes — file-skip counts per layout (the multi-dimensional
     // skipping claim, measured)
     locally {
-      val root = java.nio.file.Files.createTempDirectory("prune-smoke-z").toString + "/t"
+      val root = graft.core.TempDirs.create("prune-smoke-z") + "/t"
       val n = 1 << 20 // 1M rows, 1024x1024 grid, high-entropy padding
       val grid = spark.range(n).select(
         (col("id") % 1024).as("a"), (col("id") / 1024).as("b"),

@@ -72,7 +72,7 @@ object ScaleSmoke {
     // land the synthetic corpus in parquet first: real pipelines rescan
     // columnar storage, not a 60-HOF generator, when a plan re-reads its
     // source — measuring from the generator quadruple-counts generation.
-    val pq = java.nio.file.Files.createTempDirectory("graft-scale").toString + "/docs"
+    val pq = graft.core.TempDirs.create("graft-scale") + "/docs"
     gen.write.mode("overwrite").parquet(pq)
     val docs = spark.read.parquet(pq)
     println(s"SCALE docs: $nDocs")
@@ -177,7 +177,7 @@ object ScaleSmoke {
         ((pmod(xxhash64(when(i === lit(63), col("id")).otherwise(vBase), i),
           lit(1000L)) - 500L) / 500.0)
           .cast("float")).as("embedding"))
-    val vpq = java.nio.file.Files.createTempDirectory("graft-scale").toString + "/vecs"
+    val vpq = graft.core.TempDirs.create("graft-scale") + "/vecs"
     vecs.write.mode("overwrite").parquet(vpq)
     val v = spark.read.parquet(vpq)
     println(s"SCALE vecs: $nVecs")

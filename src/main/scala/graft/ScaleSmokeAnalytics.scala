@@ -65,7 +65,7 @@ object ScaleSmokeAnalytics {
         )).as("e"))
       .select(col("user_id"), timestamp_seconds(cohortSec + col("e.off")).as("ts"),
         col("e.event_type").as("event_type"))
-    val evDir = java.nio.file.Files.createTempDirectory("graft-scale-a").toString + "/events"
+    val evDir = graft.core.TempDirs.create("graft-scale-a") + "/events"
     ev.write.mode("overwrite").parquet(evDir)
     val events = spark.read.parquet(evDir)
     val nEvents = events.count()
@@ -114,7 +114,7 @@ object ScaleSmokeAnalytics {
       (col("v") * 2).as("tie"), concat(lit("s"), col("v")).as("value"))
     val noops = ch.select(col("k"), timestamp_seconds(lit(epoch0) + col("v") * 3600L + 1800L).as("ts"),
       (col("v") * 2 + 1).as("tie"), concat(lit("s"), col("v")).as("value"))
-    val scdDir = java.nio.file.Files.createTempDirectory("graft-scale-a").toString + "/changes"
+    val scdDir = graft.core.TempDirs.create("graft-scale-a") + "/changes"
     real.unionByName(noops).write.mode("overwrite").parquet(scdDir)
     val changes = spark.read.parquet(scdDir)
     println(s"SCALE scd2 change rows: ${changes.count()} (keys: $nKeys)")
@@ -142,7 +142,7 @@ object ScaleSmokeAnalytics {
       (col("id") % nSeries).as("k"),
       timestamp_seconds(lit(epoch0) + hourIdx * 3600L).as("ts"),
       hourIdx.cast("double").as("v"))
-    val ptsDir = java.nio.file.Files.createTempDirectory("graft-scale-a").toString + "/pts"
+    val ptsDir = graft.core.TempDirs.create("graft-scale-a") + "/pts"
     pts.write.mode("overwrite").parquet(ptsDir)
     val points = spark.read.parquet(ptsDir)
     val (gridRows, gaps, wrongLocf) = timed("resample 15m LOCF (a15 shape)") {
@@ -159,7 +159,7 @@ object ScaleSmokeAnalytics {
       s"rows=$gridRows (exp ${nSeries * 2877}) gaps=$gaps (exp ${nSeries * 2157}) badLocf=$wrongLocf")
 
     // ---- z-score outliers: 20M rows, planted 1e6 spikes in one hot group
-    val zDir = java.nio.file.Files.createTempDirectory("graft-scale-a").toString + "/z"
+    val zDir = graft.core.TempDirs.create("graft-scale-a") + "/z"
     spark.range(target).select(col("id"),
         pmod(col("id"), lit(1000L)).as("g"),
         when(pmod(col("id"), lit(20000L)) === 0, lit(1e6))
@@ -182,7 +182,7 @@ object ScaleSmokeAnalytics {
     // 'hot' column: 40% one value (the skew the salted two-phase top-k is
     // for), remainder unique (12M distinct values); plus two mid-card
     // columns profiled off the SAME scan.
-    val hhDir = java.nio.file.Files.createTempDirectory("graft-scale-a").toString + "/hh"
+    val hhDir = graft.core.TempDirs.create("graft-scale-a") + "/hh"
     spark.range(target).select(
         when(pmod(col("id"), lit(5L)) < 2, lit("HOT"))
           .otherwise(concat(lit("u"), col("id"))).as("hot"),

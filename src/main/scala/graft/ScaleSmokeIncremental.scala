@@ -27,7 +27,7 @@ object ScaleSmokeIncremental {
     }
 
     for (nParts <- Seq(100, 1000)) {
-      val base = java.nio.file.Files.createTempDirectory("incr-smoke").toString
+      val base = graft.core.TempDirs.create("incr-smoke")
       val src = base + "/src"
       val dstI = base + "/dst_incremental"
       val dstS = base + "/dst_snapshot"

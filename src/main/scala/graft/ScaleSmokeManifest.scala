@@ -26,7 +26,7 @@ object ScaleSmokeManifest {
     val target = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "20000000").toLong
     val spark = GraftSession.builder("graft-scale-manifest", "local[32]", 64).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val root = java.nio.file.Files.createTempDirectory("graft-scale-m").toString + "/t"
+    val root = graft.core.TempDirs.create("graft-scale-m") + "/t"
 
     // seed: target rows over 30 date partitions, unique keys
     val seed = spark.range(target).select(
@@ -79,7 +79,7 @@ object ScaleSmokeManifest {
     }
     val ckptRows = math.max(1000000L, target / 10L)
     val results = Seq(30, 300).map { parts =>
-      val tRoot = java.nio.file.Files.createTempDirectory("graft-scale-ckpt").toString + "/t"
+      val tRoot = graft.core.TempDirs.create("graft-scale-ckpt") + "/t"
       val seed2 = spark.range(ckptRows).select(
         lpad(pmod(col("id"), lit(parts.toLong)).cast("string"), 4, "0").as("part"),
         col("id").as("key"), lit(1.0).as("v"))
@@ -110,7 +110,7 @@ object ScaleSmokeManifest {
     // sidecar — the million-file answer (text snapshots re-parse ~100 MB
     // per cold resolve; parquet is columnar, compressed, and immutable)
     spark.conf.set(ManifestTable.ColumnarSnapshotThresholdKey, "500")
-    val cRoot = java.nio.file.Files.createTempDirectory("graft-scale-ckpt-col").toString + "/t"
+    val cRoot = graft.core.TempDirs.create("graft-scale-ckpt-col") + "/t"
     val cSeed = spark.range(ckptRows).select(
       lpad(pmod(col("id"), lit(300L)).cast("string"), 4, "0").as("part"),
       col("id").as("key"), lit(1.0).as("v"))

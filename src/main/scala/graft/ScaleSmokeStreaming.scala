@@ -37,7 +37,7 @@ object ScaleSmokeStreaming {
     val spark = GraftSession.builder("graft-scale-streaming", "local[32]", 64).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-scale-s").toString
+    val base = graft.core.TempDirs.create("graft-scale-s")
     val epoch0 = java.time.LocalDate.of(2024, 1, 1)
       .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
 

@@ -405,21 +405,48 @@ object Ann {
 
   /** Top-`n` nearest cells per vector: like [[assignCells]] but keeps the
     * `n` best (dist, cell_id) candidates — the multi-probe index layout.
-    * Same id-keyed shuffle; the payload per vector grows from one cell to
-    * a sorted slice of the per-centroid distance structs. Output
-    * (vid, vec, cell_id, cell_rank) with cell_rank 1..n. */
+    * Output (vid, vec, cell_id, cell_rank) with cell_rank 1..n.
+    *
+    * BOUNDED-STATE by construction: pass 1 is a plain `min(struct)` per
+    * vector and pass i takes the minimum STRICTLY ABOVE pass i−1's, so
+    * aggregation state is O(1) per vector per pass. The obvious
+    * one-pass shape — collect_list of all k per-centroid structs, sort,
+    * slice — holds O(k) state per vector in the partial aggregate: with
+    * the adaptive cell count (k ∝ n/targetCellSize) that is O(n·k) =
+    * O(n²/targetCellSize) spill, which at a 10M-vector corpus exceeds
+    * any executor's disk (observed: a 15 GB corpus spilled >54 GB and
+    * died). Each extra probe pass re-streams the n·k distance pipeline
+    * (compute ∝ n·k·probes, memory flat) and broadcasts the previous
+    * cutoffs (~24 B/vector — fine into the tens of millions of vectors
+    * this flat-assignment regime serves; beyond it, assign through a
+    * coarse-quantized two-level probe). Strict struct ordering makes
+    * the result BIT-identical to the sorted-slice shape: (dist,
+    * cell_id) pairs are distinct per vector, ties break on cell_id. */
   def assignCellsTopN(corpus: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame, n: Int): DataFrame = {
     val c = broadcast(centroidFrame(centroids))
-    corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val dists = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .crossJoin(c)
-      .withColumn("dist", sqFn(corpus, vecCol)(col("vec"), col("centroid")))
-      .groupBy(col("vid"))
-      .agg(first(col("vec")).as("vec"), // constant within the group
-        slice(array_sort(collect_list(struct(col("dist"), col("cell_id")))),
-          1, n).as("_cells"))
       .select(col("vid"), col("vec"),
-        posexplode(col("_cells")).as(Seq("_pos", "_c")))
+        struct(sqFn(corpus, vecCol)(col("vec"), col("centroid")).as("dist"),
+          col("cell_id")).as("_s"))
+    var acc = dists.groupBy(col("vid"))
+      .agg(first(col("vec")).as("vec"), // constant within the group
+        min(col("_s")).as("_m1"))
+    var i = 2
+    while (i <= n) {
+      val prev = broadcast(acc.select(col("vid").as("_pv"),
+        col(s"_m${i - 1}").as("_pm")))
+      val next = dists.join(prev, col("vid") === col("_pv"))
+        .filter(col("_s") > col("_pm"))
+        .groupBy(col("vid")).agg(min(col("_s")).as(s"_m$i"))
+      acc = acc.join(next, Seq("vid"), "left")
+      i += 1
+    }
+    val cells = org.apache.spark.sql.functions.filter(
+      array((1 to n).map(j => col(s"_m$j")): _*), x => x.isNotNull)
+    acc.select(col("vid"), col("vec"),
+        posexplode(cells).as(Seq("_pos", "_c")))
       .select(col("vid"), col("vec"), col("_c.cell_id").as("cell_id"),
         (col("_pos") + 1).as("cell_rank"))
   }

@@ -123,16 +123,13 @@ object GraftAggScan {
     * `pushed` is the scan's exactly-consumed partition predicates (the
     * builder only offers aggregation when NO residual filter remains,
     * so every entry here is row-exact at file granularity) — the fold
-    * runs over the pruned live set. */
-  def plan(root: String, version: Option[Long], schema: StructType,
+    * runs over the pruned live set. `st0` is the builder-resolved
+    * state, one read shared across the whole pushdown negotiation. */
+  def plan(root: String, st0: ManifestTable.State, schema: StructType,
            pushed: Array[org.apache.spark.sql.sources.Filter],
            agg: Aggregation): Option[Planned] = {
     val spark = SparkSession.active
     if (!spark.conf.get(EnabledKey, "true").toBoolean) return None
-    val st0 = (version match {
-      case Some(v) => ManifestTable.stateAt(spark, root, v)
-      case None    => ManifestTable.current(spark, root)
-    }).getOrElse(return None)
     // physical-name stats and era-uniform layouts only
     if (st0.tags.contains(ManifestTable.RenameTag) ||
         st0.tags.contains(ManifestTable.DropTag) ||
@@ -398,17 +395,9 @@ final class GraftAggReaderFactory(
     valueCols: Array[Boolean])
     extends PartitionReaderFactory {
 
-  private def iterOf(rows: Array[InternalRow]): PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = rows(i)
-      override def close(): Unit = ()
-    }
-
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case GraftAggMetadataPartition(rows) => iterOf(rows)
+      case GraftAggMetadataPartition(rows) => RowReads.asReader(rows.iterator)
       case GraftAggFoldPartition(file, dv, partNonNull) =>
         val n = colTypes.length
         val mins = Array.fill[Long](n)(Long.MaxValue)
@@ -416,15 +405,8 @@ final class GraftAggReaderFactory(
         val nonNull = Array.fill[Long](n)(0L)
         val seen = Array.fill[Boolean](n)(false)
         var rows = 0L
-        var idx = -1L
-        val it = readFunc(file).asInstanceOf[Iterator[Object]].flatMap {
-          case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
-            scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator()).asScala
-          case r => Iterator.single(r.asInstanceOf[InternalRow])
-        }
-        it.foreach { row =>
-          idx += 1L
-          if (java.util.Arrays.binarySearch(dv, idx) < 0) {
+        RowReads.dvFiltered(RowReads.flatten(readFunc(file)), dv).foreach { row =>
+          {
             rows += 1L
             var c = 0
             while (c < n) {
@@ -457,6 +439,6 @@ final class GraftAggReaderFactory(
           case ('M', ord, dt) =>
             if (seen(ord)) GraftAggScan.boxFold(dt, maxs(ord)) else null
         }
-        iterOf(Array(new GenericInternalRow(out)))
+        RowReads.asReader(Iterator.single(new GenericInternalRow(out)))
     }
 }

@@ -73,17 +73,17 @@ object GraftBatchScan {
   val MaxInlineDvRowsKey = "spark.graft.batchScan.maxInlineDvRows"
   val MaxInlineDvRowsDefault = 10000000L
 
-  /** A [[GraftBatchScan]] when the table qualifies, else None. */
-  def tryBuild(root: String, version: Option[Long], pushed: Array[Filter],
+  /** A [[GraftBatchScan]] when the table qualifies, else None. `st` is
+    * the state the OWNING ScanBuilder resolved — one read per build,
+    * shared with filter classification and aggregate planning, so the
+    * whole negotiation sees a single table version. */
+  def tryBuild(root: String, version: Option[Long], st: ManifestTable.State,
+               pushed: Array[Filter],
                required: StructType, fullSchema: StructType,
                limit: Option[Int] = None,
                topN: Option[(String, Boolean, Int)] = None): Option[Scan] = {
     val spark = SparkSession.active
     if (!spark.conf.get(EnabledKey, "true").toBoolean) return None
-    val st = (version match {
-      case Some(v) => ManifestTable.stateAt(spark, root, v)
-      case None    => ManifestTable.current(spark, root)
-    }).getOrElse(return None)
     // deletion vectors only REMOVE rows, so every optimizer-visible
     // property survives them (partitioning, superset min/max bounds,
     // DPP) — they are applied inline by the reader up to the bound
@@ -369,8 +369,15 @@ final class GraftBatchScan(root: String, version: Option[Long],
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = spark
+    // columnar is a SCAN-level verdict, never per-partition: Spark
+    // requires every input partition of a scan to agree on columnar vs
+    // row reads ("Cannot mix row-based and columnar input partitions"),
+    // so one DV'd file anywhere demotes the whole scan to row reads —
+    // the maintenance-debt price a partially-deleted table pays until
+    // OPTIMIZE/materializeDeletes, never a planning crash
     val columnar = new ParquetFileFormat().supportBatch(s,
-      StructType(requiredData.fields ++ requiredPart.fields))
+      StructType(requiredData.fields ++ requiredPart.fields)) &&
+      files.forall(_.dv.isEmpty)
     // the exact reader FileSourceScanExec builds: vectorized when the
     // session + result schema allow, hadoopConf broadcast inside. The
     // RETURNING_BATCH option is the format's required contract: it
@@ -456,6 +463,46 @@ final case class GraftFileGroupPartition(files: Array[PartitionedFile],
                                          dvs: Array[Array[Long]])
     extends GraftScanPartition
 
+/** Shared row-read plumbing for the v2 reader factories (the batch
+  * scan and the aggregate fold read through the same parquet reader
+  * function and share its quirks). */
+private[v2] object RowReads {
+
+  /** The reader function's iterator may carry ColumnarBatch disguised
+    * as InternalRow (FileScanRDD's contract) — flatten defensively. */
+  def flatten(it: Iterator[InternalRow]): Iterator[InternalRow] =
+    it.asInstanceOf[Iterator[Object]].flatMap {
+      case b: ColumnarBatch => scala.jdk.CollectionConverters
+        .IteratorHasAsScala(b.rowIterator()).asScala
+      case r => Iterator.single(r)
+    }.asInstanceOf[Iterator[InternalRow]]
+
+  /** Rows of an UNSPLIT, pushdown-free file read with the deletion
+    * vector's sorted positions dropped by stream ordinal (the ordinal
+    * IS the parquet row index under that read shape). */
+  def dvFiltered(rows: Iterator[InternalRow],
+                 dv: Array[Long]): Iterator[InternalRow] =
+    if (dv.isEmpty) rows
+    else {
+      var idx = -1L
+      rows.filter { _ =>
+        idx += 1L
+        java.util.Arrays.binarySearch(dv, idx) < 0
+      }
+    }
+
+  def asReader(it: Iterator[InternalRow]): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        row = it.next(); true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+}
+
 /** Ships Spark's own parquet reader function to executors; rows stream
   * split-by-split. The vectorized path hands back ColumnarBatches —
   * when the schema supports it we pass them through COLUMNAR (Spark
@@ -470,53 +517,26 @@ final class GraftBatchReaderFactory(
     dvFunc: Option[PartitionedFile => Iterator[InternalRow]])
     extends PartitionReaderFactory {
 
+  // scan-level homogeneity: `columnar` is only ever true when NO file
+  // in the scan carries a deletion vector (see createReaderFactory)
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnar && partition.asInstanceOf[GraftScanPartition].dvs.forall(_.isEmpty)
-
-  private def flattenRows(it: Iterator[InternalRow]): Iterator[InternalRow] =
-    it.asInstanceOf[Iterator[Object]].flatMap {
-      // the function's iterator may carry ColumnarBatch disguised as
-      // InternalRow (FileScanRDD's contract) — flatten defensively
-      case b: ColumnarBatch => scala.jdk.CollectionConverters
-        .IteratorHasAsScala(b.rowIterator()).asScala
-      case r => Iterator.single(r)
-    }.asInstanceOf[Iterator[InternalRow]]
-
-  private def asRowReader(it: Iterator[InternalRow]): PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
-      private var row: InternalRow = _
-      override def next(): Boolean = {
-        if (!it.hasNext) return false
-        row = it.next(); true
-      }
-      override def get(): InternalRow = row
-      override def close(): Unit = ()
-    }
+    columnar
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val gp = partition.asInstanceOf[GraftScanPartition]
     if (gp.dvs.forall(_.isEmpty))
-      asRowReader(gp.files.iterator.flatMap(f => flattenRows(readFunc(f))))
+      RowReads.asReader(gp.files.iterator.flatMap(f => RowReads.flatten(readFunc(f))))
     else {
       val read = dvFunc.getOrElse(sys.error(
         "graft batch scan: partition carries deletion vectors but the " +
           "factory was built without a DV reader"))
+      // clean files in a mixed partition still avoid pushdown (one
+      // reader shape per partition keeps the contract simple) —
+      // Spark's re-filter above the scan restores exactness
       val rows = gp.files.iterator.zip(gp.dvs.iterator).flatMap {
-        case (f, dv) if dv.isEmpty =>
-          // clean files in a mixed partition still avoid pushdown (one
-          // reader shape per partition keeps the contract simple) —
-          // Spark's re-filter above the scan restores exactness
-          flattenRows(read(f))
-        case (f, dv) =>
-          // the file was planned UNSPLIT with NO pushed row-group
-          // filters, so the stream ordinal is the parquet row index
-          var idx = -1L
-          flattenRows(read(f)).filter { _ =>
-            idx += 1L
-            java.util.Arrays.binarySearch(dv, idx) < 0
-          }
+        case (f, dv) => RowReads.dvFiltered(RowReads.flatten(read(f)), dv)
       }
-      asRowReader(rows)
+      RowReads.asReader(rows)
     }
   }
 

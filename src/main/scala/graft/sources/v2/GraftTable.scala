@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsPartitionManagement, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
@@ -236,44 +236,63 @@ final class GraftScanBuilder(root: String, version: Option[Long],
     * layouts), rename/drop mappings, clone chains, or any live file
     * missing the column — the conservative states where pruning can
     * only be advisory. */
-  private lazy val exactLayout: Set[String] = {
+  /** The manifest state this builder plans against, resolved ONCE per
+    * build: exact-filter classification, the aggregate planner and the
+    * batch scan must all see the SAME version — independent re-reads
+    * could diverge under concurrent commits (Spark trusts that
+    * `supportCompletePushDown` and `pushAggregation` agree; a version
+    * flip between them would hand a partial plan to a final-aggregate-
+    * free query), and each read is a pointer + manifest resolution the
+    * planner shouldn't pay four times. */
+  private lazy val state: Option[ManifestTable.State] = {
     val spark = SparkSession.active
-    (version match {
+    version match {
       case Some(v) => ManifestTable.stateAt(spark, root, v)
       case None    => ManifestTable.current(spark, root)
-    }) match {
-      case Some(st) if !st.tags.contains(ManifestTable.RenameTag) &&
-          !st.tags.contains(ManifestTable.DropTag) &&
-          !st.tags.contains(ManifestTable.CloneSourcesTag) &&
-          !st.tags.contains(ManifestTable.EvolvedTag) =>
-        ManifestTable.layoutAt(root, st)
-          .filter(c => st.files.forall(_.partitionValues.contains(c)))
-          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-      case _ => Set.empty
     }
   }
 
-  /** A filter this scan applies EXACTLY via partition pruning — the
-    * shapes whose per-file decision ([[graft.sources.DataSkipping]]'s
-    * partition-value compare) is total on string values: string-literal
-    * comparisons, string IN sets, null tests, ASCII prefix. Numeric
-    * literals stay residual (an unparseable directory value degrades
-    * the compare to a conservative keep). */
+  private lazy val exactLayout: Set[String] = state match {
+    case Some(st) if !st.tags.contains(ManifestTable.RenameTag) &&
+        !st.tags.contains(ManifestTable.DropTag) &&
+        !st.tags.contains(ManifestTable.CloneSourcesTag) &&
+        !st.tags.contains(ManifestTable.EvolvedTag) =>
+      ManifestTable.layoutAt(root, st)
+        .filter(c => st.files.forall(_.partitionValues.contains(c)))
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    case _ => Set.empty
+  }
+
+  /** A filter this scan applies EXACTLY via partition pruning
+    * ([[exactLayout]] columns: identity partitions give every row of a
+    * file the directory's value, so the per-file decision is row-exact)
+    * — the shapes whose partition-value compare
+    * ([[graft.sources.DataSkipping]]) is total on string values:
+    * string equality / IN sets (order-free, any content), null tests,
+    * and ASCII-literal comparisons/prefix. RANGE shapes require an
+    * ASCII literal: the per-file compare is Java UTF-16 `compareTo`
+    * while Spark rows order by UTF-8 bytes — the two disagree between
+    * supplementary-plane values and [U+E000, U+FFFF] literals, and a
+    * consumed filter has no re-filter above to recover a mis-pruned
+    * file (against an ASCII literal every non-ASCII value orders after
+    * it in BOTH encodings, so the decision agrees). Numeric literals
+    * stay residual (an unparseable directory value degrades the
+    * compare to a conservative keep). */
   private def exactPartitionFilter(f: Filter): Boolean = {
     def ex(a: String) = exactLayout(a.toLowerCase(java.util.Locale.ROOT))
+    def ascii(v: String) = v != null && v.forall(_ < 128)
     f match {
       case EqualTo(a, v: String)            => ex(a) && v != null
       case EqualNullSafe(a, v)              => ex(a) && (v == null || v.isInstanceOf[String])
-      case GreaterThan(a, v: String)        => ex(a) && v != null
-      case GreaterThanOrEqual(a, v: String) => ex(a) && v != null
-      case LessThan(a, v: String)           => ex(a) && v != null
-      case LessThanOrEqual(a, v: String)    => ex(a) && v != null
+      case GreaterThan(a, v: String)        => ex(a) && ascii(v)
+      case GreaterThanOrEqual(a, v: String) => ex(a) && ascii(v)
+      case LessThan(a, v: String)           => ex(a) && ascii(v)
+      case LessThanOrEqual(a, v: String)    => ex(a) && ascii(v)
       case In(a, vs) if vs.nonEmpty =>
         ex(a) && vs.forall(v => v != null && v.isInstanceOf[String])
       case IsNull(a)                        => ex(a)
       case IsNotNull(a)                     => ex(a)
-      case StringStartsWith(a, v)           =>
-        ex(a) && v != null && v.forall(_ < 128)
+      case StringStartsWith(a, v)           => ex(a) && ascii(v)
       case _ => false
     }
   }
@@ -305,9 +324,23 @@ final class GraftScanBuilder(root: String, version: Option[Long],
     * ([[exactPartitionFilter]]), whose row-exact file prune the agg
     * planner applies before folding: `count(*) WHERE day = …` is a
     * metadata read at any table size. */
+  private var aggCache: Option[(Aggregation, Option[GraftAggScan.Planned])] = None
+
+  /** Memoized per Aggregation INSTANCE: Spark calls
+    * `supportCompletePushDown` and then `pushAggregation` with the same
+    * object, and both must answer from one plan — recomputing would
+    * re-fold the manifest and (worse) could observe a different table
+    * version mid-negotiation. */
   private def planAgg(agg: Aggregation): Option[GraftAggScan.Planned] =
-    if (residual.nonEmpty) None
-    else GraftAggScan.plan(root, version, fullSchema, pushed, agg)
+    aggCache match {
+      case Some((a, p)) if a eq agg => p
+      case _ =>
+        val p = if (residual.nonEmpty) None
+                else state.flatMap(st =>
+                  GraftAggScan.plan(root, st, fullSchema, pushed, agg))
+        aggCache = Some((agg, p))
+        p
+    }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     planAgg(agg).exists(_.complete)
@@ -371,8 +404,9 @@ final class GraftScanBuilder(root: String, version: Option[Long],
       // reads, column statistics to CBO, KeyGroupedPartitioning on
       // bucket layouts for zero-Exchange co-bucketed joins); any state
       // it can't serve exactly falls back to this V1 bridge
-      GraftBatchScan.tryBuild(root, version, pushed, required, fullSchema,
-          limit, topN)
+      state.flatMap(st =>
+          GraftBatchScan.tryBuild(root, version, st, pushed, required,
+            fullSchema, limit, topN))
         .getOrElse(new GraftV1Scan(root, version, pushed, required))
   }
 }

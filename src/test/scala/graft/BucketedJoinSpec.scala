@@ -225,6 +225,32 @@ class BucketedJoinSpec extends SparkSpec {
     } finally dropTables("spjdv")
   }
 
+  test("a TARGETED MoR delete (one DV'd file among clean ones) stays readable") {
+    // regression: supportColumnarReads must be a SCAN-level verdict —
+    // Spark refuses mixed row/columnar input partitions, and a delete
+    // touching ONE file used to demote only that partition
+    mkTables("spjone", buckets = 8)
+    try {
+      val rootA = sys.props("java.io.tmpdir").stripSuffix("/") +
+        "/graft_warehouse/spjone/a"
+      ManifestTable.deleteMoR(spark, rootA, col("k") === 7L)
+      val dvd = ManifestTable.current(spark, rootA).get.files.count(_.dv.nonEmpty)
+      assert(dvd == 1, s"the targeted delete should DV exactly one file, got $dvd")
+      // full-table scan across mixed clean/DV'd partitions
+      val all = spark.sql("SELECT k, v FROM graft_lake.spjone.a")
+      assert(all.queryExecution.executedPlan.toString.contains("BatchScan"))
+      assert(all.count() == 499 &&
+        all.filter(col("k") === 7L).count() == 0)
+      // and the co-bucketed join over the same mixed state
+      val j = spark.sql(joinSql("spjone"))
+      val got = j.as[(Long, Double, Double)].collect().toSeq.sorted
+      val ref = withConf(GraftBucketedScanConf -> "false") {
+        spark.sql(joinSql("spjone")).as[(Long, Double, Double)].collect().toSeq.sorted
+      }
+      assert(got == ref && got.nonEmpty)
+    } finally dropTables("spjone")
+  }
+
   test("a table-sized DV (above the inline bound) falls back to the V1 anti-join") {
     mkTables("spjfall", buckets = 4)
     try {
