@@ -82,15 +82,9 @@ object Ann {
     * min_by payload (picked once per group), not in the shuffle KEY, so
     * the exchange hashes/compares 8-byte ids instead of ~0.5 KB arrays. */
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
-                  centroids: DataFrame): DataFrame = {
-    val c = broadcast(centroidFrame(centroids))
-    corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .crossJoin(c)
-      .withColumn("dist", sqFn(corpus, vecCol)(col("vec"), col("centroid")))
-      .groupBy(col("vid"))
-      .agg(min_by(struct(col("vec"), col("cell_id")), struct(col("dist"), col("cell_id"))).as("m"))
-      .select(col("vid"), col("m.vec").as("vec"), col("m.cell_id").as("cell_id"))
-  }
+                  centroids: DataFrame): DataFrame =
+    assignCellsTopN(corpus, idCol, vecCol, centroids, n = 1)
+      .select(col("vid"), col("vec"), col("cell_id"))
 
   /** Train IVF centroids with MLlib k-means (seeded, deterministic for a
     * fixed corpus): array<float> embeddings → ML vectors → fit → centroid
@@ -407,47 +401,39 @@ object Ann {
     * `n` best (dist, cell_id) candidates — the multi-probe index layout.
     * Output (vid, vec, cell_id, cell_rank) with cell_rank 1..n.
     *
-    * BOUNDED-STATE by construction: pass 1 is a plain `min(struct)` per
-    * vector and pass i takes the minimum STRICTLY ABOVE pass i−1's, so
-    * aggregation state is O(1) per vector per pass. The obvious
-    * one-pass shape — collect_list of all k per-centroid structs, sort,
-    * slice — holds O(k) state per vector in the partial aggregate: with
-    * the adaptive cell count (k ∝ n/targetCellSize) that is O(n·k) =
-    * O(n²/targetCellSize) spill, which at a 10M-vector corpus exceeds
-    * any executor's disk (observed: a 15 GB corpus spilled >54 GB and
-    * died). Each extra probe pass re-streams the n·k distance pipeline
-    * (compute ∝ n·k·probes, memory flat) and broadcasts the previous
-    * cutoffs (~24 B/vector — fine into the tens of millions of vectors
-    * this flat-assignment regime serves; beyond it, assign through a
-    * coarse-quantized two-level probe). Strict struct ordering makes
-    * the result BIT-identical to the sorted-slice shape: (dist,
-    * cell_id) pairs are distinct per vector, ties break on cell_id. */
+    * ONE native expression pass ([[graft.plans.NearestCells]]): the
+    * centroid matrix rides the plan as a task-binary reference (same
+    * order of bytes a broadcast join would ship) and each row selects
+    * its n best cells inside codegen — the plan has NO corpus×centroid
+    * crossJoin and NO aggregation at all. The exploded alternative
+    * (crossJoin → per-vid top-n aggregate) streams n·k rows into a
+    * complex-typed aggregate that Spark executes SORT-based: with the
+    * adaptive cell count that sort is O(n²/targetCellSize) spill — a
+    * 15 GB corpus spilled >54 GB of sort runs and died. Ordering and
+    * arithmetic are bit-identical to argmin over [[sqFn]] (index-order
+    * double accumulation; ties break on smaller cell id). Centroids
+    * collect to the driver (k·dim doubles — the flat-assignment regime
+    * is tens of MB; corpus-scale k goes through a two-level probe). */
   def assignCellsTopN(corpus: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame, n: Int): DataFrame = {
-    val c = broadcast(centroidFrame(centroids))
-    val dists = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .crossJoin(c)
+    import org.apache.spark.sql.graftshim.ColumnExpr
+    val cf = centroidFrame(centroids).orderBy(col("cell_id"))
+    val idType = cf.schema("cell_id").dataType
+    val rows = cf.collect()
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(idType)
+    val ids: Array[Any] = rows.map(r => conv(r.get(0)))
+    val cents: Array[Array[Double]] = rows.map(_.getSeq[Any](1).map {
+      case f: Float  => f.toDouble
+      case d: Double => d
+      case x: Number => x.doubleValue()
+    }.toArray)
+    corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .select(col("vid"), col("vec"),
-        struct(sqFn(corpus, vecCol)(col("vec"), col("centroid")).as("dist"),
-          col("cell_id")).as("_s"))
-    var acc = dists.groupBy(col("vid"))
-      .agg(first(col("vec")).as("vec"), // constant within the group
-        min(col("_s")).as("_m1"))
-    var i = 2
-    while (i <= n) {
-      val prev = broadcast(acc.select(col("vid").as("_pv"),
-        col(s"_m${i - 1}").as("_pm")))
-      val next = dists.join(prev, col("vid") === col("_pv"))
-        .filter(col("_s") > col("_pm"))
-        .groupBy(col("vid")).agg(min(col("_s")).as(s"_m$i"))
-      acc = acc.join(next, Seq("vid"), "left")
-      i += 1
-    }
-    val cells = org.apache.spark.sql.functions.filter(
-      array((1 to n).map(j => col(s"_m$j")): _*), x => x.isNotNull)
-    acc.select(col("vid"), col("vec"),
-        posexplode(cells).as(Seq("_pos", "_c")))
-      .select(col("vid"), col("vec"), col("_c.cell_id").as("cell_id"),
+        posexplode(ColumnExpr.column(graft.plans.NearestCells(
+          ColumnExpr.expression(col("vec")), ids, cents, n, idType)))
+          .as(Seq("_pos", "cell_id")))
+      .select(col("vid"), col("vec"), col("cell_id"),
         (col("_pos") + 1).as("cell_rank"))
   }
 

@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -157,6 +157,89 @@ case class SqL2Distance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SqL2Distance =
     copy(left = newLeft, right = newRight)
+}
+
+/** Top-`n` nearest centroid cells for ONE vector as a single expression
+  * pass — the flat IVF/SemDeDup assignment WITHOUT the corpus×centroid
+  * explosion: the centroid matrix rides the expression as a task-binary
+  * reference (the [[BpeEncode]]-merge-table pattern; k·dim doubles —
+  * ~20 MB at 40k×64, the same order a broadcast join would ship), each
+  * row computes its k distances inside codegen and keeps the n best, so
+  * the plan has NO crossJoin, NO aggregation, and per-row O(n) state.
+  * The exploded alternative (crossJoin → per-vid top-n aggregate) is an
+  * O(n·k)-row stream whose complex-typed aggregate falls to sort-based
+  * execution — at a 10M-vector corpus with adaptive cell counts that
+  * sort spilled >50 GB and died.
+  *
+  * Numeric + ordering contract: identical to argmin over
+  * [[SqL2Distance]] — floats widen exactly to double, accumulation is
+  * index-order (x−y)² in double, candidates compared by (dist ASC,
+  * cell_id ASC): `cents`/`ids` are pre-sorted by cell id and selection
+  * keeps the earlier candidate on distance ties. Returns the cell ids
+  * in rank order (fewer than n when k < n). */
+case class NearestCells(child: Expression, ids: Array[Any],
+                        cents: Array[Array[Double]], n: Int,
+                        idType: DataType) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cells expects array<float>/array<double>, got " +
+        s"${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(idType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def compute(v: Any): ArrayData = {
+    val x = v.asInstanceOf[ArrayData]
+    val vf = isFloat
+    val k = cents.length
+    val take = math.min(n, k)
+    val bestD = Array.fill(take)(Double.PositiveInfinity)
+    val bestC = Array.fill(take)(-1)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val m = math.min(x.numElements(), cent.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val xv = if (vf) x.getFloat(i).toDouble else x.getDouble(i)
+        val d = xv - cent(i)
+        acc += d * d
+        i += 1
+      }
+      // strict < keeps the earlier (smaller-id) candidate on ties
+      var j = take - 1
+      if (acc < bestD(j)) {
+        while (j > 0 && acc < bestD(j - 1)) {
+          bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1
+        }
+        bestD(j) = acc; bestC(j) = c
+      }
+      c += 1
+    }
+    val out = bestC.takeWhile(_ >= 0).map(ids(_))
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this,
+      classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
 }
 
 /** Deployment-grade wiring: inject graft's native expressions into every
