@@ -120,19 +120,46 @@ private[plans] object RowLevelTranslate {
     })
   }
 
+  /** A bare column reference, possibly under the LOSSLESS widening cast
+    * the analyzer inserts to reconcile key types (`ON t.k = s.k` with a
+    * BIGINT target and an INT source arrives as `t.k = cast(s.k)`).
+    * Only `Cast.canUpCast` shapes unwrap — the engine-side key join
+    * re-derives the same widening, so equality semantics are identical;
+    * a LOSSY cast (string→int, double→long) is a genuinely different
+    * predicate and keeps the refusal. */
+  private def keyAttr(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      c.child match {
+        case a: AttributeReference
+            if org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(a.dataType, c.dataType) => Some(a)
+        case _ => None
+      }
+    case _ => None
+  }
+
   /** The ON condition as equality key pairs: a conjunction of
-    * `target.col = source.col` (either side order), refused otherwise. */
+    * `target.col = source.col` (either side order, modulo the
+    * analyzer's widening casts — [[keyAttr]]), refused otherwise. */
   private def keyPairs(cond: Expression, targetAttrs: AttributeSet,
                        sourceAttrs: AttributeSet)
       : Seq[(String, String)] = cond match {
     case And(l, r) =>
       keyPairs(l, targetAttrs, sourceAttrs) ++ keyPairs(r, targetAttrs, sourceAttrs)
-    case EqualTo(a: AttributeReference, b: AttributeReference)
-        if targetAttrs.contains(a) && sourceAttrs.contains(b) =>
-      Seq(a.name -> b.name)
-    case EqualTo(a: AttributeReference, b: AttributeReference)
-        if sourceAttrs.contains(a) && targetAttrs.contains(b) =>
-      Seq(b.name -> a.name)
+    case EqualTo(l, r) =>
+      (keyAttr(l), keyAttr(r)) match {
+        case (Some(a), Some(b))
+            if targetAttrs.contains(a) && sourceAttrs.contains(b) =>
+          Seq(a.name -> b.name)
+        case (Some(a), Some(b))
+            if sourceAttrs.contains(a) && targetAttrs.contains(b) =>
+          Seq(b.name -> a.name)
+        case _ => sys.error(
+          "graft catalog MERGE: ON must be a conjunction of target-column = " +
+            s"source-column equalities (the key-join merge shape), got: " +
+            s"${EqualTo(l, r)} — non-equi merge conditions are not supported")
+      }
     case other => sys.error(
       "graft catalog MERGE: ON must be a conjunction of target-column = " +
         s"source-column equalities (the key-join merge shape), got: $other — " +
@@ -328,6 +355,24 @@ final case class GraftSqlMergeCommand(root: String, source: LogicalPlan,
             s"named '$tName' — alias or drop it in the source query so " +
             "the key mapping is unambiguous")
         src = src.withColumnRenamed(sName, tName)
+      }
+    }
+    // SQL sources arrive with SQL-literal types (INT ids, DECIMAL
+    // prices); a V2 table write would get the analyzer's implicit
+    // store-assignment coercion, so this surface applies the same
+    // contract (Cast.canANSIStoreAssign — decimal→double yes,
+    // string→int no): a genuinely narrowing difference stays for the
+    // manifest merge's type check to refuse, exactly like a mistyped
+    // programmatic batch.
+    val tableTypes = ManifestTable.read(session, root).schema
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    src.schema.foreach { f =>
+      tableTypes.get(f.name.toLowerCase).foreach { tt =>
+        if (tt != f.dataType &&
+            org.apache.spark.sql.catalyst.expressions.Cast
+              .canANSIStoreAssign(f.dataType, tt))
+          src = src.withColumn(f.name,
+            org.apache.spark.sql.functions.col(f.name).cast(tt))
       }
     }
     ManifestTable.retryOnConflict()(

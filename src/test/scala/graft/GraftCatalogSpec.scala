@@ -223,9 +223,25 @@ class GraftCatalogSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq ==
       Seq((1L, -100.0), (3L, -30.0), (9L, 90.0)))
 
+    // an INT-typed source key widens under the analyzer's implicit cast
+    // (ON t.k = cast(s.k)) — the lossless up-cast shape must merge, not
+    // refuse as "non-equi"
+    spark.sql(
+      s"""MERGE INTO graft_lake.$n.t t
+         |USING (SELECT 3 AS k, 'w' AS s, 7.5 AS v) s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT v FROM graft_lake.$n.t WHERE k = 3")
+      .as[Double].head() == 7.5)
+
     // unsupported shapes refuse loudly instead of narrowing silently
     intercept[Exception] {
       spark.sql(s"MERGE INTO graft_lake.$n.t t USING dml_src2 s ON t.k > s.k " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    intercept[Exception] { // LOSSY key cast is a different predicate
+      spark.sql(s"MERGE INTO graft_lake.$n.t t " +
+        "USING (SELECT '3' AS k) s ON t.k = CAST(s.k AS DOUBLE) " +
         "WHEN MATCHED THEN DELETE")
     }
     intercept[Exception] {
