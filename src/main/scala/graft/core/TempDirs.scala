@@ -23,8 +23,12 @@ object TempDirs {
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread("graft-tempdir-cleanup") {
       override def run(): Unit = {
-        val it = registered.iterator()
-        while (it.hasNext) deleteTree(it.next())
+        // snapshot under the list's own lock: a still-running background
+        // thread registering a dir mid-iteration must not CME-abort the
+        // cleanup (synchronizedList requires user-side sync to iterate)
+        val snapshot = registered.synchronized(
+          registered.toArray(new Array[Path](0)))
+        snapshot.foreach(deleteTree)
       }
     })
   }
@@ -32,9 +36,12 @@ object TempDirs {
   private def deleteTree(p: Path): Unit =
     try {
       if (Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(p).iterator().asScala.toSeq.reverseIterator
-          .foreach(f => try Files.deleteIfExists(f) catch { case _: Throwable => () })
+        val walk = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverseIterator
+            .foreach(f => try Files.deleteIfExists(f) catch { case _: Throwable => () })
+        } finally walk.close()
       }
     } catch { case _: Throwable => () } // best-effort: exit must not fail
 

@@ -417,6 +417,7 @@ object Ann {
   def assignCellsTopN(corpus: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnExpr
+    require(n > 0, s"assignCellsTopN: probe count must be positive, got $n")
     val cf = centroidFrame(centroids).orderBy(col("cell_id"))
     val idType = cf.schema("cell_id").dataType
     val rows = cf.collect()
@@ -428,9 +429,15 @@ object Ann {
       case d: Double => d
       case x: Number => x.doubleValue()
     }.toArray)
+    // posexplode_OUTER: a NULL embedding yields a null-propagated cell
+    // array, and the row must SURVIVE with a null assignment ("one row
+    // per input row" contract — a dedup output that silently loses the
+    // null-embedding rows loses documents downstream). Duplicate ids
+    // pass through one-for-one (per input ROW), never merged: collapsing
+    // dirty duplicate ids under first(vec) would hide a data problem.
     corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .select(col("vid"), col("vec"),
-        posexplode(ColumnExpr.column(graft.plans.NearestCells(
+        posexplode_outer(ColumnExpr.column(graft.plans.NearestCells(
           ColumnExpr.expression(col("vec")), ids, cents, n, idType)))
           .as(Seq("_pos", "cell_id")))
       .select(col("vid"), col("vec"), col("cell_id"),

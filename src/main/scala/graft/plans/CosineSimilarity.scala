@@ -202,6 +202,7 @@ case class NearestCells(child: Expression, ids: Array[Any],
     val vf = isFloat
     val k = cents.length
     val take = math.min(n, k)
+    if (take <= 0) return new GenericArrayData(Array.empty[Any])
     val bestD = Array.fill(take)(Double.PositiveInfinity)
     val bestC = Array.fill(take)(-1)
     var c = 0

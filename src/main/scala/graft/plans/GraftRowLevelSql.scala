@@ -123,10 +123,7 @@ private[plans] object RowLevelTranslate {
   /** A bare column reference, possibly under the LOSSLESS widening cast
     * the analyzer inserts to reconcile key types (`ON t.k = s.k` with a
     * BIGINT target and an INT source arrives as `t.k = cast(s.k)`).
-    * Only `Cast.canUpCast` shapes unwrap — the engine-side key join
-    * re-derives the same widening, so equality semantics are identical;
-    * a LOSSY cast (string→int, double→long) is a genuinely different
-    * predicate and keeps the refusal. */
+    * Only `Cast.canUpCast` shapes unwrap. */
   private def keyAttr(e: Expression): Option[AttributeReference] = e match {
     case a: AttributeReference => Some(a)
     case c: org.apache.spark.sql.catalyst.expressions.Cast =>
@@ -140,25 +137,37 @@ private[plans] object RowLevelTranslate {
   }
 
   /** The ON condition as equality key pairs: a conjunction of
-    * `target.col = source.col` (either side order, modulo the
-    * analyzer's widening casts — [[keyAttr]]), refused otherwise. */
+    * `target.col = source.col` (either side order), refused otherwise.
+    * The analyzer's widening cast is accepted ONLY around the SOURCE
+    * attribute ([[keyAttr]]): the engine joins in the TARGET column's
+    * type, so `cast(s.k) = t.k` with an INT source is the same join
+    * after the source batch widens — but a cast around the TARGET
+    * (`cast(t.k AS DOUBLE) = s.k`, a DOUBLE source against a BIGINT
+    * key) means SQL compares in the WIDE domain while the engine would
+    * compare narrowed — 1.5 must match nothing, not row 1 — so that
+    * shape keeps the refusal. */
   private def keyPairs(cond: Expression, targetAttrs: AttributeSet,
                        sourceAttrs: AttributeSet)
       : Seq[(String, String)] = cond match {
     case And(l, r) =>
       keyPairs(l, targetAttrs, sourceAttrs) ++ keyPairs(r, targetAttrs, sourceAttrs)
     case EqualTo(l, r) =>
-      (keyAttr(l), keyAttr(r)) match {
-        case (Some(a), Some(b))
-            if targetAttrs.contains(a) && sourceAttrs.contains(b) =>
-          Seq(a.name -> b.name)
-        case (Some(a), Some(b))
-            if sourceAttrs.contains(a) && targetAttrs.contains(b) =>
-          Seq(b.name -> a.name)
-        case _ => sys.error(
-          "graft catalog MERGE: ON must be a conjunction of target-column = " +
-            s"source-column equalities (the key-join merge shape), got: " +
-            s"${EqualTo(l, r)} — non-equi merge conditions are not supported")
+      def bareTarget(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference if targetAttrs.contains(a) => Some(a)
+        case _ => None
+      }
+      def srcSide(e: Expression): Option[AttributeReference] =
+        keyAttr(e).filter(sourceAttrs.contains)
+      (bareTarget(l), srcSide(r)) match {
+        case (Some(t), Some(s)) => Seq(t.name -> s.name)
+        case _ => (bareTarget(r), srcSide(l)) match {
+          case (Some(t), Some(s)) => Seq(t.name -> s.name)
+          case _ => sys.error(
+            "graft catalog MERGE: ON must be a conjunction of target-column = " +
+              s"source-column equalities (the key-join merge shape), got: " +
+              s"${EqualTo(l, r)} — non-equi merge conditions (including keys " +
+              "the analyzer must WIDEN the target to compare) are not supported")
+        }
       }
     case other => sys.error(
       "graft catalog MERGE: ON must be a conjunction of target-column = " +
@@ -361,10 +370,11 @@ final case class GraftSqlMergeCommand(root: String, source: LogicalPlan,
     // prices); a V2 table write would get the analyzer's implicit
     // store-assignment coercion, so this surface applies the same
     // contract (Cast.canANSIStoreAssign — decimal→double yes,
-    // string→int no): a genuinely narrowing difference stays for the
-    // manifest merge's type check to refuse, exactly like a mistyped
-    // programmatic batch.
-    val tableTypes = ManifestTable.read(session, root).schema
+    // string→int no). KEY columns can never narrow here: keyPairs
+    // only accepted casts AROUND THE SOURCE, so their source type
+    // up-casts losslessly to the table's by construction. Remaining
+    // differences stay for the manifest merge's type check to refuse.
+    val tableTypes = ManifestTable.logicalSchema(session, root, None)
       .map(f => f.name.toLowerCase -> f.dataType).toMap
     src.schema.foreach { f =>
       tableTypes.get(f.name.toLowerCase).foreach { tt =>

@@ -142,9 +142,9 @@ object GraftBatchScan {
         .flatMap(f => GraftAggScan.expectedKind(f.dataType))
         .filterNot(_ => partSet(c)) // layout cols have no footer stats
     }
-    Some(new GraftBatchScan(root, version, bucketCol, kept.toIndexedSeq,
+    Some(new GraftBatchScan(root, version, st, bucketCol, kept.toIndexedSeq,
       dataSchema, requiredData, requiredPart, dataFilters.toIndexedSeq,
-      pushed.toIndexedSeq, st.tags, limit,
+      pushed.toIndexedSeq, limit,
       topN.zip(topNKind).map { case ((c, asc, n), k) => (c, asc, n, k) }))
   }
 
@@ -198,6 +198,7 @@ object GraftBatchScan {
 }
 
 final class GraftBatchScan(root: String, version: Option[Long],
+                           buildState: ManifestTable.State,
                            bucketCol: Option[String],
                            initialFiles: IndexedSeq[ManifestTable.FileEntry],
                            dataSchema: StructType,
@@ -205,7 +206,6 @@ final class GraftBatchScan(root: String, version: Option[Long],
                            requiredPart: StructType,
                            dataFilters: IndexedSeq[Filter],
                            pushed: IndexedSeq[Filter],
-                           tags: Map[String, String],
                            limit: Option[Int] = None,
                            topN: Option[(String, Boolean, Int, Char)] = None)
     extends Scan with Batch
@@ -233,12 +233,13 @@ final class GraftBatchScan(root: String, version: Option[Long],
     val cond = filters.toSeq.flatMap(ManifestRelationFilters.toColumn(_))
       .reduceOption(_ && _)
     cond.foreach { c =>
-      val st = (version match {
-        case Some(v) => ManifestTable.stateAt(spark, root, v)
-        case None    => ManifestTable.current(spark, root)
-      }).getOrElse(return)
+      // prune under the BUILD-time state's tags, never a re-read: a
+      // concurrent commit could land a rename/layout era between
+      // planning and the runtime filter, and interpreting this scan's
+      // pinned files under the NEWER mappings could wrongly drop a file
+      // whose rows Spark's re-filter can never resurrect
       val kept = ManifestTable.pruneLiveFiles(spark, root,
-        st.copy(files = files), c)
+        buildState.copy(files = files), c)
       files = kept.toIndexedSeq
     }
   }
@@ -278,7 +279,7 @@ final class GraftBatchScan(root: String, version: Option[Long],
     * total cardinality, so this is metadata-class I/O. Each input
     * partition ships only ITS OWN files' positions. */
   private lazy val dvPos: Map[String, Array[Long]] =
-    ManifestTable.dvPositionsByFile(spark, root, files, tags)
+    ManifestTable.dvPositionsByFile(spark, root, files, buildState.tags)
 
   private def dvOf(f: ManifestTable.FileEntry): Array[Long] =
     if (f.dv.isEmpty) Array.emptyLongArray
