@@ -114,9 +114,10 @@ object TrainingDataQueries extends QueryPack {
     "d_semantic" -> ((s, d) => {
       // SemDeDup: within-centroid-cell cosine near-dup removal with
       // 2-cell multi-probe (closes cell-boundary misses). The cell count
-      // is ADAPTIVE — k ∝ n/targetCellSize, re-derived per run — so the
-      // within-cell pair stage stays linear as the corpus grows (a fixed
-      // k measured 9.0× at a 10× step, SCALE_SMOKE r12). Seed centroids
+      // is ADAPTIVE at the Θ(n^1.5) optimum — cellSize ≈ √n, so k ≈ √n
+      // too and BOTH stages (n·k assignment, n·cellSize pair scan) grow
+      // as n^1.5; a fixed cellSize measured 43.4× at a 10× step
+      // (SCALE_SMOKE r15), a fixed k 9.0× (r12). Seed centroids
       // (vec_id < k, deterministic) keep the oracle replicable — the
       // oracle computes the same k from its own COUNT(*); production
       // uses Ann.trainCentroids k-means output.
@@ -355,7 +356,8 @@ object TrainingDataQueries extends QueryPack {
     "d_semantic" ->
       s"""WITH v AS ($vSql),
          |cent AS (SELECT vec_id AS cell_id, e FROM v
-         |         WHERE vec_id < (SELECT GREATEST(8, CEIL(COUNT(*) / 128.0)) FROM v)),
+         |         WHERE vec_id < (SELECT GREATEST(8,
+         |           CEIL(COUNT(*) / CEIL(SQRT(COUNT(*))))) FROM v)),
          |asg AS (
          |  SELECT vec_id, e, cell_id, rn FROM (
          |    SELECT v.vec_id, v.e, cent.cell_id,

@@ -461,21 +461,32 @@ object Ann {
     * planted pairs at 256 random cells, SCALE_SMOKE.md); `probeCells = 2`
     * closes most boundary misses for ~2x pair-stage cost. Precision is
     * exact at any setting. */
-  /** Cell count for a corpus of `n` vectors at `targetCellSize` expected
-    * occupancy — THE semantic-dedup scale knob. A FIXED k is the classic
-    * SemDeDup scale bug: cell density grows linearly with the corpus, so
-    * the within-cell pair stage grows quadratically (measured 9.0× at a
-    * 10× step with k frozen, SCALE_SMOKE r12). With k ∝ n/targetCellSize
-    * the pair stage is ~n·targetCellSize — linear; re-derive k per run
-    * from the live count. The assignment stage is n·k distance ops
-    * (= n²/targetCellSize): fine into the tens of millions of vectors on
-    * a cluster; beyond that, assign through a coarse-quantized two-level
-    * probe ([[ivfProbeIndex]]'s cell-partitioned layout) instead of one
-    * flat crossJoin. */
-  def adaptiveCellCount(n: Long, targetCellSize: Int = 128, floor: Int = 8): Int = {
-    require(targetCellSize > 0 && floor > 0,
-      s"adaptiveCellCount: targetCellSize/floor must be > 0, got $targetCellSize/$floor")
-    math.max(floor.toLong, (n + targetCellSize - 1) / targetCellSize)
+  /** Cell count for a corpus of `n` vectors — THE semantic-dedup scale
+    * knob. A FIXED k is the classic SemDeDup scale bug: cell density
+    * grows linearly with the corpus, so the within-cell pair stage grows
+    * quadratically (measured 9.0× at a 10× step with k frozen,
+    * SCALE_SMOKE r12). With k ∝ n/cellSize the pair stage is ~n·cellSize
+    * and the flat assignment stage is n·k = n²/cellSize — the two trade
+    * off, and their optimum is cellSize ≈ √n, which makes exact SemDeDup
+    * Θ(n^1.5) END TO END. That is the DEFAULT (`targetCellSize = 0` =
+    * auto ⌈√n⌉): a FIXED default cell size was itself a scale bug —
+    * assignment at cellSize=128 measured 43.4× at a 10× step
+    * (SCALE_SMOKE r15) because k ∝ n/128 keeps n·k quadratic. Pass an
+    * explicit `targetCellSize` only to bias one stage deliberately
+    * (e.g. a persisted cell layout reused across runs); the LINEAR
+    * corpus-scale route remains [[lshNearDupPairs]] — exact all-pairs
+    * below Θ(n^1.5) does not exist. Re-derive k per run from the live
+    * count; beyond tens of millions of vectors, assign through a
+    * coarse-quantized two-level probe ([[ivfProbeIndex]]'s
+    * cell-partitioned layout) instead of one flat pass. */
+  def adaptiveCellCount(n: Long, targetCellSize: Int = 0, floor: Int = 8): Int = {
+    require(targetCellSize >= 0 && floor > 0,
+      s"adaptiveCellCount: targetCellSize must be >= 0 (0 = auto ceil(sqrt(n))) " +
+        s"and floor > 0, got $targetCellSize/$floor")
+    val cell: Long =
+      if (targetCellSize > 0) targetCellSize.toLong
+      else math.max(1L, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong)
+    math.max(floor.toLong, (n + cell - 1) / cell)
       .min(Int.MaxValue).toInt
   }
 

@@ -719,27 +719,35 @@ class OperatorsSpec extends SparkSpec {
     assert(probed == Seq((1L, 0L, 1), (2L, 1L, 0))) // boundary dup caught
   }
 
-  test("adaptiveCellCount scales k with the corpus; small corpora keep the classic config") {
-    // floor of 8 preserves the proven small-n behavior exactly …
-    assert(Ann.adaptiveCellCount(500) == 8)
-    assert(Ann.adaptiveCellCount(0) == 8)
-    // … and k ∝ n/targetCellSize beyond it (the SemDeDup scale fix:
-    // fixed k makes the within-cell pair stage quadratic in the corpus)
-    assert(Ann.adaptiveCellCount(2000) == 16)
-    assert(Ann.adaptiveCellCount(20000) == 157)
+  test("adaptiveCellCount defaults to the Θ(n^1.5) optimum (cellSize ≈ √n)") {
+    // auto mode: cellSize = ⌈√n⌉, k = ⌈n/cellSize⌉ ≈ √n — BOTH stages
+    // (n·k assignment, n·cellSize pair scan) grow as n^1.5. A fixed
+    // default cell size was itself a scale bug: k ∝ n/128 keeps n·k
+    // quadratic (measured 43.4× at a 10× step, SCALE_SMOKE r15).
+    assert(Ann.adaptiveCellCount(500) == 22)   // cell = ⌈√500⌉ = 23
+    assert(Ann.adaptiveCellCount(0) == 8)      // floor
+    assert(Ann.adaptiveCellCount(64) == 8)     // cell = 8, k = 8
+    assert(Ann.adaptiveCellCount(2000) == 45)  // cell = 45
+    assert(Ann.adaptiveCellCount(20000) == 141)
+    // √ law: a 100× corpus gets ~10× the cells (and ~10× the cell size)
+    assert(Ann.adaptiveCellCount(1000000L) == 1000)
+    assert(Ann.adaptiveCellCount(100000000L) == 10000)
+    // the explicit fixed-cell knob survives for deliberate bias (e.g. a
+    // persisted cell layout reused across runs)
     assert(Ann.adaptiveCellCount(20000, targetCellSize = 256) == 79)
-    // parity: at small n the adaptive config IS the old fixed-8 config
+    // parity: auto k equals the same k passed as an explicit fixed cell
     val e = graft.core.Tables.embeddings(spark, sf("sf0.001"))
       .select($"vec_id", $"embedding")
     val k = Ann.adaptiveCellCount(e.count())
-    assert(k == 8)
+    assert(k == 22)
     val adaptive = Ann.semanticDedup(e, "vec_id", "embedding",
       e.filter($"vec_id" < k), threshold = 0.43, probeCells = 2)
       .orderBy("vec_id").collect().toSeq
-    val classic = Ann.semanticDedup(e, "vec_id", "embedding",
-      e.filter($"vec_id" < 8), threshold = 0.43, probeCells = 2)
+    val explicit = Ann.semanticDedup(e, "vec_id", "embedding",
+      e.filter($"vec_id" < Ann.adaptiveCellCount(e.count(), targetCellSize = 23)),
+      threshold = 0.43, probeCells = 2)
       .orderBy("vec_id").collect().toSeq
-    assert(adaptive == classic)
+    assert(adaptive == explicit)
   }
 
   test("cosineNearDupPairs refuses a universe beyond maxDocs, pointing at the scale paths") {
