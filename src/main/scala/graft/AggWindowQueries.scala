@@ -883,32 +883,36 @@ object AggWindowQueries extends QueryPack {
       // Spark itself (SupportsPushDownAggregates). Phase 1: grouped
       // MIN/MAX/COUNT over the hive-partitioned table answer COMPLETE
       // from the manifest's per-file footer stats + directory values
-      // (zero data files read — AggPushdownSpec pins the plan).
-      // Phase 2: a MoR delete plants deletion vectors on ONE
-      // partition's files, and the global aggregate degrades to
-      // PARTIAL pushdown — only the DV'd files are re-read and folded,
-      // every clean file stays metadata. The oracle recomputes both
-      // phases relationally.
+      // (zero data files read — AggPushdownSpec pins the plan). String
+      // MIN/MAX (o_orderstatus) rides the commit-time exactness marker:
+      // engine-written footers record untruncated bounds, so the bound
+      // IS the value. Phase 2: a MoR delete plants deletion vectors on
+      // ONE partition's files, and the global aggregate degrades to
+      // PARTIAL pushdown — only the DV'd files are re-read and folded
+      // (including the string extremes), every clean file stays
+      // metadata. The oracle recomputes both phases relationally.
       val ns = "k38_" + java.util.UUID.randomUUID().toString.take(8)
       val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
       s.sql(s"CREATE NAMESPACE graft_lake.$ns")
       s.sql(s"CREATE TABLE graft_lake.$ns.o (o_orderkey BIGINT, " +
-        "o_custkey BIGINT, o_orderdate TIMESTAMP, o_orderpriority STRING) " +
-        "PARTITIONED BY (o_orderpriority)")
+        "o_custkey BIGINT, o_orderdate TIMESTAMP, o_orderstatus STRING, " +
+        "o_orderpriority STRING) PARTITIONED BY (o_orderpriority)")
       t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
-        col("o_orderdate"), col("o_orderpriority"))
+        col("o_orderdate"), col("o_orderstatus"), col("o_orderpriority"))
         .createOrReplaceTempView("k38_src")
       s.sql(s"INSERT INTO graft_lake.$ns.o SELECT * FROM k38_src")
       val grouped = s.sql(
         s"""SELECT o_orderpriority, COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
            |  MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
-           |  MAX(o_orderdate) AS mx_date
+           |  MAX(o_orderdate) AS mx_date,
+           |  MIN(o_orderstatus) AS mn_status, MAX(o_orderstatus) AS mx_status
            |FROM graft_lake.$ns.o GROUP BY o_orderpriority""".stripMargin)
       val groupedRows = grouped.collect()
       graft.sources.ManifestTable.deleteMoR(s, s"$wh/$ns/o",
         col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 13 === 5)
       val after = s.sql(
-        s"""SELECT MAX(o_orderkey) AS mx_after, COUNT(*) AS n_after
+        s"""SELECT MAX(o_orderkey) AS mx_after, COUNT(*) AS n_after,
+           |  MAX(o_orderstatus) AS mx_status_after
            |FROM graft_lake.$ns.o""".stripMargin)
       val out = s.createDataFrame(java.util.Arrays.asList(groupedRows: _*),
         grouped.schema).crossJoin(after)
@@ -1387,10 +1391,12 @@ object AggWindowQueries extends QueryPack {
       """WITH g AS (
         |  SELECT o_orderpriority, COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
         |         MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
-        |         MAX(o_orderdate) AS mx_date
+        |         MAX(o_orderdate) AS mx_date,
+        |         MIN(o_orderstatus) AS mn_status, MAX(o_orderstatus) AS mx_status
         |  FROM orders GROUP BY 1),
         |a AS (
-        |  SELECT MAX(o_orderkey) AS mx_after, COUNT(*) AS n_after
+        |  SELECT MAX(o_orderkey) AS mx_after, COUNT(*) AS n_after,
+        |         MAX(o_orderstatus) AS mx_status_after
         |  FROM orders
         |  WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 5))
         |SELECT g.*, a.* FROM g CROSS JOIN a""".stripMargin,

@@ -96,7 +96,17 @@ object DataSkipping {
       }
       acc.collect {
         case (c, Some(a)) if a.kind != '\u0000' && a.kind != '_' =>
-          c -> ColStats(a.kind, canonString(a.mn), canonString(a.mx), a.nulls, a.count)
+          // exact = true: this footer belongs to a file the ENGINE's own
+          // writer produced (stats are collected at commit time from the
+          // just-written generation), and Spark's parquet writer records
+          // untruncated chunk-statistics bounds — over-long binary
+          // bounds are OMITTED whole (isEmpty above), never shortened.
+          // The marker is what lets MIN/MAX be served as a VALUE from
+          // metadata (strings especially — a foreign writer may
+          // truncate, which keeps bounds valid for pruning but wrong as
+          // answers); legacy 6-part manifest specs decode exact = false.
+          c -> ColStats(a.kind, canonString(a.mn), canonString(a.mx), a.nulls,
+            a.count, exact = true)
         case (c, Some(a)) =>
           // no usable bounds (all-null column, unsupported type, NaN) —
           // counts alone still answer IS NULL / IS NOT NULL and let

@@ -90,7 +90,8 @@ object ManifestTable {
     * (legacy manifests). A column absent from a file's stats map means
     * "unknown" — data skipping must keep the file. */
   final case class ColStats(kind: Char, min: String, max: String,
-                            nulls: Long = -1L, count: Long = -1L) {
+                            nulls: Long = -1L, count: Long = -1L,
+                            exact: Boolean = false) {
     /** Provably zero non-null values: no comparison predicate can match. */
     def allNull: Boolean = count >= 0 && nulls == count
   }
@@ -164,13 +165,23 @@ object ManifestTable {
     java.net.URLDecoder.decode(s, "UTF-8")
 
   /** Stats wire format (3rd tab field of a `file=` line, and the `stats`
-    * sidecar column): comma-joined `col:kind:min:max:nulls:count` specs
-    * with every component URL-encoded, so column names and values may
-    * contain any character. 4-part specs (pre-null-count manifests)
-    * decode with unknown counts. Empty string = no stats. */
+    * sidecar column): comma-joined `col:kind:min:max:nulls:count[:flags]`
+    * specs with every component URL-encoded, so column names and values
+    * may contain any character. The optional 7th field carries flag
+    * letters — today only `e` = "bounds are EXACT values of rows in the
+    * file", recorded at commit time because the engine read the footer
+    * of a file its own writer produced (Spark's parquet writer does not
+    * truncate chunk-statistics bounds; over-long bounds are dropped
+    * whole, never shortened) — what lets MIN/MAX(string) be answered
+    * from metadata ([[graft.sources.v2.GraftAggScan]]): a truncated max
+    * would still be a valid PRUNING bound but a wrong ANSWER. 4-part
+    * specs (pre-null-count manifests) decode with unknown counts;
+    * 6-part (pre-flag) decode as inexact — legacy files keep the
+    * conservative decline. Empty string = no stats. */
   private[graft] def encodeStats(stats: Map[String, ColStats]): String =
     stats.toSeq.sortBy(_._1).map { case (c, s) =>
-      s"${enc(c)}:${s.kind}:${enc(s.min)}:${enc(s.max)}:${s.nulls}:${s.count}"
+      s"${enc(c)}:${s.kind}:${enc(s.min)}:${enc(s.max)}:${s.nulls}:${s.count}" +
+        (if (s.exact) ":e" else "")
     }.mkString(",")
 
   /** A file entry's full stats field: the per-column specs plus, when
@@ -223,6 +234,10 @@ object ManifestTable {
           Some(dec(c) -> ColStats(k.charAt(0), dec(mn), dec(mx)))
         case Array(c, k, mn, mx, nl, ct) if k.length == 1 =>
           scala.util.Try(ColStats(k.charAt(0), dec(mn), dec(mx), nl.toLong, ct.toLong))
+            .toOption.map(dec(c) -> _)
+        case Array(c, k, mn, mx, nl, ct, flags) if k.length == 1 =>
+          scala.util.Try(ColStats(k.charAt(0), dec(mn), dec(mx), nl.toLong,
+              ct.toLong, exact = flags.contains('e')))
             .toOption.map(dec(c) -> _)
         case _ => None // unknown spec shape: ignore (stats are advisory)
       }

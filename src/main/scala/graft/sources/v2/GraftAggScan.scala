@@ -38,11 +38,16 @@ import graft.sources.ManifestTable
   *    metadata).
   *  - '''MIN/MAX(col)''' needs same-kind bounds on every contributing
   *    file and NO deletion vector (the extreme row may be deleted).
-  *    Only the integral-representation kinds are served — ints, dates,
-  *    timestamps — where parquet chunk stats are exact values. Float and
-  *    double are declined (NaN ordering makes writer stats untrustworthy
-  *    as answers), and so are strings (writers may truncate binary
-  *    bounds, which keeps them valid for PRUNING but not as VALUES).
+  *    The integral-representation kinds are served — ints, dates,
+  *    timestamps — where parquet chunk stats are exact values. STRING
+  *    MIN/MAX is served from files carrying the commit-time exactness
+  *    marker ([[graft.sources.ManifestTable.ColStats.exact]], recorded
+  *    because the engine reads footers of files its own writer produced
+  *    and Spark's parquet writer never truncates chunk bounds — a
+  *    foreign writer may, which keeps bounds valid for PRUNING but not
+  *    as VALUES; unmarked legacy files fall to the scanned remainder).
+  *    Float and double are declined (NaN ordering makes writer stats
+  *    untrustworthy as answers).
   *
   * A file that cannot answer some aggregate doesn't sink the query: the
   * ungrouped shape degrades to Spark's PARTIAL aggregate pushdown — the
@@ -75,12 +80,13 @@ object GraftAggScan {
 
   /** One file's metadata answer for every shape: counts (None =
     * unanswerable) and optional extremes (None = unanswerable,
-    * Some(None) = provably no non-null values). All served kinds fold
-    * in Long — ints as themselves, dates epoch days, timestamps epoch
-    * micros. */
+    * Some(None) = provably no non-null values). Integral kinds fold in
+    * Long — ints as themselves, dates epoch days, timestamps epoch
+    * micros; string columns fold as the recorded ASCII bound String
+    * (exactness-marked files only — see [[plan]]). */
   private final case class FileFold(counts: Array[Option[Long]],
-                                    mins: Array[Option[Option[Long]]],
-                                    maxs: Array[Option[Option[Long]]]) {
+                                    mins: Array[Option[Option[Any]]],
+                                    maxs: Array[Option[Option[Any]]]) {
     def answerable: Boolean =
       counts.forall(_.isDefined) && mins.forall(_.isDefined) &&
         maxs.forall(_.isDefined)
@@ -103,6 +109,20 @@ object GraftAggScan {
     case DateType                                      => Some('d')
     case TimestampType | TimestampNTZType              => Some('t')
     case _                                             => None
+  }
+
+  /** Types whose MIN/MAX the AGGREGATE fold can serve: the integral
+    * kinds (chunk stats are exact values) plus STRING — but a string
+    * bound answers only from files carrying the commit-time exactness
+    * marker ([[graft.sources.ManifestTable.ColStats.exact]]): a foreign
+    * writer may truncate binary bounds, which keeps them valid for
+    * PRUNING but wrong as VALUES; unmarked files fall to the scanned
+    * remainder (partial pushdown handles the mix). Distinct from
+    * [[expectedKind]] on purpose — the TopN cutoff proof compares in
+    * BigDecimal and stays integral-only. */
+  private[v2] def aggBoundKind(dt: DataType): Option[Char] = dt match {
+    case StringType => Some('s')
+    case other      => expectedKind(other)
   }
 
   /** A folded Long back in the column type's internal (boxed) value. */
@@ -166,15 +186,15 @@ object GraftAggScan {
           else return None
         case m: Min =>
           val col = singleName(m.column).getOrElse(return None)
-          if (layoutSet.contains(col)) return None // layout cols are strings
+          if (layoutSet.contains(col)) return None // dir values: not data bounds
           val field = schema.fields.find(_.name == col).getOrElse(return None)
-          if (expectedKind(field.dataType).isEmpty) return None
+          if (aggBoundKind(field.dataType).isEmpty) return None
           MinShape(col, field.dataType)
         case m: Max =>
           val col = singleName(m.column).getOrElse(return None)
           if (layoutSet.contains(col)) return None
           val field = schema.fields.find(_.name == col).getOrElse(return None)
-          if (expectedKind(field.dataType).isEmpty) return None
+          if (aggBoundKind(field.dataType).isEmpty) return None
           MaxShape(col, field.dataType)
         case _ => return None
       }
@@ -196,13 +216,21 @@ object GraftAggScan {
     def foldFile(f: ManifestTable.FileEntry): FileFold = {
       val dvCount = f.dv.map(_.count).getOrElse(0L)
       val counts = Array.newBuilder[Option[Long]]
-      val mins = Array.newBuilder[Option[Option[Long]]]
-      val maxs = Array.newBuilder[Option[Option[Long]]]
+      val mins = Array.newBuilder[Option[Option[Any]]]
+      val maxs = Array.newBuilder[Option[Option[Any]]]
       counts.sizeHint(nCount); mins.sizeHint(nMin); maxs.sizeHint(nMax)
-      def bound(col: String, dt: DataType, useMin: Boolean): Option[Option[Long]] =
+      def bound(col: String, dt: DataType, useMin: Boolean): Option[Option[Any]] =
         if (f.dv.nonEmpty) None // the extreme row may be deleted
         else f.stats.get(col) match {
           case Some(cs) if cs.allNull => Some(None)
+          // string bounds answer as VALUES only off exactness-marked
+          // files (engine-written footers); the 's' bounds are
+          // ASCII-only by collection, where Java String order and
+          // Spark's UTF8_BINARY order agree
+          case Some(cs) if dt == StringType =>
+            if (cs.kind == 's' && cs.exact)
+              Some(Some(if (useMin) cs.min else cs.max))
+            else None
           case Some(cs) if expectedKind(dt).contains(cs.kind) =>
             parseBound(if (useMin) cs.min else cs.max).map(Some(_))
           case _ => None // absent, kind '_', or kind mismatch
@@ -248,15 +276,24 @@ object GraftAggScan {
     /** Fold one group of answerable files into an output row suffix. */
     def foldRows(folds: Seq[FileFold]): Array[Any] = {
       var ci = 0; var mi = 0; var xi = 0
+      def extreme(dt: DataType, vs: Seq[Any], min: Boolean): Any =
+        if (vs.isEmpty) null
+        else if (dt == StringType) {
+          val ss = vs.map(_.asInstanceOf[String])
+          UTF8String.fromString(if (min) ss.min else ss.max)
+        } else {
+          val ls = vs.map(_.asInstanceOf[Long])
+          boxFold(dt, if (min) ls.min else ls.max)
+        }
       shapes.map {
         case CountStarShape | _: CountPartShape | _: CountDataShape =>
           val v = Long.box(folds.map(_.counts(ci).get).sum); ci += 1; v
         case MinShape(_, dt) =>
           val vs = folds.flatMap(_.mins(mi).get); mi += 1
-          if (vs.isEmpty) null else boxFold(dt, vs.min)
+          extreme(dt, vs, min = true)
         case MaxShape(_, dt) =>
           val vs = folds.flatMap(_.maxs(xi).get); xi += 1
-          if (vs.isEmpty) null else boxFold(dt, vs.max)
+          extreme(dt, vs, min = false)
       }.toArray
     }
 
@@ -402,6 +439,12 @@ final class GraftAggReaderFactory(
         val n = colTypes.length
         val mins = Array.fill[Long](n)(Long.MaxValue)
         val maxs = Array.fill[Long](n)(Long.MinValue)
+        // string extremes tracked apart (UTF8String binary order = Spark
+        // MIN/MAX under the default collation); row.getUTF8String may
+        // view reused batch memory, so a RETAINED candidate is cloned —
+        // the clone happens only on a new extreme, not per row
+        val sMins = Array.fill[UTF8String](n)(null)
+        val sMaxs = Array.fill[UTF8String](n)(null)
         val nonNull = Array.fill[Long](n)(0L)
         val seen = Array.fill[Boolean](n)(false)
         var rows = 0L
@@ -413,14 +456,23 @@ final class GraftAggReaderFactory(
               if (!row.isNullAt(c)) {
                 nonNull(c) += 1L
                 if (valueCols(c)) {
-                  val v = colTypes(c) match {
-                    case ByteType               => row.getByte(c).toLong
-                    case ShortType              => row.getShort(c).toLong
-                    case IntegerType | DateType => row.getInt(c).toLong
-                    case _                      => row.getLong(c)
+                  colTypes(c) match {
+                    case StringType =>
+                      val v = row.getUTF8String(c)
+                      if (sMins(c) == null || v.compareTo(sMins(c)) < 0)
+                        sMins(c) = v.clone()
+                      if (sMaxs(c) == null || v.compareTo(sMaxs(c)) > 0)
+                        sMaxs(c) = v.clone()
+                    case t =>
+                      val v = t match {
+                        case ByteType               => row.getByte(c).toLong
+                        case ShortType              => row.getShort(c).toLong
+                        case IntegerType | DateType => row.getInt(c).toLong
+                        case _                      => row.getLong(c)
+                      }
+                      if (v < mins(c)) mins(c) = v
+                      if (v > maxs(c)) maxs(c) = v
                   }
-                  if (v < mins(c)) mins(c) = v
-                  if (v > maxs(c)) maxs(c) = v
                   seen(c) = true
                 }
               }
@@ -434,6 +486,8 @@ final class GraftAggReaderFactory(
           case ('p', _, _) =>
             val v = Long.box(if (partNonNull(pi)) rows else 0L); pi += 1; v
           case ('c', ord, _) => Long.box(nonNull(ord))
+          case ('m', ord, StringType) => if (seen(ord)) sMins(ord) else null
+          case ('M', ord, StringType) => if (seen(ord)) sMaxs(ord) else null
           case ('m', ord, dt) =>
             if (seen(ord)) GraftAggScan.boxFold(dt, mins(ord)) else null
           case ('M', ord, dt) =>

@@ -47,12 +47,17 @@ class AggPushdownSpec extends SparkSpec {
         col("s"), col("x"))
       .repartition(4).createOrReplaceTempView("agg_src")
     spark.sql(s"CREATE TABLE graft_lake.$n.t2 AS SELECT * FROM agg_src")
+    // min(s)/max(s): STRING extremes answer from metadata too — the
+    // commit-time exactness marker proves the recorded bounds are the
+    // exact values (engine-written footers, untruncated)
     val q = s"SELECT max(ts) AS mx_ts, min(ts) AS mn_ts, min(k) AS mn_k, " +
-      s"max(d) AS mx_d, count(s) AS n_s, count(*) AS n FROM graft_lake.$n.t2"
+      s"max(d) AS mx_d, count(s) AS n_s, count(*) AS n, " +
+      s"min(s) AS mn_s, max(s) AS mx_s FROM graft_lake.$n.t2"
     val (rows, leaf) = run(q)
     assert(leaf.contains("agg-pushdown") && leaf.contains("complete"),
       s"expected complete metadata aggregate, got:\n$leaf")
     assert(rows == oracle(q))
+    assert(rows.head.getString(6) == "s1" && rows.head.getString(7) == "s99")
     // a WHERE clause disables pushdown (filters must see rows)
     val (rowsW, leafW) = run(
       s"SELECT max(k) AS mx FROM graft_lake.$n.t2 WHERE k < 100")
@@ -110,7 +115,7 @@ class AggPushdownSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
 
-  test("unservable shapes decline: float/double and string MIN/MAX, renamed tables") {
+  test("unservable shapes decline: float/double MIN/MAX, unmarked string bounds, renamed tables") {
     val n = ns()
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")
     Seq.tabulate(50)(i => (i.toLong, i * 1.5, s"s$i")).toDF("k", "x", "s")
@@ -120,10 +125,36 @@ class AggPushdownSpec extends SparkSpec {
     val (rx, lx) = run(s"SELECT max(x) AS mx FROM graft_lake.$n.u")
     assert(!lx.contains("agg-pushdown"), s"double max must not push:\n$lx")
     assert(rx.head.getDouble(0) == 49 * 1.5)
-    // string MIN/MAX: binary bounds may be writer-truncated
+    // string MIN/MAX pushes on engine-written files (exactness marker);
+    // a LEGACY file whose stats lack the marker (pre-flag 6-part spec —
+    // simulated by stripping `exact` off the builder-resolved state)
+    // falls to the scanned remainder: the fold goes PARTIAL, never a
+    // stats-as-answer guess. Non-string aggregates are unaffected — the
+    // integral kinds never needed the marker.
     val (rs, ls) = run(s"SELECT min(s) AS mn FROM graft_lake.$n.u")
-    assert(!ls.contains("agg-pushdown"), s"string min must not push:\n$ls")
+    assert(ls.contains("agg-pushdown") && ls.contains("complete"),
+      s"marked string min should answer from metadata:\n$ls")
     assert(rs.head.getString(0) == "s0")
+    val root = spark.sessionState.catalogManager.catalog("graft_lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(n), "u"))
+      .properties().get("location")
+    val st = ManifestTable.current(spark, root).get
+    val legacy = st.copy(files = st.files.map(f =>
+      f.copy(stats = f.stats.view.mapValues(_.copy(exact = false)).toMap)))
+    val schema = spark.table(s"graft_lake.$n.u").schema
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Min, Max}
+    val strAgg = new Aggregation(
+      Array(new Min(E.column("s")), new Max(E.column("s"))), Array.empty)
+    val planned = graft.sources.v2.GraftAggScan.plan(
+      root, legacy, schema, Array.empty, strAgg)
+    assert(planned.exists(p => !p.complete && p.scanFiles.nonEmpty),
+      s"unmarked string bounds must fold by scanning, got $planned")
+    val intAgg = new Aggregation(
+      Array(new Min(E.column("k")), new Max(E.column("k"))), Array.empty)
+    assert(graft.sources.v2.GraftAggScan.plan(
+      root, legacy, schema, Array.empty, intAgg).exists(_.complete))
     // COUNT(*) still pushes on the same table
     val (_, lc) = run(s"SELECT count(*) AS n FROM graft_lake.$n.u")
     assert(lc.contains("agg-pushdown"))

@@ -27,11 +27,18 @@ class DataSkippingSpec extends SparkSpec {
   test("stats encode/decode round-trips, including separator characters") {
     val stats = Map(
       "plain"  -> ColStats('n', "-12.5", "99"),
-      "str"    -> ColStats('s', "a,b:c%d", "z\tz"),
+      "str"    -> ColStats('s', "a,b:c%d", "z\tz", exact = true),
       "wei rd" -> ColStats('s', "", "=,:"))
     assert(ManifestTable.decodeStats(ManifestTable.encodeStats(stats)) == stats)
     assert(ManifestTable.decodeStats("") == Map.empty[String, ColStats])
     assert(ManifestTable.decodeStats(null) == Map.empty[String, ColStats])
+    // legacy 6-part specs (pre-exactness-marker manifests) decode as
+    // INEXACT — a bound written before the marker existed must never be
+    // served as a MIN/MAX answer
+    val legacy = "c:s:lo:hi:0:5"
+    assert(ManifestTable.decodeStats(legacy) ==
+      Map("c" -> ColStats('s', "lo", "hi", 0, 5)))
+    assert(!ManifestTable.decodeStats(legacy)("c").exact)
   }
 
   test("manifest file= lines round-trip stats through write/read") {
@@ -40,11 +47,13 @@ class DataSkippingSpec extends SparkSpec {
       .toDF("id", "v", "name").coalesce(1), root)
     val st = ManifestTable.current(spark, root).get
     assert(st.files.nonEmpty)
+    // exact = true on every engine-written column: the commit read the
+    // footer of a file this engine's own writer produced
     val stats = st.files.head.stats
-    assert(stats("id") == ColStats('n', "1", "2", 0, 2))
-    assert(stats("v") == ColStats('n', "10", "20", 0, 2)
-      || stats("v") == ColStats('n', "10.0", "20.0", 0, 2), stats("v"))
-    assert(stats("name") == ColStats('s', "alpha", "beta", 0, 2))
+    assert(stats("id") == ColStats('n', "1", "2", 0, 2, exact = true))
+    assert(stats("v") == ColStats('n', "10", "20", 0, 2, exact = true)
+      || stats("v") == ColStats('n', "10.0", "20.0", 0, 2, exact = true), stats("v"))
+    assert(stats("name") == ColStats('s', "alpha", "beta", 0, 2, exact = true))
   }
 
   // ------------------------------------------------------- footer stats
@@ -67,21 +76,25 @@ class DataSkippingSpec extends SparkSpec {
     val file = new Path(dir + "/p").getFileSystem(hconf)
       .globStatus(new Path(dir + "/p/*.parquet")).head.getPath
     val stats = DataSkipping.footerStats(hconf, file)
-    assert(stats("l") == ColStats('n', "1", "9", 0, 2))
-    assert(stats("i") == ColStats('n', "3", "7", 0, 2))
-    assert(stats("f") == ColStats('n', "0.5", "1.5", 0, 2))
-    assert(stats("d") == ColStats('n', "2.5", "7.5", 0, 2))
-    assert(stats("s") == ColStats('s', "abc", "xyz", 0, 2))
+    // exact = true throughout: footer reads happen at commit time on
+    // files the engine's own (untruncating) writer produced
+    assert(stats("l") == ColStats('n', "1", "9", 0, 2, exact = true))
+    assert(stats("i") == ColStats('n', "3", "7", 0, 2, exact = true))
+    assert(stats("f") == ColStats('n', "0.5", "1.5", 0, 2, exact = true))
+    assert(stats("d") == ColStats('n', "2.5", "7.5", 0, 2, exact = true))
+    assert(stats("s") == ColStats('s', "abc", "xyz", 0, 2, exact = true))
     // DateType canonical = epoch days (Catalyst internal repr), its OWN
     // kind 'd' so days never compare against micros
     assert(stats("dt") == ColStats('d',
       java.time.LocalDate.parse("2024-01-10").toEpochDay.toString,
-      java.time.LocalDate.parse("2024-02-10").toEpochDay.toString, 0, 2))
+      java.time.LocalDate.parse("2024-02-10").toEpochDay.toString, 0, 2,
+      exact = true))
     // TimestampType canonical = epoch micros (derived from the same
     // Timestamp objects so the assertion is JVM-timezone independent),
     // kind 't'
     assert(stats("ts") == ColStats('t',
-      (ts1.getTime * 1000L).toString, (ts2.getTime * 1000L).toString, 0, 2))
+      (ts1.getTime * 1000L).toString, (ts2.getTime * 1000L).toString, 0, 2,
+      exact = true))
     // all-null column: no bounds, but null/value counts still recorded —
     // IS NOT NULL and every comparison can prove the file irrelevant
     assert(stats("nul") == ColStats('_', "", "", 2, 2))
