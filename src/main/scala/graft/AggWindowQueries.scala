@@ -953,6 +953,65 @@ object AggWindowQueries extends QueryPack {
       s.sql(s"DROP NAMESPACE graft_lake.$ns")
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }),
+    "k41_rename_native" -> ((s, d) => {
+      // K41 (beyond-reference): PERMANENT metadata states keep the
+      // NATIVE scan. Two co-bucketed tables get a data column RENAMED
+      // and another DROPPED (metadata-only commits), then join through
+      // the storage-partitioned path — BucketedJoinSpec pins zero
+      // Exchange + BatchScan through the rename; here the driver pins
+      // the ANSWERS. A third table evolves its partition spec mid-life
+      // (era 1 unpartitioned, era 2 identity dirs) and reads back
+      // through the native per-era scan (eras(2) pin in the same spec).
+      // The oracle reconstructs all three relationally.
+      val ns = "k41_" + java.util.UUID.randomUUID().toString.take(8)
+      val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE graft_lake.$ns.o (o_orderkey BIGINT, " +
+        "o_orderpriority STRING) PARTITIONED BY (bucket(16, o_orderkey))")
+      s.sql(s"CREATE TABLE graft_lake.$ns.l (l_orderkey BIGINT, " +
+        "l_extendedprice DOUBLE, l_tax DOUBLE) " +
+        "PARTITIONED BY (bucket(16, l_orderkey))")
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .createOrReplaceTempView("k41_o")
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_tax")).createOrReplaceTempView("k41_l")
+      s.sql(s"INSERT INTO graft_lake.$ns.o " +
+        "SELECT o_orderkey, o_orderpriority, NULL FROM k41_o")
+      s.sql(s"INSERT INTO graft_lake.$ns.l " +
+        "SELECT l_orderkey, l_extendedprice, l_tax, NULL FROM k41_l")
+      // metadata-only evolution: no file rewritten, the scan translates
+      s.sql(s"ALTER TABLE graft_lake.$ns.o RENAME COLUMN o_orderpriority TO priority")
+      s.sql(s"ALTER TABLE graft_lake.$ns.l DROP COLUMN l_tax")
+      // mixed-era table: era 1 unpartitioned, era 2 identity-partitioned
+      s.sql(s"CREATE TABLE graft_lake.$ns.e (o_orderpriority STRING, " +
+        "o_orderkey BIGINT)")
+      s.sql(s"INSERT INTO graft_lake.$ns.e SELECT o_orderpriority, " +
+        "o_orderkey FROM k41_o WHERE o_orderkey % 2 = 0")
+      graft.sources.ManifestTable.evolvePartitionSpec(s, s"$wh/$ns/e",
+        Seq("o_orderpriority"))
+      s.sql(s"INSERT INTO graft_lake.$ns.e SELECT o_orderpriority, " +
+        "o_orderkey FROM k41_o WHERE o_orderkey % 2 = 1")
+      val out = s.sql(
+        s"""WITH j AS (
+           |  SELECT o.priority, COUNT(*) AS n_items,
+           |    ${OracleMath.dsumSql("l.l_extendedprice", 4, 2)} AS revenue
+           |  FROM graft_lake.$ns.o o JOIN graft_lake.$ns.l l
+           |    ON o.o_orderkey = l.l_orderkey
+           |    AND o.o_orderkey_bucket = l.l_orderkey_bucket
+           |  GROUP BY o.priority),
+           |e AS (
+           |  SELECT o_orderpriority AS priority, COUNT(*) AS n_era
+           |  FROM graft_lake.$ns.e GROUP BY o_orderpriority)
+           |SELECT j.priority, j.n_items, j.revenue, e.n_era
+           |FROM j JOIN e ON j.priority = e.priority""".stripMargin)
+      val rows = out.collect()
+      val schema = out.schema
+      s.sql(s"DROP TABLE graft_lake.$ns.o")
+      s.sql(s"DROP TABLE graft_lake.$ns.l")
+      s.sql(s"DROP TABLE graft_lake.$ns.e")
+      s.sql(s"DROP NAMESPACE graft_lake.$ns")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }),
     "k40_replace_where" -> ((s, d) => {
       // K40 (beyond-reference): atomic REPLACE WHERE — static-mode
       // `INSERT OVERWRITE … PARTITION (…)` lands as ONE
@@ -1403,6 +1462,17 @@ object AggWindowQueries extends QueryPack {
     "k39_topn_pruned" ->
       """SELECT o_orderkey, o_totalprice, CAST(100 AS BIGINT) AS n_limited
         |FROM orders ORDER BY o_orderkey DESC LIMIT 50""".stripMargin,
+    "k41_rename_native" ->
+      s"""WITH j AS (
+         |  SELECT o.o_orderpriority AS priority, COUNT(*) AS n_items,
+         |    ${OracleMath.dsumSql("l.l_extendedprice", 4, 2)} AS revenue
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY 1),
+         |e AS (
+         |  SELECT o_orderpriority AS priority, COUNT(*) AS n_era
+         |  FROM orders GROUP BY 1)
+         |SELECT j.priority, j.n_items, j.revenue, e.n_era
+         |FROM j JOIN e ON j.priority = e.priority""".stripMargin,
     "k40_replace_where" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderpriority = '1-URGENT'

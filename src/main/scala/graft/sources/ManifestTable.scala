@@ -1909,6 +1909,16 @@ object ManifestTable {
   private def physicalName(tags: Map[String, String], logical: String): String =
     renameMap(tags).map(_.swap).getOrElse(logical, logical)
 
+  /** The rename (physical → logical) map and dropped-physical-column
+    * set — what the native DSv2 read path needs to translate a required
+    * LOGICAL schema onto in-file physical names (the V1 path translates
+    * whole frames via [[logicalize]]/[[physicalizeDf]]; a columnar scan
+    * translates names, positions stay aligned). Layout columns never
+    * appear in either: [[schemaEvoCheck]] refuses renaming/dropping any
+    * hive partition column or generated-column source. */
+  private[graft] def renameInfo(tags: Map[String, String])
+      : (Map[String, String], Set[String]) = (renameMap(tags), dropSet(tags))
+
   /** Shared validation for the schema-evolution commits. Returns the
     * column's physical name. */
   private def schemaEvoCheck(spark: SparkSession, root: String, st: State,

@@ -60,10 +60,12 @@ import graft.sources.ManifestTable
   * partial group row per scanned file would be correct but pointless —
   * declining keeps the normal scan path.
   *
-  * Tables with rename/drop column mappings, clone chains, or evolved
-  * partition specs decline entirely: file stats are keyed by PHYSICAL
-  * column names and layouts by era, and no aggregate answer is worth a
-  * name-mapping bug. */
+  * Renamed/dropped-column tables are served through the rename map
+  * (file stats are keyed by PHYSICAL names; layout columns can never be
+  * renamed, so group-by keys need no mapping). Clone chains and evolved
+  * partition specs decline entirely: inherited generations resolve
+  * against source roots and mixed eras classify columns per file — both
+  * keep the normal scan. */
 object GraftAggScan {
 
   /** Conf gate (default on). */
@@ -150,11 +152,16 @@ object GraftAggScan {
            agg: Aggregation): Option[Planned] = {
     val spark = SparkSession.active
     if (!spark.conf.get(EnabledKey, "true").toBoolean) return None
-    // physical-name stats and era-uniform layouts only
-    if (st0.tags.contains(ManifestTable.RenameTag) ||
-        st0.tags.contains(ManifestTable.DropTag) ||
-        st0.tags.contains(ManifestTable.CloneSourcesTag) ||
+    // era-uniform layouts and locally-resolved files only: clone chains
+    // resolve inherited generations against source roots, evolved specs
+    // mix layouts per era — both keep the normal scan. Renamed/dropped
+    // columns are a pure name mapping (stats keys are physical; layout
+    // columns can never be renamed) — served below.
+    if (st0.tags.contains(ManifestTable.CloneSourcesTag) ||
         st0.tags.contains(ManifestTable.EvolvedTag)) return None
+    val renInv: Map[String, String] =
+      ManifestTable.renameInfo(st0.tags)._1.map(_.swap)
+    def phys(c: String): String = renInv.getOrElse(c, c)
 
     // the exactly-pushed WHERE: row-exact at file granularity, so the
     // fold over the kept files IS the filtered aggregate. EVERY pushed
@@ -221,7 +228,7 @@ object GraftAggScan {
       counts.sizeHint(nCount); mins.sizeHint(nMin); maxs.sizeHint(nMax)
       def bound(col: String, dt: DataType, useMin: Boolean): Option[Option[Any]] =
         if (f.dv.nonEmpty) None // the extreme row may be deleted
-        else f.stats.get(col) match {
+        else f.stats.get(phys(col)) match {
           case Some(cs) if cs.allNull => Some(None)
           // string bounds answer as VALUES only off exactness-marked
           // files (engine-written footers); the 's' bounds are
@@ -246,7 +253,7 @@ object GraftAggScan {
           })
         case CountDataShape(col) =>
           counts += (if (f.dv.isEmpty)
-            f.stats.get(col).filter(cs => cs.count >= 0 && cs.nulls >= 0)
+            f.stats.get(phys(col)).filter(cs => cs.count >= 0 && cs.nulls >= 0)
               .map(cs => cs.count - cs.nulls)
           else None)
         case MinShape(col, dt) => mins += bound(col, dt, useMin = true)
@@ -373,7 +380,10 @@ final class GraftAggScan(p: GraftAggScan.Planned) extends Scan with Batch {
         Array.empty)
     val s = spark
     // distinct DATA columns the fold must actually read (partition-col
-    // counts and COUNT(*) need row counts only)
+    // counts and COUNT(*) need row counts only); the reader requests
+    // PHYSICAL names — file bytes predate any rename
+    val renInv: Map[String, String] =
+      ManifestTable.renameInfo(p.tags)._1.map(_.swap)
     val partSet = p.partCols.toSet
     val dataCols = p.shapes.collect {
       case CountDataShape(c) => c
@@ -381,9 +391,13 @@ final class GraftAggScan(p: GraftAggScan.Planned) extends Scan with Batch {
       case MaxShape(c, _)    => c
     }.distinct
     val dataSchema = StructType(
-      p.fullSchema.fields.filterNot(f => partSet(f.name)))
+      p.fullSchema.fields.filterNot(f => partSet(f.name))
+        .map(f => f.copy(name = renInv.getOrElse(f.name, f.name))))
     val required = StructType(
-      dataCols.map(c => dataSchema.fields.find(_.name == c).get).toArray)
+      dataCols.map { c =>
+        val f = p.fullSchema.fields.find(_.name == c).get
+        f.copy(name = renInv.getOrElse(c, c))
+      }.toArray)
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       s, dataSchema, StructType(Nil), required, Seq.empty,
       Map(org.apache.spark.sql.execution.datasources.FileFormat

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.{InternalRow, ProjectingInternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics}
@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -36,21 +36,43 @@ import graft.sources.{ManifestRelationFilters, ManifestTable}
   *    (maxPartitionBytes/openCost semantics), so one giant file no
   *    longer serializes a stage the way a whole-file scan would.
   *
-  * The scan stays on the MATURE read semantics where it can't prove
-  * them unnecessary: [[GraftBatchScan.tryBuild]] only fires when the
-  * live state has no rename/drop name mapping, no clone-source chain
-  * and no evolved partition spec — those fall back to the V1 bridge
-  * (correct, just optimizer-opaque). Deletion vectors stay NATIVE up to
-  * a bounded total cardinality: DVs only remove rows, so the reported
-  * partitioning, superset column bounds and DPP all stay valid, and the
-  * reader applies each file's positions inline (a bucketed fact table
-  * under MoR deletes — the normal production state — keeps its
-  * zero-Exchange joins). File skipping is identical to the
-  * bridge: the SAME metadata pass ([[ManifestTable.pruneLiveFiles]])
-  * prunes files before any scan, and pushed filters are re-applied by
-  * Spark above the scan, so results never depend on pruning quality.
+  * PERMANENT metadata states stay native — losing SPJ/stats/DPP to one
+  * metadata commit forever would make the optimizations ornamental:
   *
-  * Reading delegates to Spark's own vectorized parquet machinery
+  *  - '''Renamed/dropped columns''' are a name mapping at the reader
+  *    boundary: files carry PHYSICAL names, the scan's required schema
+  *    logical ones — each reader requests physical columns and the rows
+  *    line up positionally (layout columns and generated-column sources
+  *    can never be renamed, [[ManifestTable.schemaEvoCheck]]). Dropped
+  *    physical columns are simply never requested.
+  *  - '''Evolved partition specs''' (mixed eras) classify required
+  *    columns PER FILE: a column is a directory constant where the
+  *    file's era recorded it and a parquet data column elsewhere. Files
+  *    group by that signature, each group gets its own reader, and a
+  *    cheap column permutation restores one scan-wide row layout. A
+  *    projected GENERATED column must be RECORDED on every live file
+  *    (dir value, or in-file data proven by footer stats) — a file
+  *    predating the column needs the V1 bridge's expression repair, so
+  *    the scan declines to it. Mixed-classification columns must be
+  *    STRING on both sides (directory values are strings; the engine
+  *    pins layout columns to string at every write).
+  *  - '''Deletion vectors''' stay native up to a bounded total
+  *    cardinality: DVs only remove rows, so the reported partitioning,
+  *    superset column bounds and DPP all stay valid, and the reader
+  *    applies each file's positions inline. Above the bound the V1
+  *    bridge's distributed anti-join is the right shape anyway.
+  *
+  * CLONE chains remain the one V1-bridge state: inherited generations
+  * resolve against SOURCE roots per generation
+  * ([[ManifestTable.cloneSources]]), a path indirection the flat
+  * file-list scan does not model — a documented refusal, retired by any
+  * compact()/OPTIMIZE (which rewrites files locally).
+  *
+  * File skipping is identical to the bridge: the SAME metadata pass
+  * ([[ManifestTable.pruneLiveFiles]]) prunes files before any scan, and
+  * pushed filters are re-applied by Spark above the scan, so results
+  * never depend on pruning quality. Reading delegates to Spark's own
+  * vectorized parquet machinery
   * ([[ParquetFileFormat.buildReaderWithPartitionValues]] — the exact
   * reader FileSourceScanExec ships), so compression, row-group
   * predicate pushdown, column pruning, additive schema evolution
@@ -73,6 +95,21 @@ object GraftBatchScan {
   val MaxInlineDvRowsKey = "spark.graft.batchScan.maxInlineDvRows"
   val MaxInlineDvRowsDefault = 10000000L
 
+  /** One era group's reader recipe: which required fields are directory
+    * constants in its files (`sig`, indexed like the scan's required
+    * schema), the PHYSICAL-name schemas its parquet reader is built
+    * with, the physicalized data-column filters, and the permutation
+    * from required-schema position to the reader's emitted position
+    * (data columns first, then appended partition constants). */
+  private[v2] final case class GroupSpec(sig: IndexedSeq[Boolean],
+                                         dataSchema: StructType,
+                                         requiredData: StructType,
+                                         requiredPart: StructType,
+                                         dataFilters: IndexedSeq[Filter],
+                                         perm: IndexedSeq[Int]) {
+    def identityPerm: Boolean = perm.indices.forall(i => perm(i) == i)
+  }
+
   /** A [[GraftBatchScan]] when the table qualifies, else None. `st` is
     * the state the OWNING ScanBuilder resolved — one read per build,
     * shared with filter classification and aggregate planning, so the
@@ -90,12 +127,14 @@ object GraftBatchScan {
     val totalDv = st.files.flatMap(_.dv).map(_.count).sum
     val dvOk = totalDv <= spark.conf.get(MaxInlineDvRowsKey,
       MaxInlineDvRowsDefault.toString).toLong
-    val simple = st.files.nonEmpty && dvOk &&
-      !st.tags.contains(ManifestTable.RenameTag) &&
-      !st.tags.contains(ManifestTable.DropTag) &&
-      !st.tags.contains(ManifestTable.CloneSourcesTag) &&
-      !st.tags.contains(ManifestTable.EvolvedTag)
-    if (!simple) return None
+    if (st.files.isEmpty || !dvOk ||
+        st.tags.contains(ManifestTable.CloneSourcesTag)) return None
+
+    // logical → physical name mapping (rename/drop are metadata-only
+    // commits; the files keep one physical schema for the table's life)
+    val (ren, _) = ManifestTable.renameInfo(st.tags)
+    val inv: Map[String, String] = ren.map(_.swap)
+    def phys(c: String): String = inv.getOrElse(c, c)
 
     // bucket layout only counts when EVERY live file carries a value
     // for it (a mixed state must not report a partitioning it can't
@@ -106,61 +145,142 @@ object GraftBatchScan {
     // the same metadata file-skipping pass as the V1 bridge
     val filterCol = pushed.toSeq.flatMap(ManifestRelationFilters.toColumn(_))
       .reduceOption(_ && _)
-    val kept = filterCol match {
+    val kept = (filterCol match {
       case Some(c) => ManifestTable.pruneLiveFiles(spark, root, st, c)
       case None    => st.files
+    }).toIndexedSeq
+
+    // a projected GENERATED column must be recorded on every live file:
+    // a file predating the column reads its TRUE value only through the
+    // V1 bridge's defining-expression repair (deriveEvolvedGenerated)
+    if (st.tags.contains(ManifestTable.EvolvedTag)) {
+      val gens = ManifestTable.generatedSpecs(st.tags).map(_._1).toSet
+      val projectedGens = required.fieldNames.filter(gens)
+      val unrecorded = projectedGens.exists(g =>
+        kept.exists(f => !f.partitionValues.contains(g) && !f.stats.contains(g)))
+      if (unrecorded) return None
     }
 
-    // the layout OF THE PINNED STATE, never the current one: a
-    // time-travel read of a pre-evolution version must classify
-    // data-vs-partition columns by its own era
-    val partCols = ManifestTable.layoutAt(root, st)
-    val partSet = partCols.toSet
-    // hive partition columns come off directory names, not file bytes:
-    // the reader takes them as per-file constants, so required splits
-    // into (data columns read from parquet, partition columns appended)
-    val requiredData = StructType(required.fields.filterNot(f => partSet(f.name)))
-    val requiredPart = StructType(required.fields.filter(f => partSet(f.name)))
-    // partition values are appended as per-file CONSTANTS decoded from
-    // directory-name strings ([[partitionValuesRow]] emits UTF8String),
-    // so the declared type of every projected layout column must BE
-    // string. The engine pins them to string at every boundary
-    // (createEmpty pins the recorded schema; normalizePartitionCols
-    // casts every generation write), so this guard is defensive: a
-    // schema that somehow carries a non-string layout column falls back
-    // to the V1 bridge instead of a reader-side ClassCastException.
-    if (!requiredPart.fields.forall(_.dataType ==
-        org.apache.spark.sql.types.StringType)) return None
-    val dataSchema = StructType(fullSchema.fields.filterNot(f => partSet(f.name)))
-    // only data-column filters go to parquet row-group pushdown;
-    // partition-column predicates already pruned files above
-    val dataFilters = pushed.filter(_.references.forall(r => !partSet(r)))
+    // per-required-column classification across the kept files:
+    // dir-everywhere / data-everywhere / MIXED (evolved eras). Any
+    // dir-classified column must be STRING (directory values decode as
+    // UTF8String constants; the engine pins layout columns to string,
+    // so this is defensive) and must be UNRENAMED (dir keys are the
+    // name in the path; schemaEvoCheck refuses renaming live partition
+    // columns — a column renamed BEFORE becoming one is the odd state
+    // this guard declines). A MIXED column's data-classified files must
+    // PROVE string in-file bytes (footer stats kind 's') — dir strings
+    // and data values share one reader type only then.
+    val reqFields = required.fields.toIndexedSeq
+    for (f <- reqFields) {
+      val p = phys(f.name)
+      val dirIn = kept.count(_.partitionValues.contains(p))
+      if (dirIn > 0) {
+        if (f.dataType != StringType) return None
+        if (p != f.name) return None
+        if (dirIn < kept.size &&
+            !kept.forall(file => file.partitionValues.contains(p) ||
+              file.stats.get(p).exists(_.kind == 's'))) return None
+      }
+    }
+
+    // era groups: one reader recipe per distinct dir-signature
+    def sigOf(f: ManifestTable.FileEntry): IndexedSeq[Boolean] =
+      reqFields.map(rf => f.partitionValues.contains(phys(rf.name)))
+    val sigs = kept.map(sigOf).distinct.sortBy(_.mkString)
+    val sigId = sigs.zipWithIndex.toMap
+    val pairs = kept.map(f => (f, sigId(sigOf(f))))
+
+    val groups: IndexedSeq[GroupSpec] = sigs.map { sig =>
+      val dataIdx = reqFields.indices.filterNot(sig)
+      val partIdx = reqFields.indices.filter(sig)
+      val requiredData = StructType(dataIdx.map(i =>
+        reqFields(i).copy(name = phys(reqFields(i).name))).toArray)
+      val requiredPart = StructType(partIdx.map(i => reqFields(i)).toArray)
+      // the group's view of the FULL data schema (for reader-side
+      // schema evolution): every logical column not a dir constant
+      // here, under its physical name
+      val partNames = requiredPart.fieldNames.toSet
+      val dataSchema = StructType(fullSchema.fields
+        .filterNot(f => partNames.contains(f.name))
+        .map(f => f.copy(name = phys(f.name))))
+      // only data-column filters go to parquet row-group pushdown
+      // (partition-column predicates already pruned files above);
+      // pushdown is an optimization — untranslatable filters drop
+      val dataFilters = pushed.toIndexedSeq
+        .filter(_.references.forall(r => !partNames.contains(r)))
+        .flatMap(f => physicalizeFilter(f, inv))
+      // emitted layout = requiredData ++ requiredPart; permutation maps
+      // required-schema position -> emitted position
+      val perm = reqFields.indices.map { i =>
+        if (sig(i)) dataIdx.length + partIdx.indexOf(i)
+        else dataIdx.indexOf(i)
+      }
+      GroupSpec(sig, dataSchema, requiredData, requiredPart, dataFilters, perm)
+    }
+
     // the TopN sort key's expected stats kind, resolved once (None
-    // disables the pruning — the scan stays correct, just unbounded)
-    val topNKind = topN.flatMap { case (c, _, _) =>
+    // disables the pruning — the scan stays correct, just unbounded);
+    // stats are keyed by PHYSICAL name, dir-classified keys have none
+    val topNPhys = topN.flatMap { case (c, asc, n) =>
       fullSchema.fields.find(_.name == c)
         .flatMap(f => GraftAggScan.expectedKind(f.dataType))
-        .filterNot(_ => partSet(c)) // layout cols have no footer stats
+        .filterNot(_ => kept.exists(_.partitionValues.contains(phys(c))))
+        .map(k => (phys(c), asc, n, k))
     }
-    Some(new GraftBatchScan(root, version, st, bucketCol, kept.toIndexedSeq,
-      dataSchema, requiredData, requiredPart, dataFilters.toIndexedSeq,
-      pushed.toIndexedSeq, limit,
-      topN.zip(topNKind).map { case ((c, asc, n), k) => (c, asc, n, k) }))
+    Some(new GraftBatchScan(root, version, st, bucketCol, pairs,
+      StructType(reqFields.toArray), groups, pushed.toIndexedSeq, limit,
+      topNPhys))
+  }
+
+  /** A V1 filter rewritten onto physical attribute names — what the
+    * parquet row-group pushdown compares against file bytes. Finite
+    * shapes only; anything unrecognized drops (pushdown is an
+    * optimization, Spark re-filters above the scan). */
+  private[v2] def physicalizeFilter(f: Filter,
+                                    inv: Map[String, String]): Option[Filter] = {
+    if (inv.isEmpty) return Some(f)
+    import org.apache.spark.sql.sources._
+    def m(a: String) = inv.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v)            => Some(EqualTo(m(a), v))
+      case EqualNullSafe(a, v)      => Some(EqualNullSafe(m(a), v))
+      case GreaterThan(a, v)        => Some(GreaterThan(m(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(m(a), v))
+      case LessThan(a, v)           => Some(LessThan(m(a), v))
+      case LessThanOrEqual(a, v)    => Some(LessThanOrEqual(m(a), v))
+      case In(a, vs)                => Some(In(m(a), vs))
+      case IsNull(a)                => Some(IsNull(m(a)))
+      case IsNotNull(a)             => Some(IsNotNull(m(a)))
+      case StringStartsWith(a, v)   => Some(StringStartsWith(m(a), v))
+      case StringEndsWith(a, v)     => Some(StringEndsWith(m(a), v))
+      case StringContains(a, v)     => Some(StringContains(m(a), v))
+      case And(l, r) => (physicalizeFilter(l, inv), physicalizeFilter(r, inv)) match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case _ => None
+      }
+      case Or(l, r) => (physicalizeFilter(l, inv), physicalizeFilter(r, inv)) match {
+        case (Some(a), Some(b)) => Some(Or(a, b))
+        case _ => None
+      }
+      case Not(c) => physicalizeFilter(c, inv).map(Not)
+      case _ => None
+    }
   }
 
   /** Files that can hold a row of the true top-n under `ORDER BY col
     * [ASC|DESC] LIMIT n` (SQL-default null ordering), from per-file
-    * stats. Soundness: X is the tightest file bound for which the
-    * prefix PROVES ≥ n live rows order at-or-before X (ascending:
-    * every live row of a file — nulls first included — orders ≤ its
-    * max; descending: only guaranteed-live NON-null rows count, since
-    * nulls order last). A file is dropped only when ALL its rows
-    * provably order strictly beyond X (ascending: min > X and zero
-    * nulls; descending: max < X — its nulls were never candidates
-    * because the prefix proved n non-null rows ahead of them). Any
-    * file without usable same-kind bounds disables pruning (keep all):
-    * its rows might belong to the top and its counts can't prove
-    * coverage. */
+    * stats (`col` is the PHYSICAL stats key). Soundness: X is the
+    * tightest file bound for which the prefix PROVES ≥ n live rows
+    * order at-or-before X (ascending: every live row of a file — nulls
+    * first included — orders ≤ its max; descending: only
+    * guaranteed-live NON-null rows count, since nulls order last). A
+    * file is dropped only when ALL its rows provably order strictly
+    * beyond X (ascending: min > X and zero nulls; descending: max < X —
+    * its nulls were never candidates because the prefix proved n
+    * non-null rows ahead of them). Any file without usable same-kind
+    * bounds disables pruning (keep all): its rows might belong to the
+    * top and its counts can't prove coverage. */
   private[v2] def topNFiles(files: IndexedSeq[ManifestTable.FileEntry],
                             col: String, asc: Boolean, n: Int,
                             kind: Char): IndexedSeq[ManifestTable.FileEntry] = {
@@ -200,11 +320,9 @@ object GraftBatchScan {
 final class GraftBatchScan(root: String, version: Option[Long],
                            buildState: ManifestTable.State,
                            bucketCol: Option[String],
-                           initialFiles: IndexedSeq[ManifestTable.FileEntry],
-                           dataSchema: StructType,
-                           requiredData: StructType,
-                           requiredPart: StructType,
-                           dataFilters: IndexedSeq[Filter],
+                           initialPairs: IndexedSeq[(ManifestTable.FileEntry, Int)],
+                           required: StructType,
+                           groups: IndexedSeq[GraftBatchScan.GroupSpec],
                            pushed: IndexedSeq[Filter],
                            limit: Option[Int] = None,
                            topN: Option[(String, Boolean, Int, Char)] = None)
@@ -212,10 +330,13 @@ final class GraftBatchScan(root: String, version: Option[Long],
     with SupportsReportPartitioning with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
-  /** The live file set — re-pruned by [[filter]] when a runtime filter
-    * (dynamic partition pruning: the build side's key set arriving at
-    * execution) lands before planInputPartitions. */
-  @volatile private var files: IndexedSeq[ManifestTable.FileEntry] = initialFiles
+  /** The live (file, era-group) set — re-pruned by [[filter]] when a
+    * runtime filter (dynamic partition pruning: the build side's key
+    * set arriving at execution) lands before planInputPartitions. */
+  @volatile private var pairs: IndexedSeq[(ManifestTable.FileEntry, Int)] =
+    initialPairs
+
+  private def files: IndexedSeq[ManifestTable.FileEntry] = pairs.map(_._1)
 
   /** Runtime filters may target any scanned column: partition columns
     * prune by dir values, data columns by footer min/max + bloom — the
@@ -229,7 +350,7 @@ final class GraftBatchScan(root: String, version: Option[Long],
     // the key-grouped (storage-partitioned join) shape must keep its
     // reported partition values stable — skip file-level re-pruning
     // there (Spark re-applies the filters above the scan regardless)
-    if (bucketCol.exists(bc => requiredPart.fieldNames.contains(bc))) return
+    if (bucketCol.exists(bc => required.fieldNames.contains(bc))) return
     val cond = filters.toSeq.flatMap(ManifestRelationFilters.toColumn(_))
       .reduceOption(_ && _)
     cond.foreach { c =>
@@ -237,19 +358,18 @@ final class GraftBatchScan(root: String, version: Option[Long],
       // concurrent commit could land a rename/layout era between
       // planning and the runtime filter, and interpreting this scan's
       // pinned files under the NEWER mappings could wrongly drop a file
-      // whose rows Spark's re-filter can never resurrect
-      val kept = ManifestTable.pruneLiveFiles(spark, root,
+      // whose rows Spark's re-filter can never resurrect. The metadata
+      // pass physicalizes the (logical-name) predicate itself.
+      val byPath = pairs.map(p => p._1.relPath -> p).toMap
+      val keptNow = ManifestTable.pruneLiveFiles(spark, root,
         buildState.copy(files = files), c)
-      files = kept.toIndexedSeq
+      pairs = keptNow.map(f => byPath(f.relPath)).toIndexedSeq
     }
   }
 
   private def spark: SparkSession = SparkSession.active
 
-  // the reader appends partition constants AFTER the parquet columns —
-  // Spark reprojects to the requested order by name above the scan
-  override def readSchema(): StructType =
-    StructType(requiredData.fields ++ requiredPart.fields)
+  override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
 
@@ -263,13 +383,14 @@ final class GraftBatchScan(root: String, version: Option[Long],
     * layout has one AND the projection carries it (the join shape),
     * else honest-unknown. */
   override def outputPartitioning(): Partitioning = bucketCol match {
-    case Some(bc) if requiredPart.fieldNames.contains(bc) =>
+    case Some(bc) if required.fieldNames.contains(bc) =>
       new KeyGroupedPartitioning(Array(Expressions.identity(bc)), buckets.size)
     case _ => new UnknownPartitioning(0)
   }
 
-  private def partitionValuesRow(f: ManifestTable.FileEntry): GenericInternalRow = {
-    val pv: Array[Any] = requiredPart.fieldNames.map(c =>
+  private def partitionValuesRow(f: ManifestTable.FileEntry,
+                                 g: GraftBatchScan.GroupSpec): GenericInternalRow = {
+    val pv: Array[Any] = g.requiredPart.fieldNames.map(c =>
       (f.partitionValues.get(c).flatten.map(UTF8String.fromString).orNull): Any)
     new GenericInternalRow(pv)
   }
@@ -285,10 +406,10 @@ final class GraftBatchScan(root: String, version: Option[Long],
     if (f.dv.isEmpty) Array.emptyLongArray
     else dvPos.getOrElse(f.relPath, Array.emptyLongArray)
 
-  private def asPartitionedFiles(f: ManifestTable.FileEntry,
+  private def asPartitionedFiles(f: ManifestTable.FileEntry, gid: Int,
                                  splitBytes: Long): Seq[PartitionedFile] = {
     val path = SparkPath.fromPathString(new Path(root, f.relPath).toString)
-    val pv = partitionValuesRow(f)
+    val pv = partitionValuesRow(f, groups(gid))
     // a DV'd file is NEVER split: its deleted positions are file-wide
     // row indexes, and the reader recovers them by counting rows off a
     // whole-file, pushdown-free read (see createReaderFactory) — a
@@ -320,13 +441,14 @@ final class GraftBatchScan(root: String, version: Option[Long],
     // no Exchange to split). A scan that doesn't carry the bucket
     // column gets the bin-packed splits below — key-grouping would cap
     // parallelism at the bucket count for no optimizer benefit.
-    case Some(bc) if requiredPart.fieldNames.contains(bc) =>
-      val byBucket = files.groupBy(_.partitionValues(bc).get)
+    case Some(bc) if required.fieldNames.contains(bc) =>
+      val byBucket = pairs.groupBy(_._1.partitionValues(bc).get)
       buckets.flatMap { b =>
-        byBucket(b).sortBy(_.relPath).map(f =>
+        byBucket(b).sortBy(_._1.relPath).map { case (f, gid) =>
           GraftBucketPartition(b,
-            Array(asPartitionedFiles(f, Long.MaxValue).head),
-            Array(dvOf(f))): InputPartition)
+            Array(asPartitionedFiles(f, gid, Long.MaxValue).head),
+            Array(dvOf(f)), Array(gid)): InputPartition
+        }
       }.toArray
     case _ =>
       // a pushed TopN prunes to the files that can hold a top-n row
@@ -336,15 +458,16 @@ final class GraftBatchScan(root: String, version: Option[Long],
       // actual n — both are I/O bounds only). Limit truncation needs
       // every file's row count to PROVE coverage; legacy unknown-count
       // files keep the full list.
+      val byPath = pairs.map(p => p._1.relPath -> p).toMap
       val ranked = topN match {
         case Some((c, asc, n, kind)) =>
-          GraftBatchScan.topNFiles(files, c, asc, n, kind)
-        case None => files
+          GraftBatchScan.topNFiles(files, c, asc, n, kind).map(f => byPath(f.relPath))
+        case None => pairs
       }
       val bounded = limit match {
-        case Some(n) if topN.isEmpty && ranked.forall(_.rows >= 0) =>
+        case Some(n) if topN.isEmpty && ranked.forall(_._1.rows >= 0) =>
           var need = n.toLong
-          ranked.sortBy(f => (-f.rows, f.relPath)).takeWhile { f =>
+          ranked.sortBy(p => (-p._1.rows, p._1.relPath)).takeWhile { case (f, _) =>
             val take = need > 0
             need -= (f.rows - f.dv.map(_.count).getOrElse(0L))
             take
@@ -355,17 +478,20 @@ final class GraftBatchScan(root: String, version: Option[Long],
       // openCostInBytes / target parallelism) over row-group splits
       val s = spark
       val splitBytes = FilePartition.maxSplitBytes(s,
-        bounded.map(_.bytes).sum +
+        bounded.map(_._1.bytes).sum +
           bounded.size * s.sessionState.conf.filesOpenCostInBytes)
-      val withDv = bounded.sortBy(f => (-f.bytes, f.relPath))
-        .flatMap(f => asPartitionedFiles(f, splitBytes).map(pf => (pf, dvOf(f))))
-      val dvByPath: Map[(String, Long), Array[Long]] =
-        withDv.map { case (pf, dv) =>
-          (pf.filePath.toString, pf.start) -> dv }.toMap
-      FilePartition.getFilePartitions(s, withDv.map(_._1), splitBytes)
-        .map(fp => GraftFileGroupPartition(fp.files,
-          fp.files.map(pf => dvByPath((pf.filePath.toString, pf.start))))
-          : InputPartition).toArray
+      val withMeta = bounded.sortBy(p => (-p._1.bytes, p._1.relPath))
+        .flatMap { case (f, gid) =>
+          asPartitionedFiles(f, gid, splitBytes).map(pf => (pf, dvOf(f), gid)) }
+      val metaByPath: Map[(String, Long), (Array[Long], Int)] =
+        withMeta.map { case (pf, dv, gid) =>
+          (pf.filePath.toString, pf.start) -> (dv, gid) }.toMap
+      FilePartition.getFilePartitions(s, withMeta.map(_._1), splitBytes)
+        .map { fp =>
+          val meta = fp.files.map(pf => metaByPath((pf.filePath.toString, pf.start)))
+          GraftFileGroupPartition(fp.files, meta.map(_._1), meta.map(_._2))
+            : InputPartition
+        }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -376,19 +502,21 @@ final class GraftBatchScan(root: String, version: Option[Long],
     // so one DV'd file anywhere demotes the whole scan to row reads —
     // the maintenance-debt price a partially-deleted table pays until
     // OPTIMIZE/materializeDeletes, never a planning crash
-    val columnar = new ParquetFileFormat().supportBatch(s,
-      StructType(requiredData.fields ++ requiredPart.fields)) &&
+    val columnar = new ParquetFileFormat().supportBatch(s, required) &&
       files.forall(_.dv.isEmpty)
-    // the exact reader FileSourceScanExec builds: vectorized when the
-    // session + result schema allow, hadoopConf broadcast inside. The
-    // RETURNING_BATCH option is the format's required contract: it
-    // must equal the supportBatch verdict so the reader emits batches
-    // exactly when the factory advertises columnar reads.
-    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      s, dataSchema, requiredPart, requiredData, dataFilters,
-      Map(org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> columnar.toString),
-      s.sessionState.newHadoopConf())
+    // one reader per era group — the exact reader FileSourceScanExec
+    // builds: vectorized when the session + result schema allow,
+    // hadoopConf broadcast inside. The RETURNING_BATCH option is the
+    // format's required contract: it must equal the supportBatch
+    // verdict so the reader emits batches exactly when the factory
+    // advertises columnar reads.
+    val readFuncs = groups.map { g =>
+      new ParquetFileFormat().buildReaderWithPartitionValues(
+        s, g.dataSchema, g.requiredPart, g.requiredData, g.dataFilters,
+        Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> columnar.toString),
+        s.sessionState.newHadoopConf())
+    }.toArray
     // DV'd files read through a SECOND reader with NO row-group
     // pushdown and whole-file (unsplit) inputs, so rows stream in exact
     // parquet order and their ordinal IS the `_metadata.row_index`
@@ -398,26 +526,32 @@ final class GraftBatchScan(root: String, version: Option[Long],
     // so dropping it for the DV'd slice trades row-group skipping for
     // positional exactness on exactly the files that carry deletes.
     // Partitions with no DV'd file keep the columnar fast path.
-    val dvFunc =
+    val dvFuncs =
       if (files.forall(_.dv.isEmpty)) None
-      else Some(new ParquetFileFormat().buildReaderWithPartitionValues(
-        s, dataSchema, requiredPart, requiredData, Seq.empty,
-        Map(org.apache.spark.sql.execution.datasources.FileFormat
-          .OPTION_RETURNING_BATCH -> "false"),
-        s.sessionState.newHadoopConf()))
-    new GraftBatchReaderFactory(readFunc, columnar, dvFunc)
+      else Some(groups.map { g =>
+        new ParquetFileFormat().buildReaderWithPartitionValues(
+          s, g.dataSchema, g.requiredPart, g.requiredData, Seq.empty,
+          Map(org.apache.spark.sql.execution.datasources.FileFormat
+            .OPTION_RETURNING_BATCH -> "false"),
+          s.sessionState.newHadoopConf())
+      }.toArray)
+    new GraftBatchReaderFactory(readFuncs, columnar, dvFuncs,
+      groups.map(g => g.perm.toArray).toArray, required)
   }
 
   override def estimateStatistics(): Statistics = {
-    val bytes = files.map(_.bytes).sum
+    val fs = files
+    val bytes = fs.map(_.bytes).sum
     // EXACT live rows under deletion vectors: Σ(rows − dv.count)
-    val rows = if (files.forall(_.rows >= 0))
-      Some(files.map(f => f.rows - f.dv.map(_.count).getOrElse(0L)).sum)
+    val rows = if (fs.forall(_.rows >= 0))
+      Some(fs.map(f => f.rows - f.dv.map(_.count).getOrElse(0L)).sum)
     else None
-    // per-column stats over the PRUNED file set (eligibility already
-    // excluded renames; forFiles itself degrades honestly under DVs —
-    // min/max stay superset estimates, null counts are omitted)
-    val cols = GraftColumnStats.forFiles(files, Map.empty, requiredData)
+    // per-column stats over the PRUNED file set, rename-mapped to
+    // logical names inside (forFiles degrades honestly under DVs —
+    // min/max stay superset estimates, null counts are omitted; a
+    // column without uniform same-kind stats — e.g. dir-classified in
+    // some era — is skipped)
+    val cols = GraftColumnStats.forFiles(fs, buildState.tags, required)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -435,25 +569,29 @@ final class GraftBatchScan(root: String, version: Option[Long],
     s"graft-manifest native $root" +
       s"${version.map(v => s"@v$v").getOrElse("")}" +
       s"${bucketCol.map(bc => s" bucketed($bc, ${buckets.size})").getOrElse("")}" +
+      s"${if (groups.size > 1) s" eras(${groups.size})" else ""}" +
       s"${limit.map(n => s" limit($n)").getOrElse("")}" +
       s"${topN.map { case (c, asc, n, _) =>
         s" topn($c ${if (asc) "asc" else "desc"}, $n)" }.getOrElse("")} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 }
 
-/** A partition that knows its parquet splits, plus each split's
+/** A partition that knows its parquet splits, each split's
   * deletion-vector positions (file-wide sorted row indexes; empty array
-  * = no DV — aligned with `files` by index). */
+  * = no DV) and each split's era-group id — all aligned with `files`
+  * by index. */
 sealed trait GraftScanPartition extends InputPartition {
   def files: Array[PartitionedFile]
   def dvs: Array[Array[Long]]
+  def gids: Array[Int]
 }
 
 /** One live bucket: its string value (the partition KEY Spark groups
   * by) and every parquet file holding its rows. */
 final case class GraftBucketPartition(bucket: String,
                                       files: Array[PartitionedFile],
-                                      dvs: Array[Array[Long]])
+                                      dvs: Array[Array[Long]],
+                                      gids: Array[Int])
     extends GraftScanPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(bucket)))
@@ -461,7 +599,8 @@ final case class GraftBucketPartition(bucket: String,
 
 /** A bin-packed group of parquet splits (the non-bucketed shape). */
 final case class GraftFileGroupPartition(files: Array[PartitionedFile],
-                                         dvs: Array[Array[Long]])
+                                         dvs: Array[Array[Long]],
+                                         gids: Array[Int])
     extends GraftScanPartition
 
 /** Shared row-read plumbing for the v2 reader factories (the batch
@@ -504,19 +643,32 @@ private[v2] object RowReads {
     }
 }
 
-/** Ships Spark's own parquet reader function to executors; rows stream
-  * split-by-split. The vectorized path hands back ColumnarBatches —
-  * when the schema supports it we pass them through COLUMNAR (Spark
-  * plans ColumnarToRow above, same as FileSourceScanExec); otherwise
-  * the row-based reader unwraps per-row. Partitions carrying deletion
-  * vectors take `dvFunc` — a pushdown-free, whole-file row reader whose
-  * streaming order makes each row's ordinal its parquet row index —
-  * and binary-search deleted positions out. */
+/** Ships Spark's own parquet reader functions (one per era group) to
+  * executors; rows stream split-by-split. The vectorized path hands
+  * back ColumnarBatches — when the schema supports it we pass them
+  * through COLUMNAR (Spark plans ColumnarToRow above, same as
+  * FileSourceScanExec); otherwise the row-based reader unwraps per-row.
+  * A group whose emitted column order differs from the scan's required
+  * order is PERMUTED in flight — columnar batches by re-wrapping the
+  * column vectors (zero copy), rows through a reused
+  * [[ProjectingInternalRow]] (the same reuse discipline the vectorized
+  * row iterator already imposes on consumers). Partitions carrying
+  * deletion vectors take `dvFuncs` — pushdown-free, whole-file row
+  * readers whose streaming order makes each row's ordinal its parquet
+  * row index — and binary-search deleted positions out. */
 final class GraftBatchReaderFactory(
-    readFunc: PartitionedFile => Iterator[InternalRow],
+    readFuncs: Array[PartitionedFile => Iterator[InternalRow]],
     columnar: Boolean,
-    dvFunc: Option[PartitionedFile => Iterator[InternalRow]])
+    dvFuncs: Option[Array[PartitionedFile => Iterator[InternalRow]]],
+    perms: Array[Array[Int]],
+    readSchema: StructType)
     extends PartitionReaderFactory {
+
+  private def identity(perm: Array[Int]): Boolean = {
+    var i = 0
+    while (i < perm.length) { if (perm(i) != i) return false; i += 1 }
+    true
+  }
 
   // scan-level homogeneity: `columnar` is only ever true when NO file
   // in the scan carries a deletion vector (see createReaderFactory)
@@ -525,30 +677,58 @@ final class GraftBatchReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val gp = partition.asInstanceOf[GraftScanPartition]
-    if (gp.dvs.forall(_.isEmpty))
-      RowReads.asReader(gp.files.iterator.flatMap(f => RowReads.flatten(readFunc(f))))
-    else {
-      val read = dvFunc.getOrElse(sys.error(
+    val anyDv = !gp.dvs.forall(_.isEmpty)
+    val funcs =
+      if (!anyDv) readFuncs
+      else dvFuncs.getOrElse(sys.error(
         "graft batch scan: partition carries deletion vectors but the " +
           "factory was built without a DV reader"))
-      // clean files in a mixed partition still avoid pushdown (one
-      // reader shape per partition keeps the contract simple) —
+    // one (possibly shared) projector per era group, allocated lazily —
+    // rows are consumed-or-copied by Spark above, the standard
+    // vectorized-row reuse contract
+    val projectors = new Array[ProjectingInternalRow](perms.length)
+    val rows = gp.files.iterator.zipWithIndex.flatMap { case (f, i) =>
+      val gid = gp.gids(i)
+      // clean files in a mixed partition still ride the DV reader shape
+      // (one reader family per partition keeps the contract simple) —
       // Spark's re-filter above the scan restores exactness
-      val rows = gp.files.iterator.zip(gp.dvs.iterator).flatMap {
-        case (f, dv) => RowReads.dvFiltered(RowReads.flatten(read(f)), dv)
+      val raw = RowReads.dvFiltered(RowReads.flatten(funcs(gid)(f)), gp.dvs(i))
+      if (identity(perms(gid))) raw
+      else {
+        if (projectors(gid) == null)
+          projectors(gid) = ProjectingInternalRow(readSchema,
+            perms(gid).toIndexedSeq)
+        val proj = projectors(gid)
+        raw.map { r => proj.project(r); proj }
       }
-      RowReads.asReader(rows)
     }
+    RowReads.asReader(rows)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val files = partition.asInstanceOf[GraftScanPartition].files
+    val gp = partition.asInstanceOf[GraftScanPartition]
     new PartitionReader[ColumnarBatch] {
-      private val it: Iterator[Object] = files.iterator.flatMap(f => readFunc(f))
+      private val it: Iterator[ColumnarBatch] =
+        gp.files.iterator.zipWithIndex.flatMap { case (f, i) =>
+          val gid = gp.gids(i)
+          val raw = readFuncs(gid)(f).asInstanceOf[Iterator[Object]]
+            .map(_.asInstanceOf[ColumnarBatch])
+          if (identity(perms(gid))) raw
+          else raw.map { b =>
+            // zero-copy permutation: re-wrap the SAME column vectors in
+            // required order (the source batch still owns their
+            // lifecycle — this wrapper is never closed)
+            val perm = perms(gid)
+            val cols = Array.tabulate(perm.length)(j => b.column(perm(j)))
+            new ColumnarBatch(
+              cols.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]],
+              b.numRows())
+          }
+        }
       private var batch: ColumnarBatch = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
-        batch = it.next().asInstanceOf[ColumnarBatch]; true
+        batch = it.next(); true
       }
       override def get(): ColumnarBatch = batch
       override def close(): Unit = ()

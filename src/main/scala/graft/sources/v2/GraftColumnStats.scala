@@ -20,26 +20,29 @@ import graft.sources.ManifestTable
   * Emission is honest-or-silent: a column reports bounds only when
   * EVERY live file carries same-kind stats for it (so the fold covers
   * the whole table; a DV'd file's superset bounds stay valid as
-  * ESTIMATES), null counts only when every file recorded them, and
-  * nothing at all under rename/drop mappings (file stats are keyed by
-  * physical names) — the optimizer treats absence as unknown, which is
-  * exactly right. */
+  * ESTIMATES), null counts only when every file recorded them. File
+  * stats are keyed by PHYSICAL column names; the rename map translates
+  * each logical schema field to its in-file key and the statistic is
+  * reported under the LOGICAL name the optimizer sees — a renamed
+  * column keeps its CBO stats (the mapping is pure metadata; dropped
+  * physical columns are absent from the logical schema and never
+  * looked up). */
 object GraftColumnStats {
 
   def forFiles(files: Seq[ManifestTable.FileEntry],
                tags: Map[String, String],
                schema: StructType): util.Map[NamedReference, ColumnStatistics] = {
     val m = new util.HashMap[NamedReference, ColumnStatistics]()
-    if (files.isEmpty ||
-        tags.contains(ManifestTable.RenameTag) ||
-        tags.contains(ManifestTable.DropTag)) return m
+    if (files.isEmpty) return m
+    val inv: Map[String, String] = ManifestTable.renameInfo(tags)._1.map(_.swap)
     // footer stats count PRE-deletion-vector rows: min/max stay valid
     // as superset ESTIMATES, but a null count over deleted rows can
     // EXCEED the DV-exact live row count and hand FilterEstimation an
     // out-of-range null fraction — omit it when any file carries a DV
     val anyDv = files.exists(_.dv.nonEmpty)
     schema.fields.foreach { f =>
-      val per = files.map(_.stats.get(f.name))
+      val physName = inv.getOrElse(f.name, f.name)
+      val per = files.map(_.stats.get(physName))
       if (per.forall(_.isDefined)) {
         val ss = per.map(_.get)
         val kinds = ss.map(_.kind).distinct

@@ -252,10 +252,13 @@ final class GraftScanBuilder(root: String, version: Option[Long],
     }
   }
 
+  /** Rename/drop mappings do NOT disqualify: layout columns can never
+    * be renamed or dropped ([[ManifestTable.schemaEvoCheck]] refuses
+    * hive partition columns), so their names here are already the
+    * in-path physical ones. Evolved specs (mixed eras — old files lack
+    * the column) and clone chains stay advisory-only. */
   private lazy val exactLayout: Set[String] = state match {
-    case Some(st) if !st.tags.contains(ManifestTable.RenameTag) &&
-        !st.tags.contains(ManifestTable.DropTag) &&
-        !st.tags.contains(ManifestTable.CloneSourcesTag) &&
+    case Some(st) if !st.tags.contains(ManifestTable.CloneSourcesTag) &&
         !st.tags.contains(ManifestTable.EvolvedTag) =>
       ManifestTable.layoutAt(root, st)
         .filter(c => st.files.forall(_.partitionValues.contains(c)))

@@ -158,11 +158,24 @@ class AggPushdownSpec extends SparkSpec {
     // COUNT(*) still pushes on the same table
     val (_, lc) = run(s"SELECT count(*) AS n FROM graft_lake.$n.u")
     assert(lc.contains("agg-pushdown"))
-    // a renamed column unmoors physical stat keys — decline everything
+    // a renamed column rides the rename map: stats keys are physical,
+    // the answer reports under the logical name — still metadata-only
     spark.sql(s"ALTER TABLE graft_lake.$n.u RENAME COLUMN k TO kk")
     val (rr, lr) = run(s"SELECT max(kk) AS mx, count(*) AS n FROM graft_lake.$n.u")
-    assert(!lr.contains("agg-pushdown"), s"renamed table must not push:\n$lr")
+    assert(lr.contains("agg-pushdown") && lr.contains("complete"),
+      s"renamed table should still answer from metadata:\n$lr")
     assert(rr.head.getLong(0) == 49L && rr.head.getLong(1) == 50L)
+    // and the PARTIAL path reads the remainder under physical names: a
+    // renamed string column folds by scanning when its marker is gone
+    val st2 = ManifestTable.current(spark, root).get
+    val legacy2 = st2.copy(files = st2.files.map(f =>
+      f.copy(stats = f.stats.view.mapValues(_.copy(exact = false)).toMap)))
+    import org.apache.spark.sql.connector.expressions.{Expressions => E2}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation => Agg2, Max => Max2}
+    val renamedAgg = new Agg2(Array(new Max2(E2.column("kk"))), Array.empty)
+    val planned2 = graft.sources.v2.GraftAggScan.plan(
+      root, legacy2, spark.table(s"graft_lake.$n.u").schema, Array.empty, renamedAgg)
+    assert(planned2.exists(_.complete), "integral max under rename stays metadata")
     spark.sql(s"DROP TABLE graft_lake.$n.u")
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }

@@ -8,10 +8,11 @@ import graft.sources.ManifestTable
   * PARTITIONED BY (bucket(n, k)) report KeyGroupedPartitioning from
   * their DSv2 scans, so a join carrying the bucket column equality runs
   * with ZERO Exchange — at 100 TB the fact-fact shuffle this removes is
-  * the single largest cost in the engine. Also pins the fallback: any
-  * table state the bucketed scan can't serve exactly (deletion vectors,
-  * renames, clones) silently reverts to the mature V1 bridge, trading
-  * the optimization for unchanged semantics. */
+  * the single largest cost in the engine. Deletion vectors, renamed/
+  * dropped columns and evolved specs stay NATIVE (permanent metadata
+  * states must not forfeit the optimizer tier); the remaining fallback
+  * pins: clone chains and over-bound DVs silently revert to the mature
+  * V1 bridge, trading the optimization for unchanged semantics. */
 class BucketedJoinSpec extends SparkSpec {
   import spark.implicits._
 
@@ -361,18 +362,118 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
-  test("renames still fall back to the V1 bridge, same answer") {
+  test("renamed columns stay NATIVE: scan, filters, and the SPJ keep zero Exchange") {
     mkTables("spjren", buckets = 4)
     try {
       val rootA = sys.props("java.io.tmpdir").stripSuffix("/") +
         "/graft_warehouse/spjren/a"
+      // rename a plain DATA column — a PERMANENT metadata state that
+      // must not forfeit the native scan (layout columns and bucket
+      // sources can never be renamed, so the mapping is a pure
+      // reader-boundary translation)
       ManifestTable.renameColumn(spark, rootA, "v", "val")
       val df = spark.sql("SELECT k, val FROM graft_lake.spjren.a WHERE k < 3 ORDER BY k")
       val p = df.queryExecution.executedPlan.toString
-      assert(!p.contains("BatchScan"), s"renamed table must fall back:\n$p")
+      assert(p.contains("BatchScan"), s"renamed table must stay native:\n$p")
       assert(df.as[(Long, Double)].collect().toSeq ==
         Seq((0L, 0.0), (1L, 1.5), (2L, 3.0)))
+      // the co-bucketed join THROUGH the rename: still zero Exchange
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+               "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+        val j = spark.sql(
+          """SELECT a.k, a.val, b.w
+            |FROM graft_lake.spjren.a a JOIN graft_lake.spjren.b b
+            |  ON a.k = b.k AND a.k_bucket = b.k_bucket""".stripMargin)
+        val jp = j.queryExecution.executedPlan.toString
+        assert(!jp.contains("Exchange"),
+          s"renamed co-bucketed join must keep zero Exchange:\n$jp")
+        assert(jp.contains("BatchScan"), s"expected the DSv2 scan:\n$jp")
+        val got = j.as[(Long, Double, Double)].collect().toSeq.sorted
+        val ref = withConf(GraftBucketedScanConf -> "false") {
+          j.as[(Long, Double, Double)].collect().toSeq.sorted
+        }
+        assert(got == ref && got.size == 150)
+      }
+      // a DROPPED column is a permanent state too: native, column gone
+      ManifestTable.dropColumn(spark, rootA, "val")
+      val d = spark.sql(s"SELECT * FROM graft_lake.spjren.a WHERE k < 2")
+      assert(d.queryExecution.executedPlan.toString.contains("BatchScan"))
+      assert(d.columns.toSeq.sorted == Seq("k", "k_bucket"))
+      assert(d.select("k").as[Long].collect().toSeq.sorted == Seq(0L, 1L))
     } finally dropTables("spjren")
+  }
+
+  test("evolved specs read NATIVE across mixed eras; unrecorded generated columns decline") {
+    val ns0 = "spjevo"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lake.$ns0")
+    spark.sql(s"CREATE TABLE graft_lake.$ns0.t (day STRING, k BIGINT, v DOUBLE)")
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") +
+      s"/graft_warehouse/$ns0/t"
+    try {
+      // era 1: unpartitioned — `day` lives in the parquet BYTES
+      spark.sql(s"INSERT INTO graft_lake.$ns0.t " +
+        "SELECT concat('2026-01-0', 1 + id % 3), id, CAST(id AS DOUBLE) " +
+        "FROM range(0, 300)")
+      ManifestTable.evolvePartitionSpec(spark, root, Seq("day"))
+      // era 2: identity-partitioned — `day` is a DIRECTORY value
+      spark.sql(s"INSERT INTO graft_lake.$ns0.t " +
+        "SELECT concat('2026-01-0', 1 + id % 3), id, CAST(id AS DOUBLE) " +
+        "FROM range(300, 500)")
+      val df = spark.sql(
+        s"SELECT day, k, v FROM graft_lake.$ns0.t WHERE day = '2026-01-02'")
+      val p = df.queryExecution.executedPlan.toString
+      // per-file era classification: one reader per dir-signature, the
+      // scan stays NATIVE (the description names its era-group count)
+      assert(p.contains("BatchScan") && p.contains("eras(2)"),
+        s"mixed-era read must stay native:\n$p")
+      val got = df.as[(String, Long, Double)].collect().toSeq.sorted
+      val ref = withConf(GraftBucketedScanConf -> "false") {
+        spark.sql(s"SELECT day, k, v FROM graft_lake.$ns0.t " +
+          "WHERE day = '2026-01-02'").as[(String, Long, Double)]
+          .collect().toSeq.sorted
+      }
+      assert(got == ref && got.size == 166 + 1) // 100+67 per modulo split
+      // evolving ON a generated transform: old files don't record the
+      // new column, so a projection including it needs the V1 bridge's
+      // expression repair — the native scan must decline
+      ManifestTable.evolvePartitionSpec(spark, root, Seq("day", "bucket(4, k)"))
+      val g = spark.sql(s"SELECT day, k, k_bucket FROM graft_lake.$ns0.t")
+      val gp = g.queryExecution.executedPlan.toString
+      assert(!gp.contains("BatchScan"),
+        s"unrecorded generated column must fall back to V1 repair:\n$gp")
+      assert(g.count() == 500 &&
+        g.filter(col("k_bucket").isNull).count() == 0,
+        "the V1 repair derives the generated column on every era's rows")
+      // a projection NOT touching the unrecorded column stays native
+      val h = spark.sql(s"SELECT day, k FROM graft_lake.$ns0.t")
+      assert(h.queryExecution.executedPlan.toString.contains("BatchScan"))
+      assert(h.count() == 500)
+    } finally {
+      spark.sql(s"DROP TABLE graft_lake.$ns0.t")
+      spark.sql(s"DROP NAMESPACE graft_lake.$ns0")
+    }
+  }
+
+  test("clone chains keep the V1 bridge (documented refusal)") {
+    mkTables("spjclone", buckets = 4)
+    val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
+    val cloneRoot = s"$wh/spjclone_clone"
+    try {
+      ManifestTable.cloneTable(spark, s"$wh/spjclone/a", cloneRoot)
+      // a shallow clone's inherited generations resolve against SOURCE
+      // roots per generation — path indirection the flat file-list scan
+      // does not model, so tryBuild refuses and the V1 bridge serves
+      val st = ManifestTable.current(spark, cloneRoot).get
+      val schema = ManifestTable.read(spark, cloneRoot).schema
+      assert(graft.sources.v2.GraftBatchScan.tryBuild(cloneRoot, None, st,
+        Array.empty, schema, schema).isEmpty,
+        "clone-chain state must refuse the native scan")
+      assert(ManifestTable.read(spark, cloneRoot).count() == 500)
+    } finally {
+      dropTables("spjclone")
+      val p = new org.apache.hadoop.fs.Path(cloneRoot)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   private val GraftBucketedScanConf = graft.sources.v2.GraftBatchScan.EnabledKey
