@@ -258,6 +258,91 @@ object ManifestTable {
   private[sources] def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ------------------------------------------------- resolved-state memo
+
+  /** Conf gate (default on) for the resolved-state memo below. */
+  val StateMemoKey = "spark.graft.stateMemo.enabled"
+
+  /** Memo of fully-resolved states keyed (root, version), each entry
+    * validated by the HEAD manifest file's (length, modificationTime)
+    * fingerprint. Sound because committed manifests are IMMUTABLE — the
+    * CAS claim creates each `NNN.txt` exactly once and nothing ever
+    * rewrites it — so a (root, version) can only resolve one way while
+    * its manifest file exists unchanged; the fingerprint catches the
+    * one aliasing hazard (a table deleted and re-created at the same
+    * path re-claims version numbers with new content). Why it exists:
+    * ONE query's planning resolves the same state several times —
+    * table schema, bucket layout, the ScanBuilder, V1 statistics — and
+    * each cold resolution is a manifest parse plus, for sidecar-backed
+    * snapshots, a driver parquet read of the checkpoint; on a
+    * 10k-query/day warehouse that is real plan-time. A hit costs one
+    * getFileStatus. Bounded LRU (access-order), process-wide. */
+  private val stateMemoMax = 256
+  private val stateMemo =
+    new java.util.LinkedHashMap[(String, Long), (Long, Long, State)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), (Long, Long, State)]): Boolean =
+        size() > stateMemoMax
+    }
+
+  private def memoEnabled(spark: SparkSession): Boolean =
+    spark.conf.get(StateMemoKey, "true").toBoolean
+
+  /** Diagnostic hit/miss counters (validated hits only) — what a spec
+    * or a plan-time investigation reads; reset is test-only. */
+  private val memoHits = new java.util.concurrent.atomic.AtomicLong
+  private val memoMisses = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def stateMemoCounters: (Long, Long) =
+    (memoHits.get(), memoMisses.get())
+  private[graft] def resetStateMemoCounters(): Unit = {
+    memoHits.set(0L); memoMisses.set(0L)
+  }
+
+  /** The memoized state at (root, version) — only when the version's
+    * manifest file still matches the fingerprint recorded at store
+    * time. Absent files and fingerprint drift (delete + re-create) miss
+    * and fall to cold resolution. */
+  private def memoGet(spark: SparkSession, fs: FileSystem, root: String,
+                      version: Long): Option[State] = {
+    if (!memoEnabled(spark)) return None
+    val st =
+      try fs.getFileStatus(manifestPath(root, version))
+      catch { case _: java.io.FileNotFoundException => return None }
+    val hit = stateMemo.synchronized {
+      Option(stateMemo.get((root, version)))
+        .filter(e => e._1 == st.getLen && e._2 == st.getModificationTime)
+        .map(_._3)
+    }
+    (if (hit.isDefined) memoHits else memoMisses).incrementAndGet()
+    hit
+  }
+
+  /** Drop every memo entry whose root sits under `prefix` — called by
+    * the surfaces that DELETE or MOVE whole tables (catalog DROP
+    * TABLE / DROP NAMESPACE / RENAME TABLE), closing the one
+    * fingerprint blind spot: a re-created manifest landing with the
+    * SAME length inside the SAME modification-time tick. External
+    * (non-engine) deletes still rely on the fingerprint alone. */
+  private[graft] def invalidateStateMemo(prefix: String): Unit =
+    stateMemo.synchronized {
+      val it = stateMemo.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.startsWith(prefix)) it.remove()
+    }
+
+  /** Record a freshly-resolved state under its own version's manifest
+    * fingerprint (taken NOW — the file is post-sentinel immutable). */
+  private def memoPut(spark: SparkSession, fs: FileSystem, root: String,
+                      state: State): Unit = {
+    if (!memoEnabled(spark)) return
+    val st =
+      try fs.getFileStatus(manifestPath(root, state.version))
+      catch { case _: java.io.FileNotFoundException => return }
+    stateMemo.synchronized {
+      stateMemo.put((root, state.version),
+        (st.getLen, st.getModificationTime, state)); ()
+    }
+  }
+
   private def manifestPath(root: String, version: Long): Path =
     new Path(root, f"$ManifestDir/$version%020d.txt")
 
@@ -337,6 +422,20 @@ object ManifestTable {
     * listing with identical results. */
   def current(spark: SparkSession, root: String): Option[State] = {
     val fs = fsOf(spark, root)
+    // memo fast path: the pointer + the contiguous-claim existence
+    // probe identify the newest EXISTING manifest without parsing
+    // anything; a validated memo hit for that version skips the parse
+    // and (for sidecar snapshots) the checkpoint parquet read. A
+    // half-written or garbled head misses (nothing was ever stored
+    // under it) and the full parse-validated path below serves.
+    readPointer(fs, root).foreach { c =>
+      var newest = c
+      while (fs.exists(manifestPath(root, newest + 1))) newest += 1
+      memoGet(spark, fs, root, newest) match {
+        case Some(st) => return Some(st)
+        case None     => ()
+      }
+    }
     val hinted = readPointer(fs, root).flatMap { c =>
       // each manifest is read and parsed ONCE across the snapshot
       // check, the probe, and the resolution — for a large inline-text
@@ -365,7 +464,9 @@ object ManifestTable {
             re
           case some => some
         }
-        resolveState(fetchReprobe, loadRefFiles(spark, root, _), newest, root)
+        val r = resolveState(fetchReprobe, loadRefFiles(spark, root, _), newest, root)
+        r.foreach(memoPut(spark, fs, root, _))
+        r
       }
     }
     hinted.orElse {
@@ -517,12 +618,18 @@ object ManifestTable {
 
   private def resolveState(spark: SparkSession, root: String, version: Long): Option[State] = {
     val fs = fsOf(spark, root)
-    readRaw(fs, root, version) match {
+    memoGet(spark, fs, root, version) match {
+      case hit @ Some(_) => return hit
+      case None          => ()
+    }
+    val r = readRaw(fs, root, version) match {
       case None       => None // not committed at all
       case head @ Some(_) => resolveState(
         v => if (v == version) head else readRaw(fs, root, v),
         loadRefFiles(spark, root, _), version, root)
     }
+    r.foreach(memoPut(spark, fs, root, _))
+    r
   }
 
   /** Read a columnar snapshot sidecar back; any failure — missing dir,

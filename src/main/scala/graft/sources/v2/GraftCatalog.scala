@@ -257,6 +257,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
+    // a later CREATE at the same path re-claims version numbers — drop
+    // the resolved-state memo entries so nothing can alias
+    ManifestTable.invalidateStateMemo(p.toString)
     isTableDir(p) && fs.delete(p, true)
   }
 
@@ -266,6 +269,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
     if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent)
     if (!fs.exists(to.getParent)) throw new NoSuchNamespaceException(newIdent.namespace)
+    ManifestTable.invalidateStateMemo(from.toString)
+    ManifestTable.invalidateStateMemo(to.toString)
     require(fs.rename(from, to),
       s"graft catalog: rename ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
   }
@@ -318,6 +323,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!cascade && fs.listStatus(p).nonEmpty)
       throw new NonEmptyNamespaceException(
         namespace, s"namespace ${namespace.mkString(".")} is not empty", None)
+    ManifestTable.invalidateStateMemo(p.toString)
     fs.delete(p, true)
   }
 }
