@@ -1012,6 +1012,43 @@ object AggWindowQueries extends QueryPack {
       s.sql(s"DROP NAMESPACE graft_lake.$ns")
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }),
+    "k42_multikey_bucket" -> ((s, d) => {
+      // K42 (beyond-reference): MULTI-COLUMN bucket layouts —
+      // bucket(16, l_partkey, l_suppkey) hashes the source TUPLE, so a
+      // composite-key fact-fact join (the partsupp-shaped key) runs as
+      // a storage-partitioned join with zero Exchange; a single-column
+      // layout could only co-locate one member's equality. The natural
+      // join shape (both member equalities) gets the tuple-bucket
+      // conjunct injected by the optimizer rule; BucketedJoinSpec pins
+      // the plan (zero Exchange + the single-member refusal), the
+      // driver pins the ANSWERS against a relational DuckDB replay.
+      val ns = "k42_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE graft_lake.$ns.li (l_partkey BIGINT, " +
+        "l_suppkey BIGINT, l_linestatus STRING, l_extendedprice DOUBLE) " +
+        "PARTITIONED BY (bucket(16, l_partkey, l_suppkey))")
+      s.sql(s"CREATE TABLE graft_lake.$ns.ret (l_partkey BIGINT, " +
+        "l_suppkey BIGINT, l_quantity DOUBLE) " +
+        "PARTITIONED BY (bucket(16, l_partkey, l_suppkey))")
+      t(s, d, "lineitem").createOrReplaceTempView("k42_l")
+      s.sql(s"INSERT INTO graft_lake.$ns.li SELECT l_partkey, l_suppkey, " +
+        "l_linestatus, l_extendedprice, NULL FROM k42_l")
+      s.sql(s"INSERT INTO graft_lake.$ns.ret SELECT l_partkey, l_suppkey, " +
+        "CAST(l_quantity AS DOUBLE), NULL FROM k42_l WHERE l_returnflag = 'R'")
+      val out = s.sql(
+        s"""SELECT li.l_linestatus, COUNT(*) AS n_pairs,
+           |  ${OracleMath.dsumSql("li.l_extendedprice", 4, 2)} AS revenue,
+           |  ${OracleMath.dsumSql("r.l_quantity", 4, 2)} AS ret_qty
+           |FROM graft_lake.$ns.li li JOIN graft_lake.$ns.ret r
+           |  ON li.l_partkey = r.l_partkey AND li.l_suppkey = r.l_suppkey
+           |GROUP BY li.l_linestatus""".stripMargin)
+      val rows = out.collect()
+      val schema = out.schema
+      s.sql(s"DROP TABLE graft_lake.$ns.li")
+      s.sql(s"DROP TABLE graft_lake.$ns.ret")
+      s.sql(s"DROP NAMESPACE graft_lake.$ns")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }),
     "k40_replace_where" -> ((s, d) => {
       // K40 (beyond-reference): atomic REPLACE WHERE — static-mode
       // `INSERT OVERWRITE … PARTITION (…)` lands as ONE
@@ -1462,6 +1499,15 @@ object AggWindowQueries extends QueryPack {
     "k39_topn_pruned" ->
       """SELECT o_orderkey, o_totalprice, CAST(100 AS BIGINT) AS n_limited
         |FROM orders ORDER BY o_orderkey DESC LIMIT 50""".stripMargin,
+    "k42_multikey_bucket" ->
+      s"""SELECT li.l_linestatus, COUNT(*) AS n_pairs,
+         |  ${OracleMath.dsumSql("li.l_extendedprice", 4, 2)} AS revenue,
+         |  ${OracleMath.dsumSql("r.l_quantity", 4, 2)} AS ret_qty
+         |FROM lineitem li
+         |JOIN (SELECT l_partkey, l_suppkey, CAST(l_quantity AS DOUBLE) AS l_quantity
+         |      FROM lineitem WHERE l_returnflag = 'R') r
+         |  ON li.l_partkey = r.l_partkey AND li.l_suppkey = r.l_suppkey
+         |GROUP BY li.l_linestatus""".stripMargin,
     "k41_rename_native" ->
       s"""WITH j AS (
          |  SELECT o.o_orderpriority AS priority, COUNT(*) AS n_items,

@@ -62,12 +62,12 @@ class GraftBucketJoinConjunct(spark: SparkSession) extends Rule[LogicalPlan]
     case _ => None
   }
 
-  /** (bucket column name, source column name, bucket count) of the
+  /** (bucket column name, source column names, bucket count) of the
     * table's layout — cached ON the table instance
     * ([[GraftTable.bucketLayoutInfo]]), so a multi-join query costs
     * zero extra manifest reads per fixed-point iteration and the
     * layout snapshot is the one the table itself was loaded with. */
-  private def bucketOf(t: GraftTable): Option[(String, String, Int)] =
+  private def bucketOf(t: GraftTable): Option[(String, Seq[String], Int)] =
     t.bucketLayoutInfo
 
   /** The leg rebuilt so `attr` (a column of its underlying relation) is
@@ -94,12 +94,16 @@ class GraftBucketJoinConjunct(spark: SparkSession) extends Rule[LogicalPlan]
           if legTable(left).isDefined && legTable(right).isDefined =>
         val (lt, rt) = (legTable(left).get, legTable(right).get)
         (bucketOf(lt), bucketOf(rt)) match {
-          case (Some((lbName, lSrc, ln)), Some((rbName, rSrc, rn))) if ln == rn =>
+          case (Some((lbName, lSrcs, ln)), Some((rbName, rSrcs, rn)))
+              if ln == rn && lSrcs.length == rSrcs.length =>
             val conjuncts = splitConjunctivePredicates(cond)
-            // the key equality this rule keys on: left source column =
-            // right source column (either orientation). Matching is by
-            // ATTRIBUTE IDENTITY (exprId) against the relation's OWN
-            // source-column attribute, never by name: a leg like
+            // the key equalities this rule keys on: EVERY positional
+            // source-column pair equated (either orientation) — a
+            // multi-column bucket hashes the source TUPLE, so equal
+            // buckets follow only from ALL members being equal, in the
+            // layouts' shared order. Matching is by ATTRIBUTE IDENTITY
+            // (exprId) against the relation's OWN source-column
+            // attribute, never by name: a leg like
             // `SELECT other_col AS k FROM bucketed_t` exposes an
             // attribute NAMED like the source key whose values the
             // stored bucket column did not hash — injecting the bucket
@@ -108,18 +112,19 @@ class GraftBucketJoinConjunct(spark: SparkSession) extends Rule[LogicalPlan]
             // exprId, so the legitimate shapes still match; an Alias
             // mints a fresh exprId and is rejected by construction.
             // Same-type is implied (both sides ARE the stored source
-            // columns, same layout (src, n)); the analyzer would wrap a
+            // columns, same layout (srcs, n)); the analyzer would wrap a
             // cross-type comparison in Casts that break the
             // AttributeReference pattern anyway.
-            val (lKey, rKey) = (relationAttr(left, lSrc), relationAttr(right, rSrc))
-            val keyed = (lKey, rKey) match {
-              case (Some(lk), Some(rk)) => conjuncts.exists {
-                case EqualTo(a: AttributeReference, b: AttributeReference) =>
-                  (a.semanticEquals(lk) && b.semanticEquals(rk)) ||
-                  (a.semanticEquals(rk) && b.semanticEquals(lk))
+            val keyed = lSrcs.zip(rSrcs).forall { case (lSrc, rSrc) =>
+              (relationAttr(left, lSrc), relationAttr(right, rSrc)) match {
+                case (Some(lk), Some(rk)) => conjuncts.exists {
+                  case EqualTo(a: AttributeReference, b: AttributeReference) =>
+                    (a.semanticEquals(lk) && b.semanticEquals(rk)) ||
+                    (a.semanticEquals(rk) && b.semanticEquals(lk))
+                  case _ => false
+                }
                 case _ => false
               }
-              case _ => false
             }
             val already = conjuncts.exists {
               case EqualTo(a: AttributeReference, b: AttributeReference) =>

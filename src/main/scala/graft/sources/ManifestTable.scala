@@ -1854,28 +1854,36 @@ object ManifestTable {
     }
 
   /** The table's generated BUCKET layout, when one exists:
-    * (bucket column name, source column, bucket count). The defining
-    * SQL is the engine's own `pmod(hash(c), n)` — Spark murmur3, the
-    * same hash Spark's HashPartitioning uses — which is what makes a
-    * co-bucketed storage-partitioned join semantically sound: equal
-    * source keys land in equal buckets on every table sharing (c, n). */
+    * (bucket column name, source columns, bucket count). The defining
+    * SQL is the engine's own `pmod(hash(c1[, c2…]), n)` — Spark
+    * murmur3, the same hash Spark's HashPartitioning uses — which is
+    * what makes a co-bucketed storage-partitioned join semantically
+    * sound: equal source-key TUPLES land in equal buckets on every
+    * table sharing (sources, n). Multi-column buckets co-locate
+    * composite-key joins (e.g. (orderkey, suppkey) fact-fact) the way a
+    * single-column layout cannot: hashing one member would co-locate
+    * only that member's equality. */
   private[graft] def bucketLayout(tags: Map[String, String])
-      : Option[(String, String, Int)] = {
-    val B = """pmod\(hash\(`(\w+)`\), (\d+)\)""".r
+      : Option[(String, Seq[String], Int)] = {
+    val B = """pmod\(hash\((`\w+`(?:, `\w+`)*)\), (\d+)\)""".r
     generatedSpecs(tags).collectFirst {
-      case (name, B(src, n)) => (name, src, n.toInt)
+      case (name, B(srcs, n)) =>
+        (name, srcs.split(", ").toSeq.map(_.stripPrefix("`").stripSuffix("`")),
+          n.toInt)
     }
   }
 
   /** One PARTITIONED BY entry → (column name, optional defining SQL).
     * Identity entries pass through; transform entries derive:
     * `days(c)`/`months(c)`/`hours(c)` (time granularities on a
-    * timestamp/date column), `bucket(n, c)` (hash buckets for
-    * co-location), `truncate(n, c)` (string prefix). Derived names are
-    * `<col>_day|_month|_hour|_bucket|_trunc`. */
+    * timestamp/date column), `bucket(n, c1[, c2…])` (hash buckets for
+    * co-location — multiple sources hash as a tuple, co-locating
+    * composite-key joins), `truncate(n, c)` (string prefix). Derived
+    * names are `<col>_day|_month|_hour|_trunc` and
+    * `<c1>[_<c2>…]_bucket`. */
   private[graft] def parsePartitionSpec(spec: String): (String, Option[String]) = {
     val Time = """(?i)(days|months|hours)\s*\(\s*(\w+)\s*\)""".r
-    val Bucket = """(?i)bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+    val Bucket = """(?i)bucket\s*\(\s*(\d+)\s*,\s*(\w+(?:\s*,\s*\w+)*)\s*\)""".r
     val Trunc = """(?i)truncate\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
     spec.trim match {
       case Time(kind, c) => kind.toLowerCase match {
@@ -1883,8 +1891,10 @@ object ManifestTable {
         case "months" => (s"${c}_month", Some(s"date_format(`$c`, 'yyyy-MM')"))
         case _        => (s"${c}_hour", Some(s"date_format(`$c`, 'yyyy-MM-dd-HH')"))
       }
-      case Bucket(n, c) =>
-        (s"${c}_bucket", Some(s"pmod(hash(`$c`), $n)"))
+      case Bucket(n, cs) =>
+        val cols = cs.split(',').toSeq.map(_.trim)
+        (s"${cols.mkString("_")}_bucket",
+          Some(s"pmod(hash(${cols.map(c => s"`$c`").mkString(", ")}), $n)"))
       case Trunc(n, c) =>
         (s"${c}_trunc", Some(s"substring(`$c`, 1, $n)"))
       case plain =>

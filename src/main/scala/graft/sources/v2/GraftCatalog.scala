@@ -179,11 +179,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // manifest's generated-partition-column specs — the engine derives
     // the day/bucket column at every write boundary
     val partCols = partitions.toSeq.map { t =>
+      def refs = {
+        require(t.references.nonEmpty && t.references.forall(_.fieldNames.length == 1),
+          s"graft catalog: PARTITIONED BY transform must reference " +
+            s"top-level columns, got $t")
+        t.references.toSeq.map(_.fieldNames.head)
+      }
       def ref = {
-        require(t.references.length == 1 && t.references.head.fieldNames.length == 1,
-          s"graft catalog: PARTITIONED BY transform must reference one " +
-            s"top-level column, got $t")
-        t.references.head.fieldNames.head
+        require(refs.length == 1,
+          s"graft catalog: '${t.name}' takes exactly one column, got $t")
+        refs.head
       }
       t.name match {
         case "identity"                   => ref
@@ -194,10 +199,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               lit.value.toString
           }.getOrElse(sys.error(s"graft catalog: bucket transform needs a " +
             s"literal bucket count, got $t"))
-          s"bucket($n, $ref)"
+          // multiple sources hash as a TUPLE (composite-key co-location)
+          s"bucket($n, ${refs.mkString(", ")})"
         case other => sys.error(
           s"graft catalog: unsupported PARTITIONED BY transform '$other' — " +
-            "supported: identity columns, days/months/hours(col), bucket(n, col)")
+            "supported: identity columns, days/months/hours(col), " +
+            "bucket(n, col[, col…])")
       }
     }
     val p = tablePath(ident)

@@ -54,7 +54,7 @@ final class GraftTable(val root: String, ident: String,
     ManifestTable.partitionLayout(spark, root)
       .map(Expressions.identity).toArray
 
-  /** The table's bucket layout — (bucket column, source column, bucket
+  /** The table's bucket layout — (bucket column, source columns, bucket
     * count) — resolved ONCE per table instance so optimizer rules (the
     * auto bucket-join conjunct) never re-read the manifest on every
     * fixed-point iteration. Caching is sound because a bucket
@@ -63,7 +63,7 @@ final class GraftTable(val root: String, ident: String,
     * the layout this instance saw at load is the layout every
     * same-era scan plans against. Pinned (time-traveled) instances
     * resolve the layout of their own era. */
-  lazy val bucketLayoutInfo: Option[(String, String, Int)] =
+  lazy val bucketLayoutInfo: Option[(String, Seq[String], Int)] =
     scala.util.Try {
       (pinnedVersion match {
         case Some(v) => ManifestTable.stateAt(spark, root, v)

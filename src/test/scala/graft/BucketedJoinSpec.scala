@@ -454,6 +454,51 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("multi-column bucket layouts co-locate composite-key joins: zero Exchange") {
+    val ns0 = "spjmk"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lake.$ns0")
+    spark.sql(s"CREATE TABLE graft_lake.$ns0.a (k1 BIGINT, k2 BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, k1, k2))")
+    spark.sql(s"CREATE TABLE graft_lake.$ns0.b (k1 BIGINT, k2 BIGINT, w DOUBLE) " +
+      "PARTITIONED BY (bucket(8, k1, k2))")
+    try {
+      spark.sql(s"INSERT INTO graft_lake.$ns0.a SELECT id % 40, id % 7, " +
+        "CAST(id AS DOUBLE), NULL FROM range(0, 400)")
+      spark.sql(s"INSERT INTO graft_lake.$ns0.b SELECT id % 40, id % 7, " +
+        "CAST(id AS DOUBLE) * 2, NULL FROM range(0, 100)")
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+               "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+        // the NATURAL composite-key shape: both member equalities present
+        // → the rule injects the tuple-bucket conjunct, SPJ fires
+        val df = spark.sql(
+          s"""SELECT a.k1, a.k2, a.v, b.w
+             |FROM graft_lake.$ns0.a a JOIN graft_lake.$ns0.b b
+             |  ON a.k1 = b.k1 AND a.k2 = b.k2""".stripMargin)
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange"),
+          s"composite-key co-bucketed join must not shuffle:\n$p")
+        assert(p.contains("BatchScan"), s"expected the DSv2 scan:\n$p")
+        val got = df.as[(Long, Long, Double, Double)].collect().toSeq.sorted
+        val ref = withConf(GraftBucketedScanConf -> "false") {
+          df.as[(Long, Long, Double, Double)].collect().toSeq.sorted
+        }
+        assert(got == ref && got.nonEmpty)
+        // joining on ONE member only must NOT inject: the bucket hashes
+        // the TUPLE, so k1 equality alone does not imply bucket equality
+        val one = spark.sql(
+          s"""SELECT a.k1, COUNT(*) AS n
+             |FROM graft_lake.$ns0.a a JOIN graft_lake.$ns0.b b
+             |  ON a.k1 = b.k1 GROUP BY a.k1""".stripMargin)
+        val op = one.queryExecution.executedPlan.toString
+        assert(op.contains("Exchange"),
+          s"single-member join must shuffle (no false co-partitioning):\n$op")
+        assert(!op.contains("k1_k2_bucket#"),
+          s"the tuple-bucket conjunct must not be injected on a member join:\n$op")
+        assert(one.collect().nonEmpty)
+      }
+    } finally dropTables(ns0)
+  }
+
   test("clone chains keep the V1 bridge (documented refusal)") {
     mkTables("spjclone", buckets = 4)
     val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
