@@ -91,7 +91,8 @@ object ManifestTable {
     * "unknown" — data skipping must keep the file. */
   final case class ColStats(kind: Char, min: String, max: String,
                             nulls: Long = -1L, count: Long = -1L,
-                            exact: Boolean = false) {
+                            exact: Boolean = false,
+                            ndv: Option[String] = None) {
     /** Provably zero non-null values: no comparison predicate can match. */
     def allNull: Boolean = count >= 0 && nulls == count
   }
@@ -180,8 +181,12 @@ object ManifestTable {
     * conservative decline. Empty string = no stats. */
   private[graft] def encodeStats(stats: Map[String, ColStats]): String =
     stats.toSeq.sortBy(_._1).map { case (c, s) =>
+      // the optional 8th field is a base64 HLL distinct sketch
+      // (opt-in per table — [[NdvColsProp]]); base64 never contains
+      // ':' or ',', and enc() guards regardless
       s"${enc(c)}:${s.kind}:${enc(s.min)}:${enc(s.max)}:${s.nulls}:${s.count}" +
-        (if (s.exact) ":e" else "")
+        (if (s.exact || s.ndv.isDefined) (if (s.exact) ":e" else ":") else "") +
+        s.ndv.map(v => s":${enc(v)}").getOrElse("")
     }.mkString(",")
 
   /** A file entry's full stats field: the per-column specs plus, when
@@ -238,6 +243,11 @@ object ManifestTable {
         case Array(c, k, mn, mx, nl, ct, flags) if k.length == 1 =>
           scala.util.Try(ColStats(k.charAt(0), dec(mn), dec(mx), nl.toLong,
               ct.toLong, exact = flags.contains('e')))
+            .toOption.map(dec(c) -> _)
+        case Array(c, k, mn, mx, nl, ct, flags, ndv) if k.length == 1 =>
+          scala.util.Try(ColStats(k.charAt(0), dec(mn), dec(mx), nl.toLong,
+              ct.toLong, exact = flags.contains('e'),
+              ndv = Some(dec(ndv)).filter(_.nonEmpty)))
             .toOption.map(dec(c) -> _)
         case _ => None // unknown spec shape: ignore (stats are advisory)
       }
@@ -889,14 +899,38 @@ object ManifestTable {
     }
   }
 
+  /** Table property (comma-separated LOGICAL column names) opting the
+    * table into PER-FILE DISTINCT SKETCHES: every data-writing commit
+    * reads the named columns of its just-written files back once and
+    * records a compact HLL sketch (lgK=12, ≤ ~2.5 KB base64) per
+    * (file, column) in the manifest stats. Why sketches, not counts:
+    * per-file distinct COUNTS cannot merge (|A ∪ B| ≠ |A| + |B|), so
+    * only a mergeable sketch gives the optimizer an honest table-level
+    * ndv for string/high-cardinality join keys — the columns where the
+    * integral range-width bound ([[graft.sources.v2.GraftColumnStats]])
+    * falls back to the non-null count and equality selectivity goes
+    * generic. Opt-in by design: the sketch pass re-reads the commit's
+    * OWN new bytes (page-cache warm, named columns only), a deliberate
+    * ingest tax a 100 TB operator pays for exactly the join-key columns
+    * that earn it. Failures degrade to no-sketch (stats are advisory). */
+  val NdvColsProp = "stats.ndv.cols"
+
+  private def ndvCols(tags: Map[String, String]): Seq[String] =
+    tags.get(NdvColsProp).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   /** Inventory one generation dir's parquet files as root-relative
     * entries, collecting per-column min/max from each file's parquet
     * FOOTER (one metadata read per file, at write time — the Delta/
     * Iceberg stats-at-commit pattern; readers then skip files from
-    * manifest metadata alone, [[readWhere]]). Footer-read failures
-    * degrade to an entry without stats — stats are advisory, never
-    * load-bearing for correctness. */
-  private def listGeneration(fs: FileSystem, root: String, gen: String): Seq[FileEntry] = {
+    * manifest metadata alone, [[readWhere]]). Tables opted into
+    * [[NdvColsProp]] additionally get per-file HLL distinct sketches
+    * for the named columns (one distributed read of the new files).
+    * Footer-read failures degrade to an entry without stats — stats
+    * are advisory, never load-bearing for correctness. */
+  private def listGeneration(spark: SparkSession, root: String, gen: String,
+                             tags: Map[String, String] = Map.empty)
+      : Seq[FileEntry] = {
+    val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(new Path(root, gen))
     val it = fs.listFiles(qualified, true)
     val entries = Seq.newBuilder[FileEntry]
@@ -916,7 +950,60 @@ object ManifestTable {
         entries += FileEntry(s"$gen/$rel", f.getLen, stats, None, nRows)
       }
     }
-    entries.result()
+    attachNdvSketches(spark, root, gen, entries.result(), tags)
+  }
+
+  /** Per-file HLL sketches for the [[NdvColsProp]] columns of a
+    * just-written generation, attached onto entries that already carry
+    * a footer-stats record for the column (columns living in DIRECTORY
+    * values or absent from the file are skipped — the optimizer's
+    * all-files-or-nothing fold handles partial coverage honestly).
+    * The property names LOGICAL columns; files carry physical names. */
+  private def attachNdvSketches(spark: SparkSession, root: String, gen: String,
+                                entries: Seq[FileEntry],
+                                tags: Map[String, String]): Seq[FileEntry] = {
+    val logical = ndvCols(tags)
+    if (logical.isEmpty || entries.isEmpty) return entries
+    val inv = renameMap(tags).map(_.swap)
+    val physCols = logical.map(c => inv.getOrElse(c, c))
+    try {
+      val base = new Path(root, gen).toString
+      val df = spark.read.option("basePath", base)
+        .parquet(entries.map(e => new Path(root, e.relPath).toString): _*)
+      val present = physCols.filter(df.columns.contains)
+        .filter(c => entries.exists(_.stats.contains(c)))
+      if (present.isEmpty) return entries
+      val rows = df.groupBy(input_file_name().as("_file"))
+        .agg(hll_sketch_agg(col(present.head), 12).as(present.head),
+          present.tail.map(c => hll_sketch_agg(col(c), 12).as(c)): _*)
+        .collect()
+      // file names are task-UUID-unique within a generation, so the
+      // basename joins the reader's URI spelling to the manifest's
+      // relPath without fighting percent-encoding differences
+      val byName: Map[String, org.apache.spark.sql.Row] =
+        rows.map(r => r.getString(0).split('/').last -> r).toMap
+      entries.map { e =>
+        byName.get(e.relPath.split('/').last) match {
+          case None => e
+          case Some(r) =>
+            val enriched = present.zipWithIndex.foldLeft(e.stats) {
+              case (m, (c, i)) =>
+                (m.get(c), Option(r.get(i + 1))) match {
+                  case (Some(cs), Some(bytes)) =>
+                    m + (c -> cs.copy(ndv = Some(java.util.Base64.getEncoder
+                      .encodeToString(bytes.asInstanceOf[Array[Byte]]))))
+                  case _ => m
+                }
+            }
+            e.copy(stats = enriched)
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"manifest table $root: ndv sketch pass failed for $gen " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — committed without sketches")
+        entries
+    }
   }
 
   /** Build the snapshot artifact for `files`: inline text below the
@@ -1014,7 +1101,7 @@ object ManifestTable {
     val w = micros.write.mode(SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(genPath.toString)
-    (gen, listGeneration(fsOf(df.sparkSession, root), root, gen))
+    (gen, listGeneration(df.sparkSession, root, gen, tags))
   }
 
   /** `df` rebound to a CLONED session whose parquet output type is
@@ -2240,7 +2327,7 @@ object ManifestTable {
     val p = new Path(root, dir)
     withMicrosTimestamps(physicalizeDf(changes, tags))
       .write.mode(SaveMode.ErrorIfExists).parquet(p.toString)
-    val n = listGeneration(fsOf(spark, root), root, dir).flatMap(fileRows).sum
+    val n = listGeneration(spark, root, dir).flatMap(fileRows).sum
     if (n == 0L) { fsOf(spark, root).delete(p, true); None }
     else Some((dir, n))
   }
@@ -3405,7 +3492,7 @@ object ManifestTable {
     // readState is the LOGICAL view; rewrites must land physical names
     val micros = withMicrosTimestamps(physicalizeDf(df, st.tags))
     Writers.sizedRewrite(micros.sparkSession, micros, bytes, keys, targetFileMB, genPath.toString)
-    val entries = listGeneration(fs, root, gen)
+    val entries = listGeneration(spark, root, gen, st.tags)
     commitRewrite(spark, fs, root, st, gen, entries, graceMs)
   }
 
@@ -4444,7 +4531,7 @@ object ManifestTable {
     val micros = withMicrosTimestamps(physicalizeDf(df, st.tags))
     Writers.sizedRewrite(micros.sparkSession, micros, small.map(_.bytes).sum,
       keys, targetFileMB, new Path(root, gen).toString)
-    val entries = listGeneration(fs, root, gen)
+    val entries = listGeneration(spark, root, gen, st.tags)
     val v = st.version + 1
     val (manifest, sidecar) = mkSnapshot(spark, root, v, big ++ entries,
       st.tags + (OpTag -> "rewrite"))
@@ -4756,7 +4843,7 @@ object ManifestTable {
       Writers.sizedRewrite(micros.sparkSession, micros, liveBytes, partKeys,
         targetFileMB, genPath.toString)
     }
-    val entries = listGeneration(fs, root, gen)
+    val entries = listGeneration(spark, root, gen, st.tags)
     // row conservation: a rewrite that lost or duplicated rows must
     // never commit (the updateMoR/mergeMoR tear posture)
     val expected = eligible.map(fileLiveRows)
@@ -4825,7 +4912,7 @@ object ManifestTable {
     val w = clustered.write.mode(SaveMode.ErrorIfExists)
     (if (partKeys.nonEmpty) w.partitionBy(partKeys: _*) else w)
       .parquet(genPath.toString)
-    val entries = listGeneration(fs, root, gen)
+    val entries = listGeneration(spark, root, gen, st.tags)
     commitRewrite(spark, fs, root, st, gen, entries, graceMs)
   }
 

@@ -91,12 +91,33 @@ object GraftColumnStats {
               if (w.isValidLong) Some(w.toLong) else None
             case _ => None
           }
-          val ndv = (nonNull, rangeWidth) match {
-            case (Some(c), Some(w)) => OptionalLong.of(math.max(1L, math.min(c, w)))
-            case (Some(c), None)    => OptionalLong.of(math.max(1L, c))
-            case _                  => OptionalLong.empty()
+          // a table opted into per-file HLL sketches ([[ManifestTable
+          // .NdvColsProp]]) gets HONEST ndv: sketches merge across files
+          // (per-file distinct COUNTS cannot — |A ∪ B| ≠ |A| + |B|), so
+          // string/high-cardinality join keys stop falling back to the
+          // non-null count and equality/join selectivity estimates stop
+          // collapsing. All-files-or-nothing: one sketch-less file
+          // (legacy commit, failed pass) drops to the bound below. DV'd
+          // files overcount slightly — ndv is an estimate by contract.
+          val sketchNdv: Option[Long] =
+            if (ss.nonEmpty && ss.forall(_.ndv.isDefined)) {
+              try {
+                val u = new org.apache.datasketches.hll.Union(12)
+                ss.foreach(s => u.update(org.apache.datasketches.hll.HllSketch
+                  .heapify(java.util.Base64.getDecoder.decode(s.ndv.get))))
+                Some(math.max(1L, math.round(u.getEstimate)))
+              } catch { case scala.util.control.NonFatal(_) => None }
+            } else None
+          val ndv = (sketchNdv, nonNull, rangeWidth) match {
+            case (Some(e), nn, w) =>
+              // the sketch estimate, clamped by the hard bounds
+              val cap = Seq(nn, w).flatten.reduceOption(math.min(_, _))
+              OptionalLong.of(math.max(1L, cap.fold(e)(math.min(e, _))))
+            case (None, Some(c), Some(w)) => OptionalLong.of(math.max(1L, math.min(c, w)))
+            case (None, Some(c), None)    => OptionalLong.of(math.max(1L, c))
+            case _                        => OptionalLong.empty()
           }
-          if (mn.isPresent || mx.isPresent || nulls.isPresent)
+          if (mn.isPresent || mx.isPresent || nulls.isPresent || sketchNdv.isDefined)
             m.put(Expressions.column(f.name), new ColumnStatistics {
               override def min(): Optional[Object] = mn
               override def max(): Optional[Object] = mx

@@ -64,6 +64,48 @@ class ColumnStatsSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch ndv stops the huge-ndv misestimate on string join keys") {
+    val n = "cstat_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    // f.s has FOUR distinct values across 200k rows. Without a sketch
+    // the honest fallback ndv for a string column is the non-null count
+    // (200k), so `s = 'cat_a'` estimates 1/200k selectivity ≈ 1 row and
+    // CBO broadcasts a 50k-row side; with stats.ndv.cols the per-file
+    // HLL sketches union to ndv ≈ 4, the estimate becomes ~50k rows and
+    // the join stays sort-merge — the sketch prevents the
+    // wrongly-broadcast-a-big-side failure mode. AQE OFF throughout, so
+    // the decision is the reported statistic, not runtime observation.
+    spark.sql(s"CREATE TABLE graft_lake.$n.f (k BIGINT, s STRING, v DOUBLE) " +
+      s"TBLPROPERTIES ('${graft.sources.ManifestTable.NdvColsProp}' = 's')")
+    spark.sql(s"CREATE TABLE graft_lake.$n.g (k BIGINT, s STRING, v DOUBLE)")
+    for (t <- Seq("f", "g"))
+      spark.sql(s"INSERT INTO graft_lake.$n.$t SELECT id, " +
+        "concat('cat_', substring('abcd', CAST(id % 4 AS INT) + 1, 1)), " +
+        "CAST(id AS DOUBLE) FROM range(0, 200000)")
+    spark.sql(s"CREATE TABLE graft_lake.$n.d (k BIGINT, w DOUBLE)")
+    spark.sql(s"INSERT INTO graft_lake.$n.d " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(0, 200000)")
+    def q(t: String) =
+      s"""SELECT f.k, f.v, d.w FROM graft_lake.$n.$t f
+         |JOIN graft_lake.$n.d d ON f.k = d.k
+         |WHERE f.s = 'cat_a'""".stripMargin
+    try withConf(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "65536") {
+      val sketched = spark.sql(q("f")).queryExecution.executedPlan.toString
+      assert(sketched.contains("SortMergeJoin"),
+        s"sketch ndv ≈ 4 estimates ~50k filtered rows — must not broadcast:\n$sketched")
+      val sketchless = spark.sql(q("g")).queryExecution.executedPlan.toString
+      assert(sketchless.contains("BroadcastHashJoin"),
+        s"fallback ndv = non-null count misestimates to ~1 row (sanity):\n$sketchless")
+      assert(spark.sql(q("f")).count() == 50000L)
+    } finally {
+      for (t <- Seq("f", "g", "d")) spark.sql(s"DROP TABLE graft_lake.$n.$t")
+      spark.sql(s"DROP NAMESPACE graft_lake.$n")
+    }
+  }
+
   test("bounds-free stat kinds (boolean, all-null) never crash planning") {
     val n = "cstat_" + java.util.UUID.randomUUID().toString.take(8)
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")

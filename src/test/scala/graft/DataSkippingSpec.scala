@@ -28,6 +28,8 @@ class DataSkippingSpec extends SparkSpec {
     val stats = Map(
       "plain"  -> ColStats('n', "-12.5", "99"),
       "str"    -> ColStats('s', "a,b:c%d", "z\tz", exact = true),
+      "nd"     -> ColStats('s', "a", "b", 0, 5, exact = false,
+                           ndv = Some("AgEHDAMIAQB=")),
       "wei rd" -> ColStats('s', "", "=,:"))
     assert(ManifestTable.decodeStats(ManifestTable.encodeStats(stats)) == stats)
     assert(ManifestTable.decodeStats("") == Map.empty[String, ColStats])
