@@ -287,11 +287,22 @@ object ManifestTable {
     * snapshots, a driver parquet read of the checkpoint; on a
     * 10k-query/day warehouse that is real plan-time. A hit costs one
     * getFileStatus. Bounded LRU (access-order), process-wide. */
+  /** One memo entry: the head manifest's fingerprint, the SIDECAR path
+    * the resolution read through (when the snapshot base was
+    * columnar), and the state. The sidecar is re-checked for existence
+    * on every hit — the degradation contract says an unreadable
+    * sidecar reads like a garbled manifest (fall back to an older
+    * resolvable version, ManifestTableSpec pins it), and a memo that
+    * kept serving a state whose checkpoint died would mask the
+    * corruption until process restart. */
+  private final case class MemoEntry(len: Long, mtime: Long,
+                                     sidecar: Option[String], state: State)
+
   private val stateMemoMax = 256
   private val stateMemo =
-    new java.util.LinkedHashMap[(String, Long), (Long, Long, State)](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long), MemoEntry](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), (Long, Long, State)]): Boolean =
+          e: java.util.Map.Entry[(String, Long), MemoEntry]): Boolean =
         size() > stateMemoMax
     }
 
@@ -318,13 +329,18 @@ object ManifestTable {
     val st =
       try fs.getFileStatus(manifestPath(root, version))
       catch { case _: java.io.FileNotFoundException => return None }
-    val hit = stateMemo.synchronized {
+    val entry = stateMemo.synchronized {
       Option(stateMemo.get((root, version)))
-        .filter(e => e._1 == st.getLen && e._2 == st.getModificationTime)
-        .map(_._3)
+        .filter(e => e.len == st.getLen && e.mtime == st.getModificationTime)
     }
+    // the sidecar liveness check preserves the degradation contract:
+    // a deleted/corrupted checkpoint must make this version resolve
+    // cold (and fail there, falling back to an older version) exactly
+    // as it would in a fresh process
+    val hit = entry.filter(_.sidecar.forall(p =>
+      try fs.exists(new Path(p)) catch { case _: java.io.IOException => false }))
     (if (hit.isDefined) memoHits else memoMisses).incrementAndGet()
-    hit
+    hit.map(_.state)
   }
 
   /** Drop every memo entry whose root sits under `prefix` — called by
@@ -340,16 +356,18 @@ object ManifestTable {
     }
 
   /** Record a freshly-resolved state under its own version's manifest
-    * fingerprint (taken NOW — the file is post-sentinel immutable). */
+    * fingerprint (taken NOW — the file is post-sentinel immutable);
+    * `sidecar` is the checkpoint dir the resolution read through, when
+    * its snapshot base was columnar. */
   private def memoPut(spark: SparkSession, fs: FileSystem, root: String,
-                      state: State): Unit = {
+                      state: State, sidecar: Option[String]): Unit = {
     if (!memoEnabled(spark)) return
     val st =
       try fs.getFileStatus(manifestPath(root, state.version))
       catch { case _: java.io.FileNotFoundException => return }
     stateMemo.synchronized {
       stateMemo.put((root, state.version),
-        (st.getLen, st.getModificationTime, state)); ()
+        MemoEntry(st.getLen, st.getModificationTime, sidecar, state)); ()
     }
   }
 
@@ -474,8 +492,12 @@ object ManifestTable {
             re
           case some => some
         }
-        val r = resolveState(fetchReprobe, loadRefFiles(spark, root, _), newest, root)
-        r.foreach(memoPut(spark, fs, root, _))
+        var usedRef: Option[String] = None
+        val r = resolveState(fetchReprobe, { ref =>
+          usedRef = Some(new Path(root, s"$ManifestDir/${ref.refDir}").toString)
+          loadRefFiles(spark, root, ref)
+        }, newest, root)
+        r.foreach(memoPut(spark, fs, root, _, usedRef))
         r
       }
     }
@@ -632,13 +654,17 @@ object ManifestTable {
       case hit @ Some(_) => return hit
       case None          => ()
     }
+    var usedRef: Option[String] = None
     val r = readRaw(fs, root, version) match {
       case None       => None // not committed at all
       case head @ Some(_) => resolveState(
         v => if (v == version) head else readRaw(fs, root, v),
-        loadRefFiles(spark, root, _), version, root)
+        { ref =>
+          usedRef = Some(new Path(root, s"$ManifestDir/${ref.refDir}").toString)
+          loadRefFiles(spark, root, ref)
+        }, version, root)
     }
-    r.foreach(memoPut(spark, fs, root, _))
+    r.foreach(memoPut(spark, fs, root, _, usedRef))
     r
   }
 
