@@ -296,15 +296,35 @@ object ManifestTable {
     * kept serving a state whose checkpoint died would mask the
     * corruption until process restart. */
   private final case class MemoEntry(len: Long, mtime: Long,
-                                     sidecar: Option[String], state: State)
+                                     sidecar: Option[String], state: State,
+                                     weight: Long)
 
-  private val stateMemoMax = 256
+  /** Eviction is WEIGHT-bounded, not entry-count-bounded: one State
+    * pins every FileEntry's stats strings (plus per-file base64 HLL
+    * sketches on opted-in tables), so a flat entry cap would let 256
+    * large-table states retain GBs on the driver. The weight estimates
+    * retained chars per entry; the default budget (~64 MB of estimated
+    * payload) holds hundreds of ordinary states or a handful of
+    * 100k-file ones — either way a bounded, LRU-evicted footprint. */
+  private val stateMemoMaxWeight = 64L << 20
+  private def entryWeight(s: State): Long =
+    s.files.iterator.map(f => 64L + f.relPath.length +
+      f.stats.iterator.map { case (c, cs) =>
+        c.length + cs.min.length + cs.max.length +
+          cs.ndv.map(_.length).getOrElse(0) + 24 }.sum).sum
+  private var stateMemoWeight = 0L
   private val stateMemo =
-    new java.util.LinkedHashMap[(String, Long), MemoEntry](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), MemoEntry]): Boolean =
-        size() > stateMemoMax
+    new java.util.LinkedHashMap[(String, Long), MemoEntry](64, 0.75f, true)
+
+  /** Evict eldest entries until the weight budget holds (callers hold
+    * the stateMemo monitor). */
+  private def memoEvict(): Unit = {
+    val it = stateMemo.entrySet().iterator()
+    while (stateMemoWeight > stateMemoMaxWeight && it.hasNext) {
+      stateMemoWeight -= it.next().getValue.weight
+      it.remove()
     }
+  }
 
   private def memoEnabled(spark: SparkSession): Boolean =
     spark.conf.get(StateMemoKey, "true").toBoolean
@@ -351,8 +371,17 @@ object ManifestTable {
     * (non-engine) deletes still rely on the fingerprint alone. */
   private[graft] def invalidateStateMemo(prefix: String): Unit =
     stateMemo.synchronized {
-      val it = stateMemo.keySet().iterator()
-      while (it.hasNext) if (it.next()._1.startsWith(prefix)) it.remove()
+      val it = stateMemo.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        // path-segment boundary: dropping /wh/ns/t must not evict the
+        // sibling /wh/ns/t2
+        val k = e.getKey._1
+        if (k == prefix || k.startsWith(prefix + "/")) {
+          stateMemoWeight -= e.getValue.weight
+          it.remove()
+        }
+      }
     }
 
   /** Record a freshly-resolved state under its own version's manifest
@@ -365,9 +394,15 @@ object ManifestTable {
     val st =
       try fs.getFileStatus(manifestPath(root, state.version))
       catch { case _: java.io.FileNotFoundException => return }
+    val w = entryWeight(state)
+    // an entry heavier than the whole budget would evict everything and
+    // still blow it — serve such giants cold rather than cache-churn
+    if (w > stateMemoMaxWeight) return
     stateMemo.synchronized {
-      stateMemo.put((root, state.version),
-        MemoEntry(st.getLen, st.getModificationTime, sidecar, state)); ()
+      val prev = stateMemo.put((root, state.version),
+        MemoEntry(st.getLen, st.getModificationTime, sidecar, state, w))
+      stateMemoWeight += w - (if (prev != null) prev.weight else 0L)
+      memoEvict()
     }
   }
 
@@ -450,21 +485,27 @@ object ManifestTable {
     * listing with identical results. */
   def current(spark: SparkSession, root: String): Option[State] = {
     val fs = fsOf(spark, root)
-    // memo fast path: the pointer + the contiguous-claim existence
-    // probe identify the newest EXISTING manifest without parsing
-    // anything; a validated memo hit for that version skips the parse
-    // and (for sidecar snapshots) the checkpoint parquet read. A
+    // ONE pointer read serves both the memo fast path and the parsing
+    // path below
+    val pointer = readPointer(fs, root)
+    // memo fast path (enabled only): the pointer + the contiguous-claim
+    // existence probe identify the newest EXISTING manifest without
+    // parsing anything; a validated memo hit for that version skips the
+    // parse and (for sidecar snapshots) the checkpoint parquet read. A
     // half-written or garbled head misses (nothing was ever stored
-    // under it) and the full parse-validated path below serves.
-    readPointer(fs, root).foreach { c =>
+    // under it) and the full parse-validated path below serves —
+    // reusing this probe's bound so existence checks are never repeated.
+    var probedTop: Option[Long] = None
+    if (memoEnabled(spark)) pointer.foreach { c =>
       var newest = c
       while (fs.exists(manifestPath(root, newest + 1))) newest += 1
+      probedTop = Some(newest)
       memoGet(spark, fs, root, newest) match {
         case Some(st) => return Some(st)
         case None     => ()
       }
     }
-    val hinted = readPointer(fs, root).flatMap { c =>
+    val hinted = pointer.flatMap { c =>
       // each manifest is read and parsed ONCE across the snapshot
       // check, the probe, and the resolution — for a large inline-text
       // snapshot the parse is the cost the pointer path exists to bound
@@ -475,7 +516,13 @@ object ManifestTable {
       else {
         var newest = c
         var probe = c + 1
-        while (fs.exists(manifestPath(root, probe))) {
+        // the memo probe already bounded the contiguous range; past its
+        // top (or without it) fall back to existence checks. Probing
+        // BEYOND probedTop is still required: a commit can land between
+        // the two passes, and stopping short would serve a stale head.
+        def exists(v: Long): Boolean =
+          probedTop.exists(v <= _) || fs.exists(manifestPath(root, v))
+        while (exists(probe)) {
           if (fetch(probe).nonEmpty) newest = probe
           probe += 1
         }

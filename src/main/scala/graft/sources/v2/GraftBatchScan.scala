@@ -106,9 +106,7 @@ object GraftBatchScan {
                                          requiredData: StructType,
                                          requiredPart: StructType,
                                          dataFilters: IndexedSeq[Filter],
-                                         perm: IndexedSeq[Int]) {
-    def identityPerm: Boolean = perm.indices.forall(i => perm(i) == i)
-  }
+                                         perm: IndexedSeq[Int])
 
   /** A [[GraftBatchScan]] when the table qualifies, else None. `st` is
     * the state the OWNING ScanBuilder resolved — one read per build,
@@ -257,6 +255,11 @@ object GraftBatchScan {
       case StringContains(a, v)     => Some(StringContains(m(a), v))
       case And(l, r) => (physicalizeFilter(l, inv), physicalizeFilter(r, inv)) match {
         case (Some(a), Some(b)) => Some(And(a, b))
+        // one translatable conjunct alone is still sound to push: a
+        // weaker predicate keeps a superset of rows and Spark
+        // re-filters above the scan
+        case (Some(a), None)    => Some(a)
+        case (None, Some(b))    => Some(b)
         case _ => None
       }
       case Or(l, r) => (physicalizeFilter(l, inv), physicalizeFilter(r, inv)) match {
