@@ -119,9 +119,9 @@ object GraftAggScan {
     * marker ([[graft.sources.ManifestTable.ColStats.exact]]): a foreign
     * writer may truncate binary bounds, which keeps them valid for
     * PRUNING but wrong as VALUES; unmarked files fall to the scanned
-    * remainder (partial pushdown handles the mix). Distinct from
-    * [[expectedKind]] on purpose — the TopN cutoff proof compares in
-    * BigDecimal and stays integral-only. */
+    * remainder (partial pushdown handles the mix). The TopN cutoff
+    * proof shares this kind set but NOT the exactness demand — a
+    * containment proof needs bounds, not values. */
   private[v2] def aggBoundKind(dt: DataType): Option[Char] = dt match {
     case StringType => Some('s')
     case other      => expectedKind(other)

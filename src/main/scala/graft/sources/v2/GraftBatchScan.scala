@@ -219,10 +219,12 @@ object GraftBatchScan {
 
     // the TopN sort key's expected stats kind, resolved once (None
     // disables the pruning — the scan stays correct, just unbounded);
-    // stats are keyed by PHYSICAL name, dir-classified keys have none
+    // stats are keyed by PHYSICAL name, dir-classified keys have none.
+    // String keys prune too (bounds stay bounds under truncation — see
+    // topNFiles; no exactness marker needed for a containment proof).
     val topNPhys = topN.flatMap { case (c, asc, n) =>
       fullSchema.fields.find(_.name == c)
-        .flatMap(f => GraftAggScan.expectedKind(f.dataType))
+        .flatMap(f => GraftAggScan.aggBoundKind(f.dataType))
         .filterNot(_ => kept.exists(_.partitionValues.contains(phys(c))))
         .map(k => (phys(c), asc, n, k))
     }
@@ -283,39 +285,50 @@ object GraftBatchScan {
     * its nulls were never candidates because the prefix proved n
     * non-null rows ahead of them). Any file without usable same-kind
     * bounds disables pruning (keep all): its rows might belong to the
-    * top and its counts can't prove coverage. */
+    * top and its counts can't prove coverage.
+    *
+    * Integral kinds compare in BigDecimal; STRING keys ('s') compare in
+    * Java String order — sound because 's' stats are ASCII-only by
+    * collection (UTF-16 order = UTF-8 binary order there), and sound
+    * WITHOUT the exactness marker: parquet bounds must bound their
+    * values even when truncated, and the proof only needs bounds, not
+    * values (contrast MIN/MAX-as-ANSWER, [[GraftAggScan]]). */
   private[v2] def topNFiles(files: IndexedSeq[ManifestTable.FileEntry],
                             col: String, asc: Boolean, n: Int,
                             kind: Char): IndexedSeq[ManifestTable.FileEntry] = {
-    final case class B(f: ManifestTable.FileEntry, min: BigDecimal,
-                       max: BigDecimal, live: Long, nonNullLive: Long,
+    final case class B(f: ManifestTable.FileEntry, min: Any,
+                       max: Any, live: Long, nonNullLive: Long,
                        nulls: Long)
+    val lt: (Any, Any) => Boolean =
+      if (kind == 's') (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      else (a, b) => a.asInstanceOf[BigDecimal] < b.asInstanceOf[BigDecimal]
+    def parse(s: String): Any = if (kind == 's') s else BigDecimal(s)
     val bounds = files.map { f =>
       val cs = f.stats.get(col).getOrElse(return files)
       if (cs.kind != kind || f.rows < 0 || cs.nulls < 0 || cs.count < 0)
         return files
       val dv = f.dv.map(_.count).getOrElse(0L)
-      B(f, BigDecimal(cs.min), BigDecimal(cs.max), f.rows - dv,
+      B(f, parse(cs.min), parse(cs.max), f.rows - dv,
         math.max(0L, cs.count - cs.nulls - dv), cs.nulls)
     }
     if (asc) {
       var covered = 0L
-      var x: BigDecimal = null
-      val it = bounds.sortBy(_.max).iterator
+      var x: Any = null
+      val it = bounds.sortWith((a, b) => lt(a.max, b.max)).iterator
       while (covered < n && it.hasNext) {
         val b = it.next(); covered += b.live; x = b.max
       }
       if (covered < n) files // the whole table is the top-n
-      else bounds.filter(b => b.min <= x || b.nulls > 0).map(_.f)
+      else bounds.filter(b => !lt(x, b.min) || b.nulls > 0).map(_.f)
     } else {
       var covered = 0L
-      var x: BigDecimal = null
-      val it = bounds.sortBy(-_.min).iterator
+      var x: Any = null
+      val it = bounds.sortWith((a, b) => lt(b.min, a.min)).iterator
       while (covered < n && it.hasNext) {
         val b = it.next(); covered += b.nonNullLive; x = b.min
       }
       if (covered < n) files
-      else bounds.filter(b => b.max >= x).map(_.f)
+      else bounds.filter(b => !lt(b.max, x)).map(_.f)
     }
   }
 }

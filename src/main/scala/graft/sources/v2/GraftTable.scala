@@ -389,7 +389,7 @@ final class GraftScanBuilder(root: String, version: Option[Long],
           case _ => return false
         }
         val field = fullSchema.fields.find(_.name == colName).getOrElse(return false)
-        if (GraftAggScan.expectedKind(field.dataType).isEmpty) return false
+        if (GraftAggScan.aggBoundKind(field.dataType).isEmpty) return false
         val asc = o.direction() == SortDirection.ASCENDING
         val defaultNulls =
           if (asc) NullOrdering.NULLS_FIRST else NullOrdering.NULLS_LAST

@@ -331,6 +331,26 @@ class AggPushdownSpec extends SparkSpec {
         .collect().toSeq
     }
     assert(rows.toSeq == ref)
+    // STRING sort keys prune too: bounds are valid bounds even under a
+    // truncating writer (the cutoff proof needs bounds, not values —
+    // unlike MIN/MAX answers). `s` is zero-padded so string order =
+    // insertion order and the per-commit [min, max] ranges are disjoint.
+    spark.sql(s"CREATE TABLE graft_lake.$n.s (s STRING, k BIGINT)")
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft_lake.$n.s " +
+        s"SELECT concat('id_', lpad(CAST(id AS STRING), 4, '0')), id " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})"))
+    val sd = spark.sql(s"SELECT s FROM graft_lake.$n.s ORDER BY s DESC LIMIT 5")
+    assert(sd.collect().map(_.getString(0)).toSeq ==
+      (395 to 399).reverse.map(i => f"id_$i%04d"))
+    val sPlan = sd.queryExecution.executedPlan
+    assert(sPlan.collectLeaves().map(_.toString).mkString.contains("topn(s desc, 5)"),
+      s"expected the pushed string TopN on the scan:\n${sPlan.toString}")
+    val sScanRows = sPlan.collectLeaves().flatMap(_.metrics.get("numOutputRows"))
+      .map(_.value).sum
+    assert(sScanRows <= 100,
+      s"string top-5 desc should open only the top file (got $sScanRows source rows)")
+    spark.sql(s"DROP TABLE graft_lake.$n.s")
     spark.sql(s"DROP TABLE graft_lake.$n.t")
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
