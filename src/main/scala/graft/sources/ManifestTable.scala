@@ -286,15 +286,22 @@ object ManifestTable {
     * each cold resolution is a manifest parse plus, for sidecar-backed
     * snapshots, a driver parquet read of the checkpoint; on a
     * 10k-query/day warehouse that is real plan-time. A hit costs one
-    * getFileStatus. Bounded LRU (access-order), process-wide. */
+    * getFileStatus (plus one exists() on the sidecar for
+    * columnar-snapshot entries). Bounded LRU (access-order),
+    * process-wide. */
   /** One memo entry: the head manifest's fingerprint, the SIDECAR path
     * the resolution read through (when the snapshot base was
-    * columnar), and the state. The sidecar is re-checked for existence
-    * on every hit — the degradation contract says an unreadable
-    * sidecar reads like a garbled manifest (fall back to an older
-    * resolvable version, ManifestTableSpec pins it), and a memo that
-    * kept serving a state whose checkpoint died would mask the
-    * corruption until process restart. */
+    * columnar), and the state. The sidecar is re-checked for EXISTENCE
+    * on every hit — a DELETED checkpoint (vacuum bug, external cleanup)
+    * must degrade like a garbled manifest (fall back to an older
+    * resolvable version, ManifestTableSpec pins it), not be masked
+    * until process restart. Existence only, deliberately: IN-PLACE
+    * sidecar corruption (bitrot after a successful resolution) keeps
+    * serving from the memo — the cached state IS the truly committed
+    * one, so that divergence-from-cold is availability, not a wrong
+    * answer, and re-validating content would cost the parquet read the
+    * memo exists to skip. Hit cost: one getFileStatus, plus one
+    * exists() for sidecar-backed entries. */
   private final case class MemoEntry(len: Long, mtime: Long,
                                      sidecar: Option[String], state: State,
                                      weight: Long)
@@ -354,9 +361,10 @@ object ManifestTable {
         .filter(e => e.len == st.getLen && e.mtime == st.getModificationTime)
     }
     // the sidecar liveness check preserves the degradation contract:
-    // a deleted/corrupted checkpoint must make this version resolve
-    // cold (and fail there, falling back to an older version) exactly
-    // as it would in a fresh process
+    // a DELETED checkpoint must make this version resolve cold (and
+    // fail there, falling back to an older version) exactly as it
+    // would in a fresh process — see the MemoEntry doc for why
+    // existence (not content) is the right probe
     val hit = entry.filter(_.sidecar.forall(p =>
       try fs.exists(new Path(p)) catch { case _: java.io.IOException => false }))
     (if (hit.isDefined) memoHits else memoMisses).incrementAndGet()
@@ -383,6 +391,19 @@ object ManifestTable {
         }
       }
     }
+
+  /** A loadRef wrapper that records the sidecar dir a resolution reads
+    * through — the byte-identical path string [[memoGet]]'s liveness
+    * probe checks (one definition so the two resolution sites can
+    * never drift on the spelling). */
+  private def trackingLoadRef(spark: SparkSession, root: String)
+      : (SnapshotRef => Option[Seq[FileEntry]], () => Option[String]) = {
+    var used: Option[String] = None
+    (ref => {
+      used = Some(new Path(root, s"$ManifestDir/${ref.refDir}").toString)
+      loadRefFiles(spark, root, ref)
+    }, () => used)
+  }
 
   /** Record a freshly-resolved state under its own version's manifest
     * fingerprint (taken NOW — the file is post-sentinel immutable);
@@ -539,12 +560,9 @@ object ManifestTable {
             re
           case some => some
         }
-        var usedRef: Option[String] = None
-        val r = resolveState(fetchReprobe, { ref =>
-          usedRef = Some(new Path(root, s"$ManifestDir/${ref.refDir}").toString)
-          loadRefFiles(spark, root, ref)
-        }, newest, root)
-        r.foreach(memoPut(spark, fs, root, _, usedRef))
+        val (loadRef, usedRef) = trackingLoadRef(spark, root)
+        val r = resolveState(fetchReprobe, loadRef, newest, root)
+        r.foreach(memoPut(spark, fs, root, _, usedRef()))
         r
       }
     }
@@ -701,17 +719,14 @@ object ManifestTable {
       case hit @ Some(_) => return hit
       case None          => ()
     }
-    var usedRef: Option[String] = None
+    val (loadRef, usedRef) = trackingLoadRef(spark, root)
     val r = readRaw(fs, root, version) match {
       case None       => None // not committed at all
       case head @ Some(_) => resolveState(
         v => if (v == version) head else readRaw(fs, root, v),
-        { ref =>
-          usedRef = Some(new Path(root, s"$ManifestDir/${ref.refDir}").toString)
-          loadRefFiles(spark, root, ref)
-        }, version, root)
+        loadRef, version, root)
     }
-    r.foreach(memoPut(spark, fs, root, _, usedRef))
+    r.foreach(memoPut(spark, fs, root, _, usedRef()))
     r
   }
 

@@ -236,9 +236,14 @@ object GraftBatchScan {
   /** A V1 filter rewritten onto physical attribute names — what the
     * parquet row-group pushdown compares against file bytes. Finite
     * shapes only; anything unrecognized drops (pushdown is an
-    * optimization, Spark re-filters above the scan). */
-  private[v2] def physicalizeFilter(f: Filter,
-                                    inv: Map[String, String]): Option[Filter] = {
+    * optimization, Spark re-filters above the scan). `strict` tracks
+    * negation polarity: in POSITIVE polarity an And may keep just its
+    * translatable conjunct (weaker predicate = superset rows = safe),
+    * but under a Not that weakening INVERTS into a stronger predicate —
+    * Not(a) excludes rows Not(And(a, b)) keeps — so inside any Not the
+    * whole subtree must translate or the Not drops. */
+  private[v2] def physicalizeFilter(f: Filter, inv: Map[String, String],
+                                    strict: Boolean = false): Option[Filter] = {
     if (inv.isEmpty) return Some(f)
     import org.apache.spark.sql.sources._
     def m(a: String) = inv.getOrElse(a, a)
@@ -255,20 +260,19 @@ object GraftBatchScan {
       case StringStartsWith(a, v)   => Some(StringStartsWith(m(a), v))
       case StringEndsWith(a, v)     => Some(StringEndsWith(m(a), v))
       case StringContains(a, v)     => Some(StringContains(m(a), v))
-      case And(l, r) => (physicalizeFilter(l, inv), physicalizeFilter(r, inv)) match {
-        case (Some(a), Some(b)) => Some(And(a, b))
-        // one translatable conjunct alone is still sound to push: a
-        // weaker predicate keeps a superset of rows and Spark
-        // re-filters above the scan
-        case (Some(a), None)    => Some(a)
-        case (None, Some(b))    => Some(b)
-        case _ => None
-      }
-      case Or(l, r) => (physicalizeFilter(l, inv), physicalizeFilter(r, inv)) match {
-        case (Some(a), Some(b)) => Some(Or(a, b))
-        case _ => None
-      }
-      case Not(c) => physicalizeFilter(c, inv).map(Not)
+      case And(l, r) =>
+        (physicalizeFilter(l, inv, strict), physicalizeFilter(r, inv, strict)) match {
+          case (Some(a), Some(b))         => Some(And(a, b))
+          case (Some(a), None) if !strict => Some(a)
+          case (None, Some(b)) if !strict => Some(b)
+          case _ => None
+        }
+      case Or(l, r) =>
+        (physicalizeFilter(l, inv, strict), physicalizeFilter(r, inv, strict)) match {
+          case (Some(a), Some(b)) => Some(Or(a, b))
+          case _ => None
+        }
+      case Not(c) => physicalizeFilter(c, inv, strict = true).map(Not)
       case _ => None
     }
   }

@@ -372,8 +372,11 @@ final class GraftScanBuilder(root: String, version: Option[Long],
     * smallest provable cutoff X with ≥ n live rows ordered at-or-before
     * X makes every file strictly beyond X skippable — on a table
     * clustered by the sort column, "latest n by ts" opens a handful of
-    * files at any size. Single integral-kind sort key, SQL-default null
-    * ordering only; Spark's retained TopN re-sorts above the scan
+    * files at any size. Single sort key of an integral kind OR plain
+    * (UTF8_BINARY) string, SQL-default null ordering only — the
+    * containment proof needs bounds, not values, so strings prune
+    * without the MIN/MAX exactness marker; Spark's retained TopN
+    * re-sorts above the scan
     * ([[isPartiallyPushed]]), so pruning here is an I/O bound with the
     * containment proof in [[GraftBatchScan.topNFiles]]. */
   private var topN: Option[(String, Boolean, Int)] = None

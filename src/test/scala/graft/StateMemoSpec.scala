@@ -77,6 +77,28 @@ class StateMemoSpec extends SparkSpec {
     } finally spark.sql(s"DROP NAMESPACE graft_lake.$ns CASCADE")
   }
 
+  test("a deleted snapshot sidecar declines the memo hit (degradation parity with a fresh process)") {
+    val root = tmp()
+    // force a columnar snapshot: the threshold conf makes even a tiny
+    // file list go through a ckpt- sidecar
+    spark.conf.set(ManifestTable.ColumnarSnapshotThresholdKey, "1")
+    try {
+      ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+      assert(ManifestTable.read(spark, root).count() == 2) // memoized via ckpt
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ckpts = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_manifests"))
+        .filter(_.getPath.getName.startsWith("ckpt-"))
+      assert(ckpts.nonEmpty, "expected a columnar snapshot sidecar")
+      ckpts.foreach(c => fs.delete(c.getPath, true))
+      // the warm memo must NOT mask the deleted checkpoint: resolution
+      // goes cold, fails there, and current() degrades exactly like a
+      // fresh process (here: no older resolvable version -> no state)
+      assert(ManifestTable.current(spark, root).isEmpty,
+        "a deleted sidecar must decline the memo hit and resolve cold")
+    } finally spark.conf.unset(ManifestTable.ColumnarSnapshotThresholdKey)
+  }
+
   test("the conf gate forces cold resolution") {
     val root = tmp()
     ManifestTable.write(Seq((1L, "a")).toDF("k", "v"), root)
