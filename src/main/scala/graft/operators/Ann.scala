@@ -412,10 +412,60 @@ object Ann {
     * 15 GB corpus spilled >54 GB of sort runs and died. Ordering and
     * arithmetic are bit-identical to argmin over [[sqFn]] (index-order
     * double accumulation; ties break on smaller cell id). Centroids
-    * collect to the driver (k·dim doubles — the flat-assignment regime
-    * is tens of MB; corpus-scale k goes through a two-level probe). */
+    * collect to the driver (k·dim doubles): that payload ships in EVERY
+    * task binary, so this entry point AUTO-ROUTES — above
+    * [[FlatCentroidMaxBytesKey]] (default 64 MB) the assignment runs
+    * through the coarse-quantized two-level path
+    * ([[assignCellsTwoLevelTopN]]) instead of one flat pass, the same
+    * reroute discipline as [[cosineNearDupPairs]]'s maxDocs refusal.
+    * With the √n SemDeDup default k grows as √n, so the flat payload is
+    * tens of MB at n=10⁸ but GBs at n=10¹² — the router is what keeps
+    * [[semanticDedup]] viable at corpus scale with no manual knob. */
   def assignCellsTopN(corpus: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame, n: Int): DataFrame = {
+    val cf = centroidFrame(centroids)
+    // one slim job decides the route BEFORE any driver collect: the
+    // whole point is never materializing a GB-scale centroid set
+    val head = cf.agg(count(lit(1)), max(size(col("centroid")))).head()
+    val k = head.getLong(0)
+    val dim = if (head.isNullAt(1)) 0L else head.getInt(1).toLong
+    val maxBytes = corpus.sparkSession.conf
+      .get(FlatCentroidMaxBytesKey, FlatCentroidMaxBytesDefault.toString).toLong
+    if (flatAssignmentFits(k, dim, maxBytes))
+      assignCellsFlatTopN(corpus, idCol, vecCol, centroids, n)
+    else {
+      // coarse quantizer of ⌈√k⌉ cells, k-means-trained ON the centroid
+      // set (seeded, deterministic): its payload is √k·dim·8 — back
+      // under the flat bound by construction, so the two inner flat
+      // assignments (centroid→home, corpus→probes) never re-route.
+      // Callers LOOPING in this regime should train the coarse set once
+      // and call assignCellsTwoLevelTopN directly; this auto path is
+      // the safety net that keeps one-shot calls n·√k instead of n·k.
+      val coarseK = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+        .min(Int.MaxValue).toInt
+      val coarse = trainCentroids(cf, "centroid", coarseK)
+      assignCellsTwoLevelTopN(corpus, idCol, vecCol, centroids, n, coarse)
+    }
+  }
+
+  /** Byte ceiling on the centroid payload (k·dim·8) the FLAT assignment
+    * may collect to the driver and ship in each task binary; above it
+    * [[assignCellsTopN]] reroutes through the two-level probe. */
+  val FlatCentroidMaxBytesKey = "spark.graft.ann.flatCentroidMaxBytes"
+  val FlatCentroidMaxBytesDefault: Long = 64L << 20
+
+  /** The routing predicate, pure for spec pinning: a k-centroid,
+    * dim-dimensional payload fits the flat task-binary regime iff
+    * k·dim·8 ≤ maxBytes. */
+  def flatAssignmentFits(k: Long, dim: Long, maxBytes: Long): Boolean =
+    k * dim * 8 <= maxBytes
+
+  /** The FLAT one-pass assignment (see [[assignCellsTopN]] for the
+    * contract): correct at any corpus size but its centroid payload
+    * rides the driver + every task binary — call directly only when the
+    * payload is known-bounded; the public entry point auto-routes. */
+  def assignCellsFlatTopN(corpus: DataFrame, idCol: String, vecCol: String,
+                          centroids: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnExpr
     require(n > 0, s"assignCellsTopN: probe count must be positive, got $n")
     val cf = centroidFrame(centroids).orderBy(col("cell_id"))
@@ -441,6 +491,80 @@ object Ann {
           ColumnExpr.expression(col("vec")), ids, cents, n, idType)))
           .as(Seq("_pos", "cell_id")))
       .select(col("vid"), col("vec"), col("cell_id"),
+        (col("_pos") + 1).as("cell_rank"))
+  }
+
+  /** Two-level cell assignment — the corpus-scale route when the fine
+    * centroid set itself is too large to ship per task
+    * ([[assignCellsTopN]] auto-routes here above the payload bound):
+    *
+    *  1. every FINE centroid gets a home coarse cell (flat argmin
+    *     against the ~√k coarse set — small by construction);
+    *  2. fine centroids group per coarse cell into one array row, so
+    *     the k·dim payload is DISTRIBUTED across ~√k rows instead of
+    *     collected whole;
+    *  3. each corpus vector flat-probes its `coarseProbes` nearest
+    *     coarse cells, joins those cells' candidate arrays (shuffle
+    *     keyed by coarse id — corpus rows move ONCE, no row blow-up:
+    *     candidates ride as arrays), and takes its per-probe top-n
+    *     inside one codegen'd projection (transform → array_sort →
+    *     slice);
+    *  4. the ≤ coarseProbes·n slim survivors per row merge to the
+    *     global top-n in a bounded-buffer aggregate.
+    *
+    * Per-vector work is (√k + coarseProbes·√k)·dim instead of k·dim —
+    * n·√k end to end, and with the SemDeDup default k=√n that is
+    * n^1.25 assignment under an n^1.5 pair stage. Approximate by
+    * design: a fine centroid is reachable only through its home coarse
+    * cell, so a vector whose true nearest centroid homes outside its
+    * probed coarse cells gets its best REACHABLE cell instead —
+    * `coarseProbes` is the recall knob (probing ALL coarse cells
+    * reproduces the flat assignment bit-for-bit; distances, ordering
+    * and tiebreaks are identical by construction, OperatorsSpec pins
+    * the equality). Same row contract as the flat path: one output row
+    * per input row per rank, null embeddings survive with a null
+    * assignment, duplicate ids pass through one-for-one. */
+  def assignCellsTwoLevelTopN(corpus: DataFrame, idCol: String, vecCol: String,
+                              centroids: DataFrame, n: Int,
+                              coarse: DataFrame,
+                              coarseProbes: Int = 8): DataFrame = {
+    require(n > 0, s"assignCellsTwoLevelTopN: probe count must be positive, got $n")
+    require(coarseProbes > 0,
+      s"assignCellsTwoLevelTopN: coarseProbes must be positive, got $coarseProbes")
+    val cf = centroidFrame(centroids)
+    // (1)+(2): home coarse cell per fine centroid, grouped to one
+    // candidate-array row per coarse cell. collect_list order is
+    // nondeterministic — harmless: step (3) re-sorts by (dist, id).
+    val fineByCoarse = assignCellsFlatTopN(cf, "cell_id", "centroid", coarse, 1)
+      .select(col("cell_id").as("_coarse"),
+        struct(col("vec").as("f_c"), col("vid").as("f_id")).as("_cand"))
+      .groupBy(col("_coarse"))
+      .agg(collect_list(col("_cand")).as("_cands"))
+    // (3): probe + join + per-probe top-n. The synthetic row key keeps
+    // duplicate user ids one-for-one through the merge aggregate (the
+    // flat path's per-ROW contract); it is assigned once here and only
+    // ever regroups rows that came from the same input row.
+    val keyed = corpus.select(
+      struct(monotonically_increasing_id().as("r"), col(idCol).as("i")).as("_k"),
+      col(vecCol).as("_vec"))
+    val sq = sqFn(corpus, vecCol) _
+    val local = assignCellsFlatTopN(keyed, "_k", "_vec", coarse, coarseProbes)
+      .select(col("vid").as("_k"), col("vec"), col("cell_id").as("_coarse"))
+      .join(fineByCoarse, Seq("_coarse"), "left")
+      .select(col("_k"), col("vec"),
+        slice(array_sort(transform(col("_cands"),
+          f => struct(sq(col("vec"), f("f_c")).as("d"), f("f_id").as("cell_id")))),
+          1, n).as("_top"))
+    // (4): bounded merge — ≤ coarseProbes·n candidate structs per row
+    // key, partial-aggregable. A null embedding's probes carry null
+    // coarse ids (never joined) so its group flattens to an empty
+    // array and posexplode_outer restores the one-null-row contract.
+    local.groupBy(col("_k")).agg(
+        first(col("vec")).as("vec"),
+        slice(array_sort(flatten(collect_list(col("_top")))), 1, n).as("_best"))
+      .select(col("_k.i").as("vid"), col("vec"),
+        posexplode_outer(col("_best")).as(Seq("_pos", "_c")))
+      .select(col("vid"), col("vec"), col("_c.cell_id").as("cell_id"),
         (col("_pos") + 1).as("cell_rank"))
   }
 
@@ -476,9 +600,10 @@ object Ann {
     * (e.g. a persisted cell layout reused across runs); the LINEAR
     * corpus-scale route remains [[lshNearDupPairs]] — exact all-pairs
     * below Θ(n^1.5) does not exist. Re-derive k per run from the live
-    * count; beyond tens of millions of vectors, assign through a
-    * coarse-quantized two-level probe ([[ivfProbeIndex]]'s
-    * cell-partitioned layout) instead of one flat pass. */
+    * count; beyond tens of millions of vectors the assignment stage
+    * auto-reroutes through the coarse-quantized two-level probe
+    * ([[assignCellsTwoLevelTopN]], payload-bound gated in
+    * [[assignCellsTopN]]) instead of one flat pass. */
   def adaptiveCellCount(n: Long, targetCellSize: Int = 0, floor: Int = 8): Int = {
     require(targetCellSize >= 0 && floor > 0,
       s"adaptiveCellCount: targetCellSize must be >= 0 (0 = auto ceil(sqrt(n))) " +

@@ -750,6 +750,74 @@ class OperatorsSpec extends SparkSpec {
     assert(adaptive == explicit)
   }
 
+  test("two-level assignment with exhaustive coarse probes equals the flat pass bit-for-bit") {
+    val e = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id", $"embedding")
+    val cents = e.filter($"vec_id" < 16)
+    val coarse = Ann.trainCentroids(cents, "embedding", 4)
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vid", $"cell_id", $"cell_rank")
+      .orderBy($"vid", $"cell_rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    val flat = proj(Ann.assignCellsFlatTopN(e, "vec_id", "embedding", cents, 2))
+    // probing ALL 4 coarse cells makes every fine centroid reachable →
+    // identical distances, ordering and tiebreaks (same accumulation)
+    val two = proj(Ann.assignCellsTwoLevelTopN(e, "vec_id", "embedding",
+      cents, 2, coarse, coarseProbes = 4))
+    assert(flat.nonEmpty && two == flat)
+  }
+
+  test("assignCellsTopN auto-routes above the centroid-payload bound and stays exact") {
+    // pure routing pins: the bound is k·dim·8 bytes against the conf
+    assert(Ann.flatAssignmentFits(16, 64, Ann.FlatCentroidMaxBytesDefault))
+    assert(Ann.flatAssignmentFits(8192, 1024, 64L << 20))  // exactly at bound
+    assert(!Ann.flatAssignmentFits(8193, 1024, 64L << 20)) // one over
+    // √n SemDeDup regime at dim 64: k=√n — flat is fine at n=10⁸
+    // (10⁴ centroids, ~5 MB), not at n=10¹² (10⁶ centroids, ~512 MB)
+    assert(Ann.flatAssignmentFits(10000, 64, Ann.FlatCentroidMaxBytesDefault))
+    assert(!Ann.flatAssignmentFits(1000000, 64, Ann.FlatCentroidMaxBytesDefault))
+    val e = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id", $"embedding")
+    val cents = e.filter($"vec_id" < 16)
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vid", $"cell_id", $"cell_rank")
+      .orderBy($"vid", $"cell_rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    val flat = proj(Ann.assignCellsTopN(e, "vec_id", "embedding", cents, 2))
+    spark.conf.set(Ann.FlatCentroidMaxBytesKey, "64")
+    try {
+      // 16×64×8 = 8 KiB payload > 64 B bound → the router MUST take the
+      // two-level path (visible in the plan: the merge aggregate), and
+      // with ⌈√16⌉=4 coarse cells under the default 8 probes the probe
+      // set is exhaustive → the answer is still the flat one, exactly
+      val routed = Ann.assignCellsTopN(e, "vec_id", "embedding", cents, 2)
+      assert(routed.queryExecution.optimizedPlan.toString.contains("collect_list"),
+        "payload above the bound must reroute through the two-level merge")
+      assert(proj(routed) == flat)
+    } finally spark.conf.unset(Ann.FlatCentroidMaxBytesKey)
+    // default bound: same call plans FLAT (no merge aggregate)
+    val direct = Ann.assignCellsTopN(e, "vec_id", "embedding", cents, 2)
+    assert(!direct.queryExecution.optimizedPlan.toString.contains("collect_list"))
+  }
+
+  test("two-level assignment keeps the per-row contract: null embeddings and duplicate ids") {
+    val corpus = Seq(
+      (1L, Some(Array(1.0f, 0.1f))),
+      (1L, Some(Array(1.0f, 0.1f))),       // duplicate id: one row each
+      (2L, None: Option[Array[Float]]))    // null embedding: survives
+      .toDF("vec_id", "embedding")
+    val cents = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)))
+      .toDF("cell_id", "embedding")
+    val coarse = Ann.trainCentroids(cents, "embedding", 2)
+    val out = Ann.assignCellsTwoLevelTopN(corpus, "vec_id", "embedding",
+      cents, 1, coarse, coarseProbes = 2)
+      .select($"vid", $"cell_id", $"cell_rank")
+      .orderBy($"vid")
+      .as[(Long, Option[Long], Option[Int])].collect().toSeq
+    assert(out == Seq((1L, Some(10L), Some(1)), (1L, Some(10L), Some(1)),
+      (2L, None, None)))
+  }
+
   test("cosineNearDupPairs refuses a universe beyond maxDocs, pointing at the scale paths") {
     val e = graft.core.Tables.embeddings(spark, sf("sf0.001"))
     val err = intercept[IllegalArgumentException] {
