@@ -1049,6 +1049,49 @@ object AggWindowQueries extends QueryPack {
       s.sql(s"DROP NAMESPACE graft_lake.$ns")
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }),
+    "k43_clone_native" -> ((s, d) => {
+      // K43 (beyond-reference): the k34 storage-partitioned join where
+      // the fact leg is a zero-copy SHALLOW CLONE under a merge-on-read
+      // delete. The clone commit copies manifest metadata only, so the
+      // cloned table's scan keeps KeyGroupedPartitioning/stats/DPP from
+      // its FIRST read — no OPTIMIZE rewrite re-earns the tier — while
+      // its inherited parquet bytes still live under the SOURCE root
+      // and its deletion vector lands locally (per-generation base
+      // resolution composing with relPath-keyed DV positions; plan pin:
+      // BucketedJoinSpec "clone chains keep the NATIVE scan"). The
+      // oracle replays the clone lineage relationally: source rows
+      // minus the MoR delete.
+      val ns = "k43_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE graft_lake.$ns.o (o_orderkey BIGINT, " +
+        "o_orderpriority STRING) PARTITIONED BY (bucket(16, o_orderkey))")
+      s.sql(s"CREATE TABLE graft_lake.$ns.l (l_orderkey BIGINT, " +
+        "l_extendedprice DOUBLE) PARTITIONED BY (bucket(16, l_orderkey))")
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .createOrReplaceTempView("k43_o")
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+        .createOrReplaceTempView("k43_l")
+      s.sql(s"INSERT INTO graft_lake.$ns.o " +
+        "SELECT o_orderkey, o_orderpriority, NULL FROM k43_o")
+      s.sql(s"INSERT INTO graft_lake.$ns.l " +
+        "SELECT l_orderkey, l_extendedprice, NULL FROM k43_l")
+      s.sql(s"GRAFT CLONE graft_lake.$ns.o TO graft_lake.$ns.oc")
+      s.sql(s"GRAFT DELETE MOR FROM graft_lake.$ns.oc WHERE o_orderkey % 5 = 1")
+      val out = s.sql(
+        s"""SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           |  ${OracleMath.dsumSql("l.l_extendedprice", 4, 2)} AS revenue
+           |FROM graft_lake.$ns.oc o JOIN graft_lake.$ns.l l
+           |  ON o.o_orderkey = l.l_orderkey
+           |  AND o.o_orderkey_bucket = l.l_orderkey_bucket
+           |GROUP BY o.o_orderpriority""".stripMargin)
+      val rows = out.collect()
+      val schema = out.schema
+      s.sql(s"DROP TABLE graft_lake.$ns.oc")
+      s.sql(s"DROP TABLE graft_lake.$ns.o")
+      s.sql(s"DROP TABLE graft_lake.$ns.l")
+      s.sql(s"DROP NAMESPACE graft_lake.$ns")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }),
     "k40_replace_where" -> ((s, d) => {
       // K40 (beyond-reference): atomic REPLACE WHERE — static-mode
       // `INSERT OVERWRITE … PARTITION (…)` lands as ONE
@@ -1460,6 +1503,12 @@ object AggWindowQueries extends QueryPack {
          |  ${OracleMath.dsumSql("l_extendedprice", 4, 2)} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |WHERE o_orderkey % 7 <> 2 AND l_orderkey % 10 <> 3
+         |GROUP BY 1""".stripMargin,
+    "k43_clone_native" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  ${OracleMath.dsumSql("l_extendedprice", 4, 2)} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE NOT (o_orderkey % 5 = 1)
          |GROUP BY 1""".stripMargin,
     "k35_spec_evolution" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d') AS ts_day,

@@ -2130,8 +2130,8 @@ object ManifestTable {
     * when present locally (always true for non-clones — checked first,
     * and only when a clone chain exists, so ordinary tables never pay an
     * existence RPC), else the first clone source that has it. */
-  private def dirBase(spark: SparkSession, root: String,
-                      sources: Seq[String], dir: String): String =
+  private[graft] def dirBase(spark: SparkSession, root: String,
+                             sources: Seq[String], dir: String): String =
     if (sources.isEmpty) root
     else dirBaseCache.computeIfAbsent((root, dir), _ =>
       (root +: sources).find(r => fsOf(spark, r).exists(new Path(r, dir)))

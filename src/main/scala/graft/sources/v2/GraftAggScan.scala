@@ -152,13 +152,14 @@ object GraftAggScan {
            agg: Aggregation): Option[Planned] = {
     val spark = SparkSession.active
     if (!spark.conf.get(EnabledKey, "true").toBoolean) return None
-    // era-uniform layouts and locally-resolved files only: clone chains
-    // resolve inherited generations against source roots, evolved specs
-    // mix layouts per era — both keep the normal scan. Renamed/dropped
-    // columns are a pure name mapping (stats keys are physical; layout
-    // columns can never be renamed) — served below.
-    if (st0.tags.contains(ManifestTable.CloneSourcesTag) ||
-        st0.tags.contains(ManifestTable.EvolvedTag)) return None
+    // era-uniform layouts only: evolved specs mix layouts per era and
+    // keep the normal scan. Clone chains DON'T disqualify — the fold
+    // below is pure manifest metadata (stats, partition values, row
+    // counts, all copied verbatim by the clone commit) and never
+    // touches a file path. Renamed/dropped columns are a pure name
+    // mapping (stats keys are physical; layout columns can never be
+    // renamed) — served below.
+    if (st0.tags.contains(ManifestTable.EvolvedTag)) return None
     val renInv: Map[String, String] =
       ManifestTable.renameInfo(st0.tags)._1.map(_.swap)
     def phys(c: String): String = renInv.getOrElse(c, c)

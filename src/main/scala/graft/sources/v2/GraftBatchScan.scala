@@ -62,11 +62,16 @@ import graft.sources.{ManifestRelationFilters, ManifestTable}
   *    applies each file's positions inline. Above the bound the V1
   *    bridge's distributed anti-join is the right shape anyway.
   *
-  * CLONE chains remain the one V1-bridge state: inherited generations
-  * resolve against SOURCE roots per generation
-  * ([[ManifestTable.cloneSources]]), a path indirection the flat
-  * file-list scan does not model — a documented refusal, retired by any
-  * compact()/OPTIMIZE (which rewrites files locally).
+  *  - '''Clone chains''' are a PATH indirection at partition-planning
+  *    time: a shallow clone's inherited generations physically live
+  *    under SOURCE roots ([[ManifestTable.cloneSources]]) while local
+  *    rewrites live under the clone's own — each generation resolves
+  *    its base root once ([[ManifestTable.dirBase]], cached existence
+  *    probe) and every other property is untouched, because the
+  *    manifest the clone commit copied carries the files' stats,
+  *    partition values and bucket layout verbatim. A cloned 100 TB
+  *    fact table keeps SPJ/stats/DPP/TopN from the first read after
+  *    the clone — no OPTIMIZE rewrite needed to re-earn the tier.
   *
   * File skipping is identical to the bridge: the SAME metadata pass
   * ([[ManifestTable.pruneLiveFiles]]) prunes files before any scan, and
@@ -125,8 +130,7 @@ object GraftBatchScan {
     val totalDv = st.files.flatMap(_.dv).map(_.count).sum
     val dvOk = totalDv <= spark.conf.get(MaxInlineDvRowsKey,
       MaxInlineDvRowsDefault.toString).toLong
-    if (st.files.isEmpty || !dvOk ||
-        st.tags.contains(ManifestTable.CloneSourcesTag)) return None
+    if (st.files.isEmpty || !dvOk) return None
 
     // logical → physical name mapping (rename/drop are metadata-only
     // commits; the files keep one physical schema for the table's life)
@@ -426,9 +430,18 @@ final class GraftBatchScan(root: String, version: Option[Long],
     if (f.dv.isEmpty) Array.emptyLongArray
     else dvPos.getOrElse(f.relPath, Array.emptyLongArray)
 
+  /** Clone-source chain (empty for ordinary tables): a shallow clone's
+    * inherited generation dirs live under SOURCE roots; everything
+    * written since the clone lives locally. Resolution is per
+    * generation dir, driver-side, cached. */
+  private lazy val cloneSrcs: Seq[String] =
+    ManifestTable.cloneSources(buildState.tags)
+
   private def asPartitionedFiles(f: ManifestTable.FileEntry, gid: Int,
                                  splitBytes: Long): Seq[PartitionedFile] = {
-    val path = SparkPath.fromPathString(new Path(root, f.relPath).toString)
+    val base = ManifestTable.dirBase(spark, root, cloneSrcs,
+      f.relPath.takeWhile(_ != '/'))
+    val path = SparkPath.fromPathString(new Path(base, f.relPath).toString)
     val pv = partitionValuesRow(f, groups(gid))
     // a DV'd file is NEVER split: its deleted positions are file-wide
     // row indexes, and the reader recovers them by counting rows off a

@@ -255,11 +255,12 @@ final class GraftScanBuilder(root: String, version: Option[Long],
   /** Rename/drop mappings do NOT disqualify: layout columns can never
     * be renamed or dropped ([[ManifestTable.schemaEvoCheck]] refuses
     * hive partition columns), so their names here are already the
-    * in-path physical ones. Evolved specs (mixed eras — old files lack
-    * the column) and clone chains stay advisory-only. */
+    * in-path physical ones. Clone chains don't either — the per-file
+    * partition-value decision reads manifest metadata the clone commit
+    * copied verbatim, never a path. Evolved specs (mixed eras — old
+    * files lack the column) stay advisory-only. */
   private lazy val exactLayout: Set[String] = state match {
-    case Some(st) if !st.tags.contains(ManifestTable.CloneSourcesTag) &&
-        !st.tags.contains(ManifestTable.EvolvedTag) =>
+    case Some(st) if !st.tags.contains(ManifestTable.EvolvedTag) =>
       ManifestTable.layoutAt(root, st)
         .filter(c => st.files.forall(_.partitionValues.contains(c)))
         .map(_.toLowerCase(java.util.Locale.ROOT)).toSet

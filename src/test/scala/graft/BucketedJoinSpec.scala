@@ -9,9 +9,9 @@ import graft.sources.ManifestTable
   * their DSv2 scans, so a join carrying the bucket column equality runs
   * with ZERO Exchange — at 100 TB the fact-fact shuffle this removes is
   * the single largest cost in the engine. Deletion vectors, renamed/
-  * dropped columns and evolved specs stay NATIVE (permanent metadata
-  * states must not forfeit the optimizer tier); the remaining fallback
-  * pins: clone chains and over-bound DVs silently revert to the mature
+  * dropped columns, evolved specs and shallow-clone chains stay NATIVE
+  * (permanent metadata states must not forfeit the optimizer tier); the
+  * remaining fallback pin: over-bound DVs silently revert to the mature
   * V1 bridge, trading the optimization for unchanged semantics. */
 class BucketedJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -499,25 +499,43 @@ class BucketedJoinSpec extends SparkSpec {
     } finally dropTables(ns0)
   }
 
-  test("clone chains keep the V1 bridge (documented refusal)") {
+  test("clone chains keep the NATIVE scan: zero-Exchange SPJ straight off a shallow clone") {
     mkTables("spjclone", buckets = 4)
     val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
-    val cloneRoot = s"$wh/spjclone_clone"
-    try {
-      ManifestTable.cloneTable(spark, s"$wh/spjclone/a", cloneRoot)
-      // a shallow clone's inherited generations resolve against SOURCE
-      // roots per generation — path indirection the flat file-list scan
-      // does not model, so tryBuild refuses and the V1 bridge serves
+    val cloneRoot = s"$wh/spjclone/ac"
+    try withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                 "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      spark.sql("GRAFT CLONE graft_lake.spjclone.a TO graft_lake.spjclone.ac")
+      // a LOCAL deletion vector over an INHERITED file: the positions
+      // land under the clone root while the parquet bytes stay under
+      // the source's — the two indirections the per-generation base
+      // resolution and the relPath-keyed DV plumbing must compose
+      ManifestTable.deleteMoR(spark, cloneRoot, col("k") === 6L)
       val st = ManifestTable.current(spark, cloneRoot).get
       val schema = ManifestTable.read(spark, cloneRoot).schema
       assert(graft.sources.v2.GraftBatchScan.tryBuild(cloneRoot, None, st,
-        Array.empty, schema, schema).isEmpty,
-        "clone-chain state must refuse the native scan")
-      assert(ManifestTable.read(spark, cloneRoot).count() == 500)
+        Array.empty, schema, schema).nonEmpty,
+        "clone-chain state must keep the native scan")
+      val sql =
+        """SELECT a.k, a.v, b.w
+          |FROM graft_lake.spjclone.ac a JOIN graft_lake.spjclone.b b
+          |  ON a.k = b.k AND a.k_bucket = b.k_bucket""".stripMargin
+      val df = spark.sql(sql)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"cloned co-bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("BatchScan"), s"expected the DSv2 bucketed scan:\n$p")
+      val got = df.as[(Long, Double, Double)].collect().toSeq.sorted
+      val ref = withConf(GraftBucketedScanConf -> "false") {
+        spark.sql(sql).as[(Long, Double, Double)].collect().toSeq.sorted
+      }
+      assert(got == ref && got.nonEmpty)
+      assert(!got.exists(_._1 == 6L), "the clone's MoR delete must apply inline")
+      assert(spark.table("graft_lake.spjclone.a").count() == 500,
+        "the SOURCE must be untouched by the clone's delete")
     } finally {
+      spark.sql("DROP TABLE graft_lake.spjclone.ac")
       dropTables("spjclone")
-      val p = new org.apache.hadoop.fs.Path(cloneRoot)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 
