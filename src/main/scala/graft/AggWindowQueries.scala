@@ -1049,6 +1049,44 @@ object AggWindowQueries extends QueryPack {
       s.sql(s"DROP NAMESPACE graft_lake.$ns")
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }),
+    "k44_compat_bucket" -> ((s, d) => {
+      // K44 (beyond-reference): COMPATIBLE bucket counts — a 32-bucket
+      // fact joins a 16-bucket table with ZERO Exchange on the NATURAL
+      // shape (ON l_orderkey = o_orderkey, no generated column spelled
+      // anywhere). The scans report the bucket TRANSFORM over the
+      // source key (a ReducibleFunction served by the catalog's
+      // FunctionCatalog), so the planner reduces the finer side's
+      // partition values — pmod(h,32) mod 16 = pmod(h,16) — instead of
+      // shuffling both sides (plan pin: BucketedJoinSpec "COMPATIBLE
+      // bucket counts"; the non-divisible refusal is pinned next to
+      // it). The oracle is the plain relational join.
+      val ns = "k44_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE graft_lake.$ns.o (o_orderkey BIGINT, " +
+        "o_orderpriority STRING) PARTITIONED BY (bucket(16, o_orderkey))")
+      s.sql(s"CREATE TABLE graft_lake.$ns.l (l_orderkey BIGINT, " +
+        "l_extendedprice DOUBLE) PARTITIONED BY (bucket(32, l_orderkey))")
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .createOrReplaceTempView("k44_o")
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+        .createOrReplaceTempView("k44_l")
+      s.sql(s"INSERT INTO graft_lake.$ns.o " +
+        "SELECT o_orderkey, o_orderpriority, NULL FROM k44_o")
+      s.sql(s"INSERT INTO graft_lake.$ns.l " +
+        "SELECT l_orderkey, l_extendedprice, NULL FROM k44_l")
+      val out = s.sql(
+        s"""SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           |  ${OracleMath.dsumSql("l.l_extendedprice", 4, 2)} AS revenue
+           |FROM graft_lake.$ns.l l JOIN graft_lake.$ns.o o
+           |  ON l.l_orderkey = o.o_orderkey
+           |GROUP BY o.o_orderpriority""".stripMargin)
+      val rows = out.collect()
+      val schema = out.schema
+      s.sql(s"DROP TABLE graft_lake.$ns.o")
+      s.sql(s"DROP TABLE graft_lake.$ns.l")
+      s.sql(s"DROP NAMESPACE graft_lake.$ns")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }),
     "k43_clone_native" -> ((s, d) => {
       // K43 (beyond-reference): the k34 storage-partitioned join where
       // the fact leg is a zero-copy SHALLOW CLONE under a merge-on-read
@@ -1509,6 +1547,11 @@ object AggWindowQueries extends QueryPack {
          |  ${OracleMath.dsumSql("l_extendedprice", 4, 2)} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |WHERE NOT (o_orderkey % 5 = 1)
+         |GROUP BY 1""".stripMargin,
+    "k44_compat_bucket" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  ${OracleMath.dsumSql("l_extendedprice", 4, 2)} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY 1""".stripMargin,
     "k35_spec_evolution" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d') AS ts_day,

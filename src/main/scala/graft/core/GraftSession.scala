@@ -44,6 +44,12 @@ object GraftSession {
       // zero-Exchange fact-fact join at 100 TB
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // compatible bucket counts: single-column layouts report the
+      // bucket TRANSFORM (a ReducibleFunction through the catalog), so
+      // a 2n-bucket fact joining an n-bucket dim reduces the finer
+      // side's partition values (pmod(h,2n) mod n = pmod(h,n)) instead
+      // of shuffling both — the Iceberg-shaped SPJ breadth
+      .config("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
       // the co-bucketed join clusters on (key, key_bucket) while the
       // scan partitions on key_bucket alone — subset co-partitioning is
       // always correct for equi-joins (equal keys share a partition);

@@ -21,19 +21,22 @@ import graft.sources.v2.GraftTable
   * have to know the generated column's name and spell the equality by
   * hand.
   *
-  * EQUAL bucket counts only, by contract. `h mod 16 = (h mod 32) mod 16`
-  * would make 16-vs-32 layouts co-partitionable in principle, but this
-  * engine's bucket is a STORED generated string column reported through
-  * `Expressions.identity` — Spark compares the reported partition VALUES
-  * for compatibility, and "17" (mod 32) never equals "1" (mod 16).
-  * Spark's cross-count storage-partitioned join exists only for
-  * catalog-registered `ReducibleFunction` bucket transforms (the
-  * Iceberg shape), where the planner itself can reduce the finer
-  * partitioning onto the coarser one; a stored identity column cannot
-  * ride that surface. Mismatched counts therefore keep the shuffled
-  * plan (correct, just not co-partitioned) — BucketedJoinSpec pins the
-  * refusal. Re-bucket one side (`evolvePartitionSpec` refuses redefining
-  * a generated column, so that means a rewrite) to co-locate them.
+  * Division of labor with the TRANSFORM-shaped reporting: single-column
+  * layouts report `bucket(n, src)` from the scan (a `ReducibleFunction`
+  * resolved through the catalog — [[graft.sources.v2.GraftBucketFunction]]),
+  * which co-partitions the natural shape on its own AND reduces
+  * DIVISIBLE cross-count pairs (a 32-bucket fact joins a 16-bucket dim
+  * zero-Exchange: `pmod(h,32) mod 16 = pmod(h,16)`). This rule remains
+  * the co-partitioning vehicle for MULTI-COLUMN layouts — their tuple
+  * transform would resolve through Spark's generic named-function
+  * surface without a bucket count, forfeiting reduction, so they report
+  * identity values and need the stored-column equality injected; for
+  * single-column layouts the injected conjunct is redundant defense in
+  * depth (harmless: an implied-true equality). EQUAL counts only, by
+  * contract, for the identity shape: "17" (mod 32) never equals "1"
+  * (mod 16) as a VALUE compare. NON-divisible count pairs keep the
+  * shuffled plan in every shape (correct, just not co-partitioned) —
+  * BucketedJoinSpec pins both the 2:1 reduction and that refusal.
   *
   * Conservative by construction: only fires on equi-conjuncts between
   * two attribute references whose legs are Project/Filter chains over

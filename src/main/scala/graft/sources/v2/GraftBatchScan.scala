@@ -141,8 +141,10 @@ object GraftBatchScan {
     // bucket layout only counts when EVERY live file carries a value
     // for it (a mixed state must not report a partitioning it can't
     // honor — fall back to plain packed splits, still native)
-    val bucketCol = ManifestTable.bucketLayout(st.tags).map(_._1)
-      .filter(bc => st.files.forall(_.partitionValues.get(bc).flatten.isDefined))
+    val bucketLayout = ManifestTable.bucketLayout(st.tags)
+      .filter { case (bc, _, _) =>
+        st.files.forall(_.partitionValues.get(bc).flatten.isDefined) }
+    val bucketCol = bucketLayout.map(_._1)
 
     // the same metadata file-skipping pass as the V1 bridge
     val filterCol = pushed.toSeq.flatMap(ManifestRelationFilters.toColumn(_))
@@ -232,7 +234,7 @@ object GraftBatchScan {
         .filterNot(_ => kept.exists(_.partitionValues.contains(phys(c))))
         .map(k => (phys(c), asc, n, k))
     }
-    Some(new GraftBatchScan(root, version, st, bucketCol, pairs,
+    Some(new GraftBatchScan(root, version, st, bucketLayout, pairs,
       StructType(reqFields.toArray), groups, pushed.toIndexedSeq, limit,
       topNPhys))
   }
@@ -343,7 +345,7 @@ object GraftBatchScan {
 
 final class GraftBatchScan(root: String, version: Option[Long],
                            buildState: ManifestTable.State,
-                           bucketCol: Option[String],
+                           bucketLayout: Option[(String, Seq[String], Int)],
                            initialPairs: IndexedSeq[(ManifestTable.FileEntry, Int)],
                            required: StructType,
                            groups: IndexedSeq[GraftBatchScan.GroupSpec],
@@ -374,7 +376,7 @@ final class GraftBatchScan(root: String, version: Option[Long],
     // the key-grouped (storage-partitioned join) shape must keep its
     // reported partition values stable — skip file-level re-pruning
     // there (Spark re-applies the filters above the scan regardless)
-    if (bucketCol.exists(bc => required.fieldNames.contains(bc))) return
+    if (keyGroupedActive) return
     val cond = filters.toSeq.flatMap(ManifestRelationFilters.toColumn(_))
       .reduceOption(_ && _)
     cond.foreach { c =>
@@ -397,17 +399,54 @@ final class GraftBatchScan(root: String, version: Option[Long],
 
   override def toBatch: Batch = this
 
-  /** Live bucket values, sorted for deterministic partition ids. */
+  private def bucketCol: Option[String] = bucketLayout.map(_._1)
+
+  /** TRANSFORM-shaped key grouping: single-source bucket layouts whose
+    * SOURCE column is projected report `bucket(n, src)` (resolved as a
+    * ReducibleFunction through [[GraftCatalog]]'s FunctionCatalog), so
+    * the natural join shape `ON a.k = b.k` co-partitions with no
+    * generated-column equality, and COMPATIBLE counts (2n fact vs n
+    * dim) reduce instead of shuffling. The stored dir values ARE the
+    * transform's results by derivation, re-parsed as the int partition
+    * keys. Multi-source layouts keep the identity shape: Spark's
+    * BucketTransform resolution binds the single-reference form, and
+    * the tuple transform would resolve without a bucket count —
+    * forfeiting reduction, the only thing the transform shape adds
+    * over identity + the injected-conjunct rule. */
+  private lazy val transformKeyed: Boolean = bucketLayout.exists {
+    case (_, srcs, _) => srcs.lengthCompare(1) == 0 &&
+      srcs.forall(required.fieldNames.contains) &&
+      files.forall(f => bucketCol.exists(bc =>
+        f.partitionValues(bc).get.forall(_.isDigit)))
+  }
+
+  /** Identity-shaped key grouping (the stored generated column itself
+    * projected) — the pre-transform SPJ surface, still what multi-
+    * column layouts and bucket-column aggregations ride. */
+  private lazy val identityKeyed: Boolean = !transformKeyed &&
+    bucketCol.exists(bc => required.fieldNames.contains(bc))
+
+  private def keyGroupedActive: Boolean = transformKeyed || identityKeyed
+
+  /** Live bucket values, sorted for deterministic partition ids
+    * (numerically under transform keys — their reported values are
+    * ints). */
   private lazy val buckets: IndexedSeq[String] = bucketCol match {
+    case Some(bc) if transformKeyed =>
+      files.map(_.partitionValues(bc).get).distinct.sortBy(_.toInt)
     case Some(bc) => files.map(_.partitionValues(bc).get).distinct.sorted
     case None     => IndexedSeq.empty
   }
 
-  /** The partitioning contract: grouped by the bucket column when the
-    * layout has one AND the projection carries it (the join shape),
-    * else honest-unknown. */
-  override def outputPartitioning(): Partitioning = bucketCol match {
-    case Some(bc) if required.fieldNames.contains(bc) =>
+  /** The partitioning contract: `bucket(n, src)` when the source column
+    * is projected (the join shape — see [[transformKeyed]]), identity
+    * over the stored bucket column when only IT is projected, else
+    * honest-unknown. */
+  override def outputPartitioning(): Partitioning = bucketLayout match {
+    case Some((_, srcs, n)) if transformKeyed =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(n, srcs.head)), buckets.size)
+    case Some((bc, _, _)) if identityKeyed =>
       new KeyGroupedPartitioning(Array(Expressions.identity(bc)), buckets.size)
     case _ => new UnknownPartitioning(0)
   }
@@ -474,11 +513,11 @@ final class GraftBatchScan(root: String, version: Option[Long],
     // no Exchange to split). A scan that doesn't carry the bucket
     // column gets the bin-packed splits below — key-grouping would cap
     // parallelism at the bucket count for no optimizer benefit.
-    case Some(bc) if required.fieldNames.contains(bc) =>
+    case Some(bc) if keyGroupedActive =>
       val byBucket = pairs.groupBy(_._1.partitionValues(bc).get)
       buckets.flatMap { b =>
         byBucket(b).sortBy(_._1.relPath).map { case (f, gid) =>
-          GraftBucketPartition(b,
+          GraftBucketPartition(b, transformKeyed,
             Array(asPartitionedFiles(f, gid, Long.MaxValue).head),
             Array(dvOf(f)), Array(gid)): InputPartition
         }
@@ -619,15 +658,18 @@ sealed trait GraftScanPartition extends InputPartition {
   def gids: Array[Int]
 }
 
-/** One live bucket: its string value (the partition KEY Spark groups
-  * by) and every parquet file holding its rows. */
-final case class GraftBucketPartition(bucket: String,
+/** One live bucket: its stored value (the partition KEY Spark groups
+  * by — the transform shape reports it as the bucket-ordinal INT, the
+  * identity shape as the stored string) and every parquet file holding
+  * its rows. */
+final case class GraftBucketPartition(bucket: String, intKey: Boolean,
                                       files: Array[PartitionedFile],
                                       dvs: Array[Array[Long]],
                                       gids: Array[Int])
     extends GraftScanPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](UTF8String.fromString(bucket)))
+    new GenericInternalRow(Array[Any](
+      if (intKey) Int.box(bucket.toInt) else UTF8String.fromString(bucket)))
 }
 
 /** A bin-packed group of parquet splits (the non-bucketed shape). */

@@ -72,7 +72,26 @@ object GraftCatalog {
   }
 }
 
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** The FunctionCatalog surface exists for ONE function: the `bucket`
+    * layout transform ([[GraftBucketFunction]]). Spark's
+    * V2ExpressionUtils resolves a scan-reported `bucket(n, col)`
+    * clustering through the owning table's catalog (any namespace —
+    * the resolver asks with an empty one), which is what turns the
+    * storage-partitioned join from stored-value identity matching into
+    * transform reasoning: natural `ON a.k = b.k` co-partitioning and
+    * compatible 2:1 bucket counts via ReducibleFunction. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, GraftBucketFunction.name()))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase(GraftBucketFunction.name()))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: String = _

@@ -108,8 +108,23 @@ class BucketedJoinSpec extends SparkSpec {
       assert(got.size == 150 && got.head == ((0L, 0.0, 0.0)))
       // the injected conjunct must not leak into the join's output
       assert(df.columns.toSeq == Seq("k", "v", "w"))
-      // disabled, the same query shuffles (and still agrees)
-      val ref = withConf("spark.graft.autoBucketJoin.enabled" -> "false") {
+      // with the conjunct rule disabled the natural shape STILL runs
+      // zero-Exchange: the scan reports the bucket TRANSFORM over the
+      // source column (resolved via the catalog's FunctionCatalog), so
+      // `ON a.k = b.k` co-partitions without any generated-column
+      // equality — the rule is defense in depth for single-column
+      // layouts, the co-partitioning vehicle for multi-column ones
+      val ruleless = withConf("spark.graft.autoBucketJoin.enabled" -> "false") {
+        val r = spark.sql(
+          s"""SELECT a.k, a.v, b.w FROM graft_lake.spjnat.a a
+             |JOIN graft_lake.spjnat.b b ON a.k = b.k""".stripMargin)
+        assert(!r.queryExecution.executedPlan.toString.contains("Exchange"),
+          "transform-reported clustering must co-partition the natural shape on its own")
+        r.as[(Long, Double, Double)].collect().toSeq.sorted
+      }
+      assert(got == ruleless)
+      // the V1 bridge is the shuffled reference (and still agrees)
+      val ref = withConf(GraftBucketedScanConf -> "false") {
         val r = spark.sql(
           s"""SELECT a.k, a.v, b.w FROM graft_lake.spjnat.a a
              |JOIN graft_lake.spjnat.b b ON a.k = b.k""".stripMargin)
@@ -324,13 +339,12 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
-  test("MISMATCHED bucket counts refuse co-partitioning: shuffled, same answer") {
-    // the equal-n contract (BucketJoinRule scaladoc): 16-vs-32 layouts
-    // are arithmetically reducible, but this engine's bucket is a
-    // STORED identity column — Spark compares reported partition VALUES
-    // and "17" (mod 32) is not "1" (mod 16); the cross-count SPJ
-    // surface (ReducibleFunction transforms) is not expressible here.
-    // The rule must NOT inject, the join shuffles, the answer matches.
+  test("COMPATIBLE bucket counts (2:1) co-partition via ReducibleFunction: zero Exchange") {
+    // 16-vs-32 layouts are arithmetically reducible — pmod(h,32) mod 16
+    // = pmod(h,16) — and the scan now reports the bucket TRANSFORM
+    // (GraftBoundBucket, a ReducibleFunction through the catalog's
+    // FunctionCatalog), so Spark reduces the finer side's partition
+    // values onto the coarser side's and the join never shuffles.
     val ns0 = "spjmix"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lake.$ns0")
     spark.sql(s"CREATE TABLE graft_lake.$ns0.a (k BIGINT, v DOUBLE) " +
@@ -343,16 +357,51 @@ class BucketedJoinSpec extends SparkSpec {
       "SELECT id * 3 AS k, CAST(id AS DOUBLE) AS w, NULL FROM range(0, 150)")
     try withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
                  "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val sql =
+        s"""SELECT a.k, a.v, b.w FROM graft_lake.$ns0.a a
+           |JOIN graft_lake.$ns0.b b ON a.k = b.k""".stripMargin
+      val df = spark.sql(sql)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"divisible bucket counts must reduce, not shuffle:\n$p")
+      val got = df.as[(Long, Double, Double)].collect().toSeq.sorted
+      assert(got.size == 150 && got.head == ((0L, 0.0, 0.0)))
+      // the V1 bridge is the shuffled reference — identical rows
+      val ref = withConf(GraftBucketedScanConf -> "false") {
+        val r = spark.sql(sql)
+        assert(r.queryExecution.executedPlan.toString.contains("Exchange"))
+        r.as[(Long, Double, Double)].collect().toSeq.sorted
+      }
+      assert(got == ref)
+    } finally {
+      spark.sql(s"DROP TABLE graft_lake.$ns0.a")
+      spark.sql(s"DROP TABLE graft_lake.$ns0.b")
+      spark.sql(s"DROP NAMESPACE graft_lake.$ns0")
+    }
+  }
+
+  test("NON-DIVISIBLE bucket counts still refuse co-partitioning: shuffled, same answer") {
+    // 12 vs 18: neither count divides the other, no reducer exists on
+    // either side (GraftBoundBucket.reducer returns null), and the
+    // join must fall back to the honest shuffle.
+    val ns0 = "spjnodiv"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lake.$ns0")
+    spark.sql(s"CREATE TABLE graft_lake.$ns0.a (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(12, k))")
+    spark.sql(s"CREATE TABLE graft_lake.$ns0.b (k BIGINT, w DOUBLE) " +
+      "PARTITIONED BY (bucket(18, k))")
+    spark.sql(s"INSERT INTO graft_lake.$ns0.a " +
+      "SELECT id AS k, CAST(id AS DOUBLE) * 1.5 AS v, NULL FROM range(0, 500)")
+    spark.sql(s"INSERT INTO graft_lake.$ns0.b " +
+      "SELECT id * 3 AS k, CAST(id AS DOUBLE) AS w, NULL FROM range(0, 150)")
+    try withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                 "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
       val df = spark.sql(
         s"""SELECT a.k, a.v, b.w FROM graft_lake.$ns0.a a
            |JOIN graft_lake.$ns0.b b ON a.k = b.k""".stripMargin)
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("Exchange"),
-        s"mismatched bucket counts must shuffle (no false co-partitioning):\n$p")
-      // an injected conjunct would surface as a k_bucket#id attribute
-      // in the join keys (the scan DESCRIPTION naming its layout is fine)
-      assert(!p.contains("k_bucket#"),
-        s"the bucket conjunct must not be injected across counts:\n$p")
+        s"non-divisible bucket counts must shuffle (no false co-partitioning):\n$p")
       val got = df.as[(Long, Double, Double)].collect().toSeq.sorted
       assert(got.size == 150 && got.head == ((0L, 0.0, 0.0)))
     } finally {
