@@ -997,14 +997,32 @@ object ManifestTable {
     * ndv for string/high-cardinality join keys — the columns where the
     * integral range-width bound ([[graft.sources.v2.GraftColumnStats]])
     * falls back to the non-null count and equality selectivity goes
-    * generic. Opt-in by design: the sketch pass re-reads the commit's
-    * OWN new bytes (page-cache warm, named columns only), a deliberate
-    * ingest tax a 100 TB operator pays for exactly the join-key columns
-    * that earn it. Failures degrade to no-sketch (stats are advisory). */
+    * generic. Opt-in by design for arbitrary columns: the sketch pass
+    * re-reads the commit's OWN new bytes (page-cache warm, named
+    * columns only), a deliberate ingest tax a 100 TB operator pays for
+    * exactly the join-key columns that earn it. BUCKET-SOURCE columns
+    * are sketched by DEFAULT ([[AutoNdvKey]]): a table bucketed on a
+    * key declares that key a join column by construction, and the CBO
+    * misestimate the sketches fix (broadcasting a side whose string key
+    * ndv fell back to the non-null count — ColumnStatsSpec pins it)
+    * bites precisely there. The auto set is ≤ the handful of layout
+    * sources, so the per-commit cost is bounded and flat. Failures
+    * degrade to no-sketch (stats are advisory). */
   val NdvColsProp = "stats.ndv.cols"
 
-  private def ndvCols(tags: Map[String, String]): Seq[String] =
-    tags.get(NdvColsProp).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  /** Conf gate (default on) for the AUTOMATIC bucket-source sketches;
+    * `stats.ndv.cols` opt-ins are unaffected by it. */
+  val AutoNdvKey = "spark.graft.stats.autoNdv.enabled"
+
+  private def ndvCols(spark: SparkSession, tags: Map[String, String]): Seq[String] = {
+    val explicit = tags.get(NdvColsProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val auto =
+      if (spark.conf.get(AutoNdvKey, "true").toBoolean)
+        bucketLayout(tags).map(_._2).getOrElse(Nil)
+      else Nil
+    (explicit ++ auto).distinct
+  }
 
   /** Inventory one generation dir's parquet files as root-relative
     * entries, collecting per-column min/max from each file's parquet
@@ -1050,7 +1068,7 @@ object ManifestTable {
   private def attachNdvSketches(spark: SparkSession, root: String, gen: String,
                                 entries: Seq[FileEntry],
                                 tags: Map[String, String]): Seq[FileEntry] = {
-    val logical = ndvCols(tags)
+    val logical = ndvCols(spark, tags)
     if (logical.isEmpty || entries.isEmpty) return entries
     val inv = renameMap(tags).map(_.swap)
     val physCols = logical.map(c => inv.getOrElse(c, c))

@@ -106,6 +106,44 @@ class ColumnStatsSpec extends SparkSpec {
     }
   }
 
+  test("bucket-source columns get ndv sketches by DEFAULT (no TBLPROPERTY, conf-gated)") {
+    // a table bucketed on a key declares that key a join column by
+    // construction — exactly where the string-ndv fallback misestimate
+    // (previous test) bites. The commit sketches bucket SOURCES with no
+    // opt-in; the auto set is the layout's handful of source columns,
+    // so the write tax is bounded and flat per commit.
+    val n = "cstat_" + java.util.UUID.randomUUID().toString.take(8)
+    val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.b (k BIGINT, s STRING, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, s))")
+    try {
+      spark.sql(s"INSERT INTO graft_lake.$n.b SELECT id, " +
+        "concat('cat_', substring('abcd', CAST(id % 4 AS INT) + 1, 1)), " +
+        "CAST(id AS DOUBLE), NULL FROM range(0, 20000)")
+      val root = s"$wh/$n/b"
+      val st = graft.sources.ManifestTable.current(spark, root).get
+      assert(st.files.nonEmpty &&
+        st.files.forall(_.stats.get("s").exists(_.ndv.isDefined)),
+        "the bucket-source column must carry an HLL sketch with no opt-in")
+      // the non-source data column is NOT auto-sketched (bounded tax)
+      assert(st.files.forall(_.stats.get("v").forall(_.ndv.isEmpty)))
+      // conf off: subsequent commits skip the auto sketches
+      withConf(graft.sources.ManifestTable.AutoNdvKey -> "false") {
+        spark.sql(s"INSERT INTO graft_lake.$n.b SELECT id, 'cat_e', " +
+          "CAST(id AS DOUBLE), NULL FROM range(20000, 21000)")
+      }
+      val st2 = graft.sources.ManifestTable.current(spark, root).get
+      val newFiles = st2.files.filterNot(st.files.toSet)
+      assert(newFiles.nonEmpty &&
+        newFiles.forall(_.stats.get("s").forall(_.ndv.isEmpty)),
+        "AutoNdvKey=false must disable the default sketches")
+    } finally {
+      spark.sql(s"DROP TABLE graft_lake.$n.b")
+      spark.sql(s"DROP NAMESPACE graft_lake.$n")
+    }
+  }
+
   test("bounds-free stat kinds (boolean, all-null) never crash planning") {
     val n = "cstat_" + java.util.UUID.randomUUID().toString.take(8)
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")
