@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+import graft.sources.ManifestTable
+
+/** Write-overhead evidence for the DEFAULT bucket-source ndv sketches
+  * ([[ManifestTable.AutoNdvKey]]): times the same bucketed INSERT with
+  * the auto sketches on and off at two data sizes. The sketch pass
+  * re-reads the commit's OWN new files (page-cache warm) for the
+  * layout's source columns only, so the overhead should be a small,
+  * FLAT fraction of the write — not a new scaling term. */
+object NdvSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("graft-ndv-smoke",
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    println(f"${"rows"}%10s ${"auto_on_s"}%10s ${"auto_off_s"}%11s ${"overhead"}%9s")
+    Seq(1000000L, 4000000L).foreach { rows =>
+      val walls = Seq(true, false).map { auto =>
+        spark.conf.set(ManifestTable.AutoNdvKey, auto.toString)
+        // min-of-2: the first insert of a size pays one-time JIT/IO
+        (1 to 2).map { i =>
+          val ns = s"ndvs_${java.util.UUID.randomUUID().toString.take(8)}"
+          spark.sql(s"CREATE NAMESPACE graft_lake.$ns")
+          spark.sql(s"CREATE TABLE graft_lake.$ns.t " +
+            "(k BIGINT, s STRING, v DOUBLE) PARTITIONED BY (bucket(16, s))")
+          val (_, w) = time {
+            spark.sql(s"INSERT INTO graft_lake.$ns.t SELECT id, " +
+              "concat('u_', CAST(pmod(hash(id), 50000) AS STRING)), " +
+              "CAST(id AS DOUBLE), NULL FROM range(0, " + rows + ")")
+          }
+          spark.sql(s"DROP TABLE graft_lake.$ns.t")
+          spark.sql(s"DROP NAMESPACE graft_lake.$ns")
+          w
+        }.min
+      }
+      spark.conf.unset(ManifestTable.AutoNdvKey)
+      val Seq(on, off) = walls
+      println(f"$rows%10d $on%10.1f $off%11.1f ${(on / off - 1) * 100}%8.1f%%")
+    }
+    spark.stop()
+  }
+}

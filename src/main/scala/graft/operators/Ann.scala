@@ -543,18 +543,23 @@ object Ann {
     // (3): probe + join + per-probe top-n. The synthetic row key keeps
     // duplicate user ids one-for-one through the merge aggregate (the
     // flat path's per-ROW contract); it is assigned once here and only
-    // ever regroups rows that came from the same input row.
+    // ever regroups rows that came from the same input row. Score +
+    // select runs in ONE native expression pass per (row, coarse cell)
+    // ([[graft.plans.NearestInArray]]): the HOF composition
+    // (transform → array_sort → slice) is interpreted per candidate —
+    // measured ~6× slower than the flat pass at 2M vectors despite
+    // ~5× less arithmetic.
+    import org.apache.spark.sql.graftshim.ColumnExpr
     val keyed = corpus.select(
       struct(monotonically_increasing_id().as("r"), col(idCol).as("i")).as("_k"),
       col(vecCol).as("_vec"))
-    val sq = sqFn(corpus, vecCol) _
     val local = assignCellsFlatTopN(keyed, "_k", "_vec", coarse, coarseProbes)
       .select(col("vid").as("_k"), col("vec"), col("cell_id").as("_coarse"))
       .join(fineByCoarse, Seq("_coarse"), "left")
       .select(col("_k"), col("vec"),
-        slice(array_sort(transform(col("_cands"),
-          f => struct(sq(col("vec"), f("f_c")).as("d"), f("f_id").as("cell_id")))),
-          1, n).as("_top"))
+        ColumnExpr.column(graft.plans.NearestInArray(
+          ColumnExpr.expression(col("vec")),
+          ColumnExpr.expression(col("_cands")), n)).as("_top"))
     // (4): bounded merge — ≤ coarseProbes·n candidate structs per row
     // key, partial-aggregable. A null embedding's probes carry null
     // coarse ids (never joined) so its group flattens to an empty

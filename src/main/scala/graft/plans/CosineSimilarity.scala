@@ -243,6 +243,133 @@ case class NearestCells(child: Expression, ids: Array[Any],
     copy(child = newChild)
 }
 
+/** Top-`n` nearest candidates from a per-ROW candidate array — the
+  * two-level assignment's hot loop ([[graft.operators.Ann
+  * .assignCellsTwoLevelTopN]]): unlike [[NearestCells]], the candidate
+  * set here is a COLUMN (each coarse cell's fine centroids, grouped at
+  * runtime), so it cannot ride the expression as a compile-time
+  * reference. The HOF composition (`transform` → `array_sort` →
+  * `slice`) runs on interpreted higher-order functions — a lambda
+  * frame and boxed struct per candidate per row, measured ~6× slower
+  * than the flat pass at 2M vectors despite doing ~5× less arithmetic
+  * — so this expression fuses score+select into one compiled pass.
+  *
+  * `cands` is `array<struct<centroid: array<float|double>, id: T>>`
+  * (field ORDER is the contract; names are free). Returns
+  * `array<struct<d: double, cell_id: T>>` of the `n` best by
+  * (distance ASC, id ASC) — the same squared-L2 accumulation
+  * ([[SqL2Distance]] index-order doubles, min-length truncation) and
+  * the same tiebreak as [[NearestCells]], so merging per-coarse-cell
+  * results reproduces the flat assignment bit-for-bit when every cell
+  * is probed. */
+case class NearestInArray(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+
+  private def candType: ArrayType = right.dataType.asInstanceOf[ArrayType]
+  private def candStruct: org.apache.spark.sql.types.StructType =
+    candType.elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+  private def centType: ArrayType =
+    candStruct.fields(0).dataType.asInstanceOf[ArrayType]
+  private def idType: DataType = candStruct.fields(1).dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = left.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val candsOk = right.dataType match {
+      case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+          if s.fields.length == 2 =>
+        s.fields(0).dataType match {
+          case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+          case _ => false
+        }
+      case _ => false
+    }
+    if (vecOk && candsOk && n > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_in_array expects (array<float|double>, " +
+        s"array<struct<array<float|double>, id>>) and n > 0, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}, n=$n")
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("cell_id", idType,
+        nullable = candStruct.fields(1).nullable))), containsNull = false)
+  override def prettyName: String = "graft_nearest_in_array"
+
+  @transient private lazy val vecIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val centIsFloat: Boolean =
+    centType.elementType == FloatType
+  @transient private lazy val idOrdering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(idType).asInstanceOf[Ordering[Any]]
+
+  def compute(v: Any, cs: Any): ArrayData = {
+    val x = v.asInstanceOf[ArrayData]
+    val cands = cs.asInstanceOf[ArrayData]
+    val k = cands.numElements()
+    val take = math.min(n, k)
+    if (take <= 0) return new GenericArrayData(Array.empty[Any])
+    val bestD = Array.fill(take)(Double.PositiveInfinity)
+    val bestId = new Array[Any](take)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val cand = cands.getStruct(c, 2)
+      val cent = cand.getArray(0)
+      val id = cand.get(1, idType)
+      val m = math.min(x.numElements(), cent.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val xv = if (vecIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val cv = if (centIsFloat) cent.getFloat(i).toDouble else cent.getDouble(i)
+        val d = xv - cv
+        acc += d * d
+        i += 1
+      }
+      // insertion-select by (d ASC, id ASC): candidates arrive in
+      // arbitrary collect_list order, so distance ties break on the id
+      // ORDERING (not arrival), matching NearestCells' pre-sorted-ids
+      // strict-< rule
+      var j = math.min(filled, take - 1)
+      def beats(p: Int): Boolean =
+        acc < bestD(p) || (acc == bestD(p) && p < filled &&
+          idOrdering.lt(id, bestId(p)))
+      if (filled < take || beats(take - 1)) {
+        while (j > 0 && beats(j - 1)) {
+          bestD(j) = bestD(j - 1); bestId(j) = bestId(j - 1); j -= 1
+        }
+        bestD(j) = acc; bestId(j) = id
+        if (filled < take) filled += 1
+      }
+      c += 1
+    }
+    val rows: Array[Any] = (0 until filled).map { p =>
+      org.apache.spark.sql.catalyst.InternalRow(bestD(p), bestId(p))
+    }.toArray
+    new GenericArrayData(rows)
+  }
+
+  override def nullSafeEval(v: Any, cs: Any): Any = compute(v, cs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestInArray", this,
+      classOf[NearestInArray].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestInArray =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Deployment-grade wiring: inject graft's native expressions into every
   * session via `spark.sql.extensions=graft.plans.GraftExtensions` (the
   * spark-submit path). In-process callers can use

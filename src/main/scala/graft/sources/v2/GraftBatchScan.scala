@@ -373,10 +373,13 @@ final class GraftBatchScan(root: String, version: Option[Long],
     readSchema().fieldNames.map(Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = {
-    // the key-grouped (storage-partitioned join) shape must keep its
-    // reported partition values stable — skip file-level re-pruning
-    // there (Spark re-applies the filters above the scan regardless)
-    if (keyGroupedActive) return
+    // file-level re-pruning is safe under the KEY-GROUPED shape too:
+    // the reported partition-value SET is frozen from the build-time
+    // file list ([[buckets]]) and a fully-pruned bucket still emits an
+    // empty partition under its key, so the partitioning contract never
+    // shifts while a star-shaped runtime filter (DPP keys surviving a
+    // broadcast dim) drops fact files wholesale. Spark re-applies every
+    // filter above the scan regardless — pruning is I/O only.
     val cond = filters.toSeq.flatMap(ManifestRelationFilters.toColumn(_))
       .reduceOption(_ && _)
     cond.foreach { c =>
@@ -416,8 +419,8 @@ final class GraftBatchScan(root: String, version: Option[Long],
   private lazy val transformKeyed: Boolean = bucketLayout.exists {
     case (_, srcs, _) => srcs.lengthCompare(1) == 0 &&
       srcs.forall(required.fieldNames.contains) &&
-      files.forall(f => bucketCol.exists(bc =>
-        f.partitionValues(bc).get.forall(_.isDigit)))
+      initialPairs.forall(p => bucketCol.exists(bc =>
+        p._1.partitionValues(bc).get.forall(_.isDigit)))
   }
 
   /** Identity-shaped key grouping (the stored generated column itself
@@ -430,12 +433,16 @@ final class GraftBatchScan(root: String, version: Option[Long],
 
   /** Live bucket values, sorted for deterministic partition ids
     * (numerically under transform keys — their reported values are
-    * ints). */
+    * ints). Frozen from the BUILD-time file list: runtime filters may
+    * prune files afterwards, and the reported value set must not move
+    * under the planner (a fully-pruned bucket plans an empty
+    * partition instead of vanishing). */
   private lazy val buckets: IndexedSeq[String] = bucketCol match {
     case Some(bc) if transformKeyed =>
-      files.map(_.partitionValues(bc).get).distinct.sortBy(_.toInt)
-    case Some(bc) => files.map(_.partitionValues(bc).get).distinct.sorted
-    case None     => IndexedSeq.empty
+      initialPairs.map(_._1.partitionValues(bc).get).distinct.sortBy(_.toInt)
+    case Some(bc) =>
+      initialPairs.map(_._1.partitionValues(bc).get).distinct.sorted
+    case None => IndexedSeq.empty
   }
 
   /** The partitioning contract: `bucket(n, src)` when the source column
@@ -516,10 +523,16 @@ final class GraftBatchScan(root: String, version: Option[Long],
     case Some(bc) if keyGroupedActive =>
       val byBucket = pairs.groupBy(_._1.partitionValues(bc).get)
       buckets.flatMap { b =>
-        byBucket(b).sortBy(_._1.relPath).map { case (f, gid) =>
-          GraftBucketPartition(b, transformKeyed,
-            Array(asPartitionedFiles(f, gid, Long.MaxValue).head),
-            Array(dvOf(f)), Array(gid)): InputPartition
+        byBucket.get(b) match {
+          // a runtime filter pruned the bucket's every file: the key
+          // must still appear (frozen value set) — plan it empty
+          case None => Seq(GraftBucketPartition(b, transformKeyed,
+            Array.empty, Array.empty, Array.empty): InputPartition)
+          case Some(fs) => fs.sortBy(_._1.relPath).map { case (f, gid) =>
+            GraftBucketPartition(b, transformKeyed,
+              Array(asPartitionedFiles(f, gid, Long.MaxValue).head),
+              Array(dvOf(f)), Array(gid)): InputPartition
+          }
         }
       }.toArray
     case _ =>

@@ -206,6 +206,66 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("runtime filtering under the key-grouped shape keeps the frozen bucket-key set") {
+    // a star-shaped runtime filter may drop a bucketed fact's files
+    // wholesale (I/O win), but the reported partition-value set must
+    // not move under the planner: a fully-pruned bucket plans an EMPTY
+    // partition under its key instead of vanishing.
+    val ns0 = "spjrf"
+    val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lake.$ns0")
+    spark.sql(s"CREATE TABLE graft_lake.$ns0.f (k BIGINT, day STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // two commits with file-constant day values → per-file min=max
+    // bounds make day exactly prunable at file grain
+    spark.sql(s"INSERT INTO graft_lake.$ns0.f " +
+      "SELECT id, 'a', NULL FROM range(0, 100)")
+    spark.sql(s"INSERT INTO graft_lake.$ns0.f " +
+      "SELECT id, 'b', NULL FROM range(100, 200)")
+    try {
+      val root = s"$wh/$ns0/f"
+      val st = ManifestTable.current(spark, root).get
+      val schema = graft.sources.ManifestTable.read(spark, root).schema
+      def freshScan() = graft.sources.v2.GraftBatchScan.tryBuild(root, None, st,
+        Array.empty, schema, schema).get.toBatch
+        .asInstanceOf[graft.sources.v2.GraftBatchScan]
+      def keysOf(parts: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+        parts.map(_.asInstanceOf[graft.sources.v2.GraftBucketPartition].bucket)
+          .distinct.sorted.toSeq
+      val full = freshScan()
+      val allParts = full.planInputPartitions()
+      val allKeys = keysOf(allParts)
+      assert(allKeys.size == 4 && allParts.forall(
+        _.asInstanceOf[graft.sources.v2.GraftBucketPartition].files.nonEmpty))
+      // a filter that halves the files: every bucket keeps its key
+      val half = freshScan()
+      half.filter(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.EqualTo("day", "a")))
+      val halfParts = half.planInputPartitions()
+      assert(keysOf(halfParts) == allKeys, "pruning must not move the key set")
+      assert(halfParts.length < allParts.length,
+        "the runtime filter should have dropped the day='b' files")
+      // a filter matching NOTHING: all buckets plan empty, keys intact
+      val none = freshScan()
+      none.filter(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.EqualTo("day", "zzz")))
+      val noneParts = none.planInputPartitions()
+      assert(keysOf(noneParts) == allKeys)
+      assert(noneParts.forall(
+        _.asInstanceOf[graft.sources.v2.GraftBucketPartition].files.isEmpty))
+      // end to end: a broadcast star join's DPP filter reaches the
+      // bucketed fact and the answer is exact
+      spark.sql(s"CREATE TABLE graft_lake.$ns0.d (day STRING, flag BIGINT)")
+      spark.sql(s"INSERT INTO graft_lake.$ns0.d VALUES ('a', 1), ('b', 0)")
+      val q = spark.sql(
+        s"""SELECT sum(f.k) AS sk FROM graft_lake.$ns0.f f
+           |JOIN graft_lake.$ns0.d d ON f.day = d.day WHERE d.flag = 1""".stripMargin)
+      assert(q.as[Long].head() == (0L until 100L).sum)
+    } finally {
+      spark.sql(s"DROP TABLE graft_lake.$ns0.f")
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.$ns0.d")
+      spark.sql(s"DROP NAMESPACE graft_lake.$ns0")
+    }
+  }
+
   test("deletion vectors stay NATIVE: SPJ keeps zero Exchange under MoR deletes") {
     mkTables("spjdv", buckets = 8)
     try withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
