@@ -423,29 +423,40 @@ object Ann {
     * [[semanticDedup]] viable at corpus scale with no manual knob. */
   def assignCellsTopN(corpus: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame, n: Int): DataFrame = {
+    // persist the centroid frame across the route decision + the
+    // chosen path's own consumption — without it a non-trivial centroid
+    // lineage would be recomputed once for the slim routing job (count
+    // + max dim, BEFORE any driver collect: the whole point is never
+    // materializing a GB-scale set) and again by the assignment
     val cf = centroidFrame(centroids)
-    // one slim job decides the route BEFORE any driver collect: the
-    // whole point is never materializing a GB-scale centroid set
-    val head = cf.agg(count(lit(1)), max(size(col("centroid")))).head()
-    val k = head.getLong(0)
-    val dim = if (head.isNullAt(1)) 0L else head.getInt(1).toLong
-    val maxBytes = corpus.sparkSession.conf
-      .get(FlatCentroidMaxBytesKey, FlatCentroidMaxBytesDefault.toString).toLong
-    if (flatAssignmentFits(k, dim, maxBytes))
-      assignCellsFlatTopN(corpus, idCol, vecCol, centroids, n)
-    else {
-      // coarse quantizer of ⌈√k⌉ cells, k-means-trained ON the centroid
-      // set (seeded, deterministic): its payload is √k·dim·8 — back
-      // under the flat bound by construction, so the two inner flat
-      // assignments (centroid→home, corpus→probes) never re-route.
-      // Callers LOOPING in this regime should train the coarse set once
-      // and call assignCellsTwoLevelTopN directly; this auto path is
-      // the safety net that keeps one-shot calls n·√k instead of n·k.
-      val coarseK = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
-        .min(Int.MaxValue).toInt
-      val coarse = trainCentroids(cf, "centroid", coarseK)
-      assignCellsTwoLevelTopN(corpus, idCol, vecCol, centroids, n, coarse)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = cf.agg(count(lit(1)), max(size(col("centroid")))).head()
+      val k = head.getLong(0)
+      val dim = if (head.isNullAt(1)) 0L else head.getInt(1).toLong
+      val maxBytes = corpus.sparkSession.conf
+        .get(FlatCentroidMaxBytesKey, FlatCentroidMaxBytesDefault.toString).toLong
+      if (flatAssignmentFits(k, dim, maxBytes))
+        // the flat path collects EAGERLY, so the cache is consumed (and
+        // safe to release) by the time it returns
+        assignCellsFlatTopN(corpus, idCol, vecCol, cf, n)
+      else {
+        // coarse quantizer of ⌈√k⌉ cells, k-means-trained ON the centroid
+        // set (seeded, deterministic): its payload is √k·dim·8 — back
+        // under the flat bound by construction, so the two inner flat
+        // assignments (centroid→home, corpus→probes) never re-route.
+        // Callers LOOPING in this regime should train the coarse set once
+        // and call assignCellsTwoLevelTopN directly; this auto path is
+        // the safety net that keeps one-shot calls n·√k instead of n·k.
+        // The k-means fit consumes the cache eagerly here; the lazy
+        // fine→home pass inside the two-level plan recomputes the
+        // lineage at most once after release.
+        val coarseK = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+          .min(Int.MaxValue).toInt
+        val coarse = trainCentroids(cf, "centroid", coarseK)
+        assignCellsTwoLevelTopN(corpus, idCol, vecCol, cf, n, coarse)
+      }
+    } finally cf.unpersist(blocking = false)
   }
 
   /** Byte ceiling on the centroid payload (k·dim·8) the FLAT assignment
@@ -523,7 +534,13 @@ object Ann {
     * and tiebreaks are identical by construction, OperatorsSpec pins
     * the equality). Same row contract as the flat path: one output row
     * per input row per rank, null embeddings survive with a null
-    * assignment, duplicate ids pass through one-for-one. */
+    * assignment, duplicate ids pass through one-for-one — via a
+    * synthetic per-row key whose stability across task RETRIES relies
+    * on the corpus having deterministic partitioning and order (true
+    * for file-backed reads, and for repartition() under Spark's
+    * default sortBeforeRepartition; an upstream transform that is
+    * order-nondeterministic under recompute could split a row's probe
+    * groups on a retried stage — localCheckpoint such inputs first). */
   def assignCellsTwoLevelTopN(corpus: DataFrame, idCol: String, vecCol: String,
                               centroids: DataFrame, n: Int,
                               coarse: DataFrame,

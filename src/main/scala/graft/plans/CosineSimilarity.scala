@@ -334,14 +334,20 @@ case class NearestInArray(left: Expression, right: Expression, n: Int)
         acc += d * d
         i += 1
       }
-      // insertion-select by (d ASC, id ASC): candidates arrive in
-      // arbitrary collect_list order, so distance ties break on the id
-      // ORDERING (not arrival), matching NearestCells' pre-sorted-ids
-      // strict-< rule
+      // insertion-select by (d ASC, id ASC, nulls last): candidates
+      // arrive in arbitrary collect_list order, so distance ties break
+      // on the id ORDERING (not arrival), matching NearestCells'
+      // pre-sorted-ids strict-< rule; a null id (admitted by the
+      // result type) loses every tie — interpreted orderings don't
+      // null-handle (r17 review finding)
       var j = math.min(filled, take - 1)
+      def idLt(a: Any, b: Any): Boolean =
+        if (a == null) false
+        else if (b == null) true
+        else idOrdering.lt(a, b)
       def beats(p: Int): Boolean =
         acc < bestD(p) || (acc == bestD(p) && p < filled &&
-          idOrdering.lt(id, bestId(p)))
+          idLt(id, bestId(p)))
       if (filled < take || beats(take - 1)) {
         while (j > 0 && beats(j - 1)) {
           bestD(j) = bestD(j - 1); bestId(j) = bestId(j - 1); j -= 1

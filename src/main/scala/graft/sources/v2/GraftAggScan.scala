@@ -357,9 +357,16 @@ final class GraftAggScan(p: GraftAggScan.Planned) extends Scan with Batch {
     val dvPos: Map[String, Array[Long]] =
       if (p.scanFiles.forall(_.dv.isEmpty)) Map.empty
       else ManifestTable.dvPositionsByFile(spark, p.root, p.scanFiles, p.tags)
+    // clone chains: an inherited remainder file's bytes live under a
+    // SOURCE root — resolve the base per generation exactly as the
+    // batch scan does (the metadata fold needs no paths, but PARTIAL
+    // mode opens real files; r17 review finding)
+    val cloneSrcs = ManifestTable.cloneSources(p.tags)
     val folds = p.scanFiles.map { f =>
+      val base = ManifestTable.dirBase(spark, p.root, cloneSrcs,
+        f.relPath.takeWhile(_ != '/'))
       val path = SparkPath.fromPathString(
-        new Path(p.root, f.relPath).toString)
+        new Path(base, f.relPath).toString)
       // per-file partition-count flags: the dir value is a whole-file
       // constant, so COUNT(layout col) in a scanned file is just "live
       // rows or zero" — decided here, not read

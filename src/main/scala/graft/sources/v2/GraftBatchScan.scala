@@ -415,7 +415,15 @@ final class GraftBatchScan(root: String, version: Option[Long],
     * BucketTransform resolution binds the single-reference form, and
     * the tuple transform would resolve without a bucket count —
     * forfeiting reduction, the only thing the transform shape adds
-    * over identity + the injected-conjunct rule. */
+    * over identity + the injected-conjunct rule.
+    *
+    * Precedence note: when BOTH the source and the stored bucket
+    * column are projected, the transform shape wins — it serves the
+    * key-equality joins and source-key aggregations that dominate; a
+    * query keying ONLY on the stored column while also projecting the
+    * source (rare — pure stored-column shapes don't project the
+    * source, and stay identity-keyed) pays the Exchange it would not
+    * have in r16. */
   private lazy val transformKeyed: Boolean = bucketLayout.exists {
     case (_, srcs, _) => srcs.lengthCompare(1) == 0 &&
       srcs.forall(required.fieldNames.contains) &&

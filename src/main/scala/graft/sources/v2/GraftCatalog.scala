@@ -83,8 +83,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * storage-partitioned join from stored-value identity matching into
     * transform reasoning: natural `ON a.k = b.k` co-partitioning and
     * compatible 2:1 bucket counts via ReducibleFunction. */
-  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    // the FunctionCatalog contract matches the namespace surface: a
+    // nonexistent namespace must throw, not list (r17 review finding)
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
     Array(Identifier.of(namespace, GraftBucketFunction.name()))
+  }
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =

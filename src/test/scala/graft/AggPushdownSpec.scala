@@ -180,6 +180,34 @@ class AggPushdownSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
 
+  test("PARTIAL pushdown on a shallow clone resolves inherited files at their source roots") {
+    // the r17 review catch: the metadata fold needs no paths, but a
+    // clone's MoR delete makes the DV'd INHERITED file unanswerable —
+    // partial mode must open its bytes under the SOURCE root, not the
+    // clone's (where only the deletion vector lives).
+    val n = ns()
+    val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.src (k BIGINT, x DOUBLE)")
+    spark.sql(s"INSERT INTO graft_lake.$n.src SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(0, 1000)")
+    spark.sql(s"GRAFT CLONE graft_lake.$n.src TO graft_lake.$n.c")
+    spark.sql(s"GRAFT DELETE MOR FROM graft_lake.$n.c WHERE k >= 990")
+    try {
+      val q = s"SELECT min(k) AS mn, max(k) AS mx, count(*) AS cnt " +
+        s"FROM graft_lake.$n.c"
+      val (rows, leaf) = run(q)
+      assert(leaf.contains("partial"),
+        s"a DV'd inherited file must force the partial fold:\n$leaf")
+      assert(rows == oracle(q))
+      assert(rows.head.getLong(2) == 990L)
+    } finally {
+      spark.sql(s"DROP TABLE graft_lake.$n.c")
+      spark.sql(s"DROP TABLE graft_lake.$n.src")
+      spark.sql(s"DROP NAMESPACE graft_lake.$n")
+    }
+  }
+
   test("empty table answers (count = 0, min/max = null) complete") {
     val n = ns()
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")
