@@ -89,6 +89,16 @@ class BucketedJoinSpec extends SparkSpec {
       assert(!p.contains("Exchange"),
         s"group-by on the bucket column must not shuffle:\n$p")
       assert(agg.as[(String, Long, Double)].collect().map(_._2).sum == 500L)
+      // the SOURCE key too: bucket(n, k) partitioning is a function of
+      // k, so GROUP BY k needs no exchange either under the transform
+      // reporting — the natural aggregation shape, no generated column
+      // spelled anywhere
+      val aggK = spark.sql(
+        "SELECT k, sum(v) AS sv FROM graft_lake.spjagg.a GROUP BY k")
+      val pk = aggK.queryExecution.executedPlan.toString
+      assert(!pk.contains("Exchange"),
+        s"group-by on the bucket SOURCE key must not shuffle:\n$pk")
+      assert(aggK.count() == 500L)
     } finally dropTables("spjagg")
   }
 
