@@ -346,6 +346,19 @@ object ManifestTable {
     memoHits.set(0L); memoMisses.set(0L)
   }
 
+  /** OPERATOR escape hatch: drop every memoized resolution (all roots).
+    * The fingerprint + sidecar-existence validation catches engine-path
+    * invalidation and ordinary external deletes on its own; the one
+    * documented blind spot is an external tool deleting AND re-creating
+    * a manifest with identical length and mtime (same-second, same-size
+    * replacement — memoGet would serve the stale state). After any such
+    * out-of-band surgery, call this (or flip [[StateMemoKey]] off) and
+    * the next read resolves cold. */
+  def clearStateMemo(): Unit = stateMemo.synchronized {
+    stateMemo.clear()
+    stateMemoWeight = 0L
+  }
+
   /** The memoized state at (root, version) — only when the version's
     * manifest file still matches the fingerprint recorded at store
     * time. Absent files and fingerprint drift (delete + re-create) miss

@@ -40,6 +40,20 @@ class StateMemoSpec extends SparkSpec {
     assert(ManifestTable.readVersion(spark, root, s1.version).count() == 2)
   }
 
+  test("clearStateMemo drops every memoized resolution (the out-of-band-surgery hatch)") {
+    val root = tmp()
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    ManifestTable.current(spark, root) // populate
+    ManifestTable.clearStateMemo()
+    ManifestTable.resetStateMemoCounters()
+    ManifestTable.current(spark, root).get
+    val (h, m) = ManifestTable.stateMemoCounters
+    assert(h == 0L && m >= 1L,
+      s"the first resolution after clearStateMemo must be COLD, got hits=$h misses=$m")
+    // and the table still reads correctly through the refilled memo
+    assert(ManifestTable.read(spark, root).count() == 2)
+  }
+
   test("fingerprint validation: an externally re-created table never aliases") {
     val root = tmp()
     ManifestTable.write(Seq((1L, "old")).toDF("k", "v"), root)
