@@ -423,40 +423,42 @@ object Ann {
     * [[semanticDedup]] viable at corpus scale with no manual knob. */
   def assignCellsTopN(corpus: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame, n: Int): DataFrame = {
-    // persist the centroid frame across the route decision + the
-    // chosen path's own consumption — without it a non-trivial centroid
-    // lineage would be recomputed once for the slim routing job (count
-    // + max dim, BEFORE any driver collect: the whole point is never
-    // materializing a GB-scale set) and again by the assignment
+    // ONE slim routing job (count + max dim) decides the path BEFORE
+    // any driver collect — the whole point is never materializing a
+    // GB-scale centroid set. Deliberately NO persist around it: a
+    // MEMORY_AND_DISK persist of the centroid frame measured ~4× the
+    // cost of simply re-evaluating a typical (filter-over-parquet)
+    // lineage at bench scale; a caller whose centroid lineage is
+    // genuinely expensive should persist it BEFORE calling (or train
+    // once and call the concrete path directly).
     val cf = centroidFrame(centroids)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val head = cf.agg(count(lit(1)), max(size(col("centroid")))).head()
-      val k = head.getLong(0)
-      val dim = if (head.isNullAt(1)) 0L else head.getInt(1).toLong
-      val maxBytes = corpus.sparkSession.conf
-        .get(FlatCentroidMaxBytesKey, FlatCentroidMaxBytesDefault.toString).toLong
-      if (flatAssignmentFits(k, dim, maxBytes))
-        // the flat path collects EAGERLY, so the cache is consumed (and
-        // safe to release) by the time it returns
-        assignCellsFlatTopN(corpus, idCol, vecCol, cf, n)
-      else {
-        // coarse quantizer of ⌈√k⌉ cells, k-means-trained ON the centroid
-        // set (seeded, deterministic): its payload is √k·dim·8 — back
-        // under the flat bound by construction, so the two inner flat
-        // assignments (centroid→home, corpus→probes) never re-route.
-        // Callers LOOPING in this regime should train the coarse set once
-        // and call assignCellsTwoLevelTopN directly; this auto path is
-        // the safety net that keeps one-shot calls n·√k instead of n·k.
-        // The k-means fit consumes the cache eagerly here; the lazy
-        // fine→home pass inside the two-level plan recomputes the
-        // lineage at most once after release.
-        val coarseK = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
-          .min(Int.MaxValue).toInt
-        val coarse = trainCentroids(cf, "centroid", coarseK)
-        assignCellsTwoLevelTopN(corpus, idCol, vecCol, cf, n, coarse)
-      }
-    } finally cf.unpersist(blocking = false)
+    val maxBytes = corpus.sparkSession.conf
+      .get(FlatCentroidMaxBytesKey, FlatCentroidMaxBytesDefault.toString).toLong
+    // fast accept: when Catalyst's own size estimate of the centroid
+    // plan fits the bound with a 4× margin, skip the routing job
+    // entirely — r16 collected unconditionally, so the fast path is
+    // never worse than the pre-router behavior, and anything estimated
+    // near or above the bound still pays the exact probe below
+    if (cf.queryExecution.optimizedPlan.stats.sizeInBytes * 4 <= maxBytes)
+      return assignCellsFlatTopN(corpus, idCol, vecCol, cf, n)
+    val head = cf.agg(count(lit(1)), max(size(col("centroid")))).head()
+    val k = head.getLong(0)
+    val dim = if (head.isNullAt(1)) 0L else head.getInt(1).toLong
+    if (flatAssignmentFits(k, dim, maxBytes))
+      assignCellsFlatTopN(corpus, idCol, vecCol, cf, n)
+    else {
+      // coarse quantizer of ⌈√k⌉ cells, k-means-trained ON the centroid
+      // set (seeded, deterministic): its payload is √k·dim·8 — back
+      // under the flat bound by construction, so the two inner flat
+      // assignments (centroid→home, corpus→probes) never re-route.
+      // Callers LOOPING in this regime should train the coarse set once
+      // and call assignCellsTwoLevelTopN directly; this auto path is
+      // the safety net that keeps one-shot calls n·√k instead of n·k.
+      val coarseK = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+        .min(Int.MaxValue).toInt
+      val coarse = trainCentroids(cf, "centroid", coarseK)
+      assignCellsTwoLevelTopN(corpus, idCol, vecCol, cf, n, coarse)
+    }
   }
 
   /** Byte ceiling on the centroid payload (k·dim·8) the FLAT assignment
