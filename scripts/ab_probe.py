@@ -1,0 +1,149 @@
+#!/usr/bin/env python3
+"""Same-day A/B host probe: is a bench delta CODE or HOST?
+
+Round 17 established the adjudication pattern by hand (BASELINE.md
+"Honesty note"): when this round's bench reads slower than the prior
+round's committed record, check out the UNCHANGED prior-round commit
+into a worktree and time it TODAY, interleaved with the current tree.
+If the prior code reproduces the inflation against its own record, the
+delta is the host; code-vs-code on the same day is the ground truth.
+This script makes that experiment push-button.
+
+Method:
+  1. `git worktree add` the prior commit (reused if already present),
+     `sbt -batch compile` both trees once.
+  2. Interleave single-rep graft.Bench runs A/B/A/B/... (reps per tree
+     configurable, default 3) on a marker-query subset (the r17 probe
+     set by default: FS-heavy lifecycle, dedup joins, pure compute,
+     tiny session-constant queries). Trees whose Bench predates
+     SPARK_GRAFT_BENCH_ONLY simply run the full suite; mins are
+     compared on the markers either way.
+  3. Per query: min over reps per tree. Report
+       host multiplier  = prior-code-today / prior-round record
+       code delta       = current-code-today / prior-code-today
+     and write the table as JSON.
+
+Usage:
+  python3 scripts/ab_probe.py <prior_commit> <prior_record.json> \
+      [--out AB_PROBE.json] [--reps 3] [--sf /root/testdata/sf0.1] \
+      [--queries q1,q2,...]
+"""
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+# r17's hand-picked probe set: FS-heavy lifecycle (k14/k16/k34),
+# dedup/posting-list join (d_char_ngram), multi-join compute (q7),
+# mid-size aggregates (t_inverted_index, a1, j1), session-constant
+# floor (sf_math). Diverse enough that a UNIFORM multiplier across
+# them is the host-load signature, not a plan change.
+DEFAULT_MARKERS = [
+    "k14_stats_agg", "k16_update", "k34_bucket_join", "d_char_ngram",
+    "q7_volume_shipping", "t_inverted_index", "a1_user_counts",
+    "j1_left_join", "sf_math",
+]
+
+
+def run(cmd, cwd=None, env=None, check=True):
+    print(f"+ {' '.join(cmd)}" + (f"  (cwd={cwd})" if cwd else ""), flush=True)
+    return subprocess.run(cmd, cwd=cwd, env=env, check=check,
+                          capture_output=True, text=True)
+
+
+def loadavg():
+    try:
+        return ",".join(open("/proc/loadavg").read().split()[:3])
+    except OSError:
+        return ""
+
+
+def bench_once(tree, sf, markers):
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = sf
+    env["SPARK_GRAFT_BENCH_REPS"] = "1"
+    env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(markers)
+    r = run(["sbt", "-batch", "runMain graft.Bench"], cwd=tree, env=env)
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("[info] "):
+            line = line[len("[info] "):]
+        if line.startswith('{"metric"'):
+            return json.loads(line)["queries"]
+    sys.exit(f"no bench JSON line from {tree}:\n{r.stdout[-2000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("prior_commit")
+    ap.add_argument("prior_record", help="BENCH_LOCAL_r{N}.json of the prior round")
+    ap.add_argument("--out", default="AB_PROBE.json")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", default=",".join(DEFAULT_MARKERS))
+    args = ap.parse_args()
+
+    record = json.load(open(args.prior_record))["queries"]
+    markers = [q for q in args.queries.split(",") if q and q in record]
+    if not markers:
+        sys.exit("no marker query appears in the prior record")
+
+    cur = subprocess.check_output(
+        ["git", "rev-parse", "--show-toplevel"], text=True).strip()
+    short = subprocess.check_output(
+        ["git", "rev-parse", "--short", args.prior_commit], text=True).strip()
+    prior = f"/tmp/graft_ab_{short}"
+    if not os.path.isdir(prior):
+        run(["git", "worktree", "add", prior, args.prior_commit])
+    for tree in (prior, cur):
+        run(["sbt", "-batch", "compile"], cwd=tree)
+
+    load_before = loadavg()
+    mins = {prior: {}, cur: {}}
+    for rep in range(args.reps):
+        for tree in (prior, cur):  # interleaved: host drift hits both
+            qs = bench_once(tree, args.sf, markers)
+            for q, t in qs.items():
+                if q in markers and t >= 0:
+                    prev = mins[tree].get(q)
+                    mins[tree][q] = t if prev is None else min(prev, t)
+
+    rows, host_ms, code_ms = {}, [], []
+    for q in markers:
+        rec, pri, curt = record.get(q), mins[prior].get(q), mins[cur].get(q)
+        host = round(pri / rec, 2) if rec and pri else None
+        code = round(curt / pri, 2) if pri and curt else None
+        rows[q] = {"prior_record_s": rec, "prior_code_today_s": pri,
+                   "current_code_today_s": curt,
+                   "host_multiplier": host, "code_delta": code}
+        if host:
+            host_ms.append(host)
+        if code:
+            code_ms.append(code)
+    out = {
+        "prior_commit": short, "reps": args.reps, "sf": args.sf,
+        "loadavg_before": load_before, "loadavg_after": loadavg(),
+        "host_multiplier_median": round(statistics.median(host_ms), 2) if host_ms else None,
+        "code_delta_median": round(statistics.median(code_ms), 2) if code_ms else None,
+        "reading": ("host_multiplier ~1.0 = calm host-day, record comparable on wall "
+                    "clock; uniformly >1.1 = host inflation, adjudicate on code_delta "
+                    "(prior vs current code, same day) instead"),
+        "queries": rows,
+    }
+    json.dump(out, open(args.out, "w"), indent=1, sort_keys=True)
+    print(f"\n{'query':24s} {'record':>8s} {'prior@today':>12s} {'cur@today':>10s} "
+          f"{'host×':>6s} {'codeΔ':>6s}")
+    for q, r in rows.items():
+        print(f"{q:24s} {r['prior_record_s'] or float('nan'):8.2f} "
+              f"{r['prior_code_today_s'] or float('nan'):12.2f} "
+              f"{r['current_code_today_s'] or float('nan'):10.2f} "
+              f"{r['host_multiplier'] or float('nan'):6.2f} "
+              f"{r['code_delta'] or float('nan'):6.2f}")
+    print(f"\nhost multiplier median {out['host_multiplier_median']}, "
+          f"code delta median {out['code_delta_median']} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,14 @@ object AnnScale {
     spark.sparkContext.setLogLevel("WARN")
     val n = sys.env.getOrElse("SPARK_ANN_N", "20000000").toLong
     val dim = 64
-    val probes = sys.env.getOrElse("SPARK_ANN_PROBES", "8").toInt
+    // 0 = the library's auto rule (max(8, ceil(c/8)) over non-empty
+    // coarse cells) — the effective count is resolved and reported below
+    val probesEnv = sys.env.getOrElse("SPARK_ANN_PROBES", "0").toInt
+    // agreement-only mode: skip the timed full-corpus passes and
+    // measure just the 5%-slice agreement + planted-pair co-location —
+    // the probes-rule sweep re-runs under several probe counts and the
+    // full flat pass (472-794 s at 20M) would dominate for no new info
+    val agreeOnly = sys.env.get("SPARK_ANN_AGREE_ONLY").contains("1")
     val root = s"/tmp/graft_ann_${n / 1000000}m"
 
     def time[A](body: => A): (A, Double) = {
@@ -69,15 +76,24 @@ object AnnScale {
       .limit(k).select(col("vec_id").as("cell_id"), col("embedding"))
     val coarseK = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
 
-    val (_, flatS) = time {
-      Ann.assignCellsFlatTopN(corpus, "vec_id", "embedding", cents, 1).count()
-    }
     val (coarse, trainS) = time {
       val c = Ann.trainCentroids(cents, "embedding", coarseK)
       c.cache().count(); c
     }
+    // resolve the effective probe count the same way the operator does:
+    // the auto rule applies over the NON-EMPTY (probe-able) coarse cells
+    val cNonEmpty = Ann.assignCellsFlatTopN(cents, "cell_id", "embedding",
+      coarse, 1).select(col("cell_id")).distinct().count()
+    val probes =
+      if (probesEnv > 0) probesEnv else Ann.defaultCoarseProbes(cNonEmpty)
+    val (_, flatS) = time {
+      if (agreeOnly) 0L
+      else Ann.assignCellsFlatTopN(corpus, "vec_id", "embedding", cents, 1)
+        .count()
+    }
     val (_, twoS) = time {
-      Ann.assignCellsTwoLevelTopN(corpus, "vec_id", "embedding", cents, 1,
+      if (agreeOnly) 0L
+      else Ann.assignCellsTwoLevelTopN(corpus, "vec_id", "embedding", cents, 1,
         coarse, probes).count()
     }
     // agreement: fraction of vectors assigned the SAME cell both ways.
@@ -119,7 +135,8 @@ object AnnScale {
         coarse, probes))
 
     println(s"""{"metric":"ann_scale","n":$n,"dim":$dim,"k":$k,""" +
-      s""""coarse_k":$coarseK,"probes":$probes,""" +
+      s""""coarse_k":$coarseK,"coarse_nonempty":$cNonEmpty,""" +
+      s""""probes":$probes,"probes_auto":${probesEnv == 0},""" +
       s""""build_s":${f"$buildS%.1f"},"flat_s":${f"$flatS%.1f"},""" +
       s""""train_s":${f"$trainS%.1f"},"two_level_s":${f"$twoS%.1f"},""" +
       s""""agreement":${f"$agree%.4f"},""" +

@@ -63,7 +63,14 @@ object Bench {
     catch { case _: Throwable => () }
 
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // optional marker-query subset (comma-separated) — the A/B host
+    // probe (scripts/ab_probe.py) times a handful of markers instead of
+    // the full suite; unknown names are ignored so a stale list never
+    // fails the run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',')
+      .map(_.trim).filter(_.nonEmpty).toSet)
     val names = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

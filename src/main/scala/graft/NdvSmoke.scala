@@ -47,6 +47,35 @@ object NdvSmoke {
       val Seq(on, off) = walls
       println(f"$rows%10d $on%10.1f $off%11.1f ${(on / off - 1) * 100}%8.1f%%")
     }
+
+    // the MICRO-COMMIT loop (streaming-sink shape): 20 commits of 500
+    // rows each. Under the default rows-per-commit floor
+    // ([[ManifestTable.AutoNdvMinRowsKey]]) every commit skips the
+    // sketch job; minRows=0 forces the pre-r18 behavior (sketch every
+    // commit) — the delta is the per-micro-batch tax the floor removes.
+    val micro = Seq("default" -> None, "minRows=0" -> Some("0")).map {
+      case (label, floor) =>
+        floor.foreach(f => spark.conf.set(ManifestTable.AutoNdvMinRowsKey, f))
+        val ns = s"ndvs_${java.util.UUID.randomUUID().toString.take(8)}"
+        spark.sql(s"CREATE NAMESPACE graft_lake.$ns")
+        spark.sql(s"CREATE TABLE graft_lake.$ns.t " +
+          "(k BIGINT, s STRING, v DOUBLE) PARTITIONED BY (bucket(16, s))")
+        val (_, w) = time {
+          (0 until 20).foreach { i =>
+            spark.sql(s"INSERT INTO graft_lake.$ns.t SELECT id, " +
+              "concat('u_', CAST(pmod(hash(id), 50000) AS STRING)), " +
+              s"CAST(id AS DOUBLE), NULL FROM range(${i * 500}, ${i * 500 + 500})")
+          }
+        }
+        spark.sql(s"DROP TABLE graft_lake.$ns.t")
+        spark.sql(s"DROP NAMESPACE graft_lake.$ns")
+        spark.conf.unset(ManifestTable.AutoNdvMinRowsKey)
+        label -> w
+    }
+    val perCommit = micro.map { case (l, w) => f"$l ${w / 20}%.2f s/commit" }
+    println(s"micro-commit loop (20 x 500 rows): total " +
+      micro.map { case (l, w) => f"$l $w%.1f s" }.mkString(", ") +
+      s" — per commit ${perCommit.mkString(", ")}")
     spark.stop()
   }
 }

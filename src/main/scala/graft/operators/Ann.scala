@@ -435,11 +435,18 @@ object Ann {
     val maxBytes = corpus.sparkSession.conf
       .get(FlatCentroidMaxBytesKey, FlatCentroidMaxBytesDefault.toString).toLong
     // fast accept: when Catalyst's own size estimate of the centroid
-    // plan fits the bound with a 4× margin, skip the routing job
+    // plan fits the bound with a 16× margin, skip the routing job
     // entirely — r16 collected unconditionally, so the fast path is
     // never worse than the pre-router behavior, and anything estimated
-    // near or above the bound still pays the exact probe below
-    if (cf.queryExecution.optimizedPlan.stats.sizeInBytes * 4 <= maxBytes)
+    // near or above the bound still pays the exact probe below. 16× and
+    // not less: sizeInBytes for a file scan is the COMPRESSED on-disk
+    // estimate, and the collected payload is k·dim·8 DOUBLES — float32
+    // parquet is already 2× smaller than the double payload before
+    // compression, so a 4× margin could fast-accept a payload genuinely
+    // above the bound (r17 advisory); 16× leaves 8× for the codec,
+    // beyond what float-array pages achieve in practice, and the only
+    // cost of under-accepting is the slim exact probe below
+    if (cf.queryExecution.optimizedPlan.stats.sizeInBytes * 16 <= maxBytes)
       return assignCellsFlatTopN(corpus, idCol, vecCol, cf, n)
     val head = cf.agg(count(lit(1)), max(size(col("centroid")))).head()
     val k = head.getLong(0)
@@ -537,19 +544,41 @@ object Ann {
     * the equality). Same row contract as the flat path: one output row
     * per input row per rank, null embeddings survive with a null
     * assignment, duplicate ids pass through one-for-one — via a
-    * synthetic per-row key whose stability across task RETRIES relies
-    * on the corpus having deterministic partitioning and order (true
-    * for file-backed reads, and for repartition() under Spark's
-    * default sortBeforeRepartition; an upstream transform that is
-    * order-nondeterministic under recompute could split a row's probe
-    * groups on a retried stage — localCheckpoint such inputs first). */
+    * CONTENT-DETERMINISTIC row key, `(id, xxhash64(vec))`: it is stable
+    * under task RETRIES over any upstream (a recomputed shuffle that
+    * reorders rows re-derives the same key per row), so the path the
+    * auto-router sends corpus-scale callers down — exactly the regime
+    * where retries are routine — has no recompute hazard and needs no
+    * caller-side localCheckpoint. Rows sharing the key are merged for
+    * the aggregate and re-expanded by multiplicity afterwards, so the
+    * per-ROW contract survives: same-id-same-vec duplicates (whose
+    * assignments are identical by construction) come back one-for-one,
+    * and a 2⁻⁶⁴ xxhash64 collision between DISTINCT vecs under one id
+    * is the only approximation — semantically a coin-flip between two
+    * near-interchangeable assignments, never a lost or extra row.
+    *
+    * Probing targets only NON-EMPTY coarse cells (cells that are the
+    * home of at least one fine centroid — one slim distinct-collect of
+    * the ≤√k homed ids, negligible next to the corpus stage): k-means
+    * can leave a coarse cell empty, and a vector all of whose probed
+    * cells were empty would otherwise get a NULL assignment despite a
+    * non-null embedding, breaking the best-REACHABLE-cell contract.
+    * With the filter every probe carries candidates, so non-null
+    * embeddings are always assigned (when the fine set is non-empty).
+    *
+    * `coarseProbes = 0` (the default) self-scales: `max(8, ⌈c/8⌉)` over
+    * the c non-empty coarse cells ([[defaultCoarseProbes]]) — a fixed
+    * probe count covers a VANISHING fraction as k grows (8 of 38 is not
+    * 8 of 670), so per-vector recall would silently decay with corpus
+    * size; probing a stable ≥⅛ fraction keeps it flat. */
   def assignCellsTwoLevelTopN(corpus: DataFrame, idCol: String, vecCol: String,
                               centroids: DataFrame, n: Int,
                               coarse: DataFrame,
-                              coarseProbes: Int = 8): DataFrame = {
+                              coarseProbes: Int = 0): DataFrame = {
     require(n > 0, s"assignCellsTwoLevelTopN: probe count must be positive, got $n")
-    require(coarseProbes > 0,
-      s"assignCellsTwoLevelTopN: coarseProbes must be positive, got $coarseProbes")
+    require(coarseProbes >= 0,
+      s"assignCellsTwoLevelTopN: coarseProbes must be >= 0 (0 = auto " +
+        s"max(8, ceil(c/8))), got $coarseProbes")
     val cf = centroidFrame(centroids)
     // (1)+(2): home coarse cell per fine centroid, grouped to one
     // candidate-array row per coarse cell. collect_list order is
@@ -559,38 +588,72 @@ object Ann {
         struct(col("vec").as("f_c"), col("vid").as("f_id")).as("_cand"))
       .groupBy(col("_coarse"))
       .agg(collect_list(col("_cand")).as("_cands"))
-    // (3): probe + join + per-probe top-n. The synthetic row key keeps
-    // duplicate user ids one-for-one through the merge aggregate (the
-    // flat path's per-ROW contract); it is assigned once here and only
-    // ever regroups rows that came from the same input row. Score +
-    // select runs in ONE native expression pass per (row, coarse cell)
-    // ([[graft.plans.NearestInArray]]): the HOF composition
-    // (transform → array_sort → slice) is interpreted per candidate —
-    // measured ~6× slower than the flat pass at 2M vectors despite
-    // ~5× less arithmetic.
+    // the probe-able coarse set: cells with ≥1 homed fine centroid.
+    // One slim job (Catalyst prunes the collect_list out of the reused
+    // aggregate — only the distinct home ids ship): k·√k·dim distance
+    // work, dwarfed by the n·√k corpus stage it guards.
+    val homedIds: Array[Any] =
+      fineByCoarse.select(col("_coarse")).distinct().collect().map(_.get(0))
+    val coarseF = centroidFrame(coarse)
+    val probeCoarse = coarseF.filter(col("cell_id").isin(homedIds: _*))
+    val probes =
+      if (coarseProbes > 0) coarseProbes
+      else defaultCoarseProbes(homedIds.length.toLong)
+    // (3): probe + join + per-probe top-n. The deterministic row key
+    // keeps duplicate user ids one-for-one through the merge aggregate
+    // (the flat path's per-ROW contract): rows sharing (id, vec-hash)
+    // merge — their probe rows are IDENTICAL by construction — and the
+    // rank-1 probe count recovers the multiplicity for re-expansion in
+    // step (4). Score + select runs in ONE native expression pass per
+    // (row, coarse cell) ([[graft.plans.NearestInArray]]): the HOF
+    // composition (transform → array_sort → slice) is interpreted per
+    // candidate — measured ~6× slower than the flat pass at 2M vectors
+    // despite ~5× less arithmetic.
     import org.apache.spark.sql.graftshim.ColumnExpr
     val keyed = corpus.select(
-      struct(monotonically_increasing_id().as("r"), col(idCol).as("i")).as("_k"),
+      struct(col(idCol).as("i"), xxhash64(col(vecCol)).as("h")).as("_k"),
       col(vecCol).as("_vec"))
-    val local = assignCellsFlatTopN(keyed, "_k", "_vec", coarse, coarseProbes)
-      .select(col("vid").as("_k"), col("vec"), col("cell_id").as("_coarse"))
+    val local = assignCellsFlatTopN(keyed, "_k", "_vec", probeCoarse, probes)
+      .select(col("vid").as("_k"), col("vec"), col("cell_id").as("_coarse"),
+        col("cell_rank").as("_cr"))
       .join(fineByCoarse, Seq("_coarse"), "left")
-      .select(col("_k"), col("vec"),
+      .select(col("_k"), col("vec"), col("_cr"),
         ColumnExpr.column(graft.plans.NearestInArray(
           ColumnExpr.expression(col("vec")),
           ColumnExpr.expression(col("_cands")), n)).as("_top"))
-    // (4): bounded merge — ≤ coarseProbes·n candidate structs per row
-    // key, partial-aggregable. A null embedding's probes carry null
-    // coarse ids (never joined) so its group flattens to an empty
-    // array and posexplode_outer restores the one-null-row contract.
+    // (4): bounded merge — ≤ probes·n candidate structs per key,
+    // partial-aggregable. array_distinct BEFORE the slice: m merged
+    // duplicates contribute m copies of each candidate, which would
+    // otherwise fill the top-n with repeats (for m = 1 it is a no-op:
+    // a fine centroid homes in exactly one coarse cell, so one row's
+    // candidates are distinct by construction). Multiplicity m is the
+    // count of rank-1 probe rows (a null embedding's single surviving
+    // row counts via the null rank) — exact even if a pathological
+    // vector fills fewer probes than requested. A null embedding's
+    // probes carry null coarse ids (never joined) so its group
+    // flattens to an empty array and posexplode_outer restores the
+    // one-null-row-per-input-row contract.
     local.groupBy(col("_k")).agg(
         first(col("vec")).as("vec"),
-        slice(array_sort(flatten(collect_list(col("_top")))), 1, n).as("_best"))
-      .select(col("_k.i").as("vid"), col("vec"),
+        sum(when(coalesce(col("_cr"), lit(1)) === 1, 1L).otherwise(0L)).as("_m"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("_top"))))),
+          1, n).as("_best"))
+      .select(col("_k.i").as("vid"), col("vec"), col("_best"),
+        explode(array_repeat(lit(1), col("_m").cast("int"))).as("_dup"))
+      .select(col("vid"), col("vec"),
         posexplode_outer(col("_best")).as(Seq("_pos", "_c")))
       .select(col("vid"), col("vec"), col("_c.cell_id").as("cell_id"),
         (col("_pos") + 1).as("cell_rank"))
   }
+
+  /** The auto probe rule ([[assignCellsTwoLevelTopN]]'s `coarseProbes =
+    * 0`): probe `max(8, ⌈c/8⌉)` of the `c` probe-able coarse cells —
+    * never fewer than the classic 8, never a smaller FRACTION than ⅛,
+    * so per-vector recall holds flat as the coarse set grows instead of
+    * decaying with corpus size (8 fixed probes at 20M uniform vectors
+    * measured 0.577 per-vector agreement over 67 cells, SCALE_SMOKE). */
+  def defaultCoarseProbes(coarseCells: Long): Int =
+    math.max(8L, (coarseCells + 7L) / 8L).min(Int.MaxValue.toLong).toInt
 
   /** SemDeDup-style semantic dedup: assign every embedding to its nearest
     * centroid cell(s), compare vectors ONLY where their probed cells

@@ -1027,14 +1027,44 @@ object ManifestTable {
     * `stats.ndv.cols` opt-ins are unaffected by it. */
   val AutoNdvKey = "spark.graft.stats.autoNdv.enabled"
 
-  private def ndvCols(spark: SparkSession, tags: Map[String, String]): Seq[String] = {
+  /** Rows-per-commit floor for the AUTOMATIC sketches: a commit whose
+    * new files total fewer live rows skips the sketch job. The sketch
+    * pass costs a flat ~0.5 s of Spark job overhead regardless of size
+    * (NdvSmoke) — fine amortized over a batch INSERT, a per-micro-batch
+    * tax on a streaming sink committing every few seconds. Consequence,
+    * stated honestly: the optimizer's ndv fold is all-files-or-nothing
+    * (GraftColumnStats), so a table receiving sub-floor commits reports
+    * the pre-sketch fallback estimate until compaction — OPTIMIZE
+    * rewrites those rows in one above-floor commit and coverage
+    * returns, the same maintenance cadence that already heals small
+    * files. Explicit `stats.ndv.cols` opt-ins are a deliberate
+    * declaration and always sketch; set the floor to 0 to sketch every
+    * auto commit. */
+  val AutoNdvMinRowsKey = "spark.graft.stats.autoNdv.minRows"
+  val AutoNdvMinRowsDefault = 4096L
+
+  private def ndvCols(spark: SparkSession, tags: Map[String, String],
+                      entries: Seq[FileEntry]): Seq[String] = {
     val explicit = tags.get(NdvColsProp).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val auto =
-      if (spark.conf.get(AutoNdvKey, "true").toBoolean)
+      if (spark.conf.get(AutoNdvKey, "true").toBoolean &&
+          aboveAutoNdvFloor(spark, entries))
         bucketLayout(tags).map(_._2).getOrElse(Nil)
       else Nil
     (explicit ++ auto).distinct
+  }
+
+  /** True when the commit's new files clear [[AutoNdvMinRowsKey]]. A
+    * file whose footer row count could not be read (rows = -1) counts
+    * as unknown and the commit sketches — coverage beats a missed
+    * throttle on the rare degraded-footer path. */
+  private def aboveAutoNdvFloor(spark: SparkSession,
+                                entries: Seq[FileEntry]): Boolean = {
+    val floor = spark.conf.get(AutoNdvMinRowsKey,
+      AutoNdvMinRowsDefault.toString).toLong
+    floor <= 0 || entries.exists(_.rows < 0) ||
+      entries.map(_.rows).sum >= floor
   }
 
   /** Inventory one generation dir's parquet files as root-relative
@@ -1081,7 +1111,7 @@ object ManifestTable {
   private def attachNdvSketches(spark: SparkSession, root: String, gen: String,
                                 entries: Seq[FileEntry],
                                 tags: Map[String, String]): Seq[FileEntry] = {
-    val logical = ndvCols(spark, tags)
+    val logical = ndvCols(spark, tags, entries)
     if (logical.isEmpty || entries.isEmpty) return entries
     val inv = renameMap(tags).map(_.swap)
     val physCols = logical.map(c => inv.getOrElse(c, c))

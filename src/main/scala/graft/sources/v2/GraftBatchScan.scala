@@ -88,6 +88,15 @@ object GraftBatchScan {
   /** Conf gate (default on): lets an operator force the V1 bridge. */
   val EnabledKey = "spark.graft.batchScan.enabled"
 
+  /** Key-grouping shape when BOTH the bucket source and the stored
+    * bucket column are projected: `auto` (default) reports the
+    * `bucket(n, src)` transform — the join/agg-on-source shape — and a
+    * stored-column-only keyed query pays an Exchange it would not have
+    * under identity; `identity` restores the stored-column shape for
+    * workloads keyed on the generated column. Per-session, read at
+    * scan build. */
+  val KeyShapeKey = "spark.graft.bucket.keyShape"
+
   /** Ceiling on the TOTAL deletion-vector cardinality (manifest-known,
     * no scan) the native path will apply inline. Below it, each input
     * partition ships its own files' sorted positions and the reader
@@ -423,12 +432,25 @@ final class GraftBatchScan(root: String, version: Option[Long],
     * query keying ONLY on the stored column while also projecting the
     * source (rare — pure stored-column shapes don't project the
     * source, and stay identity-keyed) pays the Exchange it would not
-    * have in r16. */
-  private lazy val transformKeyed: Boolean = bucketLayout.exists {
-    case (_, srcs, _) => srcs.lengthCompare(1) == 0 &&
-      srcs.forall(required.fieldNames.contains) &&
-      initialPairs.forall(p => bucketCol.exists(bc =>
-        p._1.partitionValues(bc).get.forall(_.isDigit)))
+    * have in r16. A RECORDED decision (BucketedJoinSpec pins both
+    * directions with the measured plan), not a silent one, and
+    * [[GraftBatchScan.KeyShapeKey]] is the per-session escape hatch:
+    * `identity` restores the r16 shape for a stored-column-keyed
+    * workload; `auto` (default) keeps the transform precedence. */
+  private lazy val transformKeyed: Boolean = keyShapeConf != "identity" &&
+    bucketLayout.exists {
+      case (_, srcs, _) => srcs.lengthCompare(1) == 0 &&
+        srcs.forall(required.fieldNames.contains) &&
+        initialPairs.forall(p => bucketCol.exists(bc =>
+          p._1.partitionValues(bc).get.forall(_.isDigit)))
+    }
+
+  private lazy val keyShapeConf: String = {
+    val v = spark.conf.get(GraftBatchScan.KeyShapeKey, "auto")
+      .toLowerCase(java.util.Locale.ROOT)
+    require(v == "auto" || v == "identity",
+      s"${GraftBatchScan.KeyShapeKey} must be auto|identity, got $v")
+    v
   }
 
   /** Identity-shaped key grouping (the stored generated column itself

@@ -92,11 +92,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadFunction(ident: Identifier)
-      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    // same namespace contract as listFunctions (r17 advisory): the two
+    // surfaces must agree — `nonexistent_ns.bucket` loading while
+    // listFunctions(nonexistent_ns) throws is an inconsistent catalog
+    if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
     if (ident.name().equalsIgnoreCase(GraftBucketFunction.name()))
       GraftBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
+  }
 
   private var catalogName: String = _
   private var warehouse: String = _

@@ -618,6 +618,96 @@ class BucketedJoinSpec extends SparkSpec {
     } finally dropTables(ns0)
   }
 
+  test("multi-column CROSS-COUNT buckets refuse reduction: shuffled, same answer (pinned)") {
+    // The composite-key analogue of the 2:1 compat join CANNOT reduce,
+    // by Spark's own resolution contract — pinned here as the recorded
+    // decision (r17 verdict #3):
+    //  - V2ExpressionUtils.toCatalystTransformOpt (spark-catalyst
+    //    4.1.2) guards its BucketTransform branch on refs.length == 1;
+    //    ONLY that branch constructs TransformExpression with
+    //    numBucketsOpt = Some(n).
+    //  - a multi-reference bucket transform falls through to the
+    //    generic NamedTransform branch, which resolves the function but
+    //    builds TransformExpression(..., numBucketsOpt = None).
+    //  - TransformExpression.reducers requires BOTH sides' counts to
+    //    call ReducibleFunction.reducer(thisN, other, otherN) — with
+    //    None there is no divisor, and the bound function cannot learn
+    //    the count any other way (bind() sees the count's TYPE, not its
+    //    value).
+    // So reporting the tuple transform would buy nothing over identity
+    // + the injected conjunct (which already serves equal-count
+    // composite joins, test above), and cross-count composite joins pay
+    // the honest shuffle. The conjunct rule's ln == rn guard
+    // (BucketJoinRule) keeps it from mis-injecting across counts.
+    val ns0 = "spjmkx"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lake.$ns0")
+    spark.sql(s"CREATE TABLE graft_lake.$ns0.a (k1 BIGINT, k2 BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(16, k1, k2))")
+    spark.sql(s"CREATE TABLE graft_lake.$ns0.b (k1 BIGINT, k2 BIGINT, w DOUBLE) " +
+      "PARTITIONED BY (bucket(8, k1, k2))")
+    try {
+      spark.sql(s"INSERT INTO graft_lake.$ns0.a SELECT id % 40, id % 7, " +
+        "CAST(id AS DOUBLE), NULL FROM range(0, 400)")
+      spark.sql(s"INSERT INTO graft_lake.$ns0.b SELECT id % 40, id % 7, " +
+        "CAST(id AS DOUBLE) * 2, NULL FROM range(0, 100)")
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+               "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+        val sql =
+          s"""SELECT a.k1, a.k2, a.v, b.w
+             |FROM graft_lake.$ns0.a a JOIN graft_lake.$ns0.b b
+             |  ON a.k1 = b.k1 AND a.k2 = b.k2""".stripMargin
+        val df = spark.sql(sql)
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("Exchange"),
+          s"cross-count composite buckets must shuffle (no false reduce):\n$p")
+        val got = df.as[(Long, Long, Double, Double)].collect().toSeq.sorted
+        val ref = withConf(GraftBucketedScanConf -> "false") {
+          spark.sql(sql).as[(Long, Long, Double, Double)].collect().toSeq.sorted
+        }
+        assert(got == ref && got.nonEmpty)
+      }
+    } finally dropTables(ns0)
+  }
+
+  test("transform precedence when BOTH columns are projected is a recorded decision") {
+    // r17 changed the reported shape when the source key AND the stored
+    // bucket column are both in the projection: the transform wins (it
+    // serves source-key joins/aggs, the dominant shape), so a query
+    // keying ONLY on the stored column in that projection pays an
+    // Exchange it did not in r16. Pinned with both directions: the
+    // accepted cost under the default, and the per-session escape
+    // hatch (spark.graft.bucket.keyShape=identity) restoring r16.
+    mkTables("spjshape", buckets = 4)
+    try withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // sum over an EXPRESSION defeats the manifest agg pushdown (which
+      // would otherwise answer the whole group-by from stats, no
+      // Exchange either way) — the reported partitioning must decide
+      val sql = "SELECT k_bucket, count(*) AS n, " +
+        "CAST(max(k + v) AS BIGINT) AS mk " +
+        "FROM graft_lake.spjshape.a GROUP BY k_bucket"
+      val auto = spark.sql(sql)
+      val pAuto = auto.queryExecution.executedPlan.toString
+      assert(pAuto.contains("Exchange"),
+        s"under auto the transform shape is reported, so stored-column " +
+          s"keying shuffles (the recorded r17 decision):\n$pAuto")
+      val rowsAuto = auto.as[(String, Long, Long)].collect().toSeq.sorted
+      val rowsId = withConf(graft.sources.v2.GraftBatchScan.KeyShapeKey -> "identity") {
+        val id = spark.sql(sql)
+        val pId = id.queryExecution.executedPlan.toString
+        assert(!pId.contains("Exchange"),
+          s"keyShape=identity restores the r16 zero-Exchange shape:\n$pId")
+        id.as[(String, Long, Long)].collect().toSeq.sorted
+      }
+      assert(rowsAuto == rowsId && rowsAuto.map(_._2).sum == 500L)
+      // and the escape hatch never costs the join shape IT serves:
+      // source-key grouping stays zero-Exchange under auto
+      val aggK = spark.sql(
+        "SELECT k, sum(v) AS sv FROM graft_lake.spjshape.a GROUP BY k")
+      assert(!aggK.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(aggK.count() == 500L)
+    } finally dropTables("spjshape")
+  }
+
   test("clone chains keep the NATIVE scan: zero-Exchange SPJ straight off a shallow clone") {
     mkTables("spjclone", buckets = 4)
     val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"

@@ -128,10 +128,11 @@ class ColumnStatsSpec extends SparkSpec {
         "the bucket-source column must carry an HLL sketch with no opt-in")
       // the non-source data column is NOT auto-sketched (bounded tax)
       assert(st.files.forall(_.stats.get("v").forall(_.ndv.isEmpty)))
-      // conf off: subsequent commits skip the auto sketches
+      // conf off: subsequent commits skip the auto sketches (the commit
+      // is ABOVE the micro-commit floor, so the conf is what's tested)
       withConf(graft.sources.ManifestTable.AutoNdvKey -> "false") {
         spark.sql(s"INSERT INTO graft_lake.$n.b SELECT id, 'cat_e', " +
-          "CAST(id AS DOUBLE), NULL FROM range(20000, 21000)")
+          "CAST(id AS DOUBLE), NULL FROM range(20000, 26000)")
       }
       val st2 = graft.sources.ManifestTable.current(spark, root).get
       val newFiles = st2.files.filterNot(st.files.toSet)
@@ -140,6 +141,52 @@ class ColumnStatsSpec extends SparkSpec {
         "AutoNdvKey=false must disable the default sketches")
     } finally {
       spark.sql(s"DROP TABLE graft_lake.$n.b")
+      spark.sql(s"DROP NAMESPACE graft_lake.$n")
+    }
+  }
+
+  test("auto ndv sketches throttle on micro-commits; the floor never skips batch commits") {
+    // the sketch job costs a flat ~0.5 s regardless of commit size
+    // (NdvSmoke) — a deliberate batch tax, but a streaming sink
+    // committing every few seconds must not pay it per micro-batch.
+    // Below the rows-per-commit floor the AUTO sketches skip; explicit
+    // stats.ndv.cols opt-ins and above-floor commits are untouched.
+    val n = "cstat_" + java.util.UUID.randomUUID().toString.take(8)
+    val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.m (k BIGINT, s STRING, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, s))")
+    try {
+      val root = s"$wh/$n/m"
+      def files = graft.sources.ManifestTable.current(spark, root).get.files
+      // a micro-commit (500 rows < the 4096-row default floor): no
+      // sketch job, files committed without ndv
+      spark.sql(s"INSERT INTO graft_lake.$n.m SELECT id, " +
+        "concat('c', CAST(id % 4 AS STRING)), CAST(id AS DOUBLE), NULL " +
+        "FROM range(0, 500)")
+      val micro = files
+      assert(micro.nonEmpty && micro.forall(_.stats.get("s").forall(_.ndv.isEmpty)),
+        "a sub-floor commit must skip the auto sketch job")
+      // a batch commit (well above the floor) still sketches — the
+      // floor must never erase sketches from real batch ingest
+      spark.sql(s"INSERT INTO graft_lake.$n.m SELECT id, " +
+        "concat('c', CAST(id % 4 AS STRING)), CAST(id AS DOUBLE), NULL " +
+        "FROM range(500, 20500)")
+      val batchNew = files.filterNot(micro.toSet)
+      assert(batchNew.nonEmpty &&
+        batchNew.forall(_.stats.get("s").exists(_.ndv.isDefined)),
+        "an above-floor commit must sketch as before")
+      // floor = 0: every commit sketches, however small
+      withConf(graft.sources.ManifestTable.AutoNdvMinRowsKey -> "0") {
+        spark.sql(s"INSERT INTO graft_lake.$n.m SELECT id, 'c9', " +
+          "CAST(id AS DOUBLE), NULL FROM range(20500, 20600)")
+      }
+      val zeroFloorNew = files.filterNot((micro ++ batchNew).toSet)
+      assert(zeroFloorNew.nonEmpty &&
+        zeroFloorNew.forall(_.stats.get("s").exists(_.ndv.isDefined)),
+        "minRows=0 must sketch every commit")
+    } finally {
+      spark.sql(s"DROP TABLE graft_lake.$n.m")
       spark.sql(s"DROP NAMESPACE graft_lake.$n")
     }
   }

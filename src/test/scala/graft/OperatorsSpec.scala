@@ -818,6 +818,82 @@ class OperatorsSpec extends SparkSpec {
       (2L, None, None)))
   }
 
+  test("two-level assignment is retry-deterministic: content key, order-independent") {
+    val e = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id", $"embedding")
+    val cents = e.filter($"vec_id" < 16)
+    val coarse = Ann.trainCentroids(cents, "embedding", 4)
+    val out = Ann.assignCellsTwoLevelTopN(e, "vec_id", "embedding",
+      cents, 2, coarse, coarseProbes = 2)
+    // the r17 hazard, closed: the row key is (id, xxhash64(vec)) — no
+    // monotonically_increasing_id, no nondeterministic expression
+    // anywhere in the plan, so a task retry over an order-
+    // nondeterministic upstream re-derives the same key per row and
+    // can never split or merge a row's probe groups
+    val nondet = out.queryExecution.analyzed.collect {
+      case p => p.expressions.filter(e => e.find(!_.deterministic).isDefined)
+    }.flatten
+    assert(nondet.isEmpty, s"nondeterministic expressions in the plan: $nondet")
+    // order-independence, behaviorally: a reshuffled corpus (different
+    // partitioning AND row order) produces the identical assignment
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vid", $"cell_id", $"cell_rank")
+      .orderBy($"vid", $"cell_rank", $"cell_id")
+      .as[(Long, Option[Long], Option[Int])].collect().toSeq
+    val reshuffled = Ann.assignCellsTwoLevelTopN(
+      e.repartition(7, $"embedding"), "vec_id", "embedding",
+      cents, 2, coarse, coarseProbes = 2)
+    assert(proj(out).nonEmpty && proj(out) == proj(reshuffled))
+  }
+
+  test("two-level assignment: duplicate ids with distinct vecs stay distinct rows") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // same id, different content: two keys,
+      (1L, Array(0.0f, 1.0f)),   // two independent assignments
+      (2L, Array(1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)))
+      .toDF("cell_id", "embedding")
+    val coarse = Ann.trainCentroids(cents, "embedding", 2)
+    val out = Ann.assignCellsTwoLevelTopN(corpus, "vec_id", "embedding",
+      cents, 1, coarse, coarseProbes = 2)
+      .select($"vid", $"cell_id", $"cell_rank")
+      .orderBy($"vid", $"cell_id")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 10L, 1), (1L, 11L, 1), (2L, 10L, 1)))
+  }
+
+  test("two-level assignment never probes an empty coarse cell") {
+    // fine centroids all home to coarse cell 0; coarse cell 1 is EMPTY.
+    // A vector NEAREST the empty cell with coarseProbes = 1 would have
+    // probed only emptiness and come back null (r17 advisory) — the
+    // non-empty filter redirects its single probe to the best REACHABLE
+    // cell instead, so non-null embeddings are always assigned.
+    val corpus = Seq((1L, Array(0.1f, 0.9f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f)))
+      .toDF("cell_id", "embedding")
+    val coarse = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cell_id", "embedding")
+    val out = Ann.assignCellsTwoLevelTopN(corpus, "vec_id", "embedding",
+      cents, 1, coarse, coarseProbes = 1)
+      .select($"vid", $"cell_id")
+      .orderBy($"vid")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(out == Seq((1L, Some(11L)), (2L, Some(10L))))
+  }
+
+  test("defaultCoarseProbes covers a stable fraction of the coarse set") {
+    // never below the classic 8, never a smaller fraction than 1/8:
+    // a fixed probe count would cover 8/67 at 20M vectors but 8/670 at
+    // 2G — recall silently decaying with corpus size
+    assert(Ann.defaultCoarseProbes(1) == 8)
+    assert(Ann.defaultCoarseProbes(64) == 8)
+    assert(Ann.defaultCoarseProbes(67) == 9)   // ceil(67/8)
+    assert(Ann.defaultCoarseProbes(640) == 80)
+    assert(Ann.defaultCoarseProbes(10000) == 1250)
+  }
+
   test("cosineNearDupPairs refuses a universe beyond maxDocs, pointing at the scale paths") {
     val e = graft.core.Tables.embeddings(spark, sf("sf0.001"))
     val err = intercept[IllegalArgumentException] {
