@@ -422,7 +422,8 @@ object Ann {
     * tens of MB at n=10⁸ but GBs at n=10¹² — the router is what keeps
     * [[semanticDedup]] viable at corpus scale with no manual knob. */
   def assignCellsTopN(corpus: DataFrame, idCol: String, vecCol: String,
-                      centroids: DataFrame, n: Int): DataFrame = {
+                      centroids: DataFrame, n: Int,
+                      coarseProbes: Int = 0): DataFrame = {
     // ONE slim routing job (count + max dim) decides the path BEFORE
     // any driver collect — the whole point is never materializing a
     // GB-scale centroid set. Deliberately NO persist around it: a
@@ -464,7 +465,7 @@ object Ann {
       val coarseK = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
         .min(Int.MaxValue).toInt
       val coarse = trainCentroids(cf, "centroid", coarseK)
-      assignCellsTwoLevelTopN(corpus, idCol, vecCol, cf, n, coarse)
+      assignCellsTwoLevelTopN(corpus, idCol, vecCol, cf, n, coarse, coarseProbes)
     }
   }
 
@@ -651,9 +652,22 @@ object Ann {
     * never fewer than the classic 8, never a smaller FRACTION than ⅛,
     * so per-vector recall holds flat as the coarse set grows instead of
     * decaying with corpus size (8 fixed probes at 20M uniform vectors
-    * measured 0.577 per-vector agreement over 67 cells, SCALE_SMOKE). */
+    * measured 0.577 per-vector agreement over 67 cells, SCALE_SMOKE).
+    * The honest cost model: candidate work per vector is w·(k/c)·dim,
+    * so the auto w = c/8 makes it (k/8)·dim — a CONSTANT ⅛ of the flat
+    * pass (matching its constant recall fraction), while an explicit
+    * fixed w keeps the O(w·√k) regime for callers whose metric
+    * tolerates decaying per-vector agreement (dedup's pair co-location:
+    * [[SemDedupCoarseProbes]]). No free lunch — pick by metric. */
   def defaultCoarseProbes(coarseCells: Long): Int =
     math.max(8L, (coarseCells + 7L) / 8L).min(Int.MaxValue.toLong).toInt
+
+  /** [[semanticDedup]]'s pinned coarse probe count: the classic 8. Pair
+    * co-location (the dedup-recall metric) measured 99.7% here while
+    * per-vector agreement was 0.577 — correlated assignment errors make
+    * the difference, and the fixed count keeps SemDeDup's routed
+    * assignment stage n^1.25 under its n^1.5 pair stage. */
+  val SemDedupCoarseProbes: Int = 8
 
   /** SemDeDup-style semantic dedup: assign every embedding to its nearest
     * centroid cell(s), compare vectors ONLY where their probed cells
@@ -705,7 +719,17 @@ object Ann {
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, threshold: Double,
                     probeCells: Int = 1): DataFrame = {
-    val cells = assignCellsTopN(vectors, idCol, vecCol, centroids, probeCells)
+    // coarseProbes pinned at 8 (not the recall-stable auto rule): dedup
+    // recall rides pair CO-LOCATION, not per-vector agreement — a
+    // near-clone's distances track its original's, so assignment errors
+    // CORRELATE (99.7% of planted ε-pairs co-cell at 8/67 probes while
+    // per-vector agreement was 0.577, SCALE_SMOKE) — and the fixed probe
+    // count keeps the routed assignment stage at n·(8√k)·dim ≈ n^1.25
+    // for k = √n instead of the auto rule's n·(k/8)·dim ≈ n^1.5/8:
+    // same order as the pair stage, but a ~15× constant at n = 10¹²
+    // paid for recall dedup doesn't need.
+    val cells = assignCellsTopN(vectors, idCol, vecCol, centroids, probeCells,
+      coarseProbes = SemDedupCoarseProbes)
     val drops = cells.select(col("vid").as("id_a"), col("vec").as("v_a"), col("cell_id"))
       .join(cells.select(col("vid").as("id_b"), col("vec").as("v_b"), col("cell_id")),
         Seq("cell_id"))

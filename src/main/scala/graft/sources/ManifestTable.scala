@@ -1032,14 +1032,16 @@ object ManifestTable {
     * pass costs a flat ~0.5 s of Spark job overhead regardless of size
     * (NdvSmoke) — fine amortized over a batch INSERT, a per-micro-batch
     * tax on a streaming sink committing every few seconds. Consequence,
-    * stated honestly: the optimizer's ndv fold is all-files-or-nothing
-    * (GraftColumnStats), so a table receiving sub-floor commits reports
-    * the pre-sketch fallback estimate until compaction — OPTIMIZE
-    * rewrites those rows in one above-floor commit and coverage
-    * returns, the same maintenance cadence that already heals small
-    * files. Explicit `stats.ndv.cols` opt-ins are a deliberate
-    * declaration and always sketch; set the floor to 0 to sketch every
-    * auto commit. */
+    * stated honestly: the optimizer's ndv fold is COVERAGE-weighted
+    * (GraftColumnStats) — sketch-less files holding ≤ 5% of live rows
+    * ride along (the union understates ndv, the safe error direction),
+    * so scattered micro-commits on a batch table cost nothing; a table
+    * whose sketch-less fraction grows past that reports the pre-sketch
+    * fallback estimate until compaction — OPTIMIZE rewrites those rows
+    * in one above-floor commit and coverage returns, the same
+    * maintenance cadence that already heals small files. Explicit
+    * `stats.ndv.cols` opt-ins are a deliberate declaration and always
+    * sketch; set the floor to 0 to sketch every auto commit. */
   val AutoNdvMinRowsKey = "spark.graft.stats.autoNdv.minRows"
   val AutoNdvMinRowsDefault = 4096L
 

@@ -96,18 +96,39 @@ object GraftColumnStats {
           // (per-file distinct COUNTS cannot — |A ∪ B| ≠ |A| + |B|), so
           // string/high-cardinality join keys stop falling back to the
           // non-null count and equality/join selectivity estimates stop
-          // collapsing. All-files-or-nothing: one sketch-less file
-          // (legacy commit, failed pass) drops to the bound below. DV'd
-          // files overcount slightly — ndv is an estimate by contract.
-          val sketchNdv: Option[Long] =
-            if (ss.nonEmpty && ss.forall(_.ndv.isDefined)) {
+          // collapsing. COVERAGE-weighted, not all-or-nothing: the union
+          // of the sketched files is reported while the sketch-less
+          // files hold ≤ 5% of live rows — a sub-floor micro-commit
+          // ([[ManifestTable.AutoNdvMinRowsKey]]) or one failed pass
+          // must not erase table ndv. The error direction is SAFE by
+          // construction: uncovered files can only add distincts, so
+          // the union UNDERSTATES ndv, which inflates row estimates —
+          // the opposite of the wrongly-broadcast-a-big-side failure
+          // (overstated ndv → collapsed selectivity) the sketches fix.
+          // Beyond 5% (a table actually built of micro-commits, or
+          // mixed legacy files) the fold declines to the hard bounds
+          // below until OPTIMIZE's above-floor rewrite restores
+          // coverage. DV'd files overcount slightly — ndv is an
+          // estimate by contract.
+          val sketchNdv: Option[Long] = {
+            val paired = files.zip(ss)
+            val (sk, unsk) = paired.partition(_._2.ndv.isDefined)
+            val covered = sk.nonEmpty && (unsk.isEmpty ||
+              (paired.forall(_._1.rows >= 0) && {
+                val total = paired.map(_._1.rows).sum
+                total > 0 && unsk.map(_._1.rows).sum * 20L <= total
+              }))
+            if (covered) {
               try {
                 val u = new org.apache.datasketches.hll.Union(12)
-                ss.foreach(s => u.update(org.apache.datasketches.hll.HllSketch
-                  .heapify(java.util.Base64.getDecoder.decode(s.ndv.get))))
+                sk.foreach { case (_, s) =>
+                  u.update(org.apache.datasketches.hll.HllSketch
+                    .heapify(java.util.Base64.getDecoder.decode(s.ndv.get)))
+                }
                 Some(math.max(1L, math.round(u.getEstimate)))
               } catch { case scala.util.control.NonFatal(_) => None }
             } else None
+          }
           val ndv = (sketchNdv, nonNull, rangeWidth) match {
             case (Some(e), nn, w) =>
               // the sketch estimate, clamped by the hard bounds

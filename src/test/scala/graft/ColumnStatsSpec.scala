@@ -191,6 +191,51 @@ class ColumnStatsSpec extends SparkSpec {
     }
   }
 
+  test("ndv fold is coverage-weighted: micro-commits never erase table ndv") {
+    import graft.sources.ManifestTable.{ColStats, FileEntry}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def sketch(values: Range): String = {
+      val s = new org.apache.datasketches.hll.HllSketch(12)
+      values.foreach(v => s.update(v.toLong))
+      java.util.Base64.getEncoder.encodeToString(s.toCompactByteArray)
+    }
+    def entry(path: String, rows: Long, ndv: Option[String]) =
+      FileEntry(path, bytes = 1L, stats = Map("k" ->
+        ColStats('n', "0", "1000000", nulls = 0, count = rows, ndv = ndv)),
+        rows = rows)
+    val schema = StructType(Seq(StructField("k", LongType)))
+    def ndvOf(files: Seq[FileEntry]): Option[Long] = {
+      val m = graft.sources.v2.GraftColumnStats.forFiles(files, Map.empty, schema)
+      val cs = m.values().iterator().next()
+      if (cs.distinctCount().isPresent) Some(cs.distinctCount().getAsLong) else None
+    }
+    val sketched = Seq(
+      entry("g/a.parquet", 50000, Some(sketch(0 until 40))),
+      entry("g/b.parquet", 50000, Some(sketch(20 until 60))))
+    // full coverage: union of the per-file sketches (~60 distincts),
+    // far below the non-null-count fallback of 100k
+    val full = ndvOf(sketched)
+    assert(full.exists(n => n >= 55 && n <= 65), s"union ndv, got $full")
+    // one sketch-less micro-commit (2% of rows): the union still
+    // reports — understating by at most the uncovered distincts, the
+    // SAFE direction (overstated ndv is the broadcast-misestimate bug)
+    val micro = sketched :+ entry("g/c.parquet", 2000, None)
+    val withMicro = ndvOf(micro)
+    assert(withMicro.exists(n => n >= 55 && n <= 65),
+      s"2% uncovered rows must not erase sketch ndv, got $withMicro")
+    // a sketch-less file holding >5% of rows: decline to the hard
+    // bounds (here the non-null count) — a table actually built of
+    // micro-commits must not masquerade as sketch-covered
+    val heavy = sketched :+ entry("g/d.parquet", 50000, None)
+    val declined = ndvOf(heavy)
+    assert(declined.exists(_ > 100000L),
+      s"heavy uncovered fraction must fall back to the count bound, got $declined")
+    // unknown manifest row count on the uncovered file: never guess
+    // about coverage — decline to the hard bounds
+    val unknown = sketched :+ entry("g/e.parquet", 2000, None).copy(rows = -1L)
+    assert(ndvOf(unknown).exists(_ > 90000L))
+  }
+
   test("bounds-free stat kinds (boolean, all-null) never crash planning") {
     val n = "cstat_" + java.util.UUID.randomUUID().toString.take(8)
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")

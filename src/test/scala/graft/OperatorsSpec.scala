@@ -892,6 +892,11 @@ class OperatorsSpec extends SparkSpec {
     assert(Ann.defaultCoarseProbes(67) == 9)   // ceil(67/8)
     assert(Ann.defaultCoarseProbes(640) == 80)
     assert(Ann.defaultCoarseProbes(10000) == 1250)
+    // semanticDedup deliberately does NOT ride the auto rule: pair
+    // co-location (its recall metric) is 99.7% at the classic 8 probes,
+    // and a c/8 probe count would make its routed assignment stage
+    // n^1.5/8 instead of n^1.25 — paid for recall dedup doesn't need
+    assert(Ann.SemDedupCoarseProbes == 8)
   }
 
   test("cosineNearDupPairs refuses a universe beyond maxDocs, pointing at the scale paths") {
