@@ -86,16 +86,27 @@ def main():
     args = ap.parse_args()
 
     record = json.load(open(args.prior_record))["queries"]
-    markers = [q for q in args.queries.split(",") if q and q in record]
+    # record values <= 0 are Bench's failed-query sentinel (-1.0): a
+    # marker that failed in the prior round must not enter the ratios
+    markers = [q for q in (s.strip() for s in args.queries.split(","))
+               if q and record.get(q, -1.0) > 0]
     if not markers:
-        sys.exit("no marker query appears in the prior record")
+        sys.exit("no marker query appears (with a valid time) in the prior record")
 
     cur = subprocess.check_output(
         ["git", "rev-parse", "--show-toplevel"], text=True).strip()
     short = subprocess.check_output(
         ["git", "rev-parse", "--short", args.prior_commit], text=True).strip()
     prior = f"/tmp/graft_ab_{short}"
-    if not os.path.isdir(prior):
+    # a half-created worktree (interrupted checkout) must not masquerade
+    # as the prior tree: validate HEAD, re-add on any mismatch
+    head = None
+    if os.path.isdir(prior):
+        r = run(["git", "-C", prior, "rev-parse", "--short", "HEAD"], check=False)
+        head = r.stdout.strip() if r.returncode == 0 else None
+    if head != short:
+        if os.path.isdir(prior):
+            run(["git", "worktree", "remove", "--force", prior], check=False)
         run(["git", "worktree", "add", prior, args.prior_commit])
     for tree in (prior, cur):
         run(["sbt", "-batch", "compile"], cwd=tree)

@@ -137,6 +137,7 @@ object AnnScale {
     println(s"""{"metric":"ann_scale","n":$n,"dim":$dim,"k":$k,""" +
       s""""coarse_k":$coarseK,"coarse_nonempty":$cNonEmpty,""" +
       s""""probes":$probes,"probes_auto":${probesEnv == 0},""" +
+      s""""agree_only":$agreeOnly,""" +
       s""""build_s":${f"$buildS%.1f"},"flat_s":${f"$flatS%.1f"},""" +
       s""""train_s":${f"$trainS%.1f"},"two_level_s":${f"$twoS%.1f"},""" +
       s""""agreement":${f"$agree%.4f"},""" +

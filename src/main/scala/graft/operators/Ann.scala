@@ -591,8 +591,14 @@ object Ann {
       .agg(collect_list(col("_cand")).as("_cands"))
     // the probe-able coarse set: cells with ≥1 homed fine centroid.
     // One slim job (Catalyst prunes the collect_list out of the reused
-    // aggregate — only the distinct home ids ship): k·√k·dim distance
-    // work, dwarfed by the n·√k corpus stage it guards.
+    // aggregate — only the distinct home ids ship). fineByCoarse IS
+    // evaluated twice (here and in the probe join below) —
+    // deliberately unpersisted: a library-internal persist would leak
+    // past this lazy return, and the doubled fine-home stage is
+    // bounded at k·√k·dim against a corpus stage of ≥ n·8·√k·dim,
+    // i.e. ≤ k/(8n) of the total — 1/(8√n) in the SemDeDup k=√n
+    // regime. Callers looping at large k should persist the CENTROID
+    // frame, which makes both evaluations cheap.
     val homedIds: Array[Any] =
       fineByCoarse.select(col("_coarse")).distinct().collect().map(_.get(0))
     val coarseF = centroidFrame(coarse)
@@ -623,21 +629,28 @@ object Ann {
           ColumnExpr.expression(col("vec")),
           ColumnExpr.expression(col("_cands")), n)).as("_top"))
     // (4): bounded merge — ≤ probes·n candidate structs per key,
-    // partial-aggregable. array_distinct BEFORE the slice: m merged
-    // duplicates contribute m copies of each candidate, which would
-    // otherwise fill the top-n with repeats (for m = 1 it is a no-op:
-    // a fine centroid homes in exactly one coarse cell, so one row's
-    // candidates are distinct by construction). Multiplicity m is the
-    // count of rank-1 probe rows (a null embedding's single surviving
-    // row counts via the null rank) — exact even if a pathological
-    // vector fills fewer probes than requested. A null embedding's
-    // probes carry null coarse ids (never joined) so its group
-    // flattens to an empty array and posexplode_outer restores the
-    // one-null-row-per-input-row contract.
+    // partial-aggregable. collect_SET, not collect_list: m merged
+    // duplicate rows contribute m IDENTICAL per-probe arrays, and the
+    // set buffer dedups them as they accumulate (map-side partials
+    // included), so a duplicate-heavy key's aggregation buffer stays
+    // ≤ probes arrays instead of m·probes — no straggler-key OOM
+    // (review finding). array_distinct stays as a cheap belt: per-probe
+    // arrays are distinct by construction (a fine centroid homes in
+    // exactly one coarse cell). Multiplicity m is the count of rank-1
+    // probe rows (a null embedding's single surviving row counts via
+    // the null rank) — exact even if a pathological vector fills fewer
+    // probes than requested. A null embedding's probes carry null
+    // coarse ids (never joined) so its group flattens to an empty
+    // array and posexplode_outer restores the one-null-row-per-input-
+    // row contract. Documented bound: the m-fold re-expansion below
+    // materializes an m-int array and emits m·n rows from ONE task —
+    // fine for dirty-duplicate multiplicities (thousands), degenerate
+    // beyond ~10⁷ identical (id, vec) copies; exact-dedup such a
+    // corpus first (the semantically right pipeline order anyway).
     local.groupBy(col("_k")).agg(
         first(col("vec")).as("vec"),
         sum(when(coalesce(col("_cr"), lit(1)) === 1, 1L).otherwise(0L)).as("_m"),
-        slice(array_sort(array_distinct(flatten(collect_list(col("_top"))))),
+        slice(array_sort(array_distinct(flatten(collect_set(col("_top"))))),
           1, n).as("_best"))
       .select(col("_k.i").as("vid"), col("vec"), col("_best"),
         explode(array_repeat(lit(1), col("_m").cast("int"))).as("_dup"))
