@@ -13,15 +13,19 @@ Method:
   1. `git worktree add` the prior commit (reused if already present),
      `sbt -batch compile` both trees once.
   2. Interleave single-rep graft.Bench runs A/B/A/B/... (reps per tree
-     configurable, default 3) on a marker-query subset (the r17 probe
-     set by default: FS-heavy lifecycle, dedup joins, pure compute,
-     tiny session-constant queries). Trees whose Bench predates
-     SPARK_GRAFT_BENCH_ONLY simply run the full suite; mins are
-     compared on the markers either way.
-  3. Per query: min over reps per tree. Report
+     configurable, default 3), each running the FULL suite in BOTH
+     trees. Full-suite on both sides is load-bearing: a marker-only run
+     measures each query on a colder JVM (less JIT/codegen warmup by
+     the time it reaches the marker) and read 1.5-2x slower than the
+     same tree's full-suite numbers when first tried (r18) — the two
+     sides must execute the identical suite shape or the "code delta"
+     is a warmup artifact.
+  3. Per query: min over reps per tree. Report, as medians over ALL
+     queries shared with the record (markers are just the printed
+     table),
        host multiplier  = prior-code-today / prior-round record
        code delta       = current-code-today / prior-code-today
-     and write the table as JSON.
+     and write the full per-query table as JSON.
 
 Usage:
   python3 scripts/ab_probe.py <prior_commit> <prior_record.json> \
@@ -60,11 +64,13 @@ def loadavg():
         return ""
 
 
-def bench_once(tree, sf, markers):
+def bench_once(tree, sf):
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf
     env["SPARK_GRAFT_BENCH_REPS"] = "1"
-    env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(markers)
+    # deliberately NOT SPARK_GRAFT_BENCH_ONLY: both trees must run the
+    # identical full suite or per-query JIT warmup state differs (see
+    # module docstring)
     r = run(["sbt", "-batch", "runMain graft.Bench"], cwd=tree, env=env)
     for line in r.stdout.splitlines():
         line = line.strip()
@@ -115,45 +121,51 @@ def main():
     mins = {prior: {}, cur: {}}
     for rep in range(args.reps):
         for tree in (prior, cur):  # interleaved: host drift hits both
-            qs = bench_once(tree, args.sf, markers)
+            qs = bench_once(tree, args.sf)
             for q, t in qs.items():
-                if q in markers and t >= 0:
+                if t >= 0:
                     prev = mins[tree].get(q)
                     mins[tree][q] = t if prev is None else min(prev, t)
 
     rows, host_ms, code_ms = {}, [], []
-    for q in markers:
-        rec, pri, curt = record.get(q), mins[prior].get(q), mins[cur].get(q)
-        host = round(pri / rec, 2) if rec and pri else None
-        code = round(curt / pri, 2) if pri and curt else None
+    for q in sorted(set(record) & set(mins[prior]) & set(mins[cur])):
+        rec, pri, curt = record[q], mins[prior][q], mins[cur][q]
+        if rec <= 0:
+            continue
+        host = round(pri / rec, 2)
+        code = round(curt / pri, 2)
         rows[q] = {"prior_record_s": rec, "prior_code_today_s": pri,
                    "current_code_today_s": curt,
                    "host_multiplier": host, "code_delta": code}
-        if host:
-            host_ms.append(host)
-        if code:
-            code_ms.append(code)
+        host_ms.append(host)
+        code_ms.append(code)
     out = {
         "prior_commit": short, "reps": args.reps, "sf": args.sf,
         "loadavg_before": load_before, "loadavg_after": loadavg(),
+        "queries_compared": len(rows),
         "host_multiplier_median": round(statistics.median(host_ms), 2) if host_ms else None,
         "code_delta_median": round(statistics.median(code_ms), 2) if code_ms else None,
-        "reading": ("host_multiplier ~1.0 = calm host-day, record comparable on wall "
-                    "clock; uniformly >1.1 = host inflation, adjudicate on code_delta "
-                    "(prior vs current code, same day) instead"),
+        "reading": ("medians over ALL shared queries; host_multiplier ~1.0 = calm "
+                    "host-day, record comparable on wall clock; uniformly >1.1 = host "
+                    "inflation, adjudicate on code_delta (prior vs current code, same "
+                    "day, identical full-suite runs) instead"),
         "queries": rows,
     }
     json.dump(out, open(args.out, "w"), indent=1, sort_keys=True)
     print(f"\n{'query':24s} {'record':>8s} {'prior@today':>12s} {'cur@today':>10s} "
           f"{'host×':>6s} {'codeΔ':>6s}")
-    for q, r in rows.items():
-        print(f"{q:24s} {r['prior_record_s'] or float('nan'):8.2f} "
-              f"{r['prior_code_today_s'] or float('nan'):12.2f} "
-              f"{r['current_code_today_s'] or float('nan'):10.2f} "
-              f"{r['host_multiplier'] or float('nan'):6.2f} "
-              f"{r['code_delta'] or float('nan'):6.2f}")
-    print(f"\nhost multiplier median {out['host_multiplier_median']}, "
-          f"code delta median {out['code_delta_median']} -> {args.out}")
+    for q in (m for m in markers if m in rows):
+        r = rows[q]
+        print(f"{q:24s} {r['prior_record_s']:8.2f} "
+              f"{r['prior_code_today_s']:12.2f} "
+              f"{r['current_code_today_s']:10.2f} "
+              f"{r['host_multiplier']:6.2f} "
+              f"{r['code_delta']:6.2f}")
+    cd = sorted(code_ms)
+    print(f"\n{len(rows)} queries; host multiplier median "
+          f"{out['host_multiplier_median']}, code delta median "
+          f"{out['code_delta_median']} (p10 {cd[len(cd)//10]:.2f}, "
+          f"p90 {cd[(len(cd)*9)//10]:.2f}) -> {args.out}")
 
 
 if __name__ == "__main__":

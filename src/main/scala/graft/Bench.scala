@@ -63,10 +63,12 @@ object Bench {
     catch { case _: Throwable => () }
 
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    // optional marker-query subset (comma-separated) — the A/B host
-    // probe (scripts/ab_probe.py) times a handful of markers instead of
-    // the full suite; unknown names are ignored so a stale list never
-    // fails the run
+    // optional query subset (comma-separated) for quick local
+    // iteration; unknown names are ignored so a stale list never fails
+    // the run. NOT for cross-run comparisons: a subset run reaches each
+    // query with less JIT/codegen warmup than a full-suite run and
+    // reads 1.5-2x slower on early queries (measured r18) — ab_probe
+    // deliberately runs the full suite in both trees
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',')
       .map(_.trim).filter(_.nonEmpty).toSet)
     val names = headline.filter(SparkEntry.queries.contains)

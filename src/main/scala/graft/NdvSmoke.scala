@@ -53,29 +53,37 @@ object NdvSmoke {
     // ([[ManifestTable.AutoNdvMinRowsKey]]) every commit skips the
     // sketch job; minRows=0 forces the pre-r18 behavior (sketch every
     // commit) — the delta is the per-micro-batch tax the floor removes.
-    val micro = Seq("default" -> None, "minRows=0" -> Some("0")).map {
-      case (label, floor) =>
-        floor.foreach(f => spark.conf.set(ManifestTable.AutoNdvMinRowsKey, f))
-        val ns = s"ndvs_${java.util.UUID.randomUUID().toString.take(8)}"
-        spark.sql(s"CREATE NAMESPACE graft_lake.$ns")
-        spark.sql(s"CREATE TABLE graft_lake.$ns.t " +
-          "(k BIGINT, s STRING, v DOUBLE) PARTITIONED BY (bucket(16, s))")
-        val (_, w) = time {
-          (0 until 20).foreach { i =>
-            spark.sql(s"INSERT INTO graft_lake.$ns.t SELECT id, " +
-              "concat('u_', CAST(pmod(hash(id), 50000) AS STRING)), " +
-              s"CAST(id AS DOUBLE), NULL FROM range(${i * 500}, ${i * 500 + 500})")
-          }
+    def microLoop(floor: Option[String]): Double = {
+      floor.foreach(f => spark.conf.set(ManifestTable.AutoNdvMinRowsKey, f))
+      val ns = s"ndvs_${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      spark.sql(s"CREATE TABLE graft_lake.$ns.t " +
+        "(k BIGINT, s STRING, v DOUBLE) PARTITIONED BY (bucket(16, s))")
+      val (_, w) = time {
+        (0 until 20).foreach { i =>
+          spark.sql(s"INSERT INTO graft_lake.$ns.t SELECT id, " +
+            "concat('u_', CAST(pmod(hash(id), 50000) AS STRING)), " +
+            s"CAST(id AS DOUBLE), NULL FROM range(${i * 500}, ${i * 500 + 500})")
         }
-        spark.sql(s"DROP TABLE graft_lake.$ns.t")
-        spark.sql(s"DROP NAMESPACE graft_lake.$ns")
-        spark.conf.unset(ManifestTable.AutoNdvMinRowsKey)
-        label -> w
+      }
+      spark.sql(s"DROP TABLE graft_lake.$ns.t")
+      spark.sql(s"DROP NAMESPACE graft_lake.$ns")
+      spark.conf.unset(ManifestTable.AutoNdvMinRowsKey)
+      w
     }
-    val perCommit = micro.map { case (l, w) => f"$l ${w / 20}%.2f s/commit" }
-    println(s"micro-commit loop (20 x 500 rows): total " +
-      micro.map { case (l, w) => f"$l $w%.1f s" }.mkString(", ") +
-      s" — per commit ${perCommit.mkString(", ")}")
+    // one discarded warmup loop, then ALTERNATING min-of-2 per setting:
+    // the first measurement of this shape pays JIT/codegen once, and a
+    // fixed run order would hand that cost to whichever label ran
+    // first (it inverted the first reading of this table)
+    microLoop(None)
+    val micro = Seq("default" -> None, "minRows=0" -> Some("0"),
+        "default" -> None, "minRows=0" -> Some("0"))
+      .map { case (label, floor) => label -> microLoop(floor) }
+      .groupMapReduce(_._1)(_._2)(math.min)
+    val show = Seq("default", "minRows=0").map(l =>
+      f"$l ${micro(l)}%.1f s (${micro(l) / 20}%.2f s/commit)")
+    println(s"micro-commit loop (20 x 500 rows, min-of-2 alternating): " +
+      show.mkString(", "))
     spark.stop()
   }
 }
