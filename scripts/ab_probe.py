@@ -162,10 +162,13 @@ def main():
               f"{r['host_multiplier']:6.2f} "
               f"{r['code_delta']:6.2f}")
     cd = sorted(code_ms)
+    # a renamed suite can leave zero shared queries: the medians above
+    # already report None — the percentile print must not IndexError
+    pct = (f" (p10 {cd[len(cd)//10]:.2f}, p90 {cd[(len(cd)*9)//10]:.2f})"
+           if cd else "")
     print(f"\n{len(rows)} queries; host multiplier median "
           f"{out['host_multiplier_median']}, code delta median "
-          f"{out['code_delta_median']} (p10 {cd[len(cd)//10]:.2f}, "
-          f"p90 {cd[(len(cd)*9)//10]:.2f}) -> {args.out}")
+          f"{out['code_delta_median']}{pct} -> {args.out}")
 
 
 if __name__ == "__main__":
