@@ -420,7 +420,22 @@ object Ann {
     * reroute discipline as [[cosineNearDupPairs]]'s maxDocs refusal.
     * With the √n SemDeDup default k grows as √n, so the flat payload is
     * tens of MB at n=10⁸ but GBs at n=10¹² — the router is what keeps
-    * [[semanticDedup]] viable at corpus scale with no manual knob. */
+    * [[semanticDedup]] viable at corpus scale with no manual knob.
+    *
+    * CENTROID-LINEAGE contract: `centroids` must be DETERMINISTIC
+    * (seeded k-means, a seeded sample, a read — not an unseeded
+    * sample/limit/shuffle). The two-level route evaluates the centroid
+    * frame MORE THAN ONCE (fine-home stage, probe-able-cell collect,
+    * probe join), and a lineage that re-evaluates differently could
+    * disagree between those passes — a "non-empty" cell probed against
+    * one evaluation may be empty on the next, returning null
+    * assignments for non-null embeddings. The same determinism the
+    * retry-safe row key needs of the CORPUS side, stated here for the
+    * centroid side. Callers LOOPING at large k (or with a genuinely
+    * expensive centroid lineage) should persist the centroid frame
+    * before calling — that also makes the route's deliberate double
+    * evaluation of the fine-home stage cheap (see
+    * [[assignCellsTwoLevelTopN]]'s bound). */
   def assignCellsTopN(corpus: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame, n: Int,
                       coarseProbes: Int = 0): DataFrame = {
@@ -474,6 +489,13 @@ object Ann {
     * [[assignCellsTopN]] reroutes through the two-level probe. */
   val FlatCentroidMaxBytesKey = "spark.graft.ann.flatCentroidMaxBytes"
   val FlatCentroidMaxBytesDefault: Long = 64L << 20
+
+  /** Ceiling on the duplicate (id, vec) multiplicity the two-level
+    * merge will re-expand (clamped to Int.MaxValue): above it the
+    * expansion — m·n rows out of ONE task — raises with a pointer at
+    * exact-dedup-first rather than silently serializing a stage. */
+  val MaxDupMultiplicityKey = "spark.graft.ann.maxDupMultiplicity"
+  val MaxDupMultiplicityDefault: Long = 10000000L
 
   /** The routing predicate, pure for spec pinning: a k-centroid,
     * dim-dimensional payload fits the flat task-binary regime iff
@@ -598,7 +620,12 @@ object Ann {
     // bounded at k·√k·dim against a corpus stage of ≥ n·8·√k·dim,
     // i.e. ≤ k/(8n) of the total — 1/(8√n) in the SemDeDup k=√n
     // regime. Callers looping at large k should persist the CENTROID
-    // frame, which makes both evaluations cheap.
+    // frame, which makes both evaluations cheap. CONSISTENCY leans on
+    // the deterministic-centroid-lineage contract ([[assignCellsTopN]]
+    // scaladoc): with a deterministic lineage both evaluations see the
+    // same homes; a nondeterministic one could probe a cell that is
+    // empty on re-evaluation — which is why the contract is stated,
+    // not assumed.
     val homedIds: Array[Any] =
       fineByCoarse.select(col("_coarse")).distinct().collect().map(_.get(0))
     val coarseF = centroidFrame(coarse)
@@ -642,18 +669,36 @@ object Ann {
     // probes than requested. A null embedding's probes carry null
     // coarse ids (never joined) so its group flattens to an empty
     // array and posexplode_outer restores the one-null-row-per-input-
-    // row contract. Documented bound: the m-fold re-expansion below
-    // materializes an m-int array and emits m·n rows from ONE task —
-    // fine for dirty-duplicate multiplicities (thousands), degenerate
-    // beyond ~10⁷ identical (id, vec) copies; exact-dedup such a
-    // corpus first (the semantically right pipeline order anyway).
+    // row contract. ENFORCED bound (refuse-or-reroute, the repo's
+    // guard discipline): the m-fold re-expansion materializes an m-int
+    // array and emits m·n rows from ONE task — fine for dirty-
+    // duplicate multiplicities (thousands), a single-task straggler
+    // beyond [[MaxDupMultiplicityKey]] (default 10⁷) — so a key whose
+    // multiplicity exceeds the cap raises with a pointer at
+    // exact-dedup-first (the semantically right pipeline order anyway)
+    // instead of silently serializing a stage. The guard also closes
+    // the non-ANSI int-cast wrap (an m above Int.MaxValue would cast
+    // negative, array_repeat would yield an empty array, and the
+    // non-outer explode would silently DROP every row of that key):
+    // the cap is clamped to Int.MaxValue, so the cast below is always
+    // in range when it runs.
+    val maxDup = math.min(corpus.sparkSession.conf
+      .get(MaxDupMultiplicityKey, MaxDupMultiplicityDefault.toString).toLong,
+      Int.MaxValue.toLong)
+    val guardedM = when(col("_m") <= maxDup, col("_m"))
+      .otherwise(raise_error(concat(
+        lit("assignCellsTwoLevelTopN: duplicate (id, vec) multiplicity "),
+        col("_m").cast("string"),
+        lit(s" exceeds $MaxDupMultiplicityKey ($maxDup) — the re-expansion " +
+          "emits that many rows from one task; exact-dedup the corpus " +
+          "first (DedupSuite.exactDedup), or raise the cap deliberately"))))
     local.groupBy(col("_k")).agg(
         first(col("vec")).as("vec"),
         sum(when(coalesce(col("_cr"), lit(1)) === 1, 1L).otherwise(0L)).as("_m"),
         slice(array_sort(array_distinct(flatten(collect_set(col("_top"))))),
           1, n).as("_best"))
       .select(col("_k.i").as("vid"), col("vec"), col("_best"),
-        explode(array_repeat(lit(1), col("_m").cast("int"))).as("_dup"))
+        explode(array_repeat(lit(1), guardedM.cast("int"))).as("_dup"))
       .select(col("vid"), col("vec"),
         posexplode_outer(col("_best")).as(Seq("_pos", "_c")))
       .select(col("vid"), col("vec"), col("_c.cell_id").as("cell_id"),

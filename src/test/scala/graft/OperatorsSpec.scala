@@ -863,6 +863,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq((1L, 10L, 1), (1L, 11L, 1), (2L, 10L, 1)))
   }
 
+  test("two-level assignment refuses a duplicate multiplicity above the cap — loudly") {
+    // the r18 documented-only degeneracy, now ENFORCED: re-expanding m
+    // identical (id, vec) copies emits m·n rows from one task, so a
+    // multiplicity above spark.graft.ann.maxDupMultiplicity must raise
+    // with the exact-dedup-first pointer, never silently straggle (or,
+    // worse, wrap the int cast and silently DROP the key's rows)
+    val cents = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)))
+      .toDF("cell_id", "embedding")
+    val coarse = Ann.trainCentroids(cents, "embedding", 2)
+    def corpusOf(copies: Int) =
+      (Seq.fill(copies)((1L, Array(1.0f, 0.1f))) :+ (2L, Array(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding")
+    spark.conf.set(Ann.MaxDupMultiplicityKey, "2")
+    try {
+      // at the cap: expands one-for-one, the per-row contract intact
+      val ok = Ann.assignCellsTwoLevelTopN(corpusOf(2), "vec_id", "embedding",
+        cents, 1, coarse, coarseProbes = 2)
+        .select($"vid", $"cell_id").orderBy($"vid")
+        .as[(Long, Long)].collect().toSeq
+      assert(ok == Seq((1L, 10L), (1L, 10L), (2L, 11L)))
+      // above it: a loud refusal naming the conf and the reroute
+      val err = intercept[Exception] {
+        Ann.assignCellsTwoLevelTopN(corpusOf(3), "vec_id", "embedding",
+          cents, 1, coarse, coarseProbes = 2).collect()
+      }
+      val msg = Option(err.getMessage).getOrElse("") +
+        Option(err.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains(Ann.MaxDupMultiplicityKey) &&
+        msg.contains("exact-dedup"), s"unhelpful refusal: $err")
+    } finally spark.conf.unset(Ann.MaxDupMultiplicityKey)
+  }
+
   test("two-level assignment never probes an empty coarse cell") {
     // fine centroids all home to coarse cell 0; coarse cell 1 is EMPTY.
     // A vector NEAREST the empty cell with coarseProbes = 1 would have
