@@ -1130,6 +1130,50 @@ object AggWindowQueries extends QueryPack {
       s.sql(s"DROP NAMESPACE graft_lake.$ns")
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }),
+    "k45_typed_partition" -> ((s, d) => {
+      // K45 (beyond-reference): TYPED identity-partition literals
+      // consumed exactly. The table declares day DATE / b4 INT layout
+      // columns — they read back in their declared types (r18 pinned
+      // every layout column to STRING, so `day = DATE'…'` arrived as
+      // `cast(day) = …` and nothing pushed), so the typed predicates
+      // push plain, the row-exact file prune CONSUMES them (no
+      // post-scan Filter), and count/min/max under a typed WHERE stays
+      // a zero-file metadata fold at any table size — AggPushdownSpec
+      // pins the plans; the driver pins the ANSWERS, including a typed
+      // GROUP BY (DATE group key from directory values), a typed
+      // range + IN + INT equality, and a typed DELETE lifecycle. The
+      // oracle recomputes everything relationally from events.
+      val ns = "k45_" + java.util.UUID.randomUUID().toString.take(8)
+      s.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      s.sql(s"CREATE TABLE graft_lake.$ns.e (event_id BIGINT, " +
+        "user_id BIGINT, day DATE, b4 INT) PARTITIONED BY (day, b4)")
+      t(s, d, "events").select(col("event_id"), col("user_id"),
+          to_date(col("ts")).as("day"),
+          pmod(col("user_id"), lit(4)).cast("int").as("b4"))
+        .createOrReplaceTempView("k45_src")
+      s.sql(s"INSERT INTO graft_lake.$ns.e SELECT * FROM k45_src")
+      // MATERIALIZE the pre-delete answers (localCheckpoint pins the
+      // rows): a lazy frame re-scans the table when the final collect
+      // runs, which is AFTER the DELETE below — the oracle's CTEs see
+      // the pre-delete state
+      val grouped = s.sql(s"SELECT day, count(*) AS n_day " +
+        s"FROM graft_lake.$ns.e WHERE b4 IN (0, 3) GROUP BY day")
+        .localCheckpoint()
+      val eq = s.sql(s"SELECT count(*) AS n_eq, min(event_id) AS mn_id, " +
+        s"max(event_id) AS mx_id FROM graft_lake.$ns.e " +
+        s"WHERE day = DATE'2024-01-05'").localCheckpoint()
+      val range = s.sql(s"SELECT count(*) AS n_range FROM graft_lake.$ns.e " +
+        s"WHERE day >= DATE'2024-01-10' AND day < DATE'2024-01-20' AND b4 = 2")
+        .localCheckpoint()
+      s.sql(s"DELETE FROM graft_lake.$ns.e WHERE day = DATE'2024-01-01'")
+      val after = s.sql(s"SELECT count(*) AS n_after FROM graft_lake.$ns.e")
+      val out = grouped.crossJoin(eq).crossJoin(range).crossJoin(after)
+      val rows = out.collect()
+      val schema = out.schema
+      s.sql(s"DROP TABLE graft_lake.$ns.e")
+      s.sql(s"DROP NAMESPACE graft_lake.$ns")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }),
     "k40_replace_where" -> ((s, d) => {
       // K40 (beyond-reference): atomic REPLACE WHERE — static-mode
       // `INSERT OVERWRITE … PARTITION (…)` lands as ONE
@@ -1616,7 +1660,25 @@ object AggWindowQueries extends QueryPack {
         |  CASE WHEN o_orderpriority = '1-URGENT'
         |       THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
         |  o_orderpriority
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "k45_typed_partition" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+        |         CAST(user_id % 4 AS INT) AS b4
+        |  FROM events),
+        |g AS (SELECT day, COUNT(*) AS n_day FROM base
+        |      WHERE b4 IN (0, 3) GROUP BY day),
+        |eq AS (SELECT COUNT(*) AS n_eq, MIN(event_id) AS mn_id,
+        |              MAX(event_id) AS mx_id
+        |       FROM base WHERE day = DATE '2024-01-05'),
+        |r AS (SELECT COUNT(*) AS n_range FROM base
+        |      WHERE day >= DATE '2024-01-10' AND day < DATE '2024-01-20'
+        |        AND b4 = 2),
+        |a AS (SELECT COUNT(*) AS n_after FROM base
+        |      WHERE day <> DATE '2024-01-01')
+        |SELECT g.day, g.n_day, eq.n_eq, eq.mn_id, eq.mx_id, r.n_range,
+        |       a.n_after
+        |FROM g CROSS JOIN eq CROSS JOIN r CROSS JOIN a""".stripMargin
   )
 }
 

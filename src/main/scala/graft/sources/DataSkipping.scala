@@ -328,13 +328,23 @@ object DataSkipping {
     * compare numerically IF the partition value parses (matching Spark's
     * implicit cast of a string column to the literal's numeric type) and
     * keep the file when it doesn't (the cast's null-vs-trim edge cases
-    * are not worth re-implementing — conservative). */
+    * are not worth re-implementing — conservative). A DATE literal
+    * (kind 'd', epoch days) compares against the ISO-parsed directory
+    * value — exact on the canonical renderings typed layout columns are
+    * restricted to, conservative keep on anything else. Timestamp
+    * literals (kind 't') never parse here and keep the file. */
+  private def parsePart(s: String, kind: Char): Option[BigDecimal] =
+    if (kind == 'd')
+      Try(BigDecimal(java.time.LocalDate.parse(s).toEpochDay)).toOption
+    else if (kind == 't') None
+    else Try(BigDecimal(s)).toOption
+
   private def partCompare(pv: Option[String], kind: Char, value: Any,
                           test: Int => Boolean): Boolean = pv match {
     case None => false // NULL never satisfies a comparison predicate
     case Some(s) =>
       if (kind == 's') test(s.compareTo(value.asInstanceOf[String]))
-      else Try(BigDecimal(s)).toOption
+      else parsePart(s, kind)
         .forall(n => test(n.compare(value.asInstanceOf[BigDecimal])))
   }
 
@@ -440,7 +450,7 @@ object DataSkipping {
                   case None => false // NULL partition never equals anything
                   case Some(s) =>
                     if (k == 's') set.contains(s)
-                    else Try(BigDecimal(s)).toOption
+                    else parsePart(s, k)
                       // unparseable partition value: conservative keep
                       .forall(bd => set.contains(bd.asInstanceOf[AnyRef]))
                 }

@@ -862,7 +862,7 @@ object ManifestTable {
       require(!k.startsWith(BloomTagPrefix),
         s"manifest tag namespace '$BloomTagPrefix' is reserved — build the " +
           "point-lookup index via buildBloomIndex")
-      require(k != SchemaTag && k != LayoutTag,
+      require(k != SchemaTag && k != LayoutTag && k != PartitionTypesTag,
         s"manifest tag '$k' is reserved (createEmpty's schema record)")
       require(k != CloneSourcesTag,
         s"manifest tag '$k' is reserved (shallow-clone source chain, " +
@@ -1968,6 +1968,49 @@ object ManifestTable {
     * it while no data file exists to derive the layout from. */
   private[graft] val LayoutTag = "schema.layout"
 
+  /** Tag holding the DECLARED types of typed identity-partition columns
+    * (StructType json; [[PartitionTypes.SafeTypes]] only), written by
+    * [[createEmpty]] when a CREATE declares a layout column as
+    * int/bigint/smallint/tinyint/date. Partition VALUES stay directory
+    * strings everywhere in the manifest (the write-boundary string
+    * normalization and the re-spell-identically rewrite contract are
+    * untouched); the tag makes the READ side cast those columns back to
+    * the declared type, so typed predicates push without a cast on the
+    * attribute and the exact file prune can consume them
+    * ([[graft.sources.v2.GraftScanBuilder]]). Dies with the layout on a
+    * full overwrite; carries through clones/evolution like the layout
+    * itself. */
+  private[graft] val PartitionTypesTag = "partition.typed"
+
+  /** Declared types of typed layout columns (empty when untagged). */
+  private[graft] def partitionTypes(tags: Map[String, String])
+      : Map[String, org.apache.spark.sql.types.DataType] =
+    PartitionTypes.fromTag(tags.get(PartitionTypesTag))
+
+  /** Cast tagged layout columns of a scan/seed frame back to their
+    * declared types — THE read-side half of the typed-partition
+    * contract. Values are canonical renderings by construction (every
+    * write boundary strings them via the engine's own cast, which
+    * renders int/date canonically), so the cast is an exact parse; a
+    * foreign non-canonical value degrades to the cast's semantics
+    * (null), never an error. */
+  private def applyPartitionTypes(df: DataFrame,
+                                  tags: Map[String, String]): DataFrame = {
+    val typed = partitionTypes(tags)
+    if (typed.isEmpty) df
+    else {
+      val present = df.columns.toSet
+      val casts = typed.filter { case (c, _) => present.contains(c) }
+      if (casts.isEmpty) df
+      else df.select(df.columns.toIndexedSeq.map { c =>
+        casts.get(c) match {
+          case Some(t) if df.schema(c).dataType != t => col(c).cast(t).as(c)
+          case _ => col(c)
+        }
+      }: _*)
+    }
+  }
+
   /** Tag holding generated-partition-column definitions: comma-joined
     * `enc(name):enc(exprSql)` pairs. A generated column is a REAL
     * string column derived from a transform of a source column
@@ -2549,9 +2592,14 @@ object ManifestTable {
         sys.error(s"manifest table $root v${st.version} lists no files"))
       val phys = org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-      return deriveEvolvedGenerated(logicalize(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), phys), st.tags),
-        st.tags)
+      // typed layout columns surface in their DECLARED type from birth
+      // (the SchemaTag record stays string-pinned; the seed frame must
+      // agree with what the table reads back once data lands, or the
+      // first INSERT would align against the wrong type)
+      return deriveEvolvedGenerated(logicalize(applyPartitionTypes(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), phys), st.tags),
+        st.tags), st.tags)
     }
     val (dvd, clean) = st.files.partition(_.dv.nonEmpty)
     val out = if (dvd.isEmpty)
@@ -2572,7 +2620,8 @@ object ManifestTable {
       else logicalize(scanFiles(spark, root, clean, withPositions = false, st.tags), st.tags)
         .unionByName(cleaned, allowMissingColumns = true)
     }
-    deriveEvolvedGenerated(padDeclared(out, st.tags), st.tags)
+    deriveEvolvedGenerated(
+      applyPartitionTypes(padDeclared(out, st.tags), st.tags), st.tags)
   }
 
   /** Scan `files` with row positions ([[DvRelCol]]/[[DvPosCol]] kept in
@@ -2685,6 +2734,13 @@ object ManifestTable {
         case None    => spark.conf.unset(key)
       }
     }
+  } match {
+    // typed identity-partition columns read back in their DECLARED type
+    // (the one read-side cast of the typed-partition contract — values
+    // in the manifest and directory names stay strings). Applied here,
+    // at the single scan choke point, so every surface — reads, CDC
+    // frames, rewrite paths — sees one consistent schema.
+    case df => applyPartitionTypes(df, tags)
   }
 
   private val inferenceLock = new Object
@@ -2749,6 +2805,16 @@ object ManifestTable {
       if (physParts.contains(f.name))
         f.copy(dataType = org.apache.spark.sql.types.StringType)
       else f))
+    // identity layout columns DECLARED in a provably-canonical directory
+    // type (int/bigint/smallint/tinyint/date) keep that declaration:
+    // the read side casts them back ([[PartitionTypesTag]]), so typed
+    // predicates push plain and the exact file prune can consume them.
+    // Everything else (timestamp, float, decimal, boolean, string)
+    // keeps the string-pinned read — the documented refusal; generated
+    // columns are born string and never qualify.
+    val typedParts = widened.filter(f =>
+      physParts.contains(f.name) && !genSpecs.exists(_._1 == f.name) &&
+        PartitionTypes.SafeTypes.contains(f.dataType))
     val fs = fsOf(spark, root)
     if (hasCommittedVersion(fs, root))
       throw new ConcurrentCommitException(root, 1L)
@@ -2767,6 +2833,8 @@ object ManifestTable {
       Map(SchemaTag -> pinned.json, OpTag -> "create") ++
       (if (physParts.nonEmpty) Map(LayoutTag -> physParts.mkString(","))
        else Map.empty) ++
+      (if (typedParts.isEmpty) Map.empty
+       else Map(PartitionTypesTag -> PartitionTypes.toTag(typedParts))) ++
       (if (genSpecs.isEmpty) Map.empty
        else Map(GeneratedTag -> encodeGenerated(genSpecs)))
     if (!claimOrRecover(fs, root, FullManifest(1L, Seq.empty, allTags, None), graceMs))
@@ -2947,7 +3015,8 @@ object ManifestTable {
           // … and the schema record refreshes to the NEW frame (a stale
           // create-time schema would mis-describe a later zero-file state)
           val base = prev.map(_.tags).getOrElse(Map.empty) -
-            RenameTag - DropTag - LayoutTag - GeneratedTag + (OpTag -> "overwrite") +
+            RenameTag - DropTag - LayoutTag - GeneratedTag - PartitionTypesTag +
+            (OpTag -> "overwrite") +
             (SchemaTag -> normalizePartitionCols(dfG, physParts).schema.json)
           val tags = (if (physParts.isEmpty) base
                       else base + (LayoutTag -> physParts.mkString(","))) ++
@@ -3255,7 +3324,23 @@ object ManifestTable {
     val byLower = got.map(c => c.toLowerCase -> c).toMap
     val aligned = batchG.select(
       expected.map(c => col(byLower(c.toLowerCase)).as(c)).toIndexedSeq: _*)
-    val eT = logical.map(f => f.name -> f.dataType).toMap
+    // drift is checked POST-normalization so a string-pinned table keeps
+    // accepting the typed batches normalization strings; layout columns
+    // are therefore expected STRING here — typed-declared ones get their
+    // own PRE-normalization check (the batch must arrive in the declared
+    // type, or a stray batch could write a non-canonical directory the
+    // typed read-back would null out)
+    val typedParts = partitionTypes(st.tags)
+    val typedDrift = aligned.schema
+      .filter(f => typedParts.get(f.name).exists(_ != f.dataType))
+      .map(f => s"${f.name}: table=${typedParts(f.name).sql} batch=${f.dataType.sql}")
+    require(typedDrift.isEmpty,
+      s"manifest table $root: typed partition column types differ from the " +
+        s"table (${typedDrift.mkString("; ")}) — a type change is a rewrite " +
+        "(write())")
+    val eT = logical.map(f => f.name ->
+      (if (partKeys.contains(f.name)) org.apache.spark.sql.types.StringType
+       else f.dataType)).toMap
     val normalized = normalizePartitionCols(aligned, partKeys)
     val drift = normalized.schema
       .filter(f => eT.get(f.name).exists(_ != f.dataType))
@@ -3363,10 +3448,17 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     // string partition columns from the first commit on (see
     // normalizePartitionCols): the dtype check below then compares the
-    // batch against the table's own string read-back consistently
+    // batch against the table's own string read-back consistently.
+    // TYPED-tagged layout columns are exempt: their read-back is the
+    // declared type, so the batch must stay typed through the check AND
+    // through the merge union with the existing (typed) rows — the
+    // generation write renders their dirs canonically from the typed
+    // values (ints and dates have one rendering).
     val freshG = prior.map(p => applyGenerated(fresh, p.tags, root, "upsert batch"))
       .getOrElse(fresh)
-    val freshN = normalizePartitionCols(freshG, partitionCols)
+    val typedLayout = prior.map(p => partitionTypes(p.tags)).getOrElse(Map.empty)
+    val freshN = normalizePartitionCols(freshG,
+      partitionCols.filterNot(typedLayout.contains))
     prior match {
       case None =>
         // v1 re-seed guard (mirror of write()'s): a None prior with
@@ -3425,8 +3517,9 @@ object ManifestTable {
         // type-changed batch would silently coerce through unionByName,
         // and a re-typed partition column would re-spell its dirs out
         // from under the carry-forward string match. Partition columns
-        // read as string (pinned above), so a partitioned upsert's batch
-        // must carry string-typed partition values.
+        // read back as string (pinned above) — or as their DECLARED type
+        // when typed-tagged — so the batch must carry exactly the
+        // read-back type either way.
         locally {
           val eT = existing.schema.map(f => f.name -> f.dataType).toMap
           val drift = freshN.schema

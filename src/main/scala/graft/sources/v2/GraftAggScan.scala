@@ -305,6 +305,19 @@ object GraftAggScan {
       }.toArray
     }
 
+    // group keys surface in the column's READ-BACK type: string layout
+    // columns as UTF8String, typed layout columns as the canonical
+    // parse of the directory value — one non-canonical value anywhere
+    // declines the whole pushdown (the normal scan's cast semantics own
+    // the odd case; a metadata row must never disagree with it)
+    val typedParts = ManifestTable.partitionTypes(st.tags)
+    def groupKeyValue(c: String, v: Option[String]): Option[Any] = v match {
+      case None => Some(null: Any)
+      case Some(s) => typedParts.get(c) match {
+        case Some(t) => graft.sources.PartitionTypes.canonical(s, t)
+        case None    => Some(UTF8String.fromString(s): Any)
+      }
+    }
     val metadataRows: Seq[InternalRow] =
       if (groupCols.isEmpty) {
         // exactly one row, always — the empty table's answer is
@@ -315,8 +328,9 @@ object GraftAggScan {
           groupCols.map(c => f.partitionValues(c)) }
           .toSeq.sortBy(_._1.map(_.getOrElse("")).mkString("/"))
           .map { case (key, group) =>
-            val g: Array[Any] = key.map(v =>
-              (v.map(UTF8String.fromString).orNull): Any).toArray
+            val g: Array[Any] = groupCols.zip(key).map { case (c, v) =>
+              groupKeyValue(c, v).getOrElse(return None)
+            }.toArray
             new GenericInternalRow(g ++ foldRows(group.map(_._2)))
           }
       }
@@ -328,7 +342,8 @@ object GraftAggScan {
       case MinShape(c, dt)     => StructField(s"MIN($c)", dt)
       case MaxShape(c, dt)     => StructField(s"MAX($c)", dt)
     }
-    val groupFields = groupCols.map(c => StructField(c, StringType))
+    val groupFields = groupCols.map(c => StructField(c,
+      typedParts.getOrElse(c, StringType)))
     val outSchema = StructType((groupFields ++ aggFields).toArray)
 
     Some(Planned(groupCols, shapes, outSchema, metadataRows,

@@ -178,22 +178,43 @@ object GraftBatchScan {
     // dir-everywhere / data-everywhere / MIXED (evolved eras). Any
     // dir-classified column must be STRING (directory values decode as
     // UTF8String constants; the engine pins layout columns to string,
-    // so this is defensive) and must be UNRENAMED (dir keys are the
-    // name in the path; schemaEvoCheck refuses renaming live partition
-    // columns — a column renamed BEFORE becoming one is the odd state
-    // this guard declines). A MIXED column's data-classified files must
-    // PROVE string in-file bytes (footer stats kind 's') — dir strings
-    // and data values share one reader type only then.
+    // so this is defensive) — OR a typed-tagged layout column whose
+    // every kept directory value is the CANONICAL rendering of its
+    // declared type (then the reader's partition constant is the parsed
+    // typed value, which equals the V1 bridge's cast read-back; one
+    // non-canonical value declines to the bridge, whose cast semantics
+    // own the odd case). Either way the column must be UNRENAMED (dir
+    // keys are the name in the path; schemaEvoCheck refuses renaming
+    // live partition columns — a column renamed BEFORE becoming one is
+    // the odd state this guard declines). A MIXED column's
+    // data-classified files must PROVE matching in-file bytes (footer
+    // stats kind: 's' for string, the type's expected kind for typed)
+    // — dir constants and data values share one reader type only then.
+    val typedParts = ManifestTable.partitionTypes(st.tags)
     val reqFields = required.fields.toIndexedSeq
     for (f <- reqFields) {
       val p = phys(f.name)
       val dirIn = kept.count(_.partitionValues.contains(p))
       if (dirIn > 0) {
-        if (f.dataType != StringType) return None
         if (p != f.name) return None
+        val mixedKind: Char = typedParts.get(f.name) match {
+          case Some(t) if t == f.dataType =>
+            val allCanonical = kept.forall(file =>
+              file.partitionValues.get(p) match {
+                case Some(Some(v)) =>
+                  graft.sources.PartitionTypes.canonical(v, t).isDefined
+                case _ => true // absent (mixed era) or null dir value
+              })
+            if (!allCanonical) return None
+            GraftAggScan.expectedKind(t).getOrElse(return None)
+          case Some(_) => return None // tag/schema divergence: bridge owns it
+          case None =>
+            if (f.dataType != StringType) return None
+            's'
+        }
         if (dirIn < kept.size &&
             !kept.forall(file => file.partitionValues.contains(p) ||
-              file.stats.get(p).exists(_.kind == 's'))) return None
+              file.stats.get(p).exists(_.kind == mixedKind))) return None
       }
     }
 
@@ -490,8 +511,20 @@ final class GraftBatchScan(root: String, version: Option[Long],
 
   private def partitionValuesRow(f: ManifestTable.FileEntry,
                                  g: GraftBatchScan.GroupSpec): GenericInternalRow = {
-    val pv: Array[Any] = g.requiredPart.fieldNames.map(c =>
-      (f.partitionValues.get(c).flatten.map(UTF8String.fromString).orNull): Any)
+    // the constant is the column's INTERNAL value in its read-back type:
+    // UTF8String for string layout, the canonical parse for typed layout
+    // (tryBuild proved every kept value canonical, so `get` is total)
+    val pv: Array[Any] = g.requiredPart.fields.map { sf =>
+      f.partitionValues.get(sf.name).flatten match {
+        case None => null: Any
+        case Some(v) => sf.dataType match {
+          case StringType => UTF8String.fromString(v): Any
+          case t => graft.sources.PartitionTypes.canonical(v, t).getOrElse(
+            sys.error(s"graft batch scan: non-canonical partition value " +
+              s"'$v' for typed column ${sf.name} survived planning")): Any
+        }
+      }
+    }
     new GenericInternalRow(pv)
   }
 

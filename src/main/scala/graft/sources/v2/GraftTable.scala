@@ -267,6 +267,34 @@ final class GraftScanBuilder(root: String, version: Option[Long],
     case _ => Set.empty
   }
 
+  /** Typed layout columns ([[graft.sources.PartitionTypes]]) on which
+    * exact consumption is PROVEN for this state: the column is tagged
+    * with a declared safe type, every live file carries it, and every
+    * non-null directory value is the CANONICAL rendering of that type
+    * (parse + re-render + compare — one driver-side pass over the
+    * manifest, per build). Canonicality is what makes the per-file
+    * decision row-exact: the read-back cast of a canonical value is its
+    * parse, so comparing parsed directory values against typed literals
+    * decides exactly what the row predicate would — including IS NULL
+    * (a non-canonical value would cast to null while its directory says
+    * non-null, which is why ONE bad value declines the whole column to
+    * the advisory prune + re-filter). */
+  private lazy val typedExactLayout: Map[String, org.apache.spark.sql.types.DataType] =
+    state match {
+      case Some(st) if !st.tags.contains(ManifestTable.EvolvedTag) =>
+        graft.sources.ManifestTable.partitionTypes(st.tags)
+          .filter { case (c, t) =>
+            st.files.forall(f => f.partitionValues.get(c) match {
+              case Some(Some(v)) =>
+                graft.sources.PartitionTypes.canonical(v, t).isDefined
+              case Some(None) => true // null directory value
+              case None       => false // a file missing the column
+            })
+          }
+          .map { case (c, t) => c.toLowerCase(java.util.Locale.ROOT) -> t }
+      case _ => Map.empty
+    }
+
   /** A filter this scan applies EXACTLY via partition pruning
     * ([[exactLayout]] columns: identity partitions give every row of a
     * file the directory's value, so the per-file decision is row-exact)
@@ -280,24 +308,74 @@ final class GraftScanBuilder(root: String, version: Option[Long],
     * consumed filter has no re-filter above to recover a mis-pruned
     * file (against an ASCII literal every non-ASCII value orders after
     * it in BOTH encodings, so the decision agrees). Numeric literals
-    * stay residual (an unparseable directory value degrades the
-    * compare to a conservative keep). */
+    * on STRING layout columns stay residual (an unparseable directory
+    * value degrades the compare to a conservative keep).
+    *
+    * TYPED layout columns ([[typedExactLayout]]) consume
+    * =/<=>/ranges/IN/null tests with literals of the declared type —
+    * ranges included, since parsed values compare in the type's own
+    * total order (no encoding caveat). The literal's runtime class must
+    * match the declared type (Spark pushes filters in the column's own
+    * type after coercion, so this is the normal arrival shape); DATE
+    * accepts both java.sql.Date and java.time.LocalDate (the
+    * datetimeJava8API toggle). A typed column that failed the
+    * canonicality proof consumes NOTHING — advisory prune + re-filter,
+    * the pinned refusal. */
   private def exactPartitionFilter(f: Filter): Boolean = {
-    def ex(a: String) = exactLayout(a.toLowerCase(java.util.Locale.ROOT))
+    def lc(a: String) = a.toLowerCase(java.util.Locale.ROOT)
+    val typedNames = typedTagged
+    // string-exact rules never apply to a typed-tagged column: its
+    // read-back is typed, so even IS NULL must ride the canonical proof
+    def ex(a: String) = exactLayout(lc(a)) && !typedNames(lc(a))
     def ascii(v: String) = v != null && v.forall(_ < 128)
+    def tlit(a: String, v: Any): Boolean = v != null &&
+      typedExactLayout.get(lc(a)).exists(t => literalOfType(v, t))
+    def tex(a: String) = typedExactLayout.contains(lc(a))
     f match {
       case EqualTo(a, v: String)            => ex(a) && v != null
-      case EqualNullSafe(a, v)              => ex(a) && (v == null || v.isInstanceOf[String])
+      case EqualTo(a, v)                    => tlit(a, v)
+      case EqualNullSafe(a, v)              =>
+        (ex(a) && (v == null || v.isInstanceOf[String])) ||
+          (v == null && tex(a)) || tlit(a, v)
       case GreaterThan(a, v: String)        => ex(a) && ascii(v)
+      case GreaterThan(a, v)                => tlit(a, v)
       case GreaterThanOrEqual(a, v: String) => ex(a) && ascii(v)
+      case GreaterThanOrEqual(a, v)         => tlit(a, v)
       case LessThan(a, v: String)           => ex(a) && ascii(v)
+      case LessThan(a, v)                   => tlit(a, v)
       case LessThanOrEqual(a, v: String)    => ex(a) && ascii(v)
+      case LessThanOrEqual(a, v)            => tlit(a, v)
       case In(a, vs) if vs.nonEmpty =>
-        ex(a) && vs.forall(v => v != null && v.isInstanceOf[String])
-      case IsNull(a)                        => ex(a)
-      case IsNotNull(a)                     => ex(a)
+        (ex(a) && vs.forall(v => v != null && v.isInstanceOf[String])) ||
+          vs.forall(v => tlit(a, v))
+      case IsNull(a)                        => ex(a) || tex(a)
+      case IsNotNull(a)                     => ex(a) || tex(a)
       case StringStartsWith(a, v)           => ex(a) && ascii(v)
       case _ => false
+    }
+  }
+
+  /** Names of typed-TAGGED layout columns (lowercased) — tagged, not
+    * necessarily canonically proven: the string-exact rules must stand
+    * down for these even when the proof failed. */
+  private lazy val typedTagged: Set[String] = state
+    .map(st => graft.sources.ManifestTable.partitionTypes(st.tags)
+      .keysIterator.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+    .getOrElse(Set.empty)
+
+  /** Does this pushed-filter literal's runtime class match the declared
+    * type? Spark pushes V1 filters with values in the column's external
+    * type, so a match is the normal case; anything else declines. */
+  private def literalOfType(v: Any, t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType    => v.isInstanceOf[java.lang.Byte]
+      case ShortType   => v.isInstanceOf[java.lang.Short]
+      case IntegerType => v.isInstanceOf[java.lang.Integer]
+      case LongType    => v.isInstanceOf[java.lang.Long]
+      case DateType    => v.isInstanceOf[java.sql.Date] ||
+        v.isInstanceOf[java.time.LocalDate]
+      case _           => false
     }
   }
 

@@ -392,6 +392,127 @@ class AggPushdownSpec extends SparkSpec {
     }
   }
 
+  test("typed identity-partition literals are consumed exactly: DATE/INT predicates, agg under WHERE, typed GROUP BY") {
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.t (k BIGINT, x BIGINT, " +
+      "day DATE, hr INT) PARTITIONED BY (day, hr)")
+    Seq.tabulate(400)(i => (i.toLong, i.toLong * 3,
+        java.sql.Date.valueOf("2026-01-01").toLocalDate.plusDays(i % 3).toString,
+        i % 4))
+      .toDF("k", "x", "day", "hr")
+      .select(col("k"), col("x"), col("day").cast("date"), col("hr").cast("int"))
+      .createOrReplaceTempView("agg_tsrc")
+    spark.sql(s"INSERT INTO graft_lake.$n.t SELECT * FROM agg_tsrc")
+    // the DECLARED types read back (the r18 state read them as STRING)
+    val sch = spark.table(s"graft_lake.$n.t").schema
+    assert(sch("day").dataType == org.apache.spark.sql.types.DateType &&
+      sch("hr").dataType == org.apache.spark.sql.types.IntegerType,
+      s"typed layout columns must read back declared: $sch")
+    // the 100 TB shape this exists for: count(*) under a typed WHERE is
+    // a zero-file metadata fold, exactly like its string-typed twin
+    for (q <- Seq(
+      s"SELECT count(*) AS n, min(k) AS mn, max(x) AS mx " +
+        s"FROM graft_lake.$n.t WHERE day = DATE'2026-01-02'",
+      s"SELECT count(*) AS n, min(k) AS mn FROM graft_lake.$n.t " +
+        s"WHERE day >= DATE'2026-01-02' AND day < DATE'2026-01-03' AND hr = 2",
+      s"SELECT count(*) AS n FROM graft_lake.$n.t " +
+        s"WHERE day IN (DATE'2026-01-01', DATE'2026-01-03') AND hr IN (0, 3)",
+      s"SELECT count(*) AS n FROM graft_lake.$n.t WHERE day IS NOT NULL",
+      // typed GROUP BY: the group key surfaces as a real DATE
+      s"SELECT day, count(*) AS n, max(k) AS mx FROM graft_lake.$n.t " +
+        s"WHERE hr = 1 GROUP BY day")) {
+      val (rows, leaf) = run(q)
+      assert(leaf.contains("agg-pushdown") && leaf.contains("complete"),
+        s"typed-filtered aggregate should stay metadata-only for [$q], got:\n$leaf")
+      assert(rows.toSet == oracle(q).toSet, s"value mismatch for [$q]")
+    }
+    val g = spark.sql(s"SELECT day, count(*) AS n FROM graft_lake.$n.t GROUP BY day")
+    assert(g.schema("day").dataType == org.apache.spark.sql.types.DateType)
+    // exactly-consumed typed predicates drop the post-scan Filter on a
+    // plain row read too
+    val r = spark.sql(s"SELECT k, day, hr FROM graft_lake.$n.t " +
+      s"WHERE day = DATE'2026-01-02' AND hr = 2")
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter ("),
+      s"typed partition predicates must not re-filter rows:\n$plan")
+    assert(r.collect().forall(row =>
+      row.getDate(1).toString == "2026-01-02" && row.getInt(2) == 2))
+    // composition with LIMIT pushdown survives typed consumption
+    val l = spark.sql(s"SELECT k FROM graft_lake.$n.t " +
+      s"WHERE day = DATE'2026-01-03' LIMIT 5")
+    assert(l.collect().length == 5)
+    assert(l.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString.contains("limit(5)"))
+    // typed DELETE routes through the exact conversion; re-reads agree
+    spark.sql(s"DELETE FROM graft_lake.$n.t WHERE day = DATE'2026-01-01'")
+    val (afterRows, afterLeaf) = run(
+      s"SELECT count(*) AS n FROM graft_lake.$n.t")
+    assert(afterLeaf.contains("agg-pushdown"))
+    assert(afterRows.head.getLong(0) ==
+      400L - Seq.tabulate(400)(identity).count(_ % 3 == 0))
+    spark.sql(s"DROP TABLE graft_lake.$n.t")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
+  test("typed-partition refusals are pinned: TIMESTAMP stays string, non-canonical encodings decline") {
+    // TIMESTAMP: directory encodings escape ':' and vary by zone — the
+    // round-trip can't be proven, so the declaration keeps the engine's
+    // string-pinned read-back (advisory prune + re-filter, never a
+    // wrong answer)
+    val n = ns()
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.ts (k BIGINT, t TIMESTAMP) " +
+      "PARTITIONED BY (t)")
+    spark.sql(s"INSERT INTO graft_lake.$n.ts " +
+      "SELECT id, TIMESTAMP'2026-01-01 07:00:00' + make_interval(0,0,0,0,CAST(id % 3 AS INT),0,0) " +
+      "FROM range(0, 30)")
+    val sch = spark.table(s"graft_lake.$n.ts").schema
+    assert(sch("t").dataType == org.apache.spark.sql.types.StringType,
+      s"timestamp partition must keep the string-pinned read-back: $sch")
+    val q = spark.sql(s"SELECT count(*) AS n FROM graft_lake.$n.ts " +
+      "WHERE t = '2026-01-01 08:00:00'")
+    assert(q.head().getLong(0) == 10L)
+    // canonical-rendering proof: the unit surface the consumption and
+    // the native scan both gate on
+    import org.apache.spark.sql.types._
+    import graft.sources.PartitionTypes
+    assert(PartitionTypes.canonical("7", IntegerType).contains(7))
+    assert(PartitionTypes.canonical("07", IntegerType).isEmpty)   // pad
+    assert(PartitionTypes.canonical(" 7", IntegerType).isEmpty)   // trim
+    assert(PartitionTypes.canonical("7.0", IntegerType).isEmpty)  // cast-only
+    assert(PartitionTypes.canonical("-5", LongType).contains(-5L))
+    assert(PartitionTypes.canonical("2026-01-02", DateType)
+      .contains(java.time.LocalDate.parse("2026-01-02").toEpochDay.toInt))
+    assert(PartitionTypes.canonical("2026-1-2", DateType).isEmpty)
+    assert(PartitionTypes.canonical("x", DateType).isEmpty)
+    assert(PartitionTypes.canonical("2026-01-02", TimestampType).isEmpty)
+    // a non-canonical directory value anywhere declines the NATIVE scan
+    // for that column (the V1 bridge's cast semantics own the odd case)
+    spark.sql(s"CREATE TABLE graft_lake.$n.c (k BIGINT, hr INT) " +
+      "PARTITIONED BY (hr)")
+    spark.sql(s"INSERT INTO graft_lake.$n.c SELECT id, CAST(id % 2 AS INT) " +
+      "FROM range(0, 20)")
+    val root = spark.sessionState.catalogManager.catalog("graft_lake")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array(n), "c"))
+      .properties().get("location")
+    val st = graft.sources.ManifestTable.current(spark, root).get
+    val forged = st.copy(files = st.files.map(f =>
+      f.copy(relPath = f.relPath.replace("hr=1", "hr=01"))))
+    val schema = spark.table(s"graft_lake.$n.c").schema
+    val native = graft.sources.v2.GraftBatchScan.tryBuild(root, None, forged,
+      Array.empty, schema, schema)
+    assert(native.isEmpty,
+      "a non-canonical typed partition value must decline the native scan")
+    // the untampered state builds natively
+    assert(graft.sources.v2.GraftBatchScan.tryBuild(root, None, st,
+      Array.empty, schema, schema).nonEmpty)
+    spark.sql(s"DROP TABLE graft_lake.$n.ts")
+    spark.sql(s"DROP TABLE graft_lake.$n.c")
+    spark.sql(s"DROP NAMESPACE graft_lake.$n")
+  }
+
   test("time travel aggregates the PINNED version's metadata") {
     val n = ns()
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")

@@ -1316,36 +1316,54 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
-  test("createEmpty: declared partition layout sticks, pins to string, prunes") {
+  test("createEmpty: declared partition layout sticks, reads back declared, prunes") {
     import org.apache.spark.sql.types._
     val root = tmp() + "/t"
     ManifestTable.createEmpty(spark, root, StructType(Seq(
       StructField("day", DateType), StructField("k", LongType),
       StructField("v", DoubleType))), partitionCols = Seq("day"))
-    // partition values live as STRING for the table's whole life: the
-    // recorded schema is pinned at birth so the first read == every read
-    assert(ManifestTable.read(spark, root).schema("day").dataType == StringType)
+    // partition VALUES live as strings for the table's whole life, but a
+    // DATE declaration is a provably-canonical directory type
+    // (PartitionTypes.SafeTypes), so the read side casts back to the
+    // declaration — the first read == every read, in the DECLARED type
+    assert(ManifestTable.read(spark, root).schema("day").dataType == DateType)
     assert(ManifestTable.partitionLayout(spark, root) == Seq("day"))
+    def d(s: String) = java.sql.Date.valueOf(s)
     // an append (no explicit partitionCols) lands HIVE-partitioned per
-    // the declared layout
+    // the declared layout; the batch arrives in the declared type
     ManifestTable.retryOnConflict()(ManifestTable.append(spark,
-      Seq(("2026-01-01", 1L, 1.0), ("2026-01-02", 2L, 2.0)).toDF("day", "k", "v"),
-      root))
+      Seq((d("2026-01-01"), 1L, 1.0), (d("2026-01-02"), 2L, 2.0))
+        .toDF("day", "k", "v"), root))
     val st = ManifestTable.current(spark, root).get
     assert(st.files.nonEmpty &&
       st.files.forall(_.partitionPath.startsWith("day=")))
     assert(ManifestTable.partitionLayout(spark, root) == Seq("day"))
     // keyed upserts (the streaming-sink shape) also respect the layout
     ManifestTable.upsertWithRetry(spark,
-      Seq(("2026-01-01", 1L, 9.0)).toDF("day", "k", "v"), root,
+      Seq((d("2026-01-01"), 1L, 9.0)).toDF("day", "k", "v"), root,
       Seq("k"), "v", Seq("day"))
     assert(ManifestTable.read(spark, root).filter($"day" === "2026-01-01")
       .orderBy("k").select("v").as[Double].collect().toSeq == Seq(9.0))
-    // and a layout-contradicting upsert still refuses
+    // a layout-contradicting upsert still refuses
     intercept[IllegalArgumentException] {
       ManifestTable.upsertDedup(spark,
-        Seq(("2026-01-03", 3L, 3.0)).toDF("day", "k", "v"), root, Seq("k"), "v")
+        Seq((d("2026-01-03"), 3L, 3.0)).toDF("day", "k", "v"), root, Seq("k"), "v")
     }
+    // a STRING-typed batch against the typed declaration refuses loudly
+    // (a stray batch could otherwise spell a non-canonical directory the
+    // typed read-back would null out)
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark,
+        Seq(("2026-01-03", 3L, 3.0)).toDF("day", "k", "v"), root)
+    }
+    // an UNPROVABLE declared type (timestamp: dir encodings escape ':'
+    // and vary by zone) keeps the engine's string-pinned read — the
+    // pinned refusal, unchanged from birth
+    val rootT = tmp() + "/ts"
+    ManifestTable.createEmpty(spark, rootT, StructType(Seq(
+      StructField("t", TimestampType), StructField("k", LongType))),
+      partitionCols = Seq("t"))
+    assert(ManifestTable.read(spark, rootT).schema("t").dataType == StringType)
   }
 
   test("createEmpty: MERGE into an empty table inserts; rename applies to the seed schema") {
