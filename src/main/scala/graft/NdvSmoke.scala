@@ -84,6 +84,49 @@ object NdvSmoke {
       f"$l ${micro(l)}%.1f s (${micro(l) / 20}%.2f s/commit)")
     println(s"micro-commit loop (20 x 500 rows, min-of-2 alternating): " +
       show.mkString(", "))
+
+    // COVERAGE RESTORATION cost: a micro-commit-built table (zero
+    // sketches by the floor's design) regains full CBO ndv either via
+    // GRAFT ANALYZE (read the unsketched bytes once, ONE metadata
+    // commit) or via OPTIMIZE (full data rewrite that re-sketches as a
+    // side effect). Same table shape, min-of-2 each, built fresh per
+    // measurement — the ratio is the point.
+    def buildMicroTable(): (String, String) = {
+      val ns = s"ndvs_${java.util.UUID.randomUUID().toString.take(8)}"
+      val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
+      spark.sql(s"CREATE NAMESPACE graft_lake.$ns")
+      spark.sql(s"CREATE TABLE graft_lake.$ns.t " +
+        "(k BIGINT, s STRING, v DOUBLE) PARTITIONED BY (bucket(16, s))")
+      // floor raised past the commit size: every commit skips the
+      // sketch, leaving the zero-coverage state the restore ops fix
+      spark.conf.set(ManifestTable.AutoNdvMinRowsKey, "100000")
+      try (0 until 20).foreach { i =>
+        spark.sql(s"INSERT INTO graft_lake.$ns.t SELECT id, " +
+          "concat('u_', CAST(pmod(hash(id), 50000) AS STRING)), " +
+          s"CAST(id AS DOUBLE), NULL FROM range(${i * 50000}, ${(i + 1) * 50000})")
+      } finally spark.conf.unset(ManifestTable.AutoNdvMinRowsKey)
+      (ns, s"$wh/$ns/t")
+    }
+    def drop(ns: String): Unit = {
+      spark.sql(s"DROP TABLE graft_lake.$ns.t")
+      spark.sql(s"DROP NAMESPACE graft_lake.$ns")
+    }
+    def covered(root: String): Boolean = ManifestTable.current(spark, root)
+      .get.files.forall(_.stats.get("s").exists(_.ndv.isDefined))
+    val restore = (1 to 2).map { _ =>
+      val (nsA, rootA) = buildMicroTable()
+      assert(!covered(rootA))
+      val (_, analyzeS) = time(spark.sql(s"GRAFT ANALYZE graft_lake.$nsA.t").collect())
+      assert(covered(rootA)); drop(nsA)
+      val (nsO, rootO) = buildMicroTable()
+      val (_, optimizeS) = time(spark.sql(s"GRAFT OPTIMIZE graft_lake.$nsO.t").collect())
+      assert(covered(rootO)); drop(nsO)
+      (analyzeS, optimizeS)
+    }
+    val (aMin, oMin) = (restore.map(_._1).min, restore.map(_._2).min)
+    println(f"coverage restore (20 x 50k-row micro commits, min-of-2): " +
+      f"GRAFT ANALYZE $aMin%.1f s vs OPTIMIZE $oMin%.1f s " +
+      f"(${oMin / aMin}%.1f x) — metadata-only vs full rewrite")
     spark.stop()
   }
 }

@@ -99,6 +99,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     s"""(?is)CONSTRAINT\\s+$P\\s+ADD\\s+(\\w+)\\s+CHECK\\s+\\((.+)\\)""".r
   private val ConstraintDrop = s"""(?is)CONSTRAINT\\s+$P\\s+DROP\\s+(\\w+)""".r
   private val Compact = s"""(?is)COMPACT\\s+$P(?:\\s+TARGET\\s+(\\d+))?""".r
+  private val Analyze = s"""(?is)ANALYZE\\s+$P(?:\\s+ON\\s+\\(([^)]+)\\))?""".r
   private val Optimize =
     s"""(?is)OPTIMIZE\\s+$P(?:\\s+TARGET\\s+(\\d+))?(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?(?:\\s+WHERE\\s+(.+))?""".r
   private val Feed    = s"""(?is)FEED\\s+$P\\s+(ENABLE|DISABLE)""".r
@@ -160,6 +161,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case ConstraintDrop(p, name)      => GraftConstraintCommand(res(p), name, None)
       case Compact(p, mb) =>
         GraftCompactCommand(res(p), Option(mb).map(_.toInt).getOrElse(512))
+      case Analyze(p, cols) =>
+        GraftAnalyzeCommand(res(p),
+          Option(cols).map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+            .getOrElse(Nil))
       case Optimize(p, mb, zcols, where) =>
         GraftOptimizeCommand(res(p), Option(mb).map(_.toInt).getOrElse(512),
           Option(where).map(_.trim),
@@ -790,6 +795,22 @@ final case class GraftCompactCommand(root: String, targetMB: Int) extends LeafRu
     StructField("new_version", LongType, false))))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(ManifestTable.compact(spark, root, targetFileMB = targetMB)))
+}
+
+/** `GRAFT ANALYZE 'path' [ON (c1, c2)]` — metadata-only ndv sketch
+  * backfill ([[ManifestTable.backfillSketches]]): sketch the live files
+  * missing HLL sketches for the table's ndv columns (its bucket sources
+  * + `stats.ndv.cols`, or the explicit ON list), attach them in ONE
+  * delta commit, rewrite nothing. The cheap way a micro-commit-built
+  * streaming table regains full CBO ndv coverage — OPTIMIZE restores
+  * the same coverage only as a side effect of rewriting all the data. */
+final case class GraftAnalyzeCommand(root: String,
+                                     cols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommandOutput.attrs(StructType(Seq(
+    StructField("new_version", LongType, false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.retryOnConflict()(
+      ManifestTable.backfillSketches(spark, root, cols))))
 }
 
 /** `GRAFT OPTIMIZE 'path' [TARGET mb] [WHERE <partition predicate>]` —

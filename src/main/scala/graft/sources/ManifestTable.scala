@@ -1128,13 +1128,18 @@ object ManifestTable {
         .agg(hll_sketch_agg(col(present.head), 12).as(present.head),
           present.tail.map(c => hll_sketch_agg(col(c), 12).as(c)): _*)
         .collect()
-      // file names are task-UUID-unique within a generation, so the
-      // basename joins the reader's URI spelling to the manifest's
-      // relPath without fighting percent-encoding differences
+      // join the reader's URI spelling to the manifest's relPath on the
+      // GENERATION-RELATIVE path, decoded from the URI. NOT the
+      // basename: `part-<n>-<taskUuid>` is unique per TASK, and one
+      // task writing several hive partition dirs reuses its basename in
+      // each — basename matching would attach one dir's sketch to every
+      // same-task file (caught building the ANALYZE backfill: 16
+      // bucket files folded to a ~15-distinct union of a 97-distinct
+      // column)
       val byName: Map[String, org.apache.spark.sql.Row] =
-        rows.map(r => r.getString(0).split('/').last -> r).toMap
+        rows.map(r => genRelative(r.getString(0), gen) -> r).toMap
       entries.map { e =>
-        byName.get(e.relPath.split('/').last) match {
+        byName.get(e.relPath.stripPrefix(s"$gen/")) match {
           case None => e
           case Some(r) =>
             val enriched = present.zipWithIndex.foldLeft(e.stats) {
@@ -1155,6 +1160,122 @@ object ManifestTable {
           s"(${e.getClass.getSimpleName}: ${e.getMessage}) — committed without sketches")
         entries
     }
+  }
+
+  /** A reader-reported file URI reduced to its path below the
+    * generation dir — the manifest relPath minus the `gen/` prefix.
+    * `URI.getPath` decodes the URI percent-encoding back to the on-disk
+    * name (hive's own `%xx` escapes are literal characters on disk and
+    * survive the round-trip); an unparseable URI falls back to the raw
+    * string, where the substring still matches the common case. */
+  private def genRelative(fileUri: String, gen: String): String = {
+    val path = scala.util.Try(new java.net.URI(fileUri).getPath)
+      .toOption.filter(_ != null).getOrElse(fileUri)
+    val marker = s"/$gen/"
+    val i = path.indexOf(marker)
+    if (i >= 0) path.substring(i + marker.length) else path.split('/').last
+  }
+
+  /** METADATA-ONLY ndv sketch backfill (SQL: `GRAFT ANALYZE t`): sketch
+    * the live files that MISS an HLL sketch for the table's ndv columns
+    * (or an explicit `cols` list), in place — read only those files'
+    * bytes, attach sketches to their manifest entries, ONE delta commit
+    * (remove + re-add by relPath = a stats update; no data rewritten).
+    *
+    * Why it exists: below-floor micro-commits skip the auto sketch by
+    * design ([[AutoNdvMinRowsKey]]), and past 5% sketch-less rows the
+    * coverage-weighted CBO fold ([[graft.sources.v2.GraftColumnStats]])
+    * falls to the hard bounds. Before this command the only way back to
+    * full coverage was OPTIMIZE — a FULL data rewrite whose write cost
+    * dwarfs the statistic it restores. Backfill reads the unsketched
+    * files once and writes nothing but a manifest, so a streaming table
+    * fed by thousands of micro-commits regains CBO ndv at the cost of
+    * one scan of its unsketched slice (NdvSmoke measures backfill vs
+    * OPTIMIZE).
+    *
+    * Sketches attach only where the file already carries footer stats
+    * for the column (the [[attachNdvSketches]] contract — dir-valued
+    * and absent columns skip). DV'd files sketch their FULL bytes: an
+    * HLL union over supersets only OVERSTATES ndv on deleted rows,
+    * which the optimizer caps at the row count — acceptable for an
+    * advisory statistic, and exact again after OPTIMIZE materializes
+    * the deletes. Races ride the CAS claim: a concurrent commit fails
+    * this version's claim and throws ([[retryOnConflict]] re-runs the
+    * whole read-sketch-commit). Returns the committed version, or the
+    * current one when nothing needed backfilling. */
+  def backfillSketches(spark: SparkSession, root: String,
+                       cols: Seq[String] = Nil,
+                       graceMs: Long = 60000L): Long = {
+    val st = current(spark, root).getOrElse(
+      sys.error(s"manifest table $root has no committed version"))
+    val logical =
+      if (cols.nonEmpty) cols
+      else {
+        val explicit = st.tags.get(NdvColsProp).toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        (explicit ++ bucketLayout(st.tags).map(_._2).getOrElse(Nil)).distinct
+      }
+    if (logical.isEmpty) {
+      log.info(s"manifest table $root: no ndv columns declared (stats.ndv.cols " +
+        "or a bucket layout) and none passed — nothing to backfill")
+      return st.version
+    }
+    val inv = renameMap(st.tags).map(_.swap)
+    val physCols = logical.map(c => inv.getOrElse(c, c)).distinct
+    val candidates = st.files.filter(e => physCols.exists(c =>
+      e.stats.get(c).exists(_.ndv.isEmpty)))
+    if (candidates.isEmpty) {
+      log.info(s"manifest table $root: every live file already carries its " +
+        s"ndv sketches for ${logical.mkString(", ")} — nothing to backfill")
+      return st.version
+    }
+    val sources = cloneSources(st.tags)
+    val enriched = candidates.groupBy(_.relPath.takeWhile(_ != '/')).toSeq
+      .sortBy(_._1).flatMap { case (gen, fs) =>
+        // per generation (one basePath; clone-inherited gens resolve
+        // against their SOURCE root), the same distributed sketch pass
+        // a commit runs — just over old bytes instead of fresh ones
+        val base = dirBase(spark, root, sources, gen)
+        val df = spark.read.option("basePath", new Path(base, gen).toString)
+          .parquet(fs.map(f => new Path(base, f.relPath).toString): _*)
+        val present = physCols.filter(df.columns.contains)
+          .filter(c => fs.exists(_.stats.get(c).exists(_.ndv.isEmpty)))
+        if (present.isEmpty) Nil
+        else {
+          val rows = df.groupBy(input_file_name().as("_file"))
+            .agg(hll_sketch_agg(col(present.head), 12).as(present.head),
+              present.tail.map(c => hll_sketch_agg(col(c), 12).as(c)): _*)
+            .collect()
+          // generation-relative matching, same as [[attachNdvSketches]]
+          // (basenames collide across a task's partition dirs)
+          val byName: Map[String, org.apache.spark.sql.Row] =
+            rows.map(r => genRelative(r.getString(0), gen) -> r).toMap
+          fs.flatMap { e =>
+            byName.get(e.relPath.stripPrefix(s"$gen/")).map { r =>
+              val upd = present.zipWithIndex.foldLeft(e.stats) {
+                case (m, (c, i)) =>
+                  (m.get(c), Option(r.get(i + 1))) match {
+                    case (Some(cs), Some(bytes)) if cs.ndv.isEmpty =>
+                      m + (c -> cs.copy(ndv = Some(java.util.Base64.getEncoder
+                        .encodeToString(bytes.asInstanceOf[Array[Byte]]))))
+                    case _ => m
+                  }
+              }
+              e.copy(stats = upd)
+            }
+          }
+        }
+      }
+    if (enriched.isEmpty) return st.version
+    val fs = fsOf(spark, root)
+    val v = st.version + 1
+    val manifest = DeltaManifest(v, enriched, enriched.map(_.relPath),
+      st.tags + (OpTag -> "analyze"), None)
+    if (!claimOrRecover(fs, root, manifest, graceMs))
+      throw new ConcurrentCommitException(root, v)
+    log.info(s"manifest table $root: backfilled ndv sketches on " +
+      s"${enriched.size} files (${logical.mkString(", ")}) — metadata-only v$v")
+    v
   }
 
   /** Build the snapshot artifact for `files`: inline text below the

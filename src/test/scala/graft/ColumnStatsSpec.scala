@@ -191,6 +191,61 @@ class ColumnStatsSpec extends SparkSpec {
     }
   }
 
+  test("GRAFT ANALYZE backfills ndv sketches metadata-only; coverage and the fold recover") {
+    // the r18 gap: a micro-commit-built table's ndv coverage was only
+    // restorable by OPTIMIZE — a FULL data rewrite. Backfill reads the
+    // unsketched files' bytes once and commits ONE delta of enriched
+    // entries: same data files, same bytes, coverage back.
+    val n = "cstat_" + java.util.UUID.randomUUID().toString.take(8)
+    val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
+    spark.sql(s"CREATE NAMESPACE graft_lake.$n")
+    spark.sql(s"CREATE TABLE graft_lake.$n.m (k BIGINT, s STRING) " +
+      "PARTITIONED BY (bucket(4, s))")
+    try {
+      val root = s"$wh/$n/m"
+      import graft.sources.ManifestTable
+      def st = ManifestTable.current(spark, root).get
+      // a micro-commit-built table: every commit under the floor, zero
+      // sketches anywhere
+      (0 until 4).foreach(i =>
+        spark.sql(s"INSERT INTO graft_lake.$n.m SELECT id, " +
+          s"concat('s', CAST(id % 97 AS STRING)), NULL " +
+          s"FROM range(${i * 500}, ${i * 500 + 500})"))
+      val before = st
+      assert(before.files.forall(_.stats.get("s").forall(_.ndv.isEmpty)),
+        "micro-commits must have skipped every sketch")
+      val dataFiles = before.files.map(f => f.relPath -> f.bytes).toMap
+      // SQL surface: one metadata commit, sketches attached everywhere
+      val v = spark.sql(s"GRAFT ANALYZE graft_lake.$n.m").head().getLong(0)
+      val after = st
+      assert(v == before.version + 1 && after.version == v)
+      assert(after.files.forall(_.stats.get("s").exists(_.ndv.isDefined)),
+        "backfill must attach a sketch to every live file")
+      // METADATA-only: identical data files, byte for byte
+      assert(after.files.map(f => f.relPath -> f.bytes).toMap == dataFiles,
+        "backfill must not rewrite or add data files")
+      // the CBO fold returns to union-sketch ndv (97 distincts, far
+      // below the 2000-row non-null-count fallback)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType)))
+      val m = graft.sources.v2.GraftColumnStats.forFiles(after.files,
+        after.tags, schema)
+      val ndv = m.values().iterator().next().distinctCount()
+      assert(ndv.isPresent && ndv.getAsLong >= 85 && ndv.getAsLong <= 110,
+        s"fold must return to sketch ndv, got $ndv")
+      // idempotent: a second ANALYZE finds nothing and commits nothing
+      assert(spark.sql(s"GRAFT ANALYZE graft_lake.$n.m").head().getLong(0) == v)
+      // explicit ON list sketches a non-declared column too
+      val v2 = spark.sql(s"GRAFT ANALYZE graft_lake.$n.m ON (k)").head().getLong(0)
+      assert(v2 == v + 1 &&
+        st.files.forall(_.stats.get("k").exists(_.ndv.isDefined)))
+    } finally {
+      spark.sql(s"DROP TABLE graft_lake.$n.m")
+      spark.sql(s"DROP NAMESPACE graft_lake.$n")
+    }
+  }
+
   test("ndv fold is coverage-weighted: micro-commits never erase table ndv") {
     import graft.sources.ManifestTable.{ColStats, FileEntry}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
