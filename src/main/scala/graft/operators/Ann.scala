@@ -774,6 +774,25 @@ object Ann {
       .min(Int.MaxValue).toInt
   }
 
+  /** Row ceiling per (cell, salt-block) in [[semanticDedup]]'s pair
+    * stage (0 disables salting). `adaptiveCellCount` bounds the AVERAGE
+    * cell at ⌈√n⌉, but k-means on REAL clustered embeddings produces
+    * heavy cells — and the heaviest case is exactly SemDeDup's target
+    * input: a mass of near-identical vectors collapses into one
+    * point-dense cell k-means cannot split apart (coincident centroids
+    * tie-break to one id). The triangular self-join on `cell_id` does
+    * m²/2 comparisons for an m-row cell inside ONE task (all same-key
+    * rows co-locate), so a 100×-mean cell is 10,000× the pair work, in
+    * one straggler. Above the cap a cell's rows split into
+    * s = ⌈m/cap⌉ deterministic blocks (pmod(xxhash64(id), s)) and the
+    * join runs per block PAIR — s(s+1)/2 tasks of ≤ cap² comparisons,
+    * identical pair set (each unordered pair meets in exactly one
+    * block-pair bucket; OperatorsSpec pins salted ≡ unsalted). Cells at
+    * or under the cap keep s = 1 — the single (0,0) bucket IS the
+    * unsalted join, so uniform corpora pay only the per-cell count. */
+  val PairSaltRowsKey = "spark.graft.ann.pairSaltRows"
+  val PairSaltRowsDefault: Long = 4096L
+
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, threshold: Double,
                     probeCells: Int = 1): DataFrame = {
@@ -788,12 +807,46 @@ object Ann {
     // paid for recall dedup doesn't need.
     val cells = assignCellsTopN(vectors, idCol, vecCol, centroids, probeCells,
       coarseProbes = SemDedupCoarseProbes)
-    val drops = cells.select(col("vid").as("id_a"), col("vec").as("v_a"), col("cell_id"))
-      .join(cells.select(col("vid").as("id_b"), col("vec").as("v_b"), col("cell_id")),
-        Seq("cell_id"))
-      .filter(col("id_a") < col("id_b"))
+    // pair stage, salted against cell-size skew (see [[PairSaltRowsKey]]):
+    // per-cell row counts ride a window over the cell key (one exchange,
+    // no second evaluation of the assignment); each row lands in
+    // deterministic block b of s = ⌈cellRows/cap⌉, the A side replicates
+    // to block pairs (b, j≥b), the B side to (i≤b, b), and the join key
+    // (cell, i, j) meets every unordered within-cell pair exactly once:
+    // cross-block pairs (i < j) once by block disjointness, same-block
+    // pairs once via the id_a < id_b triangle. The drop is the pair's
+    // GREATER id either way — bit-identical to the unsalted join.
+    val cap = math.max(0L, vectors.sparkSession.conf
+      .get(PairSaltRowsKey, PairSaltRowsDefault.toString).toLong)
+    val sized =
+      if (cap <= 0L) cells.withColumn("_s", lit(1L))
+      else cells.withColumn("_s",
+        (count(lit(1)).over(Window.partitionBy(col("cell_id"))) + (cap - 1L))
+          .divide(cap).cast("long"))
+    val blocked = sized.withColumn("_b", pmod(xxhash64(col("vid")), col("_s")))
+    // EXPLICIT partition count on both join sides: the pair join's
+    // shuffle INPUT is tiny (one vector row per salt replica) while its
+    // OUTPUT is quadratic per bucket — AQE's byte-based coalescing
+    // cannot see that and folds the salt buckets back into one task,
+    // re-serializing exactly the straggler the salt exists to split
+    // (measured at 1M/50× skew: coalesced-salted 718 s ≈ unsalted
+    // 840 s). A user-specified count is exempt from AQE coalescing, so
+    // the buckets keep the session's full shuffle parallelism; the join
+    // reuses this partitioning (same keys, same count — no second
+    // Exchange).
+    val nPart = vectors.sparkSession.sessionState.conf.numShufflePartitions
+    val aSide = blocked.select(col("vid").as("id_a"), col("vec").as("v_a"),
+      col("cell_id"), col("_b").as("_i"),
+      explode(sequence(col("_b"), col("_s") - 1)).as("_j"))
+      .repartition(nPart, col("cell_id"), col("_i"), col("_j"))
+    val bSide = blocked.select(col("vid").as("id_b"), col("vec").as("v_b"),
+      col("cell_id"), explode(sequence(lit(0L), col("_b"))).as("_i"),
+      col("_b").as("_j"))
+      .repartition(nPart, col("cell_id"), col("_i"), col("_j"))
+    val drops = aSide.join(bSide, Seq("cell_id", "_i", "_j"))
+      .filter(col("_i") < col("_j") || col("id_a") < col("id_b"))
       .filter(cosFn(vectors, vecCol)(col("v_a"), col("v_b")) >= threshold)
-      .select(col("id_b").as("drop_id")).distinct()
+      .select(greatest(col("id_a"), col("id_b")).as("drop_id")).distinct()
     cells.filter(col("cell_rank") === 1)
       .join(drops, col("vid") === col("drop_id"), "left")
       .select(col("vid").as("vec_id"), col("cell_id"),

@@ -719,6 +719,45 @@ class OperatorsSpec extends SparkSpec {
     assert(probed == Seq((1L, 0L, 1), (2L, 1L, 0))) // boundary dup caught
   }
 
+  test("semanticDedup's salted pair stage is bit-identical to the unsalted join on a skewed corpus") {
+    // a point-mass blob (SemDeDup's own target input: heavy near-dup
+    // mass collapses into ONE cell k-means cannot split) plus spread
+    // rows. With the cap forced low the hot cell splits into many salt
+    // blocks; the drop/keep output must equal the unsalted join's
+    // exactly — every unordered within-cell pair meets in exactly one
+    // block-pair bucket.
+    val blob = (0 until 120).map(i =>
+      (i.toLong, Array(1.0f, (i % 7) * 1e-4f, 0.0f)))
+    val spread = (0 until 60).map(i =>
+      (1000L + i, Array((i % 5) * 0.1f - 0.3f, 1.0f, (i % 11) * 0.05f)))
+    val vecs = (blob ++ spread).toDF("vec_id", "embedding")
+      .union(Seq((2000L, None: Option[Array[Float]])).toDF("vec_id", "embedding"))
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.6f, 0.8f))).toDF("cell_id", "embedding")
+    def run(): Seq[(Long, Option[Long], Int)] =
+      Ann.semanticDedup(vecs, "vec_id", "embedding", cents, 0.999)
+        .orderBy("vec_id")
+        .as[(Long, Option[Long], Int)].collect().toSeq
+    val unsalted = withSqlConf(Ann.PairSaltRowsKey -> "0")(run())
+    val salted = withSqlConf(Ann.PairSaltRowsKey -> "16")(run())
+    assert(salted == unsalted, "salted pair stage changed the drop set")
+    // sanity: the skew actually exercised salting (blob cell >> cap)
+    // and near-dups in the blob were dropped
+    assert(unsalted.count { case (id, _, kept) => id < 120 && kept == 0 } > 100)
+    // default cap leaves small corpora on the single-bucket plan
+    assert(run() == unsalted)
+  }
+
+  private def withSqlConf[A](kv: (String, String)*)(body: => A): A = {
+    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("adaptiveCellCount defaults to the Θ(n^1.5) optimum (cellSize ≈ √n)") {
     // auto mode: cellSize = ⌈√n⌉, k = ⌈n/cellSize⌉ ≈ √n — BOTH stages
     // (n·k assignment, n·cellSize pair scan) grow as n^1.5. A fixed
