@@ -809,7 +809,14 @@ object Ann {
       coarseProbes = SemDedupCoarseProbes)
     // pair stage, salted against cell-size skew (see [[PairSaltRowsKey]]):
     // per-cell row counts ride a window over the cell key (one exchange,
-    // no second evaluation of the assignment); each row lands in
+    // no second evaluation of the assignment). Recorded decision: a
+    // broadcast count-join would spare uniform corpora the window's
+    // payload exchange + sort, but its counts branch RE-EVALUATES the
+    // unpersisted assignment (n·8√k NearestInArray work — the stage the
+    // probe pinning above exists to bound) since cell_id cannot be
+    // derived without the distances; one extra exchange of rows the
+    // very next operator shuffles anyway is the cheaper side, and it
+    // is what the 1M/50×-skew measurement timed. Each row lands in
     // deterministic block b of s = ⌈cellRows/cap⌉, the A side replicates
     // to block pairs (b, j≥b), the B side to (i≤b, b), and the join key
     // (cell, i, j) meets every unordered within-cell pair exactly once:

@@ -205,10 +205,25 @@ object DataSkipping {
     * comparison (=, <=>, <, <=, >, >=, IN, IS NULL, IS NOT NULL between a
     * column and literals) against each file's hive partition values
     * (exact) and min/max stats (range containment). Unrecognized
-    * conjuncts and unknown columns keep the file. */
-  def prune(files: Seq[FileEntry], filter: Column): Seq[FileEntry] = {
+    * conjuncts and unknown columns keep the file.
+    *
+    * `typedParts` is the table's typed-partition declaration
+    * ([[ManifestTable.partitionTypes]]): a typed-tagged column reads
+    * back CAST to its declared type, so a NON-CANONICAL directory value
+    * reads as NULL even though the directory string is non-null — the
+    * IS NULL / <=> NULL partition tests must KEEP such files (dropping
+    * one silently loses its rows: there is no residual filter that can
+    * resurrect a pruned file). Comparison predicates are unaffected —
+    * a NULL read-back row can never satisfy one, so either keep/drop
+    * decision on the dir string is safe; IS NOT NULL's keep-non-null-dir
+    * over-keeps at worst (the residual drops the NULL rows above). */
+  def prune(files: Seq[FileEntry], filter: Column,
+            typedParts: Map[String, org.apache.spark.sql.types.DataType] =
+              Map.empty): Seq[FileEntry] = {
+    val typedLc = typedParts.map { case (k, t) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> t }
     val preds = splitConjuncts(normalize(ColumnExpr.expression(filter)))
-      .flatMap(compile(_))
+      .flatMap(compile(_, typedLc))
     if (preds.isEmpty) files else files.filter(f => preds.forall(_(f)))
   }
 
@@ -372,8 +387,17 @@ object DataSkipping {
       })
 
   /** Compile one conjunct to a file predicate; None = not recognized
-    * (that conjunct prunes nothing). */
-  private def compile(e: Expression): Option[FilePred] = {
+    * (that conjunct prunes nothing). `typed` is the lowercased typed-
+    * partition declaration (see [[prune]]). */
+  private def compile(e: Expression,
+                      typed: Map[String, org.apache.spark.sql.types.DataType] =
+                        Map.empty): Option[FilePred] = {
+    // a null-dir value is NULL on read-back always; a NON-canonical
+    // value under a typed declaration ALSO reads back NULL (the cast
+    // fails) — IS NULL must keep both shapes
+    def partReadsNull(n: String)(pv: Option[String]): Boolean =
+      pv.isEmpty || typed.get(n.toLowerCase(java.util.Locale.ROOT))
+        .exists(t => PartitionTypes.canonical(pv.get, t).isEmpty)
     // (attr op lit) in either operand order, with the comparison flipped
     // when the literal is on the left
     def binary(l: Expression, r: Expression): Option[(String, (Char, Any), Boolean)] =
@@ -393,7 +417,7 @@ object DataSkipping {
           // col <=> NULL: exact on partition cols; on stats cols keep
           // only files with at least one null (unknown counts keep)
           case (Some(n), Literal(null, _)) =>
-            Some(onColumn(n)(_.isEmpty)(cs => cs.nulls != 0L))
+            Some(onColumn(n)(partReadsNull(n))(cs => cs.nulls != 0L))
           case _ => binary(l, r).map { case (n, (k, v), _) =>
             onColumn(n)(partCompare(_, k, v, _ == 0))(statsOverlapEq(_, k, v))
           }
@@ -490,7 +514,7 @@ object DataSkipping {
       // null (unknown counts keep); IS NOT NULL drops provably all-null
       // files — both exact on partition columns
       case IsNull(a)    => attrName(a).map(n =>
-        onColumn(n)(_.isEmpty)(cs => cs.nulls != 0L))
+        onColumn(n)(partReadsNull(n))(cs => cs.nulls != 0L))
       case IsNotNull(a) => attrName(a).map(n =>
         onColumn(n)(_.nonEmpty)(cs => !cs.allNull))
       case _ => None

@@ -1472,7 +1472,7 @@ object ManifestTable {
     // the pruners' stats and bloom entries are keyed by PHYSICAL names
     val physFilter = physicalizeCol(filter, st.tags)
     bloomPrune(spark, root, st, physFilter,
-      DataSkipping.prune(st.files, physFilter))
+      DataSkipping.prune(st.files, physFilter, partitionTypes(st.tags)))
   }
 
   private def readStateWhere(spark: SparkSession, root: String, st: State,
@@ -1941,8 +1941,12 @@ object ManifestTable {
       readRaw(fs, root, v) match {
         // rewrite wins over shape: a rewrite can be a SNAPSHOT
         // (compact/cluster) or a DELTA (materializeDeletes) — both carry
-        // the same rows re-laid-out and contribute nothing
-        case Some(m) if m.tags.get(OpTag).contains("rewrite") => () // same rows, new layout
+        // the same rows re-laid-out and contribute nothing. "analyze"
+        // ([[backfillSketches]]) re-adds the SAME files with enriched
+        // stats — zero row change; replaying its adds would re-deliver
+        // the whole analyzed slice downstream
+        case Some(m) if m.tags.get(OpTag)
+          .exists(o => o == "rewrite" || o == "analyze") => ()
         case Some(d: DeltaManifest) => out ++= d.adds
         case Some(_) =>
           val cur = resolveState(spark, root, v).getOrElse(sys.error(
@@ -1996,7 +2000,8 @@ object ManifestTable {
     val files = changedFiles(spark, root, fromVersion, toVersion)
     val st = resolveState(spark, root, toVersion).getOrElse(sys.error(
       s"manifest table $root has no committed version $toVersion"))
-    val kept = DataSkipping.prune(files, physicalizeCol(filter, st.tags))
+    val kept = DataSkipping.prune(files, physicalizeCol(filter, st.tags),
+      partitionTypes(st.tags))
     log.info(s"manifest table $root changes ($fromVersion, $toVersion]: data skipping " +
       s"kept ${kept.size}/${files.size} changed files for $filter")
     if (kept.isEmpty) {
@@ -2670,7 +2675,7 @@ object ManifestTable {
         case _ if m.cdf.nonEmpty => // any commit kind can carry changes
           val raw = spark.read.parquet(new Path(root, m.cdf.get._1).toString)
           Some(logicalize(raw, m.tags).withColumn(CommitVersionCol, lit(v)))
-        case _ if Set("rewrite", "meta", "rename", "drop-column",
+        case _ if Set("rewrite", "analyze", "meta", "rename", "drop-column",
                       "add-column", "evolve-spec").contains(op) =>
           None // data-identical or metadata-only
         case f: FullManifest if f.files.isEmpty =>
@@ -3139,8 +3144,20 @@ object ManifestTable {
             RenameTag - DropTag - LayoutTag - GeneratedTag - PartitionTypesTag +
             (OpTag -> "overwrite") +
             (SchemaTag -> normalizePartitionCols(dfG, physParts).schema.json)
+          // the typed-partition declaration RE-DERIVES from the incoming
+          // frame, same rule as createEmpty (a type change is a rewrite —
+          // this is the rewrite): a typed table overwritten with a typed
+          // frame stays typed (dropping the tag here would silently flip
+          // DATE/INT read-back to STRING mid-lifetime); a string-valued
+          // frame derives nothing and lands string-pinned as before
+          val typedOverwrite = dfG.schema.fields.filter(f =>
+            physParts.contains(f.name) && !genSpecs.exists(_._1 == f.name) &&
+              PartitionTypes.SafeTypes.contains(f.dataType))
           val tags = (if (physParts.isEmpty) base
                       else base + (LayoutTag -> physParts.mkString(","))) ++
+            (if (typedOverwrite.isEmpty) Map.empty
+             else Map(PartitionTypesTag ->
+               PartitionTypes.toTag(typedOverwrite.toIndexedSeq))) ++
             (if (genSpecs.isEmpty) Map.empty
              else Map(GeneratedTag -> encodeGenerated(genSpecs)))
           val manifest = restamp(proto, v) match {
@@ -3912,7 +3929,8 @@ object ManifestTable {
       s"replaceWhere on $root: the batch contains rows that do NOT satisfy " +
         s"the replace predicate — they would silently land outside the " +
         "replaced region; widen the predicate or filter the batch")
-    val touched = DataSkipping.prune(st.files, physicalizeCol(predicate, st.tags))
+    val touched = DataSkipping.prune(st.files,
+      physicalizeCol(predicate, st.tags), partitionTypes(st.tags))
     // non-matching rows of the touched files survive the replace
     val (keptEntries, keptGen) =
       if (touched.isEmpty) (Seq.empty[FileEntry], None)
@@ -4079,7 +4097,8 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val st = current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
-    val touched = DataSkipping.prune(st.files, physicalizeCol(predicate, st.tags))
+    val touched = DataSkipping.prune(st.files,
+      physicalizeCol(predicate, st.tags), partitionTypes(st.tags))
     if (touched.isEmpty) return st.version // provably nothing to do
     // matching positions among LIVE rows only: existing DVs are applied
     // before the predicate, so already-deleted positions never re-count
@@ -4127,7 +4146,8 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val st = current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
-    val touched = DataSkipping.prune(st.files, physicalizeCol(predicate, st.tags))
+    val touched = DataSkipping.prune(st.files,
+      physicalizeCol(predicate, st.tags), partitionTypes(st.tags))
     if (touched.isEmpty) return st.version
     val layouts = touched.map(_.partitionPath.split('/').toSeq
       .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
@@ -4518,7 +4538,7 @@ object ManifestTable {
       else if (keyVals.exists(_.isEmpty)) Seq.empty // no non-null tuple can match
       else DataSkipping.prune(st.files, keys.zip(keyVals).map { case (k, vs) =>
         col(physicalName(st.tags, k)).isin(vs.toIndexedSeq: _*)
-      }.reduce(_ && _))
+      }.reduce(_ && _), partitionTypes(st.tags))
     val partKeys = layoutOf(root, st)
     // a generated layout derives on the source side too: inserts land in
     // their day/bucket partition without the caller spelling it
@@ -4827,7 +4847,8 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val st = current(spark, root).getOrElse(
       sys.error(s"manifest table $root has no committed version"))
-    val touched = DataSkipping.prune(st.files, physicalizeCol(predicate, st.tags))
+    val touched = DataSkipping.prune(st.files,
+      physicalizeCol(predicate, st.tags), partitionTypes(st.tags))
     if (touched.isEmpty) return st.version // provably nothing to do
     val layouts = touched.map(_.partitionPath.split('/').toSeq
       .filter(_.nonEmpty).map(_.takeWhile(_ != '='))).distinct
@@ -5159,7 +5180,7 @@ object ManifestTable {
           s"optimize: WHERE may reference partition columns only " +
             s"(${partCols.toSeq.sorted.mkString(", ")}); got ${bad.mkString(", ")} — " +
             "scoping must select exact partitions, use compact() for a full rewrite")
-        DataSkipping.prune(st.files, phys)
+        DataSkipping.prune(st.files, phys, partitionTypes(st.tags))
     }
     val targetBytes = targetFileMB * 1024L * 1024L
     // ZORDER BY changes the contract from bin-packing to CLUSTERING the

@@ -55,9 +55,12 @@ object PartitionTypes {
       case LongType =>
         s.toLongOption.filter(_.toString == s).map(Long.box)
       case DateType =>
-        scala.util.Try(java.time.LocalDate.parse(s)).toOption
-          .filter(_.toString == s)
-          .map(d => Int.box(Math.toIntExact(d.toEpochDay)))
+        // toIntExact stays inside the Try: a canonically-rendered
+        // far-future date (epoch day past Int range) must DECLINE to
+        // the advisory path, never throw from scan planning
+        scala.util.Try(Int.box(Math.toIntExact(
+            java.time.LocalDate.parse(s).toEpochDay))).toOption
+          .filter(d => java.time.LocalDate.ofEpochDay(d.toLong).toString == s)
       case _ => None
     }
   }

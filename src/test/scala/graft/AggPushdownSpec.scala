@@ -383,15 +383,6 @@ class AggPushdownSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
 
-  private def withConf[A](kv: (String, String)*)(body: => A): A = {
-    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kv.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("typed identity-partition literals are consumed exactly: DATE/INT predicates, agg under WHERE, typed GROUP BY") {
     val n = ns()
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")
@@ -451,6 +442,19 @@ class AggPushdownSpec extends SparkSpec {
     assert(afterLeaf.contains("agg-pushdown"))
     assert(afterRows.head.getLong(0) ==
       400L - Seq.tabulate(400)(identity).count(_ % 3 == 0))
+    // INSERT OVERWRITE is a full rewrite: the typed declaration
+    // RE-DERIVES from the incoming (typed) frame — read-back must stay
+    // DATE/INT, and typed consumption must survive the overwrite
+    spark.sql(s"INSERT OVERWRITE graft_lake.$n.t SELECT * FROM agg_tsrc")
+    val schO = spark.table(s"graft_lake.$n.t").schema
+    assert(schO("day").dataType == org.apache.spark.sql.types.DateType &&
+      schO("hr").dataType == org.apache.spark.sql.types.IntegerType,
+      s"overwrite must not flip typed layout columns to string: $schO")
+    val (oRows, oLeaf) = run(s"SELECT count(*) AS n FROM graft_lake.$n.t " +
+      s"WHERE day = DATE'2026-01-02'")
+    assert(oLeaf.contains("agg-pushdown") && oLeaf.contains("complete"))
+    assert(oRows.head.getLong(0) ==
+      Seq.tabulate(400)(identity).count(_ % 3 == 1))
     spark.sql(s"DROP TABLE graft_lake.$n.t")
     spark.sql(s"DROP NAMESPACE graft_lake.$n")
   }
@@ -487,6 +491,27 @@ class AggPushdownSpec extends SparkSpec {
     assert(PartitionTypes.canonical("2026-1-2", DateType).isEmpty)
     assert(PartitionTypes.canonical("x", DateType).isEmpty)
     assert(PartitionTypes.canonical("2026-01-02", TimestampType).isEmpty)
+    // a canonically-RENDERED far-future date whose epoch day overflows
+    // Int must DECLINE (advisory path), never throw from scan planning
+    assert(PartitionTypes.canonical("+999999999-12-31", DateType).isEmpty)
+    // advisory IS NULL pruning under a typed declaration: a
+    // non-canonical directory value reads back NULL via the typed cast,
+    // so the prune must KEEP that file (no residual can resurrect a
+    // pruned file); the string-pinned read keeps only the null dir
+    locally {
+      import graft.sources.{DataSkipping, ManifestTable => MT}
+      val fNonCanon = MT.FileEntry("g1/hr=01/p0.parquet", 1L)
+      val fNullDir  = MT.FileEntry("g1/hr=__HIVE_DEFAULT_PARTITION__/p1.parquet", 1L)
+      val fCanon    = MT.FileEntry("g1/hr=1/p2.parquet", 1L)
+      val files = Seq(fNonCanon, fNullDir, fCanon)
+      val typed = Map("hr" -> (IntegerType: DataType))
+      assert(DataSkipping.prune(files, col("hr").isNull, typed)
+        .map(_.relPath) == Seq(fNonCanon.relPath, fNullDir.relPath))
+      assert(DataSkipping.prune(files, col("hr") <=> lit(null), typed)
+        .map(_.relPath) == Seq(fNonCanon.relPath, fNullDir.relPath))
+      assert(DataSkipping.prune(files, col("hr").isNull)
+        .map(_.relPath) == Seq(fNullDir.relPath))
+    }
     // a non-canonical directory value anywhere declines the NATIVE scan
     // for that column (the V1 bridge's cast semantics own the odd case)
     spark.sql(s"CREATE TABLE graft_lake.$n.c (k BIGINT, hr INT) " +

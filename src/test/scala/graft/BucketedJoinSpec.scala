@@ -16,15 +16,6 @@ import graft.sources.ManifestTable
 class BucketedJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withConf[A](kv: (String, String)*)(body: => A): A = {
-    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kv.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   private def mkTables(ns: String, buckets: Int): Unit = {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_lake.$ns")
     spark.sql(s"CREATE TABLE graft_lake.$ns.a (k BIGINT, v DOUBLE) " +

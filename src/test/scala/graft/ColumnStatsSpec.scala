@@ -12,15 +12,6 @@ import org.apache.spark.sql.functions._
 class ColumnStatsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withConf[A](kv: (String, String)*)(body: => A): A = {
-    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kv.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("CBO broadcasts a selectively-filtered fact side from manifest column stats") {
     val n = "cstat_" + java.util.UUID.randomUUID().toString.take(8)
     spark.sql(s"CREATE NAMESPACE graft_lake.$n")
@@ -234,6 +225,14 @@ class ColumnStatsSpec extends SparkSpec {
       val ndv = m.values().iterator().next().distinctCount()
       assert(ndv.isPresent && ndv.getAsLong >= 85 && ndv.getAsLong <= 110,
         s"fold must return to sketch ndv, got $ndv")
+      // incremental + CDC surfaces treat ANALYZE as data-identical: the
+      // backfill RE-ADDS every enriched file entry, and replaying those
+      // adds would re-deliver the whole analyzed slice downstream
+      assert(ManifestTable.changedFiles(spark, root, before.version, v).isEmpty,
+        "an analyze commit must contribute nothing to the incremental change set")
+      assert(ManifestTable.readChangeFeed(spark, root, before.version, v)
+        .count() == 0L,
+        "a CDC window spanning an analyze version must read zero changes")
       // idempotent: a second ANALYZE finds nothing and commits nothing
       assert(spark.sql(s"GRAFT ANALYZE graft_lake.$n.m").head().getLong(0) == v)
       // explicit ON list sketches a non-declared column too

@@ -739,23 +739,14 @@ class OperatorsSpec extends SparkSpec {
       Ann.semanticDedup(vecs, "vec_id", "embedding", cents, 0.999)
         .orderBy("vec_id")
         .as[(Long, Option[Long], Int)].collect().toSeq
-    val unsalted = withSqlConf(Ann.PairSaltRowsKey -> "0")(run())
-    val salted = withSqlConf(Ann.PairSaltRowsKey -> "16")(run())
+    val unsalted = withConf(Ann.PairSaltRowsKey -> "0")(run())
+    val salted = withConf(Ann.PairSaltRowsKey -> "16")(run())
     assert(salted == unsalted, "salted pair stage changed the drop set")
     // sanity: the skew actually exercised salting (blob cell >> cap)
     // and near-dups in the blob were dropped
     assert(unsalted.count { case (id, _, kept) => id < 120 && kept == 0 } > 100)
     // default cap leaves small corpora on the single-bucket plan
     assert(run() == unsalted)
-  }
-
-  private def withSqlConf[A](kv: (String, String)*)(body: => A): A = {
-    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kv.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
   }
 
   test("adaptiveCellCount defaults to the Θ(n^1.5) optimum (cellSize ≈ √n)") {

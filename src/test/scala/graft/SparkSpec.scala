@@ -13,4 +13,15 @@ trait SparkSpec extends AnyFunSuite {
     s
   }
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Run `body` with SQL confs set, restoring the previous values
+    * (set or unset) after — the one shared copy of the fixture. */
+  def withConf[A](kv: (String, String)*)(body: => A): A = {
+    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
