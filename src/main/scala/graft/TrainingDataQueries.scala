@@ -122,10 +122,15 @@ object TrainingDataQueries extends QueryPack {
       // oracle computes the same k from its own COUNT(*); production
       // uses Ann.trainCentroids k-means output.
       val e = embs(s, d)
-      val k = Ann.adaptiveCellCount(e.count())
+      val n = e.count()
+      val k = Ann.adaptiveCellCount(n)
+      // corpusRows rides the count adaptive-k already paid for: at or
+      // below the salt cap the pair stage proves salting is a no-op and
+      // keeps the unsalted single-bucket plan (bit-identical output;
+      // measured 1.26× overhead recovered at sf0.1 — OPTIMIZATION_r19.md)
       Ann.semanticDedup(e, "vec_id", "embedding",
         e.filter(col("vec_id") < k).select(col("vec_id"), col("embedding")),
-        threshold = 0.43, probeCells = 2)
+        threshold = 0.43, probeCells = 2, corpusRows = n)
     }),
     // similarity search ----------------------------------------------------
     "ann_topk" -> ((s, d) => {

@@ -793,9 +793,21 @@ object Ann {
   val PairSaltRowsKey = "spark.graft.ann.pairSaltRows"
   val PairSaltRowsDefault: Long = 4096L
 
+  /** `corpusRows`: optional caller-known corpus row count (< 0 = unknown).
+    * Callers that already counted the corpus — every adaptive-k caller
+    * does, [[adaptiveCellCount]] needs n — pass it so the pair stage can
+    * prove salting is a no-op: no cell can exceed the corpus, so
+    * `corpusRows <= cap` means every `_s` the window would compute is 1
+    * and the salted plan IS the unsalted join plus a per-cell count
+    * window and two AQE-exempt exchanges of pure overhead (measured
+    * 1.26× on the sf0.1 bench corpus, 2.55 → 3.22 s min-of-3
+    * interleaved). The proof is one integer compare at plan time — the
+    * skewed-corpus protection is untouched above the cap, and an
+    * unhinted call keeps the salted plan (correct at any size, just not
+    * minimal below the cap). */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, threshold: Double,
-                    probeCells: Int = 1): DataFrame = {
+                    probeCells: Int = 1, corpusRows: Long = -1L): DataFrame = {
     // coarseProbes pinned at 8 (not the recall-stable auto rule): dedup
     // recall rides pair CO-LOCATION, not per-vector agreement — a
     // near-clone's distances track its original's, so assignment errors
@@ -825,35 +837,50 @@ object Ann {
     // GREATER id either way — bit-identical to the unsalted join.
     val cap = math.max(0L, vectors.sparkSession.conf
       .get(PairSaltRowsKey, PairSaltRowsDefault.toString).toLong)
-    val sized =
-      if (cap <= 0L) cells.withColumn("_s", lit(1L))
-      else cells.withColumn("_s",
+    // the salt machinery is provably a no-op when the WHOLE corpus fits
+    // one block (no cell can exceed the corpus): take the plain
+    // single-bucket join — the exact plan the salted path degenerates
+    // to, minus the per-cell count window and the two AQE-exempt
+    // exchanges (the spec pins salted ≡ unsalted bit-for-bit, so this
+    // branch choice can never change the drop set). cap = 0 (salting
+    // disabled) takes the same plan — that IS the unsalted join.
+    val saltFree = cap <= 0L || (corpusRows >= 0L && corpusRows <= cap)
+    val drops = if (saltFree) {
+      cells.select(col("vid").as("id_a"), col("vec").as("v_a"), col("cell_id"))
+        .join(cells.select(col("vid").as("id_b"), col("vec").as("v_b"),
+          col("cell_id")), Seq("cell_id"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(cosFn(vectors, vecCol)(col("v_a"), col("v_b")) >= threshold)
+        .select(col("id_b").as("drop_id")).distinct()
+    } else {
+      val sized = cells.withColumn("_s",
         (count(lit(1)).over(Window.partitionBy(col("cell_id"))) + (cap - 1L))
           .divide(cap).cast("long"))
-    val blocked = sized.withColumn("_b", pmod(xxhash64(col("vid")), col("_s")))
-    // EXPLICIT partition count on both join sides: the pair join's
-    // shuffle INPUT is tiny (one vector row per salt replica) while its
-    // OUTPUT is quadratic per bucket — AQE's byte-based coalescing
-    // cannot see that and folds the salt buckets back into one task,
-    // re-serializing exactly the straggler the salt exists to split
-    // (measured at 1M/50× skew: coalesced-salted 718 s ≈ unsalted
-    // 840 s). A user-specified count is exempt from AQE coalescing, so
-    // the buckets keep the session's full shuffle parallelism; the join
-    // reuses this partitioning (same keys, same count — no second
-    // Exchange).
-    val nPart = vectors.sparkSession.sessionState.conf.numShufflePartitions
-    val aSide = blocked.select(col("vid").as("id_a"), col("vec").as("v_a"),
-      col("cell_id"), col("_b").as("_i"),
-      explode(sequence(col("_b"), col("_s") - 1)).as("_j"))
-      .repartition(nPart, col("cell_id"), col("_i"), col("_j"))
-    val bSide = blocked.select(col("vid").as("id_b"), col("vec").as("v_b"),
-      col("cell_id"), explode(sequence(lit(0L), col("_b"))).as("_i"),
-      col("_b").as("_j"))
-      .repartition(nPart, col("cell_id"), col("_i"), col("_j"))
-    val drops = aSide.join(bSide, Seq("cell_id", "_i", "_j"))
-      .filter(col("_i") < col("_j") || col("id_a") < col("id_b"))
-      .filter(cosFn(vectors, vecCol)(col("v_a"), col("v_b")) >= threshold)
-      .select(greatest(col("id_a"), col("id_b")).as("drop_id")).distinct()
+      val blocked = sized.withColumn("_b", pmod(xxhash64(col("vid")), col("_s")))
+      // EXPLICIT partition count on both join sides: the pair join's
+      // shuffle INPUT is tiny (one vector row per salt replica) while its
+      // OUTPUT is quadratic per bucket — AQE's byte-based coalescing
+      // cannot see that and folds the salt buckets back into one task,
+      // re-serializing exactly the straggler the salt exists to split
+      // (measured at 1M/50× skew: coalesced-salted 718 s ≈ unsalted
+      // 840 s). A user-specified count is exempt from AQE coalescing, so
+      // the buckets keep the session's full shuffle parallelism; the join
+      // reuses this partitioning (same keys, same count — no second
+      // Exchange).
+      val nPart = vectors.sparkSession.sessionState.conf.numShufflePartitions
+      val aSide = blocked.select(col("vid").as("id_a"), col("vec").as("v_a"),
+        col("cell_id"), col("_b").as("_i"),
+        explode(sequence(col("_b"), col("_s") - 1)).as("_j"))
+        .repartition(nPart, col("cell_id"), col("_i"), col("_j"))
+      val bSide = blocked.select(col("vid").as("id_b"), col("vec").as("v_b"),
+        col("cell_id"), explode(sequence(lit(0L), col("_b"))).as("_i"),
+        col("_b").as("_j"))
+        .repartition(nPart, col("cell_id"), col("_i"), col("_j"))
+      aSide.join(bSide, Seq("cell_id", "_i", "_j"))
+        .filter(col("_i") < col("_j") || col("id_a") < col("id_b"))
+        .filter(cosFn(vectors, vecCol)(col("v_a"), col("v_b")) >= threshold)
+        .select(greatest(col("id_a"), col("id_b")).as("drop_id")).distinct()
+    }
     cells.filter(col("cell_rank") === 1)
       .join(drops, col("vid") === col("drop_id"), "left")
       .select(col("vid").as("vec_id"), col("cell_id"),

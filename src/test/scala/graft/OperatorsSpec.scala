@@ -749,6 +749,36 @@ class OperatorsSpec extends SparkSpec {
     assert(run() == unsalted)
   }
 
+  test("semanticDedup corpusRows hint at/below the cap takes the unsalted plan, identical output") {
+    // the hint is a plan-time PROOF (corpus <= cap -> no cell can exceed
+    // the cap -> every _s = 1): the pair stage must skip the per-cell
+    // count window and the two explicit salt exchanges while producing
+    // the bit-identical drop set; above the cap the hint must NOT
+    // disable salting.
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array(1.0f, (i % 7) * 1e-4f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))).toDF("cell_id", "embedding")
+    def repartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+      }.size
+    val unhinted = Ann.semanticDedup(vecs, "vec_id", "embedding", cents, 0.999)
+    val hinted = Ann.semanticDedup(vecs, "vec_id", "embedding", cents, 0.999,
+      corpusRows = 50L)
+    assert(repartitions(unhinted) == 2, "unhinted: salted plan expected (2 salt exchanges)")
+    assert(repartitions(hinted) == 0, "hinted at/below cap: unsalted plan expected")
+    assert(hinted.orderBy("vec_id").collect().toSeq ==
+      unhinted.orderBy("vec_id").collect().toSeq)
+    // a corpus above the cap keeps the salted plan even when hinted
+    val big = withConf(Ann.PairSaltRowsKey -> "16") {
+      repartitions(Ann.semanticDedup(vecs, "vec_id", "embedding", cents, 0.999,
+        corpusRows = 50L))
+    }
+    assert(big == 2, "hint above the cap must keep the salted plan")
+  }
+
   test("adaptiveCellCount defaults to the Θ(n^1.5) optimum (cellSize ≈ √n)") {
     // auto mode: cellSize = ⌈√n⌉, k = ⌈n/cellSize⌉ ≈ √n — BOTH stages
     // (n·k assignment, n·cellSize pair scan) grow as n^1.5. A fixed
