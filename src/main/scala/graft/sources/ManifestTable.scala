@@ -1084,24 +1084,50 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(new Path(root, gen))
     val it = fs.listFiles(qualified, true)
-    val entries = Seq.newBuilder[FileEntry]
+    val listed = Seq.newBuilder[(Path, String, Long)]
     while (it.hasNext) {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) {
         val rel = f.getPath.toUri.getPath.stripPrefix(qualified.toUri.getPath)
           .stripPrefix("/")
-        val (stats, nRows) =
-          try DataSkipping.footerInfo(fs.getConf, f.getPath)
-          catch {
-            case scala.util.control.NonFatal(e) =>
-              log.warn(s"manifest table $root: could not read footer stats for " +
-                s"$gen/$rel (${e.getClass.getSimpleName}) — file committed without stats")
-              (Map.empty[String, ColStats], -1L)
-          }
-        entries += FileEntry(s"$gen/$rel", f.getLen, stats, None, nRows)
+        listed += ((f.getPath, rel, f.getLen))
       }
     }
-    attachNdvSketches(spark, root, gen, entries.result(), tags)
+    // footer reads run on a bounded driver pool, results in listing
+    // order (the manifest's byte layout stays deterministic): each read
+    // is an independent ~5-10 ms metadata fetch, and a partitioned
+    // commit lands one file per partition — a 120-dir day×bucket INSERT
+    // paid 0.92 s of SEQUENTIAL footer reads at sf0.1 (r19 measurement),
+    // and a production commit of thousands of files would pay tens of
+    // seconds of driver wall for what is embarrassingly parallel I/O.
+    // Failures degrade per-file to a stats-less entry, exactly as before.
+    val files = listed.result()
+    def entryOf(p: Path, rel: String, len: Long): FileEntry = {
+      val (stats, nRows) =
+        try DataSkipping.footerInfo(fs.getConf, p)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"manifest table $root: could not read footer stats for " +
+              s"$gen/$rel (${e.getClass.getSimpleName}) — file committed without stats")
+            (Map.empty[String, ColStats], -1L)
+        }
+      FileEntry(s"$gen/$rel", len, stats, None, nRows)
+    }
+    val entries =
+      if (files.size <= 1) files.map((entryOf _).tupled)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, files.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(files.map { case (p, rel, len) =>
+            new java.util.concurrent.Callable[FileEntry] {
+              def call(): FileEntry = entryOf(p, rel, len)
+            }
+          }.asJava).asScala.map(_.get()).toSeq
+        } finally pool.shutdown()
+      }
+    attachNdvSketches(spark, root, gen, entries, tags)
   }
 
   /** Per-file HLL sketches for the [[NdvColsProp]] columns of a
@@ -1382,10 +1408,24 @@ object ManifestTable {
     * its other threads — keeps its own posture (INT96 by default, which
     * the driver's comparator requires session-wide). The clone shares
     * the SparkContext and catalog, so this is conf isolation only, not a
-    * second cluster footprint. */
+    * second cluster footprint.
+    *
+    * The clone also floors AQE's coalesce minimum at 64 KB (session
+    * default 1 MB) for the generation write only: an optimized
+    * (rebalance-shaped) write of a small batch into a many-dir layout
+    * otherwise coalesces to ONE post-shuffle task that writes every
+    * partition dir SERIALLY — ~35 ms of parquet writer open/close per
+    * file, measured 4.5 s of a 120-dir identity-layout INSERT whose
+    * rows total 770 KB (r19). With the floor lowered the same batch
+    * keeps ~12 write tasks (parallelismFirst coalescing targets core
+    * count, floored per partition at 64 KB); LARGE batches are
+    * unaffected — their post-shuffle partitions sit far above either
+    * floor, so advisory sizing decides exactly as before. */
   private def withMicrosTimestamps(df: DataFrame): DataFrame = {
     val iso = org.apache.spark.sql.graftshim.SessionIsolation.sessionWithConf(
-      df.sparkSession, "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+      df.sparkSession,
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k")
     org.apache.spark.sql.graftshim.SessionIsolation.rebind(df, iso)
   }
 
@@ -2944,15 +2984,19 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     if (hasCommittedVersion(fs, root))
       throw new ConcurrentCommitException(root, 1L)
-    // a GENERATED layout defaults to OPTIMIZED WRITES (caller may still
-    // set 'write.optimized' = 'false'): a derived day/bucket/truncate
-    // column spreads EVERY batch across MANY dirs, so a T-task ingest
-    // would land T × P file splinters per commit — the k33/k35 decade
-    // measurements both traced their superlinear ratios to exactly this
-    // — and the storage-partitioned join reads each bucket as ONE
-    // unsplit partition, so splinter debt directly serializes it
+    // ANY partitioned layout defaults to OPTIMIZED WRITES (caller may
+    // still set 'write.optimized' = 'false'): a layout column spreads
+    // EVERY batch across MANY dirs, so a T-task ingest lands T × P file
+    // splinters per commit — the k33/k35 decade measurements traced
+    // their superlinear ratios to exactly this for generated columns,
+    // and identity layouts fail the same way from the other end (r19: a
+    // 1-task INSERT into a 120-dir day×bucket layout serialized 120
+    // tiny file writes in that one task, 6.9 s for 770 KB of rows;
+    // rebalance-by-layout made it a parallel one-file-per-dir write).
+    // The storage-partitioned join reads each bucket as ONE unsplit
+    // partition, so splinter debt also directly serializes it.
     val bucketDefault =
-      if (genSpecs.nonEmpty && !tags.contains(OptimizedWriteProp))
+      if (physParts.nonEmpty && !tags.contains(OptimizedWriteProp))
         Map(OptimizedWriteProp -> "true")
       else Map.empty[String, String]
     val allTags = tags ++ bucketDefault ++

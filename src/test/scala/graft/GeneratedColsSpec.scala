@@ -154,6 +154,17 @@ class GeneratedColsSpec extends SparkSpec {
     ManifestTable.append(spark, wide, root3)
     assert(ManifestTable.current(spark, root3).get.files.size > 8,
       "explicit opt-out restores unshaped writes")
+    // IDENTITY layouts default to optimized writes too (r19): the
+    // splinter algebra is the same T × P whether the dir value is
+    // derived or copied from a data column — a 1-task INSERT into a
+    // 120-dir identity layout serialized 120 tiny file writes
+    val root4 = tmp() + "/w"
+    val ident = wide.withColumn("day", expr("CAST(ts AS DATE)"))
+    ManifestTable.createEmpty(spark, root4, ident.schema,
+      partitionCols = Seq("day"))
+    ManifestTable.append(spark, ident, root4)
+    assert(ManifestTable.current(spark, root4).get.files.size == 2,
+      "an identity layout must default to optimized writes")
   }
 
   test("auto-compact: drip appends self-pack once a partition crowds") {
