@@ -1380,10 +1380,10 @@ object ManifestTable {
       : (String, Seq[FileEntry]) = {
     val gen = s"gen-${java.util.UUID.randomUUID().toString.take(12)}"
     val genPath = new Path(root, gen)
+    val optimized = partitionCols.nonEmpty &&
+      tags.get(OptimizedWriteProp).exists(_.equalsIgnoreCase("true"))
     val shaped =
-      if (partitionCols.nonEmpty &&
-          tags.get(OptimizedWriteProp).exists(_.equalsIgnoreCase("true")))
-        df.hint("rebalance", partitionCols.map(col): _*)
+      if (optimized) df.hint("rebalance", partitionCols.map(col): _*)
       else df
     // logical → physical names: every generation of a table shares one
     // physical schema, however many renames sit between them
@@ -1395,7 +1395,7 @@ object ManifestTable {
       s"column(s) ${clash.toSeq.sorted.mkString(", ")} were DROPped from this " +
         "table and old files still physically carry the name — re-introducing " +
         "it is a rewrite (write()), not additive evolution")
-    val micros = withMicrosTimestamps(phys)
+    val micros = withMicrosTimestamps(phys, lowCoalesceFloor = optimized)
     val w = micros.write.mode(SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(genPath.toString)
@@ -1410,22 +1410,31 @@ object ManifestTable {
     * the SparkContext and catalog, so this is conf isolation only, not a
     * second cluster footprint.
     *
-    * The clone also floors AQE's coalesce minimum at 64 KB (session
-    * default 1 MB) for the generation write only: an optimized
-    * (rebalance-shaped) write of a small batch into a many-dir layout
-    * otherwise coalesces to ONE post-shuffle task that writes every
-    * partition dir SERIALLY — ~35 ms of parquet writer open/close per
-    * file, measured 4.5 s of a 120-dir identity-layout INSERT whose
-    * rows total 770 KB (r19). With the floor lowered the same batch
-    * keeps ~12 write tasks (parallelismFirst coalescing targets core
-    * count, floored per partition at 64 KB); LARGE batches are
-    * unaffected — their post-shuffle partitions sit far above either
-    * floor, so advisory sizing decides exactly as before. */
-  private def withMicrosTimestamps(df: DataFrame): DataFrame = {
+    * `lowCoalesceFloor` (set ONLY for optimized, rebalance-shaped
+    * writes) additionally floors AQE's coalesce minimum at 64 KB
+    * (session default 1 MB): an optimized write of a small batch into a
+    * many-dir layout otherwise coalesces to ONE post-shuffle task that
+    * writes every partition dir SERIALLY — ~35 ms of parquet writer
+    * open/close per file, measured 4.5 s of a 120-dir identity-layout
+    * INSERT whose rows total 770 KB (r19). With the floor lowered the
+    * same batch keeps ~12 write tasks (parallelismFirst coalescing
+    * targets core count, floored per partition at 64 KB); LARGE batches
+    * are unaffected — their post-shuffle partitions sit far above
+    * either floor, so advisory sizing decides exactly as before. The
+    * floor is NOT applied to unshaped writes: there the plan's upstream
+    * shuffles (a merge's joins/windows) feed the writer directly, and a
+    * lower floor multiplies WRITE TASKS — i.e. output files — instead
+    * of parallelizing a per-dir fan-out (measured: k12's upsert-merge
+    * lifecycle read 1.5× slower with the floor applied unshaped). */
+  private def withMicrosTimestamps(df: DataFrame,
+                                   lowCoalesceFloor: Boolean = false): DataFrame = {
+    val confs = Seq(
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") ++
+      (if (lowCoalesceFloor)
+        Seq("spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k")
+      else Nil)
     val iso = org.apache.spark.sql.graftshim.SessionIsolation.sessionWithConf(
-      df.sparkSession,
-      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k")
+      df.sparkSession, confs: _*)
     org.apache.spark.sql.graftshim.SessionIsolation.rebind(df, iso)
   }
 
