@@ -1116,19 +1116,40 @@ object ManifestTable {
     val entries =
       if (files.size <= 1) files.map((entryOf _).tupled)
       else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, files.size))
-        try {
-          import scala.jdk.CollectionConverters._
-          pool.invokeAll(files.map { case (p, rel, len) =>
-            new java.util.concurrent.Callable[FileEntry] {
-              def call(): FileEntry = entryOf(p, rel, len)
-            }
-          }.asJava).asScala.map(_.get()).toSeq
-        } finally pool.shutdown()
+        import scala.jdk.CollectionConverters._
+        footerPool.invokeAll(files.map { case (p, rel, len) =>
+          new java.util.concurrent.Callable[FileEntry] {
+            def call(): FileEntry = entryOf(p, rel, len)
+          }
+        }.asJava).asScala.map { f =>
+          // surface the ORIGINAL fatal error (entryOf already degrades
+          // every NonFatal to a stats-less entry), not the
+          // ExecutionException wrapper
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException
+              if e.getCause != null => throw e.getCause
+          }
+        }.toSeq
       }
     attachNdvSketches(spark, root, gen, entries, tags)
   }
+
+  /** Shared driver pool for commit-time footer reads — session-lifetime
+    * daemon threads (a per-commit pool would churn thread creation on
+    * the hottest metadata path, e.g. a streaming sink's micro-batch
+    * commits). 16 is plenty: each task is a ~5-10 ms local metadata
+    * fetch and the pool exists to overlap I/O latency, not compute. */
+  private lazy val footerPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(16,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-footer-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
 
   /** Per-file HLL sketches for the [[NdvColsProp]] columns of a
     * just-written generation, attached onto entries that already carry
@@ -3156,12 +3177,23 @@ object ManifestTable {
     }
     val priorTags = current(spark, root).map(_.tags)
     priorTags.foreach(gate)
+    // optimized-write posture of the overwrite: an EXPLICIT prior choice
+    // carries; otherwise a partitioned layout defaults true — the same
+    // rule as createEmpty, so a write()-created (CTAS-shaped) table gets
+    // the splinter protection the createEmpty path gets (r19 review
+    // finding: the default was seeded only by createEmpty, leaving the
+    // measured 1-task × P-dirs pathology live on this creation path)
+    val optimizedTag = priorTags.flatMap(_.get(OptimizedWriteProp)) match {
+      case Some(v)                      => Map(OptimizedWriteProp -> v)
+      case None if physParts.nonEmpty   => Map(OptimizedWriteProp -> "true")
+      case None                         => Map.empty[String, String]
+    }
     val (gen, entries) =
       writeGeneration(normalizePartitionCols(dfG, physParts), root, physParts,
         // ONLY the optimized-write switch carries into an overwrite's
         // generation write: the full prior tag map would physicalize
         // the NEW frame under the OLD (dying) rename mappings
-        priorTags.getOrElse(Map.empty).filter(_._1 == OptimizedWriteProp))
+        optimizedTag)
     val (proto, sidecar) = mkSnapshot(spark, root, 1L, entries, Map.empty)
     var committed = false
     try {
@@ -3208,6 +3240,7 @@ object ManifestTable {
               PartitionTypes.SafeTypes.contains(f.dataType))
           val tags = (if (physParts.isEmpty) base
                       else base + (LayoutTag -> physParts.mkString(","))) ++
+            optimizedTag ++
             (if (typedOverwrite.isEmpty) Map.empty
              else Map(PartitionTypesTag ->
                PartitionTypes.toTag(typedOverwrite.toIndexedSeq))) ++
@@ -3363,9 +3396,20 @@ object ManifestTable {
       if (hasCommittedVersion(fs, root))
         throw new ConcurrentCommitException(root, 1L)
       val seeded = normalizePartitionCols(batch, partitionCols)
-      val (gen, entries) = writeGeneration(seeded, root, partitionCols)
+      // a partitioned v1 bootstrap (streaming-sink seed) defaults to
+      // optimized writes, same rule as createEmpty/write() — without it
+      // this creation path alone kept the T×P splinter pathology
+      val seedTags =
+        if (partitionCols.nonEmpty && !tags.contains(OptimizedWriteProp))
+          tags + (OptimizedWriteProp -> "true")
+        else tags
+      // ONLY the optimized-write switch reaches the generation write
+      // (same rule as write(): caller tags must not physicalize the
+      // seed frame); the full seedTags land in the committed manifest
+      val (gen, entries) = writeGeneration(seeded, root, partitionCols,
+        seedTags.filter(_._1 == OptimizedWriteProp))
       val (m1, sidecar1) = mkSnapshot(spark, root, 1L, entries,
-        tags + (OpTag -> "append"))
+        seedTags + (OpTag -> "append"))
       if (!claimOrRecover(fs, root, m1, graceMs)) {
         fs.delete(new Path(root, gen), true)
         sidecar1.foreach(fs.delete(_, true))

@@ -19,7 +19,9 @@ object K45Files {
     val t0 = System.nanoTime()
     s.sql(s"INSERT INTO graft_lake.$ns.e SELECT * FROM k45f_src")
     println(f"insert: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    val root = new java.io.File(s"/tmp/graft_warehouse/$ns/e")
+    val wh = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse"
+    val root = new java.io.File(s"$wh/$ns/e")
+    require(root.isDirectory, s"warehouse table dir not found: $root")
     val files = new scala.collection.mutable.ArrayBuffer[java.io.File]
     def walk(f: java.io.File): Unit =
       if (f.isDirectory) f.listFiles.foreach(walk)

@@ -724,9 +724,15 @@ class ManifestTableSpec extends SparkSpec {
 
   test("compact shrinks the file list, preserves rows, bumps version") {
     val root = tmp() + "/t"
-    // fragmented seed: 4 files per partition, then tiny upsert generations
+    // fragmented seed: 4 files per partition, then tiny upsert generations.
+    // Fragmentation IS the fixture, so the table opts out of the r19
+    // optimized-write default (which would coalesce the seed to one file
+    // per date and leave compact nothing to shrink).
     val seed = (1 to 40).map(i => (s"2026-01-0${i % 3 + 1}", i.toLong, i.toDouble))
       .toDF("date", "key", "v").repartition(4)
+    ManifestTable.createEmpty(spark, root, seed.schema,
+      partitionCols = Seq("date"),
+      tags = Map(ManifestTable.OptimizedWriteProp -> "false"))
     ManifestTable.write(seed, root, Seq("date"))
     // upserts pinned to ONE date: the other two partitions keep their
     // fragmented seed files (carried by reference) until compaction
