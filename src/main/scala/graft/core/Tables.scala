@@ -16,9 +16,41 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(session, file) schema memo: the testdata files are immutable,
+    * yet `spark.read.parquet` re-infers the schema — a footer-reading
+    * Spark job plus a hadoop-conf broadcast — on EVERY DataFrame
+    * construction, and the bench re-invokes each query builder per rep
+    * (~20-60 ms × tables × queries × reps of pure metadata re-derivation,
+    * measured r20). A hit passes the memoized schema explicitly, which
+    * skips inference entirely; only schema METADATA is cached — every
+    * action still scans the parquet bytes. Keyed per session: inference
+    * depends on session confs (nanosAsLong), and two differently-
+    * configured sessions in one JVM must not share entries. */
+  private val schemaMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]]()
+
+  private def readMemo(spark: SparkSession, path: String): DataFrame = {
+    val memo = schemaMemo.synchronized {
+      var m = schemaMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+        schemaMemo.put(spark, m)
+      }
+      m
+    }
+    val cached = memo.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      memo.put(path, df.schema)
+      df
+    }
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+    else normalizeNtz(readMemo(spark, s"$dir/$name.parquet"))
 
   /** Driver-generated parquet writes TIMESTAMP(MICROS) without the
     * isAdjustedToUTC flag, which Spark 4 surfaces as TIMESTAMP_NTZ — but the
@@ -47,7 +79,7 @@ object Tables {
     *     through. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = readMemo(spark, s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _        => normalizeNtz(raw)

@@ -843,12 +843,28 @@ object Ann {
     // to, minus the per-cell count window and the two AQE-exempt
     // exchanges (the spec pins salted ≡ unsalted bit-for-bit, so this
     // branch choice can never change the drop set). cap = 0 (salting
-    // disabled) takes the same plan — that IS the unsalted join.
-    val saltFree = cap <= 0L || (corpusRows >= 0L && corpusRows <= cap)
-    val drops = if (saltFree) {
-      cells.select(col("vid").as("id_a"), col("vec").as("v_a"), col("cell_id"))
-        .join(cells.select(col("vid").as("id_b"), col("vec").as("v_b"),
-          col("cell_id")), Seq("cell_id"))
+    // disabled) also takes the unsalted join, but NOT the bare plan:
+    // with no proof the corpus is small, the pair join's quadratic
+    // OUTPUT hides behind a tiny shuffle INPUT, and AQE's byte-based
+    // coalescing would fold the per-cell buckets into one straggler
+    // task (the same pathology the salted branch's explicit repartition
+    // defuses, measured 718 s vs 840 s at 1M/50× skew) — so the
+    // explicitly-disabled path keeps an AQE-exempt repartition on
+    // cell_id, preserving per-cell parallelism (r19 ADVICE).
+    val provenSmall = corpusRows >= 0L && cap > 0L && corpusRows <= cap
+    val drops = if (provenSmall || cap <= 0L) {
+      val aSide0 = cells.select(col("vid").as("id_a"), col("vec").as("v_a"),
+        col("cell_id"))
+      val bSide0 = cells.select(col("vid").as("id_b"), col("vec").as("v_b"),
+        col("cell_id"))
+      val (aSide, bSide) =
+        if (provenSmall) (aSide0, bSide0)
+        else {
+          val nPart = vectors.sparkSession.sessionState.conf.numShufflePartitions
+          (aSide0.repartition(nPart, col("cell_id")),
+            bSide0.repartition(nPart, col("cell_id")))
+        }
+      aSide.join(bSide, Seq("cell_id"))
         .filter(col("id_a") < col("id_b"))
         .filter(cosFn(vectors, vecCol)(col("v_a"), col("v_b")) >= threshold)
         .select(col("id_b").as("drop_id")).distinct()

@@ -1078,15 +1078,43 @@ object ManifestTable {
     * for the named columns (one distributed read of the new files).
     * Footer-read failures degrade to an entry without stats — stats
     * are advisory, never load-bearing for correctness. */
+  /** Recursive leaf-file listing that never loads permissions on a LOCAL
+    * filesystem. `FileSystem.listFiles(dir, recursive = true)` has to
+    * materialize [[org.apache.hadoop.fs.LocatedFileStatus]]es, whose
+    * constructor calls `getPermission` — and RawLocalFileSystem resolves
+    * that by FORKING `ls -ld` per file (loadPermissionInfoByNonNativeIO;
+    * libhadoop is absent in a plain JVM), ~5-10 ms of driver wall per
+    * listed file on the hottest metadata path (every commit lists its
+    * generation; measured via stack sampling, r20). A `listStatus` walk
+    * keeps the statuses lazy — path/length/isDirectory never touch
+    * permissions. Remote stores (HDFS/S3A) keep `listFiles`: their
+    * statuses carry permissions for free and the recursive form is the
+    * batched-RPC fast path there.
+    */
+  private[sources] def listLeafFiles(fs: FileSystem, dir: Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    if (local) {
+      def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath) else out += st
+      }
+      walk(dir)
+    } else {
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) out += it.next()
+    }
+    out.result()
+  }
+
   private def listGeneration(spark: SparkSession, root: String, gen: String,
                              tags: Map[String, String] = Map.empty)
       : Seq[FileEntry] = {
     val fs = fsOf(spark, root)
     val qualified = fs.makeQualified(new Path(root, gen))
-    val it = fs.listFiles(qualified, true)
     val listed = Seq.newBuilder[(Path, String, Long)]
-    while (it.hasNext) {
-      val f = it.next()
+    listLeafFiles(fs, qualified).foreach { f =>
       if (f.getPath.getName.endsWith(".parquet")) {
         val rel = f.getPath.toUri.getPath.stripPrefix(qualified.toUri.getPath)
           .stripPrefix("/")
@@ -1165,9 +1193,11 @@ object ManifestTable {
     val inv = renameMap(tags).map(_.swap)
     val physCols = logical.map(c => inv.getOrElse(c, c))
     try {
-      val base = new Path(root, gen).toString
-      val df = spark.read.option("basePath", base)
-        .parquet(entries.map(e => new Path(root, e.relPath).toString): _*)
+      // through genFrame: the just-committed generation's schema seeds
+      // the memo here, so the table's FIRST post-commit read already
+      // skips its inference job (and this read skips it on a re-sketch)
+      val df = genFrame(spark, root, gen,
+        entries.map(e => new Path(root, e.relPath).toString))
       val present = physCols.filter(df.columns.contains)
         .filter(c => entries.exists(_.stats.contains(c)))
       if (present.isEmpty) return entries
@@ -1283,8 +1313,8 @@ object ManifestTable {
         // against their SOURCE root), the same distributed sketch pass
         // a commit runs — just over old bytes instead of fresh ones
         val base = dirBase(spark, root, sources, gen)
-        val df = spark.read.option("basePath", new Path(base, gen).toString)
-          .parquet(fs.map(f => new Path(base, f.relPath).toString): _*)
+        val df = genFrame(spark, base, gen,
+          fs.map(f => new Path(base, f.relPath).toString))
         val present = physCols.filter(df.columns.contains)
           .filter(c => fs.exists(_.stats.get(c).exists(_.ndv.isEmpty)))
         if (present.isEmpty) Nil
@@ -1779,7 +1809,7 @@ object ManifestTable {
       probes.map { case (c, vs) => c -> vs.collect { case s: String => s }.toArray }.toMap
     val bcProbes = spark.sparkContext.broadcast((longProbes, strProbes))
     val rowEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.BINARY)
-    val excluded: Set[String] = spark.read.parquet(idxPath)
+    val excluded: Set[String] = dirFrame(spark, idxPath)
       .filter(col("column").isin(probes.map(_._1): _*))
       .select(col("column"), col("relPath"), col("bloom"))
       .as[(String, String, Array[Byte])](rowEnc)
@@ -2743,7 +2773,7 @@ object ManifestTable {
       val op = m.tags.getOrElse(OpTag, "")
       m match {
         case _ if m.cdf.nonEmpty => // any commit kind can carry changes
-          val raw = spark.read.parquet(new Path(root, m.cdf.get._1).toString)
+          val raw = dirFrame(spark, new Path(root, m.cdf.get._1).toString)
           Some(logicalize(raw, m.tags).withColumn(CommitVersionCol, lit(v)))
         case _ if Set("rewrite", "analyze", "meta", "rename", "drop-column",
                       "add-column", "evolve-spec").contains(op) =>
@@ -2848,7 +2878,7 @@ object ManifestTable {
                       tags: Map[String, String]): DataFrame = {
     val sources = cloneSources(tags)
     dvd.groupBy(_.dv.get.dir).toSeq.sortBy(_._1).map { case (dir, fs) =>
-      spark.read.parquet(new Path(dirBase(spark, root, sources, dir), dir).toString)
+      dirFrame(spark, new Path(dirBase(spark, root, sources, dir), dir).toString)
         .filter(col("relPath").isin(fs.map(_.relPath): _*))
         .select(col("relPath").as(DvRelCol), col("pos").as(DvPosCol))
     }.reduce(_.unionByName(_))
@@ -2897,39 +2927,28 @@ object ManifestTable {
     // each other mid-plan. Non-manifest reads on OTHER threads can still
     // observe the toggled conf for the lock's duration — driver-side
     // planning only, milliseconds.
-    inferenceLock.synchronized {
-      val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-      val prev = spark.conf.getOption(key)
-      try {
-        spark.conf.set(key, "false")
-        files.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-          .map { case (gen, fs) =>
-            // a shallow clone's inherited generations live under a
-            // SOURCE root; everything written since lives locally —
-            // resolve per generation (no-op for ordinary tables)
-            val base = dirBase(spark, root, sources, gen)
-            val df = spark.read
-              .option("basePath", new Path(base, gen).toString)
-              .parquet(fs.map(f => new Path(base, f.relPath).toString): _*)
-            if (!withPositions) df
-            else {
-              // file_path is the reader's fully-qualified URI; the
-              // manifest speaks root-relative paths — strip the
-              // qualified BASE root prefix + '/' (substring is 1-based),
-              // so a clone's inherited files keep their manifest paths
-              val qualBase = fsOf(spark, base).makeQualified(new Path(base)).toString
-              df.select(col("*"),
-                expr(s"substring(_metadata.file_path, ${qualBase.length + 2})")
-                  .as(DvRelCol),
-                col("_metadata.row_index").as(DvPosCol))
-            }
-          }
-          .reduce(_.unionByName(_, allowMissingColumns = true))
-      } finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
+    files.groupBy(_.relPath.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .map { case (gen, fs) =>
+        // a shallow clone's inherited generations live under a
+        // SOURCE root; everything written since lives locally —
+        // resolve per generation (no-op for ordinary tables)
+        val base = dirBase(spark, root, sources, gen)
+        val df = genFrame(spark, base, gen,
+          fs.map(f => new Path(base, f.relPath).toString))
+        if (!withPositions) df
+        else {
+          // file_path is the reader's fully-qualified URI; the
+          // manifest speaks root-relative paths — strip the
+          // qualified BASE root prefix + '/' (substring is 1-based),
+          // so a clone's inherited files keep their manifest paths
+          val qualBase = fsOf(spark, base).makeQualified(new Path(base)).toString
+          df.select(col("*"),
+            expr(s"substring(_metadata.file_path, ${qualBase.length + 2})")
+              .as(DvRelCol),
+            col("_metadata.row_index").as(DvPosCol))
+        }
       }
-    }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   } match {
     // typed identity-partition columns read back in their DECLARED type
     // (the one read-side cast of the typed-partition contract — values
@@ -2940,6 +2959,99 @@ object ManifestTable {
   }
 
   private val inferenceLock = new Object
+
+  /** Per-(session, generation-dir) memo of the scan schema. A generation
+    * is IMMUTABLE once committed (written `ErrorIfExists` under a fresh
+    * UUID dir, never appended to), and every file in it shares the one
+    * schema of the write that produced it — so its inferred read schema
+    * is a constant, while Spark re-infers it with a footer-reading Spark
+    * JOB on EVERY DataFrame construction (~0.12-0.2 s + one hadoop-conf
+    * broadcast per generation per read at sf0.1; a lifecycle query
+    * constructs reads dozens of times — measured r20, ReadProbe). The
+    * memo is keyed per SparkSession (schema inference depends on session
+    * confs like timestamp inference; the sessions this engine builds pin
+    * them, but two differently-configured sessions in one JVM must not
+    * share entries) and holds the FULL constructed frame schema —
+    * data columns plus string-pinned partition columns — so a hit passes
+    * it as the user-specified schema: no inference job, and partition
+    * column types are pinned by the schema itself (the inference-off
+    * conf toggle only governs columns ABSENT from a user schema, so hits
+    * skip [[inferenceLock]] too). Subset reads (file pruning) are safe:
+    * any non-empty subset of a generation yields the same schema —
+    * one write, one schema, one directory layout. */
+  private val genSchemaMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]]()
+
+  private def schemaMemoFor(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType] =
+    genSchemaMemo.synchronized {
+      var m = genSchemaMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+        genSchemaMemo.put(spark, m)
+      }
+      m
+    }
+
+  /** A flat immutable dataset dir (dv-/cdf-/bloomidx-; no hive
+    * subdirs, written once under a UUID name) read with its schema
+    * memoized — same contract as [[genFrame]] minus basePath/partition
+    * concerns. */
+  private def dirFrame(spark: SparkSession, dir: String): DataFrame = {
+    val memo = schemaMemoFor(spark)
+    val cached = memo.get(dir)
+    if (cached != null) spark.read.schema(cached).parquet(dir)
+    else {
+      val df = spark.read.parquet(dir)
+      if (memo.size >= 8192) memo.clear()
+      memo.put(dir, df.schema)
+      df
+    }
+  }
+
+  /** One generation's DataFrame: memoized schema when available (no
+    * inference job), else an inference-off construction that seeds the
+    * memo. `paths` may be any non-empty subset of the generation's files. */
+  private def genFrame(spark: SparkSession, base: String, gen: String,
+                       paths: Seq[String]): DataFrame = {
+    val genDir = new Path(base, gen).toString
+    val memo = schemaMemoFor(spark)
+    val cached = memo.get(genDir)
+    if (cached != null)
+      return spark.read.option("basePath", genDir).schema(cached)
+        .parquet(paths: _*)
+    // partition columns are pinned to STRING (no type inference): the
+    // carry-forward filter and compaction both assume a partition value
+    // re-spells identically when rewritten ("same writer produced both
+    // sides"). Inference breaks that — a k=01 dir reads back as int 1 and
+    // rewrites as k=1, silently duplicating the partition next to its
+    // carried files. String pinning makes the round-trip exact. Schema
+    // resolution is EAGER (the conf is read while the frame is
+    // constructed here), and the set/restore is serialized by a
+    // process-wide lock: two concurrent manifest reads (e.g. racing
+    // upsert writers) would otherwise restore the conf out from under
+    // each other mid-plan. Non-manifest reads on OTHER threads can still
+    // observe the toggled conf for the lock's duration — driver-side
+    // planning only, milliseconds.
+    inferenceLock.synchronized {
+      val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prev = spark.conf.getOption(key)
+      try {
+        spark.conf.set(key, "false")
+        val df = spark.read.option("basePath", genDir).parquet(paths: _*)
+        // bound the memo (a long-lived session touching millions of
+        // generations must not hold them all); entries are tiny, the cap
+        // generous, and eviction-by-clear keeps the structure trivial
+        if (memo.size >= 8192) memo.clear()
+        memo.put(genDir, df.schema)
+        df
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 
   /** Blind full-table (over)write — the manifest analogue of
     * `SaveMode.Overwrite`. No read dependency, so a lost claim just
@@ -3238,9 +3350,22 @@ object ManifestTable {
           val typedOverwrite = dfG.schema.fields.filter(f =>
             physParts.contains(f.name) && !genSpecs.exists(_._1 == f.name) &&
               PartitionTypes.SafeTypes.contains(f.dataType))
+          // the optimized-write posture RE-DERIVES from the retry's fresh
+          // tags: a concurrent commit flipping write.optimized between the
+          // initial read (which legitimately shaped THIS generation's
+          // write) and a retried claim must not be reverted by stamping
+          // the stale pre-race value — the committed tag governs FUTURE
+          // writes and follows the race, like the constraint re-gate
+          // above (r19 ADVICE)
+          val optimizedTagNow = prev.map(_.tags).getOrElse(Map.empty)
+            .get(OptimizedWriteProp) match {
+            case Some(v)                    => Map(OptimizedWriteProp -> v)
+            case None if physParts.nonEmpty => Map(OptimizedWriteProp -> "true")
+            case None                       => Map.empty[String, String]
+          }
           val tags = (if (physParts.isEmpty) base
                       else base + (LayoutTag -> physParts.mkString(","))) ++
-            optimizedTag ++
+            optimizedTagNow ++
             (if (typedOverwrite.isEmpty) Map.empty
              else Map(PartitionTypesTag ->
                PartitionTypes.toTag(typedOverwrite.toIndexedSeq))) ++
@@ -4341,8 +4466,9 @@ object ManifestTable {
     val dvPath = new Path(root, dvDir)
     allRows.sortWithinPartitions("relPath", "pos")
       .write.mode(SaveMode.ErrorIfExists).parquet(dvPath.toString)
-    // per-file totals from the dataset itself (bounded by touched size)
-    val totals: Map[String, Long] = spark.read.parquet(dvPath.toString)
+    // per-file totals from the dataset itself (bounded by touched size);
+    // dirFrame seeds the schema memo for every later loadDvs of this dir
+    val totals: Map[String, Long] = dirFrame(spark, dvPath.toString)
       .groupBy("relPath").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val priorCount: Map[String, Long] =
@@ -5615,15 +5741,11 @@ object ManifestTable {
       d -> (try {
         val base = dirBase(spark, root, sources, d)
         val fs = fsOf(spark, base)
-        // recursive: hive-partitioned generations nest k=v dirs
-        val it = fs.listFiles(new Path(base, d), true)
-        val m = scala.collection.mutable.Map[String, Long]()
         val qualBase = fs.makeQualified(new Path(base)).toString
-        while (it.hasNext) {
-          val f = it.next()
-          m += f.getPath.toString.stripPrefix(qualBase + "/") -> f.getLen
-        }
-        Some(m.toMap)
+        // recursive: hive-partitioned generations nest k=v dirs
+        // (permission-lazy walk on local fs — see [[listLeafFiles]])
+        Some(listLeafFiles(fs, new Path(base, d)).map(f =>
+          f.getPath.toString.stripPrefix(qualBase + "/") -> f.getLen).toMap)
       } catch {
         case _: java.io.FileNotFoundException => Some(Map.empty[String, Long])
         case scala.util.control.NonFatal(_)   => None

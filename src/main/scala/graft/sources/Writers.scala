@@ -215,11 +215,8 @@ object Writers {
     val (bytes, nFiles, keys) = scanParquetDir(fs, fs.makeQualified(p))
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     sizedRewrite(spark, spark.read.parquet(path), bytes, keys, targetFileMB, tmp.toString)
-    val outFiles = fs.listFiles(tmp, true)
-    var out = 0
-    while (outFiles.hasNext) {
-      if (outFiles.next().getPath.getName.endsWith(".parquet")) out += 1
-    }
+    val out = ManifestTable.listLeafFiles(fs, tmp)
+      .count(_.getPath.getName.endsWith(".parquet"))
     val bak = new org.apache.hadoop.fs.Path(path + "__compact_bak")
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(p, bak)) sys.error(s"compact: could not move $path aside")
@@ -238,12 +235,10 @@ object Writers {
   private[sources] def scanParquetDir(fs: org.apache.hadoop.fs.FileSystem,
                                       root: org.apache.hadoop.fs.Path): (Long, Int, Seq[String]) = {
     val rootDepth = root.depth()
-    val files = fs.listFiles(root, true)
     var bytes = 0L
     var nFiles = 0
     var partKeys: Seq[String] = null
-    while (files.hasNext) {
-      val f = files.next()
+    ManifestTable.listLeafFiles(fs, root).foreach { f =>
       if (f.getPath.getName.endsWith(".parquet")) {
         bytes += f.getLen; nFiles += 1
         // directory segments between the root and the file must all be

@@ -389,6 +389,13 @@ class IncrementalReadSpec extends SparkSpec {
         concat((0 until 4).map(i => md5(concat(col("id").cast("string"), lit(i)))): _*).as("pad"))
       .union(mk("d2", 60000 until 60020, 2.0).withColumn("pad", lit("x")))
       .repartition(6)
+    // fragmentation IS the fixture: opt out of the optimized-write
+    // default (r19: partitioned write() seeds rebalance-shaped commits,
+    // which would coalesce each day to one file and leave compaction
+    // no small-file debt to find)
+    ManifestTable.createEmpty(spark, root, data.schema,
+      partitionCols = Seq("day"),
+      tags = Map(ManifestTable.OptimizedWriteProp -> "false"))
     ManifestTable.write(data, root, partitionCols = Seq("day"))
     // plus one micro-upsert so history shows a delta commit too
     ManifestTable.upsertDedup(spark,

@@ -1397,4 +1397,71 @@ class ManifestTableSpec extends SparkSpec {
         tags = Map("schema.create" -> "{}"))
     }
   }
+
+  test("overwrite derives write.optimized from the table's tags: explicit choice carries, partitioned default stamps") {
+    // (a) an EXPLICIT prior opt-out carries through a full overwrite —
+    // one rewrite must not silently flip an ingest table back to
+    // rebalance-shaped writes
+    val root = tmp() + "/opt"
+    val df = Seq(("2026-01-01", 1L), ("2026-01-02", 2L)).toDF("date", "k")
+    ManifestTable.createEmpty(spark, root, df.schema,
+      partitionCols = Seq("date"),
+      tags = Map(ManifestTable.OptimizedWriteProp -> "false"))
+    ManifestTable.write(df, root, Seq("date"))
+    assert(ManifestTable.current(spark, root).get.tags
+      .get(ManifestTable.OptimizedWriteProp).contains("false"))
+    // (b) a partitioned overwrite of a tag-less table defaults true (the
+    // createEmpty rule, applied at the write() creation path too). NOTE
+    // for operators of pre-r19 tables: this overwrite path STAMPS the
+    // default into the committed tags, so one rewrite opts a legacy
+    // partitioned table into rebalance-shaped appends — set
+    // write.optimized=false explicitly to keep the old shape.
+    val root2 = tmp() + "/fresh"
+    ManifestTable.write(df, root2, Seq("date"))
+    assert(ManifestTable.current(spark, root2).get.tags
+      .get(ManifestTable.OptimizedWriteProp).contains("true"))
+    // (c) an unpartitioned overwrite stamps nothing
+    val root3 = tmp() + "/flat"
+    ManifestTable.write(df, root3)
+    assert(!ManifestTable.current(spark, root3).get.tags
+      .contains(ManifestTable.OptimizedWriteProp))
+  }
+
+  test("generation schema memo: repeated read construction fires no inference job, subset reads agree") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp() + "/memo"
+    val df = (1 to 200).map(i => (s"2026-01-0${i % 3 + 1}", i.toLong, i.toDouble))
+      .toDF("date", "k", "v")
+    ManifestTable.write(df, root, Seq("date"))
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    }
+    // first read after the commit seeds/uses the memo; construct twice
+    // and pin: the SECOND construction is job-free (a generation is
+    // immutable — its inferred schema is a constant, and re-inferring it
+    // was a footer-reading Spark job per construction, r20)
+    val first = ManifestTable.read(spark, root)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val second = ManifestTable.read(spark, root)
+      assert(second.schema == first.schema)
+      Thread.sleep(500) // let the listener bus drain
+      assert(jobCount.get() == 0,
+        s"read construction should be job-free on a memoized generation, saw ${jobCount.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a PRUNED subset read resolves through the same memo and returns
+    // exactly the matching rows with the same schema
+    val pruned = ManifestTable.readWhere(spark, root, col("date") === "2026-01-01")
+    assert(pruned.schema == first.schema)
+    assert(pruned.count() == df.filter(col("date") === "2026-01-01").count())
+    // rows and full-read answer are unchanged
+    assert(ManifestTable.read(spark, root).select("date", "k", "v").orderBy("k")
+      .as[(String, Long, Double)].collect().toSeq ==
+      df.select("date", "k", "v").orderBy("k")
+        .as[(String, Long, Double)].collect().toSeq)
+  }
 }

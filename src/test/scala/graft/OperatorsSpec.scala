@@ -779,6 +779,43 @@ class OperatorsSpec extends SparkSpec {
     assert(big == 2, "hint above the cap must keep the salted plan")
   }
 
+  test("semanticDedup with salting disabled keeps per-cell parallelism (explicit repartition, no count window)") {
+    // cap <= 0 (salting explicitly off) takes the unsalted join but NOT
+    // the bare plan: with no plan-time proof the corpus is small, the
+    // pair join's quadratic OUTPUT hides behind a tiny shuffle INPUT and
+    // AQE's byte-based coalescing would fold the per-cell buckets into
+    // one straggler task (the measured 718s-vs-840s pathology the salted
+    // branch's explicit repartition defuses) — so the disabled path
+    // keeps an AQE-exempt repartition on cell_id while dropping the
+    // per-cell count window, and the proven-small hinted path keeps the
+    // bare plan (r19 ADVICE pin).
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array(1.0f, (i % 7) * 1e-4f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))).toDF("cell_id", "embedding")
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p = df.queryExecution.optimizedPlan
+      (p.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+      }.size,
+        p.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }.size)
+    }
+    val hinted = Ann.semanticDedup(vecs, "vec_id", "embedding", cents, 0.999,
+      corpusRows = 50L)
+    assert(shape(hinted) == ((0, 0)), "proven-small: bare unsalted plan")
+    val (disabledShape, disabledRows) = withConf(Ann.PairSaltRowsKey -> "0") {
+      val df = Ann.semanticDedup(vecs, "vec_id", "embedding", cents, 0.999)
+      (shape(df), df.orderBy("vec_id").collect().toSeq)
+    }
+    assert(disabledShape == ((2, 0)),
+      "salting disabled: explicit per-cell repartition, no count window")
+    assert(disabledRows == hinted.orderBy("vec_id").collect().toSeq,
+      "branch choice must never change the drop set")
+  }
+
   test("adaptiveCellCount defaults to the Θ(n^1.5) optimum (cellSize ≈ √n)") {
     // auto mode: cellSize = ⌈√n⌉, k = ⌈n/cellSize⌉ ≈ √n — BOTH stages
     // (n·k assignment, n·cellSize pair scan) grow as n^1.5. A fixed
