@@ -69,6 +69,11 @@ object GraftSession {
       // default 100 knocks wide plans (64 minhash min-aggs, 60 simhash
       // bit-sums, per-column profiles) out of whole-stage codegen
       .config("spark.sql.codegen.maxFields", sys.env.getOrElse("SPARK_GRAFT_MAXFIELDS", "256"))
+      // local-fs permission ops via java.nio instead of forked chmod —
+      // the installed-libhadoop (NativeIO) posture without the native
+      // library; every local file create otherwise forks a shell
+      // (graft.sources.GraftLocalFileSystem; remote schemes untouched)
+      .config("spark.hadoop.fs.file.impl", "graft.sources.GraftLocalFileSystem")
       .config("spark.ui.enabled", "false")
 
   /** Apply graft tuning to an existing session (e.g. one created by the

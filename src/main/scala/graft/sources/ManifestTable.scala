@@ -1450,7 +1450,45 @@ object ManifestTable {
     val w = micros.write.mode(SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(genPath.toString)
+    // seed the generation's read-schema memo from the WRITER: the
+    // read-back schema of a Spark-written parquet generation is fully
+    // determined by the written frame (file-source relations surface
+    // every field nullable; partition columns come back string-pinned,
+    // appended in partitionBy order), so the table's first read — and
+    // the commit's own sketch pass — never pays the inference job.
+    // Micro-commits below the sketch floor get the same free pass
+    // (the sketch-pass seeding alone never covers them). Derivation ≡
+    // inference is pinned in ManifestTableSpec across layouts.
+    schemaMemoFor(df.sparkSession)
+      .put(genPath.toString, readBackSchema(micros.schema, partitionCols))
     (gen, listGeneration(df.sparkSession, root, gen, tags))
+  }
+
+  /** The schema a fresh [[genFrame]] construction would INFER for a
+    * generation just written with `written` and `partitionCols`: data
+    * fields in written order with every nesting level nullable (the
+    * file-source relation contract — HadoopFsRelation surfaces
+    * `dataSchema.asNullable`), then the partition columns as nullable
+    * STRINGs in directory (= partitionBy) order, exactly as the
+    * inference-off construction pins them. */
+  private[graft] def readBackSchema(
+      written: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def nul(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f =>
+          f.copy(dataType = nul(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = nul(a.elementType), containsNull = true)
+      case m: MapType =>
+        m.copy(keyType = nul(m.keyType), valueType = nul(m.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+    val data = written.fields.filterNot(f => partitionCols.contains(f.name))
+      .map(f => f.copy(dataType = nul(f.dataType), nullable = true))
+    StructType(data ++ partitionCols.map(c => StructField(c, StringType)))
   }
 
   /** `df` rebound to a CLONED session whose parquet output type is

@@ -1427,6 +1427,36 @@ class ManifestTableSpec extends SparkSpec {
       .contains(ManifestTable.OptimizedWriteProp))
   }
 
+  test("writer-seeded schema memo: derived read-back schema equals inference across layouts") {
+    import org.apache.spark.sql.types._
+    // the writer seeds the memo with readBackSchema(writtenFrame, parts);
+    // this pins derivation ≡ the inference-off construction genFrame
+    // would otherwise run, for the shapes the engine writes: flat frames
+    // with nested arrays/timestamps, and multi-column identity layouts
+    // (partition values string-normalized at write, appended last on read)
+    def inferred(genDir: String): StructType =
+      withConf("spark.sql.sources.partitionColumnTypeInference.enabled" -> "false") {
+        spark.read.option("basePath", genDir).parquet(genDir).schema
+      }
+    def genDirOf(root: String): String = {
+      val st = ManifestTable.current(spark, root).get
+      root + "/" + st.files.head.relPath.takeWhile(_ != '/')
+    }
+    val flat = tmp() + "/flat"
+    val df1 = Seq((1L, Array(1.0f, 2.0f),
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "x"))
+      .toDF("k", "vec", "ts", "s")
+    ManifestTable.write(df1, flat)
+    assert(ManifestTable.readBackSchema(df1.schema, Nil) == inferred(genDirOf(flat)))
+    val part = tmp() + "/part"
+    val df2 = Seq(("2026-01-01", 3, 1L, 2.5)).toDF("day", "b", "k", "v")
+    ManifestTable.write(df2, part, Seq("day", "b"))
+    val written2 = StructType(df2.schema.fields.map(f =>
+      if (Seq("day", "b").contains(f.name)) f.copy(dataType = StringType) else f))
+    assert(ManifestTable.readBackSchema(written2, Seq("day", "b")) ==
+      inferred(genDirOf(part)))
+  }
+
   test("generation schema memo: repeated read construction fires no inference job, subset reads agree") {
     import org.apache.spark.sql.functions.col
     val root = tmp() + "/memo"
