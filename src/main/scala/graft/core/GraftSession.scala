@@ -79,6 +79,12 @@ object GraftSession {
   /** Apply graft tuning to an existing session (e.g. one created by the
     * verify/bench drivers) without rebuilding it. */
   def tune(spark: SparkSession): SparkSession = {
+    // best-effort: the fork-free local fs (see builder above). FileSystem
+    // instances are cached per scheme, so this only takes effect if the
+    // session has not touched file:// yet — set it anyway; a late set is
+    // a no-op, never a behavior change mid-session
+    spark.sparkContext.hadoopConfiguration
+      .setIfUnset("fs.file.impl", "graft.sources.GraftLocalFileSystem")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -16,34 +16,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Per-(session, file) schema memo: the testdata files are immutable,
-    * yet `spark.read.parquet` re-infers the schema — a footer-reading
-    * Spark job plus a hadoop-conf broadcast — on EVERY DataFrame
-    * construction, and the bench re-invokes each query builder per rep
-    * (~20-60 ms × tables × queries × reps of pure metadata re-derivation,
-    * measured r20). A hit passes the memoized schema explicitly, which
-    * skips inference entirely; only schema METADATA is cached — every
-    * action still scans the parquet bytes. Keyed per session: inference
-    * depends on session confs (nanosAsLong), and two differently-
-    * configured sessions in one JVM must not share entries. */
-  private val schemaMemo =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]]()
-
+  /** Per-(session, file) schema memo ([[SchemaMemo]], shared with
+    * ManifestTable's generation memo — one bound, one keying rule): the
+    * testdata files are immutable, yet `spark.read.parquet` re-infers
+    * the schema — a footer-reading Spark job plus a hadoop-conf
+    * broadcast — on EVERY DataFrame construction, and the bench
+    * re-invokes each query builder per rep (~20-60 ms × tables ×
+    * queries × reps of pure metadata re-derivation, measured r20). A
+    * hit passes the memoized schema explicitly, which skips inference
+    * entirely; only schema METADATA is cached — every action still
+    * scans the parquet bytes. */
   private def readMemo(spark: SparkSession, path: String): DataFrame = {
-    val memo = schemaMemo.synchronized {
-      var m = schemaMemo.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
-        schemaMemo.put(spark, m)
-      }
-      m
-    }
-    val cached = memo.get(path)
+    val cached = SchemaMemo.get(spark, path)
     if (cached != null) spark.read.schema(cached).parquet(path)
     else {
       val df = spark.read.parquet(path)
-      memo.put(path, df.schema)
+      SchemaMemo.put(spark, path, df.schema)
       df
     }
   }

@@ -1458,9 +1458,16 @@ object ManifestTable {
     // the commit's own sketch pass — never pays the inference job.
     // Micro-commits below the sketch floor get the same free pass
     // (the sketch-pass seeding alone never covers them). Derivation ≡
-    // inference is pinned in ManifestTableSpec across layouts.
-    schemaMemoFor(df.sparkSession)
-      .put(genPath.toString, readBackSchema(micros.schema, partitionCols))
+    // inference is pinned in ManifestTableSpec across layouts. Seeded
+    // ONLY when every partition column matches a written column
+    // EXACTLY: partitionBy resolves case-insensitively under the
+    // default caseSensitive=false, and a case-mismatched spec would
+    // derive a phantom data field + duplicate partition field (r20
+    // review finding) — the unseeded generation just pays one inference
+    // job on first read, the pre-change behavior.
+    if (partitionCols.forall(micros.schema.fieldNames.contains))
+      graft.core.SchemaMemo.put(df.sparkSession, genPath.toString,
+        readBackSchema(micros.schema, partitionCols))
     (gen, listGeneration(df.sparkSession, root, gen, tags))
   }
 
@@ -2998,52 +3005,34 @@ object ManifestTable {
 
   private val inferenceLock = new Object
 
-  /** Per-(session, generation-dir) memo of the scan schema. A generation
-    * is IMMUTABLE once committed (written `ErrorIfExists` under a fresh
-    * UUID dir, never appended to), and every file in it shares the one
-    * schema of the write that produced it — so its inferred read schema
-    * is a constant, while Spark re-infers it with a footer-reading Spark
-    * JOB on EVERY DataFrame construction (~0.12-0.2 s + one hadoop-conf
-    * broadcast per generation per read at sf0.1; a lifecycle query
-    * constructs reads dozens of times — measured r20, ReadProbe). The
-    * memo is keyed per SparkSession (schema inference depends on session
-    * confs like timestamp inference; the sessions this engine builds pin
-    * them, but two differently-configured sessions in one JVM must not
-    * share entries) and holds the FULL constructed frame schema —
-    * data columns plus string-pinned partition columns — so a hit passes
-    * it as the user-specified schema: no inference job, and partition
-    * column types are pinned by the schema itself (the inference-off
-    * conf toggle only governs columns ABSENT from a user schema, so hits
-    * skip [[inferenceLock]] too). Subset reads (file pruning) are safe:
-    * any non-empty subset of a generation yields the same schema —
-    * one write, one schema, one directory layout. */
-  private val genSchemaMemo =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]]()
-
-  private def schemaMemoFor(spark: SparkSession)
-      : java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType] =
-    genSchemaMemo.synchronized {
-      var m = genSchemaMemo.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
-        genSchemaMemo.put(spark, m)
-      }
-      m
-    }
-
+  /** Per-(session, generation-dir) memo of the scan schema, shared with
+    * [[graft.core.Tables]] via [[graft.core.SchemaMemo]] (one bound, one
+    * keying rule). A generation is IMMUTABLE once committed (written
+    * `ErrorIfExists` under a fresh UUID dir, never appended to), and
+    * every file in it shares the one schema of the write that produced
+    * it — so its inferred read schema is a constant, while Spark
+    * re-infers it with a footer-reading Spark JOB on EVERY DataFrame
+    * construction (~0.12-0.2 s + one hadoop-conf broadcast per
+    * generation per read at sf0.1; a lifecycle query constructs reads
+    * dozens of times — measured r20, ReadProbe). The memo holds the FULL
+    * constructed frame schema — data columns plus string-pinned
+    * partition columns — so a hit passes it as the user-specified
+    * schema: no inference job, and partition column types are pinned by
+    * the schema itself (the inference-off conf toggle only governs
+    * columns ABSENT from a user schema, so hits skip [[inferenceLock]]
+    * too). Subset reads (file pruning) are safe: any non-empty subset of
+    * a generation yields the same schema — one write, one schema, one
+    * directory layout. */
   /** A flat immutable dataset dir (dv-/cdf-/bloomidx-; no hive
     * subdirs, written once under a UUID name) read with its schema
     * memoized — same contract as [[genFrame]] minus basePath/partition
     * concerns. */
   private def dirFrame(spark: SparkSession, dir: String): DataFrame = {
-    val memo = schemaMemoFor(spark)
-    val cached = memo.get(dir)
+    val cached = graft.core.SchemaMemo.get(spark, dir)
     if (cached != null) spark.read.schema(cached).parquet(dir)
     else {
       val df = spark.read.parquet(dir)
-      if (memo.size >= 8192) memo.clear()
-      memo.put(dir, df.schema)
+      graft.core.SchemaMemo.put(spark, dir, df.schema)
       df
     }
   }
@@ -3054,8 +3043,7 @@ object ManifestTable {
   private def genFrame(spark: SparkSession, base: String, gen: String,
                        paths: Seq[String]): DataFrame = {
     val genDir = new Path(base, gen).toString
-    val memo = schemaMemoFor(spark)
-    val cached = memo.get(genDir)
+    val cached = graft.core.SchemaMemo.get(spark, genDir)
     if (cached != null)
       return spark.read.option("basePath", genDir).schema(cached)
         .parquet(paths: _*)
@@ -3078,11 +3066,7 @@ object ManifestTable {
       try {
         spark.conf.set(key, "false")
         val df = spark.read.option("basePath", genDir).parquet(paths: _*)
-        // bound the memo (a long-lived session touching millions of
-        // generations must not hold them all); entries are tiny, the cap
-        // generous, and eviction-by-clear keeps the structure trivial
-        if (memo.size >= 8192) memo.clear()
-        memo.put(genDir, df.schema)
+        graft.core.SchemaMemo.put(spark, genDir, df.schema)
         df
       } finally prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -3332,12 +3316,17 @@ object ManifestTable {
     // rule as createEmpty, so a write()-created (CTAS-shaped) table gets
     // the splinter protection the createEmpty path gets (r19 review
     // finding: the default was seeded only by createEmpty, leaving the
-    // measured 1-task × P-dirs pathology live on this creation path)
-    val optimizedTag = priorTags.flatMap(_.get(OptimizedWriteProp)) match {
-      case Some(v)                      => Map(OptimizedWriteProp -> v)
-      case None if physParts.nonEmpty   => Map(OptimizedWriteProp -> "true")
-      case None                         => Map.empty[String, String]
-    }
+    // measured 1-task × P-dirs pathology live on this creation path).
+    // ONE derivation serves both the write shaping here and the commit
+    // stamping inside the retry loop — the two must never drift.
+    def derivedOptimizedTag(prior: Option[Map[String, String]])
+        : Map[String, String] =
+      prior.flatMap(_.get(OptimizedWriteProp)) match {
+        case Some(v)                      => Map(OptimizedWriteProp -> v)
+        case None if physParts.nonEmpty   => Map(OptimizedWriteProp -> "true")
+        case None                         => Map.empty[String, String]
+      }
+    val optimizedTag = derivedOptimizedTag(priorTags)
     val (gen, entries) =
       writeGeneration(normalizePartitionCols(dfG, physParts), root, physParts,
         // ONLY the optimized-write switch carries into an overwrite's
@@ -3395,12 +3384,7 @@ object ManifestTable {
           // the stale pre-race value — the committed tag governs FUTURE
           // writes and follows the race, like the constraint re-gate
           // above (r19 ADVICE)
-          val optimizedTagNow = prev.map(_.tags).getOrElse(Map.empty)
-            .get(OptimizedWriteProp) match {
-            case Some(v)                    => Map(OptimizedWriteProp -> v)
-            case None if physParts.nonEmpty => Map(OptimizedWriteProp -> "true")
-            case None                       => Map.empty[String, String]
-          }
+          val optimizedTagNow = derivedOptimizedTag(prev.map(_.tags))
           val tags = (if (physParts.isEmpty) base
                       else base + (LayoutTag -> physParts.mkString(","))) ++
             optimizedTagNow ++

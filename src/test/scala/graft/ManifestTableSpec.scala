@@ -1457,6 +1457,28 @@ class ManifestTableSpec extends SparkSpec {
       inferred(genDirOf(part)))
   }
 
+  test("writer seed declines a case-mismatched partition spec") {
+    // partitionBy resolves case-insensitively under the default
+    // caseSensitive=false, so a spec spelled "day" against a written
+    // column "Day" still partitions — but readBackSchema's exact-match
+    // derivation would seed a phantom data field plus a duplicate
+    // partition field into the memo (r20 review finding). The writer
+    // declines the seed on any non-exact spec; the first read pays one
+    // inference job and every construction returns the inferred truth.
+    val root = tmp() + "/casemix"
+    val df = Seq(("2026-01-01", 1L), ("2026-01-02", 2L)).toDF("Day", "k")
+    ManifestTable.write(df, root, Seq("day"))
+    val first = ManifestTable.read(spark, root)
+    assert(first.schema.fields.count(_.name.equalsIgnoreCase("day")) == 1,
+      s"case-duplicate partition field in ${first.schema.treeString}")
+    assert(first.columns.length == 2)
+    // the miss-path memoization stores the inferred (correct) schema:
+    // a second construction agrees, and rows round-trip
+    val second = ManifestTable.read(spark, root)
+    assert(second.schema == first.schema)
+    assert(second.select("k").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("generation schema memo: repeated read construction fires no inference job, subset reads agree") {
     import org.apache.spark.sql.functions.col
     val root = tmp() + "/memo"
